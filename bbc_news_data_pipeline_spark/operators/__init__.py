@@ -1,0 +1,3 @@
+from . import dedup, similarity
+
+__all__ = ["dedup", "similarity"]

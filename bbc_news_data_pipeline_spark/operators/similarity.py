@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface for the LLM-data pipeline (BASELINE.json north star):
+brute-force cosine top-k as the exactness baseline, plus an LSH-bucketed
+variant as the scale path. All arithmetic is double-precision, sequential
+left-to-right (zip_with + aggregate), so the DuckDB oracle — written with
+the same list algebra — reproduces results bit-for-bit before rounding.
+
+Scale notes: brute-force against ONE query vector is a broadcast map —
+embarrassingly parallel, no shuffle, and TakeOrderedAndProject handles the
+top-k merge. For all-pairs workloads use `lsh_bucket_ann` (random
+hyperplane signs → bucket join), which turns O(n²) into a per-bucket
+product like MinHash banding does for text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic accumulation order."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame (col `qv`).
+
+    The query side is broadcast; each partition scores its rows and the
+    rounded score + id tiebreak gives a total order for the limit.
+    """
+    scored = (
+        emb.crossJoin(F.broadcast(query_vec))
+        .withColumn("cos_sim", F.round(cosine(F.col(vec_col), F.col("qv")), 4))
+        .select(id_col, "cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane, packed to a long.
+
+    `planes` are fixed (seeded) driver-side constants — tiny literals in
+    the plan, no join needed. Cosine-similar vectors collide with
+    probability 1 - theta/pi per bit.
+    """
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vec_col, lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_bucket_ann(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.8,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: bucket by hyperplane signs, score
+    only within buckets. Returns (id_a, id_b, cos_sim >= min_cos)."""
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), hyperplane_sign_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4)
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_sim",
+        )
+    )

@@ -1,0 +1,107 @@
+"""Similarity-search plans over the `embeddings` table (array<float>).
+
+LLM-pipeline extension surface (BASELINE.json): exact brute-force cosine
+top-k (the correctness baseline for any ANN index) and a probe-assignment
+query (the inner loop of IVF-style partitioning). Both use sequential
+double-precision folds so the DuckDB oracle (same list algebra) matches
+bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine, cosine_topk
+from ..sources.tables import load
+from .registry import Query
+
+# DuckDB list-algebra twins of operators/similarity.py:dot/norm.
+# (index-based: DuckDB 1.0's list_zip yields unnamed structs)
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+
+
+# ---------------------------------------------------------------------------
+# q40 — brute-force cosine top-k against one query vector. Broadcast map +
+# TakeOrderedAndProject: no shuffle at any scale.
+# ---------------------------------------------------------------------------
+def q40_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+
+
+Q40_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({_cos_sql('embedding', 'qv')}, 4) AS cos_sim
+FROM embeddings CROSS JOIN q
+WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q41 — nearest probe per vector (IVF assignment step): 8 probe vectors,
+# every other vector assigned to its max-cosine probe. Probe side is a tiny
+# broadcast; ranking via row_number with rounded-score + probe-id tiebreak.
+# ---------------------------------------------------------------------------
+def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("label").alias("probe_label"),
+    )
+    targets = emb.filter(F.col("vec_id") >= 8)
+    scored = targets.crossJoin(F.broadcast(probes)).withColumn(
+        "cos6", F.round(cosine(F.col("embedding"), F.col("probe_vec")), 6)
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos6"), F.asc("probe_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "probe_id",
+            F.round(F.col("cos6"), 4).alias("cos_sim"),
+            (F.col("label") == F.col("probe_label")).cast("int").alias("label_match"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q41_SQL = f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS probe_vec, label AS probe_label
+    FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT e.vec_id, p.probe_id,
+           round({_cos_sql('e.embedding', 'p.probe_vec')}, 6) AS cos6,
+           CAST(e.label = p.probe_label AS INTEGER) AS label_match,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('e.embedding', 'p.probe_vec')}, 6) DESC, p.probe_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN probes p
+    WHERE e.vec_id >= 8
+)
+SELECT vec_id, probe_id, round(cos6, 4) AS cos_sim, label_match
+FROM scored WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+QUERIES = [
+    Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
+    Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
+]

@@ -1,0 +1,691 @@
+"""Relational operator inventory (SURVEY.md §2.2–§2.8) as verifiable plans.
+
+Each query certifies specific SURVEY operator rows against the DuckDB
+oracle. Plans are written DataFrame-first so Catalyst gets full freedom:
+filters/projections push to the parquet scan, small dims broadcast, AQE
+re-plans shuffles at runtime. Scale notes are on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import Query
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: pricing summary (TPC-H Q1 shape).
+# SURVEY A2/A3 (group aggregates), P6/P9 (predicates), F22 (round).
+# Scale: single shuffle with map-side partial aggregation; 6 groups →
+# final agg is trivially small. Filter pushes to parquet row-group stats.
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(avg(l_quantity), 4)                          AS avg_qty,
+       round(avg(l_extendedprice), 4)                     AS avg_price,
+       round(avg(l_discount), 6)                          AS avg_disc,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — top revenue orders for one segment (TPC-H Q3 shape).
+# SURVEY J1 (dim join), A2, T1-T3 (top-K). customer is the small side →
+# broadcast hint; orders⋈lineitem shuffles on the join key once.
+# Total order (rounded revenue desc, o_orderkey) before LIMIT.
+# ---------------------------------------------------------------------------
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — newest-N scan (reference start-URL query: sort lastmod desc + limit,
+# ArticlesSpider.py:27-33). SURVEY S5/T1/T2. Spark plans TakeOrderedAndProject
+# (per-partition top-K + driver merge — no full sort at any scale).
+# ---------------------------------------------------------------------------
+def q03_topk_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q03_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — regex + contains predicates (reference URL filters, SURVEY P7/P8/F29).
+# Both predicates push into the scan; rlike runs JVM-side (codegen).
+# ---------------------------------------------------------------------------
+def q04_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").rlike(r"^(small|large) ") & F.col("p_type").contains("O"))
+        .select("p_partkey", "p_name", "p_type", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+Q04_SQL = """
+SELECT p_partkey, p_name, p_type, p_brand
+FROM part
+WHERE regexp_matches(p_name, '^(small|large) ') AND contains(p_type, 'O')
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — left-anti existence join (reference incremental-scrape dedup,
+# middlewares.py:16-20; SURVEY J2/J3/P11/S9). At scale: anti join shuffles
+# on the key; with AQE the small filtered side flips to broadcast.
+# ---------------------------------------------------------------------------
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — broadcast dim join + agg (reference topic-words map-join,
+# topic_modeling.py:261-267; SURVEY J1/A2). part is O(SF·200k) rows → easily
+# broadcastable; lineitem never shuffles for the join, only for the agg.
+# ---------------------------------------------------------------------------
+def q06_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q06_SQL = """
+SELECT p_brand,
+       round(sum(l_quantity), 2)    AS total_qty,
+       count(*)                     AS n_lines,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — outer join vs generated domain (reference reindex(range(k), fill=0),
+# stats_visualization.py:378-380; SURVEY J4). Zero-count keys must appear.
+# ---------------------------------------------------------------------------
+def q07_customers_per_nation_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    domain = spark.range(0, 25).select(F.col("id").alias("n_nationkey"))
+    counts = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("long").alias("n_nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return (
+        domain.join(counts, "n_nationkey", "left")
+        .na.fill({"n_customers": 0})
+        .orderBy("n_nationkey")
+    )
+
+
+Q07_SQL = """
+SELECT d.n_nationkey, coalesce(c.n_customers, 0) AS n_customers
+FROM (SELECT CAST(range AS BIGINT) AS n_nationkey FROM range(0, 25)) d
+LEFT JOIN (
+    SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey, count(*) AS n_customers
+    FROM customer GROUP BY 1
+) c USING (n_nationkey)
+ORDER BY d.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — first-wins dedup via row_number (reference Mongo $group dedup,
+# bbc_news_dag.py:27-43; SURVEY A1/W1). Keeps the latest shipment per part.
+# Scale: one shuffle on the partition key; no global sort.
+# ---------------------------------------------------------------------------
+def q08_latest_shipment_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey").orderBy(
+        F.desc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_partkey")
+    )
+
+
+Q08_SQL = """
+SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate
+FROM (
+    SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+           row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+           ) AS rn
+    FROM lineitem
+) t
+WHERE rn = 1
+ORDER BY l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — top-N per group (reference per-topic word rank, topic_modeling.py:35-37;
+# SURVEY W3/T4).
+# ---------------------------------------------------------------------------
+def q09_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rank_in_brand", F.row_number().over(w))
+        .filter(F.col("rank_in_brand") <= 3)
+        .select("p_brand", "rank_in_brand", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", "rank_in_brand")
+    )
+
+
+Q09_SQL = """
+SELECT p_brand, rank_in_brand, p_partkey, p_retailprice
+FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           row_number() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC
+           ) AS rank_in_brand
+    FROM part
+) t
+WHERE rank_in_brand <= 3
+ORDER BY p_brand, rank_in_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — within-group share (reference daily sentiment proportions,
+# stats_visualization.py:83-84; SURVEY A4/A5/W2). Long-form percentages via
+# a window-sum denominator — no pivot needed, stays fully parallel.
+# ---------------------------------------------------------------------------
+def q10_daily_event_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("day")
+    return (
+        counts.withColumn("pct", F.round(100.0 * F.col("n") / F.sum("n").over(w), 4))
+        .orderBy("day", "event_type")
+    )
+
+
+Q10_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+       round(100.0 * count(*) / sum(count(*)) OVER (PARTITION BY date_trunc('day', ts)), 4) AS pct
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — pivot to wide counts (reference groupby().size().unstack(fill=0),
+# stats_visualization.py:83 and date×topic pivot_table :392-398; SURVEY A4/A6).
+# Explicit value list → no extra distinct-values job at scale.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q11_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+Q11_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — daily mean (reference daily avg sentiment, stats_visualization.py:294;
+# SURVEY A3/F19).
+# ---------------------------------------------------------------------------
+def q12_daily_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n_events"))
+        .orderBy("day")
+    )
+
+
+Q12_SQL = """
+SELECT date_trunc('day', ts) AS day, round(avg(value), 4) AS avg_value, count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — fixed-bin histogram (reference 30-bin score histogram,
+# stats_visualization.py:103; SURVEY A7). Bucket arithmetic is identical on
+# both sides (DuckDB 1.0 lacks width_bucket).
+# ---------------------------------------------------------------------------
+def q13_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 10.0), F.lit(29)).cast("long")
+    return (
+        ev.withColumn("bucket", F.greatest(bucket, F.lit(0).cast("long")))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+Q13_SQL = """
+SELECT greatest(CAST(least(floor(value / 10.0), 29) AS BIGINT), 0) AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — trailing 48h slice anchored at max(ts) (reference trending window,
+# stats_visualization.py:221-222; SURVEY P9/F20/W4). Wall-clock is replaced by
+# a data-derived anchor for determinism (SURVEY §7.4.3).
+# ---------------------------------------------------------------------------
+def q14_trailing_48h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("anchor") - F.expr("INTERVAL 48 HOURS"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+Q14_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 48 HOUR
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — distinct aggregates per segment (SURVEY A13/E3 + countDistinct).
+# ---------------------------------------------------------------------------
+def q15_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q15_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT c_custkey)     AS n_customers,
+       count(*)                      AS n_orders,
+       round(sum(o_totalprice), 2)   AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — value_counts (reference stats.py:16,24; SURVEY A2/T7): frequency
+# table ordered by count desc with a key tiebreak.
+# ---------------------------------------------------------------------------
+def q16_status_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "o_orderstatus")
+    )
+
+
+Q16_SQL = """
+SELECT o_orderstatus, count(*) AS n
+FROM orders GROUP BY 1 ORDER BY n DESC, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — monthly rollup of orders (SURVEY F19/F21 date truncation).
+# ---------------------------------------------------------------------------
+def q17_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("month")
+    )
+
+
+Q17_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — ROLLUP grouping sets (Spark-free extension beyond the reference,
+# SURVEY §2.4 note): subtotal + grand-total rows.
+# ---------------------------------------------------------------------------
+def q18_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+Q18_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — threshold labeling (reference VADER label(), sentiment_analysis.py:48-53;
+# SURVEY F26/U4): pure when/otherwise, codegen'd, no UDF.
+# ---------------------------------------------------------------------------
+def q19_value_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    label = (
+        F.when(F.col("value") >= 100.0, "high")
+        .when(F.col("value") >= 50.0, "mid")
+        .otherwise("low")
+    )
+    return (
+        ev.withColumn("label", label)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("label")
+    )
+
+
+Q19_SQL = """
+SELECT CASE WHEN value >= 100.0 THEN 'high'
+            WHEN value >= 50.0  THEN 'mid'
+            ELSE 'low' END AS label,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — set operations over keyed sets (SURVEY §2.7): EXCEPT ∪ INTERSECT.
+# ---------------------------------------------------------------------------
+def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    by_status = lambda s: orders.filter(F.col("o_orderstatus") == s).select("o_custkey").distinct()
+    o_only = by_status("O").exceptAll(by_status("F")).distinct()
+    p_and_f = by_status("P").intersect(by_status("F"))
+    return o_only.union(p_and_f).distinct().orderBy("o_custkey")
+
+
+Q20_SQL = """
+(SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ EXCEPT
+ SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION
+(SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+ INTERSECT
+ SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 — sessionization via lag + gap counting (SURVEY §2.10 streaming-shaped;
+# the batch twin of session_window). Gap threshold 30 min. Second-granularity
+# diff on both sides (unix seconds ≡ date_diff('second')).
+# ---------------------------------------------------------------------------
+def q21_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("is_new", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("is_new") + 1).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q21_SQL = """
+SELECT user_id,
+       CAST(sum(is_new) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+    SELECT user_id, event_id,
+           CASE WHEN date_diff('second',
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                               ts) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+) t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — semi-join EXISTS (SURVEY J2 family): priority counts for orders having
+# at least one heavy line.
+# ---------------------------------------------------------------------------
+def q22_priority_with_heavy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    heavy = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q22_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — CUBE over events (extension; SURVEY §2.4 note).
+# ---------------------------------------------------------------------------
+def q23_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )
+
+
+Q23_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24 — JSON field extraction (reference JSON-encoded column F24/F25):
+# props is a JSON string '{"k": 87}'.
+# ---------------------------------------------------------------------------
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k_bucket", (k % 10))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+Q24_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+"""
+
+
+QUERIES = [
+    Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
+    Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
+    Query("q03_topk_recent_orders", q03_topk_recent_orders, Q03_SQL, survey="S5,T1,T2"),
+    Query("q04_regex_filter", q04_regex_filter, Q04_SQL, survey="P7,P8,F29,F15"),
+    Query("q05_customers_without_orders", q05_customers_without_orders, Q05_SQL, survey="J2,J3,P11,S9"),
+    Query("q06_brand_volume", q06_brand_volume, Q06_SQL, survey="J1,A2", tags=("bench",)),
+    Query("q07_customers_per_nation_domain", q07_customers_per_nation_domain, Q07_SQL, survey="J4"),
+    Query("q08_latest_shipment_per_part", q08_latest_shipment_per_part, Q08_SQL, survey="A1,W1", tags=("bench",)),
+    Query("q09_top3_parts_per_brand", q09_top3_parts_per_brand, Q09_SQL, survey="W3,T4"),
+    Query("q10_daily_event_share", q10_daily_event_share, Q10_SQL, survey="A4,A5,W2"),
+    Query("q11_daily_event_pivot", q11_daily_event_pivot, Q11_SQL, survey="A4,A6"),
+    Query("q12_daily_avg_value", q12_daily_avg_value, Q12_SQL, survey="A3,F19"),
+    Query("q13_value_histogram", q13_value_histogram, Q13_SQL, survey="A7"),
+    Query("q14_trailing_48h_counts", q14_trailing_48h_counts, Q14_SQL, survey="P9,F20,W4"),
+    Query("q15_segment_stats", q15_segment_stats, Q15_SQL, survey="A13,E3"),
+    Query("q16_status_value_counts", q16_status_value_counts, Q16_SQL, survey="A2,T7"),
+    Query("q17_monthly_orders", q17_monthly_orders, Q17_SQL, survey="F19,F21"),
+    Query("q18_rollup_revenue", q18_rollup_revenue, Q18_SQL, survey="A2+rollup"),
+    Query("q19_value_labels", q19_value_labels, Q19_SQL, survey="F26,U4"),
+    Query("q20_set_ops", q20_set_ops, Q20_SQL, survey="E1,E2,E3"),
+    Query("q21_user_sessions", q21_user_sessions, Q21_SQL, survey="ST4,W-family", tags=("bench",)),
+    Query("q22_priority_with_heavy_lines", q22_priority_with_heavy_lines, Q22_SQL, survey="J2"),
+    Query("q23_cube_events", q23_cube_events, Q23_SQL, survey="A2+cube"),
+    Query("q24_json_extract", q24_json_extract, Q24_SQL, survey="F24,F25"),
+]

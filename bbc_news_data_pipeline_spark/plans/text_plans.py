@@ -1,0 +1,316 @@
+"""Text-analysis / dedup operator plans over the `documents` table.
+
+Covers the reference's text surface (cleaning F1–F12, word counts P3/U5,
+word-frequency A11, vocab DF-filter A8, TF-IDF trending M9/A10) plus the
+LLM-data-pipeline extensions (quality scoring, language-ID heuristic,
+BPE-ish token counting, fingerprint dedup, MinHash signatures, n-gram
+Jaccard near-dup pairs). Everything is native column algebra — the only
+Python that ever runs per-row is in the md5/regex JVM builtins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_text_expr, clean_text_sql
+from ..functions.textstats import (
+    EN_STOPWORDS_CORE,
+    TOKEN_REGEX,
+    quality_score_cols,
+    quality_sql,
+    stop_token_count_expr_from,
+    token_count_regex_expr,
+    token_count_regex_sql,
+)
+from ..operators.dedup import fingerprint, minhash_signature, ngram_jaccard_pairs
+from ..sources.tables import load
+from .registry import Query
+
+SHINGLE_K = 5  # word-shingle width for MinHash / Jaccard (tuned so the
+# inverted-index join stays sub-quadratic on the synthetic zipfian corpus)
+
+
+# ---------------------------------------------------------------------------
+# q30 — per-doc counting stats (SURVEY P3/U5 n_words; token counting ext.).
+# ---------------------------------------------------------------------------
+def q30_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        token_count_regex_expr("text").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+Q30_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+       {token_count_regex_sql('text')} AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q31 — the reference's exact clean_text chain (SURVEY F1–F8/U1, §2.13
+# quirks preserved). Whole chain is WholeStageCodegen'd regexp_replace.
+# ---------------------------------------------------------------------------
+def q31_clean_text_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clean = clean_text_expr("text")
+    return docs.select(
+        "doc_id",
+        clean.alias("article_clean"),
+        F.size(F.split(clean, " ")).cast("long").alias("n_words_clean"),
+    ).orderBy("doc_id")
+
+
+Q31_SQL = f"""
+SELECT doc_id,
+       {clean_text_sql('text')} AS article_clean,
+       CAST(len(str_split({clean_text_sql('text')}, ' ')) AS BIGINT) AS n_words_clean
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q32 — corpus word frequencies, top 20 (reference wordcloud input A11,
+# stats_visualization.py:426-428). explode → partial-agg'd groupBy.
+# ---------------------------------------------------------------------------
+def q32_word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+Q32_SQL = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents) t
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q33 — document-frequency vocab filter (gensim filter_extremes semantics,
+# topic_modeling.py:137; SURVEY A8): no_below=5, no_above=0.9.
+# ---------------------------------------------------------------------------
+def q33_vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df = (
+        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        df.crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") >= 5) & (F.col("df") <= 0.9 * F.col("n_docs")))
+        .select("word", "df")
+        .orderBy(F.desc("df"), "word")
+    )
+
+
+Q33_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word FROM documents
+),
+dfreq AS (SELECT word, count(*) AS df FROM tok GROUP BY word)
+SELECT word, df
+FROM dfreq
+WHERE df >= 5 AND df <= 0.9 * (SELECT count(*) FROM documents)
+ORDER BY df DESC, word
+"""
+
+
+# ---------------------------------------------------------------------------
+# q34 — TF-IDF top terms (reference trending keywords M9/A10,
+# stats_visualization.py:229-246): sklearn-style smooth idf,
+# score(term) = Σ_docs tf·idf, top 15.
+# ---------------------------------------------------------------------------
+def q34_tfidf_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("word")
+        .agg(F.round(F.sum(F.col("tf") * idf), 4).alias("score"))
+        .orderBy(F.desc("score"), "word")
+        .limit(15)
+    )
+
+
+Q34_SQL = """
+WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT word,
+       round(sum(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)), 4) AS score
+FROM tf JOIN dfreq USING (word) CROSS JOIN n
+GROUP BY word
+ORDER BY score DESC, word
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# q35 — quality scoring (LLM-pipeline extension): length/stopword features
+# and a composite score, all pure column algebra.
+# ---------------------------------------------------------------------------
+def q35_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()]).orderBy("doc_id")
+
+
+Q35_SQL = quality_sql()
+
+
+# ---------------------------------------------------------------------------
+# q36 — language-ID heuristic (LLM-pipeline extension): English-stopword
+# ratio threshold vs the labeled lang column → confusion counts.
+# ---------------------------------------------------------------------------
+def q36_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    ratio = stop_token_count_expr_from(tokens) / F.size(tokens).cast("long")
+    predicted = F.when(ratio >= 0.05, "en").otherwise("non_en")
+    return (
+        docs.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS_CORE)
+Q36_SQL = f"""
+SELECT lang,
+       CASE WHEN CAST(len(list_filter(str_split(text, ' '),
+                                      t -> t IN ({_STOPLIST_SQL}))) AS BIGINT)
+                 / CAST(len(str_split(text, ' ')) AS BIGINT) >= 0.05
+            THEN 'en' ELSE 'non_en' END AS predicted,
+       count(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, predicted
+"""
+
+
+# ---------------------------------------------------------------------------
+# q37 — exact-dedup fingerprint stats (SURVEY A1 + LLM dedup extension):
+# md5 of normalized text; one row of corpus-level dup counts.
+# ---------------------------------------------------------------------------
+def q37_fingerprint_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(fingerprint("text").alias("fp")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).cast("long").alias("n_dups"),
+    )
+
+
+Q37_SQL = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_dups
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q38 — MinHash signatures (LLM dedup extension): 4 seeded md5 min-hashes
+# over 5-gram shingles, computed row-local (array_min over transform —
+# zero shuffles, zero explodes).
+# ---------------------------------------------------------------------------
+def q38_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= SHINGLE_K
+    )
+    sigs = minhash_signature("text", n_hashes=4, k=SHINGLE_K)
+    return docs.select("doc_id", *sigs).orderBy("doc_id")
+
+
+def _shingle_sql(k: int = SHINGLE_K) -> str:
+    toks = "str_split(text, ' ')"
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    return f"list_transform(generate_series(1, len({toks}) - {k - 1}), i -> {parts})"
+
+
+Q38_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+)
+SELECT doc_id,
+       list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS sig_0,
+       list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS sig_1,
+       list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS sig_2,
+       list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS sig_3
+FROM sh
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q39 — n-gram Jaccard near-dup pairs (LLM dedup extension): inverted-index
+# join on 5-gram shingles; exact Jaccard on candidate pairs.
+# ---------------------------------------------------------------------------
+def q39_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, "doc_id", "text", k=SHINGLE_K, min_jaccard=0.0)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q39_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct({_shingle_sql()})) AS shingle
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = [
+    Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
+    Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
+    Query("q32_word_freq_top20", q32_word_freq_top20, Q32_SQL, survey="A11,F10", tags=("bench",)),
+    Query("q33_vocab_doc_frequency", q33_vocab_doc_frequency, Q33_SQL, survey="A8"),
+    Query("q34_tfidf_top15", q34_tfidf_top15, Q34_SQL, survey="A10,M9", tags=("bench",)),
+    Query("q35_quality_scores", q35_quality_scores, Q35_SQL, survey="ext:quality"),
+    Query("q36_lang_confusion", q36_lang_confusion, Q36_SQL, survey="ext:lang-id"),
+    Query("q37_fingerprint_dup_stats", q37_fingerprint_dup_stats, Q37_SQL, survey="A1,ext:dedup"),
+    Query("q38_minhash_signatures", q38_minhash_signatures, Q38_SQL, survey="ext:minhash", tags=("bench",)),
+    Query("q39_neardup_pairs", q39_neardup_pairs, Q39_SQL, survey="ext:jaccard-neardup"),
+]

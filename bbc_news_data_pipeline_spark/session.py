@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Centralizes the configs every entry point (tests, bench, driver harness)
+needs so plans behave identically everywhere:
+
+  * UTC session timezone — required for DuckDB-oracle comparison (DuckDB
+    timestamps are UTC-naive).
+  * AQE on (runtime coalesce, skew-join splitting) — at 100 TB the static
+    plan is always wrong somewhere; AQE re-plans from actual map output
+    sizes.
+  * shuffle.partitions sized to cores for local runs; on a real cluster
+    AQE's coalescing makes the initial number mostly a ceiling.
+  * Arrow enabled so pandas interchange and Pandas UDFs are vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bbc-news-data-pipeline-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, else all cores.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    driver_memory = driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

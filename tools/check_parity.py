@@ -1,0 +1,111 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query's Spark plan and oracle SQL side-by-side and
+compares row count, column names, and exact values (order-insensitive).
+Usage:  python tools/check_parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("Int64")
+        elif s.dtype == object:
+            s = s.map(lambda v: str(v) if v is not None and v == v else None)
+        out[c] = s
+    norm = pd.DataFrame(out)
+    return norm.sort_values(by=list(norm.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(spark_pdf) != len(oracle_pdf):
+        errs.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        errs.append(f"columns: spark={s_cols} oracle={o_cols}")
+        return errs
+    if errs:
+        return errs
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            eq = (av.isna() & bv.isna()) | (av == bv)
+        else:
+            eq = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
+        bad = int((~eq).sum())
+        if bad:
+            idx = (~eq).idxmax()
+            errs.append(f"col {c}: {bad} mismatched values; first at row {idx}: "
+                        f"spark={av[idx]!r} oracle={bv[idx]!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from bbc_news_data_pipeline_spark import get_spark
+    from bbc_news_data_pipeline_spark.plans import all_queries
+    from bbc_news_data_pipeline_spark.sources.tables import TABLES
+
+    spark = get_spark("parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for q in all_queries():
+        if only and q.name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = q.spark(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {q.name}: spark error: {type(e).__name__}: {str(e)[:400]}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"SKIP-ORACLE {q.name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            oracle_pdf = con.execute(q.oracle).df()
+        except Exception as e:
+            print(f"FAIL {q.name}: oracle error: {type(e).__name__}: {str(e)[:400]}")
+            failures += 1
+            continue
+        errs = compare(spark_pdf, oracle_pdf)
+        if errs:
+            failures += 1
+            print(f"FAIL {q.name} ({time.time()-t0:.1f}s)")
+            for e in errs[:6]:
+                print(f"     {e}")
+        else:
+            print(f"OK   {q.name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+    print(f"\n{failures} failure(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
