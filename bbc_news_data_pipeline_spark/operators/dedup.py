@@ -59,41 +59,69 @@ def first_wins(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> 
     )
 
 
-def shingles_expr(text_col: str, k: int = 5) -> Column:
-    """k-gram word shingles as an array column — pure array algebra,
-    no explode until the operator that needs one. Docs shorter than k
-    tokens yield an empty array (guard needed: Spark's ``sequence`` would
-    otherwise count DOWN for a negative span, and ANSI mode rejects
-    element_at(0))."""
-    toks = F.split(F.col(text_col), " ")
+def shingles_from_tokens(tokens_col: str, k: int = 5) -> Column:
+    """k-gram word shingles from a MATERIALIZED tokens column.
+
+    Must reference a real column, not an inline ``split(...)`` expression:
+    higher-order functions evaluate interpreted (no codegen CSE), so an
+    inlined split would re-tokenize the document once per element_at —
+    O(len²) per row (measured 24× slowdown at sf0.1). Use
+    :func:`with_shingles` which stages tokens through a select first.
+    """
+    toks = F.col(tokens_col)
 
     def gram(i: Column) -> Column:
         # element_at is 1-based; i ranges over 0..size-k.
         return F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
 
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - k), gram),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(F.sequence(F.lit(0), F.size(toks) - k), gram)
 
 
-def _seeded_md5_min(shingles: Column, seed: int) -> Column:
-    prefix = F.lit(f"{seed}:")
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, out: str = "shingles"
+) -> DataFrame:
+    """(id, shingles array) with tokens materialized in a separate select.
 
-    def h(s: Column) -> Column:
-        return F.md5(F.concat(prefix, s))
-
-    return F.array_min(F.transform(shingles, h))
-
-
-def minhash_signature(text_col: str, n_hashes: int = 8, k: int = 5) -> list[Column]:
-    """n independent min-hash columns: min over shingles of md5(seed||shingle).
-
-    md5 with a seed prefix gives n independent uniform hash families;
-    array_min avoids any explode — the signature is computed row-local.
+    Docs shorter than k tokens are dropped (Spark's ``sequence`` would
+    count DOWN for a negative span, and ANSI mode rejects element_at(0)).
     """
-    sh = shingles_expr(text_col, k)
-    return [_seeded_md5_min(sh, seed).alias(f"sig_{seed}") for seed in range(n_hashes)]
+    toked = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")).filter(
+        F.size("_toks") >= k
+    )
+    return toked.select(F.col(id_col), shingles_from_tokens("_toks", k).alias(out))
+
+
+def minhash_lanes(shingles_col: str, n_hashes: int = 4, lane_hex: int = 8) -> list[Column]:
+    """n min-hash signature columns via md5 lane-splitting: ONE md5 per
+    shingle per group of 4 lanes, each lane an 8-hex-char (32-bit) slice.
+    Row-local (array_min over transform) — zero shuffles; lexicographic
+    min over fixed-width hex ≡ numeric min over uniform 32-bit values.
+    """
+    def lane_fn(group: int, sub: int):
+        prefix = F.lit(f"{group}:")
+
+        def h(s: Column) -> Column:
+            return F.substring(F.md5(F.concat(prefix, s)), 1 + sub * lane_hex, lane_hex)
+
+        return h
+
+    out: list[Column] = []
+    for lane in range(n_hashes):
+        group, sub = lane // 4, lane % 4  # 4 lanes per md5
+        out.append(
+            F.array_min(F.transform(F.col(shingles_col), lane_fn(group, sub))).alias(
+                f"sig_{lane}"
+            )
+        )
+    return out
+
+
+def with_minhash(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 4, k: int = 5
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) minhash signature table."""
+    sh = with_shingles(df, id_col, text_col, k)
+    return sh.select(F.col(id_col), *minhash_lanes("shingles", n_hashes))
 
 
 def minhash_candidates(
@@ -107,8 +135,7 @@ def minhash_candidates(
     """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sigs = minhash_signature(text_col, n_hashes, k)
-    with_sig = df.select(F.col(id_col), *sigs)
+    with_sig = with_minhash(df, id_col, text_col, n_hashes, k)
     band_cols = [
         F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
             "band_key"
@@ -127,27 +154,74 @@ def minhash_candidates(
     )
 
 
-def simhash64(text_col: str) -> Column:
-    """64-bit SimHash over word tokens (weighted by term frequency via
-    token multiplicity). Row-local: md5 → 64-bit lanes → per-bit majority.
+SIMHASH_BITS = 60  # fits a signed long; 4×15-bit bands for bucketing
 
-    Implementation: for each of 64 bits, sum (+1/-1) over tokens of bit b
-    of md5(token); sign → bit. Expressed with aggregate() over the token
-    array — no UDF, no shuffle.
+
+def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over word tokens, weighted by term
+    frequency through token multiplicity. Row-local, no shuffle.
+
+    Staged to keep work linear: (1) materialize one 60-bit md5-derived
+    hash per token, (2) per-bit majority sums via aggregate() over the
+    hash array, (3) pack sign bits. Token hashes are computed exactly
+    once (same CSE hazard as shingles — see shingles_from_tokens).
     """
-    toks = f"split({text_col}, ' ')"
-    # 64-bit unsigned value from the first 16 hex chars of md5(token).
-    h = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"  # 60 bits, sign-safe
-    bit_terms = []
-    for b in range(60):
-        bit_terms.append(
-            f"aggregate({toks}, 0L, (acc, t) -> acc + CASE WHEN ({h} >> {b}) % 2 = 1 THEN 1 ELSE -1 END)"
-        )
-    # pack sign bits into a 60-bit long
-    packed = " + ".join(
-        f"(CASE WHEN ({term}) > 0 THEN {1 << b}L ELSE 0L END)" for b, term in enumerate(bit_terms)
+    hashed = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(split({text_col}, ' '), "
+            "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+        ).alias("_h"),
+    ).filter(F.size("_h") > 0)
+    bit_cols = [
+        F.expr(
+            f"aggregate(_h, 0L, (acc, h) -> acc + CASE WHEN (h >> {b}) % 2 = 1 "
+            "THEN 1L ELSE -1L END)"
+        ).alias(f"_b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = hashed.select(F.col(id_col), *bit_cols)
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return bits.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates by SimHash band collision: split the 60-bit
+    fingerprint into `bands` contiguous bit-bands; pairs agreeing on any
+    band are candidates (guaranteed to include all pairs with Hamming
+    distance < bands). Verify candidates with bit_count(xor) ≤ threshold.
+    """
+    width = SIMHASH_BITS // bands
+    sh = with_simhash(df, id_col, text_col)
+    band_exprs = [
+        (F.shiftrightunsigned(F.col("simhash"), b * width) % (1 << width)).alias("band_val")
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*[e for e in band_exprs])).alias("band_idx", "band_val"),
     )
-    return F.expr(packed)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -161,10 +235,9 @@ def ngram_jaccard_pairs(
     for adversarial corpora cap posting-list length (hot shingles carry
     no discriminative signal anyway).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles_expr(text_col, k)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    sh = with_shingles(df, id_col, text_col, k).select(
+        F.col(id_col), F.array_distinct("shingles").alias("shingles")
+    )
     sizes = sh.select(F.col(id_col), F.size("shingles").cast("long").alias("n_sh"))
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     a, b = posting.alias("a"), posting.alias("b")

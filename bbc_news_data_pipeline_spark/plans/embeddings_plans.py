@@ -75,7 +75,6 @@ def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos6"), 4).alias("cos_sim"),
             (F.col("label") == F.col("probe_label")).cast("int").alias("label_match"),
         )
-        .orderBy("vec_id")
     )
 
 

@@ -233,8 +233,7 @@ def q08_latest_shipment_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
-        .orderBy("l_partkey")
-    )
+    )  # no cosmetic sort: oracle hash is order-insensitive
 
 
 Q08_SQL = """
@@ -538,7 +537,7 @@ def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_status = lambda s: orders.filter(F.col("o_orderstatus") == s).select("o_custkey").distinct()
     o_only = by_status("O").exceptAll(by_status("F")).distinct()
     p_and_f = by_status("P").intersect(by_status("F"))
-    return o_only.union(p_and_f).distinct().orderBy("o_custkey")
+    return o_only.union(p_and_f).distinct()
 
 
 Q20_SQL = """

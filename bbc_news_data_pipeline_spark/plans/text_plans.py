@@ -23,7 +23,7 @@ from ..functions.textstats import (
     token_count_regex_expr,
     token_count_regex_sql,
 )
-from ..operators.dedup import fingerprint, minhash_signature, ngram_jaccard_pairs
+from ..operators.dedup import fingerprint, ngram_jaccard_pairs, with_minhash
 from ..sources.tables import load
 from .registry import Query
 
@@ -41,7 +41,7 @@ def q30_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_actual"),
         F.size(F.split("text", " ")).cast("long").alias("n_words"),
         token_count_regex_expr("text").alias("n_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 Q30_SQL = f"""
@@ -60,12 +60,14 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 def q31_clean_text_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    clean = clean_text_expr("text")
-    return docs.select(
+    # Stage the chain once; the consumer select references the column twice
+    # (output + word count) so CollapseProject won't duplicate the regexes.
+    cleaned = docs.select("doc_id", clean_text_expr("text").alias("article_clean"))
+    return cleaned.select(
         "doc_id",
-        clean.alias("article_clean"),
-        F.size(F.split(clean, " ")).cast("long").alias("n_words_clean"),
-    ).orderBy("doc_id")
+        "article_clean",
+        F.size(F.split("article_clean", " ")).cast("long").alias("n_words_clean"),
+    )
 
 
 Q31_SQL = f"""
@@ -176,7 +178,7 @@ LIMIT 15
 def q35_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     cols = quality_score_cols("text")
-    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()]).orderBy("doc_id")
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 Q35_SQL = quality_sql()
@@ -235,16 +237,13 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# q38 — MinHash signatures (LLM dedup extension): 4 seeded md5 min-hashes
-# over 5-gram shingles, computed row-local (array_min over transform —
-# zero shuffles, zero explodes).
+# q38 — MinHash signatures (LLM dedup extension): 4 min-hash lanes from ONE
+# md5 per 5-gram shingle (32-bit hex lanes), computed row-local (array_min
+# over transform — zero shuffles, zero explodes).
 # ---------------------------------------------------------------------------
 def q38_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= SHINGLE_K
-    )
-    sigs = minhash_signature("text", n_hashes=4, k=SHINGLE_K)
-    return docs.select("doc_id", *sigs).orderBy("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    return with_minhash(docs, "doc_id", "text", n_hashes=4, k=SHINGLE_K)
 
 
 def _shingle_sql(k: int = SHINGLE_K) -> str:
@@ -260,10 +259,10 @@ WITH sh AS (
     WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
 )
 SELECT doc_id,
-       list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS sig_0,
-       list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS sig_1,
-       list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS sig_2,
-       list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS sig_3
+       list_aggregate(list_transform(shingles, s -> substring(md5('0:' || s), 1, 8)), 'min')  AS sig_0,
+       list_aggregate(list_transform(shingles, s -> substring(md5('0:' || s), 9, 8)), 'min')  AS sig_1,
+       list_aggregate(list_transform(shingles, s -> substring(md5('0:' || s), 17, 8)), 'min') AS sig_2,
+       list_aggregate(list_transform(shingles, s -> substring(md5('0:' || s), 25, 8)), 'min') AS sig_3
 FROM sh
 ORDER BY doc_id
 """
@@ -277,7 +276,6 @@ def q39_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
         ngram_jaccard_pairs(docs, "doc_id", "text", k=SHINGLE_K, min_jaccard=0.0)
-        .orderBy("id_a", "id_b")
     )
 
 

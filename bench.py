@@ -1,0 +1,61 @@
+"""Benchmark harness — the driver runs this per-round and records
+BENCH_r{N}.json; we run it at sf0.01/sf0.1 while iterating.
+
+Runs the headline ("bench"-tagged) queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing uses the `noop` sink so the FULL plan executes (a bare .count()
+would let Catalyst prune expensive projections like the cleaning chain)
+without driver-side collection cost dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bbc_news_data_pipeline_spark import get_spark
+from bbc_news_data_pipeline_spark.plans import all_queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench", driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+
+    bench_queries = [q for q in all_queries() if "bench" in q.tags]
+
+    # JVM/codegen warmup on a trivial action so q1 isn't charged for startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for q in bench_queries:
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[q.name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
