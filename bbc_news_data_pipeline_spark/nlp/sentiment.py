@@ -1,0 +1,145 @@
+"""Sentiment scoring — the Spark re-expression of the reference's
+sentiment stage (``airflow/plugins/nlp_tasks/sentiment_analysis.py``).
+
+The reference runs three models over ≤1,000 docs in a single process:
+VADER (M6), a DistilBERT binary classifier (M7), and a 7-class emotion
+model (M8). This container has neither NLTK/VADER nor transformers, so:
+
+  * the PRIMARY path is a deterministic lexicon scorer expressed as pure
+    column algebra (map-literal lookup + fold + VADER's compound
+    normalization s/sqrt(s²+15)) — JVM-side, scales to any corpus;
+  * the threshold labeling reproduces the reference EXACTLY
+    (``sentiment_analysis.py:48-53``): positive iff ≥ .05, negative iff
+    ≤ -.05, else neutral;
+  * transformer inference is stubbed behind an import-try in
+    :func:`hf_sentiment_udf` with the REAL Spark plumbing (iterator
+    Pandas UDF so the model loads once per executor) and a clearly
+    marked deterministic fallback.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Compact valence lexicon (AFINN-style integer valences in [-5, 5],
+# authored here; public-domain word sentiment knowledge).
+VALENCE: dict[str, float] = {
+    "good": 3, "great": 3, "excellent": 4, "amazing": 4, "wonderful": 4,
+    "best": 3, "love": 3, "loved": 3, "happy": 3, "joy": 3, "win": 2,
+    "wins": 2, "winning": 2, "success": 2, "successful": 2, "improve": 2,
+    "improved": 2, "growth": 2, "strong": 2, "positive": 2, "hope": 2,
+    "hopeful": 2, "safe": 1, "calm": 1, "support": 1, "supported": 1,
+    "agree": 1, "agreed": 1, "benefit": 2, "benefits": 2, "progress": 2,
+    "peace": 2, "celebrate": 3, "celebrated": 3, "breakthrough": 3,
+    "bad": -3, "terrible": -4, "awful": -4, "horrible": -4, "worst": -3,
+    "hate": -3, "hated": -3, "sad": -2, "angry": -3, "anger": -3,
+    "fear": -2, "afraid": -2, "lose": -2, "loses": -2, "losing": -2,
+    "loss": -2, "fail": -2, "failed": -2, "failure": -2, "crisis": -3,
+    "war": -3, "death": -3, "dead": -3, "died": -3, "kill": -3,
+    "killed": -3, "attack": -2, "attacked": -2, "weak": -2, "negative": -2,
+    "threat": -2, "risk": -1, "risks": -1, "problem": -1, "problems": -1,
+    "concern": -1, "concerns": -1, "disaster": -4, "collapse": -3,
+    "conflict": -2, "violence": -3, "damage": -2, "damaged": -2,
+}
+
+POSITIVE_THRESHOLD = 0.05  # sentiment_analysis.py:49
+NEGATIVE_THRESHOLD = -0.05  # sentiment_analysis.py:51
+
+
+def _valence_map() -> Column:
+    pairs: list[Column] = []
+    for w, v in VALENCE.items():
+        pairs.extend([F.lit(w), F.lit(float(v))])
+    return F.create_map(*pairs)
+
+
+def compound_score_expr(tokens_col: str) -> Column:
+    """VADER-style compound score from a tokens column: sum of token
+    valences, normalized to (-1, 1) by s/sqrt(s²+15).
+
+    One fold over the token array, map lookup per token — all JVM-side.
+    """
+    lookups = F.transform(
+        F.col(tokens_col), lambda t: F.coalesce(F.element_at(_valence_map(), t), F.lit(0.0))
+    )
+    s = F.aggregate(lookups, F.lit(0.0), lambda acc, x: acc + x)
+    return s / F.sqrt(s * s + 15.0)
+
+
+def sentiment_label_expr(score_col: Column | str) -> Column:
+    """EXACT reference thresholds (sentiment_analysis.py:48-53)."""
+    c = F.col(score_col) if isinstance(score_col, str) else score_col
+    return (
+        F.when(c >= POSITIVE_THRESHOLD, "positive")
+        .when(c <= NEGATIVE_THRESHOLD, "negative")
+        .otherwise("neutral")
+    )
+
+
+def with_sentiment(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append sentiment_score / sentiment_label.
+
+    Tokens staged through a select (interpreted-HOF CSE hazard — see
+    operators/dedup.py) so tokenization happens once.
+    """
+    staged = df.withColumn("_toks", F.split(F.lower(F.col(text_col)), " "))
+    scored = staged.withColumn("sentiment_score", F.round(compound_score_expr("_toks"), 6))
+    return scored.withColumn(
+        "sentiment_label", sentiment_label_expr("sentiment_score")
+    ).drop("_toks")
+
+
+def hf_sentiment_udf():
+    """Transformer sentiment as an iterator Pandas UDF (reference M7).
+
+    Real plumbing: Arrow batches, model loaded once per executor process
+    (the iterator form), truncation semantics. The transformers package
+    is not present in this container, so the fallback is a DETERMINISTIC
+    STUB (lexicon sign), clearly marked; swap in the real pipeline by
+    installing `transformers` — the Spark side needs no change.
+    """
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("label", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]))
+    def infer(batches: Iterator["pd.Series"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        try:  # pragma: no cover - heavy dep absent in CI container
+            from transformers import pipeline  # type: ignore
+
+            clf = pipeline(
+                "sentiment-analysis",
+                model="distilbert-base-uncased-finetuned-sst-2-english",
+                truncation=True,
+            )
+
+            def score(texts: pd.Series) -> pd.DataFrame:
+                out = clf(texts.fillna("").tolist())
+                return pd.DataFrame(
+                    {
+                        "label": [r["label"].lower() for r in out],
+                        "confidence": [float(r["score"]) for r in out],
+                    }
+                )
+
+        except ImportError:
+
+            def score(texts: pd.Series) -> pd.DataFrame:
+                # STUB: deterministic lexicon-sign fallback (not a model).
+                def one(t: str) -> tuple[str, float]:
+                    s = sum(VALENCE.get(w, 0.0) for w in str(t).lower().split())
+                    return ("positive" if s >= 0 else "negative", min(1.0, abs(s) / 10.0))
+
+                labels, confs = zip(*[one(t) for t in texts]) if len(texts) else ((), ())
+                return pd.DataFrame({"label": list(labels), "confidence": list(confs)})
+
+        for batch in batches:
+            yield score(batch)
+
+    return infer

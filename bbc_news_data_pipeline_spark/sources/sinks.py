@@ -1,0 +1,74 @@
+"""Table sinks — the reference's write semantics (SURVEY §2.1) on parquet.
+
+  S9  insert-if-absent against a unique key (pipelines.py:38-44 swallows
+      DuplicateKeyError; unique url index pipelines.py:33)
+      → left-anti against the existing table, then append.
+  S10 truncate-and-load (delete_many + insert_many, data_preparation.py:54-55)
+      → mode("overwrite").
+  S11/S12 CSV artifact sinks (topic_modeling.py:248-285)
+      → header CSV, optionally partitioned by a key column instead of the
+        reference's per-topic filter loop.
+
+Scale notes: keyed append reads only the KEY COLUMN of the existing table
+(column pruning) for the anti-join; with AQE the freshly-arriving (small)
+side broadcasts. True atomic upsert needs a table format (Delta/Iceberg —
+jars not in this container; noted as the production path in ARCHITECTURE).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """S7 collection-exists probe (stats.py:13,21) for path-based tables."""
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def keyed_append(spark: SparkSession, df: DataFrame, path: str, key: str) -> int:
+    """Insert-if-absent (S9): append only rows whose key is not already
+    present. Returns the number of appended rows.
+
+    Dedups the incoming batch on the key first (the reference's unique
+    index enforced this across retries within a batch too).
+    """
+    incoming = df.dropDuplicates([key])
+    if table_exists(spark, path):
+        existing_keys = spark.read.parquet(path).select(key)
+        incoming = incoming.join(existing_keys, key, "left_anti")
+    # Two actions (count + write) are fine here: the anti-join result is
+    # cached implicitly small; at production scale use Delta MERGE instead.
+    incoming = incoming.cache()
+    n = incoming.count()
+    if n:
+        incoming.write.mode("append").parquet(path)
+    incoming.unpersist()
+    return n
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """Truncate-and-load (S10)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """CSV artifact sink (S11); with partition_by, one directory per key —
+    replacing the reference's per-topic filter loop (S12,
+    topic_modeling.py:277-281) with a single partitioned write."""
+    writer = df.write.mode("overwrite").option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.csv(path)
+
+
+def run_metadata_table(spark: SparkSession, path: str, record: dict) -> None:
+    """M10/O4: the run registry replacing XCom + mtime-glob discovery
+    (topic_modeling.py:57-79) — a small append-only parquet table."""
+    spark.createDataFrame([record]).write.mode("append").parquet(os.path.join(path, "runs"))

@@ -1,0 +1,80 @@
+"""Dedup operator behaviors + property tests (SURVEY §5.2.5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away tonight "
+    "while stars shine brightly above the quiet town near the river bend"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate
+        (2, BASE.replace("lazy", "sleepy")),  # near duplicate
+        (3, "completely different words about spark engines and distributed "
+            "query planning at massive scale with broadcast joins everywhere"),
+        (4, "another unrelated document discussing weather patterns across "
+            "northern regions during winter months with heavy snowfall"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(corpus):
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(corpus, "text", "doc_id").collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_exact_dedup_idempotent(corpus):
+    once = dedup.exact_dedup(corpus, "text", "doc_id")
+    twice = dedup.exact_dedup(once, "text", "doc_id")
+    assert sorted(r.doc_id for r in twice.collect()) == sorted(
+        r.doc_id for r in once.collect()
+    )
+
+
+def test_first_wins(spark):
+    df = spark.createDataFrame(
+        [("u1", 3, "c"), ("u1", 1, "a"), ("u2", 2, "b")], "url string, ts long, v string"
+    )
+    out = dedup.first_wins(df, ["url"], [F.asc("ts")]).collect()
+    got = {r.url: r.v for r in out}
+    assert got == {"u1": "a", "u2": "b"}
+
+
+def test_minhash_candidates_cluster(corpus):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates(corpus, "doc_id", "text", n_hashes=8, bands=4, k=3).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert all(3 not in p and 4 not in p for p in pairs)  # unrelated docs never pair
+
+
+def test_simhash_distances(corpus):
+    sh = {r.doc_id: r.simhash for r in dedup.with_simhash(corpus, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]  # identical text → identical fingerprint
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[2]) <= 12  # near dup → small distance
+    assert ham(sh[0], sh[3]) > 12  # unrelated → large distance
+
+
+def test_ngram_jaccard_values(corpus):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", k=3, min_jaccard=0.3).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert 0.5 < got[(0, 2)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([("  Hello World ",), ("hello world",)], "text string")
+    fps = df.select(dedup.fingerprint("text").alias("fp")).collect()
+    assert fps[0].fp == fps[1].fp

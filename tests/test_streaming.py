@@ -1,0 +1,77 @@
+"""Structured Streaming semantics (SURVEY §2.10): availableNow drains,
+exactly-once url dedup across micro-batches, stream==batch equivalence
+for windowed aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.sources.tables import load
+from bbc_news_data_pipeline_spark.streaming.ingest import (
+    LINK_SCHEMA,
+    run_links_ingest,
+    windowed_event_counts,
+)
+
+
+def _write_batch(spark, rows, path):
+    spark.createDataFrame(rows, LINK_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_link_dedup_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # duplicates split ACROSS micro-batch files (FIXTURES.md §7)
+    _write_batch(spark, [("u1", "2024-01-01"), ("u2", "2024-01-02")], src)
+    _write_batch(spark, [("u2", "2024-01-03"), ("u3", None)], src)
+
+    run_links_ingest(spark, src, out, ckpt)
+    got = {r.url for r in spark.read.parquet(out).collect()}
+    assert got == {"u1", "u2", "u3"}
+    assert spark.read.parquet(out).count() == 3  # exactly-once per url
+
+    # incremental restart: a third batch with one old + one new url
+    _write_batch(spark, [("u1", "2024-01-09"), ("u4", "2024-01-10")], src)
+    run_links_ingest(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 4  # state survived the restart
+
+
+def test_stream_static_anti_join(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_batch(spark, [("u1", "2024-01-01"), ("u2", "2024-01-02")], src)
+    scraped = spark.createDataFrame([("u1",)], "url string")
+    run_links_ingest(spark, src, out, ckpt, already_scraped=scraped)
+    assert {r.url for r in spark.read.parquet(out).collect()} == {"u2"}
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    """availableNow over the events table == the q50 batch twin."""
+    events = load(spark, sf_dir, "events")
+    # stream source: re-write events as parquet micro-batch input
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM win_counts").toPandas()
+
+    from bbc_news_data_pipeline_spark.plans.streaming_plans import q50_hourly_windows
+
+    batch = q50_hourly_windows(spark, sf_dir).toPandas()
+    key = ["window_start", "event_type"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["n"].values == b["n"].values).all()
+    assert (abs(s["total_value"].values - b["total_value"].values) < 1e-9).all()

@@ -1,0 +1,73 @@
+"""LDA invariants on a separable synthetic corpus (SURVEY §5.2.4/§7.4.2:
+cross-engine numeric parity is impossible; assert structure instead)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.operators.topics import (
+    dominant_topic,
+    fit_lda,
+    topic_words,
+    umass_coherence,
+)
+
+THEME_A = ["football", "goal", "match", "league", "striker", "stadium", "referee"]
+THEME_B = ["election", "vote", "parliament", "minister", "policy", "ballot", "senate"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(42)
+    rows = []
+    for i in range(60):
+        theme = THEME_A if i % 2 == 0 else THEME_B
+        words = [rng.choice(theme) for _ in range(30)]
+        rows.append((f"doc{i:03d}", " ".join(words)))
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+@pytest.fixture(scope="module")
+def bundle(corpus):
+    return fit_lda(corpus, "text", "url", k=2, max_iter=20, min_df=1.0, max_df=1.0)
+
+
+def test_topic_words_shape(bundle):
+    tw = topic_words(bundle, topn=5)
+    rows = tw.collect()
+    assert {r.topic_id for r in rows} == {0, 1}
+    assert all(1 <= r.rank <= 5 for r in rows)
+    vocab = set(THEME_A) | set(THEME_B)
+    assert all(r.word in vocab for r in rows)  # vocab containment
+    assert all(r.weight > 0 for r in rows)
+
+
+def test_dominant_topic_separates_themes(corpus, bundle):
+    assigned = dominant_topic(bundle, "url").collect()
+    by_theme = {0: [], 1: []}
+    for r in assigned:
+        doc_idx = int(r.url[3:])
+        by_theme[doc_idx % 2].append(r.main_topic)
+    # docs of one theme overwhelmingly share a topic id, and the two
+    # themes land on different ids (cluster purity, not id identity)
+    majority = [max(set(v), key=v.count) for v in by_theme.values()]
+    purity = [v.count(m) / len(v) for v, m in zip(by_theme.values(), majority)]
+    assert majority[0] != majority[1]
+    assert min(purity) > 0.9
+
+
+def test_assignment_deterministic(corpus):
+    a = fit_lda(corpus, "text", "url", k=2, max_iter=10, min_df=1.0, max_df=1.0)
+    b = fit_lda(corpus, "text", "url", k=2, max_iter=10, min_df=1.0, max_df=1.0)
+    da = {r.url: r.main_topic for r in dominant_topic(a, "url").collect()}
+    db = {r.url: r.main_topic for r in dominant_topic(b, "url").collect()}
+    assert da == db  # same seed + same data → same assignment
+
+
+def test_umass_coherence_range(bundle):
+    rows = umass_coherence(bundle, topn=5).collect()
+    assert {r.topic_id for r in rows} == {0, 1}
+    # UMass is a sum of log conditional probabilities: finite, <= 0-ish
+    assert all(r.umass_coherence <= 1.0 for r in rows)
+    assert all(r.umass_coherence > -100.0 for r in rows)
