@@ -1,0 +1,154 @@
+"""Multimodal column operators — image/audio/video payloads as opaque
+``binary`` columns with typed metadata.
+
+The reference stores only image *URLs* (``ArticlesSpider.py:96-105``,
+``items.py:13``) and never decodes media. A 100 TB training-data pipeline
+must carry the payloads themselves, so this module defines the Spark-side
+contract for media columns:
+
+  schema       — ``media struct<bytes: binary, mime: string>`` + typed
+                 metadata columns produced by decode
+  partitioning — payloads stay with their row; decode is a narrow
+                 mapInPandas (zero shuffle), so media tables partition by
+                 whatever key the pipeline already uses
+  UDF shape    — Arrow-batched ``mapInPandas``: one pandas DataFrame per
+                 batch, payload bytes arrive as Python ``bytes`` objects;
+                 batch size bounded by spark.sql.execution.arrow
+                 .maxRecordsPerBatch so a batch of 10 MB videos cannot
+                 OOM an executor
+
+Real codecs (PIL / librosa / av) are NOT in this container, so the
+byte-level decoders are STUBS: ``_real_decode_meta`` raises
+``NotImplementedError`` and the pipeline falls back to
+``_fake_decode_meta``, a deterministic md5-derived metadata synthesizer.
+The fake keeps every piece of Spark plumbing real (schema, Arrow batch
+iteration, null handling, per-mime dispatch) and is reproducible in SQL,
+which is what lets the DuckDB oracle check the whole mapInPandas path
+(plans/multimodal_plans.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Decoded-metadata schema — the output contract of decode_media_meta.
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes bigint, "
+    "width int, height int, n_frames int, sample_rate int"
+)
+
+_MIMES = ["image/jpeg", "audio/wav", "video/mp4"]
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Attach a synthetic media payload column to a text table.
+
+    Payload bytes are the utf-8 encoding of the text (deterministic, so
+    the oracle can recompute sizes/hashes); mime rotates by id. At 100 TB
+    the payload column would come straight from parquet ``binary`` — this
+    helper only exists because the synthetic testdata has no media.
+    """
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]), (F.col(id_col) % 3 + 1).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        F.struct(
+            F.encode(F.col(text_col), "utf-8").alias("bytes"),
+            mime.alias("mime"),
+        ).alias("media"),
+    )
+
+
+def _real_decode_meta(payload: bytes, mime: str) -> dict:
+    """Decode actual media bytes (PIL / librosa / av).
+
+    STUB: the image/audio/video libraries are not installed in this
+    environment. The signature and dispatch are the real contract; swap
+    this in when codecs are available.
+    """
+    raise NotImplementedError(
+        "media codecs (PIL/librosa/av) unavailable in this environment; "
+        "using deterministic fake decode"
+    )
+
+
+def _fake_decode_meta(payload: bytes, mime: str) -> dict:
+    """Deterministic stand-in for decode: metadata derived from md5 of the
+    payload. Mirrored exactly by the DuckDB oracle SQL so the mapInPandas
+    plumbing is correctness-checked end-to-end."""
+    h = hashlib.md5(payload).hexdigest()
+    meta = {"n_bytes": len(payload), "width": None, "height": None,
+            "n_frames": None, "sample_rate": None}
+    if mime.startswith(("image/", "video/")):
+        meta["width"] = 64 + int(h[0:7], 16) % 960
+        meta["height"] = 64 + int(h[7:14], 16) % 576
+    if mime.startswith("video/"):
+        meta["n_frames"] = 1 + int(h[14:18], 16) % 120
+    if mime.startswith("audio/"):
+        meta["sample_rate"] = 8000 + (int(h[14:18], 16) % 8) * 4000
+    return meta
+
+
+def decode_media_meta(media_df: DataFrame) -> DataFrame:
+    """Extract typed metadata from the payload column.
+
+    Arrow-batched ``mapInPandas`` — the canonical shape for byte-level
+    media work on Spark: narrow (no shuffle), codec state initialized
+    once per python worker, memory bounded per batch.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload, mime = media["bytes"], media["mime"]
+                try:
+                    meta = _real_decode_meta(payload, mime)
+                except NotImplementedError:
+                    meta = _fake_decode_meta(payload, mime)
+                rows.append({"doc_id": doc_id, "mime": mime, **meta})
+            out = pd.DataFrame(rows)
+            # pandas turns int columns with NULLs into float; restore
+            # nullable ints so Arrow hands Spark the declared schema.
+            for c in ("width", "height", "n_frames", "sample_rate"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(decode, schema=MEDIA_META_SCHEMA)
+
+
+def resize_images(meta_df: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Plan a bounded-box resize: compute target dims for every image row.
+
+    The byte-level re-encode is stubbed with the codecs; the *planning*
+    math (aspect-preserving clamp) is native column algebra and runs at
+    full scale today.
+    """
+    scale = F.least(
+        F.lit(1.0), F.least(F.lit(max_w) / F.col("width"), F.lit(max_h) / F.col("height"))
+    )
+    return meta_df.filter(F.col("mime").startswith("image/")).select(
+        "doc_id",
+        "width",
+        "height",
+        F.ceil(F.col("width") * scale).cast("int").alias("target_w"),
+        F.ceil(F.col("height") * scale).cast("int").alias("target_h"),
+    )
+
+
+def sample_frames(meta_df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Plan frame sampling for video rows: one output row per kept frame
+    index (``posexplode``-style fan-out). Downstream frame decode is the
+    stubbed codec step; the fan-out shape (row-per-frame, partitioned by
+    doc) is the real 100 TB design."""
+    idxs = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+    return (
+        meta_df.filter(F.col("mime").startswith("video/"))
+        .select("doc_id", "n_frames", F.explode(idxs).alias("frame_idx"))
+    )

@@ -1,0 +1,163 @@
+"""Dedup-family plans over the `documents` table — the LLM-data-pipeline
+extension surface (BASELINE.json north star) built on operators/dedup.py.
+
+Together with q37 (exact fingerprint stats), q38 (minhash signatures) and
+q39 (n-gram Jaccard pairs) these certify the full dedup inventory:
+exact → q42, SimHash → q43, MinHash+LSH banding → q46.
+
+Every operator here is pure column algebra over md5 (stable across
+engines), so each has a full DuckDB oracle — including the 60-bit SimHash
+pack and the banding join, which the oracle rebuilds from first
+principles (hex→int positional sums) rather than trusting our operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_candidates,
+    simhash_candidates,
+)
+from ..sources.tables import load
+from .registry import Query
+
+SHINGLE_K = 5  # keep in sync with text_plans.SHINGLE_K
+
+
+def _hex2int_sql(expr: str, start: int, length: int) -> str:
+    """DuckDB twin of Spark's ``conv(substring(x, start, length), 16, 10)``:
+    positional strpos sum over lowercase hex chars."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {length}), "
+        f"i -> CAST(strpos('0123456789abcdef', substring({expr}, {start} - 1 + i, 1)) - 1 "
+        f"AS BIGINT) * (1::BIGINT << (4 * ({length} - i)))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — exact dedup, keep-min-id-per-fingerprint (SURVEY A1/W1/S9 semantics
+# generalized). One shuffle on the 128-bit fingerprint; left_semi keeps the
+# scan pruned to the join key + output columns.
+# ---------------------------------------------------------------------------
+def q42_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+Q42_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id IN (
+    SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text)))
+)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q43 — SimHash near-dup candidate pairs with Hamming distance. The Spark
+# side is row-local hashing (zero shuffle until the 15-bit band join); the
+# oracle rebuilds the 60-bit pack bit-by-bit.
+# ---------------------------------------------------------------------------
+def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "doc_id", "text", bands=4)
+
+
+_BAND_W = SIMHASH_BITS // 4
+Q43_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+),
+th AS (
+    SELECT doc_id, {_hex2int_sql("md5(t)", 1, 15)} AS hv FROM tok
+),
+bits AS (
+    SELECT doc_id, bs.b,
+           sum(CASE WHEN (hv >> bs.b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) bs
+    GROUP BY doc_id, bs.b
+),
+sh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, simhash, bv.b AS band_idx,
+           (simhash >> (bv.b * {_BAND_W})) % {1 << _BAND_W} AS band_val
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bv
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a
+JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q46 — MinHash + LSH banding candidate pairs (the standard shingle →
+# minhash → band → bucket-join pipeline). 8 lanes from TWO md5 calls per
+# shingle, 4 bands × 2 rows — the only wide op is the band-key join.
+# ---------------------------------------------------------------------------
+def q46_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_candidates(docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+
+
+def _shingle_sql(k: int = SHINGLE_K) -> str:
+    toks = "str_split(text, ' ')"
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    return f"list_transform(generate_series(1, len({toks}) - {k - 1}), i -> {parts})"
+
+
+def _lane_sql(lane: int) -> str:
+    group, sub = lane // 4, lane % 4
+    return (
+        f"list_aggregate(list_transform(shingles, "
+        f"s -> substring(md5('{group}:' || s), {1 + sub * 8}, 8)), 'min')"
+    )
+
+
+_SIGS = ",\n       ".join(f"{_lane_sql(i)} AS sig_{i}" for i in range(8))
+_BANDS = ",\n        ".join(
+    f"md5('{b}' || '|' || sig_{2 * b} || '|' || sig_{2 * b + 1})" for b in range(4)
+)
+Q46_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = [
+    Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
+          survey="A1,W1,S9,ext:exact-dedup"),
+    Query("q43_simhash_pairs", q43_simhash_pairs, Q43_SQL, survey="ext:simhash"),
+    Query("q46_minhash_band_candidates", q46_minhash_band_candidates, Q46_SQL,
+          survey="ext:minhash-lsh"),
+]

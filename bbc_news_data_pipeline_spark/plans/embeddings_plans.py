@@ -9,10 +9,12 @@ bit-for-bit before rounding.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine, cosine_topk
+from ..operators.similarity import cosine, cosine_topk, lsh_bucket_ann
 from ..sources.tables import load
 from .registry import Query
 
@@ -100,7 +102,48 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q44 — random-hyperplane LSH near-neighbor pairs (the scale path for
+# all-pairs similarity: bucket by sign bits, score only within buckets —
+# O(n²) → per-bucket products, exactly like MinHash banding for text).
+# Planes are fixed seeded constants, tiny literals in both plans.
+# ---------------------------------------------------------------------------
+_rng = random.Random(20240813)
+LSH_PLANES = [[round(_rng.gauss(0.0, 1.0), 4) for _ in range(64)] for _ in range(6)]
+_MIN_COS = 0.2
+
+
+def q44_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucket_ann(emb, LSH_PLANES, min_cos=_MIN_COS)
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_DOT.format(a='embedding', b=_plane_sql(p))} >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(LSH_PLANES)
+)
+
+Q44_SQL = f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+FROM bucketed a
+JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= {_MIN_COS}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = [
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
+    Query("q44_lsh_ann_pairs", q44_lsh_ann_pairs, Q44_SQL, survey="ext:ann-lsh"),
 ]

@@ -35,10 +35,18 @@ class Query:
 
 def all_queries() -> list[Query]:
     """Assemble the full registry (import here to avoid cycles)."""
-    from . import embeddings_plans, relational, streaming_plans, text_plans
+    from . import (
+        dedup_plans,
+        embeddings_plans,
+        multimodal_plans,
+        relational,
+        streaming_plans,
+        text_plans,
+    )
 
     out: list[Query] = []
-    for mod in (relational, text_plans, embeddings_plans, streaming_plans):
+    for mod in (relational, text_plans, dedup_plans, embeddings_plans,
+                multimodal_plans, streaming_plans):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     if len(names) != len(set(names)):
