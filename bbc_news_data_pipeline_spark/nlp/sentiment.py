@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -107,9 +109,7 @@ def hf_sentiment_udf():
         T.StructField("label", T.StringType()),
         T.StructField("confidence", T.DoubleType()),
     ]))
-    def infer(batches: Iterator["pd.Series"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
+    def infer(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         try:  # pragma: no cover - heavy dep absent in CI container
             from transformers import pipeline  # type: ignore
 

@@ -42,15 +42,21 @@ class TopicModelBundle:
     tokens_df: DataFrame  # (id, tokens) — reused for coherence
 
 
-def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def tokenize(
+    df: DataFrame, text_col: str, id_col: str, max_tokens: int | None = None
+) -> DataFrame:
     """Tokenize + stopword-filter (reference topic_modeling.py:129-133,
-    with the stopword wiring FIXED per SURVEY §2.13)."""
+    with the stopword wiring FIXED per SURVEY §2.13). ``max_tokens``
+    reproduces the reference's first-5000-words truncation (SURVEY T6,
+    stats_visualization.py:428) via ``slice`` — a bound on per-row work
+    that also caps skew from pathological documents."""
     tok = RegexTokenizer(inputCol=text_col, outputCol="_raw_tokens", pattern=r"\s+")
     remover = StopWordsRemover(
         inputCol="_raw_tokens", outputCol="tokens", stopWords=list(EN_STOPWORDS)
     )
     out = remover.transform(tok.transform(df))
-    return out.select(F.col(id_col), "tokens")
+    tokens = F.slice("tokens", 1, max_tokens) if max_tokens else F.col("tokens")
+    return out.select(F.col(id_col), tokens.alias("tokens"))
 
 
 def fit_lda(
@@ -78,6 +84,13 @@ def fit_lda(
         inputCol="tokens", outputCol="features", vocabSize=vocab_size, minDF=min_df, maxDF=max_df
     )
     cv_model = cv.fit(tokens)
+    if not cv_model.vocabulary:
+        raise ValueError(
+            "CountVectorizer produced an empty vocabulary — every term was "
+            f"filtered by minDF={min_df}/maxDF={max_df}. Note Spark treats "
+            "values >= 1.0 as absolute document counts (maxDF=1.0 means "
+            "'in at most ONE document'), unlike gensim's no_above fraction."
+        )
     bow = cv_model.transform(tokens)
     lda = LDA(k=k, maxIter=max_iter, seed=seed, optimizer="online", featuresCol="features")
     lda_model = lda.fit(bow)

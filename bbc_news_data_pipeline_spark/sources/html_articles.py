@@ -119,7 +119,9 @@ def prepare_articles(articles: DataFrame, min_words: int = 50) -> DataFrame:
         articles.filter(F.col("text").isNotNull())
         .withColumn("n_words", F.size(F.split("text", " ")))
         .filter(F.col("n_words") > min_words)
-        .withColumn("date", F.to_timestamp("date"))
+        # try_to_timestamp = pandas errors="coerce" (null on bad input);
+        # plain to_timestamp THROWS under Spark 4's default ANSI mode
+        .withColumn("date", F.try_to_timestamp("date"))
         .drop("images", "topic_name", "topic_url", "authors")
     )
     return out

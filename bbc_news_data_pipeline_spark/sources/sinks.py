@@ -71,4 +71,4 @@ def write_csv(df: DataFrame, path: str, partition_by: str | None = None) -> None
 def run_metadata_table(spark: SparkSession, path: str, record: dict) -> None:
     """M10/O4: the run registry replacing XCom + mtime-glob discovery
     (topic_modeling.py:57-79) — a small append-only parquet table."""
-    spark.createDataFrame([record]).write.mode("append").parquet(os.path.join(path, "runs"))
+    spark.createDataFrame([record]).write.mode("append").parquet(path)

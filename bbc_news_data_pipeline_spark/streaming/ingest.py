@@ -47,6 +47,25 @@ def dedup_links_stream(
     return out
 
 
+def dedup_links_stream_bounded(
+    links: DataFrame, watermark: str = "2 hours", already_scraped: DataFrame | None = None
+) -> DataFrame:
+    """ST5 bounded-state variant: dedup keyed within an event-time
+    watermark on ``lastmod`` so the state store stays finite at 100 TB
+    (SURVEY §7.4.6). Urls re-discovered after the watermark expires are
+    treated as new — the keyed_append sink still makes the write
+    idempotent, so the end state matches the unbounded variant."""
+    with_ts = links.withColumn("lastmod_ts", F.to_timestamp("lastmod")).filter(
+        F.col("lastmod_ts").isNotNull()
+    )
+    out = with_ts.withWatermark("lastmod_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+    if already_scraped is not None:
+        out = out.join(already_scraped.select("url"), "url", "left_anti")
+    return out.drop("lastmod_ts")
+
+
 def run_links_ingest(
     spark: SparkSession,
     src_dir: str,

@@ -50,3 +50,17 @@ def test_table_exists(spark, links, tmp_path):
     assert not sinks.table_exists(spark, path)
     sinks.overwrite_table(links, path)
     assert sinks.table_exists(spark, path)
+
+
+def test_run_metadata_table(spark, tmp_path):
+    """M10/O6: append-only run registry replacing the reference's
+    mtime-glob model discovery (topic_modeling.py:57-79)."""
+    from bbc_news_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "runs")
+    sinks.run_metadata_table(spark, path, {"run_id": "r1", "k": "12", "coherence": "-1.5"})
+    sinks.run_metadata_table(spark, path, {"run_id": "r2", "k": "32", "coherence": "-1.2"})
+    reg = spark.read.parquet(path)
+    assert reg.count() == 2
+    latest = reg.orderBy(reg.run_id.desc()).first()
+    assert latest.run_id == "r2" and latest.k == "32"

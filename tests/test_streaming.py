@@ -75,3 +75,40 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(s) == len(b)
     assert (s["n"].values == b["n"].values).all()
     assert (abs(s["total_value"].values - b["total_value"].values) < 1e-9).all()
+
+
+def test_bounded_watermark_dedup(spark, tmp_path):
+    """ST5: dropDuplicatesWithinWatermark keyed on lastmod event time —
+    bounded state, duplicates within the watermark removed."""
+    from bbc_news_data_pipeline_spark.streaming.ingest import (
+        dedup_links_stream_bounded,
+        read_links_stream,
+    )
+
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    _write_batch(
+        spark,
+        [
+            ("u1", "2024-01-01T10:00:00"),
+            ("u1", "2024-01-01T10:30:00"),  # dup within watermark
+            ("u2", "2024-01-01T11:00:00"),
+            ("u3", None),  # unparseable lastmod → dropped (quarantine path)
+        ],
+        src,
+    )
+    stream = dedup_links_stream_bounded(read_links_stream(spark, src), watermark="2 hours")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r.url for r in got.collect()} == {"u1", "u2"}
+    assert set(got.columns) == {"url", "lastmod"}

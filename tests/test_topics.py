@@ -30,7 +30,9 @@ def corpus(spark):
 
 @pytest.fixture(scope="module")
 def bundle(corpus):
-    return fit_lda(corpus, "text", "url", k=2, max_iter=20, min_df=1.0, max_df=1.0)
+    # max_df >= 1.0 is an ABSOLUTE doc count in Spark: 60.0 = "keep terms
+    # appearing in up to all 60 docs" (no upper filtering)
+    return fit_lda(corpus, "text", "url", k=2, max_iter=20, min_df=1.0, max_df=60.0)
 
 
 def test_topic_words_shape(bundle):
@@ -57,12 +59,24 @@ def test_dominant_topic_separates_themes(corpus, bundle):
     assert min(purity) > 0.9
 
 
-def test_assignment_deterministic(corpus):
-    a = fit_lda(corpus, "text", "url", k=2, max_iter=10, min_df=1.0, max_df=1.0)
-    b = fit_lda(corpus, "text", "url", k=2, max_iter=10, min_df=1.0, max_df=1.0)
+def test_assignment_stable_up_to_relabeling(corpus):
+    """Same seed + same data → the same document CLUSTERING. Topic ids may
+    swap between fits (CountVectorizer breaks equal-count vocabulary ties
+    by shuffle arrival order, permuting term indices — SURVEY §7.4.2:
+    'seed-stable per partitioning, not bitwise-equal'), so compare the
+    induced partition of documents, not raw labels."""
+    a = fit_lda(corpus, "text", "url", k=2, max_iter=10, min_df=1.0, max_df=60.0)
+    b = fit_lda(corpus, "text", "url", k=2, max_iter=10, min_df=1.0, max_df=60.0)
     da = {r.url: r.main_topic for r in dominant_topic(a, "url").collect()}
     db = {r.url: r.main_topic for r in dominant_topic(b, "url").collect()}
-    assert da == db  # same seed + same data → same assignment
+
+    def partition(assign):
+        groups = {}
+        for url, t in assign.items():
+            groups.setdefault(t, set()).add(url)
+        return {frozenset(v) for v in groups.values()}
+
+    assert partition(da) == partition(db)
 
 
 def test_umass_coherence_range(bundle):
@@ -71,3 +85,16 @@ def test_umass_coherence_range(bundle):
     # UMass is a sum of log conditional probabilities: finite, <= 0-ish
     assert all(r.umass_coherence <= 1.0 for r in rows)
     assert all(r.umass_coherence > -100.0 for r in rows)
+
+
+def test_tokenize_max_tokens_truncation(spark):
+    """T6: first-N-tokens truncation (stats_visualization.py:428)."""
+    from bbc_news_data_pipeline_spark.operators.topics import tokenize
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"zzqword{i}" for i in range(100)))], "id long, text string"
+    )
+    out = tokenize(df, "text", "id", max_tokens=10).collect()[0]
+    assert len(out.tokens) == 10
+    full = tokenize(df, "text", "id").collect()[0]
+    assert len(full.tokens) == 100
