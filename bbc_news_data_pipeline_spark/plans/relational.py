@@ -662,6 +662,39 @@ ORDER BY k_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# q25 — approximate distinct counting (the 100 TB form of A13/S8 counts:
+# HLL sketches are mergeable, so the combine is map-side and tiny).
+# HLL implementations differ across engines, so the oracle checks the
+# EXACT counts plus the CONTRACT — approx within 5% of exact (rsd=0.05)
+# — rather than the sketch value itself.
+# ---------------------------------------------------------------------------
+def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", rsd=0.05) - F.count_distinct("user_id")
+                )
+                / F.count_distinct("user_id")
+            )
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    ).orderBy("event_type")
+
+
+Q25_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
@@ -687,4 +720,5 @@ QUERIES = [
     Query("q22_priority_with_heavy_lines", q22_priority_with_heavy_lines, Q22_SQL, survey="J2"),
     Query("q23_cube_events", q23_cube_events, Q23_SQL, survey="A2+cube"),
     Query("q24_json_extract", q24_json_extract, Q24_SQL, survey="F24,F25"),
+    Query("q25_approx_distinct", q25_approx_distinct, Q25_SQL, survey="A13+approx-sketch"),
 ]

@@ -300,6 +300,96 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q49 — sliding-window NPMI co-occurrence (the distributed core of c_v
+# topic coherence, SURVEY M3/§7.4.1: gensim's c_v segments token streams
+# into sliding windows and scores word pairs by NPMI). Position-windowed
+# pair counting over the top-20 vocabulary: posexplode → broadcast vocab
+# semi-join → self-join bounded by |Δpos| ≤ 5 within a doc.
+# Scale: the join is per-doc and the vocab filter cuts positions first,
+# so pair volume is O(docs · window · vocab-hits), never O(len²).
+# ---------------------------------------------------------------------------
+NPMI_WINDOW = 5
+NPMI_VOCAB = 20
+
+
+def q49_npmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(NPMI_VOCAB)
+    )
+    tokv = tok.join(F.broadcast(vocab.select("word")), "word")
+    a, b = tokv.alias("a"), tokv.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= NPMI_WINDOW)
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("w_a"), F.col("b.word").alias("w_b"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    marg = tokv.groupBy("word").agg(F.count("*").alias("n_w"))
+    total = tokv.agg(F.count("*").alias("n_total"))
+    ma = marg.select(F.col("word").alias("w_a"), F.col("n_w").alias("n_a"))
+    mb = marg.select(F.col("word").alias("w_b"), F.col("n_w").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("n_total"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    denom = -F.log(F.col("n_ab").cast("double") / F.col("n_total"))
+    return (
+        pair_counts.join(F.broadcast(ma), "w_a")
+        .join(F.broadcast(mb), "w_b")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_ab") >= 5)  # sparse pairs carry no stable signal
+        .select("w_a", "w_b", "n_ab", F.round(pmi / denom, 4).alias("npmi"))
+        .orderBy("w_a", "w_b")
+    )
+
+
+Q49_SQL = f"""
+WITH base AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+tok0 AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l FROM base),
+tok AS (SELECT doc_id, pos, l[pos] AS word FROM tok0),
+vocab AS (
+    SELECT word FROM (
+        SELECT word, count(*) AS n FROM tok GROUP BY word
+        ORDER BY n DESC, word LIMIT {NPMI_VOCAB}
+    )
+),
+tokv AS (SELECT t.* FROM tok t JOIN vocab v USING (word)),
+pair_counts AS (
+    SELECT a.word AS w_a, b.word AS w_b, count(*) AS n_ab
+    FROM tokv a JOIN tokv b
+      ON a.doc_id = b.doc_id
+     AND abs(a.pos - b.pos) <= {NPMI_WINDOW}
+     AND a.word < b.word
+    GROUP BY 1, 2
+),
+marg AS (SELECT word, count(*) AS n_w FROM tokv GROUP BY word),
+total AS (SELECT count(*) AS n_total FROM tokv)
+SELECT w_a, w_b, n_ab,
+       round(
+           ln((CAST(n_ab AS DOUBLE) * n_total) / (CAST(ma.n_w AS DOUBLE) * mb.n_w))
+           / (-ln(CAST(n_ab AS DOUBLE) / n_total)),
+       4) AS npmi
+FROM pair_counts
+JOIN marg ma ON ma.word = w_a
+JOIN marg mb ON mb.word = w_b
+CROSS JOIN total
+WHERE n_ab >= 5
+ORDER BY w_a, w_b
+"""
+
+
 QUERIES = [
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
@@ -311,4 +401,5 @@ QUERIES = [
     Query("q37_fingerprint_dup_stats", q37_fingerprint_dup_stats, Q37_SQL, survey="A1,ext:dedup"),
     Query("q38_minhash_signatures", q38_minhash_signatures, Q38_SQL, survey="ext:minhash", tags=("bench",)),
     Query("q39_neardup_pairs", q39_neardup_pairs, Q39_SQL, survey="ext:jaccard-neardup"),
+    Query("q49_npmi_cooccurrence", q49_npmi_cooccurrence, Q49_SQL, survey="M3,ext:npmi-coherence"),
 ]
