@@ -64,7 +64,77 @@ ORDER BY window_start
 """
 
 
+# ---------------------------------------------------------------------------
+# q52 — custom stateful streaming sessionization (applyInPandasWithState,
+# streaming/sessions.py) run as a REAL Structured Streaming query
+# (availableNow drain to a memory sink). The watermark is pushed far back
+# so no event-time timeout fires during the drain: a session is emitted
+# iff a LATER session exists for the same user — exactly the lag/gap SQL
+# the oracle runs. (Timeout-driven closure is exercised separately in
+# tests/test_streaming_sessions.py.)
+# The one non-relational query in the registry that still gets a full
+# value-level oracle.
+# ---------------------------------------------------------------------------
+SESSION_GAP_S = 1800
+
+
+def q52_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.sessions import sessionize_stream
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    # Stream source needs nanos-free parquet (sources/tables.py gotcha):
+    # re-emit the normalized events as the stream input.
+    tmp = tempfile.mkdtemp(prefix="q52_events_")
+    src, ckpt, sink = f"{tmp}/src", f"{tmp}/ckpt", "q52_sessions"
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_s=SESSION_GAP_S, watermark="36500 days")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+Q52_SQL = f"""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+),
+agg AS (
+    SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = [
     Query("q50_hourly_windows", q50_hourly_windows, Q50_SQL, survey="ST4,A2"),
     Query("q51_sliding_windows", q51_sliding_windows, Q51_SQL, survey="ST4"),
+    Query("q52_stream_sessions", q52_stream_sessions, Q52_SQL, survey="ST-ext:stateful-sessions"),
 ]
