@@ -695,6 +695,45 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q26 — per-region top-3 suppliers by account balance: a two-hop snowflake
+# lookup (supplier→nation→region, both dims broadcast) + ranked window
+# (W3). Scale: the fact side shuffles ONCE on the window key; dims are
+# broadcast literals; WindowGroupLimit prunes to top-3 map-side.
+# ---------------------------------------------------------------------------
+def q26_top_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    w = W.partitionBy("r_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("r_name").alias("region"),
+            "rank",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("region", "rank")
+    )
+
+
+Q26_SQL = """
+SELECT r_name AS region,
+       row_number() OVER (PARTITION BY r_name
+                          ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank,
+       s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+QUALIFY rank <= 3
+ORDER BY region, rank
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
@@ -721,4 +760,5 @@ QUERIES = [
     Query("q23_cube_events", q23_cube_events, Q23_SQL, survey="A2+cube"),
     Query("q24_json_extract", q24_json_extract, Q24_SQL, survey="F24,F25"),
     Query("q25_approx_distinct", q25_approx_distinct, Q25_SQL, survey="A13+approx-sketch"),
+    Query("q26_top_suppliers_per_region", q26_top_suppliers_per_region, Q26_SQL, survey="J1,W3,T4"),
 ]

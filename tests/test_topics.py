@@ -98,3 +98,14 @@ def test_tokenize_max_tokens_truncation(spark):
     assert len(out.tokens) == 10
     full = tokenize(df, "text", "id").collect()[0]
     assert len(full.tokens) == 100
+
+
+def test_auto_tune_scan(corpus):
+    """M2: the k-scan returns one coherence row per candidate and the
+    caller can pick a best k (reference topic_modeling.py:152-191)."""
+    from bbc_news_data_pipeline_spark.operators.topics import auto_tune
+
+    scan = auto_tune(corpus, "text", "url", ks=[2, 3], scan_iter=2)
+    rows = {r.k: r.mean_coherence for r in scan.collect()}
+    assert set(rows) == {2, 3}
+    assert all(c == c and c > -100.0 for c in rows.values())  # finite, sane
