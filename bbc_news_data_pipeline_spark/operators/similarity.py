@@ -77,6 +77,58 @@ def hyperplane_sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column
     return out.cast("long")
 
 
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage IVF search: (1) assign every vector to its nearest
+    centroid (the inverted file); (2) score the query ONLY against
+    vectors in the ``nprobe`` cells nearest to the query.
+
+    Scale: stage 1 is a broadcast map over the corpus (computed once,
+    reusable across queries — at 100 TB it would be a materialized
+    column + partition key). Stage 2 prunes the scan to nprobe/ncells of
+    the corpus; Catalyst turns the cell filter into a semi-join on the
+    tiny probed-cell list. Recall < 1 by design — q40's brute force is
+    the exactness baseline.
+    """
+    from pyspark.sql import Window as W
+
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cell_vec")
+    )
+    # stage 1: inverted file — nearest centroid per corpus vector
+    w_vec = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("c_cos", F.round(cosine(F.col(vec_col), F.col("cell_vec")), 6))
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    # probed cells: nprobe centroids nearest to the query
+    probed = (
+        cent.crossJoin(F.broadcast(query_vec))
+        .withColumn("q_cos", F.round(cosine(F.col("cell_vec"), F.col("qv")), 6))
+        .orderBy(F.desc("q_cos"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    # stage 2: score only vectors living in probed cells
+    candidates = assigned.join(F.broadcast(probed), "cell_id")
+    scored = (
+        candidates.crossJoin(F.broadcast(query_vec))
+        .withColumn("cos_sim", F.round(cosine(F.col(vec_col), F.col("qv")), 4))
+        .select(id_col, "cell_id", "cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def lsh_bucket_ann(
     emb: DataFrame,
     planes: list[list[float]],

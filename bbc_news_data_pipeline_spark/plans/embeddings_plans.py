@@ -142,8 +142,52 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q53 — full two-stage IVF top-k (the scale path q41's assignment step
+# builds toward): inverted file over 8 centroid cells, search restricted
+# to the nprobe=2 cells nearest the query. Approximate by design; q40 is
+# the exactness baseline it trades recall against.
+# ---------------------------------------------------------------------------
+def q53_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    qv = emb.filter(F.col("vec_id") == 100).select(F.col("embedding").alias("qv"))
+    return ivf_topk(corpus, centroids, qv, k=10, nprobe=2)
+
+
+Q53_SQL = f"""
+WITH cent AS (
+    SELECT vec_id AS cell_id, embedding AS cell_vec FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 100),
+assigned AS (
+    SELECT e.vec_id, e.embedding, cell_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('e.embedding', 'cell_vec')}, 6) DESC, cell_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id >= 8
+),
+inv AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
+probed AS (
+    SELECT cell_id FROM cent CROSS JOIN q
+    ORDER BY round({_cos_sql('cell_vec', 'qv')}, 6) DESC, cell_id ASC
+    LIMIT 2
+)
+SELECT i.vec_id, i.cell_id, round({_cos_sql('i.embedding', 'qv')}, 4) AS cos_sim
+FROM inv i JOIN probed USING (cell_id) CROSS JOIN q
+ORDER BY cos_sim DESC, i.vec_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = [
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
     Query("q44_lsh_ann_pairs", q44_lsh_ann_pairs, Q44_SQL, survey="ext:ann-lsh"),
+    Query("q53_ivf_topk", q53_ivf_topk, Q53_SQL, survey="ext:ann-ivf"),
 ]
