@@ -143,3 +143,99 @@ def hf_sentiment_udf():
             yield score(batch)
 
     return infer
+
+
+# 7-class emotion lexicon for the deterministic stub (M8 fallback):
+# j-hartmann/emotion-english-distilroberta-base's label set.
+EMOTION_CLASSES = ("anger", "disgust", "fear", "joy", "neutral", "sadness", "surprise")
+EMOTION_CUES: dict[str, str] = {
+    "angry": "anger", "anger": "anger", "furious": "anger", "outrage": "anger",
+    "attack": "anger", "war": "anger", "violence": "anger",
+    "disgust": "disgust", "disgusting": "disgust", "corrupt": "disgust",
+    "scandal": "disgust",
+    "fear": "fear", "afraid": "fear", "threat": "fear", "crisis": "fear",
+    "risk": "fear", "panic": "fear", "terror": "fear",
+    "joy": "joy", "happy": "joy", "celebrate": "joy", "win": "joy",
+    "success": "joy", "hope": "joy", "love": "joy",
+    "sad": "sadness", "sadness": "sadness", "death": "sadness",
+    "died": "sadness", "loss": "sadness", "grief": "sadness",
+    "surprise": "surprise", "surprising": "surprise", "unexpected": "surprise",
+    "shock": "surprise", "sudden": "surprise",
+}
+
+
+def hf_emotion_udf():
+    """7-class emotion classification (reference M8,
+    sentiment_analysis.py:66-74,96-103: DistilRoBERTa with top_k=None,
+    keep the max-score label — SURVEY F28 argmax-of-struct-list).
+
+    Same iterator-UDF lifecycle as :func:`hf_sentiment_udf`; the
+    deterministic stub votes over a cue lexicon and defaults to
+    'neutral', mirroring the real model's argmax contract.
+    """
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("emotion_label", T.StringType()),
+        T.StructField("emotion_score", T.DoubleType()),
+    ]))
+    def infer(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        try:  # pragma: no cover - heavy dep absent in CI container
+            from transformers import pipeline  # type: ignore
+
+            clf = pipeline(
+                "text-classification",
+                model="j-hartmann/emotion-english-distilroberta-base",
+                top_k=None,
+                truncation=True,
+            )
+
+            def score(texts: pd.Series) -> pd.DataFrame:
+                out = clf(texts.fillna("").tolist())
+                # top_k=None → list of {label, score} per doc; keep argmax
+                # (reference sentiment_analysis.py:97-99)
+                best = [max(scores, key=lambda r: r["score"]) for scores in out]
+                return pd.DataFrame(
+                    {
+                        "emotion_label": [b["label"].lower() for b in best],
+                        "emotion_score": [float(b["score"]) for b in best],
+                    }
+                )
+
+        except ImportError:
+
+            def score(texts: pd.Series) -> pd.DataFrame:
+                # STUB: cue-lexicon vote, 'neutral' default (not a model).
+                def one(t: str) -> tuple[str, float]:
+                    votes: dict[str, int] = {}
+                    for w in str(t).lower().split():
+                        cls = EMOTION_CUES.get(w)
+                        if cls:
+                            votes[cls] = votes.get(cls, 0) + 1
+                    if not votes:
+                        return ("neutral", 0.5)
+                    label = max(sorted(votes), key=lambda k: votes[k])
+                    total = sum(votes.values())
+                    return (label, votes[label] / total)
+
+                pairs = [one(t) for t in texts]
+                return pd.DataFrame(
+                    {
+                        "emotion_label": [p[0] for p in pairs],
+                        "emotion_score": [p[1] for p in pairs],
+                    }
+                )
+
+        for batch in batches:
+            yield score(batch)
+
+    return infer
+
+
+def with_emotion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach emotion_label/emotion_score (reference collection
+    articles_emotion_distilroberta, sentiment_analysis.py:66-74)."""
+    res = hf_emotion_udf()(F.col(text_col))
+    return df.withColumn("_e", res).select(
+        "*", F.col("_e.emotion_label").alias("emotion_label"),
+        F.col("_e.emotion_score").alias("emotion_score")
+    ).drop("_e")

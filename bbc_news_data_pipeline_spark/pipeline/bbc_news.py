@@ -17,7 +17,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..nlp.sentiment import with_sentiment
+from ..nlp.sentiment import with_emotion, with_sentiment
 from ..operators.topics import dominant_topic, fit_lda, topic_words
 from ..sources import sinks
 from ..sources.html_articles import extract_articles, prepare_articles
@@ -88,6 +88,14 @@ def build_pipeline(
         sinks.overwrite_table(scored, f"{workdir}/articles_sentiment")
         return scored.count()
 
+    def emotion(_: dict[str, Any]) -> int:
+        # reference's third inference branch (articles_emotion_distilroberta,
+        # sentiment_analysis.py:66-74) — optional like the topic branch
+        processed = spark.read.parquet(processed_path)
+        scored = with_emotion(processed, "text")
+        sinks.overwrite_table(scored, f"{workdir}/articles_emotion")
+        return scored.count()
+
     def stats(results: dict[str, Any]) -> dict[str, int]:
         scored = spark.read.parquet(f"{workdir}/articles_sentiment")
         tables = daily_sentiment_stats(scored)
@@ -102,6 +110,7 @@ def build_pipeline(
             Stage("prepare", prep, deps=("crawl_articles",)),
             Stage("topics", topics, deps=("prepare",), optional=True),  # ALL_DONE branch
             Stage("sentiment", sentiment, deps=("prepare",)),
+            Stage("emotion", emotion, deps=("prepare",), optional=True),  # ALL_DONE branch
             Stage("stats", stats, deps=("sentiment",)),
         ]
     )

@@ -52,7 +52,11 @@ def test_full_pipeline(spark, fixtures, tmp_path):
     assert report.results["crawl_articles"] == 20
     assert report.results["prepare"] == 20
     assert report.results["sentiment"] == 20
+    assert report.results["emotion"] == 20
     assert report.results["topics"]["n_topics"] == 2
+
+    emo = spark.read.parquet(f"{wd}/articles_emotion")
+    assert {"emotion_label", "emotion_score"} <= set(emo.columns)
 
     scored = spark.read.parquet(f"{wd}/articles_sentiment")
     labels = {r.url: r.sentiment_label for r in scored.collect()}

@@ -58,3 +58,26 @@ def test_hf_stub_runs_as_pandas_udf(spark):
     out = df.select(hf_sentiment_udf()(F.col("text")).alias("r")).select("r.*").collect()
     assert [r.label for r in out] == ["positive", "negative"]
     assert all(0.0 <= r.confidence <= 1.0 for r in out)
+
+
+def test_emotion_udf_stub(spark):
+    """M8: 7-class emotion argmax via the iterator pandas_udf (stub path:
+    cue-lexicon vote, neutral default)."""
+    from bbc_news_data_pipeline_spark.nlp.sentiment import EMOTION_CLASSES, with_emotion
+
+    df = spark.createDataFrame(
+        [
+            (1, "war attack violence in the region sparks outrage"),
+            (2, "team celebrates historic win with joy and hope"),
+            (3, "quarterly report shows flat figures"),
+            (4, "sudden unexpected shock announcement"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in with_emotion(df).collect()}
+    assert rows[1].emotion_label == "anger"
+    assert rows[2].emotion_label == "joy"
+    assert rows[3].emotion_label == "neutral" and rows[3].emotion_score == 0.5
+    assert rows[4].emotion_label == "surprise"
+    assert all(r.emotion_label in EMOTION_CLASSES for r in rows.values())
+    assert all(0.0 <= r.emotion_score <= 1.0 for r in rows.values())
