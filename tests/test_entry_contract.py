@@ -1,0 +1,43 @@
+"""Driver-contract integrity: __spark_entry__ exposes entry/queries/
+oracle_sql coherently, every oracle parses in DuckDB, and entry() is
+re-entrant on one session."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from bbc_news_data_pipeline_spark.sources.tables import TABLES
+
+
+def test_registry_shape():
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert len(qs) >= 50
+    assert set(os_) <= set(qs)  # every oracle key is a real query
+    missing = set(qs) - set(os_)
+    assert missing == set(), f"queries without oracle (driver runs weaker check): {missing}"
+
+
+def test_every_oracle_parses_in_duckdb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, sql in E.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover - failure path
+            pytest.fail(f"oracle for {name} does not parse: {e}")
+
+
+def test_entry_reentrant(spark):
+    a = E.entry(spark)
+    b = E.entry(spark)
+    assert a.schema == b.schema
+    assert a.count() == b.count() > 0
+
+
+def test_query_callables_accept_sf_dir(spark, sf_dir):
+    """Spot-check the (spark, sf_dir) calling convention across surfaces."""
+    qs = E.queries()
+    for name in ("q01_pricing_summary", "q30_doc_stats", "q40_cosine_top10"):
+        df = qs[name](spark, sf_dir)
+        assert df.count() > 0
