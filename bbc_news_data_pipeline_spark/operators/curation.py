@@ -1,0 +1,212 @@
+"""Corpus-curation operators for a large-scale training-data pipeline.
+
+The reference curates its corpus with only two tools: a unique-key index
+(``pipelines.py:33``) and a min-word-count filter
+(``data_preparation.py:140``). This module adds the curation family a
+100 TB corpus needs, each expressed Spark-first:
+
+  redact_pii            — native regexp chain (emails / IPv4 / phones)
+  sample_key_expr       — stable 32-bit md5 sampling key (reproducible
+                          sampling & weighted dataset mixing)
+  hash_sample           — deterministic keep-if-below-threshold sampling
+  connected_components  — min-label propagation over candidate-pair edges
+                          (duplicate clustering on top of MinHash/SimHash)
+  asof_join             — generic as-of join as a composition of existing
+                          DataFrame ops (union + ignoreNulls last() window)
+
+Scale notes: PII redaction and sampling are row-local (zero shuffle);
+connected_components is the standard O(diameter)-round label propagation
+where every round is ONE shuffle (join on neighbor id) — at 100 TB the
+round count is bounded by near-dup cluster diameter, which for text
+corpora is tiny (dup clusters are dense, not chains); asof_join costs a
+single shuffle of both inputs on the join key — no per-key loop, no
+broadcast of the big side, and skew is bounded by per-key row counts.
+All hashing is md5-based (engine-portable), never ``hash()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Patterns chosen to compile identically under Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+# Redaction order matters: emails first (their local part may contain
+# digits), then dotted quads, then bare digit runs.
+PII_STEPS: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, "[EMAIL]"),
+    (IPV4_RE, "[IP]"),
+    (PHONE_RE, "[PHONE]"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-row PII hit counts (pre-redaction), JVM-side regexp_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+        "n_ips": F.regexp_count(c, F.lit(IPV4_RE)).cast("long"),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder token. Pure native
+    ``regexp_replace`` chain — row-local, codegen'd, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in PII_STEPS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+SAMPLE_KEY_BITS = 32
+SAMPLE_KEY_MOD = 1 << SAMPLE_KEY_BITS
+
+
+def sample_key_expr(id_col: Column | str, salt: str = "smpl") -> Column:
+    """Stable uniform 32-bit sampling key: first 8 hex chars of
+    ``md5(salt:id)`` as a BIGINT in [0, 2^32).
+
+    Integer-valued end to end (no float thresholds), so sampling decisions
+    hash-match across engines and across runs; changing ``salt`` draws an
+    independent sample. Nested sampling is free: ``key < r1*2^32`` is a
+    superset of ``key < r2*2^32`` whenever r1 > r2 (same salt).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hex8 = F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long")
+
+
+def sample_threshold(rate: float) -> int:
+    """Integer keep-threshold for a sampling rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(rate * SAMPLE_KEY_MOD)
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, salt: str = "smpl") -> DataFrame:
+    """Deterministic rate-sampling: keep rows whose sample key falls below
+    ``rate * 2^32``. Row-local filter — pushes down past the scan."""
+    return df.filter(sample_key_expr(id_col, salt) < F.lit(sample_threshold(rate)))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (v, cluster_id)
+    where cluster_id is the MIN vertex id in the component.
+
+    The duplicate-clustering step that turns MinHash/SimHash candidate
+    PAIRS into dedup CLUSTERS (pick one survivor per cluster). Min-label
+    propagation: every vertex repeatedly takes the min label among itself
+    and its neighbors until fixpoint.
+
+    Scale design:
+      * each round = one shuffle (join on neighbor id) + one groupBy —
+        both hash-partitioned on vertex id, so successive rounds reuse
+        the same partitioning;
+      * rounds needed = max component diameter; dup clusters in text
+        corpora are near-cliques (diameter ≤ ~3), not chains;
+      * ``localCheckpoint`` truncates the lineage each round so the plan
+        does not grow exponentially with iterations;
+      * fully deterministic: min() is order-insensitive, no partitioning
+        dependence.
+    Isolated vertices never enter ``edges`` and are their own singleton
+    clusters by definition — callers that need them add
+    ``all_ids.join(result, "v", "left")`` + coalesce(cluster_id, v).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=False)
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["v"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["v"] == nbr_min["a"], "left")
+            .select(
+                "v",
+                F.col("lbl").alias("old_lbl"),
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()  # eager: materialize once, reuse for both actions
+        )
+        changed = stepped.filter(F.col("lbl") < F.col("old_lbl")).limit(1).count()
+        labels = stepped.select("v", "lbl")
+        if changed == 0:
+            break
+    return labels.select("v", F.col("lbl").alias("cluster_id"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) for the same ``on``
+    key. Spark lacks this operator; this is the single-shuffle
+    composition (SURVEY §2.3 "custom operators" path a):
+
+      1. tag and union both inputs on (key, ts, tag);
+      2. one window sorted by (ts, tag) per key: ``last(right_payload,
+         ignoreNulls=True)`` over rows UNBOUNDED PRECEDING..CURRENT;
+      3. keep left rows, unpack the carried payload.
+
+    At equal timestamps the tag breaks the tie: non-strict sorts right
+    rows BEFORE left rows (visible), strict sorts them AFTER (invisible).
+    Right rows duplicated on (key, ts) must be pre-deduped by the caller
+    for a deterministic winner (e.g. ``first_wins``).
+
+    Left rows with no admissible right row keep NULL payload (left-join
+    semantics). Cost: one shuffle of each side on ``on`` — no driver
+    loop, no O(n·m) theta join; skew follows key frequency, mitigable by
+    AQE skew-join handling.
+    """
+    from pyspark.sql import Window as W
+
+    left_tag, right_tag = (1, 2) if strict else (1, 0)
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_rv")
+    l2 = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_tag).alias("_tag"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lv"),
+        F.lit(None).cast(right.select(payload).schema["_rv"].dataType).alias("_rv"),
+    )
+    r2 = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_tag).alias("_tag"),
+        F.lit(None).cast(left.select(F.struct(*[F.col(c) for c in left.columns]).alias("_lv")).schema["_lv"].dataType).alias("_lv"),
+        payload,
+    )
+    w = (
+        W.partitionBy(on)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        l2.union(r2)
+        .withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == left_tag)
+    )
+    out_cols = [F.col(f"_lv.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_match.{c}").alias(c) for c in right_cols
+    ]
+    return matched.select(*out_cols)

@@ -1,0 +1,356 @@
+"""Corpus-curation plans (q54–q59) — the training-data-pipeline surface
+built on operators/curation.py: PII redaction, reproducible sampling,
+weighted dataset mixing, duplicate clustering (connected components over
+LSH candidate pairs), Gopher-style repetition quality, and an as-of join.
+
+Cross-engine determinism: all sampling/clustering keys are md5-derived
+integers; all regexes compile identically under Java regex and RE2 (no
+lookaround/backreferences); ratios are round()-ed to 4dp on both sides.
+The synthetic corpus has no real PII, so q54 derives a deterministic
+augmented text (doc_id-keyed contact lines) identically on both sides —
+the redaction logic itself is what is under test.
+
+The q57 oracle is notable: DuckDB re-derives duplicate clusters from
+first principles with a RECURSIVE CTE (transitive closure over the
+banding pairs), independently of our label-propagation implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    asof_join,
+    connected_components,
+    pii_counts,
+    redact_pii,
+    sample_key_expr,
+    sample_threshold,
+)
+from ..operators.dedup import minhash_candidates
+from ..sources.tables import load
+from .dedup_plans import SHINGLE_K, _BANDS, _SIGS, _hex2int_sql, _shingle_sql
+from .registry import Query
+
+
+# ---------------------------------------------------------------------------
+# q54 — PII redaction (ext). Deterministic doc_id-keyed contact fragments
+# are prepended (identically in the oracle), then counted and redacted with
+# the native regexp chain. Row-local — zero shuffle at any scale.
+# ---------------------------------------------------------------------------
+def _augmented_text() -> F.Column:
+    did = F.col("doc_id")
+    id_str = did.cast("string")
+    email_piece = F.when(
+        did % 3 == 0, F.concat(F.lit("mail u"), id_str, F.lit("@example.com "))
+    ).otherwise(F.lit(""))
+    phone_piece = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit("call +1 555 01"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+            F.lit(" "),
+        ),
+    ).otherwise(F.lit(""))
+    ip_piece = F.concat(F.lit("host 10.0."), (did % 256).cast("string"), F.lit(".7 "))
+    return F.concat(email_piece, phone_piece, ip_piece, F.col("text"))
+
+
+def q54_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _augmented_text().alias("_aug"))
+    counts = pii_counts("_aug")
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        redact_pii("_aug").alias("redacted"),
+    )
+
+
+_AUG_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'mail u' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN 'call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ' ELSE '' END"
+    " || 'host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ' || text"
+)
+
+Q54_SQL = f"""
+WITH aug AS (SELECT doc_id, {_AUG_SQL} AS a FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(a, '{IPV4_RE}')) AS BIGINT)  AS n_ips,
+       CAST(len(regexp_extract_all(a, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(a, '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{IPV4_RE}', '[IP]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+FROM aug
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q55 — deterministic hash sampling (ext). Keep-if-key-below-threshold over
+# a stable md5-derived 32-bit integer key: reproducible across engines,
+# runs, and cluster layouts — the property `df.sample()` cannot give.
+# ---------------------------------------------------------------------------
+_Q55_RATE = 0.3
+
+
+def q55_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("sample_key", sample_key_expr("doc_id"))
+        .filter(F.col("sample_key") < F.lit(sample_threshold(_Q55_RATE)))
+        .select("doc_id", "lang", "source", "sample_key")
+    )
+
+
+def _sample_key_sql(salt: str) -> str:
+    md5 = f"md5('{salt}:' || CAST(doc_id AS VARCHAR))"
+    return _hex2int_sql(md5, 1, 8)
+
+
+Q55_SQL = f"""
+SELECT doc_id, lang, source, {_sample_key_sql("smpl")} AS sample_key
+FROM documents
+WHERE {_sample_key_sql("smpl")} < {sample_threshold(_Q55_RATE)}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q56 — weighted dataset mixing (ext). Per-language sampling rates (the
+# dataset-mixing knob of an LLM data pipeline) via the same hash key under
+# an independent salt; power-of-two rates make thresholds exact integers.
+# ---------------------------------------------------------------------------
+LANG_RATES: tuple[tuple[str, float], ...] = (
+    ("en", 1.0),
+    ("de", 0.5),
+    ("es", 0.25),
+    ("fr", 0.125),
+    ("zh", 0.0625),
+)
+
+
+def q56_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    thr = F.lit(None).cast("long")
+    for lang, rate in LANG_RATES:
+        thr = F.when(F.col("lang") == lang, F.lit(sample_threshold(rate))).otherwise(thr)
+    return (
+        docs.withColumn("_thr", thr)
+        .filter(sample_key_expr("doc_id", salt="mix") < F.col("_thr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+_THR_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {sample_threshold(rate)}" for lang, rate in LANG_RATES
+) + " ELSE NULL END"
+
+Q56_SQL = f"""
+SELECT lang, count(*) AS n_kept
+FROM documents
+WHERE {_sample_key_sql("mix")} < {_THR_CASE}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 — duplicate clusters (ext): connected components over the MinHash/LSH
+# candidate pairs of q46, via min-label propagation (one shuffle per round,
+# rounds = component diameter). The oracle computes the transitive closure
+# with a RECURSIVE CTE — a fully independent derivation of the clusters.
+# ---------------------------------------------------------------------------
+def q57_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+    return connected_components(pairs).select(
+        F.col("v").alias("doc_id"), F.col("cluster_id")
+    )
+
+
+Q57_SQL = f"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id
+FROM reach
+GROUP BY v
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q58 — Gopher-style repetition quality (ext): duplicate-word ratio
+# (row-local array algebra) + top-bigram mass fraction (explode → two
+# aggregations, both hash-partitioned by doc_id — one shuffle reused).
+# ---------------------------------------------------------------------------
+_DUP_T, _BIGRAM_T = 0.5, 0.1
+
+
+def q58_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    base = toked.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_toks")) / F.size("_toks"), 4
+        ).alias("dup_word_ratio"),
+        shingles_from_tokens("_toks", 2).alias("_bi"),
+    )
+    cnt = (
+        base.select("doc_id", F.explode("_bi").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_ratio")
+    )
+    return (
+        base.select("doc_id", "n_tokens", "dup_word_ratio")
+        .join(top, "doc_id")
+        .withColumn(
+            "flagged",
+            (F.col("dup_word_ratio") > _DUP_T) | (F.col("top_bigram_ratio") > _BIGRAM_T),
+        )
+    )
+
+
+Q58_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, str_split(text, ' ') AS toks
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= 2
+),
+base AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+               AS dup_word_ratio,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bi
+    FROM toked
+),
+cnt AS (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bi) AS gram FROM base) g
+    GROUP BY doc_id, gram
+),
+top AS (
+    SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_ratio
+    FROM cnt GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.dup_word_ratio, t.top_bigram_ratio,
+       (b.dup_word_ratio > {_DUP_T} OR t.top_bigram_ratio > {_BIGRAM_T}) AS flagged
+FROM base b JOIN top t USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q59 — as-of join (ext): each error event picks up the user's most recent
+# STRICTLY-prior click. Spark lacks ASOF JOIN; our operator composes it
+# from union + ignoreNulls-last window (single shuffle). DuckDB has a
+# native ASOF LEFT JOIN — the oracle uses it, so the two derivations are
+# fully independent.
+# ---------------------------------------------------------------------------
+def q59_asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id", "click_ts"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+Q59_SQL = """
+WITH clk AS (
+    SELECT user_id, ts AS click_ts, event_id AS click_id
+    FROM events WHERE event_type = 'click'
+),
+err AS (
+    SELECT event_id, user_id, ts
+    FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, e.ts, c.click_id,
+       epoch_us(e.ts) - epoch_us(c.click_ts) AS gap_us
+FROM err e
+ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.ts > c.click_ts
+ORDER BY e.event_id
+"""
+
+
+QUERIES = [
+    Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
+    Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
+    Query("q56_dataset_mix", q56_dataset_mix, Q56_SQL, survey="ext:dataset-mixing"),
+    Query("q57_dup_clusters", q57_dup_clusters, Q57_SQL, survey="ext:dup-clustering"),
+    Query("q58_repetition_quality", q58_repetition_quality, Q58_SQL,
+          survey="ext:gopher-quality"),
+    Query("q59_asof_error_click", q59_asof_error_click, Q59_SQL, survey="ext:asof-join"),
+]

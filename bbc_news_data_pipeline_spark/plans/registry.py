@@ -36,6 +36,7 @@ class Query:
 def all_queries() -> list[Query]:
     """Assemble the full registry (import here to avoid cycles)."""
     from . import (
+        curation_plans,
         dedup_plans,
         embeddings_plans,
         multimodal_plans,
@@ -46,7 +47,7 @@ def all_queries() -> list[Query]:
 
     out: list[Query] = []
     for mod in (relational, text_plans, dedup_plans, embeddings_plans,
-                multimodal_plans, streaming_plans):
+                multimodal_plans, streaming_plans, curation_plans):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     if len(names) != len(set(names)):

@@ -1,0 +1,163 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py):
+PII redaction goldens, deterministic hash sampling (nesting + salt
+independence), connected-components on known graphs, and as-of join
+semantics (strict vs non-strict ties, no-match nulls)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.operators.curation import (
+    asof_join,
+    connected_components,
+    hash_sample,
+    pii_counts,
+    redact_pii,
+    sample_key_expr,
+    sample_threshold,
+)
+
+
+# --- PII redaction ---------------------------------------------------------
+
+
+def test_redact_pii_goldens(spark):
+    rows = [
+        (0, "write to jane.doe+x@sub.example.co.uk today"),
+        (1, "server 192.168.0.1 rebooted"),
+        (2, "call +1 555 123 4567 or 020-7946-0958 now"),
+        (3, "plain text, no pii at all"),
+        (4, "a@b.io at 10.0.0.7 tel +44 20 7946 0958"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    c = pii_counts("t")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            c["n_emails"].alias("ne"),
+            c["n_ips"].alias("ni"),
+            c["n_phones"].alias("np"),
+        ).collect()
+    }
+    assert got[0].red == "write to [EMAIL] today"
+    assert (got[0].ne, got[0].ni, got[0].np) == (1, 0, 0)
+    assert got[1].red == "server [IP] rebooted"
+    assert got[2].red == "call [PHONE] or [PHONE] now"
+    assert got[2].np == 2
+    assert got[3].red == rows[3][1]
+    assert (got[3].ne, got[3].ni, got[3].np) == (0, 0, 0)
+    assert got[4].red == "[EMAIL] at [IP] tel [PHONE]"
+
+
+# --- hash sampling ---------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    s30a = {r.id for r in hash_sample(df, "id", 0.3).collect()}
+    s30b = {r.id for r in hash_sample(df, "id", 0.3).collect()}
+    s10 = {r.id for r in hash_sample(df, "id", 0.1).collect()}
+    assert s30a == s30b  # reproducible
+    assert s10 <= s30a  # nested: lower rate is a subset at the same salt
+    # rate roughly honored (md5 uniformity; generous tolerance)
+    assert 0.2 < len(s30a) / 2000 < 0.4
+    assert 0.05 < len(s10) / 2000 < 0.16
+    # a different salt draws an independent sample
+    other = {r.id for r in hash_sample(df, "id", 0.3, salt="other").collect()}
+    assert other != s30a
+
+
+def test_sample_threshold_bounds():
+    assert sample_threshold(0.0) == 0
+    assert sample_threshold(1.0) == 1 << 32
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_threshold(1.5)
+
+
+def test_sample_key_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    mm = df.select(sample_key_expr("id").alias("k")).agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    assert 0 <= mm.lo <= mm.hi < (1 << 32)
+
+
+# --- connected components --------------------------------------------------
+
+
+def _clusters(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df)
+    return {r.v: r.cluster_id for r in out.collect()}
+
+
+def test_connected_components_two_components(spark):
+    # {1,2,3,4} chained + {10,11}; 3-4 bridges via 2.
+    got = _clusters(spark, [(1, 2), (2, 3), (2, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_diameter(spark):
+    # a pure chain is the worst case for propagation rounds
+    n = 12
+    got = _clusters(spark, [(i, i + 1) for i in range(n)])
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_idempotent_on_clique(spark):
+    got = _clusters(spark, [(a, b) for a in range(5) for b in range(a + 1, 5)])
+    assert got == {i: 0 for i in range(5)}
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_null(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "e1"), (1, _ts("2024-01-01 12:00:00"), "e2"),
+         (2, _ts("2024-01-01 09:00:00"), "e3")],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 100), (1, _ts("2024-01-01 11:00:00"), 101),
+         (2, _ts("2024-01-01 09:30:00"), 200)],
+        "k long, ts timestamp, rid int",
+    )
+    got = {
+        r.ev: r.rid
+        for r in asof_join(left, right, "k", "ts", "ts", ["rid"]).collect()
+    }
+    # e1 sees 09:30 row; e2 sees 11:00 row; e3 predates every right row
+    assert got == {"e1": 100, "e2": 101, "e3": None}
+
+
+def test_asof_join_equal_ts_tie(spark):
+    t = _ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, t, "e")], "k long, ts timestamp, ev string")
+    right = spark.createDataFrame([(1, t, 7)], "k long, ts timestamp, rid int")
+    nonstrict = asof_join(left, right, "k", "ts", "ts", ["rid"]).collect()[0]
+    strict = asof_join(left, right, "k", "ts", "ts", ["rid"], strict=True).collect()[0]
+    assert nonstrict.rid == 7  # <=: same-instant right row is admissible
+    assert strict.rid is None  # <: it is not
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    left = spark.createDataFrame(
+        [(i % 3, _ts(f"2024-01-01 10:00:{i:02d}"), i) for i in range(50)],
+        "k long, ts timestamp, i long",
+    )
+    right = spark.createDataFrame(
+        [(0, _ts("2024-01-01 10:00:10"), 1), (0, _ts("2024-01-01 10:00:20"), 2)],
+        "k long, ts timestamp, rid int",
+    )
+    out = asof_join(left, right, "k", "ts", "ts", ["rid"])
+    assert out.count() == 50
+    assert out.select("i").distinct().count() == 50
