@@ -1,0 +1,94 @@
+"""Time-series operators Spark lacks as primitives, composed Spark-first.
+
+Together with :func:`..operators.curation.asof_join` this covers the
+time-series custom-operator family (as-of join / range join / hypertable
+rollup). The reference's only time-series work is daily grouping and a
+48-hour trailing filter (``stats_visualization.py:193,221-222`` — SURVEY
+F19/F20/P9/W4); these operators generalize that to the shapes a
+large-scale event pipeline needs.
+
+Scale notes: a naive interval join (``l.ts BETWEEN r.ts AND r.ts + w``)
+plans as a broadcast-nested-loop or cartesian product — O(n·m) and a
+cluster-killer at 100 TB. :func:`binned_range_join` turns it into an
+EQUI-join on (key, time_bin) — one hash shuffle each side, with the
+left side exploded into exactly two bin keys — then an exact residual
+filter. Output cardinality equals the true interval-join result; the
+2× explode is the only overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_s: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same ``on`` key where
+    ``0 < left_ts - right_ts <= window_s`` (right strictly precedes left
+    within the window).
+
+    Implementation: bin both sides at ``window_s`` granularity; a
+    qualifying right row's bin is either the left row's bin or the one
+    before it, so exploding the left row into those two bin keys and
+    equi-joining on (key, bin) finds every candidate exactly once (the
+    two exploded keys are distinct → no dedup needed). The residual
+    range predicate then filters exactly.
+
+    Returns left columns + right columns (callers project/alias; the two
+    ts column names must differ).
+    """
+    w_us = window_s * MICROS
+    l2 = (
+        left.withColumn("_lb", F.floor(F.unix_micros(F.col(left_ts)) / w_us))
+        .withColumn("_bin", F.explode(F.array(F.col("_lb") - 1, F.col("_lb"))))
+        .drop("_lb")
+    )
+    r2 = right.withColumn("_bin", F.floor(F.unix_micros(F.col(right_ts)) / w_us))
+    gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts))
+    return (
+        l2.join(r2, [on, "_bin"])
+        .filter((gap > 0) & (gap <= F.lit(w_us)))
+        .drop("_bin")
+    )
+
+
+def multi_grain_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grains: tuple[str, ...] = ("day", "hour"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: every time grain computed in
+    ONE pass / one shuffle via grouping sets, coarser grains with NULL
+    fine-bucket columns and a ``grain`` discriminator column.
+
+    ``grains`` must be ordered coarse→fine; each grouping set keeps the
+    buckets down to its grain. At 100 TB this beats per-grain jobs by
+    reusing the scan and letting partial aggregation collapse rows
+    map-side before the single shuffle.
+    """
+    bucket_cols = [f"{g}_ts" for g in grains]
+    staged = events.select(
+        *[F.date_trunc(g.upper(), F.col(ts_col)).alias(c) for g, c in zip(grains, bucket_cols)],
+        F.col(value_col).alias("_v"),
+    )
+    sets = [bucket_cols[: i + 1] for i in range(len(bucket_cols))]
+    # grouping() is only valid inside the aggregate list; grain = number of
+    # fine buckets kept = index into `grains`.
+    grain_expr = F.lit(len(bucket_cols) - 1).cast("int")
+    for c in bucket_cols[1:]:
+        grain_expr = grain_expr - F.grouping(c).cast("int")
+    return staged.groupingSets(sets, *[F.col(c) for c in bucket_cols]).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("_v"), 2).alias("sum_value"),
+        grain_expr.alias("grain"),
+    )

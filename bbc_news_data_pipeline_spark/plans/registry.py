@@ -43,11 +43,13 @@ def all_queries() -> list[Query]:
         relational,
         streaming_plans,
         text_plans,
+        timeseries_plans,
     )
 
     out: list[Query] = []
     for mod in (relational, text_plans, dedup_plans, embeddings_plans,
-                multimodal_plans, streaming_plans, curation_plans):
+                multimodal_plans, streaming_plans, curation_plans,
+                timeseries_plans):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     if len(names) != len(set(names)):

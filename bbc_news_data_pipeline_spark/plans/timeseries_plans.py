@@ -1,0 +1,130 @@
+"""Time-series plans (q60–q62) over the `events` table: hypertable-style
+multi-grain rollup, exact distribution percentiles, and a binned range
+join — the time-series custom-operator family (as-of join is q59).
+
+Cross-engine determinism: date_trunc on a UTC-pinned session matches
+DuckDB's naive timestamps (same pattern as q17/q50); percentiles use
+EXACT linear interpolation on both engines (Spark ``percentile`` ↔
+DuckDB ``quantile_cont``), rounded to 4dp; the range join's gap is exact
+integer microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import binned_range_join, multi_grain_rollup
+from ..sources.tables import load
+from .registry import Query
+
+
+# ---------------------------------------------------------------------------
+# q60 — hypertable rollup (ext): day + hour grains in ONE pass via grouping
+# sets (one scan, one shuffle; partial agg collapses map-side). The
+# continuous-aggregate pattern of a time-series store, Spark-first.
+# ---------------------------------------------------------------------------
+def q60_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return multi_grain_rollup(ev, "ts", "value", grains=("day", "hour"))
+
+
+Q60_SQL = """
+SELECT date_trunc('day', ts)  AS day_ts,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+            THEN date_trunc('hour', ts) END AS hour_ts,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(1 - GROUPING(date_trunc('hour', ts)) AS INTEGER) AS grain
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                        (date_trunc('day', ts), date_trunc('hour', ts)))
+ORDER BY grain, day_ts, hour_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q61 — exact distribution percentiles per event type (ext). Spark's
+# ``percentile`` is the exact interpolated quantile (the approx sketch
+# variant is q25's approx_count_distinct territory); DuckDB's
+# ``quantile_cont`` implements the same definition.
+# ---------------------------------------------------------------------------
+_PCTS = (0.5, 0.9, 0.99)
+
+
+def q61_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.round(F.percentile("value", F.lit(p)), 4).alias(f"p{int(p * 100)}")
+        for p in _PCTS
+    ] + [F.count("*").alias("n")]
+    return ev.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+Q61_SQL = f"""
+SELECT event_type,
+       {", ".join(f"round(quantile_cont(value, {p}), 4) AS p{int(p * 100)}" for p in _PCTS)},
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q62 — range join (ext): every (error, click) pair of the same user with
+# the click in the 6 hours before the error. The naive inequality join is
+# a nested-loop O(n·m); binned_range_join makes it an equi-join on
+# (user, time_bin) with an exact residual filter — cluster-safe at 100 TB.
+# The oracle runs the naive inequality join: independent derivations.
+# ---------------------------------------------------------------------------
+_WINDOW_S = 6 * 3600
+
+
+def q62_error_click_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = binned_range_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        window_s=_WINDOW_S,
+    )
+    return joined.select(
+        "event_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+Q62_SQL = f"""
+WITH clk AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+err AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, c.click_id, e.user_id,
+       epoch_us(e.ts) - epoch_us(c.click_ts) AS gap_us
+FROM err e
+JOIN clk c
+  ON e.user_id = c.user_id
+ AND epoch_us(e.ts) - epoch_us(c.click_ts) > 0
+ AND epoch_us(e.ts) - epoch_us(c.click_ts) <= {_WINDOW_S * 1_000_000}
+ORDER BY e.event_id, c.click_id
+"""
+
+
+QUERIES = [
+    Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
+          survey="ext:hypertable-rollup,A4,F19"),
+    Query("q61_value_percentiles", q61_value_percentiles, Q61_SQL,
+          survey="ext:percentiles,A2"),
+    Query("q62_error_click_range_join", q62_error_click_range_join, Q62_SQL,
+          survey="ext:range-join,P9"),
+]

@@ -1,0 +1,88 @@
+"""Unit tests for operators/timeseries.py: binned range join boundary
+semantics (strict lower / inclusive upper, bin-edge pairs) and the
+multi-grain rollup's internal consistency (hour rows reaggregate to the
+day rows; grain discriminator)."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.operators.timeseries import (
+    binned_range_join,
+    multi_grain_rollup,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_range_join_boundaries(spark):
+    # window 60s: gap must satisfy 0 < gap <= 60s
+    left = _mk(
+        spark,
+        [(1, T0 + timedelta(seconds=100), "L")],
+        "k long, ts timestamp, tag string",
+    )
+    right = _mk(
+        spark,
+        [
+            (1, T0 + timedelta(seconds=100), 0),   # gap 0 → excluded (strict)
+            (1, T0 + timedelta(seconds=40), 1),    # gap 60 → included (inclusive)
+            (1, T0 + timedelta(seconds=39), 2),    # gap 61 → excluded
+            (1, T0 + timedelta(seconds=99), 3),    # gap 1 → included
+            (2, T0 + timedelta(seconds=99), 4),    # wrong key
+        ],
+        "k long, rts timestamp, rid int",
+    )
+    got = sorted(
+        r.rid
+        for r in binned_range_join(left, right, "k", "ts", "rts", 60).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_range_join_crosses_bin_edge(spark):
+    # left at 12:00:10, right at 11:59:50 — different 60s bins, gap 20s
+    left = _mk(spark, [(1, T0 + timedelta(hours=12, seconds=10), "L")],
+               "k long, ts timestamp, tag string")
+    right = _mk(spark, [(1, T0 + timedelta(hours=11, minutes=59, seconds=50), 9)],
+                "k long, rts timestamp, rid int")
+    got = binned_range_join(left, right, "k", "ts", "rts", 60).collect()
+    assert [r.rid for r in got] == [9]
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # many rights inside one window must each appear exactly once
+    left = _mk(spark, [(1, T0 + timedelta(seconds=500), "L")],
+               "k long, ts timestamp, tag string")
+    right = _mk(
+        spark,
+        [(1, T0 + timedelta(seconds=500 - g), i) for i, g in enumerate(range(1, 300, 7))],
+        "k long, rts timestamp, rid int",
+    )
+    out = binned_range_join(left, right, "k", "ts", "rts", 300)
+    assert out.count() == out.select("rid").distinct().count() == len(range(1, 300, 7))
+
+
+def test_multi_grain_rollup_consistency(spark):
+    rows = [
+        (T0 + timedelta(hours=h, minutes=m), float(h * 10 + m))
+        for h in range(3)
+        for m in (0, 30)
+    ] + [(T0 + timedelta(days=1, hours=5), 7.5)]
+    ev = _mk(spark, rows, "ts timestamp, value double")
+    out = multi_grain_rollup(ev, "ts", "value", grains=("day", "hour")).collect()
+    day = {r.day_ts: r for r in out if r.grain == 0}
+    hour = [r for r in out if r.grain == 1]
+    # day-grain rows have NULL hour bucket; hour rows don't
+    assert all(r.hour_ts is None for r in day.values())
+    assert all(r.hour_ts is not None for r in hour)
+    assert len(day) == 2 and len(hour) == 4
+    # hour rows reaggregate exactly to their day row
+    for d, drow in day.items():
+        hs = [r for r in hour if r.day_ts == d]
+        assert sum(r.n_events for r in hs) == drow.n_events
+        assert abs(sum(r.sum_value for r in hs) - drow.sum_value) < 1e-9
