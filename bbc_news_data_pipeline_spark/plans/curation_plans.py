@@ -345,6 +345,110 @@ ORDER BY e.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q63 — the composite corpus-curation pipeline (ext flagship): exact dedup →
+# repetition-quality gate → weighted per-language mixing → per-language
+# corpus stats. One DataFrame DAG: the dedup shuffle (fingerprint), the
+# bigram shuffle (doc_id), and the final stats shuffle (lang) — everything
+# else is row-local. This is the shape a 100 TB pretraining-data job takes.
+# ---------------------------------------------------------------------------
+_Q63_DUP_T, _Q63_BIGRAM_T = 0.6, 0.1
+
+
+def _mix_threshold_col() -> F.Column:
+    thr = F.lit(None).cast("long")
+    for lang, rate in LANG_RATES:
+        thr = F.when(F.col("lang") == lang, F.lit(sample_threshold(rate))).otherwise(thr)
+    return thr
+
+
+def q63_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup, shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    surv = exact_dedup(docs, "text", "doc_id")
+    toked = surv.select(
+        "doc_id", "lang", F.split("text", " ").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    base = toked.select(
+        "doc_id",
+        "lang",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_toks")) / F.size("_toks"), 4
+        ).alias("dup_word_ratio"),
+        shingles_from_tokens("_toks", 2).alias("_bi"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_bi").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_ratio"))
+    )
+    kept = (
+        base.drop("_bi")
+        .join(top, "doc_id")
+        .filter(
+            (F.col("dup_word_ratio") <= _Q63_DUP_T)
+            & (F.col("top_bigram_ratio") <= _Q63_BIGRAM_T)
+        )
+    )
+    mixed = kept.filter(sample_key_expr("doc_id", salt="mix") < _mix_threshold_col())
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("dup_word_ratio"), 4).alias("avg_dup_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q63_SQL = f"""
+WITH surv AS (
+    SELECT * FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text))))
+),
+toked AS (
+    SELECT doc_id, lang, str_split(text, ' ') AS toks
+    FROM surv WHERE len(str_split(text, ' ')) >= 2
+),
+base AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+               AS dup_word_ratio,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bi
+    FROM toked
+),
+cnt AS (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bi) AS gram FROM base) g
+    GROUP BY doc_id, gram
+),
+top AS (
+    SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_ratio
+    FROM cnt GROUP BY doc_id
+),
+kept AS (
+    SELECT b.doc_id, b.lang, b.n_tokens, b.dup_word_ratio
+    FROM base b JOIN top t USING (doc_id)
+    WHERE b.dup_word_ratio <= {_Q63_DUP_T} AND t.top_bigram_ratio <= {_Q63_BIGRAM_T}
+),
+mixed AS (
+    SELECT * FROM kept WHERE {{mix_key}} < {{thr_case}}
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(dup_word_ratio), 4) AS avg_dup_ratio
+FROM mixed
+GROUP BY lang
+ORDER BY lang
+""".format(mix_key=_sample_key_sql("mix"), thr_case=_THR_CASE)
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -353,4 +457,6 @@ QUERIES = [
     Query("q58_repetition_quality", q58_repetition_quality, Q58_SQL,
           survey="ext:gopher-quality"),
     Query("q59_asof_error_click", q59_asof_error_click, Q59_SQL, survey="ext:asof-join"),
+    Query("q63_corpus_curation_pipeline", q63_corpus_curation_pipeline, Q63_SQL,
+          survey="ext:curation-pipeline", tags=("bench",)),
 ]

@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the scale properties SCALE.md claims must be
+visible in the plans Catalyst actually produces — predicate pushdown to
+the parquet scan, column pruning, broadcast joins for dim lookups, top-K
+as TakeOrderedAndProject, no nested-loop/cartesian joins in the range
+join, and zero exchanges for row-local operators."""
+
+import re
+
+from bbc_news_data_pipeline_spark.plans.curation_plans import q63_corpus_curation_pipeline
+from bbc_news_data_pipeline_spark.plans.relational import (
+    q01_pricing_summary,
+    q02_top_revenue_orders,
+)
+from bbc_news_data_pipeline_spark.plans.text_plans import (
+    q31_clean_text_chain,
+    q38_minhash_signatures,
+)
+from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+    q62_error_click_range_join,
+)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark, sf_dir):
+    plan = _full(q01_pricing_summary(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l)
+    assert "LessThanOrEqual(l_shipdate" in scan  # predicate reached the scan
+    assert "l_returnflag" in scan
+    # untouched columns must not be read at all
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+
+
+def test_q31_reads_only_two_columns(spark, sf_dir):
+    plan = _full(q31_clean_text_chain(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "documents" in l)
+    m = re.search(r"ReadSchema: struct<([^>]*)", scan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned
+
+
+def test_q02_broadcasts_dim_and_takeordered(spark, sf_dir):
+    plan = _physical(q02_top_revenue_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # customer dim is broadcast (J1)
+    assert "TakeOrderedAndProject" in plan  # top-K never total-sorts
+
+
+def test_q62_range_join_is_equi_join(spark, sf_dir):
+    plan = _physical(q62_error_click_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q38_minhash_is_exchange_free(spark, sf_dir):
+    # signatures are row-local: no shuffle anywhere in the plan
+    plan = _physical(q38_minhash_signatures(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_q63_pipeline_shuffle_budget(spark, sf_dir):
+    # composite pipeline: hash exchanges only on fingerprint / doc_id /
+    # lang (+ the broadcast for the semi-join) — no sort-based fallback
+    # surprises, no nested loops.
+    plan = _physical(q63_corpus_curation_pipeline(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 8, f"shuffle count regressed: {n_exchanges}\n{plan}"
