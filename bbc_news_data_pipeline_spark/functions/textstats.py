@@ -83,6 +83,32 @@ def stop_token_count_expr_from(tokens: Column, words: tuple[str, ...] = EN_STOPW
     return F.size(F.filter(tokens, lambda t: t.isin(*words))).cast("long")
 
 
+def max_run_count_expr(arr: Column) -> Column:
+    """COUNT of the most frequent element of an array, computed row-locally:
+    sort the array, then one aggregate() pass tracking the longest run of
+    equal neighbors. No explode, no shuffle — the scale path for per-doc
+    "top n-gram mass" repetition metrics (the explode → groupBy(doc, gram)
+    alternative multiplies rows by array length before its exchange).
+
+    JVM-side but interpreted (higher-order fns skip codegen): O(n log n)
+    per row, linear across the corpus.
+    """
+    sorted_arr = F.array_sort(arr)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"]).cast("long")
+
+
 QUALITY_SQL = """
 SELECT doc_id,
        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,

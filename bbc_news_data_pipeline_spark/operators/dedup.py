@@ -36,16 +36,20 @@ def fingerprint(col: Column | str, *, normalize: bool = True) -> Column:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id row per identical (normalized) text.
 
-    One shuffle on the 128-bit fingerprint → perfectly uniform partitioning
-    regardless of content skew.
+    ONE scan + one shuffle: row_number over a fingerprint-partitioned
+    window. md5 keys partition perfectly uniformly regardless of content
+    skew, and each partition's sort is by the tiny (fp, id) prefix. The
+    groupBy-then-semi-join alternative reads the input twice and adds a
+    join exchange — strictly worse both locally and at 100 TB.
     """
-    fp = fingerprint(text_col)
-    keep = (
-        df.select(F.col(id_col), fp.alias("_fp"))
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias(id_col))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return df.join(keep, id_col, "left_semi")
 
 
 def first_wins(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:

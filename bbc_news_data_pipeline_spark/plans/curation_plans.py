@@ -221,14 +221,17 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# q58 — Gopher-style repetition quality (ext): duplicate-word ratio
-# (row-local array algebra) + top-bigram mass fraction (explode → two
-# aggregations, both hash-partitioned by doc_id — one shuffle reused).
+# q58 — Gopher-style repetition quality (ext): duplicate-word ratio + top-
+# bigram mass fraction, ALL row-local (sort-and-longest-run instead of the
+# explode → groupBy shuffle; the explode variant multiplies rows ×n_tokens
+# before its exchange — see functions/textstats.py:max_run_count_expr).
+# The oracle still derives top-bigram mass via unnest/groupBy: independent.
 # ---------------------------------------------------------------------------
 _DUP_T, _BIGRAM_T = 0.5, 0.1
 
 
 def q58_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import max_run_count_expr
     from ..operators.dedup import shingles_from_tokens
 
     docs = load(spark, sf_dir, "documents")
@@ -243,21 +246,16 @@ def q58_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_word_ratio"),
         shingles_from_tokens("_toks", 2).alias("_bi"),
     )
-    cnt = (
-        base.select("doc_id", F.explode("_bi").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-    )
-    top = cnt.groupBy("doc_id").agg(
-        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_ratio")
-    )
-    return (
-        base.select("doc_id", "n_tokens", "dup_word_ratio")
-        .join(top, "doc_id")
-        .withColumn(
-            "flagged",
-            (F.col("dup_word_ratio") > _DUP_T) | (F.col("top_bigram_ratio") > _BIGRAM_T),
-        )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_ratio",
+        F.round(max_run_count_expr(F.col("_bi")) / F.size("_bi"), 4).alias(
+            "top_bigram_ratio"
+        ),
+    ).withColumn(
+        "flagged",
+        (F.col("dup_word_ratio") > _DUP_T) | (F.col("top_bigram_ratio") > _BIGRAM_T),
     )
 
 
@@ -348,9 +346,11 @@ ORDER BY e.event_id
 # ---------------------------------------------------------------------------
 # q63 — the composite corpus-curation pipeline (ext flagship): exact dedup →
 # repetition-quality gate → weighted per-language mixing → per-language
-# corpus stats. One DataFrame DAG: the dedup shuffle (fingerprint), the
-# bigram shuffle (doc_id), and the final stats shuffle (lang) — everything
-# else is row-local. This is the shape a 100 TB pretraining-data job takes.
+# corpus stats. One DataFrame DAG with exactly TWO wide stages — the dedup
+# shuffle (fingerprint) and the final stats shuffle (lang); the quality
+# gate and mixing are fully row-local (max_run_count_expr replaces the
+# explode → groupBy bigram shuffle). The shape a 100 TB pretraining-data
+# job takes.
 # ---------------------------------------------------------------------------
 _Q63_DUP_T, _Q63_BIGRAM_T = 0.6, 0.1
 
@@ -363,6 +363,7 @@ def _mix_threshold_col() -> F.Column:
 
 
 def q63_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import max_run_count_expr
     from ..operators.dedup import exact_dedup, shingles_from_tokens
 
     docs = load(spark, sf_dir, "documents")
@@ -379,20 +380,12 @@ def q63_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_word_ratio"),
         shingles_from_tokens("_toks", 2).alias("_bi"),
     )
-    top = (
-        base.select("doc_id", F.explode("_bi").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_ratio"))
-    )
-    kept = (
-        base.drop("_bi")
-        .join(top, "doc_id")
-        .filter(
-            (F.col("dup_word_ratio") <= _Q63_DUP_T)
-            & (F.col("top_bigram_ratio") <= _Q63_BIGRAM_T)
-        )
+    kept = base.withColumn(
+        "top_bigram_ratio",
+        F.round(max_run_count_expr(F.col("_bi")) / F.size("_bi"), 4),
+    ).filter(
+        (F.col("dup_word_ratio") <= _Q63_DUP_T)
+        & (F.col("top_bigram_ratio") <= _Q63_BIGRAM_T)
     )
     mixed = kept.filter(sample_key_expr("doc_id", salt="mix") < _mix_threshold_col())
     return (

@@ -86,6 +86,24 @@ def test_sample_key_range(spark):
     assert 0 <= mm.lo <= mm.hi < (1 << 32)
 
 
+# --- row-local top-element count -------------------------------------------
+
+
+def test_max_run_count_matches_exact_mode(spark):
+    from bbc_news_data_pipeline_spark.functions.textstats import max_run_count_expr
+
+    rows = [
+        (0, ["a", "b", "a", "c", "a"]),       # mode a ×3
+        (1, ["x"]),                            # singleton
+        (2, ["q", "q", "q", "q"]),             # all equal
+        (3, ["m", "n"]),                       # tie → 1
+        (4, []),                               # empty → 0
+    ]
+    df = spark.createDataFrame(rows, "id long, arr array<string>")
+    got = {r.id: r.c for r in df.select("id", max_run_count_expr(F.col("arr")).alias("c")).collect()}
+    assert got == {0: 3, 1: 1, 2: 4, 3: 1, 4: 0}
+
+
 # --- connected components --------------------------------------------------
 
 
