@@ -68,6 +68,33 @@ def write_csv(df: DataFrame, path: str, partition_by: str | None = None) -> None
     writer.csv(path)
 
 
+def write_parquet_layout(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+    num_files: int = 1,
+) -> None:
+    """Layout-aware parquet writer: directory partitioning for partition
+    PRUNING plus sort-within-files clustering for row-group min/max
+    SKIPPING on ``sort_by`` (the ZORDER-lite a plain parquet lake gets).
+
+    With ``partition_by``, rows are hash-repartitioned on the partition
+    keys so each directory is written by one task (one file per dir, no
+    small-file spray — the classic 100 TB lake failure mode is a write
+    where every task appends to every partition dir, yielding
+    tasks×partitions tiny files). ``num_files`` controls fan-out for the
+    unpartitioned case.
+    """
+    out = df.repartition(*partition_by) if partition_by else df.repartition(num_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def run_metadata_table(spark: SparkSession, path: str, record: dict) -> None:
     """M10/O4: the run registry replacing XCom + mtime-glob discovery
     (topic_modeling.py:57-79) — a small append-only parquet table."""
