@@ -63,6 +63,21 @@ def test_q38_minhash_is_exchange_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    from bbc_news_data_pipeline_spark.plans import subquery_plans as S
+
+    qs = {q.name: q.spark for q in S.QUERIES}
+    # EXISTS → semi join, not a per-row subquery or nested loop
+    p64 = _physical(qs["q64_exists_priority_counts"](spark, sf_dir))
+    assert "LeftSemi" in p64 and "BroadcastNestedLoopJoin" not in p64
+    # correlated scalar avg → aggregate + equi-join on the correlation key
+    p65 = _physical(qs["q65_correlated_scalar_avg"](spark, sf_dir))
+    assert "avg(l_quantity" in p65 and "CartesianProduct" not in p65
+    # NOT EXISTS → anti join
+    p66 = _physical(qs["q66_antijoin_above_nation_avg"](spark, sf_dir))
+    assert "LeftAnti" in p66 and "BroadcastNestedLoopJoin" not in p66
+
+
 def test_q63_pipeline_shuffle_budget(spark, sf_dir):
     # composite pipeline: hash exchanges only for the dedup fingerprint
     # groupBy and the final lang stats (+ broadcast for the semi-join) —
