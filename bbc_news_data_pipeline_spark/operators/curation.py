@@ -94,6 +94,30 @@ def hash_sample(df: DataFrame, id_col: str, rate: float, salt: str = "smpl") -> 
     return df.filter(sample_key_expr(id_col, salt) < F.lit(sample_threshold(rate)))
 
 
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, n_per_stratum: int, salt: str = "strat"
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: rank rows within each
+    stratum by their md5 sampling key (id tiebreak) and keep the first
+    ``n_per_stratum`` — the balanced eval-set / per-domain-quota shape.
+
+    One shuffle on the stratum key. Adds a ``sample_rank`` column
+    (1..n). For heavily skewed strata the window sort is bounded by
+    per-stratum row counts; a two-phase variant (pre-filter by an
+    estimated key threshold, then exact rank) caps that at extreme
+    scale.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(
+        sample_key_expr(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

