@@ -1,7 +1,9 @@
-"""Corpus-curation plans (q54–q59) — the training-data-pipeline surface
-built on operators/curation.py: PII redaction, reproducible sampling,
-weighted dataset mixing, duplicate clustering (connected components over
-LSH candidate pairs), Gopher-style repetition quality, and an as-of join.
+"""Corpus-curation plans (q54–q59, q63, q67) — the training-data-pipeline
+surface built on operators/curation.py: PII redaction, reproducible
+sampling, weighted dataset mixing, duplicate clustering (connected
+components over LSH candidate pairs), Gopher-style repetition quality,
+an as-of join, the composite curation pipeline (q63, bench flagship),
+and stratified per-group sampling (q67).
 
 Cross-engine determinism: all sampling/clustering keys are md5-derived
 integers; all regexes compile identically under Java regex and RE2 (no
