@@ -95,6 +95,36 @@ def write_parquet_layout(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Bucketed (hash-clustered) parquet table: rows are pre-partitioned
+    into ``n_buckets`` files by ``hash(bucket_col)`` at WRITE time, so any
+    later equi-join or aggregation on ``bucket_col`` between tables with
+    matching bucketing needs NO shuffle — the 100 TB strategy for a fact
+    table joined on the same key every day. ``sort`` additionally orders
+    each bucket file so sort-merge joins skip their sort phase.
+
+    Registered in the session catalog as an EXTERNAL table at ``path``
+    (bucketing metadata lives in the catalog, not the files — plain
+    ``spark.read.parquet`` of the same files would not know the layout).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(name)
+
+
 def run_metadata_table(spark: SparkSession, path: str, record: dict) -> None:
     """M10/O4: the run registry replacing XCom + mtime-glob discovery
     (topic_modeling.py:57-79) — a small append-only parquet table."""
