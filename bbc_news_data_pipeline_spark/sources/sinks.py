@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -93,6 +93,27 @@ def write_parquet_layout(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_with_metrics(
+    df: DataFrame, path: str, metrics: dict[str, Column]
+) -> dict[str, object]:
+    """Write parquet and collect data-quality metrics in the SAME pass via
+    ``DataFrame.observe`` — no second scan of the data.
+
+    ``metrics`` maps names to aggregate Columns (count/sum/avg/...).
+    Returns the observed values after the write completes. The pattern
+    that replaces the reference's separate count queries
+    (``bbc_news_dag.py:114-122`` — SURVEY A13/S8) with zero extra cost:
+    at 100 TB a dedicated metrics pass is a full re-read; observe()
+    piggybacks on the write's task execution.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode("overwrite").parquet(path)
+    return obs.get
 
 
 def write_bucketed_table(

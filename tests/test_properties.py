@@ -81,6 +81,71 @@ def test_sentiment_label_total_partition(score):
     assert sum(x is not None for x in labels) == 1
 
 
+# --- custom join operators vs brute-force references -----------------------
+
+from datetime import datetime, timedelta
+
+_BASE = datetime(2024, 1, 1)
+
+# (key, seconds-offset) pairs; small domains force key collisions and
+# equal-timestamp ties — exactly the edge cases the window trick must get
+# right.
+_EVENTS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(left=_EVENTS, right=_EVENTS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from bbc_news_data_pipeline_spark.operators.curation import asof_join
+
+    lrows = [(k, _BASE + timedelta(seconds=s), i) for i, (k, s) in enumerate(left)]
+    # dedupe right on (key, ts): operator contract (deterministic winner)
+    seen, rrows = set(), []
+    for j, (k, s) in enumerate(right):
+        if (k, s) not in seen:
+            seen.add((k, s))
+            rrows.append((k, _BASE + timedelta(seconds=s), j))
+    ldf = spark.createDataFrame(lrows or [(0, _BASE, -1)], "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(rrows or [(99, _BASE, -1)], "k long, ts timestamp, rid long")
+    for strict in (False, True):
+        got = {
+            r.lid: r.rid
+            for r in asof_join(ldf, rdf, "k", "ts", "ts", ["rid"], strict=strict).collect()
+        }
+        for k, ts, lid in ([(0, _BASE, -1)] if not lrows else lrows):
+            cand = [
+                (rts, rid)
+                for rk, rts, rid in (rrows or [(99, _BASE, -1)])
+                if rk == k and (rts < ts if strict else rts <= ts)
+            ]
+            expect = max(cand)[1] if cand else None
+            assert got[lid] == expect, (strict, k, ts, lid)
+
+
+@settings(max_examples=20, deadline=None)
+@given(left=_EVENTS, right=_EVENTS, window=st.integers(1, 40))
+def test_range_join_matches_bruteforce(spark, left, right, window):
+    from bbc_news_data_pipeline_spark.operators.timeseries import binned_range_join
+
+    lrows = [(k, _BASE + timedelta(seconds=s), i) for i, (k, s) in enumerate(left)]
+    rrows = [(k, _BASE + timedelta(seconds=s), j) for j, (k, s) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows or [(0, _BASE, -1)], "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(rrows or [(99, _BASE, -1)], "k long, rts timestamp, rid long")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in binned_range_join(ldf, rdf, "k", "ts", "rts", window).collect()
+    )
+    expect = sorted(
+        (lid, rid)
+        for lk, lts, lid in (lrows or [(0, _BASE, -1)])
+        for rk, rts, rid in (rrows or [(99, _BASE, -1)])
+        if lk == rk and timedelta(0) < lts - rts <= timedelta(seconds=window)
+    )
+    assert got == expect
+
+
 def test_annotate_join_preserves_counts(spark):
     """J1 contract: attaching topic words via a left join must not drop or
     duplicate article rows, even with missing and duplicate dim keys."""

@@ -64,3 +64,30 @@ def test_run_metadata_table(spark, tmp_path):
     assert reg.count() == 2
     latest = reg.orderBy(reg.run_id.desc()).first()
     assert latest.run_id == "r2" and latest.k == "32"
+
+
+def test_write_with_metrics_single_pass(spark, sf_dir, tmp_path):
+    """observe()-based metrics must equal a separate aggregation, and the
+    written data must be complete."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "metrics_out")
+    got = sinks.write_with_metrics(
+        docs,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.count_if(F.col("text").isNull()),
+            "avg_chars": F.round(F.avg("n_chars"), 4),
+        },
+    )
+    exp = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("text").isNull()).alias("n_null_text"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    ).collect()[0]
+    assert got["n_rows"] == exp.n_rows > 0
+    assert got["n_null_text"] == exp.n_null_text
+    assert abs(got["avg_chars"] - exp.avg_chars) < 1e-9
+    assert spark.read.parquet(out).count() == exp.n_rows
