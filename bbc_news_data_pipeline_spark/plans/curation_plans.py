@@ -1,9 +1,9 @@
-"""Corpus-curation plans (q54–q59, q63, q67) — the training-data-pipeline
+"""Corpus-curation plans (q54–q59, q63, q67, q68) — the training-data-pipeline
 surface built on operators/curation.py: PII redaction, reproducible
 sampling, weighted dataset mixing, duplicate clustering (connected
 components over LSH candidate pairs), Gopher-style repetition quality,
 an as-of join, the composite curation pipeline (q63, bench flagship),
-and stratified per-group sampling (q67).
+stratified per-group sampling (q67), and token-budget shard packing (q68).
 
 Cross-engine determinism: all sampling/clustering keys are md5-derived
 integers; all regexes compile identically under Java regex and RE2 (no
@@ -476,6 +476,51 @@ ORDER BY lang, sample_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# q68 — token-budget shard packing (ext): assign documents to contiguous
+# training shards of ~200 tokens each, per language — the sequence-packing
+# / output-sharding step of a pretraining pipeline. Running-sum window
+# per stratum: partitionBy(lang) keeps every stratum's prefix sum
+# independent and parallel (a single global ordering would serialize at
+# 100 TB; per-stratum is the scale form).
+# ---------------------------------------------------------------------------
+_Q68_BUDGET = 200
+
+
+def q68_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _Q68_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+Q68_SQL = f"""
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((cum - n_tokens) / {_Q68_BUDGET}) AS BIGINT) AS shard_id
+FROM (
+    SELECT doc_id, lang,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           sum(CAST(len(str_split(text, ' ')) AS BIGINT)) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM documents
+) t
+ORDER BY lang, doc_id
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -489,4 +534,6 @@ QUERIES = [
           survey="ext:curation-pipeline", tags=("bench",)),
     Query("q67_stratified_sample", q67_stratified_sample, Q67_SQL,
           survey="ext:stratified-sampling"),
+    Query("q68_token_shards", q68_token_shards, Q68_SQL,
+          survey="ext:shard-packing,W2"),
 ]

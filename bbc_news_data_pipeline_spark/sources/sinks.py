@@ -12,7 +12,7 @@
 Scale notes: keyed append reads only the KEY COLUMN of the existing table
 (column pruning) for the anti-join; with AQE the freshly-arriving (small)
 side broadcasts. True atomic upsert needs a table format (Delta/Iceberg —
-jars not in this container; noted as the production path in ARCHITECTURE).
+jars not in this container; noted as the production path in SCALE.md).
 """
 
 from __future__ import annotations
