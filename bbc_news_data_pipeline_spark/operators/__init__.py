@@ -1,3 +1,11 @@
-from . import dedup, similarity
+from . import curation, dedup, multimodal, similarity, skew, timeseries, topics
 
-__all__ = ["dedup", "similarity"]
+__all__ = [
+    "curation",
+    "dedup",
+    "multimodal",
+    "similarity",
+    "skew",
+    "timeseries",
+    "topics",
+]

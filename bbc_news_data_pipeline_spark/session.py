@@ -20,6 +20,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 256,
+) -> dict[str, str]:
+    """The recommended conf for the 100 TB / multi-executor deployment —
+    the production counterpart of get_spark's local[] defaults (SCALE.md
+    records the rationale; this makes it executable).
+
+    Local tests cannot exercise a real cluster, but every plan in this
+    repo is written against these assumptions: AQE re-plans from actual
+    map sizes, shuffle partitions start at 2×total-cores and coalesce
+    down, scan splits target ``target_partition_mb``, skew joins split
+    oversized partitions, and speculation covers stragglers.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{target_partition_mb}m",
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.speculation": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }
+
+
 def get_spark(
     app_name: str = "bbc-news-data-pipeline-spark",
     cpus: str | int | None = None,

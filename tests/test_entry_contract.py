@@ -41,3 +41,20 @@ def test_query_callables_accept_sf_dir(spark, sf_dir):
     for name in ("q01_pricing_summary", "q30_doc_stats", "q40_cosine_top10"):
         df = qs[name](spark, sf_dir)
         assert df.count() > 0
+
+
+def test_cluster_conf_shape():
+    from bbc_news_data_pipeline_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4)
+    assert conf["spark.sql.shuffle.partitions"] == str(2 * 1000 * 4)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    # every value must be a string (SparkConf contract)
+    assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_operator_facade_imports():
+    from bbc_news_data_pipeline_spark import operators
+
+    for mod in operators.__all__:
+        assert hasattr(operators, mod)
