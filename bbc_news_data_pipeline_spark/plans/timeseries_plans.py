@@ -1,6 +1,7 @@
-"""Time-series plans (q60–q62) over the `events` table: hypertable-style
-multi-grain rollup, exact distribution percentiles, and a binned range
-join — the time-series custom-operator family (as-of join is q59).
+"""Time-series plans (q60–q62, q69) over the `events` table: hypertable-
+style multi-grain rollup, exact distribution percentiles, a binned range
+join, and top-k time-series similarity search — the time-series
+custom-operator family (as-of join is q59).
 
 Cross-engine determinism: date_trunc on a UTC-pinned session matches
 DuckDB's naive timestamps (same pattern as q17/q50); percentiles use
@@ -120,6 +121,79 @@ ORDER BY e.event_id, c.click_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q69 — time-series similarity search (ext): top-10 users whose daily
+# activity series is closest (Euclidean) to user 0's. The distributed
+# top-k time-series similarity shape (cf. PAPERS.md: EDBT'19 streaming
+# similarity, ICDE'21 REPOSE): dense per-user series via the
+# join-vs-generated-domain pattern (J4), one groupBy shuffle to build
+# series, broadcast query vector, row-local zip_with distance,
+# TakeOrdered top-k. No pairwise blow-up: distance is vs ONE query
+# series; all-pairs variants would bucket first (q44 pattern).
+# ---------------------------------------------------------------------------
+_Q69_DAYS = 30
+_Q69_QUERY_USER = 0
+
+
+def q69_similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cnts = (
+        ev.select("user_id", F.dayofmonth("ts").alias("d"))
+        .groupBy("user_id", "d")
+        .agg(F.count("*").alias("c"))
+    )
+    days = spark.range(1, _Q69_DAYS + 1).select(F.col("id").cast("int").alias("d"))
+    grid = cnts.select("user_id").distinct().crossJoin(F.broadcast(days))
+    filled = grid.join(cnts, ["user_id", "d"], "left").na.fill({"c": 0})
+    series = filled.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))), lambda x: x["c"]
+        ).alias("s")
+    )
+    q = series.filter(F.col("user_id") == _Q69_QUERY_USER).select(
+        F.col("s").alias("qs")
+    )
+    sq_diff = F.zip_with("s", "qs", lambda a, b: (a - b) * (a - b))
+    dist = F.round(
+        F.sqrt(F.aggregate(sq_diff, F.lit(0).cast("long"), lambda acc, x: acc + x)), 4
+    )
+    return (
+        series.crossJoin(F.broadcast(q))
+        .filter(F.col("user_id") != _Q69_QUERY_USER)
+        .select("user_id", dist.alias("dist"))
+        .orderBy("dist", "user_id")
+        .limit(10)
+    )
+
+
+Q69_SQL = f"""
+WITH days AS (SELECT unnest(generate_series(1, {_Q69_DAYS})) AS d),
+cnts AS (
+    SELECT user_id, CAST(date_part('day', ts) AS INT) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT u.user_id, days.d
+    FROM (SELECT DISTINCT user_id FROM cnts) u CROSS JOIN days
+),
+filled AS (
+    SELECT g.user_id, g.d, coalesce(c.c, 0) AS c
+    FROM grid g LEFT JOIN cnts c ON g.user_id = c.user_id AND g.d = c.d
+),
+series AS (
+    SELECT user_id, list(c ORDER BY d) AS s FROM filled GROUP BY user_id
+),
+q AS (SELECT s AS qs FROM series WHERE user_id = {_Q69_QUERY_USER})
+SELECT user_id,
+       round(sqrt(list_sum(list_transform(generate_series(1, {_Q69_DAYS}),
+             i -> CAST((s[i] - qs[i]) * (s[i] - qs[i]) AS BIGINT)))), 4) AS dist
+FROM series CROSS JOIN q
+WHERE user_id <> {_Q69_QUERY_USER}
+ORDER BY dist, user_id
+LIMIT 10
+"""
+
+
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
@@ -127,4 +201,6 @@ QUERIES = [
           survey="ext:percentiles,A2"),
     Query("q62_error_click_range_join", q62_error_click_range_join, Q62_SQL,
           survey="ext:range-join,P9", tags=("bench",)),
+    Query("q69_similar_activity_users", q69_similar_activity_users, Q69_SQL,
+          survey="ext:timeseries-similarity"),
 ]
