@@ -194,6 +194,112 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# q70 — ordered funnel (ext): signup → click → purchase, each stage's
+# event strictly after the previous stage's FIRST event, per user. Three
+# conditional min-aggregations over one scan (one shuffle on user_id),
+# then a tiny stage-count union — no self-joins of the event table.
+# ---------------------------------------------------------------------------
+def q70_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    # stage 2/3 need the previous stage's anchor → one more pass each,
+    # joined back on user_id (broadcast: per-user rows are tiny).
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(per_user.filter(F.col("s_ts").isNotNull())), "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicks), "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    def stage_count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage_count(per_user.filter(F.col("s_ts").isNotNull()), "1_signup")
+        .unionByName(stage_count(clicks, "2_click_after_signup"))
+        .unionByName(stage_count(purchases, "3_purchase_after_click"))
+        .orderBy("stage")
+    )
+
+
+Q70_SQL = """
+WITH s AS (
+    SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS c_ts
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.s_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS p_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT '1_signup' AS stage, (SELECT count(*) FROM s) AS n_users
+    UNION ALL
+    SELECT '2_click_after_signup', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT '3_purchase_after_click', (SELECT count(*) FROM p)
+) t
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# q71 — retention cohorts (ext): users grouped by first-activity day,
+# counted per day-offset of return activity — the classic triangle
+# matrix. Two shuffles: first-day per user, then (cohort, offset) counts.
+# ---------------------------------------------------------------------------
+def q71_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # date_trunc (timestamp-typed) rather than to_date: DATE columns land
+    # in pandas as python objects and hash-mismatch DuckDB's datetime64 —
+    # same convention as q12/q17.
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("DAY", F.col("ts"))).alias("cohort_day")
+    )
+    return (
+        ev.select("user_id", F.date_trunc("DAY", F.col("ts")).alias("day"))
+        .distinct()
+        .join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+Q71_SQL = """
+WITH first AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+       count(*) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+ORDER BY cohort_day, day_offset
+"""
+
+
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
@@ -203,4 +309,7 @@ QUERIES = [
           survey="ext:range-join,P9", tags=("bench",)),
     Query("q69_similar_activity_users", q69_similar_activity_users, Q69_SQL,
           survey="ext:timeseries-similarity"),
+    Query("q70_funnel", q70_funnel, Q70_SQL, survey="ext:funnel,A12"),
+    Query("q71_retention_cohorts", q71_retention_cohorts, Q71_SQL,
+          survey="ext:retention,F19"),
 ]
