@@ -1,0 +1,396 @@
+"""Dataset-quality / pipeline-ops plans (q72–q77): single-pass data
+profiling, distribution-drift monitoring (PSI), snapshot diff (CDC),
+time-series gap-fill with forward-fill (LOCF), weighted sampling without
+replacement (Efraimidis–Spirakis), and an event transition matrix.
+
+These are the operations a production training-data pipeline runs
+*around* the corpus itself — profiling a new drop before ingestion,
+detecting distribution drift between refreshes, diffing snapshots to
+find changed partitions, densifying sparse per-key series, and drawing
+reproducible weighted samples. The reference has none of them (its only
+"profiling" is a row count, ``pipelines.py:31``; its only sampling is
+``limit(1000)``, ``data_preparation.py:38-40``); each is re-derived here
+Spark-first with an independent DuckDB oracle.
+
+Scale notes (100 TB):
+  * q72 profiles in ONE scan; the exact multi-column COUNT(DISTINCT)
+    expands the scan ×n_cols map-side (Spark's Expand) but never
+    re-reads — at 100 TB swap ``count_distinct`` for
+    ``approx_count_distinct`` (same plan shape, no expand, ±2%).
+  * q73/q74/q77 shuffle once on their natural grouping key.
+  * q75's grid is |keys| × |hours| — generated, never shuffled wide;
+    LOCF is one window sort per key (bounded partitions).
+  * q76 is a per-stratum top-k (TakeOrdered-shaped, partial per
+    partition) — no global sort.
+Cross-engine determinism: hashes are md5-derived integers (never
+``hash()``), floats are rounded at 4–6 dp, every LIMIT/top-k has a
+unique-key tiebreak, and "now" anchors derive from the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .dedup_plans import _hex2int_sql
+from .registry import Query
+
+
+# ---------------------------------------------------------------------------
+# q72 — single-pass data profiling (ext). Per-column null fraction, exact
+# distinct count, and min/max (strings profiled via length) over the
+# documents table: ONE scan, one agg row, unpivoted with stack(). The
+# "know your data before you train on it" operator.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS: tuple[tuple[str, bool], ...] = (
+    # (column, is_numeric) — strings are profiled via length()
+    ("doc_id", True),
+    ("lang", False),
+    ("n_chars", True),
+    ("source", False),
+    ("text", False),
+)
+
+
+def q72_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, numeric in _PROFILE_COLS:
+        proxy = F.col(c) if numeric else F.length(c)
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(proxy).cast("double").alias(f"{c}__mn"),
+            F.max(proxy).cast("double").alias(f"{c}__mx"),
+        ]
+    row = docs.agg(*aggs)
+    branches = ", ".join(
+        f"'{c}', round((n_rows - {c}__nn) / CAST(n_rows AS DOUBLE), 4), "
+        f"{c}__nd, {c}__mn, {c}__mx"
+        for c, _ in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {branches}) "
+        "AS (col_name, null_frac, n_distinct, min_v, max_v)"
+    ).orderBy("col_name")
+
+
+def _profile_branch_sql(c: str, numeric: bool) -> str:
+    proxy = c if numeric else f"length({c})"
+    return (
+        f"SELECT '{c}' AS col_name, "
+        f"round((count(*) - count({c})) / CAST(count(*) AS DOUBLE), 4) AS null_frac, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(min({proxy}) AS DOUBLE) AS min_v, "
+        f"CAST(max({proxy}) AS DOUBLE) AS max_v "
+        f"FROM documents"
+    )
+
+
+Q72_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(_profile_branch_sql(c, n) for c, n in _PROFILE_COLS)
+    + ") ORDER BY col_name"
+)
+
+
+# ---------------------------------------------------------------------------
+# q73 — distribution drift / PSI (ext). Population Stability Index of the
+# event_type distribution between the first and second half of the month
+# (day-of-month anchor — data-derived, no wall clock). The drift monitor a
+# pipeline runs between corpus refreshes: PSI < 0.1 stable, > 0.25 shifted.
+# One scan, one shuffle on event_type (5 groups), window totals over the
+# tiny aggregate.
+# ---------------------------------------------------------------------------
+def q73_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    half_a = F.dayofmonth("ts") <= 15
+    per_type = ev.groupBy("event_type").agg(
+        F.sum(F.when(half_a, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(~half_a, 1).otherwise(0)).alias("cnt_b"),
+    )
+    w = Window.partitionBy()
+    p_a = F.col("cnt_a") / F.sum("cnt_a").over(w)
+    p_b = F.col("cnt_b") / F.sum("cnt_b").over(w)
+    term = F.round((p_a - p_b) * F.log(p_a / p_b), 6)
+    return (
+        per_type.select(
+            "event_type",
+            F.round(p_a, 4).alias("p_first_half"),
+            F.round(p_b, 4).alias("p_second_half"),
+            term.alias("psi_term"),
+        )
+        .withColumn("psi_total", F.round(F.sum("psi_term").over(w), 4))
+        .orderBy("event_type")
+    )
+
+
+Q73_SQL = """
+WITH per_type AS (
+    SELECT event_type,
+           sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END) AS cnt_a,
+           sum(CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END) AS cnt_b
+    FROM events GROUP BY event_type
+),
+terms AS (
+    SELECT event_type,
+           round(cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE), 4) AS p_first_half,
+           round(cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE), 4) AS p_second_half,
+           round((cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE)
+                  - cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE))
+                 * ln((cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE))
+                      / (cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE))), 6) AS psi_term
+    FROM per_type
+)
+SELECT event_type, p_first_half, p_second_half, psi_term,
+       round(sum(psi_term) OVER (), 4) AS psi_total
+FROM terms
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q74 — snapshot diff / change-data-capture (ext). Per-customer order
+# aggregates in the first vs second half of the order history (midpoint
+# anchor derived from the data), full-outer-joined and classified
+# added / removed / changed / unchanged — the incremental-refresh diff
+# that decides which partitions to rewrite. One scan builds both
+# snapshots (conditional aggs), one shuffle on o_custkey; the per-type
+# summary carries a custkey checksum so the classification itself is
+# value-verified, not just counted.
+# ---------------------------------------------------------------------------
+def q74_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # Day-granular midpoint, TZ-free: works on TIMESTAMP_NTZ columns under
+    # any session timezone (the bare-session probe runs America/New_York).
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+    ).select(
+        F.expr("timestampadd(DAY, CAST(datediff(mx, mn) / 2 AS INT), mn)").alias("mid")
+    )
+    in_a = F.col("o_orderdate") < F.col("mid")
+    per_cust = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~in_a, 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    change = (
+        F.when((F.col("n_a") > 0) & (F.col("n_b") == 0), "removed")
+        .when((F.col("n_a") == 0) & (F.col("n_b") > 0), "added")
+        .when(F.col("n_a") != F.col("n_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        per_cust.select("o_custkey", change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("o_custkey").alias("custkey_checksum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+Q74_SQL = """
+WITH mid AS (
+    SELECT min(o_orderdate)
+           + (datediff('day', min(o_orderdate), max(o_orderdate)) // 2) * INTERVAL 1 DAY AS mid
+    FROM orders
+),
+per_cust AS (
+    SELECT o_custkey,
+           sum(CASE WHEN o_orderdate < mid THEN 1 ELSE 0 END) AS n_a,
+           sum(CASE WHEN o_orderdate < mid THEN 0 ELSE 1 END) AS n_b
+    FROM orders CROSS JOIN mid
+    GROUP BY o_custkey
+),
+classified AS (
+    SELECT o_custkey,
+           CASE WHEN n_a > 0 AND n_b = 0 THEN 'removed'
+                WHEN n_a = 0 AND n_b > 0 THEN 'added'
+                WHEN n_a <> n_b THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM per_cust
+)
+SELECT change_type, count(*) AS n_customers,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_checksum
+FROM classified
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q75 — time-series gap-fill + forward fill / LOCF (ext). Dense hourly
+# grid per user (users 0–39), hourly value sums stamped onto it, gaps
+# carried forward with last(ignoreNulls) — the densification step before
+# any fixed-stride model input. Grid = generated sequence × distinct
+# keys (J4 pattern, never a shuffle of the raw table); the fill is one
+# window sort per user. Leading nulls (before a user's first event) stay
+# null by LOCF definition.
+# ---------------------------------------------------------------------------
+_Q75_USERS = 40
+
+
+def q75_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < _Q75_USERS)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("HOUR", F.col("ts")).alias("hr")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("mn"),
+        F.date_trunc("HOUR", F.max("ts")).alias("mx"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_filled"),
+        )
+        .orderBy("user_id", "hr")
+    )
+
+
+Q75_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE user_id < {_Q75_USERS}),
+b AS (
+    SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM ev
+),
+hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b),
+hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr, round(sum(value), 4) AS v
+    FROM ev GROUP BY 1, 2
+),
+grid AS (
+    SELECT u.user_id, hours.hr
+    FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN hours
+)
+SELECT g.user_id, g.hr,
+       round(last_value(h.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+ORDER BY g.user_id, g.hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# q76 — weighted sampling without replacement (ext): Efraimidis–Spirakis
+# exponential keys, k=20 per language, weight = n_chars. Each row draws
+# key = -ln(u)/w from a stable md5-derived uniform u — longer documents
+# are proportionally more likely, the draw is reproducible across
+# engines/runs/cluster layouts, and per-stratum top-k by key IS the
+# weighted sample. Row-local key + per-stratum top-k: no global sort.
+# The float key is ordering-only (never emitted), so ulp-level ln()
+# differences between engines cannot break the hash-match.
+# ---------------------------------------------------------------------------
+_Q76_K = 20
+_U_MOD = 2**32
+
+
+def q76_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hex8 = F.substring(F.md5(F.concat(F.lit("wsmp:"), F.col("doc_id").cast("string"))), 1, 8)
+    u = (F.conv(hex8, 16, 10).cast("long") + F.lit(0.5)) / F.lit(float(_U_MOD))
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q76_K)
+        .select("lang", "rank", "doc_id", "n_chars")
+        .orderBy("lang", "rank")
+    )
+
+
+_Q76_HASH = _hex2int_sql("md5('wsmp:' || CAST(doc_id AS VARCHAR))", 1, 8)
+_Q76_U = f"(({_Q76_HASH}) + 0.5) / {float(_U_MOD)}"
+
+Q76_SQL = f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY -ln({_Q76_U}) / n_chars ASC, doc_id
+           ) AS rank
+    FROM documents
+)
+SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
+FROM keyed WHERE rank <= {_Q76_K}
+ORDER BY lang, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q77 — event transition matrix (ext): next-event bigram counts and
+# row-normalized transition probabilities per user session stream — the
+# Markov-chain view of behavioral logs (and the token-bigram shape of
+# sequence data). One window sort per user (lead), one shuffle on the
+# (from, to) pair; ties in ts break on event_id for a total order.
+# ---------------------------------------------------------------------------
+def q77_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+Q77_SQL = """
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counted AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+FROM counted
+ORDER BY from_type, to_type
+"""
+
+
+QUERIES = [
+    Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
+          survey="ext:data-profiling,A13,S8"),
+    Query("q73_event_type_drift", q73_event_type_drift, Q73_SQL,
+          survey="ext:drift-psi,A2,W2"),
+    Query("q74_snapshot_diff", q74_snapshot_diff, Q74_SQL,
+          survey="ext:snapshot-diff,J4,S9"),
+    Query("q75_hourly_locf", q75_hourly_locf, Q75_SQL,
+          survey="ext:gap-fill-locf,W4,J4", tags=("bench",)),
+    Query("q76_weighted_sample", q76_weighted_sample, Q76_SQL,
+          survey="ext:weighted-sampling,W3"),
+    Query("q77_transition_matrix", q77_transition_matrix, Q77_SQL,
+          survey="ext:transition-matrix,W1,A2"),
+]

@@ -40,6 +40,7 @@ def all_queries() -> list[Query]:
         dedup_plans,
         embeddings_plans,
         multimodal_plans,
+        quality_plans,
         relational,
         streaming_plans,
         subquery_plans,
@@ -50,7 +51,7 @@ def all_queries() -> list[Query]:
     out: list[Query] = []
     for mod in (relational, text_plans, dedup_plans, embeddings_plans,
                 multimodal_plans, streaming_plans, curation_plans,
-                timeseries_plans, subquery_plans):
+                timeseries_plans, subquery_plans, quality_plans):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     if len(names) != len(set(names)):
