@@ -42,6 +42,7 @@ def all_queries() -> list[Query]:
         multimodal_plans,
         quality_plans,
         relational,
+        retrieval_plans,
         streaming_plans,
         subquery_plans,
         text_plans,
@@ -51,7 +52,8 @@ def all_queries() -> list[Query]:
     out: list[Query] = []
     for mod in (relational, text_plans, dedup_plans, embeddings_plans,
                 multimodal_plans, streaming_plans, curation_plans,
-                timeseries_plans, subquery_plans, quality_plans):
+                timeseries_plans, subquery_plans, quality_plans,
+                retrieval_plans):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     if len(names) != len(set(names)):

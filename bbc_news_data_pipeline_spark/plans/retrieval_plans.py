@@ -1,0 +1,244 @@
+"""Retrieval / corpus-prep plans (q79–q81): benchmark decontamination
+(n-gram hash intersection), BM25 keyword search, and sliding-window
+document chunking — the text-retrieval side of a training-data pipeline.
+
+The reference's only retrieval primitive is a Mongo find() by key
+(``pipelines.py:33``); keyword relevance, eval-set decontamination, and
+fixed-stride chunking for model input have no counterpart there and are
+built Spark-first here.
+
+Scale notes (100 TB):
+  * q79 joins the corpus's exploded shingle stream against a BROADCAST
+    distinct benchmark-shingle set — the big side never shuffles; with a
+    benchmark too large to broadcast it degrades gracefully to a shuffle
+    hash join on the 16-hex shingle hash (uniform keys, no skew).
+  * q80 is two scans of the tiny exploded query-term postings (df via
+    one agg, then the scoring join) + a TakeOrdered top-k — no global
+    sort; idf/avg-length are scalar broadcasts.
+  * q81 is row-local (explode of per-row computed offsets — zero
+    shuffle) and is exactly the chunk-materialization shape used to
+    feed fixed-context training: deterministic chunk ids + md5
+    checksums make the output order-insensitively verifiable.
+Cross-engine determinism: md5-based hashes only, floats rounded at 4dp,
+top-k always tie-broken on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import with_shingles
+from ..sources.tables import load
+from .dedup_plans import _shingle_sql
+from .registry import Query
+
+
+# ---------------------------------------------------------------------------
+# q79 — eval-benchmark decontamination (ext). "Benchmark" = every doc with
+# doc_id % 37 == 0 (a deterministic stand-in for a held-out eval set);
+# a corpus doc is contaminated to the degree its distinct k-shingles
+# appear in the benchmark's shingle set. Output: per-doc overlap counts
+# and contamination fraction, contaminated docs only.
+# ---------------------------------------------------------------------------
+_BENCH_MOD = 37
+# k=3 (not the dedup family's k=5): decontamination flags *any* n-gram
+# leakage, so the standard practice is a shorter gram than near-dup
+# detection uses — and on this corpus it exercises the join with ~300
+# contaminated docs instead of 1.
+_DECON_K = 3
+
+
+def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "doc_id", "text", k=_DECON_K)
+    exploded = sh.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    ).withColumn("h", F.substring(F.md5("s"), 1, 16))
+    bench = (
+        exploded.filter(F.col("doc_id") % _BENCH_MOD == 0).select("h").distinct()
+    )
+    corpus = exploded.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    per_doc = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        per_doc.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 4).alias(
+                "contamination_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q79_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, list_distinct({_shingle_sql(_DECON_K)}) AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {_DECON_K}
+),
+exploded AS (
+    SELECT doc_id, substring(md5(unnest(shingles)), 1, 16) AS h FROM sh
+),
+bench AS (
+    SELECT DISTINCT h FROM exploded WHERE doc_id % {_BENCH_MOD} = 0
+),
+corpus AS (SELECT * FROM exploded WHERE doc_id % {_BENCH_MOD} <> 0),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (
+    SELECT c.doc_id, count(*) AS n_contaminated
+    FROM corpus c JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id
+)
+SELECT p.doc_id, p.n_shingles, h.n_contaminated,
+       round(h.n_contaminated / CAST(p.n_shingles AS DOUBLE), 4) AS contamination_frac
+FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+ORDER BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q80 — BM25 keyword search (ext): Okapi BM25 (k1=1.2, b=0.75) for a
+# 3-term query over the documents table, top-15 by score. Term
+# frequencies come from ONE explode+filter pass (only query terms
+# survive the filter — predicate applied before the shuffle); document
+# frequencies and the average length are tiny aggregates the planner
+# broadcasts back. ln-based idf: ln((N - df + .5)/(df + .5) + 1).
+# ---------------------------------------------------------------------------
+_Q80_TERMS = ("join", "vector", "scan")
+_K1, _B = 1.2, 0.75
+_Q80_TOPK = 15
+
+
+def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("t"))
+    hits = toks.filter(F.col("t").isin(*_Q80_TERMS))
+    tf = hits.groupBy("doc_id", "dl", "t").agg(F.count("*").alias("tf"))
+    # corpus constants stay in-plan (single-row broadcast, no driver collect)
+    consts = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.lower("text"), " "))).alias("avgdl"),
+    )
+    df_t = tf.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * (_K1 + 1))
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(_Q80_TOPK)
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _Q80_TERMS)
+
+Q80_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, len(str_split(lower(text), ' ')) AS dl,
+           unnest(str_split(lower(text), ' ')) AS t
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, dl, t, count(*) AS tf
+    FROM toks WHERE t IN ({_TERMS_SQL})
+    GROUP BY doc_id, dl, t
+),
+consts AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(len(str_split(lower(text), ' '))) FROM documents) AS avgdl
+),
+df_t AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_K1} + 1))
+               / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN df_t ON tf.t = df_t.t CROSS JOIN consts
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {_Q80_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q81 — sliding-window chunking (ext): fixed-stride token windows
+# (W=32, S=24 → 8-token overlap) per document — the materialization step
+# that turns variable-length documents into fixed-context model inputs.
+# Chunk starts are a per-row generated sequence (0, S, 2S, … < len);
+# each chunk carries its token span and an md5 checksum of the joined
+# token text so content (not just shape) is verified. Entirely
+# row-local: explode of computed offsets, zero shuffle at any scale.
+# ---------------------------------------------------------------------------
+_W, _S = 32, 24
+
+
+def q81_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).withColumn("len", F.size("toks"))
+    starts = F.sequence(F.lit(0), F.col("len") - 1, F.lit(_S))
+    chunks = toked.select(
+        "doc_id", "toks", "len", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        (F.col("start") / _S).cast("int").alias("chunk_idx"),
+        "start",
+        F.least(F.lit(_W), F.col("len") - F.col("start")).alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("start") + 1, F.lit(_W)))).alias(
+            "checksum"
+        ),
+    )
+    return chunks.orderBy("doc_id", "chunk_idx")
+
+
+Q81_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, str_split(lower(text), ' ') AS toks,
+           len(str_split(lower(text), ' ')) AS length
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, toks, length,
+           unnest(generate_series(0, length - 1, {_S})) AS start
+    FROM toked
+)
+SELECT doc_id,
+       CAST(start // {_S} AS INTEGER) AS chunk_idx,
+       start,
+       least({_W}, length - start) AS n_tok,
+       md5(array_to_string(list_slice(toks, start + 1, start + {_W}), ' ')) AS checksum
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES = [
+    Query("q79_decontamination", q79_decontamination, Q79_SQL,
+          survey="ext:decontamination,J1,E2"),
+    Query("q80_bm25_search", q80_bm25_search, Q80_SQL,
+          survey="ext:bm25-search,A10,T1", tags=("bench",)),
+    Query("q81_chunk_documents", q81_chunk_documents, Q81_SQL,
+          survey="ext:chunking,U5"),
+]

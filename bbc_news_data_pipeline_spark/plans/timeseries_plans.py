@@ -12,7 +12,7 @@ integer microseconds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import binned_range_join, multi_grain_rollup
@@ -300,6 +300,68 @@ ORDER BY cohort_day, day_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# q78 — rolling-window anomaly detection (ext): per event-type daily value
+# totals, trailing-7-day mean/std (RANGE window, current day excluded),
+# z-score flags at |z| > 2 — the metrics-drift alarm over a pipeline's own
+# telemetry. Day index is epoch-day (TZ-free on NTZ timestamps); one
+# shuffle to daily grain, one bounded window sort per event_type. The
+# RANGE frame (not ROWS) keeps the statistics correct when days are
+# missing — a trailing week is a time span, not "last 7 rows".
+# ---------------------------------------------------------------------------
+def q78_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).alias("day_ts"),
+        F.unix_date(F.to_date("ts")).alias("day_num"),
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-7, -1)
+    )
+    mean = F.avg("v").over(w)
+    std = F.stddev_samp("v").over(w)
+    z = F.round((F.col("v") - mean) / std, 4)
+    return (
+        daily.select(
+            "event_type",
+            "day_ts",
+            "v",
+            F.round(mean, 4).alias("trailing_mean"),
+            z.alias("z"),
+            (F.abs((F.col("v") - mean) / std) > 2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day_ts")
+    )
+
+
+Q78_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           date_trunc('day', ts) AS day_ts,
+           datediff('day', DATE '1970-01-01', ts) AS day_num,
+           round(sum(value), 4) AS v
+    FROM events GROUP BY 1, 2, 3
+),
+stats AS (
+    SELECT event_type, day_ts, v,
+           avg(v) OVER w AS m,
+           stddev_samp(v) OVER w AS s
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day_ts, v,
+       round(m, 4) AS trailing_mean,
+       round((v - m) / s, 4) AS z,
+       abs((v - m) / s) > 2 AS is_anomaly
+FROM stats
+ORDER BY event_type, day_ts
+"""
+
+
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
@@ -312,4 +374,6 @@ QUERIES = [
     Query("q70_funnel", q70_funnel, Q70_SQL, survey="ext:funnel,A12"),
     Query("q71_retention_cohorts", q71_retention_cohorts, Q71_SQL,
           survey="ext:retention,F19"),
+    Query("q78_rolling_anomalies", q78_rolling_anomalies, Q78_SQL,
+          survey="ext:rolling-anomaly,W2,W4"),
 ]
