@@ -8,13 +8,17 @@ fixed-stride chunking for model input have no counterpart there and are
 built Spark-first here.
 
 Scale notes (100 TB):
-  * q79 joins the corpus's exploded shingle stream against a BROADCAST
-    distinct benchmark-shingle set — the big side never shuffles; with a
-    benchmark too large to broadcast it degrades gracefully to a shuffle
-    hash join on the 16-hex shingle hash (uniform keys, no skew).
-  * q80 is two scans of the tiny exploded query-term postings (df via
-    one agg, then the scoring join) + a TakeOrdered top-k — no global
-    sort; idf/avg-length are scalar broadcasts.
+  * q79 left-joins the corpus's exploded shingle stream against a
+    BROADCAST distinct benchmark-shingle set and counts total +
+    contaminated shingles in ONE aggregation — the big side is scanned
+    once and never shuffled pre-agg; with a benchmark too large to
+    broadcast it degrades gracefully to a shuffle hash join on the
+    16-hex shingle hash (uniform keys, no skew).
+  * q80 computes document frequency as a window over the aggregated
+    postings (one corpus scan; a separately-derived df table would
+    recompute the tf subtree in its plan branch) + a TakeOrdered
+    top-k — no global sort; corpus constants are a single-row
+    broadcast from one cheap second scan.
   * q81 is row-local (explode of per-row computed offsets — zero
     shuffle) and is exactly the chunk-materialization shape used to
     feed fixed-context training: deterministic chunk ids + md5
@@ -25,7 +29,7 @@ top-k always tie-broken on doc_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import with_shingles
@@ -56,17 +60,23 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
     ).withColumn("h", F.substring(F.md5("s"), 1, 16))
     bench = (
-        exploded.filter(F.col("doc_id") % _BENCH_MOD == 0).select("h").distinct()
+        exploded.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    corpus = exploded.filter(F.col("doc_id") % _BENCH_MOD != 0)
-    per_doc = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        corpus.join(F.broadcast(bench), "h")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
+    # ONE corpus pass: left-join the broadcast benchmark set as a hit flag,
+    # then count total + contaminated shingles in the same aggregation
+    # (the naive per_doc ⋈ hits formulation re-reads the corpus branch).
     return (
-        per_doc.join(hits, "doc_id")
+        exploded.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
         .select(
             "doc_id",
             "n_shingles",
@@ -125,16 +135,18 @@ def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("t"))
     hits = toks.filter(F.col("t").isin(*_Q80_TERMS))
     tf = hits.groupBy("doc_id", "dl", "t").agg(F.count("*").alias("tf"))
+    # df via a window over the aggregated postings (each (doc,t) row is one
+    # distinct doc for that term) — a join against a separately-derived
+    # df_t table would recompute the whole tf subtree in its branch.
+    df = F.count("*").over(Window.partitionBy("t"))
     # corpus constants stay in-plan (single-row broadcast, no driver collect)
     consts = docs.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.size(F.split(F.lower("text"), " "))).alias("avgdl"),
     )
-    df_t = tf.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
     scored = (
-        tf.join(F.broadcast(df_t), "t")
-        .crossJoin(F.broadcast(consts))
+        tf.crossJoin(F.broadcast(consts))
         .withColumn(
             "term_score",
             idf
