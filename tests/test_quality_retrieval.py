@@ -1,0 +1,144 @@
+"""Tests for the dataset-quality (q72–q78) and retrieval (q79–q81)
+plan families: physical-plan scale properties (single scan, broadcast
+joins, top-K without total sort, row-local chunking) plus behavioral
+invariants the DuckDB oracle can't express (LOCF leading-null shape,
+checksum recomputation against hashlib, probability normalization)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.plans.quality_plans import (
+    q72_profile_documents,
+    q74_snapshot_diff,
+    q75_hourly_locf,
+    q76_weighted_sample,
+    q77_transition_matrix,
+)
+from bbc_news_data_pipeline_spark.plans.retrieval_plans import (
+    _Q80_TERMS,
+    _S,
+    _W,
+    q79_decontamination,
+    q80_bm25_search,
+    q81_chunk_documents,
+)
+from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+    q78_rolling_anomalies,
+)
+from bbc_news_data_pipeline_spark.sources.tables import load
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- plan shapes
+
+
+def test_q72_profile_is_single_scan(spark, sf_dir):
+    plan = _physical(q72_profile_documents(spark, sf_dir))
+    assert plan.count("FileScan") == 1  # every metric from ONE pass
+
+
+def test_q79_benchmark_set_is_broadcast(spark, sf_dir):
+    plan = _physical(q79_decontamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles pre-agg
+    assert "SortMergeJoin" not in plan
+
+
+def test_q80_topk_no_total_sort(spark, sf_dir):
+    plan = _physical(q80_bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # df via window, consts broadcast
+
+
+def test_q81_chunking_has_no_join_or_agg(spark, sf_dir):
+    plan = _physical(q81_chunk_documents(spark, sf_dir))
+    assert "Join" not in plan  # row-local explode: no join, no aggregation
+    assert "HashAggregate" not in plan
+
+
+# ------------------------------------------------------------------ behavior
+
+
+def test_q74_classification_is_a_partition(spark, sf_dir):
+    out = q74_snapshot_diff(spark, sf_dir).collect()
+    n_classified = sum(r.n_customers for r in out)
+    n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert n_classified == n_cust  # every customer lands in exactly one class
+
+
+def test_q75_locf_shape_and_leading_nulls(spark, sf_dir):
+    out = q75_hourly_locf(spark, sf_dir).toPandas()
+    n_users = out["user_id"].nunique()
+    n_hours = out["hr"].nunique()
+    assert len(out) == n_users * n_hours  # dense grid
+    # per user: nulls only before the first fill, never after (LOCF)
+    for _, g in out.sort_values(["user_id", "hr"]).groupby("user_id"):
+        filled = g["v_filled"].notna().tolist()
+        first = filled.index(True)
+        assert all(filled[first:]), "gap after first observation not carried"
+
+
+def test_q76_weighted_sample_is_deterministic(spark, sf_dir):
+    a = q76_weighted_sample(spark, sf_dir).collect()
+    b = q76_weighted_sample(spark, sf_dir).collect()
+    assert a == b
+    per_lang: dict[str, list[int]] = {}
+    for r in a:
+        per_lang.setdefault(r.lang, []).append(r.rank)
+    for lang, ranks in per_lang.items():
+        assert ranks == list(range(1, len(ranks) + 1)), lang
+
+
+def test_q77_probabilities_normalize(spark, sf_dir):
+    out = q77_transition_matrix(spark, sf_dir).toPandas()
+    sums = out.groupby("from_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 0.01).all()  # rows of the matrix sum to 1
+
+
+def test_q78_anomaly_flag_consistent_with_z(spark, sf_dir):
+    out = q78_rolling_anomalies(spark, sf_dir).toPandas()
+    has_z = out["z"].notna()
+    assert (out.loc[has_z, "is_anomaly"] == (out.loc[has_z, "z"].abs() > 2)).all()
+    # first day of each event_type has no trailing window → no z
+    first_days = out.sort_values("day_ts").groupby("event_type").head(1)
+    assert first_days["z"].isna().all()
+
+
+def test_q79_fractions_bounded_and_benchmark_excluded(spark, sf_dir):
+    out = q79_decontamination(spark, sf_dir).toPandas()
+    if len(out):
+        assert (out["contamination_frac"] <= 1.0).all()
+        assert (out["contamination_frac"] > 0.0).all()
+        assert (out["doc_id"] % 37 != 0).all()
+
+
+def test_q80_top_doc_contains_a_query_term(spark, sf_dir):
+    top = q80_bm25_search(spark, sf_dir).limit(1).collect()
+    assert top, "no hits for query terms"
+    doc = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == top[0].doc_id)
+        .select("text")
+        .first()
+        .text
+    )
+    assert any(t in doc.lower().split() for t in _Q80_TERMS)
+
+
+def test_q81_checksums_match_hashlib(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(3).collect()
+    chunks = (
+        q81_chunk_documents(spark, sf_dir)
+        .filter(F.col("doc_id").isin([d.doc_id for d in docs]))
+        .collect()
+    )
+    by_doc = {d.doc_id: d.text.lower().split(" ") for d in docs}
+    assert chunks
+    for c in chunks:
+        toks = by_doc[c.doc_id]
+        expect = " ".join(toks[c.start : c.start + _W])
+        assert c.checksum == hashlib.md5(expect.encode()).hexdigest()
+        assert c.n_tok == min(_W, len(toks) - c.start)
