@@ -185,9 +185,145 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# q82 — per-dimension standardization (ext): feature-scaling stats
+# (mean/std per embedding dimension) and z-scored values — the
+# preprocessing step before distance-based indexing (IVF/LSH are both
+# sensitive to unscaled dimensions). posexplode → ONE shuffle on dim
+# (64 groups, each a partial-agg sum — map-side combine collapses the
+# 500×64 stream to 64×n_partitions rows); the z-score join broadcasts
+# the 64-row stats table back. Output limited to vec_id < 20 to keep
+# the verification set bounded; the stats cover the full corpus.
+# ---------------------------------------------------------------------------
+_Q82_OUT_VECS = 20
+
+
+def q82_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    stats = exploded.groupBy("dim").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sigma")
+    )
+    return (
+        exploded.filter(F.col("vec_id") < _Q82_OUT_VECS)
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+Q82_SQL = f"""
+WITH exploded AS (
+    SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+stats AS (
+    SELECT dim, avg(val) AS mu, stddev_samp(val) AS sigma
+    FROM exploded GROUP BY dim
+)
+SELECT e.vec_id, e.dim, round((e.val - s.mu) / s.sigma, 4) AS z
+FROM exploded e JOIN stats s ON e.dim = s.dim
+WHERE e.vec_id < {_Q82_OUT_VECS}
+ORDER BY e.vec_id, e.dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# q83 — one Lloyd iteration of k-means (ext): assign every vector to its
+# nearest of 10 fixed seed centroids (squared L2, rounded 6dp before the
+# argmin, ties → lowest seed id), then recompute per-(cluster, dim)
+# centroid means — the training loop of an IVF index (q41/q53 consume
+# exactly such centroids). Assignment is a broadcast map over the corpus
+# (no shuffle); the centroid update is ONE shuffle on (cluster, dim)
+# with map-side partial aggregation. Iterating = re-running with the
+# output as the new seeds; each round is the same two-stage plan.
+# ---------------------------------------------------------------------------
+_Q83_SEED_MOD = 50  # seeds: vec_id 0, 50, …, 450 → k = 10
+
+
+def q83_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _Q83_SEED_MOD == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % _Q83_SEED_MOD != 0)
+    diff = F.zip_with(
+        "embedding",
+        "seed_vec",
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    sqd = F.round(
+        F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), 6
+    ).alias("d")
+    assigned = (
+        corpus.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "seed_id", sqd)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("seed_id").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.select(
+            F.col("seed_id").alias("cluster_id"),
+            F.posexplode("embedding").alias("dim", "val"),
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("cluster_id", "dim")
+    )
+
+
+_SQD_SQL = (
+    "round(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed_vec[i] AS DOUBLE)) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed_vec[i] AS DOUBLE)))), 6)"
+)
+
+Q83_SQL = f"""
+WITH seeds AS (
+    SELECT vec_id AS seed_id, embedding AS seed_vec
+    FROM embeddings WHERE vec_id % {_Q83_SEED_MOD} = 0
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, s.seed_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_SQD_SQL} ASC, s.seed_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+    WHERE e.vec_id % {_Q83_SEED_MOD} <> 0
+),
+members AS (SELECT seed_id AS cluster_id, embedding FROM assigned WHERE rn = 1)
+SELECT cluster_id, i - 1 AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val,
+       count(*) AS n_members
+FROM members, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY cluster_id, i
+ORDER BY cluster_id, dim
+"""
+
+
 QUERIES = [
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
     Query("q44_lsh_ann_pairs", q44_lsh_ann_pairs, Q44_SQL, survey="ext:ann-lsh"),
     Query("q53_ivf_topk", q53_ivf_topk, Q53_SQL, survey="ext:ann-ivf"),
+    Query("q82_standardize_dims", q82_standardize_dims, Q82_SQL,
+          survey="ext:feature-scaling"),
+    Query("q83_kmeans_step", q83_kmeans_step, Q83_SQL,
+          survey="ext:kmeans-step,ann-ivf-train"),
 ]
