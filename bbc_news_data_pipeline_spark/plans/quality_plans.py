@@ -380,6 +380,60 @@ ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q85 — percentile winsorization (ext): clip event values to the
+# per-type [p1, p99] band (exact interpolated percentiles, the q61
+# definition) and report clip counts + robust aggregates — the outlier
+# treatment step before any mean-based statistic is trusted. Two passes
+# over the grouped data in ONE plan: the percentile agg (one shuffle on
+# event_type) broadcasts its 5-row result back onto the raw stream, so
+# the clip itself is row-local. Strict inequalities: a value exactly at
+# the fence is kept, not counted as clipped (identical on both engines —
+# same interpolation formula, same doubles).
+# ---------------------------------------------------------------------------
+_P_LO, _P_HI = 0.01, 0.99
+
+
+def q85_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(_P_LO)).alias("p_lo"),
+        F.percentile("value", F.lit(_P_HI)).alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias("n_clipped_high"),
+            F.round(F.avg(clipped), 4).alias("robust_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q85_SQL = f"""
+WITH fences AS (
+    SELECT event_type,
+           quantile_cont(value, {_P_LO}) AS p_lo,
+           quantile_cont(value, {_P_HI}) AS p_hi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN e.value < f.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN e.value > f.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       round(avg(least(greatest(e.value, f.p_lo), f.p_hi)), 4) AS robust_mean,
+       round(avg(e.value), 4) AS raw_mean
+FROM events e JOIN fences f ON e.event_type = f.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -393,4 +447,6 @@ QUERIES = [
           survey="ext:weighted-sampling,W3"),
     Query("q77_transition_matrix", q77_transition_matrix, Q77_SQL,
           survey="ext:transition-matrix,W1,A2"),
+    Query("q85_winsorize_values", q85_winsorize_values, Q85_SQL,
+          survey="ext:winsorization,A3"),
 ]

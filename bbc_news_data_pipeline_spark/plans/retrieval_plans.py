@@ -128,8 +128,9 @@ _K1, _B = 1.2, 0.75
 _Q80_TOPK = 15
 
 
-def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """Full BM25 scoring table (doc_id, score) for the fixed query terms —
+    shared by q80 (top-k) and q84 (rank fusion)."""
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("t"))
@@ -156,7 +157,14 @@ def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 4).alias("score"))
     )
-    return scored.orderBy(F.col("score").desc(), "doc_id").limit(_Q80_TOPK)
+    return scored
+
+
+def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        _bm25_scores(docs).orderBy(F.col("score").desc(), "doc_id").limit(_Q80_TOPK)
+    )
 
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _Q80_TERMS)
@@ -246,6 +254,133 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# q84 — hybrid search with reciprocal-rank fusion (ext): fuse the BM25
+# keyword ranking (q80's scorer) with a dense cosine ranking against a
+# query vector (doc_id ↔ vec_id), RRF(k=60): Σ 1/(k + rank), missing
+# from a ranking → that term is 0. The standard lexical+dense fusion —
+# ranks, not raw scores, so the two scales need no calibration. Each
+# ranking is first bounded to a top-100 pool with a distributed
+# TakeOrdered (docs outside a pool contribute 0, the standard RRF
+# practice) so the global rank window only ever sorts 100 rows — never
+# a single-partition pass over the full corpus. Rankings are
+# rounded-score + id tie-broken (cross-engine stable); the fusion is
+# integer-rank arithmetic (exact), a full-outer join of two ≤100-row
+# tables, top-20.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_Q84_TOPK = 20
+_Q84_POOL = 100
+_Q84_QUERY_VEC = 0
+
+
+def q84_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    text_pool = (
+        _bm25_scores(docs)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_Q84_POOL)
+    )
+    text_rank = text_pool.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("tr"),
+    )
+    qv = emb.filter(F.col("vec_id") == _Q84_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    vec_pool = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), F.col("id"))
+        .limit(_Q84_POOL)
+    )
+    vec_rank = vec_pool.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cs").desc(), F.col("id")))
+        .alias("vr"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("tr")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vr")), F.lit(0.0)),
+        6,
+    )
+    return (
+        text_rank.join(vec_rank, "id", "full_outer")
+        .select("id", "tr", "vr", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(_Q84_TOPK)
+    )
+
+
+Q84_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, len(str_split(lower(text), ' ')) AS dl,
+           unnest(str_split(lower(text), ' ')) AS t
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, dl, t, count(*) AS tf
+    FROM toks WHERE t IN ({_TERMS_SQL})
+    GROUP BY doc_id, dl, t
+),
+consts AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(len(str_split(lower(text), ' '))) FROM documents) AS avgdl
+),
+df_t AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_K1} + 1))
+               / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN df_t ON tf.t = df_t.t CROSS JOIN consts
+    GROUP BY tf.doc_id
+),
+text_rank AS (
+    SELECT id, tr FROM (
+        SELECT doc_id AS id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS tr
+        FROM scored
+    ) WHERE tr <= {_Q84_POOL}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_Q84_QUERY_VEC}),
+cs AS (
+    SELECT vec_id AS id,
+           round(
+             list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cs
+    FROM embeddings CROSS JOIN q
+),
+vec_rank AS (
+    SELECT id, vr FROM (
+        SELECT id, CAST(row_number() OVER (ORDER BY cs DESC, id) AS INTEGER) AS vr
+        FROM cs
+    ) WHERE vr <= {_Q84_POOL}
+)
+SELECT coalesce(t.id, v.id) AS id, t.tr, v.vr,
+       round(coalesce(1.0 / ({_RRF_K} + t.tr), 0)
+             + coalesce(1.0 / ({_RRF_K} + v.vr), 0), 6) AS rrf
+FROM text_rank t FULL OUTER JOIN vec_rank v ON t.id = v.id
+ORDER BY rrf DESC, id
+LIMIT {_Q84_TOPK}
+"""
+
+
 QUERIES = [
     Query("q79_decontamination", q79_decontamination, Q79_SQL,
           survey="ext:decontamination,J1,E2"),
@@ -253,4 +388,6 @@ QUERIES = [
           survey="ext:bm25-search,A10,T1", tags=("bench",)),
     Query("q81_chunk_documents", q81_chunk_documents, Q81_SQL,
           survey="ext:chunking,U5"),
+    Query("q84_hybrid_rrf", q84_hybrid_rrf, Q84_SQL,
+          survey="ext:hybrid-search-rrf,T1"),
 ]
