@@ -734,6 +734,66 @@ ORDER BY region, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# q86 — full star join (TPC-H Q5 shape): local-supplier revenue per
+# nation of one region for one order year. The join-planning showcase:
+# two big fact tables (lineitem ⋈ orders) sort-merge/shuffle-hash on
+# orderkey with the year filter PUSHED to the orders scan (cuts the
+# probe side ~85% before the join); customer/supplier shuffle on their
+# keys; nation ⋈ region collapse to broadcast literals; the
+# same-nation (s_nationkey = c_nationkey) predicate rides the supplier
+# join, not a separate filter pass. AQE reorders/re-sizes at runtime —
+# exactly the plan a 1000-executor cluster wants at 100 TB.
+# ---------------------------------------------------------------------------
+_Q86_REGION = "ASIA"
+_Q86_Y0, _Q86_Y1 = "1996-01-01", "1997-01-01"
+
+
+def q86_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q86_Y0))
+        & (F.col("o_orderdate") < F.lit(_Q86_Y1))
+    )
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == _Q86_REGION)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey)
+            & (sup.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+Q86_SQL = f"""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q86_REGION}'
+  AND o_orderdate >= DATE '{_Q86_Y0}' AND o_orderdate < DATE '{_Q86_Y1}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
@@ -761,4 +821,6 @@ QUERIES = [
     Query("q24_json_extract", q24_json_extract, Q24_SQL, survey="F24,F25"),
     Query("q25_approx_distinct", q25_approx_distinct, Q25_SQL, survey="A13+approx-sketch"),
     Query("q26_top_suppliers_per_region", q26_top_suppliers_per_region, Q26_SQL, survey="J1,W3,T4"),
+    Query("q86_regional_revenue", q86_regional_revenue, Q86_SQL,
+          survey="J1,A3,P9,ext:star-join", tags=("bench",)),
 ]
