@@ -362,6 +362,51 @@ ORDER BY event_type, day_ts
 """
 
 
+# ---------------------------------------------------------------------------
+# q87 — per-group linear trend (ext): least-squares slope / intercept /
+# R² of each event type's daily value total, via the NATIVE regression
+# aggregates (regr_slope/regr_intercept/regr_r2 — identical definitions
+# in Spark and DuckDB). The trend-detection step of a metrics pipeline,
+# and the closed-form alternative to a per-group UDF model fit: two
+# shuffles total (daily grain, then per-type regression over ≤31 rows
+# per group — the regression inputs are the ROLLUP, never raw events).
+# x is centred on day-of-month (small intercepts → 4dp rounding is
+# stable; raw epoch-day x would put the intercept at ~1e5 where
+# engine-order float noise can flip the 4th decimal).
+# ---------------------------------------------------------------------------
+def q87_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", (F.dayofmonth("ts") - 1).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("v", "d"), 6).alias("slope"),
+            F.round(F.regr_intercept("v", "d"), 4).alias("intercept"),
+            F.round(F.regr_r2("v", "d"), 4).alias("r2"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q87_SQL = """
+WITH daily AS (
+    SELECT event_type, date_part('day', ts) - 1 AS d, sum(value) AS v
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       round(regr_slope(v, d), 6) AS slope,
+       round(regr_intercept(v, d), 4) AS intercept,
+       round(regr_r2(v, d), 4) AS r2,
+       count(*) AS n_days
+FROM daily
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
@@ -376,4 +421,6 @@ QUERIES = [
           survey="ext:retention,F19"),
     Query("q78_rolling_anomalies", q78_rolling_anomalies, Q78_SQL,
           survey="ext:rolling-anomaly,W2,W4"),
+    Query("q87_daily_trend", q87_daily_trend, Q87_SQL,
+          survey="ext:trend-regression,A3"),
 ]
