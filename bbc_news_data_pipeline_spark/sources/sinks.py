@@ -95,6 +95,39 @@ def write_parquet_layout(
     writer.parquet(path)
 
 
+def layout_audit(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """Data-skipping effectiveness audit for a parquet layout: per-FILE
+    min/max of ``col`` plus the layout-level expected read fraction.
+
+    ``read_fraction`` = E[files whose [min,max] straddles a uniform
+    point predicate] / n_files = Σ file_range / (n_files × global
+    range): ~1/n_files for a perfectly sort-clustered layout (each file
+    owns a disjoint slice → scans skip everything else via row-group
+    stats), → 1.0 for a random spray (every file straddles every
+    value, nothing skips). The audit itself is one scan of only
+    ``col`` + the file-path metadata column — no shuffle beyond the
+    per-file aggregate (one group per file).
+    """
+    per_file = (
+        spark.read.parquet(path)
+        .select(F.col(col).alias("v"), F.col("_metadata.file_path").alias("file"))
+        .groupBy("file")
+        .agg(F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+             F.count("*").alias("n_rows"))
+    )
+    g = per_file.agg(
+        F.count("*").alias("n_files"),
+        F.min("min_v").alias("gmin"),
+        F.max("max_v").alias("gmax"),
+        F.sum(F.col("max_v") - F.col("min_v")).alias("range_sum"),
+    ).select(
+        "n_files",
+        (F.col("range_sum") / (F.col("n_files") * (F.col("gmax") - F.col("gmin"))))
+        .alias("read_fraction"),
+    )
+    return per_file.crossJoin(F.broadcast(g))
+
+
 def write_with_metrics(
     df: DataFrame, path: str, metrics: dict[str, Column]
 ) -> dict[str, object]:

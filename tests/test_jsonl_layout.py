@@ -83,3 +83,27 @@ def test_write_parquet_layout_unpartitioned_file_count(spark, tmp_path):
     out = str(tmp_path / "flat")
     write_parquet_layout(df, out, num_files=3, sort_by=("id",))
     assert len(glob.glob(os.path.join(out, "*.parquet"))) == 3
+
+
+def test_layout_audit_detects_sort_clustering(spark, sf_dir, tmp_path):
+    from bbc_news_data_pipeline_spark.sources.sinks import layout_audit
+    from bbc_news_data_pipeline_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    sorted_dir = str(tmp_path / "sorted")
+    spray_dir = str(tmp_path / "spray")
+    # clustered: global range-partition + sort → disjoint per-file slices
+    ev.repartitionByRange(8, "value").sortWithinPartitions("value") \
+        .write.parquet(sorted_dir)
+    # spray: hash-random distribution — every file spans the full range
+    ev.repartition(8, "event_id").write.parquet(spray_dir)
+
+    rf_sorted = layout_audit(spark, sorted_dir, "value").first().read_fraction
+    rf_spray = layout_audit(spark, spray_dir, "value").first().read_fraction
+    assert rf_sorted < 0.25  # ~1/8 + boundary slack
+    # unclustered layout can't skip: every file spans (almost) the whole
+    # value range (heavy-tailed values keep this below 1.0)
+    assert rf_spray > 0.5 and rf_spray > 3 * rf_sorted
+    # per-file rows sum to the table
+    audit = layout_audit(spark, sorted_dir, "value")
+    assert audit.agg(F.sum("n_rows")).first()[0] == ev.count()
