@@ -407,6 +407,51 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q88 — equi-depth histogram (ext): 10 equal-population value buckets
+# per event type via ntile (identical floor-division bucket assignment
+# in both engines; ties broken by event_id for a total order), each
+# bucket reporting population and [lo, hi) bounds. The quantile-sketch
+# companion to q13's equi-WIDTH histogram — equi-depth is what query
+# optimizers and drift monitors actually want (every bucket carries
+# equal evidence). One window sort per event_type, then a tiny
+# (type, bucket) aggregation.
+# ---------------------------------------------------------------------------
+_Q88_BUCKETS = 10
+
+
+def q88_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value", F.ntile(_Q88_BUCKETS).over(w).alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+Q88_SQL = f"""
+WITH bucketed AS (
+    SELECT event_type, value,
+           ntile({_Q88_BUCKETS}) OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS bucket
+    FROM events
+)
+SELECT event_type, bucket, count(*) AS n,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM bucketed
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
@@ -423,4 +468,6 @@ QUERIES = [
           survey="ext:rolling-anomaly,W2,W4"),
     Query("q87_daily_trend", q87_daily_trend, Q87_SQL,
           survey="ext:trend-regression,A3"),
+    Query("q88_equidepth_histogram", q88_equidepth_histogram, Q88_SQL,
+          survey="ext:equidepth-histogram,A7"),
 ]
