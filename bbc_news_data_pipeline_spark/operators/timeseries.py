@@ -92,3 +92,42 @@ def multi_grain_rollup(
         F.round(F.sum("_v"), 2).alias("sum_value"),
         grain_expr.alias("grain"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    val_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average,
+    s_t = alpha·v_t + (1−alpha)·s_{t−1}, s_1 = v_1.
+
+    The recursion is genuinely outside built-in window algebra (a
+    weighted-sum reformulation needs pow((1−alpha), t) terms that
+    under/overflow for long series), so this is the canonical batch
+    ``applyInPandas`` escape hatch: one shuffle on the keys, each group
+    smoothed in a single Arrow batch by an explicit O(n) loop (exactly
+    the arithmetic an independent oracle can replay). Feed it GROUPED
+    series (daily/hourly rollups) — per-group row counts are bounded by
+    the time span, not raw event volume.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    beta = 1.0 - alpha
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        s, out = None, []
+        for v in pdf[val_col]:
+            s = v if s is None else alpha * v + beta * s
+            out.append(s)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(smooth, schema)

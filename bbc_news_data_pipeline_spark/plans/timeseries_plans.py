@@ -452,6 +452,58 @@ ORDER BY event_type, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# q89 — per-type EWMA smoothing (ext): s_t = α·v_t + (1−α)·s_{t−1} over
+# each event type's daily series via the batch applyInPandas operator
+# (operators/timeseries.py:ewma_by_key) — the recursion built-in window
+# algebra can't express stably. The oracle replays the SAME recursion
+# as a DuckDB RECURSIVE CTE: two fully independent derivations. α and
+# 1−α are written as the same literals on both sides so the float
+# arithmetic is bit-identical before the 4dp rounding.
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+
+
+def q89_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_by_key
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day_ts")
+    ).agg(F.sum("value").alias("v"))
+    smoothed = ewma_by_key(
+        daily, ["event_type"], "day_ts", "v", alpha=_EWMA_ALPHA
+    )
+    return smoothed.select(
+        "event_type",
+        "day_ts",
+        F.round("v", 4).alias("v"),
+        F.round("ewma", 4).alias("ewma"),
+    ).orderBy("event_type", "day_ts")
+
+
+Q89_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day_ts, sum(value) AS v
+    FROM events GROUP BY 1, 2
+),
+numbered AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day_ts) AS rn
+    FROM daily
+),
+ew AS (
+    SELECT event_type, day_ts, v, rn, v AS s FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.event_type, n.day_ts, n.v, n.rn,
+           {_EWMA_ALPHA} * n.v + (1.0 - {_EWMA_ALPHA}) * e.s
+    FROM numbered n JOIN ew e ON n.event_type = e.event_type AND n.rn = e.rn + 1
+)
+SELECT event_type, day_ts, round(v, 4) AS v, round(s, 4) AS ewma
+FROM ew
+ORDER BY event_type, day_ts
+"""
+
+
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
@@ -470,4 +522,6 @@ QUERIES = [
           survey="ext:trend-regression,A3"),
     Query("q88_equidepth_histogram", q88_equidepth_histogram, Q88_SQL,
           survey="ext:equidepth-histogram,A7"),
+    Query("q89_ewma_daily", q89_ewma_daily, Q89_SQL,
+          survey="ext:ewma,U8,ST2"),
 ]
