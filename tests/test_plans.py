@@ -87,3 +87,16 @@ def test_q63_pipeline_shuffle_budget(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 4, f"shuffle count regressed: {n_exchanges}\n{plan}"
+
+
+def test_q86_star_join_pushdown_no_nested_loops(spark, sf_dir):
+    from bbc_news_data_pipeline_spark.plans.relational import q86_regional_revenue
+
+    df = q86_regional_revenue(spark, sf_dir)
+    full = _full(df)
+    scan = next(l for l in full.splitlines() if "FileScan" in l and "orders" in l)
+    assert "o_orderdate" in scan and "1996" in scan  # year filter reached the scan
+    phys = _physical(df)
+    assert "CartesianProduct" not in phys
+    # region/nation joins must never sort-merge (broadcast literals)
+    assert phys.count("SortMergeJoin") == 0 or "BroadcastHashJoin" in phys
