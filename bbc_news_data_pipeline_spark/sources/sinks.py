@@ -183,3 +183,48 @@ def run_metadata_table(spark: SparkSession, path: str, record: dict) -> None:
     """M10/O4: the run registry replacing XCom + mtime-glob discovery
     (topic_modeling.py:57-79) — a small append-only parquet table."""
     spark.createDataFrame([record]).write.mode("append").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Compact a small-file parquet directory to ~``target_file_bytes``
+    files — the maintenance op every streaming/incremental sink needs
+    (micro-batches and dynamic partition overwrites accrete files; at
+    100 TB, millions of tiny files turn scan planning itself into the
+    bottleneck).
+
+    Sizing is from the ACTUAL on-disk bytes (not row counts): n_out =
+    ceil(total_bytes / target). Already-compact directories are a
+    no-op — callers can run this on a schedule without thrashing. The
+    rewrite stages to a sibling temp dir and swaps via two renames;
+    that swap is not atomic against concurrent readers (a table format
+    — Iceberg/Delta — is the production answer; this is the plain-lake
+    fallback).
+    """
+    import glob as _glob
+    import math
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+        + _glob.glob(os.path.join(path, "part-*"))
+        if os.path.isfile(f)
+    ]
+    files = sorted(set(files))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    stats = {"n_files_before": len(files), "bytes": total, "n_files_after": n_out}
+    if len(files) <= n_out:
+        stats["n_files_after"] = len(files)
+        stats["compacted"] = False
+        return stats
+
+    tmp, bak = f"{path}.compact.tmp", f"{path}.compact.bak"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    stats["compacted"] = True
+    return stats

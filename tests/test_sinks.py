@@ -91,3 +91,25 @@ def test_write_with_metrics_single_pass(spark, sf_dir, tmp_path):
     assert got["n_null_text"] == exp.n_null_text
     assert abs(got["avg_chars"] - exp.avg_chars) < 1e-9
     assert spark.read.parquet(out).count() == exp.n_rows
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    from bbc_news_data_pipeline_spark.sources.sinks import compact_parquet
+    from bbc_news_data_pipeline_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "t")
+    ev.repartition(32).write.parquet(path)  # simulate micro-batch accretion
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["compacted"] and stats["n_files_before"] >= 32
+    import glob as g, os as o
+    n_now = len([f for f in g.glob(o.path.join(path, "part-*")) if f.endswith(".parquet") or "." not in o.path.basename(f)])
+    assert stats["n_files_after"] == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    # second run is a no-op
+    stats2 = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert not stats2["compacted"]
+    assert n_now >= 1
