@@ -434,6 +434,114 @@ ORDER BY e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q90 — numeric quantile-bin drift (ext): the numeric companion to
+# q73's categorical PSI. Decile boundaries are fitted on the FIRST half
+# of the month (exact interpolated percentiles, q61 definition), the
+# SECOND half's values are binned against those frozen boundaries
+# (open-ended outer bins), and PSI measures how far the new
+# distribution drifts from the expected 10% per bin — the standard
+# numeric feature-drift monitor. The boundary table is 10 rows per
+# event type: a broadcast range-join (lo <= v < hi) onto the B stream,
+# one scan per period, one shuffle on (type, bin).
+# ---------------------------------------------------------------------------
+_Q90_DECILES = [i / 10.0 for i in range(1, 10)]  # 9 inner boundaries
+
+
+def q90_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    half_a = F.dayofmonth("ts") <= 15
+    bounds = (
+        ev.filter(half_a)
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.array(*[F.lit(p) for p in _Q90_DECILES])).alias(
+                "bs"
+            )
+        )
+        .select(
+            "event_type",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(_Q90_DECILES))),
+                    lambda i: F.struct(
+                        F.when(i > 0, F.col("bs")[i - 1]).alias("lo"),
+                        F.when(i < len(_Q90_DECILES), F.col("bs")[i]).alias("hi"),
+                    ),
+                )
+            ).alias("bin", "b"),
+        )
+        .select(
+            F.col("event_type").alias("bt"),
+            "bin",
+            F.col("b.lo").alias("lo"),
+            F.col("b.hi").alias("hi"),
+        )
+    )
+    b_counts = (
+        ev.filter(~half_a)
+        .join(
+            F.broadcast(bounds),
+            (F.col("event_type") == F.col("bt"))
+            & (F.col("lo").isNull() | (F.col("value") >= F.col("lo")))
+            & (F.col("hi").isNull() | (F.col("value") < F.col("hi"))),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    p = F.col("n") / F.sum("n").over(w)
+    expected = 1.0 / (len(_Q90_DECILES) + 1)
+    term = F.round((p - expected) * F.log(p / expected), 6)
+    return (
+        b_counts.select(
+            "event_type", "bin", "n", F.round(p, 4).alias("p_observed"),
+            term.alias("psi_term"),
+        )
+        .withColumn("psi_total", F.round(F.sum("psi_term").over(w), 4))
+        .orderBy("event_type", "bin")
+    )
+
+
+_NB = len(_Q90_DECILES) + 1
+
+Q90_SQL = f"""
+WITH a AS (
+    SELECT event_type,
+           quantile_cont(value, {_Q90_DECILES}) AS bs
+    FROM events WHERE date_part('day', ts) <= 15
+    GROUP BY event_type
+),
+bounds AS (
+    SELECT event_type, i AS bin,
+           CASE WHEN i > 0 THEN bs[i] END AS lo,
+           CASE WHEN i < {_NB - 1} THEN bs[i + 1] END AS hi
+    FROM a, unnest(generate_series(0, {_NB - 1})) AS t(i)
+),
+b_counts AS (
+    SELECT e.event_type, b.bin, count(*) AS n
+    FROM events e JOIN bounds b
+      ON e.event_type = b.event_type
+     AND (b.lo IS NULL OR e.value >= b.lo)
+     AND (b.hi IS NULL OR e.value < b.hi)
+    WHERE date_part('day', e.ts) > 15
+    GROUP BY e.event_type, b.bin
+),
+terms AS (
+    SELECT event_type, bin, n,
+           n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+    FROM b_counts
+)
+SELECT event_type, CAST(bin AS INTEGER) AS bin, n,
+       round(p, 4) AS p_observed,
+       round((p - 1.0 / {_NB}) * ln(p / (1.0 / {_NB})), 6) AS psi_term,
+       round(sum(round((p - 1.0 / {_NB}) * ln(p / (1.0 / {_NB})), 6))
+             OVER (PARTITION BY event_type), 4) AS psi_total
+FROM terms
+ORDER BY event_type, bin
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -449,4 +557,6 @@ QUERIES = [
           survey="ext:transition-matrix,W1,A2"),
     Query("q85_winsorize_values", q85_winsorize_values, Q85_SQL,
           survey="ext:winsorization,A3"),
+    Query("q90_quantile_drift", q90_quantile_drift, Q90_SQL,
+          survey="ext:quantile-drift,A7,W2"),
 ]
