@@ -161,3 +161,40 @@ def test_annotate_join_preserves_counts(spark):
     assert out.count() == 100
     assert out.select("doc_id").distinct().count() == 100
     assert out.filter((F.col("topic_id") == 3) & (F.col("words") == "")).count() == 25
+
+
+# --------------------------------------------------------------------------
+# EWMA operator vs pandas' independent ewm implementation
+# --------------------------------------------------------------------------
+_SERIES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),              # key
+        st.integers(min_value=0, max_value=50),             # order
+        st.floats(min_value=-1e3, max_value=1e3,
+                  allow_nan=False, allow_infinity=False),   # value
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_SERIES, alpha=st.floats(min_value=0.05, max_value=0.95))
+def test_ewma_matches_pandas_ewm(spark, rows, alpha):
+    import pandas as pd
+
+    from bbc_news_data_pipeline_spark.operators.timeseries import ewma_by_key
+
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    got = {
+        (r.k, r.t): r.ewma
+        for r in ewma_by_key(df, ["k"], "t", "v", alpha=alpha).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"])
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("t")
+        # adjust=False is exactly s_t = alpha*v + (1-alpha)*s_{t-1}
+        expect = g["v"].ewm(alpha=alpha, adjust=False).mean()
+        for t, e in zip(g["t"], expect):
+            assert abs(got[(k, t)] - e) < 1e-9 * max(1.0, abs(e))
