@@ -120,7 +120,10 @@ def _sample_key_sql(salt: str) -> str:
 
 
 Q55_SQL = f"""
-SELECT doc_id, lang, source, {_sample_key_sql("smpl")} AS sample_key
+SELECT doc_id, lang, source,
+       -- DuckDB's list_sum yields HUGEINT (int128); project as int64 so the
+       -- driver's value hash agrees with Spark's LongType sample_key.
+       CAST({_sample_key_sql("smpl")} AS BIGINT) AS sample_key
 FROM documents
 WHERE {_sample_key_sql("smpl")} < {sample_threshold(_Q55_RATE)}
 ORDER BY doc_id

@@ -30,24 +30,50 @@ TABLES = (
 )
 
 
+def _ensure_utc_session(spark: SparkSession) -> None:
+    # Event-time semantics must not depend on the host/driver session TZ:
+    # date_trunc / window() / NTZ->LTZ casts interpret timestamps in the
+    # session zone, so a non-UTC caller session would shift every
+    # daily/hourly aggregate away from the (UTC-naive) DuckDB oracle.
+    # get_spark() already sets this at build time; this guard exists for
+    # externally-built sessions (the driver harness) and only mutates when
+    # the zone is actually wrong, so repeated load() calls are no-ops.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Catalyst prunes columns / pushes filters.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses by default; we read it as raw nanos (legacy conf) and truncate
-    to microseconds in-plan — the same truncation DuckDB applies, so the
-    oracle agrees. `div` keeps the arithmetic in exact 64-bit integers.
+    `events.ts` has shipped in two physical formats: TIMESTAMP(MICROS)
+    (current testdata; Spark reads TIMESTAMP_NTZ) and TIMESTAMP(NANOS)
+    (older data; readable only as raw BIGINT nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``). Normalize both to
+    session-TZ TIMESTAMP under a UTC session so every downstream plan and
+    the DuckDB oracle (UTC-naive) agree on wall-clock values. The
+    conversion is conditional on the *read* dtype — never assume the
+    physical format.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # Event-time semantics must not depend on the host/driver session TZ:
-    # date_trunc / window() interpret timestamps in the session zone, so a
-    # non-UTC caller session would shift every daily/hourly aggregate.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_utc_session(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df.schema  # force schema resolution so a NANOS refusal surfaces here
+        except Exception:
+            # Legacy TIMESTAMP(NANOS) layout: retry reading nanos as BIGINT.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos -> micros; `div` keeps the arithmetic in exact int64,
+            # matching DuckDB's truncation of the same column.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # UTC session (ensured above) makes this cast value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
