@@ -49,17 +49,16 @@ def all_queries() -> list[Query]:
         timeseries_plans,
     )
 
-    # Order matters: the external driver's oracle check truncates at the
-    # first 50 registry entries.  Families already driver-stamped green in
-    # round 1 (relational/text/dedup/embeddings/multimodal, see
-    # CORRECTNESS_r01.json) go last; the 37 queries that only had local
-    # pytest parity (streaming/curation/timeseries/subquery/quality/
-    # retrieval) go first so the driver verifies them this round.
+    # Canonical, stable module order (oldest surface first). Consumers that
+    # need a different presentation order (e.g. the external driver's
+    # 50-entry verification window) reorder at THEIR boundary —
+    # __spark_entry__.py — not here, so catalog output, bench execution
+    # order, and round-to-round diffs stay comparable.
     out: list[Query] = []
-    for mod in (streaming_plans, curation_plans, timeseries_plans,
-                subquery_plans, quality_plans, retrieval_plans,
-                relational, text_plans, dedup_plans, embeddings_plans,
-                multimodal_plans):
+    for mod in (relational, text_plans, dedup_plans, embeddings_plans,
+                multimodal_plans, streaming_plans, curation_plans,
+                timeseries_plans, subquery_plans, quality_plans,
+                retrieval_plans):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     if len(names) != len(set(names)):

@@ -35,6 +35,23 @@ def test_entry_reentrant(spark):
     assert a.count() == b.count() > 0
 
 
+def test_every_query_analyzes(spark, sf_dir):
+    """Registry-wide analysis smoke gate: build EVERY registered plan and
+    force Catalyst analysis (schema resolution) without executing it.
+
+    This is the cheap tripwire the round-2 regression showed we need: a
+    single loader/type change (e.g. the events `ts` physical-format switch)
+    must fail HERE, loudly, for all affected queries — not silently take
+    out half the driver's correctness window."""
+    failures = []
+    for name, fn in E.queries().items():
+        try:
+            fn(spark, sf_dir).schema  # .schema triggers analysis only
+        except Exception as e:
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
+    assert not failures, "queries failing analysis:\n" + "\n".join(failures)
+
+
 def test_query_callables_accept_sf_dir(spark, sf_dir):
     """Spot-check the (spark, sf_dir) calling convention across surfaces."""
     qs = E.queries()
