@@ -19,6 +19,7 @@ filter. Output cardinality equals the true interval-join result; the
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 MICROS = 1_000_000
@@ -91,6 +92,64 @@ def multi_grain_rollup(
         F.count("*").alias("n_events"),
         F.round(F.sum("_v"), 2).alias("sum_value"),
         grain_expr.alias("grain"),
+    )
+
+
+def bounded_sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-user session counting with BOUNDED per-task work: two-level
+    sessionization that splits each user's history by calendar day before
+    the order-dependent window, then merges sessions across midnight.
+
+    Semantics are identical to ``lag() over (partition by user order by
+    ts)`` gap-counting: consecutive events of one user are either within
+    the same day (gap seen by the day-local lag) or span a day boundary
+    (gap = this day's first ts − previous event-day's last ts, seen by the
+    merge window). Every inter-event gap is examined exactly once.
+
+    Why: an order-dependent window over the full per-user history
+    serializes a hot user (one key owning 50% of events) into ONE task,
+    and AQE cannot split it — sorting is not mergeable across splits.
+    Partitioning by (user, day) bounds any task at one user-DAY of
+    events; the merge level then handles at most one row per user-day
+    (≤365/user/year), which no key can skew meaningfully.
+
+    Returns one row per user: (user_col, n_sessions, n_events).
+    """
+    wd = W.partitionBy(user_col, "_day").orderBy(ts_col, tiebreak_col)
+    in_day_gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(wd))
+    per_day = (
+        events.withColumn("_day", F.to_date(ts_col))
+        .withColumn("_brk", F.when(in_day_gap > gap_s, 1).otherwise(0))
+        .groupBy(user_col, "_day")  # same keys as wd → reuses its shuffle
+        .agg(
+            F.sum("_brk").alias("_day_breaks"),
+            F.min(ts_col).alias("_first_ts"),
+            F.max(ts_col).alias("_last_ts"),
+            F.count("*").alias("_n_events"),
+        )
+    )
+    wu = W.partitionBy(user_col).orderBy("_day")
+    cross_gap = F.unix_timestamp("_first_ts") - F.unix_timestamp(
+        F.lag("_last_ts").over(wu)
+    )
+    # First event-day (NULL gap) starts a session; a later day starts one
+    # only if the midnight-spanning gap exceeds the threshold.
+    day_starts = F.col("_day_breaks") + F.when(
+        cross_gap.isNull() | (cross_gap > gap_s), 1
+    ).otherwise(0)
+    return (
+        per_day.withColumn("_starts", day_starts)
+        .groupBy(user_col)
+        .agg(
+            F.sum("_starts").cast("long").alias("n_sessions"),
+            F.sum("_n_events").alias("n_events"),
+        )
     )
 
 

@@ -528,7 +528,8 @@ QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
     Query("q56_dataset_mix", q56_dataset_mix, Q56_SQL, survey="ext:dataset-mixing"),
-    Query("q57_dup_clusters", q57_dup_clusters, Q57_SQL, survey="ext:dup-clustering"),
+    Query("q57_dup_clusters", q57_dup_clusters, Q57_SQL, survey="ext:dup-clustering",
+          tags=("bench",)),
     Query("q58_repetition_quality", q58_repetition_quality, Q58_SQL,
           survey="ext:gopher-quality"),
     Query("q59_asof_error_click", q59_asof_error_click, Q59_SQL, survey="ext:asof-join",

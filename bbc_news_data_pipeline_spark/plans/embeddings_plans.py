@@ -320,8 +320,10 @@ ORDER BY cluster_id, dim
 QUERIES = [
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
-    Query("q44_lsh_ann_pairs", q44_lsh_ann_pairs, Q44_SQL, survey="ext:ann-lsh"),
-    Query("q53_ivf_topk", q53_ivf_topk, Q53_SQL, survey="ext:ann-ivf"),
+    Query("q44_lsh_ann_pairs", q44_lsh_ann_pairs, Q44_SQL, survey="ext:ann-lsh",
+          tags=("bench",)),
+    Query("q53_ivf_topk", q53_ivf_topk, Q53_SQL, survey="ext:ann-ivf",
+          tags=("bench",)),
     Query("q82_standardize_dims", q82_standardize_dims, Q82_SQL,
           survey="ext:feature-scaling"),
     Query("q83_kmeans_step", q83_kmeans_step, Q83_SQL,

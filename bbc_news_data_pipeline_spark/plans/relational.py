@@ -553,23 +553,18 @@ ORDER BY o_custkey
 
 
 # ---------------------------------------------------------------------------
-# q21 — sessionization via lag + gap counting (SURVEY §2.10 streaming-shaped;
-# the batch twin of session_window). Gap threshold 30 min. Second-granularity
-# diff on both sides (unix seconds ≡ date_diff('second')).
+# q21 — sessionization via gap counting (SURVEY §2.10 streaming-shaped; the
+# batch twin of session_window). Gap threshold 30 min. Second-granularity
+# diff on both sides (unix seconds ≡ date_diff('second')). Uses the
+# skew-bounded two-level operator: a naive `lag over (partition by user)`
+# serializes a hot user into one task; bounded_sessionize partitions by
+# (user, day) and merges across midnight with identical semantics.
 # ---------------------------------------------------------------------------
 def q21_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import bounded_sessionize
+
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    return (
-        ev.withColumn("is_new", F.when(gap > 1800, 1).otherwise(0))
-        .groupBy("user_id")
-        .agg(
-            (F.sum("is_new") + 1).cast("long").alias("n_sessions"),
-            F.count("*").alias("n_events"),
-        )
-        .orderBy("user_id")
-    )
+    return bounded_sessionize(ev, gap_s=1800).orderBy("user_id")
 
 
 Q21_SQL = """

@@ -400,6 +400,7 @@ QUERIES = [
     Query("q36_lang_confusion", q36_lang_confusion, Q36_SQL, survey="ext:lang-id"),
     Query("q37_fingerprint_dup_stats", q37_fingerprint_dup_stats, Q37_SQL, survey="A1,ext:dedup"),
     Query("q38_minhash_signatures", q38_minhash_signatures, Q38_SQL, survey="ext:minhash", tags=("bench",)),
-    Query("q39_neardup_pairs", q39_neardup_pairs, Q39_SQL, survey="ext:jaccard-neardup"),
+    Query("q39_neardup_pairs", q39_neardup_pairs, Q39_SQL, survey="ext:jaccard-neardup",
+          tags=("bench",)),
     Query("q49_npmi_cooccurrence", q49_npmi_cooccurrence, Q49_SQL, survey="M3,ext:npmi-coherence"),
 ]

@@ -52,6 +52,56 @@ def test_salted_join_equals_plain(spark, skewed):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_bounded_sessionize_equals_naive_on_hot_user(spark):
+    """One user owns 50% of events (the AQE-unfixable window-skew case):
+    the two-level (user, day)-bounded operator must produce exactly the
+    naive full-history lag sessionization — including sessions that span
+    midnight, back-to-back days, and multi-day absences."""
+    from pyspark.sql import Window as W
+
+    from bbc_news_data_pipeline_spark.operators.timeseries import bounded_sessionize
+
+    rows = []
+    eid = 0
+    # hot user 1: an event every 20 min for 5 days straight (sessions chain
+    # across midnight → exactly 1 session), then a 3-day gap, then a burst.
+    t0 = 1_700_000_000  # epoch seconds anchor
+    for i in range(5 * 72):  # 72 events/day, 20-min spacing
+        rows.append((eid, t0 + i * 1200, 1)); eid += 1
+    burst0 = t0 + 8 * 86400
+    for i in range(180):  # second burst: gaps alternate 10 min / 40 min
+        step = 600 if i % 2 == 0 else 2400
+        burst0 += step
+        rows.append((eid, burst0, 1)); eid += 1
+    # cold tail: 50 users, a few events each, some exactly at midnight ± gap
+    for u in range(2, 52):
+        base = t0 + (u * 3571) % 86400
+        for j in range(7):
+            rows.append((eid, base + j * 1799, u)); eid += 1  # just under gap
+        rows.append((eid, base + 7 * 1799 + 1801, u)); eid += 1  # just over
+    ev = spark.createDataFrame(
+        [(e, t, u) for e, t, u in rows], "event_id long, sec long, user_id long"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"), "user_id")
+
+    naive_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(naive_w))
+    naive = (
+        ev.withColumn("is_new", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("is_new") + 1).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    bounded = bounded_sessionize(ev, gap_s=1800)
+    n = {r.user_id: (r.n_sessions, r.n_events) for r in naive.collect()}
+    b = {r.user_id: (r.n_sessions, r.n_events) for r in bounded.collect()}
+    assert b == n
+    # chain = 1 session; burst = 1 (new after 3-day gap) + 90 (the 2400 s
+    # gaps at odd i, each > 1800) = 91; total 92.
+    assert b[1][0] == 92
+
+
 def test_salt_is_deterministic_under_recompute(spark, skewed):
     from bbc_news_data_pipeline_spark.operators.skew import with_salt
 
