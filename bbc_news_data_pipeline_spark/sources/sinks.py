@@ -185,6 +185,53 @@ def run_metadata_table(spark: SparkSession, path: str, record: dict) -> None:
     spark.createDataFrame([record]).write.mode("append").parquet(path)
 
 
+def recover_compact(path: str) -> str:
+    """Crash recovery for :func:`compact_parquet`'s two-rename swap.
+
+    The swap protocol is: write ``.compact.tmp`` → rename path→``.bak`` →
+    rename tmp→path → delete ``.bak``. A crash can strand the table at any
+    point; this inspects what survived and either rolls FORWARD (tmp held
+    a complete compacted copy) or rolls BACK (restore ``.bak``), so the
+    table directory always exists again afterwards. Returns what it did:
+    ``clean`` / ``rolled_forward`` / ``rolled_back`` / ``missing``.
+    """
+    import shutil
+
+    tmp, bak = f"{path}.compact.tmp", f"{path}.compact.bak"
+    if os.path.exists(path):
+        # Crash before the first rename (tmp incomplete or complete — the
+        # original is intact either way) or after the second (bak is the
+        # superseded copy). Leftovers are safe to discard.
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        return "clean"
+    if os.path.exists(bak):
+        if os.path.exists(tmp):
+            # Crash between the renames: tmp is a complete compacted copy
+            # (it is only ever renamed after a successful write).
+            os.rename(tmp, path)
+            shutil.rmtree(bak)
+            return "rolled_forward"
+        os.rename(bak, path)
+        return "rolled_back"
+    return "missing"
+
+
+def _partition_subdirs(path: str) -> list[str]:
+    """Hive-style ``key=value`` child directories of ``path``."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        os.path.join(path, n)
+        for n in names
+        if "=" in n and os.path.isdir(os.path.join(path, n))
+    )
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> dict:
@@ -194,17 +241,38 @@ def compact_parquet(
     100 TB, millions of tiny files turn scan planning itself into the
     bottleneck).
 
+    Hive-partitioned layouts (``key=value`` subdirectories, arbitrarily
+    nested) are compacted LEAF-BY-LEAF, preserving the partition layout
+    and bounding each rewrite to one partition — which is also the unit
+    a scheduler would parallelize/restart at scale.
+
     Sizing is from the ACTUAL on-disk bytes (not row counts): n_out =
     ceil(total_bytes / target). Already-compact directories are a
     no-op — callers can run this on a schedule without thrashing. The
-    rewrite stages to a sibling temp dir and swaps via two renames;
-    that swap is not atomic against concurrent readers (a table format
-    — Iceberg/Delta — is the production answer; this is the plain-lake
-    fallback).
+    rewrite stages to a sibling temp dir and swaps via two renames; a
+    crash mid-swap is repaired by :func:`recover_compact` (run here on
+    entry, so a scheduled re-run self-heals). The swap is still not
+    atomic against CONCURRENT readers (a table format — Iceberg/Delta —
+    is the production answer; this is the plain-lake fallback).
     """
     import glob as _glob
     import math
     import shutil
+
+    recover_compact(path)
+
+    parts = _partition_subdirs(path)
+    if parts:
+        agg = {"n_files_before": 0, "bytes": 0, "n_files_after": 0,
+               "compacted": False, "n_partitions": 0}
+        for sub in parts:
+            s = compact_parquet(spark, sub, target_file_bytes)
+            agg["n_files_before"] += s["n_files_before"]
+            agg["bytes"] += s["bytes"]
+            agg["n_files_after"] += s["n_files_after"]
+            agg["compacted"] = agg["compacted"] or s["compacted"]
+            agg["n_partitions"] += s.get("n_partitions", 1)
+        return agg
 
     files = [
         f

@@ -113,3 +113,81 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     stats2 = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert not stats2["compacted"]
     assert n_now >= 1
+
+
+def test_compact_parquet_recovers_from_crash_between_renames(spark, sf_dir, tmp_path):
+    """Simulate every crash point of the two-rename swap; recover_compact
+    (run on entry by compact_parquet) must restore the table directory
+    with the full dataset each time."""
+    import os as o
+    import shutil
+
+    from bbc_news_data_pipeline_spark.sources.sinks import (
+        compact_parquet,
+        recover_compact,
+    )
+    from bbc_news_data_pipeline_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    path = str(tmp_path / "t")
+    ev.repartition(8).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    tmp, bak = f"{path}.compact.tmp", f"{path}.compact.bak"
+
+    # crash point 1: tmp written, first rename not yet done
+    spark.read.parquet(path).repartition(1).write.mode("overwrite").parquet(tmp)
+    assert recover_compact(path) == "clean"
+    assert not o.path.exists(tmp)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    # crash point 2: between the renames (path gone, bak + complete tmp)
+    spark.read.parquet(path).repartition(1).write.mode("overwrite").parquet(tmp)
+    o.rename(path, bak)
+    assert recover_compact(path) == "rolled_forward"
+    assert o.path.exists(path) and not o.path.exists(bak) and not o.path.exists(tmp)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    # crash point 3: first rename done but tmp lost (roll back to bak)
+    o.rename(path, bak)
+    assert recover_compact(path) == "rolled_back"
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    # crash point 4: swap done, bak not yet deleted — next compact self-heals
+    # (path is the 1-file copy left by the roll-forward, so it's a no-op run)
+    shutil.copytree(path, bak)
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert not o.path.exists(bak)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert stats["n_files_before"] == 1 and not stats["compacted"]
+
+
+def test_compact_parquet_partitioned_layout(spark, sf_dir, tmp_path):
+    """Hive-partitioned table: each day=... leaf is compacted in place and
+    the partition layout (and partition-pruned reads) survive."""
+    import glob as g
+    import os as o
+
+    from bbc_news_data_pipeline_spark.sources.sinks import compact_parquet
+    from bbc_news_data_pipeline_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .select("event_id", "value", "day")
+    )
+    path = str(tmp_path / "pt")
+    ev.repartition(6).write.partitionBy("day").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).select("event_id", "value").collect()))
+    days = [d for d in o.listdir(path) if d.startswith("day=")]
+    assert len(days) >= 2
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["compacted"], "partitioned layout must actually compact, not no-op"
+    assert stats["n_partitions"] == len(days)
+    assert stats["bytes"] > 0 and stats["n_files_before"] > len(days)
+    # layout preserved, one file per leaf now
+    for d in days:
+        leaf = o.path.join(path, d)
+        assert len([f for f in g.glob(o.path.join(leaf, "part-*")) if o.path.isfile(f)]) == 1
+    assert sorted(map(tuple, spark.read.parquet(path).select("event_id", "value").collect())) == before
