@@ -166,27 +166,48 @@ def ewma_by_key(
 
     The recursion is genuinely outside built-in window algebra (a
     weighted-sum reformulation needs pow((1−alpha), t) terms that
-    under/overflow for long series), so this is the canonical batch
-    ``applyInPandas`` escape hatch: one shuffle on the keys, each group
-    smoothed in a single Arrow batch by an explicit O(n) loop (exactly
-    the arithmetic an independent oracle can replay). Feed it GROUPED
-    series (daily/hourly rollups) — per-group row counts are bounded by
-    the time span, not raw event volume.
+    under/overflow for long series), but it IS a left fold — so it runs
+    entirely JVM-side as ``aggregate()`` over a per-key
+    ``collect_list``: one shuffle on the keys, each group's series
+    sorted and folded row-locally, then re-exploded. Measured vs the
+    ``applyInPandas`` alternative at sf0.1: 0.39 s vs 0.50 s, identical
+    output to 4dp (the Arrow round-trip is pure overhead here; see
+    SCALE.md "EWMA A/B"). Feed it GROUPED series (daily/hourly
+    rollups) — per-group row counts are bounded by the time span, not
+    raw event volume, so the collected arrays stay small.
+
+    Output schema: ``df``'s columns + ``out_col``. Rows within a key are
+    ordered by ``order_col`` (ties broken by the remaining columns via
+    struct comparison).
     """
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
-    )
     beta = 1.0 - alpha
-
-    def smooth(pdf):
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        s, out = None, []
-        for v in pdf[val_col]:
-            s = v if s is None else alpha * v + beta * s
-            out.append(s)
-        pdf[out_col] = out
-        return pdf
-
-    return df.groupBy(*key_cols).applyInPandas(smooth, schema)
+    others = [c for c in df.columns if c not in key_cols and c != order_col]
+    arr = df.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col), *[F.col(c) for c in others]))
+        ).alias("_xs")
+    )
+    folded = arr.withColumn(
+        "_sm",
+        F.aggregate(
+            "_xs",
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, x[val_col].cast("double")).otherwise(
+                        F.lit(alpha) * x[val_col] + F.lit(beta) * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ),
+    )
+    exploded = folded.select(
+        *key_cols, F.posexplode(F.arrays_zip("_xs", "_sm")).alias("_i", "_z")
+    ).select(
+        *key_cols,
+        F.col(f"_z._xs.{order_col}").alias(order_col),
+        *[F.col(f"_z._xs.{c}").alias(c) for c in others],
+        F.col("_z._sm").alias(out_col),
+    )
+    return exploded.select(*df.columns, out_col)
