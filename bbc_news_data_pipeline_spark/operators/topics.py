@@ -173,17 +173,164 @@ def umass_coherence(bundle: TopicModelBundle, topn: int = 10) -> DataFrame:
     return scored.groupBy("topic_id").agg(F.round(F.sum("term"), 6).alias("umass_coherence"))
 
 
+CV_WINDOW = 110  # gensim c_v boolean sliding-window size
+CV_EPS = 1e-12  # gensim's EPSILON in the NPMI log ratio
+
+
+def _window_occurrences(
+    tokens_df: DataFrame, vocab_df: DataFrame, window: int = CV_WINDOW
+) -> tuple[DataFrame, DataFrame]:
+    """Boolean sliding-window occurrence table for c_v coherence.
+
+    Each document of length L contributes ``max(1, L - window + 1)``
+    virtual documents (windows); a word "occurs" in a window iff any of
+    its positions falls inside. Rather than materializing every window
+    (O(L·window) tokens), only RELEVANT-word positions are kept (the
+    topics' top words — a broadcast semi-join) and each position p is
+    expanded to its covering window-start range
+    ``[max(0, p-window+1), min(p, n_win-1)]`` — O(|relevant hits|·window)
+    with distinct() collapsing overlaps. Returns (occurrences(_doc, _s,
+    word), totals(n_windows)) — totals is a 1-row frame kept in-plan
+    (broadcast), never collected.
+    """
+    id_col = tokens_df.columns[0]
+    base = tokens_df.select(
+        F.col(id_col).alias("_doc"),
+        F.col("tokens"),
+        F.greatest(F.lit(1), F.size("tokens") - F.lit(window - 1)).alias("_n_win"),
+    )
+    pos = base.select("_doc", "_n_win", F.posexplode("tokens").alias("_p", "word"))
+    rel = pos.join(F.broadcast(vocab_df), "word")
+    occ = rel.select(
+        "_doc",
+        "word",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("_p") - F.lit(window - 1)),
+                F.least(F.col("_p"), F.col("_n_win") - 1),
+            )
+        ).alias("_s"),
+    ).distinct()
+    totals = base.agg(F.sum("_n_win").cast("double").alias("n_windows"))
+    return occ, totals
+
+
+def cv_coherence(
+    bundle: TopicModelBundle, topn: int = 20, window: int = CV_WINDOW
+) -> DataFrame:
+    """Per-topic c_v coherence — the full measure the reference scores
+    models with (topic_modeling.py:176-182,209-215: gensim
+    CoherenceModel(coherence="c_v")), assembled distributed from the
+    q49 NPMI core. The c_v pipeline (Röder, Both & Hinneburg 2015) is:
+
+      1. boolean sliding window of size 110 → virtual documents;
+      2. NPMI(w_i, w_j) = log((P_ij+ε)/(P_i·P_j)) / −log(P_ij+ε) with
+         ε=1e-12, probabilities = window frequencies / total windows;
+      3. one-set segmentation: each top word's context vector is its
+         NPMI against ALL the topic's top words (γ=1, diagonal
+         included);
+      4. indirect cosine: cos(v(w_i), Σ_j v(w_j)), averaged over i.
+
+    Everything stays in-plan: window counting is one explode + distinct
+    (see :func:`_window_occurrences`), pair counts one self-join on
+    (doc, window) restricted to the broadcast top-word vocabulary, and
+    the cosine algebra runs over k·topn² rows. Returns
+    (topic_id, cv_coherence).
+    """
+    return cv_coherence_for_words(bundle.tokens_df, topic_words(bundle, topn), window)
+
+
+def cv_coherence_for_words(
+    tokens_df: DataFrame, words: DataFrame, window: int = CV_WINDOW
+) -> DataFrame:
+    """c_v over an explicit (topic_id, word) table — the testable core of
+    :func:`cv_coherence` (callers can score hand-picked word sets without
+    fitting an LDA model first)."""
+    vocab = words.select("word").distinct()
+    occ, totals = _window_occurrences(tokens_df, vocab, window)
+
+    n_w = occ.groupBy("word").agg(F.count("*").cast("double").alias("n"))
+    a, b = occ.alias("a"), occ.alias("b")
+    n_pair = (
+        a.join(b, (F.col("a._doc") == F.col("b._doc")) & (F.col("a._s") == F.col("b._s")))
+        .filter(F.col("a.word") < F.col("b.word"))
+        .groupBy(F.col("a.word").alias("w_lo"), F.col("b.word").alias("w_hi"))
+        .agg(F.count("*").cast("double").alias("n_ij"))
+    )
+
+    # Ordered (topic, w_i, w_j) grid over each topic's top words,
+    # diagonal included (the context vector has a self-dimension).
+    grid = (
+        words.alias("wi")
+        .join(words.alias("wj"), F.col("wi.topic_id") == F.col("wj.topic_id"))
+        .select(
+            F.col("wi.topic_id").alias("topic_id"),
+            F.col("wi.word").alias("w_i"),
+            F.col("wj.word").alias("w_j"),
+        )
+    )
+    lo = F.least("w_i", "w_j")
+    hi = F.greatest("w_i", "w_j")
+    joined = (
+        grid.withColumn("w_lo", lo)
+        .withColumn("w_hi", hi)
+        .join(F.broadcast(n_pair), ["w_lo", "w_hi"], "left")
+        .join(F.broadcast(n_w.select(F.col("word").alias("w_i"), F.col("n").alias("n_i"))), "w_i")
+        .join(F.broadcast(n_w.select(F.col("word").alias("w_j"), F.col("n").alias("n_j"))), "w_j")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_ij = (
+        F.when(F.col("w_i") == F.col("w_j"), F.col("n_i"))
+        .otherwise(F.coalesce("n_ij", F.lit(0.0)))
+        / F.col("n_windows")
+    )
+    p_i = F.col("n_i") / F.col("n_windows")
+    p_j = F.col("n_j") / F.col("n_windows")
+    npmi = F.log((p_ij + F.lit(CV_EPS)) / (p_i * p_j)) / -F.log(p_ij + F.lit(CV_EPS))
+    ctx = joined.select("topic_id", "w_i", "w_j", npmi.alias("v"))
+
+    # v(W*)_j = Σ_i v(w_i)_j — the summed context vector per dimension j.
+    vw = ctx.groupBy("topic_id", "w_j").agg(F.sum("v").alias("vw"))
+    dotted = (
+        ctx.join(vw, ["topic_id", "w_j"])
+        .groupBy("topic_id", "w_i")
+        .agg(
+            F.sum(F.col("v") * F.col("vw")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm_i"),
+        )
+    )
+    vw_norm = vw.groupBy("topic_id").agg(F.sqrt(F.sum(F.col("vw") * F.col("vw"))).alias("norm_w"))
+    cos = (
+        dotted.join(vw_norm, "topic_id")
+        .withColumn("cos", F.col("dot") / (F.col("norm_i") * F.col("norm_w")))
+    )
+    return cos.groupBy("topic_id").agg(F.round(F.avg("cos"), 6).alias("cv_coherence"))
+
+
 def auto_tune(
-    df: DataFrame, text_col: str, id_col: str, ks: list[int], *, scan_iter: int = 2, seed: int = 42
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ks: list[int],
+    *,
+    scan_iter: int = 2,
+    seed: int = 42,
+    metric: str = "c_v",
 ) -> DataFrame:
     """Hyperparameter scan over k (reference M2, topic_modeling.py:152-191:
-    cheap scan passes, coherence per candidate, pick best). Returns
-    (k, mean_coherence) — caller re-fits the winner at full effort,
-    mirroring the reference's scan/final two-phase design."""
+    cheap scan passes, coherence per candidate, pick best). Scores with
+    c_v by default — the metric the reference's CoherenceModel uses
+    (topic_modeling.py:176-182) — or UMass via ``metric="umass"``.
+    Returns (k, mean_coherence) — caller re-fits the winner at full
+    effort, mirroring the reference's scan/final two-phase design."""
+    scorers = {"c_v": cv_coherence, "umass": umass_coherence}
+    if metric not in scorers:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(scorers)}")
     rows = []
     for k in ks:
         bundle = fit_lda(df, text_col, id_col, k, max_iter=scan_iter, seed=seed)
-        mean_c = umass_coherence(bundle).agg(F.avg("umass_coherence")).collect()[0][0]
+        per_topic = scorers[metric](bundle)
+        mean_c = per_topic.agg(F.avg(per_topic.columns[-1])).collect()[0][0]
         rows.append((k, float(mean_c if mean_c is not None else float("-inf"))))
     spark = df.sparkSession
     return spark.createDataFrame(rows, "k int, mean_coherence double")

@@ -102,10 +102,154 @@ def test_tokenize_max_tokens_truncation(spark):
 
 def test_auto_tune_scan(corpus):
     """M2: the k-scan returns one coherence row per candidate and the
-    caller can pick a best k (reference topic_modeling.py:152-191)."""
+    caller can pick a best k (reference topic_modeling.py:152-191).
+    Default metric is c_v — what the reference's CoherenceModel scores."""
     from bbc_news_data_pipeline_spark.operators.topics import auto_tune
 
     scan = auto_tune(corpus, "text", "url", ks=[2, 3], scan_iter=2)
     rows = {r.k: r.mean_coherence for r in scan.collect()}
     assert set(rows) == {2, 3}
-    assert all(c == c and c > -100.0 for c in rows.values())  # finite, sane
+    assert all(c == c and -1.0 <= c <= 1.0 for c in rows.values())  # cosine range
+
+    umass = auto_tune(corpus, "text", "url", ks=[2], scan_iter=2, metric="umass")
+    assert umass.collect()[0].k == 2
+    with pytest.raises(ValueError):
+        auto_tune(corpus, "text", "url", ks=[2], metric="nope")
+
+
+def _cv_numpy_replica(docs, topics, window=110, eps=1e-12):
+    """Independent NumPy implementation of c_v (Röder et al. 2015 / the
+    gensim pipeline): boolean sliding windows -> NPMI (gamma=1, diagonal
+    included) -> one-set segmentation -> indirect cosine."""
+    import numpy as np
+
+    vocab = sorted({w for ws in topics.values() for w in ws})
+    widx = {w: i for i, w in enumerate(vocab)}
+    win_rows = []
+    for toks in docs:
+        n_win = max(1, len(toks) - window + 1)
+        for s in range(n_win):
+            seen = set(toks[s : s + window]) if len(toks) > window else set(toks)
+            win_rows.append({widx[w] for w in seen if w in widx})
+    T = len(win_rows)
+    nv = len(vocab)
+    n_w = np.zeros(nv)
+    n_ij = np.zeros((nv, nv))
+    for seen in win_rows:
+        for i in seen:
+            n_w[i] += 1
+            for j in seen:
+                n_ij[i, j] += 1
+    out = {}
+    for t, ws in topics.items():
+        idx = [widx[w] for w in ws]
+        m = len(idx)
+        v = np.zeros((m, m))
+        for a, i in enumerate(idx):
+            for b, j in enumerate(idx):
+                p_ij = n_ij[i, j] / T
+                p_i, p_j = n_w[i] / T, n_w[j] / T
+                v[a, b] = np.log((p_ij + eps) / (p_i * p_j)) / -np.log(p_ij + eps)
+        vw = v.sum(axis=0)
+        cosines = [
+            float(v[a] @ vw / (np.linalg.norm(v[a]) * np.linalg.norm(vw)))
+            for a in range(m)
+        ]
+        out[t] = float(np.mean(cosines))
+    return out
+
+
+def test_cv_coherence_matches_numpy_replica(spark):
+    """The Spark c_v assembly must agree with an independent row-by-row
+    NumPy implementation of the same measure — windows shorter AND longer
+    than the sliding window size, words that never co-occur, and a
+    diagonal-dominant topic all covered."""
+    from bbc_news_data_pipeline_spark.operators.topics import cv_coherence_for_words
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(40):
+        theme = THEME_A if i % 2 == 0 else THEME_B
+        # lengths straddle the window size (8) incl. empty-ish docs
+        ln = rng.choice([3, 6, 12, 25])
+        docs.append([rng.choice(theme + ["filler", "noise"]) for _ in range(ln)])
+    topics = {0: THEME_A[:5], 1: THEME_B[:5], 2: [*THEME_A[:2], *THEME_B[:2]]}
+
+    expected = _cv_numpy_replica(docs, topics, window=8)
+
+    tokens_df = spark.createDataFrame(
+        [(f"d{i}", toks) for i, toks in enumerate(docs)], "id string, tokens array<string>"
+    )
+    words_df = spark.createDataFrame(
+        [(t, r + 1, w, 1.0) for t, ws in topics.items() for r, w in enumerate(ws)],
+        "topic_id int, rank int, word string, weight double",
+    )
+    got = {
+        r.topic_id: r.cv_coherence
+        for r in cv_coherence_for_words(tokens_df, words_df, window=8).collect()
+    }
+    assert set(got) == set(expected)
+    for t in expected:
+        assert abs(got[t] - expected[t]) < 1e-4, (t, got[t], expected[t])
+
+
+def test_cv_coherence_prefers_coherent_topic(bundle):
+    """On the separable corpus, every LDA topic's c_v lands in [-1, 1] and
+    a deliberately mixed word set scores LOWER than the pure themes."""
+    from bbc_news_data_pipeline_spark.operators.topics import (
+        cv_coherence,
+        cv_coherence_for_words,
+    )
+
+    rows = cv_coherence(bundle, topn=5, window=10).collect()
+    assert {r.topic_id for r in rows} == {0, 1}
+    assert all(-1.0 <= r.cv_coherence <= 1.0 for r in rows)
+
+    words_df = bundle.tokens_df.sparkSession.createDataFrame(
+        [(0, r + 1, w, 1.0) for r, w in enumerate(THEME_A[:4])]
+        + [(1, r + 1, w, 1.0) for r, w in enumerate([*THEME_A[:2], *THEME_B[:2]])],
+        "topic_id int, rank int, word string, weight double",
+    )
+    scored = {
+        r.topic_id: r.cv_coherence
+        for r in cv_coherence_for_words(bundle.tokens_df, words_df, window=10).collect()
+    }
+    assert scored[0] > scored[1], scored
+
+
+def test_cv_coherence_gensim_parity(corpus, bundle):
+    """Skipif-guarded exact-pipeline parity: when gensim is installed, our
+    c_v must match CoherenceModel(coherence='c_v') within a small epsilon
+    on the same texts and topic word lists."""
+    gensim = pytest.importorskip("gensim")
+    from gensim.corpora import Dictionary
+    from gensim.models.coherencemodel import CoherenceModel
+
+    from bbc_news_data_pipeline_spark.operators.topics import cv_coherence_for_words
+
+    texts = [r.tokens for r in bundle.tokens_df.collect()]
+    tw = topic_words(bundle, topn=5)
+    by_topic = {}
+    for r in tw.collect():
+        by_topic.setdefault(r.topic_id, []).append((r.rank, r.word))
+    topics = {t: [w for _, w in sorted(ws)] for t, ws in by_topic.items()}
+
+    cm = CoherenceModel(
+        topics=[topics[t] for t in sorted(topics)],
+        texts=texts,
+        dictionary=Dictionary(texts),
+        coherence="c_v",
+        processes=1,
+    )
+    expected = cm.get_coherence_per_topic()
+
+    words_df = corpus.sparkSession.createDataFrame(
+        [(t, r + 1, w, 1.0) for t, ws in topics.items() for r, w in enumerate(ws)],
+        "topic_id int, rank int, word string, weight double",
+    )
+    got = {
+        r.topic_id: r.cv_coherence
+        for r in cv_coherence_for_words(bundle.tokens_df, words_df).collect()
+    }
+    for i, t in enumerate(sorted(topics)):
+        assert abs(got[t] - expected[i]) < 1e-3, (t, got[t], expected[i])
