@@ -82,17 +82,90 @@ def sentiment_label_expr(score_col: Column | str) -> Column:
     )
 
 
-def with_sentiment(df: DataFrame, text_col: str = "text") -> DataFrame:
+def load_vader_analyzer():
+    """The real VADER analyzer the reference instantiates
+    (sentiment_analysis.py:42-46), from whichever public package is
+    installed: ``vaderSentiment`` first, then NLTK's bundled port.
+    Returns None when neither is importable (this container)."""
+    try:  # pragma: no cover - optional dep
+        from vaderSentiment.vaderSentiment import SentimentIntensityAnalyzer
+
+        return SentimentIntensityAnalyzer()
+    except ImportError:
+        pass
+    try:  # pragma: no cover - optional dep
+        from nltk.sentiment.vader import SentimentIntensityAnalyzer
+
+        return SentimentIntensityAnalyzer()
+    except (ImportError, LookupError):
+        return None
+
+
+def vader_available() -> bool:
+    return load_vader_analyzer() is not None
+
+
+def vader_compound_udf():
+    """polarity_scores(text)['compound'] as an iterator Pandas UDF —
+    the full VADER lexicon (~7.5k entries, boosters, negation), loaded
+    once per executor. Only valid when a VADER package is installed;
+    executors share the driver's environment in every supported deploy
+    (same image), so availability is checked driver-side by callers."""
+
+    @F.pandas_udf(T.DoubleType())
+    def compound(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        analyzer = load_vader_analyzer()
+        if analyzer is None:  # pragma: no cover - driver-side guard exists
+            raise ImportError(
+                "vader engine requested but neither vaderSentiment nor "
+                "nltk.sentiment.vader is importable on the executor"
+            )
+        for batch in batches:
+            yield batch.fillna("").map(
+                lambda t: float(analyzer.polarity_scores(t)["compound"])
+            )
+
+    return compound
+
+
+def with_sentiment(
+    df: DataFrame, text_col: str = "text", engine: str = "lexicon"
+) -> DataFrame:
     """Append sentiment_score / sentiment_label.
 
-    Tokens staged through a select (interpreted-HOF CSE hazard — see
-    operators/dedup.py) so tokenization happens once.
+    ``engine``:
+      * ``"lexicon"`` (default) — the deterministic JVM-side column
+        algebra; what every oracle-checked plan uses, identical in any
+        environment;
+      * ``"vader"`` — the reference's actual model
+        (sentiment_analysis.py:42-46) via :func:`vader_compound_udf`;
+        raises if no VADER package is installed;
+      * ``"auto"`` — vader when importable, lexicon fallback otherwise
+        (reference parity when the lib is present, deterministic stub
+        when not).
+
+    Labels always use the EXACT reference thresholds regardless of
+    engine. Lexicon tokens are staged through a select (interpreted-HOF
+    CSE hazard — see operators/dedup.py) so tokenization happens once.
     """
-    staged = df.withColumn("_toks", F.split(F.lower(F.col(text_col)), " "))
-    scored = staged.withColumn("sentiment_score", F.round(compound_score_expr("_toks"), 6))
-    return scored.withColumn(
-        "sentiment_label", sentiment_label_expr("sentiment_score")
-    ).drop("_toks")
+    if engine not in ("lexicon", "vader", "auto"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "auto":
+        engine = "vader" if vader_available() else "lexicon"
+    if engine == "vader":
+        if not vader_available():
+            raise ImportError(
+                "engine='vader' needs the vaderSentiment or nltk package"
+            )
+        scored = df.withColumn(
+            "sentiment_score", F.round(vader_compound_udf()(F.col(text_col)), 6)
+        )
+    else:
+        staged = df.withColumn("_toks", F.split(F.lower(F.col(text_col)), " "))
+        scored = staged.withColumn(
+            "sentiment_score", F.round(compound_score_expr("_toks"), 6)
+        ).drop("_toks")
+    return scored.withColumn("sentiment_label", sentiment_label_expr("sentiment_score"))
 
 
 def hf_sentiment_udf():

@@ -84,7 +84,12 @@ def build_pipeline(
 
     def sentiment(_: dict[str, Any]) -> int:
         processed = spark.read.parquet(processed_path)
-        scored = with_sentiment(processed, "text")
+        # auto = the reference's real VADER model when the package is
+        # present (sentiment_analysis.py:42-46), deterministic lexicon
+        # fallback when not — parity-when-available by default here; the
+        # oracle-checked PLANS pin engine="lexicon" for cross-engine
+        # determinism.
+        scored = with_sentiment(processed, "text", engine="auto")
         sinks.overwrite_table(scored, f"{workdir}/articles_sentiment")
         return scored.count()
 

@@ -51,6 +51,78 @@ def test_lexicon_scoring_direction(spark):
         assert -1.0 < r.sentiment_score < 1.0
 
 
+def test_engine_dispatch(spark):
+    """engine='auto' must resolve to vader only when a VADER package is
+    importable; engine='vader' must raise cleanly when it is not; the
+    default stays the deterministic lexicon path either way."""
+    from bbc_news_data_pipeline_spark.nlp import sentiment as S
+
+    df = spark.createDataFrame([(1, "great success")], "id long, text string")
+    auto = with_sentiment(df, engine="auto").collect()[0]
+    assert auto.sentiment_label == "positive"
+    if not S.vader_available():
+        with pytest.raises(ImportError):
+            with_sentiment(df, engine="vader").collect()
+    with pytest.raises(ValueError):
+        with_sentiment(df, engine="nope")
+
+
+def test_vader_parity_when_present(spark):
+    """Skipif-guarded reference parity (sentiment_analysis.py:42-53):
+    with the real VADER package installed, engine='vader' scores must
+    equal driver-side polarity_scores()['compound'] to 6dp and labels
+    must follow the exact thresholds."""
+    from bbc_news_data_pipeline_spark.nlp import sentiment as S
+
+    analyzer = S.load_vader_analyzer()
+    if analyzer is None:
+        pytest.skip("no vaderSentiment/nltk VADER in this environment")
+    texts = [
+        "This is an absolutely wonderful, amazing breakthrough!!!",
+        "A terrible, horrible disaster — everyone is devastated.",
+        "The committee met on Tuesday to review the schedule.",
+        "not good at all",  # negation — the lexicon stub can't see this
+        "VERY GOOD!!!",  # caps + booster + punctuation emphasis
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r.id: r for r in with_sentiment(df, engine="vader").collect()}
+    for i, t in enumerate(texts):
+        expected = round(float(analyzer.polarity_scores(t)["compound"]), 6)
+        assert abs(got[i].sentiment_score - expected) < 1e-9, (t, got[i])
+        exp_label = (
+            "positive" if expected >= 0.05 else "negative" if expected <= -0.05 else "neutral"
+        )
+        assert got[i].sentiment_label == exp_label
+
+
+def test_hf_real_model_parity_when_present(spark):
+    """Opt-in real-transformers parity (reference
+    sentiment_analysis.py:76-112): runs only when transformers is
+    importable AND RUN_HF_TESTS=1 (model weights download). The UDF's
+    labels/confidences must match a driver-side pipeline() call."""
+    import os
+
+    pytest.importorskip("transformers")
+    if os.environ.get("RUN_HF_TESTS") != "1":
+        pytest.skip("set RUN_HF_TESTS=1 to run real-model inference")
+    from transformers import pipeline
+
+    from bbc_news_data_pipeline_spark.nlp.sentiment import hf_sentiment_udf
+
+    texts = ["I love this movie", "This was a waste of time"]
+    clf = pipeline(
+        "sentiment-analysis",
+        model="distilbert-base-uncased-finetuned-sst-2-english",
+        truncation=True,
+    )
+    expected = clf(texts)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(hf_sentiment_udf()(F.col("text")).alias("r")).select("r.*").collect()
+    for row, exp in zip(out, expected):
+        assert row.label == exp["label"].lower()
+        assert abs(row.confidence - float(exp["score"])) < 1e-4
+
+
 def test_hf_stub_runs_as_pandas_udf(spark):
     from bbc_news_data_pipeline_spark.nlp.sentiment import hf_sentiment_udf
 
