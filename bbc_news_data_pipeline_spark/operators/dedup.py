@@ -228,6 +228,44 @@ def simhash_candidates(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting scheme): hash every rolling
+    word ``k``-gram, slide a ``window`` over the hash sequence keeping
+    each window's MINIMUM, and deduplicate. Guarantees every shared run
+    of ≥ ``k + window − 1`` tokens between two documents yields at least
+    one shared fingerprint, while storing only ~1/window of the k-gram
+    hashes — the classic rolling-hash fingerprint for plagiarism/overlap
+    detection at corpus scale.
+
+    Entirely row-local until the final explode (no shuffle at all in
+    this operator): tokens → k-grams (staged select, see
+    :func:`shingles_from_tokens`) → 32-bit hash per gram
+    (``conv(substring(md5, 1, 8), 16, 10)`` so a DuckDB oracle can
+    reproduce it digit-for-digit) → per-window minima via nested array
+    ops. Returns (id, fingerprint) distinct per document. Docs shorter
+    than ``k`` tokens are dropped (no grams).
+    """
+    sh = with_shingles(df, id_col, text_col, k, out="_grams")
+    staged = sh.select(
+        F.col(id_col),
+        F.transform(
+            "_grams",
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        ).alias("_hs"),
+    )
+    n_win = F.greatest(F.lit(1), F.size("_hs") - F.lit(window - 1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice("_hs", i, window)),
+        )
+    )
+    return staged.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -154,10 +154,73 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q91 — winnowing document fingerprints (ext: rolling-hash fingerprinting,
+# Schleimer/Wilkerson/Aiken 2003). Rolling word-3-gram hashes, min of each
+# 4-hash window, distinct per doc — the operator is row-local end-to-end;
+# the query aggregates per doc (count / checksum / extrema) so the oracle
+# compares the full fingerprint multiset without shipping every row.
+# ---------------------------------------------------------------------------
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+def q91_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=_WINNOW_K, window=_WINNOW_W)
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.sum("fingerprint").alias("fp_sum"),
+            F.min("fingerprint").alias("fp_min"),
+            F.max("fingerprint").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# NOTE: the inner hex→int helper binds `i`; the outer lambdas use `gi`/`wi`.
+_WINNOW_GRAM = "md5(l[gi] || ' ' || l[gi+1] || ' ' || l[gi+2])"
+
+Q91_SQL = f"""
+WITH base AS (
+    SELECT doc_id, str_split(text, ' ') AS l
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {_WINNOW_K}
+),
+kg AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(l) - {_WINNOW_K - 1}),
+                          gi -> {_hex2int_sql(_WINNOW_GRAM, 1, 8)}) AS hs
+    FROM base
+),
+fp AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(generate_series(1, greatest(1, len(hs) - {_WINNOW_W - 1})),
+                              wi -> list_min(hs[wi:wi+{_WINNOW_W - 1}])))) AS f
+    FROM kg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(f) AS BIGINT) AS fp_sum,
+       CAST(min(f) AS BIGINT) AS fp_min,
+       CAST(max(f) AS BIGINT) AS fp_max
+FROM fp
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
     Query("q43_simhash_pairs", q43_simhash_pairs, Q43_SQL, survey="ext:simhash"),
     Query("q46_minhash_band_candidates", q46_minhash_band_candidates, Q46_SQL,
           survey="ext:minhash-lsh"),
+    Query("q91_winnow_fingerprints", q91_winnow_fingerprints, Q91_SQL,
+          survey="ext:rolling-hash-fingerprint"),
 ]

@@ -78,3 +78,49 @@ def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame([("  Hello World ",), ("hello world",)], "text string")
     fps = df.select(dedup.fingerprint("text").alias("fp")).collect()
     assert fps[0].fp == fps[1].fp
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing's core guarantee (Schleimer et al. 2003): any shared run
+    of >= k + window - 1 tokens produces at least one shared fingerprint;
+    fingerprints are a subset of the doc's own k-gram hashes; and the
+    scheme keeps roughly 1/window of the grams."""
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens = k+w-1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "completely different text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # subset of own k-gram hashes
+    from pyspark.sql import functions as F
+
+    grams = dedup.with_shingles(df, "doc_id", "text", 3, out="g").select(
+        "doc_id",
+        F.explode(
+            F.transform("g", lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+        ).alias("h"),
+    )
+    gram_sets = {}
+    for r in grams.collect():
+        gram_sets.setdefault(r.doc_id, set()).add(r.h)
+    for d, fps in by_doc.items():
+        assert fps <= gram_sets[d]
+        assert len(fps) <= max(1, len(gram_sets[d]))
+
+
+def test_winnow_short_doc_single_window(spark):
+    """Docs with >= k tokens but fewer than k+window-1 collapse to one
+    window (the global min); docs under k tokens drop out."""
+    df = spark.createDataFrame(
+        [(1, "just three words"), (2, "too few")], "doc_id long, text string"
+    )
+    rows = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, window=4).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert len(rows) == 1
