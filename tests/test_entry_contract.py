@@ -17,6 +17,24 @@ def test_registry_shape():
     assert missing == set(), f"queries without oracle (driver runs weaker check): {missing}"
 
 
+def test_driver_window_rotation_is_permutation():
+    """The driver-boundary rotation must present every registered query
+    exactly once (a pure rotation of the canonical order), and advance by
+    one 50-slot window per recorded round."""
+    from bbc_news_data_pipeline_spark.plans import all_queries
+
+    canonical = [q.name for q in all_queries()]
+    rotated = list(E.queries())
+    assert sorted(rotated) == sorted(canonical)
+    offset = canonical.index(rotated[0])
+    assert rotated == canonical[offset:] + canonical[:offset]
+    import glob as g
+    import os as o
+
+    n_rounds = len(g.glob(o.path.join(o.path.dirname(E.__file__), "CORRECTNESS_r*.json")))
+    assert offset == (n_rounds * 50) % len(canonical)
+
+
 def test_every_oracle_parses_in_duckdb(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
