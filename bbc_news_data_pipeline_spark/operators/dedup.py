@@ -128,14 +128,51 @@ def with_minhash(
     return sh.select(F.col(id_col), *minhash_lanes("shingles", n_hashes))
 
 
+def pairs_within_groups(df: DataFrame, key_cols: list[str], payload_col: str = "d") -> DataFrame:
+    """Ordered (p.a, p.b) struct-payload pairs co-occurring under any
+    group key — the shared candidate-pair shape of every bucketed dedup
+    operator here (MinHash bands, SimHash bands, LSH cells, inverted
+    indexes).
+
+    groupBy + collect_set + row-local nested-transform pair generation:
+    ONE shuffle, and the (often expensive) upstream branch is computed
+    once — a self-join would recompute it per side and shuffle twice.
+    Payload structs must lead with the id so array_sort yields a < b
+    pairs. Group size is the blow-up knob: callers bound it upstream
+    (more bands/planes) — a group of g rows emits g·(g−1)/2 pairs.
+    Callers project and ``.distinct()`` (the same pair can co-occur
+    under several keys).
+    """
+    grouped = (
+        df.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set(payload_col)).alias("_ds"))
+        .filter(F.size("_ds") >= 2)
+    )
+    return grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ds"), i + F.lit(2), F.size("_ds")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+
+
 def minhash_candidates(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, bands: int = 4, k: int = 5
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair. Returns (id_a, id_b) with id_a < id_b.
 
-    Scale: the only wide op is a groupBy/join on band keys; band-key
-    frequency is the knob that bounds the pair blow-up.
+    Scale: the only wide op is ONE groupBy on band keys
+    (:func:`pairs_within_groups` — signatures are computed once, never
+    per join side); band-key frequency is the knob that bounds the pair
+    blow-up.
     """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
@@ -147,13 +184,11 @@ def minhash_candidates(
         for b in range(bands)
     ]
     banded = with_sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
-    ).dropDuplicates([id_col, "band_key"])
-    left = banded.alias("l")
-    right = banded.alias("r")
+        F.struct(F.col(id_col)).alias("d"), F.explode(F.array(*band_cols)).alias("band_key")
+    )
     return (
-        left.join(right, (F.col("l.band_key") == F.col("r.band_key")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        pairs_within_groups(banded, ["band_key"])
+        .select(F.col(f"p.a.{id_col}").alias("id_a"), F.col(f"p.b.{id_col}").alias("id_b"))
         .distinct()
     )
 
@@ -207,22 +242,17 @@ def simhash_candidates(
         for b in range(bands)
     ]
     banded = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
+        F.struct(F.col(id_col), F.col("simhash")).alias("d"),
         F.posexplode(F.array(*[e for e in band_exprs])).alias("band_idx", "band_val"),
     )
-    a, b_ = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        pairs_within_groups(banded, ["band_idx", "band_val"])
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.col(f"p.a.{id_col}").alias("id_a"),
+            F.col(f"p.b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+            ).alias("hamming"),
         )
         .distinct()
     )
