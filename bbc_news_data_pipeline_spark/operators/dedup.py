@@ -148,8 +148,11 @@ def pairs_within_groups(df: DataFrame, key_cols: list[str], payload_col: str = "
         .agg(F.array_sort(F.collect_set(payload_col)).alias("_ds"))
         .filter(F.size("_ds") >= 2)
     )
+    # explode_outer: the pair array is non-empty (size(_ds) >= 2 above),
+    # and plain explode's inferred size>0 filter would re-evaluate the
+    # nested pair-generation transform once per group (see SCALE.md).
     return grouped.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.transform(
                     "_ds",
@@ -293,7 +296,11 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice("_hs", i, window)),
         )
     )
-    return staged.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    # explode_outer: fps is provably non-empty (>=1 window per kept doc)
+    # and plain explode's inferred size>0 filter would push down and
+    # inline the whole fingerprint expression into a Filter over raw
+    # text (re-evaluated per element, interpreted) - see SCALE.md.
+    return staged.select(F.col(id_col), F.explode_outer(fps).alias("fingerprint"))
 
 
 def ngram_jaccard_pairs(
@@ -326,7 +333,9 @@ def ngram_jaccard_pairs(
     )
     posting = sh.select(
         F.struct(F.col(id_col).alias("i"), F.size("_hs").cast("long").alias("n")).alias("d"),
-        F.explode("_hs").alias("h"),
+        # explode_outer: _hs is non-empty (>=k tokens -> >=1 shingle); see
+        # the inferred-filter pushdown note on winnow_fingerprints.
+        F.explode_outer("_hs").alias("h"),
     )
     # array_distinct upstream guarantees one posting per (doc, shingle), so
     # each list holds unique ids; array_sort orders by id (first struct

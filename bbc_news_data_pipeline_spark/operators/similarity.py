@@ -164,8 +164,10 @@ def lsh_bucket_ann(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ds") <= max_bucket)
+    # explode_outer: non-empty by the size>=2 filter; avoids the inferred
+    # size>0 filter re-evaluating the pair transform (see SCALE.md).
     pairs = grouped.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.transform(
                     "ds",

@@ -204,7 +204,10 @@ def _window_occurrences(
     occ = rel.select(
         "_doc",
         "word",
-        F.explode(
+        # explode_outer: the covering range is never empty (start <= _p <=
+        # end by construction); avoids the inferred-filter pushdown
+        # re-evaluating the sequence per row (see SCALE.md).
+        F.explode_outer(
             F.sequence(
                 F.greatest(F.lit(0), F.col("_p") - F.lit(window - 1)),
                 F.least(F.col("_p"), F.col("_n_win") - 1),

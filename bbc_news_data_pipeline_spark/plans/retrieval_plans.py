@@ -56,8 +56,11 @@ _DECON_K = 3
 def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = with_shingles(docs, "doc_id", "text", k=_DECON_K)
+    # explode_outer: shingles non-empty for kept docs; plain explode's
+    # inferred size>0 filter would inline the shingling into a raw-text
+    # Filter (interpreted re-eval per element — see SCALE.md).
     exploded = sh.select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+        "doc_id", F.explode_outer(F.array_distinct("shingles")).alias("s")
     ).withColumn("h", F.substring(F.md5("s"), 1, 16))
     bench = (
         exploded.filter(F.col("doc_id") % _BENCH_MOD == 0)
@@ -133,7 +136,7 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
     shared by q80 (top-k) and q84 (rank fusion)."""
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
-    ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("t"))
+    ).select("doc_id", F.size("toks").alias("dl"), F.explode_outer("toks").alias("t"))
     hits = toks.filter(F.col("t").isin(*_Q80_TERMS))
     tf = hits.groupBy("doc_id", "dl", "t").agg(F.count("*").alias("tf"))
     # df via a window over the aggregated postings (each (doc,t) row is one
@@ -220,7 +223,7 @@ def q81_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("len", F.size("toks"))
     starts = F.sequence(F.lit(0), F.col("len") - 1, F.lit(_S))
     chunks = toked.select(
-        "doc_id", "toks", "len", F.explode(starts).alias("start")
+        "doc_id", "toks", "len", F.explode_outer(starts).alias("start")
     ).select(
         "doc_id",
         (F.col("start") / _S).cast("int").alias("chunk_idx"),
