@@ -390,6 +390,52 @@ ORDER BY w_a, w_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q92 — BPE-ish token counting (LLM-pipeline ext): a GPT-style
+# pre-tokenizer regex (contraction suffixes, space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs) WITHOUT lookahead so Java
+# regex (Spark) and RE2 (DuckDB) agree exactly — verified 0 mismatches at
+# sf0.01. The bpe/whitespace ratio is the budget multiplier an LLM data
+# pipeline uses to convert word counts into token-budget estimates.
+# Row-local end to end; the per-lang rollup is the only shuffle.
+# ---------------------------------------------------------------------------
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q92_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), 0)).cast("long").alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("bpe_per_ws"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BPE_SQL_PAT = BPE_PAT.replace("'", "''")
+
+Q92_SQL = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS BIGINT) AS bpe_tokens,
+       round(sum(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')))
+             / sum(len(str_split(text, ' '))), 4) AS bpe_per_ws
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
@@ -403,4 +449,5 @@ QUERIES = [
     Query("q39_neardup_pairs", q39_neardup_pairs, Q39_SQL, survey="ext:jaccard-neardup",
           tags=("bench",)),
     Query("q49_npmi_cooccurrence", q49_npmi_cooccurrence, Q49_SQL, survey="M3,ext:npmi-coherence"),
+    Query("q92_bpe_token_stats", q92_bpe_token_stats, Q92_SQL, survey="ext:bpe-token-count"),
 ]
