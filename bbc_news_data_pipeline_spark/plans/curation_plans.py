@@ -385,21 +385,30 @@ def q63_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_word_ratio"),
         shingles_from_tokens("_toks", 2).alias("_bi"),
     )
-    kept = base.withColumn(
+    staged = base.withColumn(
         "top_bigram_ratio",
         F.round(max_run_count_expr(F.col("_bi")) / F.size("_bi"), 4),
-    ).filter(
+    )
+    # Gate via CONDITIONAL AGGREGATES, not a .filter(): a Filter over the
+    # aliased ratios would be pushed below the projection, re-inlining the
+    # interpreted HOF chain (array_distinct/shingles over split) into a
+    # per-row Filter on raw text — the same pushdown pathology as the
+    # explode case in SCALE.md. when() over already-projected columns
+    # evaluates each ratio exactly once; the map-side partial aggregate
+    # still collapses to one row per lang before the only shuffle.
+    keep = (
         (F.col("dup_word_ratio") <= _Q63_DUP_T)
         & (F.col("top_bigram_ratio") <= _Q63_BIGRAM_T)
+        & (sample_key_expr("doc_id", salt="mix") < _mix_threshold_col())
     )
-    mixed = kept.filter(sample_key_expr("doc_id", salt="mix") < _mix_threshold_col())
     return (
-        mixed.groupBy("lang")
+        staged.groupBy("lang")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.round(F.avg("dup_word_ratio"), 4).alias("avg_dup_ratio"),
+            F.count(F.when(keep, 1)).alias("n_docs"),
+            F.sum(F.when(keep, F.col("n_tokens"))).alias("n_tokens"),
+            F.round(F.avg(F.when(keep, F.col("dup_word_ratio"))), 4).alias("avg_dup_ratio"),
         )
+        .filter(F.col("n_docs") > 0)  # langs fully gated out, as the oracle's WHERE
         .orderBy("lang")
     )
 
