@@ -208,13 +208,18 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hash array, (3) pack sign bits. Token hashes are computed exactly
     once (same CSE hazard as shingles — see shingles_from_tokens).
     """
-    hashed = df.select(
+    # Null-text guard phrased on the RAW column: filtering size(_h) > 0
+    # would push down substituting the whole token-hash transform into a
+    # Filter (computed twice per row — the SCALE.md pushdown pathology).
+    # split() never yields an empty array, so text IS NOT NULL is exactly
+    # equivalent and reaches the parquet scan as a cheap pushed filter.
+    hashed = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.expr(
             f"transform(split({text_col}, ' '), "
             "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
         ).alias("_h"),
-    ).filter(F.size("_h") > 0)
+    )
     bit_cols = [
         F.expr(
             f"aggregate(_h, 0L, (acc, h) -> acc + CASE WHEN (h >> {b}) % 2 = 1 "

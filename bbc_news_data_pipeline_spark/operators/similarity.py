@@ -164,8 +164,13 @@ def lsh_bucket_ann(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ds") <= max_bucket)
-    # explode_outer: non-empty by the size>=2 filter; avoids the inferred
-    # size>0 filter re-evaluating the pair transform (see SCALE.md).
+    # Cosine is computed INSIDE the pair transform so each pair scores
+    # exactly once: a post-projection .filter(cos_sim >= t) would be
+    # pushed below the Project, substituting the whole fold expression
+    # into a second per-row evaluation (SCALE.md pushdown pathology).
+    # Filtering on the generator's output field cannot sink below the
+    # Generate. explode_outer: non-empty by the size>=2 filter; avoids
+    # the inferred size>0 filter re-evaluating the pair transform.
     pairs = grouped.select(
         F.explode_outer(
             F.flatten(
@@ -173,20 +178,18 @@ def lsh_bucket_ann(
                     "ds",
                     lambda x, i: F.transform(
                         F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        lambda y: F.struct(
+                            x[id_col].alias("id_a"),
+                            y[id_col].alias("id_b"),
+                            F.round(cosine(x[vec_col], y[vec_col]), 4).alias("cos_sim"),
+                        ),
                     ),
                 )
             )
         ).alias("p")
     )
-    return (
-        pairs.withColumn(
-            "cos_sim", F.round(cosine(F.col(f"p.a.{vec_col}"), F.col(f"p.b.{vec_col}")), 4)
-        )
-        .filter(F.col("cos_sim") >= min_cos)
-        .select(
-            F.col(f"p.a.{id_col}").alias("id_a"),
-            F.col(f"p.b.{id_col}").alias("id_b"),
-            "cos_sim",
-        )
+    return pairs.filter(F.col("p.cos_sim") >= min_cos).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.col("p.cos_sim").alias("cos_sim"),
     )
