@@ -148,7 +148,10 @@ def sample_frames(meta_df: DataFrame, every_nth: int = 10) -> DataFrame:
     stubbed codec step; the fan-out shape (row-per-frame, partitioned by
     doc) is the real 100 TB design."""
     idxs = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+    # explode_outer: non-empty for every video row (n_frames >= 1), and it
+    # avoids the inferred size>0 filter materializing the index sequence
+    # twice per row (SCALE.md generator pitfall).
     return (
         meta_df.filter(F.col("mime").startswith("video/"))
-        .select("doc_id", "n_frames", F.explode(idxs).alias("frame_idx"))
+        .select("doc_id", "n_frames", F.explode_outer(idxs).alias("frame_idx"))
     )

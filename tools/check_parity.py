@@ -63,14 +63,34 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --bare: simulate the external driver — a PLAIN SparkSession with none
+    # of get_spark's configs and a hostile non-UTC timezone, consuming the
+    # registry through __spark_entry__. Catches session-config assumptions
+    # the get_spark path would mask.
+    bare = "--bare" in args
+    args = [a for a in args if a != "--bare"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
-    from bbc_news_data_pipeline_spark import get_spark
     from bbc_news_data_pipeline_spark.plans import all_queries
     from bbc_news_data_pipeline_spark.sources.tables import TABLES
 
-    spark = get_spark("parity-check")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("parity-check-bare")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from bbc_news_data_pipeline_spark import get_spark
+
+        spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
