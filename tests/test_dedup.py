@@ -124,3 +124,39 @@ def test_winnow_short_doc_single_window(spark):
     rows = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, window=4).collect()
     assert {r.doc_id for r in rows} == {1}
     assert len(rows) == 1
+
+
+def test_pairs_within_groups_equals_self_join(spark):
+    """The shared row-local pair generator must reproduce the classic
+    bucket self-join exactly — including ids in several groups, groups of
+    1 (no pairs), duplicate (id, key) postings (collect_set dedup), and a
+    large group (pair blow-up)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        for k in rng.sample(range(40), rng.randint(0, 4)):
+            rows.append((i, k))
+    rows += [(999, 7)] * 3  # duplicate postings of one id under one key
+    rows += [(i, 41) for i in range(60)]  # one hot group
+    df = spark.createDataFrame(rows, "id long, k int")
+
+    posting = df.select(F.struct(F.col("id")).alias("d"), "k")
+    got = (
+        dedup.pairs_within_groups(posting, ["k"])
+        .select(F.col("p.a.id").alias("a"), F.col("p.b.id").alias("b"))
+        .distinct()
+    )
+    uniq = df.distinct()
+    l, r = uniq.alias("l"), uniq.alias("r")
+    want = (
+        l.join(r, (F.col("l.k") == F.col("r.k")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 1700  # the hot group alone is 1770
