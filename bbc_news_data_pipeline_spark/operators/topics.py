@@ -140,19 +140,33 @@ def umass_coherence(bundle: TopicModelBundle, topn: int = 10) -> DataFrame:
     from one explode + self-join on doc id, restricted to the (tiny)
     topic vocabulary so the join is broadcast-sized.
     """
-    words = topic_words(bundle, topn)
+    return umass_coherence_for_words(bundle.tokens_df, topic_words(bundle, topn))
+
+
+def umass_coherence_for_words(tokens_df: DataFrame, words: DataFrame) -> DataFrame:
+    """UMass over an explicit (topic_id, rank, word) table — the testable
+    core of :func:`umass_coherence` (same split as c_v)."""
     vocab_words = words.select("word").distinct()
-    id_col = bundle.tokens_df.columns[0]
-    presence = bundle.tokens_df.select(
+    id_col = tokens_df.columns[0]
+    presence = tokens_df.select(
         F.col(id_col).alias("_doc"), F.explode(F.array_distinct("tokens")).alias("word")
     ).join(F.broadcast(vocab_words), "word")
     docfreq = presence.groupBy("word").agg(F.countDistinct("_doc").alias("d"))
-    a, b = presence.alias("a"), presence.alias("b")
-    cooc = (
-        a.join(b, F.col("a._doc") == F.col("b._doc"))
-        .filter(F.col("a.word") != F.col("b.word"))
-        .groupBy(F.col("a.word").alias("w_i"), F.col("b.word").alias("w_j"))
-        .agg(F.countDistinct("a._doc").alias("d_ij"))
+    # Doc-level co-occurrence without a self-join: collect each doc's
+    # (tiny, vocab-limited) word set, generate word pairs row-locally,
+    # count docs per pair (each doc contributes a pair at most once, so
+    # count(*) ≡ countDistinct(doc)), and mirror since downstream pairs
+    # are rank-ordered, not alphabetical.
+    from ..operators.dedup import pairs_within_groups
+
+    per_doc = presence.select("_doc", F.struct(F.col("word").alias("w")).alias("d"))
+    half = (
+        pairs_within_groups(per_doc, ["_doc"])
+        .groupBy(F.col("p.a.w").alias("w_i"), F.col("p.b.w").alias("w_j"))
+        .agg(F.count("*").alias("d_ij"))
+    )
+    cooc = half.union(
+        half.select(F.col("w_j").alias("w_i"), F.col("w_i").alias("w_j"), "d_ij")
     )
     pairs = (
         words.alias("wi")

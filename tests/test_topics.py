@@ -253,3 +253,28 @@ def test_cv_coherence_gensim_parity(corpus, bundle):
     }
     for i, t in enumerate(sorted(topics)):
         assert abs(got[t] - expected[i]) < 1e-3, (t, got[t], expected[i])
+
+
+def test_umass_coherence_hand_computed(spark):
+    """UMass pinned to a hand-computed value on explicit doc sets:
+    C = sum over rank-ordered pairs (i<j) of log((D(wi,wj)+1)/D(wj)).
+    Docs: {a,b} x3, {a} x2, {b,c} x1 -> D(a)=5, D(b)=4, D(c)=1,
+    D(a,b)=3, D(a,c)=0, D(b,c)=1. Topic words ranked [a, b, c]:
+    C = log(4/4) + log(1/1) + log(2/1) = log(2)."""
+    import math
+
+    from bbc_news_data_pipeline_spark.operators.topics import (
+        umass_coherence_for_words,
+    )
+
+    docs = [["a", "b"], ["a", "b"], ["a", "b"], ["a"], ["a"], ["b", "c"]]
+    tokens_df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(docs)], "id string, tokens array<string>"
+    )
+    words_df = spark.createDataFrame(
+        [(0, 1, "a", 1.0), (0, 2, "b", 0.9), (0, 3, "c", 0.8)],
+        "topic_id int, rank int, word string, weight double",
+    )
+    rows = umass_coherence_for_words(tokens_df, words_df).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].umass_coherence - round(math.log(2.0), 6)) < 1e-9
