@@ -198,3 +198,43 @@ def test_ewma_matches_pandas_ewm(spark, rows, alpha):
         expect = g["v"].ewm(alpha=alpha, adjust=False).mean()
         for t, e in zip(g["t"], expect):
             assert abs(got[(k, t)] - e) < 1e-9 * max(1.0, abs(e))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.integers(min_value=0, max_value=5 * 86400),  # offset seconds
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_bounded_sessionize_matches_python_twin(spark, events):
+    """The two-level (user, day) sessionization must equal a direct
+    Python gap-count over any event stream Hypothesis produces — ties,
+    duplicate timestamps, midnight-adjacent gaps, multi-day holes."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.timeseries import bounded_sessionize
+
+    anchor = 1_700_000_000
+    rows = [(i, anchor + off, u) for i, (u, off) in enumerate(events)]
+
+    expected = {}
+    by_user = {}
+    for eid, sec, u in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(u, []).append(sec)
+    for u, secs in by_user.items():
+        breaks = sum(1 for a, b in zip(secs, secs[1:]) if b - a > 1800)
+        expected[u] = (breaks + 1, len(secs))
+
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"), "user_id")
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in bounded_sessionize(df, gap_s=1800).collect()
+    }
+    assert got == expected
