@@ -267,11 +267,15 @@ def cv_coherence_for_words(
     occ, totals = _window_occurrences(tokens_df, vocab, window)
 
     n_w = occ.groupBy("word").agg(F.count("*").cast("double").alias("n"))
-    a, b = occ.alias("a"), occ.alias("b")
+    # Window-level co-occurrence via the shared row-local pair generator
+    # (each window's relevant-word set is tiny), not a self-join on
+    # (doc, window) — one shuffle, occurrence branch computed once.
+    from ..operators.dedup import pairs_within_groups
+
+    per_win = occ.select("_doc", "_s", F.struct(F.col("word").alias("w")).alias("d"))
     n_pair = (
-        a.join(b, (F.col("a._doc") == F.col("b._doc")) & (F.col("a._s") == F.col("b._s")))
-        .filter(F.col("a.word") < F.col("b.word"))
-        .groupBy(F.col("a.word").alias("w_lo"), F.col("b.word").alias("w_hi"))
+        pairs_within_groups(per_win, ["_doc", "_s"])
+        .groupBy(F.col("p.a.w").alias("w_lo"), F.col("p.b.w").alias("w_hi"))
         .agg(F.count("*").cast("double").alias("n_ij"))
     )
 
