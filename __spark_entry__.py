@@ -23,22 +23,49 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _driver_window_order(queries_list):
-    """Rotate the registry so the driver's 50-entry verification window
-    covers a different slice each round (full-registry verification stays
-    authoritative locally via tools/check_parity.py — this only decides
-    which slice gets the external stamp this round).
+    """Order the registry so the driver's 50-entry verification window
+    stamps the queries that need it most (full-registry verification
+    stays authoritative locally via tools/check_parity.py — this only
+    decides which slice gets the external stamp this round).
 
-    The rotation offset is derived from how many CORRECTNESS_r*.json
-    files the driver has already written, so it advances by one window
-    per round deterministically. The registry itself keeps a canonical
-    order (see plans/registry.py); this presentation-only reorder lives
-    here, at the driver boundary, by design.
+    Priority is "least-recently driver-green first": a query that has
+    never received a fully-green driver stamp (new, or red last round)
+    sorts before one whose stamp is merely stale, and stale stamps sort
+    oldest-first. Ties keep canonical registry order. This guarantees a
+    regression or a new operator is externally re-verified on the next
+    round instead of waiting out a blind rotation. The registry itself
+    keeps a canonical order (see plans/registry.py); this
+    presentation-only reorder lives here, at the driver boundary, by
+    design.
     """
-    n = len(queries_list)
-    rounds_done = len(glob.glob(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "CORRECTNESS_r*.json")))
-    offset = (rounds_done * 50) % n if n else 0
-    return queries_list[offset:] + queries_list[:offset]
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, res in results.items():
+            ok = (
+                isinstance(res, dict)
+                and res.get("err") is None
+                and res.get("rows_match") is not False
+                and res.get("schema_match") is not False
+                and res.get("hash_match") is not False
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    canonical = {q.name: i for i, q in enumerate(queries_list)}
+    return sorted(
+        queries_list,
+        key=lambda q: (last_green.get(q.name, -1), canonical[q.name]),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
