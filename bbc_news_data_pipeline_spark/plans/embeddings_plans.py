@@ -317,6 +317,50 @@ ORDER BY cluster_id, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# q93 — embedding-cosine near-dup DEDUP (completes the dedup family:
+# exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine). q44
+# produces the candidate EDGES; this query finishes the job with greedy
+# first-wins survivor selection: a vector is dropped iff some LOWER-id
+# vector shares its LSH bucket with cosine >= the threshold. Shape at
+# scale: one LSH bucketing pass (row-local), one groupBy-bucket shuffle,
+# then the dropped-id set — tiny by construction (bounded by the number
+# of near-dup pairs) — broadcasts into an anti-join against the corpus.
+# No all-pairs stage anywhere; recall knobs are the plane count (bucket
+# occupancy) and the threshold, same as lsh_bucket_ann.
+# ---------------------------------------------------------------------------
+_NEARDUP_COS = 0.3
+
+
+def q93_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = lsh_bucket_ann(emb, LSH_PLANES, min_cos=_NEARDUP_COS)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        emb.join(F.broadcast(dropped), "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+Q93_SQL = f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= {_NEARDUP_COS}
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY e.vec_id
+"""
+
+
 QUERIES = [
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
@@ -328,4 +372,6 @@ QUERIES = [
           survey="ext:feature-scaling"),
     Query("q83_kmeans_step", q83_kmeans_step, Q83_SQL,
           survey="ext:kmeans-step,ann-ivf-train"),
+    Query("q93_embedding_neardup", q93_embedding_neardup, Q93_SQL,
+          survey="ext:embedding-neardup"),
 ]

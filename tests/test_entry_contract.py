@@ -17,22 +17,41 @@ def test_registry_shape():
     assert missing == set(), f"queries without oracle (driver runs weaker check): {missing}"
 
 
-def test_driver_window_rotation_is_permutation():
-    """The driver-boundary rotation must present every registered query
-    exactly once (a pure rotation of the canonical order), and advance by
-    one 50-slot window per recorded round."""
+def test_driver_window_prioritizes_unverified():
+    """The driver-boundary ordering must present every registered query
+    exactly once, with every query lacking a fully-green driver stamp
+    (new, or red in the latest CORRECTNESS file) sorted ahead of queries
+    that already have one — so the driver's 50-slot window re-verifies
+    regressions and new operators first."""
+    import glob as g
+    import json
+    import os as o
+
     from bbc_news_data_pipeline_spark.plans import all_queries
 
     canonical = [q.name for q in all_queries()]
-    rotated = list(E.queries())
-    assert sorted(rotated) == sorted(canonical)
-    offset = canonical.index(rotated[0])
-    assert rotated == canonical[offset:] + canonical[:offset]
-    import glob as g
-    import os as o
+    ordered = list(E.queries())
+    assert sorted(ordered) == sorted(canonical)
 
-    n_rounds = len(g.glob(o.path.join(o.path.dirname(E.__file__), "CORRECTNESS_r*.json")))
-    assert offset == (n_rounds * 50) % len(canonical)
+    green_ever: set[str] = set()
+    for path in g.glob(o.path.join(o.path.dirname(E.__file__), "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, res in json.load(f).items():
+                if (
+                    isinstance(res, dict)
+                    and res.get("err") is None
+                    and res.get("rows_match") is not False
+                    and res.get("schema_match") is not False
+                    and res.get("hash_match") is not False
+                ):
+                    green_ever.add(name)
+    never_green = [n for n in canonical if n not in green_ever]
+    # every never-green query must sort before every has-been-green one
+    if never_green and len(never_green) < len(ordered):
+        cutoff = max(ordered.index(n) for n in never_green)
+        assert set(ordered[: cutoff + 1]) == set(never_green), (
+            "never-green queries are not a contiguous prefix of the driver order"
+        )
 
 
 def test_every_oracle_parses_in_duckdb(sf_dir):

@@ -52,3 +52,26 @@ def test_lsh_bucket_ann_finds_cluster(spark, vectors):
     # high-cosine pairs can only come from the planted cluster
     assert all(r.id_a < 25 and r.id_b < 25 for r in pairs)
     assert all(r.cos_sim >= 0.95 for r in pairs)
+
+
+def test_embedding_neardup_survivors(spark, vectors):
+    """Greedy first-wins dedup over LSH candidate edges: a vector survives
+    iff no lower-id vector shares its bucket with cosine >= threshold."""
+    rows, df = vectors
+    rng = np.random.default_rng(7)
+    planes = [[float(x) for x in rng.normal(size=8)] for _ in range(6)]
+    pairs = similarity.lsh_bucket_ann(df, planes, min_cos=0.95)
+    dropped = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    survivors = {
+        r.vec_id
+        for r in df.join(
+            F.broadcast(pairs.select(F.col("id_b").alias("vec_id")).distinct()),
+            "vec_id",
+            "left_anti",
+        ).collect()
+    }
+    assert survivors == {i for i, _ in rows} - dropped
+    # scattered vectors (no near neighbors at 0.95) all survive
+    assert {i for i in range(25, 50)} <= survivors
+    # the planted cluster collapses: at least one member dropped
+    assert dropped and dropped <= set(range(25))
