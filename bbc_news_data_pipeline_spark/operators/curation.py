@@ -150,7 +150,15 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     sym = sym.localCheckpoint(eager=False)
-    labels = sym.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    # Fused round 0: the label table needs a shuffle on vertex id anyway
+    # (the old init was .distinct()), so spend that same shuffle doing the
+    # first propagation — lbl = min(v, neighbors). Near-clique dup
+    # components converge here, leaving only the fixpoint check.
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select(F.col("a").alias("v"), F.least("a", "nb").alias("lbl"))
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["v"])

@@ -50,6 +50,14 @@ def main() -> None:
         timings[q.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Ambient load on the shared host — context for round-over-round
+    # comparisons (a loadavg of 2+ from co-tenants inflates every number
+    # ~20-40%; per-query times at sf0.1 are dominated by fixed local-mode
+    # overhead, not data volume).
+    try:
+        loadavg = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg = None
     print(
         json.dumps(
             {
@@ -60,6 +68,7 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": 2,
                 "agg": "min",
+                "loadavg_1m": loadavg,
             }
         )
     )
