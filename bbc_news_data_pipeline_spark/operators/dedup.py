@@ -166,6 +166,31 @@ def pairs_within_groups(df: DataFrame, key_cols: list[str], payload_col: str = "
     )
 
 
+def band_keys(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, bands: int = 4, k: int = 5
+) -> DataFrame:
+    """(id, band_key) LSH band-key table: one row per document per band.
+
+    This IS the dedup index a 100 TB pipeline persists between runs —
+    band_key is the equality-join key for both full-corpus candidate
+    generation (:func:`minhash_candidates`) and incremental
+    new-batch-vs-corpus dedup (join the new batch's keys against the
+    stored table). Signature computation is row-local; no shuffle here.
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    with_sig = with_minhash(df, id_col, text_col, n_hashes, k)
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+            "band_key"
+        )
+        for b in range(bands)
+    ]
+    return with_sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
 def minhash_candidates(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, bands: int = 4, k: int = 5
 ) -> DataFrame:
@@ -177,17 +202,8 @@ def minhash_candidates(
     per join side); band-key frequency is the knob that bounds the pair
     blow-up.
     """
-    assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
-    with_sig = with_minhash(df, id_col, text_col, n_hashes, k)
-    band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
-            "band_key"
-        )
-        for b in range(bands)
-    ]
-    banded = with_sig.select(
-        F.struct(F.col(id_col)).alias("d"), F.explode(F.array(*band_cols)).alias("band_key")
+    banded = band_keys(df, id_col, text_col, n_hashes, bands, k).select(
+        F.struct(F.col(id_col)).alias("d"), "band_key"
     )
     return (
         pairs_within_groups(banded, ["band_key"])

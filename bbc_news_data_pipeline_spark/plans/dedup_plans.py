@@ -215,6 +215,85 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q94 — INCREMENTAL near-dup: dedup a new batch against an existing
+# corpus via the persisted band-key index (the every-ingest operation of
+# a 100 TB pipeline — full-corpus re-banding per batch would be
+# quadratic over time). A new doc is a duplicate iff it shares any LSH
+# band key with an existing doc. Shape at scale: the corpus side is the
+# stored (doc_id, band_key) table from operators/dedup.py:band_keys;
+# the new batch's keys are small (batch docs × bands) and BROADCAST into
+# an equi-join against the index — no shuffle of the corpus, no pair
+# blow-up (we only need "matched at least once", not the pairs).
+# ---------------------------------------------------------------------------
+_Q94_SPLIT = 400  # doc_id < 400 = existing corpus, >= 400 = new batch
+
+
+def q94_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import band_keys
+
+    docs = load(spark, sf_dir, "documents")
+    corpus_keys = band_keys(
+        docs.filter(F.col("doc_id") < _Q94_SPLIT), "doc_id", "text",
+        n_hashes=8, bands=4, k=SHINGLE_K,
+    )
+    batch = docs.filter(F.col("doc_id") >= _Q94_SPLIT)
+    batch_keys = band_keys(batch, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+    matched = (
+        corpus_keys.join(
+            F.broadcast(batch_keys.select(F.col("doc_id").alias("new_id"), "band_key")),
+            "band_key",
+        )
+        .select("new_id")
+        .distinct()
+    )
+    return (
+        batch.join(
+            F.broadcast(matched.withColumnRenamed("new_id", "doc_id")).withColumn(
+                "_hit", F.lit(1)
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", "lang", F.coalesce(F.col("_hit"), F.lit(0)).alias("is_dup")
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q94_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+),
+matched AS (
+    SELECT DISTINCT n.doc_id
+    FROM banded n
+    JOIN banded o ON n.band_key = o.band_key AND o.doc_id < {_Q94_SPLIT}
+    WHERE n.doc_id >= {_Q94_SPLIT}
+)
+SELECT d.doc_id, d.lang,
+       CAST(d.doc_id IN (SELECT doc_id FROM matched) AS INTEGER) AS is_dup
+FROM documents d
+WHERE d.doc_id >= {_Q94_SPLIT}
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -223,4 +302,6 @@ QUERIES = [
           survey="ext:minhash-lsh"),
     Query("q91_winnow_fingerprints", q91_winnow_fingerprints, Q91_SQL,
           survey="ext:rolling-hash-fingerprint"),
+    Query("q94_incremental_neardup", q94_incremental_neardup, Q94_SQL,
+          survey="ext:incremental-dedup"),
 ]

@@ -160,3 +160,54 @@ def test_pairs_within_groups_equals_self_join(spark):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() == want.count() > 1700  # the hot group alone is 1770
+
+
+def test_band_keys_incremental_flags_known_dup(corpus):
+    """Incremental dedup via the persisted band-key index: a new batch
+    doc that duplicates a corpus doc shares band keys; unrelated docs
+    don't."""
+    # corpus = docs 0-2 (BASE + near-dup), batch = copies/new material
+    existing = corpus.filter(F.col("doc_id") <= 2)
+    batch = corpus.sparkSession.createDataFrame(
+        [
+            (10, BASE),  # exact dup of doc 0
+            (11, "fresh unseen sentences about tensors and gradient descent "
+                 "optimizers stepping through loss landscapes very carefully"),
+        ],
+        "doc_id long, text string",
+    )
+    ck = dedup.band_keys(existing, "doc_id", "text", n_hashes=8, bands=4, k=5)
+    bk = dedup.band_keys(batch, "doc_id", "text", n_hashes=8, bands=4, k=5)
+    matched = {
+        r.doc_id
+        for r in ck.join(bk.select("doc_id", "band_key"), "band_key")
+        .select(bk.doc_id)
+        .distinct()
+        .collect()
+    }
+    assert 10 in matched and 11 not in matched
+
+
+def test_band_keys_consistent_with_candidates(corpus):
+    """minhash_candidates must equal the pairs derivable from band_keys
+    (the refactor invariant: one is defined through the other)."""
+    bk = dedup.band_keys(corpus, "doc_id", "text", n_hashes=8, bands=4, k=5)
+    l, r = bk.alias("l"), bk.alias("r")
+    want = {
+        (x.id_a, x.id_b)
+        for x in l.join(
+            r,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    got = {
+        (x.id_a, x.id_b)
+        for x in dedup.minhash_candidates(
+            corpus, "doc_id", "text", n_hashes=8, bands=4, k=5
+        ).collect()
+    }
+    assert got == want and (0, 1) in got
