@@ -1,0 +1,47 @@
+"""Registry-wide physical-plan budget gate (tools/plan_audit.py).
+
+Builds every registered query's physical plan (no execution) and holds
+each to its committed operator budget in tools/plan_budget.json:
+shuffles, sorts, nested-loop joins, row-at-a-time Python UDFs. A query
+that grows an unbudgeted shuffle or degrades a join to a nested loop
+fails HERE — at plan time — not as a 100× surprise at cluster scale.
+
+When a plan change is intentional, regenerate the snapshot:
+    python tools/plan_audit.py /root/testdata/sf0.001 --write
+and commit the diff (the review of that diff IS the design review).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import plan_audit
+from bbc_news_data_pipeline_spark.plans import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_query_within_plan_budget(spark):
+    budget = plan_audit.load_budget()
+    failures = []
+    for q in all_queries():
+        allowed = budget.get(q.name)
+        if allowed is None:
+            failures.append(f"{q.name}: no budget entry — run plan_audit.py --write")
+            continue
+        counts = plan_audit.audit_one(q.spark(spark, SF_DIR))
+        for key, val in counts.items():
+            if val > allowed.get(key, 0):
+                failures.append(
+                    f"{q.name}: {key} {val} > budgeted {allowed.get(key, 0)}"
+                )
+    assert not failures, "plan regressions:\n" + "\n".join(failures)
+
+
+def test_no_row_python_udfs_budgeted():
+    """The hot path must stay JVM-side or Arrow-vectorized: the committed
+    budget itself must not normalize any BatchEvalPython operator."""
+    budget = plan_audit.load_budget()
+    offenders = {k: v for k, v in budget.items() if v.get("row_python_udfs", 0)}
+    assert not offenders, f"row-at-a-time Python UDFs budgeted: {offenders}"
