@@ -325,19 +325,52 @@ def q49_npmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(NPMI_VOCAB)
     )
     tokv = tok.join(F.broadcast(vocab.select("word")), "word")
-    a, b = tokv.alias("a"), tokv.alias("b")
-    pair_counts = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= NPMI_WINDOW)
-            & (F.col("a.word") < F.col("b.word")),
-        )
-        .groupBy(F.col("a.word").alias("w_a"), F.col("b.word").alias("w_b"))
-        .agg(F.count("*").alias("n_ab"))
+    # Window co-occurrence WITHOUT a positional self-join (which would
+    # shuffle the vocab-hit stream twice and recompute the explode branch
+    # per side): collect each doc's vocab hits sorted by position — the
+    # array is bounded by |vocab hits|, not doc length — then generate
+    # within-window pairs row-locally, exactly one emission per unordered
+    # position pair with distinct words (≡ the |Δpos|<=W, w_a<w_b join).
+    # per_doc feeds THREE consumers (pairs, marginals, total); the lazy
+    # localCheckpoint materializes it once instead of re-running the
+    # token explode + vocab top-k per branch (plan audit: 10→6 shuffles).
+    per_doc = (
+        tokv.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "word"))).alias("hs"))
+        .localCheckpoint(eager=False)
     )
-    marg = tokv.groupBy("word").agg(F.count("*").alias("n_w"))
-    total = tokv.agg(F.count("*").alias("n_total"))
+    pair_stream = per_doc.select(
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    "hs",
+                    lambda x, i: F.transform(
+                        F.filter(
+                            F.slice(F.col("hs"), i + F.lit(2), F.size("hs")),
+                            lambda y: (y["pos"] - x["pos"] <= NPMI_WINDOW)
+                            & (y["word"] != x["word"]),
+                        ),
+                        lambda y: F.struct(
+                            F.least(x["word"], y["word"]).alias("w_a"),
+                            F.greatest(x["word"], y["word"]).alias("w_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull())
+    pair_counts = pair_stream.groupBy(
+        F.col("p.w_a").alias("w_a"), F.col("p.w_b").alias("w_b")
+    ).agg(F.count("*").alias("n_ab"))
+    # Marginals and the corpus total come from the SAME per_doc arrays
+    # (explode(hs) ≡ the vocab-hit stream), so the checkpoint is the only
+    # upstream work any consumer repeats.
+    marg = (
+        per_doc.select(F.explode("hs").alias("h"))
+        .groupBy(F.col("h.word").alias("word"))
+        .agg(F.count("*").alias("n_w"))
+    )
+    total = per_doc.agg(F.sum(F.size("hs")).alias("n_total"))
     ma = marg.select(F.col("word").alias("w_a"), F.col("n_w").alias("n_a"))
     mb = marg.select(F.col("word").alias("w_b"), F.col("n_w").alias("n_b"))
     pmi = F.log(
