@@ -202,36 +202,50 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 def q70_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
-    )
-    # stage 2/3 need the previous stage's anchor → one more pass each,
-    # joined back on user_id (broadcast: per-user rows are tiny).
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(per_user.filter(F.col("s_ts").isNotNull())), "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(clicks), "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    def stage_count(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(F.count("*").alias("n_users")).select(
-            F.lit(label).alias("stage"), "n_users"
+    # ONE pass over events: only funnel-relevant types survive the scan
+    # filter (pushed to parquet), one groupBy(user) collects each user's
+    # (ts, type) pairs, and the staged anchors — first signup, first
+    # click AFTER it, first purchase after THAT — are row-local array
+    # expressions (a null anchor nulls every later stage via the > null
+    # comparison). The staged-join formulation re-scanned events per
+    # stage and per count consumer: 9 shuffles vs 2 here. Per-user array
+    # size is bounded by that user's funnel-type events; a pathological
+    # hot user bounds at its event count, same as any per-user window.
+    def first_after(typ: str, prev: F.Column) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.filter(
+                    "es", lambda e: (e["event_type"] == typ) & (e["ts"] > prev)
+                ),
+                lambda e: e["ts"],
+            )
         )
 
-    return (
-        stage_count(per_user.filter(F.col("s_ts").isNotNull()), "1_signup")
-        .unionByName(stage_count(clicks, "2_click_after_signup"))
-        .unionByName(stage_count(purchases, "3_purchase_after_click"))
-        .orderBy("stage")
+    anchors = (
+        ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "event_type")).alias("es"))
+        .withColumn(
+            "s_ts",
+            F.array_min(
+                F.transform(
+                    F.filter("es", lambda e: e["event_type"] == "signup"),
+                    lambda e: e["ts"],
+                )
+            ),
+        )
+        .withColumn("c_ts", first_after("click", F.col("s_ts")))
+        .withColumn("p_ts", first_after("purchase", F.col("c_ts")))
     )
+    counts = anchors.agg(
+        F.count("s_ts").alias("n1"), F.count("c_ts").alias("n2"), F.count("p_ts").alias("n3")
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_signup', n1, '2_click_after_signup', n2,"
+            " '3_purchase_after_click', n3) AS (stage, n_users)"
+        )
+    ).orderBy("stage")
 
 
 Q70_SQL = """
