@@ -143,15 +143,21 @@ ORDER BY df DESC, word
 def q34_tfidf_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    # idf is constant per word, so sum_docs(tf·idf) = idf·sum_docs(tf):
+    # the second groupBy folds BOTH the document frequency (count of
+    # (doc,word) rows) and the total term count out of the tf table in
+    # one pass — tf is consumed once (no branch recompute), no tf⋈df
+    # join, and the score is an exact int64 sum times one double
+    # (deterministic, no FP-summation-order sensitivity).
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    agg = tf.groupBy("word").agg(
+        F.sum("tf").alias("total_tf"), F.count("*").alias("df")
+    )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
     return (
-        tf.join(F.broadcast(dfreq), "word")
-        .crossJoin(F.broadcast(n_docs))
-        .groupBy("word")
-        .agg(F.round(F.sum(F.col("tf") * idf), 4).alias("score"))
+        agg.crossJoin(F.broadcast(n_docs))
+        .select("word", F.round(F.col("total_tf") * idf, 4).alias("score"))
         .orderBy(F.desc("score"), "word")
         .limit(15)
     )
@@ -160,12 +166,11 @@ def q34_tfidf_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q34_SQL = """
 WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
-dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+agg AS (SELECT word, sum(tf) AS total_tf, count(*) AS df FROM tf GROUP BY word),
 n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT word,
-       round(sum(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)), 4) AS score
-FROM tf JOIN dfreq USING (word) CROSS JOIN n
-GROUP BY word
+       round(total_tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 4) AS score
+FROM agg CROSS JOIN n
 ORDER BY score DESC, word
 LIMIT 15
 """
