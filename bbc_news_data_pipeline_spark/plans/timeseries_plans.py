@@ -142,13 +142,24 @@ def q69_similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "d")
         .agg(F.count("*").alias("c"))
     )
-    days = spark.range(1, _Q69_DAYS + 1).select(F.col("id").cast("int").alias("d"))
-    grid = cnts.select("user_id").distinct().crossJoin(F.broadcast(days))
-    filled = grid.join(cnts, ["user_id", "d"], "left").na.fill({"c": 0})
-    series = filled.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "c"))), lambda x: x["c"]
-        ).alias("s")
+    # Dense per-user series WITHOUT the day-grid join (which consumed the
+    # cnts branch twice — distinct users + left join — recomputing it):
+    # one groupBy(user) collects the sparse (day, count) map and the
+    # fixed-length series materializes row-locally via sequence + lookup
+    # (try_element_at: null-safe under ANSI; missing days → 0).
+    # (lazy localCheckpoint: series feeds both the probe row and the
+    # corpus side of the distance scan — materialize once.)
+    series = (
+        cnts.groupBy("user_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("d", "c"))).alias("m"))
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_Q69_DAYS)),
+                lambda d: F.coalesce(F.try_element_at("m", d), F.lit(0).cast("long")),
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)
     )
     q = series.filter(F.col("user_id") == _Q69_QUERY_USER).select(
         F.col("s").alias("qs")
@@ -285,13 +296,18 @@ def q71_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date_trunc (timestamp-typed) rather than to_date: DATE columns land
     # in pandas as python objects and hash-mismatch DuckDB's datetime64 —
     # same convention as q12/q17.
-    first = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("DAY", F.col("ts"))).alias("cohort_day")
+    # ONE pass per user: collect_set(day) subsumes both the DISTINCT
+    # (user, day) dedup and the min-day cohort in a single groupBy — no
+    # second events scan, no user_id join (was 4 shuffles, now 2). The
+    # per-user array is bounded by distinct ACTIVE DAYS, not events.
+    per_user = (
+        ev.select("user_id", F.date_trunc("DAY", F.col("ts")).alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
     )
     return (
-        ev.select("user_id", F.date_trunc("DAY", F.col("ts")).alias("day"))
-        .distinct()
-        .join(first, "user_id")
+        per_user.withColumn("cohort_day", F.array_min("days"))
+        .select("cohort_day", F.explode("days").alias("day"))
         .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")

@@ -34,6 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BUDGET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_budget.json")
 
 # Operator names as they appear in explain("formatted") node headers.
+# NOTE: a lazy localCheckpoint truncates the visible plan — upstream
+# exchanges run once inside the checkpoint's own materialization job and
+# do NOT appear here. checkpoint_scans makes that visible instead of
+# letting a checkpoint silently zero a query's shuffle count.
 _COUNTED = {
     "exchanges": re.compile(r"^\(\d+\) Exchange", re.M),
     "sorts": re.compile(r"^\(\d+\) Sort", re.M),
@@ -41,6 +45,7 @@ _COUNTED = {
         r"^\(\d+\) (BroadcastNestedLoopJoin|CartesianProduct)", re.M
     ),
     "row_python_udfs": re.compile(r"^\(\d+\) BatchEvalPython", re.M),
+    "checkpoint_scans": re.compile(r"^\(\d+\) Scan ExistingRDD", re.M),
 }
 
 
