@@ -474,6 +474,86 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q95 — character-n-gram language ID (the n-gram-profile heuristic that
+# complements q36's stopword-ratio classifier). Per-language trigram
+# profiles are authored constants living IN the plan (broadcast-free
+# literals, like the LSH planes); a doc's score per language is the
+# total occurrence count of that language's trigrams, computed with the
+# substring-erasure identity count = (len(s) - len(replace(s, t))) / 3 —
+# pure string algebra both engines evaluate identically, no UDF.
+# Prediction = argmax with ties to the lexicographically smallest
+# language via min over (-score, lang) structs. Row-local end-to-end:
+# the only plan nodes are scan → project → sort. At real scale the
+# profiles grow to a few hundred hashed n-grams per language; the shape
+# (constant profiles × one pass over text) is unchanged.
+# ---------------------------------------------------------------------------
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", " th", "he ", "ing", "and", " an", "ion", " of", "of ", "ed "],
+    "es": [" de", "de ", "os ", " la", "la ", "ción", "ar ", " el", "es ", "ado"],
+    "de": ["der", " de", "ein", "ich", "sch", "und", " un", "en ", "cht", "ung"],
+    "fr": [" le", "le ", " de", "es ", "ent", "que", " qu", "ion", "eur", "ais"],
+}
+
+
+def _tri_count(text: F.Column, tri: str) -> F.Column:
+    esc = tri.replace("'", "''")
+    return (F.length(text) - F.length(F.expr(f"replace(_lc, '{esc}', '')"))) / F.lit(
+        len(tri)
+    )
+
+
+def q95_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("_lc", F.lower("text"))
+    scores = {
+        lang: sum(
+            (_tri_count(F.col("_lc"), t) for t in tris), F.lit(0.0)
+        ).cast("bigint")
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+    best = F.least(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_TRIGRAMS)
+        ]
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            best["lang"].alias("pred_lang"),
+            (-best["neg"]).alias("pred_hits"),
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+def _tri_count_sql(tri: str) -> str:
+    esc = tri.replace("'", "''")
+    return f"(len(lc) - len(replace(lc, '{esc}', ''))) / {len(tri)}"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return "CAST(" + " + ".join(_tri_count_sql(t) for t in LANG_TRIGRAMS[lang]) + " AS BIGINT)"
+
+
+Q95_SQL = f"""
+WITH lc AS (SELECT doc_id, lang, lower(text) AS lc FROM documents WHERE doc_id < 200),
+scored AS (
+    SELECT doc_id, lang,
+           (list_sort([{", ".join(
+               "{'neg': -" + _lang_score_sql(lang) + ", 'lang': '" + lang + "'}"
+               for lang in sorted(LANG_TRIGRAMS)
+           )}]))[1] AS best
+    FROM lc
+)
+SELECT doc_id, lang AS labeled_lang, best.lang AS pred_lang, -best.neg AS pred_hits
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
@@ -488,4 +568,6 @@ QUERIES = [
           tags=("bench",)),
     Query("q49_npmi_cooccurrence", q49_npmi_cooccurrence, Q49_SQL, survey="M3,ext:npmi-coherence"),
     Query("q92_bpe_token_stats", q92_bpe_token_stats, Q92_SQL, survey="ext:bpe-token-count"),
+    Query("q95_charngram_langid", q95_charngram_langid, Q95_SQL,
+          survey="ext:lang-id-ngram"),
 ]
