@@ -37,13 +37,15 @@ def main() -> None:
     # JVM/codegen warmup on a trivial action so q1 isn't charged for startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Two timed runs per query, report the min: run 1 pays one-time JVM
-    # codegen/JIT compilation for that plan shape, run 2 is the steady
-    # state a long-lived cluster session actually delivers.
+    # Three timed runs per query, report the min: run 1 pays one-time JVM
+    # codegen/JIT compilation for that plan shape; the min of the rest is
+    # the steady state a long-lived cluster session delivers, and a third
+    # sample halves the odds a co-tenant CPU burst (see loadavg_1m)
+    # pollutes every sample of a query.
     timings: dict[str, float] = {}
     for q in bench_queries:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -66,7 +68,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "agg": "min",
                 "loadavg_1m": loadavg,
             }
