@@ -96,10 +96,16 @@ def with_shingles(
 
 
 def minhash_lanes(shingles_col: str, n_hashes: int = 4, lane_hex: int = 8) -> list[Column]:
-    """n min-hash signature columns via md5 lane-splitting: ONE md5 per
-    shingle per group of 4 lanes, each lane an 8-hex-char (32-bit) slice.
-    Row-local (array_min over transform) — zero shuffles; lexicographic
-    min over fixed-width hex ≡ numeric min over uniform 32-bit values.
+    """n min-hash signature columns via md5 lane-splitting: each lane an
+    8-hex-char (32-bit) slice of a group md5. Row-local (array_min over
+    transform) — zero shuffles; lexicographic min over fixed-width hex ≡
+    numeric min over uniform 32-bit values.
+
+    NOTE: each lane expression here recomputes its group's md5 per
+    shingle (interpreted HOFs get no CSE across expressions — 4× the
+    hashing for 4 lanes/group). :func:`with_minhash` stages the md5
+    arrays through a select so each group hashes ONCE; prefer it. Kept
+    as the definitional form for single-lane callers and tests.
     """
     def lane_fn(group: int, sub: int):
         prefix = F.lit(f"{group}:")
@@ -123,9 +129,42 @@ def minhash_lanes(shingles_col: str, n_hashes: int = 4, lane_hex: int = 8) -> li
 def with_minhash(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 4, k: int = 5
 ) -> DataFrame:
-    """(id, sig_0..sig_{n-1}) minhash signature table."""
+    """(id, sig_0..sig_{n-1}) minhash signature table.
+
+    The md5 array for each 4-lane group is STAGED through its own select
+    (same CollapseProject-safe pattern as :func:`with_shingles`: a
+    multiply-referenced expensive expression is not inlined), so each
+    group's md5 runs once per shingle and the 4 lanes are cheap substring
+    slices over the materialized array — 4× less hashing than evaluating
+    the definitional per-lane expressions. Values are bit-identical to
+    :func:`minhash_lanes`.
+    """
     sh = with_shingles(df, id_col, text_col, k)
-    return sh.select(F.col(id_col), *minhash_lanes("shingles", n_hashes))
+    n_groups = (n_hashes + 3) // 4
+
+    # Closure factories, NOT default-arg lambdas: a two-parameter lambda
+    # (even `lambda x, g=0:`) is treated by F.transform as the
+    # (element, index) form and the "constant" gets bound to the index.
+    def md5_fn(prefix: str):
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    def slice_fn(sub: int, lane_hex: int = 8):
+        return lambda x: F.substring(x, 1 + sub * lane_hex, lane_hex)
+
+    staged = sh.select(
+        F.col(id_col),
+        *[
+            F.transform("shingles", md5_fn(f"{g}:")).alias(f"_md5_{g}")
+            for g in range(n_groups)
+        ],
+    )
+    lanes = [
+        F.array_min(F.transform(f"_md5_{lane // 4}", slice_fn(lane % 4))).alias(
+            f"sig_{lane}"
+        )
+        for lane in range(n_hashes)
+    ]
+    return staged.select(F.col(id_col), *lanes)
 
 
 def pairs_within_groups(df: DataFrame, key_cols: list[str], payload_col: str = "d") -> DataFrame:
