@@ -153,8 +153,15 @@ def lsh_bucket_ann(
     (a degenerate bucket of near-identical vectors adds no recall worth
     its d² cost); None = keep all, the oracle-exact setting.
     """
+    # The per-vector norm rides along in the bucket payload: computed
+    # ONCE per vector at bucketing time instead of twice per candidate
+    # pair (pair count >> vector count is exactly when LSH matters).
+    # Identical doubles -> identical cosines; id stays the leading
+    # struct field so array_sort still orders pairs by id.
     bucketed = emb.select(
-        F.struct(F.col(id_col), F.col(vec_col)).alias("d"),
+        F.struct(
+            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
+        ).alias("d"),
         hyperplane_sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     grouped = (
@@ -181,7 +188,11 @@ def lsh_bucket_ann(
                         lambda y: F.struct(
                             x[id_col].alias("id_a"),
                             y[id_col].alias("id_b"),
-                            F.round(cosine(x[vec_col], y[vec_col]), 4).alias("cos_sim"),
+                            F.round(
+                                dot(x[vec_col], y[vec_col])
+                                / (x["_nrm"] * y["_nrm"]),
+                                4,
+                            ).alias("cos_sim"),
                         ),
                     ),
                 )
