@@ -100,13 +100,27 @@ def ivf_topk(
     from pyspark.sql import Window as W
 
     cent = centroids.select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cell_vec")
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("cell_vec"),
+        norm(F.col(vec_col)).alias("cell_nrm"),
     )
-    # stage 1: inverted file — nearest centroid per corpus vector
+    # stage 1: inverted file — nearest centroid per corpus vector. The
+    # corpus vector's norm is staged ONCE per row (not once per centroid
+    # — the assignment scores |cells| pairs per vector), and centroid
+    # norms precompute into the tiny broadcast. Same division grouping
+    # as cosine() -> identical doubles.
     w_vec = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cell_id"))
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("c_cos", F.round(cosine(F.col(vec_col), F.col("cell_vec")), 6))
+        emb.withColumn("_nrm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "c_cos",
+            F.round(
+                dot(F.col(vec_col), F.col("cell_vec"))
+                / (F.col("_nrm") * F.col("cell_nrm")),
+                6,
+            ),
+        )
         .withColumn("rn", F.row_number().over(w_vec))
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, "cell_id")

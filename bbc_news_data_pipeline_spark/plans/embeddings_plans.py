@@ -57,15 +57,29 @@ LIMIT 10
 # broadcast; ranking via row_number with rounded-score + probe-id tiebreak.
 # ---------------------------------------------------------------------------
 def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, norm
+
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
         F.col("label").alias("probe_label"),
+        norm(F.col("embedding")).alias("probe_nrm"),
     )
-    targets = emb.filter(F.col("vec_id") >= 8)
+    # Target norm staged once per vector, probe norms once in the tiny
+    # broadcast — the scoring row multiplies |probes| per vector, so
+    # inline norms would fold 2×|probes| times per row. Same division
+    # grouping as cosine() -> identical doubles.
+    targets = emb.filter(F.col("vec_id") >= 8).withColumn(
+        "_nrm", norm(F.col("embedding"))
+    )
     scored = targets.crossJoin(F.broadcast(probes)).withColumn(
-        "cos6", F.round(cosine(F.col("embedding"), F.col("probe_vec")), 6)
+        "cos6",
+        F.round(
+            dot(F.col("embedding"), F.col("probe_vec"))
+            / (F.col("_nrm") * F.col("probe_nrm")),
+            6,
+        ),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos6"), F.asc("probe_id"))
     return (
