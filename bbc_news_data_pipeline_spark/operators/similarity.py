@@ -52,9 +52,20 @@ def cosine_topk(
     The query side is broadcast; each partition scores its rows and the
     rounded score + id tiebreak gives a total order for the limit.
     """
+    # Query norm precomputes into the 1-row broadcast; an inline cosine
+    # would re-fold it once per corpus row. Same division grouping as
+    # cosine() -> identical doubles.
+    q2 = query_vec.select("qv", norm(F.col("qv")).alias("_qn"))
     scored = (
-        emb.crossJoin(F.broadcast(query_vec))
-        .withColumn("cos_sim", F.round(cosine(F.col(vec_col), F.col("qv")), 4))
+        emb.crossJoin(F.broadcast(q2))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col(vec_col), F.col("qv"))
+                / (norm(F.col(vec_col)) * F.col("_qn")),
+                4,
+            ),
+        )
         .select(id_col, "cos_sim")
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
@@ -133,11 +144,20 @@ def ivf_topk(
         .limit(nprobe)
         .select("cell_id")
     )
-    # stage 2: score only vectors living in probed cells
+    # stage 2: score only vectors living in probed cells (query norm
+    # staged in the 1-row broadcast, one fold instead of one per row)
+    q2 = query_vec.select("qv", norm(F.col("qv")).alias("_qn"))
     candidates = assigned.join(F.broadcast(probed), "cell_id")
     scored = (
-        candidates.crossJoin(F.broadcast(query_vec))
-        .withColumn("cos_sim", F.round(cosine(F.col(vec_col), F.col("qv")), 4))
+        candidates.crossJoin(F.broadcast(q2))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col(vec_col), F.col("qv"))
+                / (norm(F.col(vec_col)) * F.col("_qn")),
+                4,
+            ),
+        )
         .select(id_col, "cell_id", "cos_sim")
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
