@@ -167,7 +167,12 @@ def with_minhash(
     return staged.select(F.col(id_col), *lanes)
 
 
-def pairs_within_groups(df: DataFrame, key_cols: list[str], payload_col: str = "d") -> DataFrame:
+def pairs_within_groups(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_col: str = "d",
+    max_group: int | None = 64,
+) -> DataFrame:
     """Ordered (p.a, p.b) struct-payload pairs co-occurring under any
     group key — the shared candidate-pair shape of every bucketed dedup
     operator here (MinHash bands, SimHash bands, LSH cells, inverted
@@ -177,17 +182,66 @@ def pairs_within_groups(df: DataFrame, key_cols: list[str], payload_col: str = "
     ONE shuffle, and the (often expensive) upstream branch is computed
     once — a self-join would recompute it per side and shuffle twice.
     Payload structs must lead with the id so array_sort yields a < b
-    pairs. Group size is the blow-up knob: callers bound it upstream
-    (more bands/planes) — a group of g rows emits g·(g−1)/2 pairs.
-    Callers project and ``.distinct()`` (the same pair can co-occur
-    under several keys).
+    pairs. Callers project and ``.distinct()`` (the same pair can
+    co-occur under several keys).
+
+    ``max_group`` is the blow-up guard for degenerate keys (empty or
+    boilerplate documents sharing one signature): a group of g rows
+    would emit g·(g−1)/2 pairs and buffer a g-element array in one agg
+    buffer — at corpus scale one hot key means executor OOM plus a
+    quadratic pair explosion. Groups larger than ``max_group`` are
+    diverted to a STREAMING STAR expansion instead: every member is
+    paired with the group's minimum payload (g−1 pairs, computed with
+    window functions — count/min over the group key — so no array is
+    ever collected for the hot key and memory stays O(row)). Star
+    pairs preserve exact connectivity for duplicate clustering
+    (connected components are unchanged: a degenerate-key group is one
+    component either way), at the cost of not enumerating every
+    intra-bucket pair — the right trade, since members of a degenerate
+    bucket are near-identical by construction. Groups at or under the
+    cap are byte-identical to the exact all-pairs output, and the
+    small-group collect_set is now bounded at ``max_group`` elements.
+    ``max_group=None`` selects the exact unbounded path (co-occurrence
+    counting callers — topic coherence — need every pair and bound
+    group size upstream by a broadcast vocab join).
     """
-    grouped = (
-        df.groupBy(*key_cols)
-        .agg(F.array_sort(F.collect_set(payload_col)).alias("_ds"))
+    if max_group is None:
+        grouped = (
+            df.groupBy(*key_cols)
+            .agg(F.array_sort(F.collect_set(payload_col)).alias("_ds"))
+            .filter(F.size("_ds") >= 2)
+        )
+        return _all_pairs(grouped)
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols)
+    # One shuffle: both window functions share the WindowExec, and the
+    # two branch groupBys below consume the SAME exchange (hash
+    # partitioning on key_cols is already satisfied → ReusedExchange,
+    # no second shuffle). WindowExec spills oversized partitions to
+    # disk, unlike a collect_set agg buffer which cannot.
+    sized = (
+        df.select(*key_cols, F.col(payload_col).alias("_d"))
+        .withColumn("_cnt", F.count("*").over(w))
+        .withColumn("_minp", F.min("_d").over(w))
+        .filter(F.col("_cnt") >= 2)
+    )
+    small = (
+        sized.filter(F.col("_cnt") <= max_group)
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set("_d")).alias("_ds"))
         .filter(F.size("_ds") >= 2)
     )
-    # explode_outer: the pair array is non-empty (size(_ds) >= 2 above),
+    star = sized.filter(
+        (F.col("_cnt") > max_group) & (F.col("_d") != F.col("_minp"))
+    ).select(F.struct(F.col("_minp").alias("a"), F.col("_d").alias("b")).alias("p"))
+    return _all_pairs(small).unionByName(star)
+
+
+def _all_pairs(grouped: DataFrame) -> DataFrame:
+    """Row-local all-pairs expansion of a grouped ``_ds`` payload array."""
+    # explode_outer: the pair array is non-empty (size(_ds) >= 2 upstream),
     # and plain explode's inferred size>0 filter would re-evaluate the
     # nested pair-generation transform once per group (see SCALE.md).
     return grouped.select(
@@ -231,21 +285,29 @@ def band_keys(
 
 
 def minhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, bands: int = 4, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    max_group: int | None = 64,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair. Returns (id_a, id_b) with id_a < id_b.
 
     Scale: the only wide op is ONE groupBy on band keys
     (:func:`pairs_within_groups` — signatures are computed once, never
-    per join side); band-key frequency is the knob that bounds the pair
-    blow-up.
+    per join side); band-key frequency bounds the pair blow-up, and
+    ``max_group`` (see :func:`pairs_within_groups`) star-expands
+    degenerate hot buckets so adversarial corpora (millions of
+    identical docs sharing every band) stay linear.
     """
     banded = band_keys(df, id_col, text_col, n_hashes, bands, k).select(
         F.struct(F.col(id_col)).alias("d"), "band_key"
     )
     return (
-        pairs_within_groups(banded, ["band_key"])
+        pairs_within_groups(banded, ["band_key"], max_group=max_group)
         .select(F.col(f"p.a.{id_col}").alias("id_a"), F.col(f"p.b.{id_col}").alias("id_b"))
         .distinct()
     )
@@ -298,12 +360,14 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, bands: int = 4
+    df: DataFrame, id_col: str, text_col: str, bands: int = 4, max_group: int | None = 64
 ) -> DataFrame:
     """Near-dup candidates by SimHash band collision: split the 60-bit
     fingerprint into `bands` contiguous bit-bands; pairs agreeing on any
     band are candidates (guaranteed to include all pairs with Hamming
     distance < bands). Verify candidates with bit_count(xor) ≤ threshold.
+    ``max_group`` star-expands degenerate hot bands — see
+    :func:`pairs_within_groups`.
     """
     width = SIMHASH_BITS // bands
     sh = with_simhash(df, id_col, text_col)
@@ -316,7 +380,7 @@ def simhash_candidates(
         F.posexplode(F.array(*[e for e in band_exprs])).alias("band_idx", "band_val"),
     )
     return (
-        pairs_within_groups(banded, ["band_idx", "band_val"])
+        pairs_within_groups(banded, ["band_idx", "band_val"], max_group=max_group)
         .select(
             F.col(f"p.a.{id_col}").alias("id_a"),
             F.col(f"p.b.{id_col}").alias("id_b"),
@@ -404,6 +468,16 @@ def ngram_jaccard_pairs(
         # the inferred-filter pushdown note on winnow_fingerprints.
         F.explode_outer("_hs").alias("h"),
     )
+    if max_df is not None:
+        # Pre-collect cap: drop hot shingles via a window count BEFORE
+        # collect_list so a boilerplate shingle's posting array is never
+        # materialized (identical output to a post-collect size filter;
+        # the groupBy reuses the window's hash exchange on h).
+        from pyspark.sql import Window as W
+
+        posting = posting.withColumn(
+            "_df", F.count("*").over(W.partitionBy("h"))
+        ).filter(F.col("_df") <= max_df).drop("_df")
     # array_distinct upstream guarantees one posting per (doc, shingle), so
     # each list holds unique ids; array_sort orders by id (first struct
     # field) making every in-list pair strictly id_a < id_b.
@@ -412,8 +486,6 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list("d")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    if max_df is not None:
-        grouped = grouped.filter(F.size("ds") <= max_df)
     pairs = grouped.select(
         F.explode(
             F.flatten(

@@ -198,13 +198,21 @@ def lsh_bucket_ann(
         ).alias("d"),
         hyperplane_sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        # Pre-collect cap: filter hot buckets via a window count BEFORE
+        # the collect_list, so the oversized bucket's array is never
+        # materialized in an agg buffer (same output as a post-collect
+        # size filter; the groupBy reuses the window's exchange).
+        from pyspark.sql import Window as W
+
+        bucketed = bucketed.withColumn(
+            "_bc", F.count("*").over(W.partitionBy("bucket"))
+        ).filter(F.col("_bc") <= max_bucket).drop("_bc")
     grouped = (
         bucketed.groupBy("bucket")
         .agg(F.array_sort(F.collect_list("d")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ds") <= max_bucket)
     # Cosine is computed INSIDE the pair transform so each pair scores
     # exactly once: a post-projection .filter(cos_sim >= t) would be
     # pushed below the Project, substituting the whole fold expression

@@ -161,7 +161,9 @@ def umass_coherence_for_words(tokens_df: DataFrame, words: DataFrame) -> DataFra
 
     per_doc = presence.select("_doc", F.struct(F.col("word").alias("w")).alias("d"))
     half = (
-        pairs_within_groups(per_doc, ["_doc"])
+        # max_group=None: co-occurrence counting needs EVERY pair, and
+        # group size is already bounded by the broadcast vocab join.
+        pairs_within_groups(per_doc, ["_doc"], max_group=None)
         .groupBy(F.col("p.a.w").alias("w_i"), F.col("p.b.w").alias("w_j"))
         .agg(F.count("*").alias("d_ij"))
     )
@@ -274,7 +276,9 @@ def cv_coherence_for_words(
 
     per_win = occ.select("_doc", "_s", F.struct(F.col("word").alias("w")).alias("d"))
     n_pair = (
-        pairs_within_groups(per_win, ["_doc", "_s"])
+        # max_group=None: NPMI needs every co-occurring pair; windows are
+        # at most `window` tokens so groups are tiny by construction.
+        pairs_within_groups(per_win, ["_doc", "_s"], max_group=None)
         .groupBy(F.col("p.a.w").alias("w_lo"), F.col("p.b.w").alias("w_hi"))
         .agg(F.count("*").cast("double").alias("n_ij"))
     )

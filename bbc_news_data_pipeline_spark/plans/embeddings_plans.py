@@ -334,14 +334,19 @@ ORDER BY cluster_id, dim
 # ---------------------------------------------------------------------------
 # q93 — embedding-cosine near-dup DEDUP (completes the dedup family:
 # exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine). q44
-# produces the candidate EDGES; this query finishes the job with greedy
-# first-wins survivor selection: a vector is dropped iff some LOWER-id
-# vector shares its LSH bucket with cosine >= the threshold. Shape at
-# scale: one LSH bucketing pass (row-local), one groupBy-bucket shuffle,
-# then the dropped-id set — tiny by construction (bounded by the number
-# of near-dup pairs) — broadcasts into an anti-join against the corpus.
-# No all-pairs stage anywhere; recall knobs are the plane count (bucket
-# occupancy) and the threshold, same as lsh_bucket_ann.
+# produces the candidate EDGES; this query finishes the job with
+# first-wins survivor selection: a vector is dropped iff ANY lower-id
+# vector shares its LSH bucket with cosine >= the threshold (note: the
+# suppressing lower-id vector may itself be dropped — this is the
+# simple iff-lower-id-match rule, deliberately NOT the sequential
+# greedy scan, whose chain dependency would serialize the corpus).
+# Shape at scale: one LSH bucketing pass (row-local), one
+# groupBy-bucket shuffle, then a plain shuffled left_anti against the
+# dropped-id set. The anti-join is intentionally NOT hint-broadcast:
+# in a dirty corpus the dropped set is a constant fraction of all ids
+# (O(corpus)), and a forced broadcast would OOM the driver at 100 TB.
+# AQE still picks a broadcast join at runtime when the set is actually
+# small, so the local-scale plan loses nothing.
 # ---------------------------------------------------------------------------
 _NEARDUP_COS = 0.3
 
@@ -351,7 +356,7 @@ def q93_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_bucket_ann(emb, LSH_PLANES, min_cos=_NEARDUP_COS)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (
-        emb.join(F.broadcast(dropped), "vec_id", "left_anti")
+        emb.join(dropped, "vec_id", "left_anti")
         .select("vec_id", "label")
         .orderBy("vec_id")
     )

@@ -162,6 +162,49 @@ def test_pairs_within_groups_equals_self_join(spark):
     assert got.count() == want.count() > 1700  # the hot group alone is 1770
 
 
+def test_pairs_within_groups_star_overflow(spark):
+    """Groups over max_group divert to the streaming star expansion:
+    (group-min, member) pairs only — g-1 pairs instead of g·(g-1)/2,
+    connectivity preserved (one component either way). Groups at or
+    under the cap stay byte-identical to the exact path."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 1) for i in range(10)]  # small group: exact all-pairs
+    rows += [(100 + i, 2) for i in range(100)]  # hot group: star
+    df = spark.createDataFrame(rows, "id long, k int")
+    posting = df.select(F.struct(F.col("id")).alias("d"), "k")
+    pairs = {
+        (r.a, r.b)
+        for r in dedup.pairs_within_groups(posting, ["k"], max_group=64)
+        .select(F.col("p.a.id").alias("a"), F.col("p.b.id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    small = {(a, b) for a, b in pairs if a < 100}
+    star = {(a, b) for a, b in pairs if a >= 100 or b >= 100}
+    assert len(small) == 45  # 10·9/2 exact pairs
+    assert star == {(100, 100 + i) for i in range(1, 100)}  # g-1 star pairs
+    # connectivity: every hot-group member reachable from the anchor
+    touched = {x for p in star for x in p}
+    assert touched == {100 + i for i in range(100)}
+
+
+def test_minhash_adversarial_identical_corpus(spark):
+    """VERDICT r3 finding #2: a degenerate corpus (thousands of identical
+    docs → every doc shares every band key) must NOT explode into
+    g·(g-1)/2 pairs or buffer a giant collect_set array. With the star
+    cap the candidate set is exactly n-1 anchor pairs."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    pairs = dedup.minhash_candidates(df, "doc_id", "text", n_hashes=8, bands=4, k=5)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 for r in rows)  # anchored at the min id
+    assert {r.id_b for r in rows} == set(range(1, n))
+
+
 def test_band_keys_incremental_flags_known_dup(corpus):
     """Incremental dedup via the persisted band-key index: a new batch
     doc that duplicates a corpus doc shares band keys; unrelated docs

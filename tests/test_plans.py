@@ -63,6 +63,20 @@ def test_q38_minhash_is_exchange_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_q93_no_forced_broadcast_of_dropped_ids(spark, sf_dir):
+    """VERDICT r3 finding #1: the dropped-id set is O(corpus) in a dirty
+    corpus, so the anti-join must NOT carry a broadcast hint (AQE may
+    still choose broadcast at runtime when the set is genuinely small —
+    that's fine; a forced hint is not)."""
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        q93_embedding_neardup,
+    )
+
+    df = q93_embedding_neardup(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
 def test_subqueries_decorrelate_to_joins(spark, sf_dir):
     from bbc_news_data_pipeline_spark.plans import subquery_plans as S
 
