@@ -28,21 +28,22 @@ def _driver_window_order(queries_list):
     stays authoritative locally via tools/check_parity.py — this only
     decides which slice gets the external stamp this round).
 
-    Priority is "least-recently driver-green first": a query that has
-    never received a fully-green driver stamp (new, or red last round)
-    sorts before one whose stamp is merely stale, and stale stamps sort
-    oldest-first. Ties keep canonical registry order. This guarantees a
-    regression or a new operator is externally re-verified on the next
-    round instead of waiting out a blind rotation. The registry itself
-    keeps a canonical order (see plans/registry.py); this
-    presentation-only reorder lives here, at the driver boundary, by
-    design.
+    Priority is "least-recently driver-green first": a query whose most
+    recent driver attempt was NOT fully green (new, red last attempt, or
+    a partially-recorded row) sorts before one whose green stamp is
+    merely stale, and stale stamps sort oldest-first. Ties keep
+    canonical registry order. This guarantees a regression or a new
+    operator is externally re-verified on the next round instead of
+    waiting out a blind rotation. The registry itself keeps a canonical
+    order (see plans/registry.py); this presentation-only reorder lives
+    here, at the driver boundary, by design.
     """
     import json
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
     last_green: dict[str, int] = {}
+    last_attempt: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
@@ -52,20 +53,26 @@ def _driver_window_order(queries_list):
         except (OSError, ValueError):
             continue
         for name, res in results.items():
-            ok = (
-                isinstance(res, dict)
-                and res.get("err") is None
-                and res.get("rows_match") is not False
-                and res.get("schema_match") is not False
-                and res.get("hash_match") is not False
+            last_attempt[name] = max(last_attempt.get(name, 0), rnd)
+            # Fully green requires every match field EXPLICITLY True — a
+            # record missing a field (skipped/partial row) is not green.
+            ok = isinstance(res, dict) and all(
+                res.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
             )
             if ok:
                 last_green[name] = max(last_green.get(name, 0), rnd)
+
+    def priority(name: str) -> int:
+        g = last_green.get(name, -1)
+        # A red/partial attempt NEWER than the last green resets priority:
+        # the query re-verifies as urgently as a never-green one.
+        if last_attempt.get(name, -1) > g:
+            return -1
+        return g
+
     canonical = {q.name: i for i, q in enumerate(queries_list)}
-    return sorted(
-        queries_list,
-        key=lambda q: (last_green.get(q.name, -1), canonical[q.name]),
-    )
+    return sorted(queries_list, key=lambda q: (priority(q.name), canonical[q.name]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

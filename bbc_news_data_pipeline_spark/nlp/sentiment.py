@@ -168,14 +168,36 @@ def with_sentiment(
     return scored.withColumn("sentiment_label", sentiment_label_expr("sentiment_score"))
 
 
-def hf_sentiment_udf():
-    """Transformer sentiment as an iterator Pandas UDF (reference M7).
+def _hf_rows_to_frame(results, label_key: str, score_key: str) -> pd.DataFrame:
+    """Normalize HF text-classification wire output to (label, score).
+
+    Mirrors the reference's result handling (sentiment_analysis.py:96-104)
+    exactly: each per-text result is either a dict (top_k=1 sentiment) or
+    a list of {label, score} dicts (top_k=None emotion — keep the argmax);
+    labels lowercase, scores float. Wire-format changes between
+    transformers versions (top_k=1 returning 1-element lists) are covered
+    by the same isinstance dispatch the reference uses.
+    """
+    labels, scores = [], []
+    for r in results:
+        top = max(r, key=lambda x: x["score"]) if isinstance(r, list) else r
+        labels.append(top["label"].lower())
+        scores.append(float(top["score"]))
+    return pd.DataFrame({label_key: labels, score_key: scores})
+
+
+def hf_sentiment_udf(pipeline_factory=None):
+    """Transformer sentiment as an iterator Pandas UDF (reference M7,
+    sentiment_analysis.py:76-112).
 
     Real plumbing: Arrow batches, model loaded once per executor process
-    (the iterator form), truncation semantics. The transformers package
-    is not present in this container, so the fallback is a DETERMINISTIC
-    STUB (lexicon sign), clearly marked; swap in the real pipeline by
-    installing `transformers` — the Spark side needs no change.
+    (the iterator form), truncation semantics. ``pipeline_factory``
+    injects the classifier callable (built inside the worker, shipped via
+    the closure) — how the wire-format parity test exercises this real
+    branch without model weights. With no factory, the real transformers
+    pipeline is constructed when importable; otherwise the fallback is a
+    DETERMINISTIC STUB (lexicon sign), clearly marked — swap in the real
+    model by installing `transformers`, the Spark side needs no change.
     """
 
     @F.pandas_udf(T.StructType([
@@ -183,25 +205,29 @@ def hf_sentiment_udf():
         T.StructField("confidence", T.DoubleType()),
     ]))
     def infer(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        try:  # pragma: no cover - heavy dep absent in CI container
-            from transformers import pipeline  # type: ignore
+        clf = None
+        if pipeline_factory is not None:
+            clf = pipeline_factory()
+        else:
+            try:  # pragma: no cover - heavy dep absent in CI container
+                from transformers import pipeline  # type: ignore
 
-            clf = pipeline(
-                "sentiment-analysis",
-                model="distilbert-base-uncased-finetuned-sst-2-english",
-                truncation=True,
-            )
+                clf = pipeline(
+                    "sentiment-analysis",
+                    model="distilbert-base-uncased-finetuned-sst-2-english",
+                    truncation=True,
+                )
+            except ImportError:
+                pass
+
+        if clf is not None:
 
             def score(texts: pd.Series) -> pd.DataFrame:
-                out = clf(texts.fillna("").tolist())
-                return pd.DataFrame(
-                    {
-                        "label": [r["label"].lower() for r in out],
-                        "confidence": [float(r["score"]) for r in out],
-                    }
+                return _hf_rows_to_frame(
+                    clf(texts.fillna("").tolist()), "label", "confidence"
                 )
 
-        except ImportError:
+        else:
 
             def score(texts: pd.Series) -> pd.DataFrame:
                 # STUB: deterministic lexicon-sign fallback (not a model).
@@ -237,14 +263,15 @@ EMOTION_CUES: dict[str, str] = {
 }
 
 
-def hf_emotion_udf():
+def hf_emotion_udf(pipeline_factory=None):
     """7-class emotion classification (reference M8,
     sentiment_analysis.py:66-74,96-103: DistilRoBERTa with top_k=None,
     keep the max-score label — SURVEY F28 argmax-of-struct-list).
 
-    Same iterator-UDF lifecycle as :func:`hf_sentiment_udf`; the
-    deterministic stub votes over a cue lexicon and defaults to
-    'neutral', mirroring the real model's argmax contract.
+    Same iterator-UDF lifecycle and ``pipeline_factory`` injection as
+    :func:`hf_sentiment_udf`; the deterministic stub votes over a cue
+    lexicon and defaults to 'neutral', mirroring the real model's
+    argmax contract.
     """
 
     @F.pandas_udf(T.StructType([
@@ -252,29 +279,32 @@ def hf_emotion_udf():
         T.StructField("emotion_score", T.DoubleType()),
     ]))
     def infer(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        try:  # pragma: no cover - heavy dep absent in CI container
-            from transformers import pipeline  # type: ignore
+        clf = None
+        if pipeline_factory is not None:
+            clf = pipeline_factory()
+        else:
+            try:  # pragma: no cover - heavy dep absent in CI container
+                from transformers import pipeline  # type: ignore
 
-            clf = pipeline(
-                "text-classification",
-                model="j-hartmann/emotion-english-distilroberta-base",
-                top_k=None,
-                truncation=True,
-            )
+                clf = pipeline(
+                    "text-classification",
+                    model="j-hartmann/emotion-english-distilroberta-base",
+                    top_k=None,
+                    truncation=True,
+                )
+            except ImportError:
+                pass
+
+        if clf is not None:
 
             def score(texts: pd.Series) -> pd.DataFrame:
-                out = clf(texts.fillna("").tolist())
-                # top_k=None → list of {label, score} per doc; keep argmax
-                # (reference sentiment_analysis.py:97-99)
-                best = [max(scores, key=lambda r: r["score"]) for scores in out]
-                return pd.DataFrame(
-                    {
-                        "emotion_label": [b["label"].lower() for b in best],
-                        "emotion_score": [float(b["score"]) for b in best],
-                    }
+                # top_k=None → list of {label, score} per doc; argmax via
+                # the shared normalizer (reference sentiment_analysis.py:97-99)
+                return _hf_rows_to_frame(
+                    clf(texts.fillna("").tolist()), "emotion_label", "emotion_score"
                 )
 
-        except ImportError:
+        else:
 
             def score(texts: pd.Series) -> pd.DataFrame:
                 # STUB: cue-lexicon vote, 'neutral' default (not a model).

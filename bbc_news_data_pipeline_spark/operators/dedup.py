@@ -14,9 +14,12 @@ The reference deduplicates only by exact key (unique ``url`` index,
 Scale notes: every operator is expressed as DataFrame ops whose only wide
 stages are hash-partitioned groupBy/join on content-derived keys, so skew
 is bounded by shingle frequency; the minhash banding join is the standard
-LSH trick that avoids the O(n²) pair space. All hashing uses md5 (stable,
-engine-portable, seed-prefixed) — NOT Spark's ``hash()``, whose values
-would not be reproducible in the DuckDB oracle.
+LSH trick that avoids the O(n²) pair space, and degenerate hot buckets
+(identical/boilerplate docs sharing a signature) divert to a streaming
+star expansion (:func:`pairs_within_groups` ``max_group``) so no key can
+trigger a quadratic pair blow-up or an unbounded array collect. All
+hashing uses md5 (stable, engine-portable, seed-prefixed) — NOT Spark's
+``hash()``, whose values would not be reproducible in the DuckDB oracle.
 """
 
 from __future__ import annotations

@@ -65,15 +65,72 @@ def attach_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def _real_decode_meta(payload: bytes, mime: str) -> dict:
-    """Decode actual media bytes (PIL / librosa / av).
+def _parse_jpeg_dims(b: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG byte stream by walking the marker
+    segments to the first SOF frame header — pure-python, no PIL.
 
-    STUB: the image/audio/video libraries are not installed in this
-    environment. The signature and dispatch are the real contract; swap
-    this in when codecs are available.
+    JPEG layout: SOI (FFD8), then FF-prefixed segments with big-endian
+    2-byte lengths; SOFn (FFC0-FFCF except C4/C8/CC) carries
+    precision(1) height(2) width(2). Raises NotImplementedError when
+    the bytes are not a parseable JPEG.
     """
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG stream (no SOI marker)")
+    i = 2
+    while i + 9 <= len(b):
+        if b[i] != 0xFF:
+            raise NotImplementedError("corrupt JPEG marker stream")
+        marker = b[i + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height = int.from_bytes(b[i + 5 : i + 7], "big")
+            width = int.from_bytes(b[i + 7 : i + 9], "big")
+            return width, height
+        i += 2 + seglen
+    raise NotImplementedError("no SOF frame header found")
+
+
+def _parse_wav_rate(b: bytes) -> int:
+    """Sample rate from a RIFF/WAVE byte stream by walking chunks to
+    ``fmt `` — pure-python, no librosa. Raises NotImplementedError when
+    the bytes are not a parseable WAV."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE stream")
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 16 <= len(b):
+            return int.from_bytes(b[i + 12 : i + 16], "little")
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    raise NotImplementedError("no fmt chunk found")
+
+
+def _real_decode_meta(payload: bytes, mime: str) -> dict:
+    """Decode actual media bytes.
+
+    JPEG and WAV are parsed with pure-python header walks (no codec
+    libraries needed): real dimensions for ``image/jpeg``, real sample
+    rate for ``audio/wav``. Video containers (and any byte stream that
+    does not parse as its declared mime — e.g. the synthetic utf-8
+    payloads in the test fixtures) raise ``NotImplementedError``, and
+    the caller falls back to the deterministic fake; a production
+    deployment would instead route unparseable rows to a quarantine
+    column and plug PIL/librosa/av in here for full decode.
+    """
+    meta = {"n_bytes": len(payload), "width": None, "height": None,
+            "n_frames": None, "sample_rate": None}
+    if mime == "image/jpeg":
+        meta["width"], meta["height"] = _parse_jpeg_dims(payload)
+        return meta
+    if mime == "audio/wav":
+        meta["sample_rate"] = _parse_wav_rate(payload)
+        return meta
     raise NotImplementedError(
-        "media codecs (PIL/librosa/av) unavailable in this environment; "
+        f"no pure-python parser for {mime!r} (video needs a real codec); "
         "using deterministic fake decode"
     )
 

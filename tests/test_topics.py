@@ -278,3 +278,36 @@ def test_umass_coherence_hand_computed(spark):
     rows = umass_coherence_for_words(tokens_df, words_df).collect()
     assert len(rows) == 1
     assert abs(rows[0].umass_coherence - round(math.log(2.0), 6)) < 1e-9
+
+
+def test_save_topic_report_html(bundle, tmp_path):
+    """S14 sink: the dependency-free report renders every topic with its
+    word table and doc counts, self-contained (no external assets)."""
+    from bbc_news_data_pipeline_spark.pipeline.report import save_topic_report
+
+    path = save_topic_report(bundle, str(tmp_path / "report.html"), id_col="url")
+    text = open(path, encoding="utf-8").read()
+    assert text.startswith("<!DOCTYPE html>") and text.endswith("</html>")
+    assert "Topic 0" in text and "Topic 1" in text
+    assert "docs" in text  # dominant-topic counts wired in
+    assert "http" not in text  # self-contained: no external assets
+    # every top word of every topic appears
+    for r in topic_words(bundle, topn=10).collect():
+        assert r.word in text
+
+
+def test_prepare_pyldavis_data_contract(bundle):
+    """The pyLDAvis recipe's arrays are shape-consistent and normalized
+    (what pyLDAvis.prepare validates before rendering)."""
+    from bbc_news_data_pipeline_spark.pipeline.report import prepare_pyldavis_data
+
+    data = prepare_pyldavis_data(bundle, id_col="url")
+    k, v = bundle.k, len(data["vocab"])
+    assert len(data["topic_term_dists"]) == k
+    assert all(len(row) == v for row in data["topic_term_dists"])
+    assert all(abs(sum(row) - 1.0) < 1e-6 for row in data["topic_term_dists"])
+    n_docs = len(data["doc_topic_dists"])
+    assert n_docs == 60 == len(data["doc_lengths"])
+    assert all(abs(sum(d) - 1.0) < 1e-6 for d in data["doc_topic_dists"])
+    assert all(l > 0 for l in data["doc_lengths"])
+    assert len(data["term_frequency"]) == v and sum(data["term_frequency"]) > 0

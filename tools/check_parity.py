@@ -70,6 +70,14 @@ def main() -> int:
     # the get_spark path would mask.
     bare = "--bare" in args
     args = [a for a in args if a != "--bare"]
+    # --json PATH: also write a per-query machine-readable artifact
+    # (PARITY_r{N}.json — the committed full-registry parity record the
+    # round-3 verdict asked for, refreshed every round).
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -96,34 +104,74 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
+    records: dict[str, dict] = {}
     for q in all_queries():
         if only and q.name not in only:
             continue
         t0 = time.time()
+        rec = records[q.name] = {"status": None, "rows": None, "secs": None, "errs": []}
         try:
             spark_pdf = q.spark(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {q.name}: spark error: {type(e).__name__}: {str(e)[:400]}")
             failures += 1
+            rec.update(status="fail", errs=[f"spark error: {type(e).__name__}: {str(e)[:400]}"])
             continue
+        rec["rows"] = len(spark_pdf)
         if q.oracle is None:
             print(f"SKIP-ORACLE {q.name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            rec.update(status="skip-oracle", secs=round(time.time() - t0, 1))
             continue
         try:
             oracle_pdf = con.execute(q.oracle).df()
         except Exception as e:
             print(f"FAIL {q.name}: oracle error: {type(e).__name__}: {str(e)[:400]}")
             failures += 1
+            rec.update(status="fail", errs=[f"oracle error: {type(e).__name__}: {str(e)[:400]}"])
             continue
         errs = compare(spark_pdf, oracle_pdf)
+        rec["secs"] = round(time.time() - t0, 1)
         if errs:
             failures += 1
-            print(f"FAIL {q.name} ({time.time()-t0:.1f}s)")
+            rec.update(status="fail", errs=errs[:6])
+            print(f"FAIL {q.name} ({rec['secs']}s)")
             for e in errs[:6]:
                 print(f"     {e}")
         else:
-            print(f"OK   {q.name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            rec["status"] = "ok"
+            print(f"OK   {q.name}: rows={len(spark_pdf)} ({rec['secs']}s)")
     print(f"\n{failures} failure(s)")
+    if json_path:
+        import datetime
+        import json as _json
+        import subprocess
+
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=os.path.dirname(__file__),
+            ).stdout.strip()
+        except OSError:
+            commit = None
+        ok = sum(1 for r in records.values() if r["status"] == "ok")
+        with open(json_path, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "bare": bare,
+                    "generated_utc": datetime.datetime.now(
+                        datetime.timezone.utc
+                    ).isoformat(timespec="seconds"),
+                    "commit": commit,
+                    "n_queries": len(records),
+                    "n_ok": ok,
+                    "n_fail": failures,
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_path}: {ok}/{len(records)} ok")
     return 1 if failures else 0
 
 

@@ -1,9 +1,14 @@
 """Registry-wide physical-plan audit — the scale gate.
 
-For every registered query, build the physical plan (no execution) and
-count the operators that dominate 100 TB behavior: shuffles (Exchange),
-sorts, nested-loop joins (BroadcastNestedLoopJoin / CartesianProduct),
-and whole-stage-codegen coverage. Compares against the committed budget
+For every registered query, build the physical plan (without executing
+the query — EXCEPTION: iterative operators such as q57's
+connected_components run real Spark jobs during plan CONSTRUCTION,
+their per-iteration eager localCheckpoint/count; those in-loop shuffles
+never appear in the counted final plan and are only partially visible
+via checkpoint_scans) and count the operators that dominate 100 TB
+behavior: shuffles (Exchange), sorts, nested-loop joins
+(BroadcastNestedLoopJoin / CartesianProduct), and whole-stage-codegen
+coverage. Compares against the committed budget
 snapshot ``tools/plan_budget.json`` so a silent plan regression — a new
 shuffle sneaking into a row-local operator, a join degrading to a
 nested loop — fails loudly in CI (tests/test_plan_budget.py) instead of
