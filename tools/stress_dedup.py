@@ -1,0 +1,98 @@
+"""Adversarial-scale stress for the dedup/ANN family (round 4).
+
+Builds a DIRTY corpus in memory — N copies of the sf0.1 documents table
+plus a block of byte-identical boilerplate docs (the degenerate-key case
+from VERDICT r3 finding #2: every boilerplate doc shares every MinHash
+band, so an uncapped pair generator would emit g·(g−1)/2 pairs and
+buffer a g-element array in one aggregation buffer) — and runs the
+bucketed dedup operators end-to-end with the production default cap.
+
+What it demonstrates:
+  * `pairs_within_groups(max_group=64)` keeps candidate generation
+    LINEAR in the boilerplate block size (star expansion), where the
+    uncapped path is quadratic;
+  * duplicate clustering still produces ONE cluster containing the
+    whole boilerplate block (star pairs preserve connectivity);
+  * wall-clock stays flat as the boilerplate block grows 10×.
+
+Usage:  python tools/stress_dedup.py [n_copies] [n_boiler]
+Prints one JSON line per scenario. Not part of pytest (runtime scales
+with the scenario); results recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.operators.curation import connected_components
+from bbc_news_data_pipeline_spark.operators.dedup import minhash_candidates
+from bbc_news_data_pipeline_spark.session import get_spark
+from bbc_news_data_pipeline_spark.sources.tables import load
+
+BOILER = (
+    "cookie notice please accept our terms and conditions to continue "
+    "reading this site uses cookies to improve your experience "
+) * 3
+
+
+def dirty_corpus(spark, sf_dir: str, n_copies: int, n_boiler: int):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    copies = [
+        docs.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"), "text")
+        for i in range(n_copies)
+    ]
+    base = copies[0]
+    for c in copies[1:]:
+        base = base.unionByName(c)
+    boiler = spark.range(n_boiler).select(
+        (F.col("id") + F.lit(n_copies * n)).alias("doc_id"),
+        F.lit(BOILER).alias("text"),
+    )
+    return base.unionByName(boiler), n_copies * n + n_boiler
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stress-dedup")
+    for n_boiler in (2_000, 20_000):
+        corpus, total = dirty_corpus(spark, sf_dir, n_copies, n_boiler)
+        corpus = corpus.localCheckpoint()  # isolate generation cost
+        t0 = time.perf_counter()
+        pairs = minhash_candidates(corpus, "doc_id", "text", n_hashes=8, bands=4, k=5)
+        n_pairs = pairs.count()
+        t_pairs = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        clusters = connected_components(pairs)
+        boiler_cluster_sizes = (
+            clusters.groupBy("cluster_id").count().orderBy(F.desc("count")).limit(1).collect()
+        )
+        t_cc = time.perf_counter() - t0
+        biggest = boiler_cluster_sizes[0]["count"] if boiler_cluster_sizes else 0
+        print(
+            json.dumps(
+                {
+                    "scenario": f"{n_copies}x_sf0.1_plus_{n_boiler}_boilerplate",
+                    "total_docs": total,
+                    "candidate_pairs": n_pairs,
+                    "quadratic_would_be": n_boiler * (n_boiler - 1) // 2,
+                    "biggest_cluster": biggest,
+                    "pairs_sec": round(t_pairs, 2),
+                    "cc_sec": round(t_cc, 2),
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
