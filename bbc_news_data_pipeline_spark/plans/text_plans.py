@@ -277,10 +277,19 @@ ORDER BY doc_id
 # q39 — n-gram Jaccard near-dup pairs (LLM dedup extension): inverted-index
 # join on 5-gram shingles; exact Jaccard on candidate pairs.
 # ---------------------------------------------------------------------------
+# The df cap is part of the QUERY DEFINITION and mirrored in the oracle,
+# so parity holds at any scale BY CONSTRUCTION: shingles appearing in
+# more than Q39_MAX_DF docs are boilerplate, carry no discriminative
+# signal, and would cost df²/2 pairs each. The synthetic corpus tops out
+# at df=4 (sf0.1), so the cap is invisible locally — it exists for the
+# degenerate 100 TB case.
+Q39_MAX_DF = 64
+
+
 def q39_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return (
-        ngram_jaccard_pairs(docs, "doc_id", "text", k=SHINGLE_K, min_jaccard=0.0)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=SHINGLE_K, min_jaccard=0.0, max_df=Q39_MAX_DF
     )
 
 
@@ -291,9 +300,13 @@ WITH sh AS (
     WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
 ),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+kept AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {Q39_MAX_DF}
+),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN kept k ON k.shingle = a.shingle
     GROUP BY 1, 2
 )
 SELECT id_a, id_b,
