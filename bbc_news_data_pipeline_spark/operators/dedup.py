@@ -368,9 +368,13 @@ def simhash_candidates(
     """Near-dup candidates by SimHash band collision: split the 60-bit
     fingerprint into `bands` contiguous bit-bands; pairs agreeing on any
     band are candidates (guaranteed to include all pairs with Hamming
-    distance < bands). Verify candidates with bit_count(xor) ≤ threshold.
-    ``max_group`` star-expands degenerate hot bands — see
-    :func:`pairs_within_groups`.
+    distance < bands — for buckets at or under ``max_group``). Verify
+    candidates with bit_count(xor) ≤ threshold. ``max_group``
+    star-expands hot band buckets (see :func:`pairs_within_groups`):
+    members of an oversized bucket pair only with the bucket minimum, so
+    the all-pairs guarantee is traded for linearity exactly where the
+    bucket is degenerate (near-identical fingerprints); pass
+    ``max_group=None`` for the unconditional guarantee.
     """
     width = SIMHASH_BITS // bands
     sh = with_simhash(df, id_col, text_col)
