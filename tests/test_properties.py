@@ -238,3 +238,46 @@ def test_bounded_sessionize_matches_python_twin(spark, events):
         for r in bounded_sessionize(df, gap_s=1800).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),            # user id
+            st.integers(0, 5 * 86400),    # seconds offset across ~5 days
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    gap_s=st.sampled_from([600, 1800, 7200]),
+)
+def test_bounded_sessionize_matches_python_twin(spark, rows, gap_s):
+    """The fold-based two-level sessionization (round 4) must equal a
+    plain per-user python gap count on arbitrary event sets — including
+    duplicate timestamps, midnight-adjacent gaps, and single-event
+    users."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.timeseries import bounded_sessionize
+
+    t0 = 1_700_000_000
+    ev = spark.createDataFrame(
+        [(i, u, t0 + s) for i, (u, s) in enumerate(rows)],
+        "event_id long, user_id long, sec long",
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+
+    expect: dict[int, tuple[int, int]] = {}
+    by_user: dict[int, list[int]] = {}
+    for u, s in rows:
+        by_user.setdefault(u, []).append(t0 + s)
+    for u, ts in by_user.items():
+        ts.sort()
+        n_sessions = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > gap_s)
+        expect[u] = (n_sessions, len(ts))
+
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in bounded_sessionize(ev, gap_s=gap_s).collect()
+    }
+    assert got == expect
