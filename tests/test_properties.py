@@ -281,3 +281,64 @@ def test_bounded_sessionize_matches_python_twin(spark, rows, gap_s):
         for r in bounded_sessionize(ev, gap_s=gap_s).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    postings=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 6)),  # (id, bucket key)
+        min_size=2,
+        max_size=80,
+    ),
+    cap=st.sampled_from([2, 4, 64]),
+)
+def test_capped_pairs_preserve_components(spark, postings, cap):
+    """pairs_within_groups with ANY max_group must yield the same
+    connected components as exact all-pairs (star expansion keeps every
+    oversized bucket one component), and must equal all-pairs exactly
+    when every bucket fits the cap."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.dedup import pairs_within_groups
+
+    df = spark.createDataFrame(list(set(postings)), "id long, k int").select(
+        F.struct(F.col("id")).alias("d"), "k"
+    )
+
+    def pair_set(max_group):
+        return {
+            (r.a, r.b)
+            for r in pairs_within_groups(df, ["k"], max_group=max_group)
+            .select(F.col("p.a.id").alias("a"), F.col("p.b.id").alias("b"))
+            .distinct()
+            .collect()
+        }
+
+    exact, capped = pair_set(None), pair_set(cap)
+
+    def components(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp: dict[int, frozenset] = {}
+        groups: dict[int, set] = {}
+        for x in list(parent):
+            groups.setdefault(find(x), set()).add(x)
+        return {frozenset(g) for g in groups.values()}
+
+    assert components(exact) == components(capped)
+    max_bucket = max(
+        (len({i for i, kk in set(postings) if kk == k}) for k in {k for _, k in postings}),
+        default=0,
+    )
+    if max_bucket <= cap:
+        assert exact == capped
+    assert capped <= exact  # star pairs are a subset of all-pairs
