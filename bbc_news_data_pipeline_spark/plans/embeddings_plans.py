@@ -125,11 +125,18 @@ ORDER BY vec_id
 _rng = random.Random(20240813)
 LSH_PLANES = [[round(_rng.gauss(0.0, 1.0), 4) for _ in range(64)] for _ in range(6)]
 _MIN_COS = 0.2
+# Bucket-occupancy cap, part of the QUERY DEFINITION and mirrored in the
+# oracle so parity holds at any scale by construction. Occupancy tops out
+# at 65 (sf0.1) / 17 (sf0.01) — the cap only exists for degenerate
+# pile-ups (a constant embedding region). Expected occupancy is
+# n / 2^planes: SIZE BUCKETS BY ADDING PLANES as the corpus grows, the
+# cap enforces that discipline instead of letting one hot cell go d².
+_MAX_BUCKET = 1024
 
 
 def q44_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_bucket_ann(emb, LSH_PLANES, min_cos=_MIN_COS)
+    return lsh_bucket_ann(emb, LSH_PLANES, min_cos=_MIN_COS, max_bucket=_MAX_BUCKET)
 
 
 def _plane_sql(p: list[float]) -> str:
@@ -146,11 +153,15 @@ Q44_SQL = f"""
 WITH bucketed AS (
     SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
     FROM embeddings
+),
+kept AS (
+    SELECT bucket FROM bucketed GROUP BY bucket HAVING count(*) <= {_MAX_BUCKET}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
 FROM bucketed a
 JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN kept k ON k.bucket = a.bucket
 WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= {_MIN_COS}
 ORDER BY id_a, id_b
 """
@@ -353,7 +364,9 @@ _NEARDUP_COS = 0.3
 
 def q93_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    pairs = lsh_bucket_ann(emb, LSH_PLANES, min_cos=_NEARDUP_COS)
+    pairs = lsh_bucket_ann(
+        emb, LSH_PLANES, min_cos=_NEARDUP_COS, max_bucket=_MAX_BUCKET
+    )
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (
         emb.join(dropped, "vec_id", "left_anti")
@@ -367,10 +380,14 @@ WITH bucketed AS (
     SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
     FROM embeddings
 ),
+kept AS (
+    SELECT bucket FROM bucketed GROUP BY bucket HAVING count(*) <= {_MAX_BUCKET}
+),
 dropped AS (
     SELECT DISTINCT b.vec_id
     FROM bucketed a
     JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN kept k ON k.bucket = a.bucket
     WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= {_NEARDUP_COS}
 )
 SELECT e.vec_id, e.label
