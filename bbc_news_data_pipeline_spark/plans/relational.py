@@ -58,8 +58,13 @@ ORDER BY l_returnflag, l_linestatus
 
 # ---------------------------------------------------------------------------
 # q02 — top revenue orders for one segment (TPC-H Q3 shape).
-# SURVEY J1 (dim join), A2, T1-T3 (top-K). customer is the small side →
-# broadcast hint; orders⋈lineitem shuffles on the join key once.
+# SURVEY J1 (dim join), A2, T1-T3 (top-K). customer is NOT hint-broadcast
+# (round 4): it grows O(SF) — at 100 TB a forced broadcast of a fifth of
+# the customer table OOMs the driver. The size-stats planner/AQE still
+# picks a broadcast join whenever the filtered segment fits (it does at
+# every local SF — asserted in tests/test_plans.py) and degrades to a
+# shuffle join at scale. Hints are reserved for sides bounded by
+# CONSTRUCTION (region/nation, scalar aggregates, probe sets).
 # Total order (rounded revenue desc, o_orderkey) before LIMIT.
 # ---------------------------------------------------------------------------
 def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +73,7 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -160,15 +165,17 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
-# q06 — broadcast dim join + agg (reference topic-words map-join,
-# topic_modeling.py:261-267; SURVEY J1/A2). part is O(SF·200k) rows → easily
-# broadcastable; lineitem never shuffles for the join, only for the agg.
+# q06 — dim join + agg (reference topic-words map-join,
+# topic_modeling.py:261-267; SURVEY J1/A2). part is O(SF·200k) rows — the
+# stats planner broadcasts it at every SF where it fits, WITHOUT a hint
+# (round 4: forced hints on O(SF) tables are the q93 antipattern); at
+# 100 TB the join degrades gracefully to shuffle instead of OOMing.
 # ---------------------------------------------------------------------------
 def q06_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
@@ -416,7 +423,9 @@ def q15_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no hint: customer is O(SF); the stats planner broadcasts it
+        # while it fits and shuffle-joins past that (see q02 note)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
