@@ -135,11 +135,17 @@ def save_topic_report(
     return path
 
 
-def prepare_pyldavis_data(bundle: TopicModelBundle, id_col: str = "doc_id") -> dict:
+def prepare_pyldavis_data(
+    bundle: TopicModelBundle, id_col: str = "doc_id", max_docs: int | None = 50_000
+) -> dict:
     """The five arrays ``pyLDAvis.prepare`` needs, from Spark aggregates.
 
     Heavy passes (doc lengths, term frequencies, doc-topic mixtures) run
-    distributed; only O(k·vocab + docs·k) results are collected. Keys
+    distributed; only O(k·vocab + min(docs, max_docs)·k) results reach
+    the driver. pyLDAvis uses the doc-topic matrix solely for marginal
+    topic proportions, so a deterministic hash-ordered sample of
+    ``max_docs`` documents (None = all) keeps the artifact faithful at
+    corpus scale instead of collecting billions of mixture rows. Keys
     match pyLDAvis's keyword arguments. Import-free: returns plain
     lists, so this module never requires pyLDAvis itself.
     """
@@ -163,6 +169,13 @@ def prepare_pyldavis_data(bundle: TopicModelBundle, id_col: str = "doc_id") -> d
         vector_to_array("topicDistribution").alias("dist"),
         F.size("tokens").alias("doc_len"),
     )
+    if max_docs is not None:
+        # deterministic: md5-ordered top-N is stable across runs/cluster
+        # layouts, unlike .limit() over an unordered frame
+        scored = (
+            scored.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(max_docs)
+        )
     rows = scored.collect()
     doc_topic = [list(r["dist"]) for r in rows]
     doc_lengths = [int(r["doc_len"]) for r in rows]
