@@ -45,6 +45,12 @@ def cluster_conf(
         "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Arrow batch ROW cap — the memory bound the multimodal mapInPandas
+        # contract relies on (operators/multimodal.py): the 10k default
+        # means ~100 GB per batch for 10 MB media payloads; 512 rows keeps
+        # a batch of such payloads ~5 GB worst-case, and text-only UDF
+        # batches just get slightly more Arrow framing overhead.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
         "spark.sql.session.timeZone": "UTC",
         "spark.speculation": "true",
         "spark.sql.parquet.compression.codec": "zstd",
