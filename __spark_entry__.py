@@ -54,11 +54,16 @@ def _driver_window_order(queries_list):
             continue
         for name, res in results.items():
             last_attempt[name] = max(last_attempt.get(name, 0), rnd)
-            # Fully green requires every match field EXPLICITLY True — a
-            # record missing a field (skipped/partial row) is not green.
-            ok = isinstance(res, dict) and all(
-                res.get(k) is True
-                for k in ("rows_match", "schema_match", "hash_match")
+            # Fully green requires every match field EXPLICITLY True AND a
+            # null err — a record missing a field (skipped/partial row) or
+            # carrying an error alongside true flags is not green.
+            ok = (
+                isinstance(res, dict)
+                and res.get("err") is None
+                and all(
+                    res.get(k) is True
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
             )
             if ok:
                 last_green[name] = max(last_green.get(name, 0), rnd)

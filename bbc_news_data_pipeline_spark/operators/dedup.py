@@ -219,11 +219,16 @@ def pairs_within_groups(
     from pyspark.sql import Window as W
 
     w = W.partitionBy(*key_cols)
-    # One shuffle: both window functions share the WindowExec, and the
-    # two branch groupBys below consume the SAME exchange (hash
-    # partitioning on key_cols is already satisfied → ReusedExchange,
-    # no second shuffle). WindowExec spills oversized partitions to
-    # disk, unlike a collect_set agg buffer which cannot.
+    # Both window functions share one WindowExec over one hash exchange
+    # on key_cols; the small-group groupBy rides the same partitioning.
+    # The STATIC plan shows that exchange once per union branch (the
+    # plan-budget audit counts both, e.g. q43 3→5), but at runtime AQE
+    # dedups it via ReusedExchange — verified: one ShuffleQueryStage
+    # writes, the second is a reuse — so the data shuffles ONCE. The
+    # real added cost vs the uncapped path is the per-branch window
+    # sort, the price of a spillable operator: WindowExec spills
+    # oversized partitions to disk, unlike a collect_set agg buffer
+    # which cannot.
     sized = (
         df.select(*key_cols, F.col(payload_col).alias("_d"))
         .withColumn("_cnt", F.count("*").over(w))

@@ -80,6 +80,10 @@ def _parse_jpeg_dims(b: bytes) -> tuple[int, int]:
     while i + 9 <= len(b):
         if b[i] != 0xFF:
             raise NotImplementedError("corrupt JPEG marker stream")
+        # the spec allows any number of 0xFF FILL bytes before a marker:
+        # the marker code is the first non-FF byte after the FF run
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
         marker = b[i + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2  # standalone markers carry no length

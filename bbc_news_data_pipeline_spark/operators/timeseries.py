@@ -134,10 +134,19 @@ def bounded_sessionize(
     Returns one row per user: (user_col, n_sessions, n_events).
     """
     n_gaps = F.greatest(F.size("_ts") - 1, F.lit(0))
+    # count(*) counts NULL-timestamp rows into n_events exactly as the
+    # window formulation did (collect_list skips nulls, so _ts alone
+    # would silently drop them); the size() guards keep element_at off
+    # empty arrays (an all-null group), which ANSI mode rejects. Null
+    # timestamps produce no gaps and null first/last — identical to the
+    # null-safe lag arithmetic they replace.
     per_day = (
         events.withColumn("_day", F.to_date(ts_col))
         .groupBy(user_col, "_day")
-        .agg(F.array_sort(F.collect_list(F.unix_timestamp(ts_col))).alias("_ts"))
+        .agg(
+            F.array_sort(F.collect_list(F.unix_timestamp(ts_col))).alias("_ts"),
+            F.count("*").alias("_n_events"),
+        )
         .select(
             user_col,
             "_day",
@@ -151,9 +160,9 @@ def bounded_sessionize(
                     lambda x: x,
                 )
             ).alias("_day_breaks"),
-            F.element_at("_ts", 1).alias("_first_s"),
-            F.element_at("_ts", -1).alias("_last_s"),
-            F.size("_ts").cast("long").alias("_n_events"),
+            F.when(F.size("_ts") > 0, F.element_at("_ts", 1)).alias("_first_s"),
+            F.when(F.size("_ts") > 0, F.element_at("_ts", -1)).alias("_last_s"),
+            "_n_events",
         )
     )
     wu = W.partitionBy(user_col).orderBy("_day")

@@ -153,8 +153,6 @@ def prepare_pyldavis_data(
 
     vocab = list(bundle.cv_model.vocabulary)
     # topic-term matrix: k rows, normalized over the vocabulary
-    import math
-
     tm = bundle.lda_model.topicsMatrix()  # vocab x k (dense, driver-side)
     k = bundle.k
     topic_term = []
@@ -188,7 +186,15 @@ def prepare_pyldavis_data(
     )
     tf_map = {r["w"]: int(r["n"]) for r in tf_rows}
     term_frequency = [tf_map.get(w, 0) for w in vocab]
-    assert not math.isnan(sum(term_frequency))
+    # pyLDAvis divides by term frequencies; a vocab word absent from
+    # tokens_df (mismatched bundle) would poison the artifact downstream
+    # with no error at prepare() time — fail here instead.
+    missing = [w for w, n in zip(vocab, term_frequency) if n == 0]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} vocabulary words have zero frequency in "
+            f"tokens_df (first: {missing[:5]}) — bundle/tokens mismatch"
+        )
     return {
         "topic_term_dists": topic_term,
         "doc_topic_dists": doc_topic,

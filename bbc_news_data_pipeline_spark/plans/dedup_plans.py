@@ -27,6 +27,13 @@ from .registry import Query
 
 SHINGLE_K = 5  # keep in sync with text_plans.SHINGLE_K
 
+# Hot-bucket star cap (operators/dedup.py:pairs_within_groups), explicit in
+# the candidate-pair query definitions AND mirrored in their oracles: a
+# band bucket over this size emits (bucket-min, member) star pairs instead
+# of all pairs, so parity holds at ANY scale by construction — including
+# corpora whose buckets overflow (sf0.1 simhash bands reach 269).
+_MAX_GROUP = 64
+
 
 def _hex2int_sql(expr: str, start: int, length: int) -> str:
     """DuckDB twin of Spark's ``conv(substring(x, start, length), 16, 10)``:
@@ -65,7 +72,7 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return simhash_candidates(docs, "doc_id", "text", bands=4)
+    return simhash_candidates(docs, "doc_id", "text", bands=4, max_group=_MAX_GROUP)
 
 
 _BAND_W = SIMHASH_BITS // 4
@@ -91,12 +98,34 @@ banded AS (
     SELECT doc_id, simhash, bv.b AS band_idx,
            (simhash >> (bv.b * {_BAND_W})) % {1 << _BAND_W} AS band_val
     FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bv
+),
+grp AS (
+    SELECT band_idx, band_val, count(*) AS cnt, min(doc_id) AS min_id
+    FROM banded GROUP BY band_idx, band_val
+),
+anchors AS (
+    SELECT g.band_idx, g.band_val, g.cnt, g.min_id, x.simhash AS min_sh
+    FROM grp g
+    JOIN banded x ON x.band_idx = g.band_idx AND x.band_val = g.band_val
+                 AND x.doc_id = g.min_id
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sh_a, b.simhash AS sh_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    JOIN grp g ON g.band_idx = a.band_idx AND g.band_val = a.band_val
+              AND g.cnt <= {_MAX_GROUP}
+    UNION ALL
+    SELECT an.min_id, m.doc_id, an.min_sh, m.simhash
+    FROM banded m
+    JOIN anchors an ON an.band_idx = m.band_idx AND an.band_val = m.band_val
+    WHERE an.cnt > {_MAX_GROUP} AND m.doc_id <> an.min_id
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM banded a
-JOIN banded b
-  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+SELECT DISTINCT id_a, id_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM pairs
 ORDER BY id_a, id_b
 """
 
@@ -108,7 +137,9 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 def q46_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return minhash_candidates(docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+    return minhash_candidates(
+        docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K, max_group=_MAX_GROUP
+    )
 
 
 def _shingle_sql(k: int = SHINGLE_K) -> str:
@@ -146,10 +177,23 @@ banded AS (
         {_BANDS}
         ]) AS band_key FROM sig
     ) t
+),
+grp AS (
+    SELECT band_key, count(*) AS cnt, min(doc_id) AS min_id
+    FROM banded GROUP BY band_key
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    JOIN grp g ON g.band_key = a.band_key AND g.cnt <= {_MAX_GROUP}
+    UNION ALL
+    SELECT g.min_id, m.doc_id
+    FROM banded m
+    JOIN grp g ON g.band_key = m.band_key
+    WHERE g.cnt > {_MAX_GROUP} AND m.doc_id <> g.min_id
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a
-JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+SELECT DISTINCT id_a, id_b FROM pairs
 ORDER BY id_a, id_b
 """
 

@@ -24,6 +24,7 @@ def cluster_conf(
     executors: int = 1000,
     cores_per_executor: int = 4,
     target_partition_mb: int = 256,
+    arrow_batch_rows: int | None = None,
 ) -> dict[str, str]:
     """The recommended conf for the 100 TB / multi-executor deployment —
     the production counterpart of get_spark's local[] defaults (SCALE.md
@@ -36,7 +37,7 @@ def cluster_conf(
     oversized partitions, and speculation covers stragglers.
     """
     total_cores = executors * cores_per_executor
-    return {
+    conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -45,16 +46,20 @@ def cluster_conf(
         "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # Arrow batch ROW cap — the memory bound the multimodal mapInPandas
-        # contract relies on (operators/multimodal.py): the 10k default
-        # means ~100 GB per batch for 10 MB media payloads; 512 rows keeps
-        # a batch of such payloads ~5 GB worst-case, and text-only UDF
-        # batches just get slightly more Arrow framing overhead.
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
         "spark.sql.session.timeZone": "UTC",
         "spark.speculation": "true",
         "spark.sql.parquet.compression.codec": "zstd",
     }
+    # Arrow batch ROW cap — the memory bound the multimodal mapInPandas
+    # contract relies on (operators/multimodal.py): the 10k default means
+    # ~100 GB per batch for 10 MB media payloads; pass ~512 for jobs that
+    # read payload-bearing tables. Deliberately NOT set by default: a
+    # session-wide cap would also chop every text pandas-UDF batch
+    # (VADER/HF/POS paths) into ~20x more Arrow round-trips for a bound
+    # only media jobs need — set it per job, not per cluster.
+    if arrow_batch_rows is not None:
+        conf["spark.sql.execution.arrow.maxRecordsPerBatch"] = str(arrow_batch_rows)
+    return conf
 
 
 def get_spark(

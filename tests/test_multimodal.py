@@ -96,6 +96,11 @@ def test_real_decode_parses_jpeg_and_wav_headers():
     jm = _real_decode_meta(REAL_JPEG, "image/jpeg")
     assert (jm["width"], jm["height"]) == (64, 48)
     assert jm["n_bytes"] == len(REAL_JPEG) and jm["sample_rate"] is None
+    # spec-valid 0xFF fill (padding) bytes before a marker must not
+    # derail the walk (JPEG allows any number of them)
+    padded = REAL_JPEG[:20] + b"\xff\xff\xff" + REAL_JPEG[20:]
+    jp = _real_decode_meta(padded, "image/jpeg")
+    assert (jp["width"], jp["height"]) == (64, 48)
     wm = _real_decode_meta(REAL_WAV, "audio/wav")
     assert wm["sample_rate"] == 22050 and wm["width"] is None
 

@@ -252,7 +252,7 @@ def test_bounded_sessionize_matches_python_twin(spark, events):
     ),
     gap_s=st.sampled_from([600, 1800, 7200]),
 )
-def test_bounded_sessionize_matches_python_twin(spark, rows, gap_s):
+def test_bounded_sessionize_random_gaps_twin(spark, rows, gap_s):
     """The fold-based two-level sessionization (round 4) must equal a
     plain per-user python gap count on arbitrary event sets — including
     duplicate timestamps, midnight-adjacent gaps, and single-event

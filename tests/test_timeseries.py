@@ -104,3 +104,24 @@ def test_ewma_group_size_guard_fails_loudly(spark):
         ewma_by_key(df, ["k"], "t", "v", alpha=0.5, max_group_size=10).collect()
     ok = ewma_by_key(df, ["k"], "t", "v", alpha=0.5, max_group_size=50).collect()
     assert len(ok) == 50
+
+
+def test_sessionize_counts_null_timestamps(spark):
+    """Null-timestamp rows must count toward n_events (the pre-round-4
+    window formulation's count(*) semantics) and must not crash the
+    ANSI element_at path; a user with ONLY null timestamps still gets a
+    row."""
+    from bbc_news_data_pipeline_spark.operators.timeseries import bounded_sessionize
+
+    rows = [
+        (0, 1_700_000_000, 1),   # u1: two real events, one gap < 30min
+        (1, 1_700_000_600, 1),
+        (2, None, 1),            # u1: null ts rides along
+        (3, None, 2),            # u2: nothing but nulls
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, sec long, user_id long").select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id"
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in bounded_sessionize(ev).collect()}
+    assert got[1][1] == 3  # nulls counted in n_events
+    assert got[2] == (1, 1)  # all-null user: one row, one session
