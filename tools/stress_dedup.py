@@ -91,6 +91,29 @@ def main() -> None:
                 }
             )
         )
+
+    # Jaccard family under the same dirty corpus: every shingle of the
+    # boilerplate block has df >= n_boiler, so the q39-style df cap must
+    # prune the whole block from the posting index while the organic
+    # near-dup pairs (the N copies of the base corpus) still surface.
+    from bbc_news_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus, total = dirty_corpus(spark, sf_dir, n_copies, 20_000)
+    corpus = corpus.localCheckpoint()
+    t0 = time.perf_counter()
+    jp = ngram_jaccard_pairs(corpus, "doc_id", "text", k=5, min_jaccard=0.8, max_df=64)
+    n_jp = jp.count()
+    t_j = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "scenario": f"jaccard_maxdf64_{n_copies}x_plus_20000_boilerplate",
+                "total_docs": total,
+                "jaccard_pairs": n_jp,
+                "sec": round(t_j, 2),
+            }
+        )
+    )
     spark.stop()
 
 
