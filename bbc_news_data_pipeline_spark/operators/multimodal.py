@@ -12,10 +12,14 @@ contract for media columns:
                  mapInPandas (zero shuffle), so media tables partition by
                  whatever key the pipeline already uses
   UDF shape    — Arrow-batched ``mapInPandas``: one pandas DataFrame per
-                 batch, payload bytes arrive as Python ``bytes`` objects;
-                 batch size bounded by spark.sql.execution.arrow
-                 .maxRecordsPerBatch so a batch of 10 MB videos cannot
-                 OOM an executor
+                 batch, payload bytes arrive as Python ``bytes`` objects.
+                 Media JOBS must bound the batch themselves — pass
+                 ``cluster_conf(arrow_batch_rows=512)`` (or set
+                 spark.sql.execution.arrow.maxRecordsPerBatch on the
+                 session running the decode): Spark's 10k-row default is
+                 ~100 GB per batch at 10 MB payloads. The bound is
+                 deliberately per-job, not a repo-wide default, because
+                 it would chop every text pandas-UDF batch ~20x.
 
 Real codecs (PIL / librosa / av) are NOT in this container, so the
 byte-level decoders are STUBS: ``_real_decode_meta`` raises
@@ -77,19 +81,25 @@ def _parse_jpeg_dims(b: bytes) -> tuple[int, int]:
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream (no SOI marker)")
     i = 2
-    while i + 9 <= len(b):
+    while i + 1 < len(b):
         if b[i] != 0xFF:
             raise NotImplementedError("corrupt JPEG marker stream")
         # the spec allows any number of 0xFF FILL bytes before a marker:
         # the marker code is the first non-FF byte after the FF run
         while i + 1 < len(b) and b[i + 1] == 0xFF:
             i += 1
+        if i + 1 >= len(b):
+            raise NotImplementedError("truncated JPEG (stream ends in fill bytes)")
         marker = b[i + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2  # standalone markers carry no length
             continue
+        if i + 4 > len(b):
+            raise NotImplementedError("truncated JPEG segment header")
         seglen = int.from_bytes(b[i + 2 : i + 4], "big")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(b):
+                raise NotImplementedError("truncated SOF header")
             height = int.from_bytes(b[i + 5 : i + 7], "big")
             width = int.from_bytes(b[i + 7 : i + 9], "big")
             return width, height

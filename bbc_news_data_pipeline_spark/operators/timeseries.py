@@ -167,16 +167,23 @@ def bounded_sessionize(
     )
     wu = W.partitionBy(user_col).orderBy("_day")
     cross_gap = F.col("_first_s") - F.lag("_last_s").over(wu)
-    # First event-day (NULL gap) starts a session; a later day starts one
-    # only if the midnight-spanning gap exceeds the threshold.
-    day_starts = F.col("_day_breaks") + F.when(
-        cross_gap.isNull() | (cross_gap > gap_s), 1
-    ).otherwise(0)
+    # First real event-day (NULL gap) starts a session; a later day starts
+    # one only if the midnight-spanning gap exceeds the threshold. The
+    # NULL-day group (null timestamps; sorts first, so its null _last_s
+    # feeds the first real day's lag exactly like "no previous day")
+    # contributes ZERO starts — in the naive lag ordering nulls sort
+    # before everything and every gap touching them is null, so they
+    # never open a session; greatest(.., 1) covers the all-null user,
+    # whose naive count is still 1 (sum(is_new) + 1 over null gaps).
+    day_starts = F.when(F.col("_day").isNull(), F.lit(0)).otherwise(
+        F.col("_day_breaks")
+        + F.when(cross_gap.isNull() | (cross_gap > gap_s), 1).otherwise(0)
+    )
     return (
         per_day.withColumn("_starts", day_starts)
         .groupBy(user_col)
         .agg(
-            F.sum("_starts").cast("long").alias("n_sessions"),
+            F.greatest(F.sum("_starts"), F.lit(1)).cast("long").alias("n_sessions"),
             F.sum("_n_events").alias("n_events"),
         )
     )

@@ -69,6 +69,13 @@ def test_real_decode_raises_on_unparseable_bytes():
         _real_decode_meta(b"NOTR-IFFWAVE", "audio/wav")
     with pytest.raises(NotImplementedError):
         _real_decode_meta(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    # bound regressions: a stream ending in an FF fill run, and a
+    # truncated SOF header, must raise NotImplementedError (the decode
+    # fallback trigger) — never IndexError or garbage zero dims
+    with pytest.raises(NotImplementedError):
+        _real_decode_meta(b"\xff\xd8" + b"\xff" * 10, "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        _real_decode_meta(b"\xff\xd8\xff\xc0\x00\x11\x08\x00", "image/jpeg")
 
 
 # Hand-authored minimal-but-valid media fixtures (VERDICT r3 missing #2:

@@ -123,5 +123,8 @@ def test_sessionize_counts_null_timestamps(spark):
         "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id"
     )
     got = {r.user_id: (r.n_sessions, r.n_events) for r in bounded_sessionize(ev).collect()}
-    assert got[1][1] == 3  # nulls counted in n_events
+    # naive-lag semantics: nulls sort first, every gap touching them is
+    # null (no break), so the mixed user has ONE session, not a phantom
+    # extra from the null block
+    assert got[1] == (1, 3)
     assert got[2] == (1, 1)  # all-null user: one row, one session

@@ -92,14 +92,13 @@ def main() -> None:
             )
         )
 
-    # Jaccard family under the same dirty corpus: every shingle of the
-    # boilerplate block has df >= n_boiler, so the q39-style df cap must
+    # Jaccard family under the same dirty corpus (reuses the final loop
+    # iteration's checkpointed 20k-boilerplate corpus): every shingle of
+    # the boilerplate block has df >= 20k, so the q39-style df cap must
     # prune the whole block from the posting index while the organic
     # near-dup pairs (the N copies of the base corpus) still surface.
     from bbc_news_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
 
-    corpus, total = dirty_corpus(spark, sf_dir, n_copies, 20_000)
-    corpus = corpus.localCheckpoint()
     t0 = time.perf_counter()
     jp = ngram_jaccard_pairs(corpus, "doc_id", "text", k=5, min_jaccard=0.8, max_df=64)
     n_jp = jp.count()
