@@ -133,8 +133,94 @@ ORDER BY user_id, session_start
 """
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# q96 — streaming incremental near-dup (streaming/neardup.py: the band-key
+# dedup index as applyInPandasWithState state — the stream twin of q94's
+# batch-vs-corpus check). Drains a REAL stream (availableNow) of the
+# documents table and emits the per-doc verdict; with one micro-batch the
+# first-wins arrival rule collapses to "shares a band with a lower-id
+# doc", which the oracle rebuilds from first principles. Docs shorter
+# than the shingle width carry no bands and are never duplicates.
+# ---------------------------------------------------------------------------
+def q96_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.neardup import neardup_flags_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="q96_docs_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    sink = f"q96_neardup_{os.path.basename(tmp).rsplit('_', 1)[-1]}"
+    docs.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        neardup_flags_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flags = spark.table(sink).groupBy("doc_id").agg(
+        F.max("dup_hit").alias("_hit")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("is_neardup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q96_sql() -> str:
+    from .dedup_plans import SHINGLE_K, _BANDS, _SIGS, _shingle_sql
+
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+),
+flagged AS (
+    SELECT DISTINCT a.doc_id
+    FROM banded a JOIN banded b ON a.band_key = b.band_key AND b.doc_id < a.doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(d.doc_id IN (SELECT doc_id FROM flagged) AS INTEGER) AS is_neardup
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
+Q96_SQL = _q96_sql()
+
+
 QUERIES = [
     Query("q50_hourly_windows", q50_hourly_windows, Q50_SQL, survey="ST4,A2"),
     Query("q51_sliding_windows", q51_sliding_windows, Q51_SQL, survey="ST4"),
     Query("q52_stream_sessions", q52_stream_sessions, Q52_SQL, survey="ST-ext:stateful-sessions"),
+    Query("q96_stream_neardup", q96_stream_neardup, Q96_SQL,
+          survey="ST-ext:stream-incremental-neardup,ext:incremental-dedup"),
 ]
