@@ -168,7 +168,10 @@ def q96_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     flags = spark.table(sink).groupBy("doc_id").agg(
-        F.max("dup_hit").alias("_hit")
+        F.max("dup_hit").alias("_hit"),
+        # canonical document for a duplicate: min over its HIT bands'
+        # claimants (single batch: provably the min id sharing any band)
+        F.min(F.when(F.col("dup_hit") == 1, F.col("claimant"))).alias("_canon"),
     )
     return (
         docs.select("doc_id", "lang")
@@ -177,6 +180,7 @@ def q96_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("is_neardup"),
+            F.col("_canon").alias("canonical_id"),
         )
         .orderBy("doc_id")
     )
@@ -204,12 +208,14 @@ banded AS (
     ) t
 ),
 flagged AS (
-    SELECT DISTINCT a.doc_id
+    SELECT a.doc_id, min(b.doc_id) AS canonical_id
     FROM banded a JOIN banded b ON a.band_key = b.band_key AND b.doc_id < a.doc_id
+    GROUP BY a.doc_id
 )
 SELECT d.doc_id, d.lang,
-       CAST(d.doc_id IN (SELECT doc_id FROM flagged) AS INTEGER) AS is_neardup
-FROM documents d
+       CAST(f.doc_id IS NOT NULL AS INTEGER) AS is_neardup,
+       f.canonical_id
+FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 

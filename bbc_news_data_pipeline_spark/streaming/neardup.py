@@ -43,6 +43,7 @@ FLAG_SCHEMA = StructType(
         StructField("band_key", StringType()),
         StructField("doc_id", LongType()),
         StructField("dup_hit", IntegerType()),
+        StructField("claimant", LongType()),
     ]
 )
 
@@ -53,7 +54,9 @@ def _flag_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Fold one band key's micro-batch: the earliest-seen doc claims the
-    band; every other doc carrying it is a near-dup hit."""
+    band; every other doc carrying it is a near-dup hit. ``claimant``
+    carries the band's owner so downstream can map each duplicate to a
+    canonical document (min over its hit bands' claimants)."""
     (band_key,) = key
     ids = sorted(
         {int(x) for pdf in pdfs for x in pdf["doc_id"].tolist()}
@@ -61,9 +64,11 @@ def _flag_group(
     if not ids:
         return
     if state.exists:
+        (first,) = state.get
         hits = ids  # band already claimed by an earlier batch
     else:
-        state.update((ids[0],))
+        first = ids[0]
+        state.update((first,))
         hits = ids[1:]  # min id of the first batch claims the band
     hit_set = set(hits)
     yield pd.DataFrame(
@@ -71,6 +76,7 @@ def _flag_group(
             "band_key": [band_key] * len(ids),
             "doc_id": ids,
             "dup_hit": [1 if i in hit_set else 0 for i in ids],
+            "claimant": [first] * len(ids),
         }
     )
 
@@ -83,10 +89,13 @@ def neardup_flags_stream(
     bands: int = 4,
     k: int = 5,
 ) -> DataFrame:
-    """(band_key, doc_id, dup_hit) append stream: dup_hit=1 iff the band
-    was claimed by a strictly-earlier document. Aggregate per doc with
-    ``max(dup_hit)`` downstream (docs shorter than ``k`` tokens carry no
-    bands and never appear — same drop rule as the batch operator)."""
+    """(band_key, doc_id, dup_hit, claimant) append stream: dup_hit=1 iff
+    the band was claimed by a strictly-earlier document, ``claimant``
+    being that owner. Aggregate per doc downstream with ``max(dup_hit)``
+    and ``min(claimant) where dup_hit=1`` (the canonical document a
+    duplicate maps to — earliest arrival, min id within a batch). Docs
+    shorter than ``k`` tokens carry no bands and never appear — same
+    drop rule as the batch operator."""
     keys = band_keys(docs, id_col, text_col, n_hashes, bands, k).select(
         F.col(id_col).alias("doc_id"), "band_key"
     )

@@ -33,10 +33,13 @@ def _drain(spark, src, ckpt, out_dir):
     )
     q.awaitTermination()
     return {
-        r.doc_id: r.mx
+        r.doc_id: (r.mx, r.canon)
         for r in spark.read.parquet(out_dir)
         .groupBy("doc_id")
-        .agg(F.max("dup_hit").alias("mx"))
+        .agg(
+            F.max("dup_hit").alias("mx"),
+            F.min(F.when(F.col("dup_hit") == 1, F.col("claimant"))).alias("canon"),
+        )
         .collect()
     }
 
@@ -47,7 +50,7 @@ def test_cross_batch_neardup_flags(spark, tmp_path):
         [(0, BASE), (1, FRESH)], "doc_id long, text string"
     ).coalesce(1).write.mode("append").parquet(src)
     got1 = _drain(spark, src, ckpt, str(tmp_path / "out"))
-    assert got1 == {0: 0, 1: 0}  # first arrivals claim their bands
+    assert got1 == {0: (0, None), 1: (0, None)}  # first arrivals claim their bands
 
     spark.createDataFrame(
         [
@@ -58,7 +61,8 @@ def test_cross_batch_neardup_flags(spark, tmp_path):
         "doc_id long, text string",
     ).coalesce(1).write.mode("append").parquet(src)
     got2 = _drain(spark, src, ckpt, str(tmp_path / "out"))
-    assert got2[10] == 1 and got2[11] == 0
+    assert got2[10] == (1, 0)  # flagged, canonical = the batch-1 original
+    assert got2[11] == (0, None)
 
 
 def test_single_batch_matches_batch_first_wins(spark, tmp_path):
@@ -85,6 +89,7 @@ def test_single_batch_matches_batch_first_wins(spark, tmp_path):
             & (F.col("l.doc_id") > F.col("r.doc_id")),
         ).select(F.col("l.doc_id").alias("doc_id")).distinct().collect()
     }
+    hit_flags = {d: h for d, (h, _) in got.items()}
     expect = {i: (1 if i in flagged else 0) for i in (0, 1, 2, 3)}
-    assert got == expect
-    assert got[1] == 1 and got[0] == 0  # exact dup flagged, original not
+    assert hit_flags == expect
+    assert got[1] == (1, 0) and got[0] == (0, None)  # dup maps to original
