@@ -1,0 +1,58 @@
+"""Compare two bench JSON records per query, load-aware.
+
+Usage:
+  python tools/bench_compare.py BENCH_r03.json BENCH_r04.json
+  python tools/bench_compare.py BENCH_r03.json '{"queries": {...}}'
+
+Accepts either the driver's wrapper shape ({"parsed": {...}}) or bench.py's
+raw line. Prints per-query ratios (new/old), the comparable-subset totals
+(queries present in BOTH runs), and each run's loadavg — ambient co-tenant
+load swings sub-second local-mode queries 20-40%, so read ratios against
+the loadavg delta before calling anything a regression (see SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(arg: str) -> dict:
+    try:
+        rec = json.loads(arg)
+    except ValueError:
+        with open(arg) as f:
+            rec = json.load(f)
+    if "parsed" in rec:
+        rec = rec["parsed"]
+    return rec
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old, new = _load(sys.argv[1]), _load(sys.argv[2])
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(oq) & set(nq))
+    print(f"old: total={old.get('value')}s loadavg={old.get('loadavg_1m')}  "
+          f"new: total={new.get('value')}s loadavg={new.get('loadavg_1m')}")
+    tot_o = tot_n = 0.0
+    for q in shared:
+        a, b = oq[q], nq[q]
+        tot_o += a
+        tot_n += b
+        flag = "  <<<" if b / a > 1.3 else ("  >>>" if b / a < 0.77 else "")
+        print(f"  {q:40s} {a:7.3f} -> {b:7.3f}  x{b / a:5.2f}{flag}")
+    if shared:
+        print(f"comparable subset ({len(shared)} queries): "
+              f"{tot_o:.3f}s -> {tot_n:.3f}s  x{tot_n / tot_o:.2f}")
+    for label, only in (("only-old", set(oq) - set(nq)), ("only-new", set(nq) - set(oq))):
+        if only:
+            secs = sum((oq if label == "only-old" else nq)[q] for q in only)
+            print(f"{label}: {sorted(only)} ({secs:.3f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
