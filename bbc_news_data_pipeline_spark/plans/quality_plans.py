@@ -342,14 +342,48 @@ ORDER BY lang, rank
 # (from, to) pair; ties in ts break on event_id for a total order.
 # ---------------------------------------------------------------------------
 def q77_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded two-level consecutive-pair extraction (round 4 — same
+    # skew treatment as bounded_sessionize): a `lead over (partition by
+    # user)` serializes a hot user's whole history into ONE task's
+    # window sort, and AQE cannot split it. Instead each user-DAY folds
+    # its own sorted (ts, event_id, type) array row-locally (in-day
+    # transitions), and a tiny per-user window over DAY rows adds the
+    # day-boundary transition (last type of the previous event-day →
+    # first type of this day). Every consecutive pair is produced
+    # exactly once; per-task work is bounded by one user-day.
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            F.col("event_type").alias("from_type"),
-            F.lead("event_type").over(w).alias("to_type"),
+    per_day = (
+        ev.withColumn("_day", F.to_date("ts"))
+        .groupBy("user_id", "_day")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ).alias("_types")
         )
-        .filter(F.col("to_type").isNotNull())
+    )
+    n_pairs = F.greatest(F.size("_types") - 1, F.lit(0))
+    wd = Window.partitionBy("user_id").orderBy("_day")
+    staged = per_day.select(
+        "user_id",
+        "_day",
+        F.arrays_zip(
+            F.slice("_types", 1, n_pairs).alias("from_type"),
+            F.slice("_types", 2, n_pairs).alias("to_type"),
+        ).alias("_in_day"),
+        F.element_at("_types", 1).alias("_first"),
+        F.element_at("_types", -1).alias("_last"),
+    ).withColumn("_prev_last", F.lag("_last").over(wd))
+    in_day = staged.select(F.explode("_in_day").alias("p")).select(
+        F.col("p.from_type").alias("from_type"), F.col("p.to_type").alias("to_type")
+    )
+    boundary = staged.filter(F.col("_prev_last").isNotNull()).select(
+        F.col("_prev_last").alias("from_type"), F.col("_first").alias("to_type")
+    )
+    pairs = (
+        in_day.unionByName(boundary)
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
     )

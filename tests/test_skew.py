@@ -110,3 +110,48 @@ def test_salt_is_deterministic_under_recompute(spark, skewed):
     b = s.groupBy("_salt").count().collect()  # forces full recompute
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(0 <= r._salt < 8 for r in a)
+
+
+def test_bounded_transition_pairs_equal_naive_lead(spark):
+    """q77's two-level consecutive-pair extraction (user-day fold +
+    day-boundary lag) must reproduce the naive full-history lead window
+    exactly — including midnight-spanning transitions and a hot user."""
+    from datetime import datetime, timedelta
+
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for i in range(400):  # hot user 1: spans several days incl. 23:59->00:01
+        rows.append((eid, 1, t0 + timedelta(minutes=17 * i), rng.choice("abc")))
+        eid += 1
+    for u in range(2, 12):
+        for j in range(rng.randint(1, 6)):
+            rows.append((eid, u, t0 + timedelta(hours=u, minutes=29 * j), rng.choice("abc")))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r.from_type, r.to_type): r.n for r in naive.collect()}
+
+    import tempfile
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q77_transition_matrix
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(f"{tmp}/events.parquet")
+        got = {
+            (r.from_type, r.to_type): r.n
+            for r in q77_transition_matrix(spark, tmp).collect()
+        }
+    assert got == want
