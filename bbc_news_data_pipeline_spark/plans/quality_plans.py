@@ -384,6 +384,10 @@ def q77_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         in_day.unionByName(boundary)
+        # exact naive-lead semantics: a NULL-typed successor drops the
+        # pair (oracle: WHERE to_type IS NOT NULL), while a NULL-typed
+        # PREDECESSOR still contributes its (null -> next) pair
+        .filter(F.col("to_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
     )

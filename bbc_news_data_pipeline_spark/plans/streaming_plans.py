@@ -78,28 +78,47 @@ ORDER BY window_start
 SESSION_GAP_S = 1800
 
 
-def q52_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _drain_to_memory(batch_df, transform, prefix: str) -> "DataFrame":
+    """Run ``transform(stream_df)`` as a REAL availableNow streaming query
+    over a temp parquet re-emission of ``batch_df`` and return the drained
+    memory table. One canonical drain recipe for every streaming query:
+    the re-emission sidesteps the nanos-parquet stream-source gotcha
+    (sources/tables.py), the memory-sink name carries the temp dir's full
+    entropy (two drains in one session must not collide), and the fresh
+    checkpoint keeps each invocation independent.
+    """
+    import os
     import tempfile
 
-    from ..streaming.sessions import sessionize_stream
-
-    ev = load(spark, sf_dir, "events").select("user_id", "ts")
-    # Stream source needs nanos-free parquet (sources/tables.py gotcha):
-    # re-emit the normalized events as the stream input.
-    tmp = tempfile.mkdtemp(prefix="q52_events_")
-    src, ckpt, sink = f"{tmp}/src", f"{tmp}/ckpt", "q52_sessions"
-    ev.coalesce(4).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(ev.schema).parquet(src)
+    tmp = tempfile.mkdtemp(prefix=f"{prefix}_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    sink = os.path.basename(tmp)
+    batch_df.coalesce(4).write.mode("overwrite").parquet(src)
+    spark = batch_df.sparkSession
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
     q = (
-        sessionize_stream(stream, gap_s=SESSION_GAP_S, watermark="36500 days")
+        transform(stream)
         .writeStream.format("memory")
         .queryName(sink)
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
+    return spark.table(sink)
+
+
+def q52_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import sessionize_stream
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    out = _drain_to_memory(
+        ev,
+        lambda st: sessionize_stream(st, gap_s=SESSION_GAP_S, watermark="36500 days"),
+        "q52_sessions",
+    )
+    return out.select(
         "user_id",
         "session_start",
         "session_end",
@@ -146,28 +165,11 @@ ORDER BY user_id, session_start
 # than the shingle width carry no bands and are never duplicates.
 # ---------------------------------------------------------------------------
 def q96_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from ..streaming.neardup import neardup_flags_stream
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    tmp = tempfile.mkdtemp(prefix="q96_docs_")
-    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
-    sink = f"q96_neardup_{os.path.basename(tmp).rsplit('_', 1)[-1]}"
-    docs.coalesce(4).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(docs.schema).parquet(src)
-    q = (
-        neardup_flags_stream(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    flags = spark.table(sink).groupBy("doc_id").agg(
+    out = _drain_to_memory(docs, neardup_flags_stream, "q96_neardup")
+    flags = out.groupBy("doc_id").agg(
         F.max("dup_hit").alias("_hit"),
         # canonical document for a duplicate: min over its HIT bands'
         # claimants (single batch: provably the min id sharing any band)

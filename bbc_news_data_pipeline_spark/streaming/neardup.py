@@ -65,12 +65,13 @@ def _flag_group(
         return
     if state.exists:
         (first,) = state.get
-        hits = ids  # band already claimed by an earlier batch
     else:
         first = ids[0]
         state.update((first,))
-        hits = ids[1:]  # min id of the first batch claims the band
-    hit_set = set(hits)
+    # the claimant itself is never a hit — including on RE-DELIVERY of
+    # the same doc in a later batch (source replay / reprocessing must
+    # be idempotent, not mark a document as a duplicate of itself)
+    hit_set = {i for i in ids if i != first}
     yield pd.DataFrame(
         {
             "band_key": [band_key] * len(ids),

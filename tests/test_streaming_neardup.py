@@ -64,6 +64,14 @@ def test_cross_batch_neardup_flags(spark, tmp_path):
     assert got2[10] == (1, 0)  # flagged, canonical = the batch-1 original
     assert got2[11] == (0, None)
 
+    # RE-DELIVERY idempotence: the claimant itself arriving again (source
+    # replay) must NOT be marked a duplicate of itself
+    spark.createDataFrame(
+        [(0, BASE)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    got3 = _drain(spark, src, ckpt, str(tmp_path / "out"))
+    assert got3[0] == (0, None)
+
 
 def test_single_batch_matches_batch_first_wins(spark, tmp_path):
     """One micro-batch: dup_hit must equal the batch rule 'shares any

@@ -42,9 +42,10 @@ def main() -> int:
         a, b = oq[q], nq[q]
         tot_o += a
         tot_n += b
-        flag = "  <<<" if b / a > 1.3 else ("  >>>" if b / a < 0.77 else "")
-        print(f"  {q:40s} {a:7.3f} -> {b:7.3f}  x{b / a:5.2f}{flag}")
-    if shared:
+        ratio = b / a if a > 0 else float("inf")
+        flag = "  <<<" if ratio > 1.3 else ("  >>>" if ratio < 0.77 else "")
+        print(f"  {q:40s} {a:7.3f} -> {b:7.3f}  x{ratio:5.2f}{flag}")
+    if shared and tot_o > 0:
         print(f"comparable subset ({len(shared)} queries): "
               f"{tot_o:.3f}s -> {tot_n:.3f}s  x{tot_n / tot_o:.2f}")
     for label, only in (("only-old", set(oq) - set(nq)), ("only-new", set(nq) - set(oq))):

@@ -93,10 +93,11 @@ def main() -> None:
         )
 
     # Jaccard family under the same dirty corpus (reuses the final loop
-    # iteration's checkpointed 20k-boilerplate corpus): every shingle of
-    # the boilerplate block has df >= 20k, so the q39-style df cap must
-    # prune the whole block from the posting index while the organic
-    # near-dup pairs (the N copies of the base corpus) still surface.
+    # iteration's checkpointed corpus — labels derive from the live
+    # n_boiler so reordering/extending the scenario tuple stays honest):
+    # every boilerplate shingle has df >= n_boiler >> the cap, so the
+    # q39-style df cap must prune the whole block from the posting index
+    # while the organic near-dup pairs (the N corpus copies) surface.
     from bbc_news_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
 
     t0 = time.perf_counter()
@@ -106,7 +107,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "scenario": f"jaccard_maxdf64_{n_copies}x_plus_20000_boilerplate",
+                "scenario": f"jaccard_maxdf64_{n_copies}x_plus_{n_boiler}_boilerplate",
                 "total_docs": total,
                 "jaccard_pairs": n_jp,
                 "sec": round(t_j, 2),
