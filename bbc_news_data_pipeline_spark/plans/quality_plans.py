@@ -375,11 +375,19 @@ def q77_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_in_day"),
         F.element_at("_types", 1).alias("_first"),
         F.element_at("_types", -1).alias("_last"),
-    ).withColumn("_prev_last", F.lag("_last").over(wd))
+    ).withColumn("_prev_last", F.lag("_last").over(wd)).withColumn(
+        # "a previous event-day exists" tracked separately from
+        # _prev_last's nullness: a day whose LAST event has a NULL
+        # event_type must still contribute its (null -> first-of-next-day)
+        # boundary pair, exactly as the naive lead window (and the oracle's
+        # GROUP BY, which keeps null from_type) would. row_number shares
+        # the same window spec as the lag — one WindowExec computes both.
+        "_day_ord", F.row_number().over(wd)
+    )
     in_day = staged.select(F.explode("_in_day").alias("p")).select(
         F.col("p.from_type").alias("from_type"), F.col("p.to_type").alias("to_type")
     )
-    boundary = staged.filter(F.col("_prev_last").isNotNull()).select(
+    boundary = staged.filter(F.col("_day_ord") > 1).select(
         F.col("_prev_last").alias("from_type"), F.col("_first").alias("to_type")
     )
     pairs = (

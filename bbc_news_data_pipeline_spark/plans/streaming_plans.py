@@ -85,28 +85,40 @@ def _drain_to_memory(batch_df, transform, prefix: str) -> "DataFrame":
     the re-emission sidesteps the nanos-parquet stream-source gotcha
     (sources/tables.py), the memory-sink name carries the temp dir's full
     entropy (two drains in one session must not collide), and the fresh
-    checkpoint keeps each invocation independent.
+    checkpoint keeps each invocation independent. Nothing leaks across
+    invocations: the drained rows are detached from the memory sink via
+    an eager ``localCheckpoint`` so the temp view AND the temp dir
+    (parquet re-emission + stream checkpoint) are torn down before
+    returning — repeated drains in one long-lived session stay flat on
+    disk and catalog entries.
     """
     import os
+    import shutil
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix=f"{prefix}_")
     src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
     sink = os.path.basename(tmp)
-    batch_df.coalesce(4).write.mode("overwrite").parquet(src)
     spark = batch_df.sparkSession
-    stream = spark.readStream.schema(batch_df.schema).parquet(src)
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    try:
+        batch_df.coalesce(4).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize off the memory sink so both the view and the temp
+        # dir can be dropped while the caller keeps a live DataFrame
+        return spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q52_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

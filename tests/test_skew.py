@@ -155,3 +155,59 @@ def test_bounded_transition_pairs_equal_naive_lead(spark):
             for r in q77_transition_matrix(spark, tmp).collect()
         }
     assert got == want
+
+
+def test_transition_pairs_null_event_type_at_day_boundary(spark):
+    """A NULL-typed event ENDING a day must still contribute its
+    (null -> first-of-next-day) boundary pair, exactly as the naive lead
+    window does — the r4 ADVICE case: filtering the boundary branch on
+    _prev_last's nullness conflated 'no previous day' with 'previous day
+    ended in a null-typed event'. Null predecessors in-day are kept too;
+    null SUCCESSORS drop the pair on both paths."""
+    from datetime import datetime
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    d = datetime
+    rows = [
+        # user 1: day1 = [a, NULL] (null last-of-day), day2 = [b, c]
+        (0, 1, d(2024, 3, 1, 10), "a"),
+        (1, 1, d(2024, 3, 1, 23), None),
+        (2, 1, d(2024, 3, 2, 1), "b"),
+        (3, 1, d(2024, 3, 2, 2), "c"),
+        # user 2: in-day null in the middle, and a null FIRST-of-day
+        (4, 2, d(2024, 3, 1, 9), "x"),
+        (5, 2, d(2024, 3, 1, 10), None),
+        (6, 2, d(2024, 3, 1, 11), "y"),
+        (7, 2, d(2024, 3, 2, 9), None),
+        (8, 2, d(2024, 3, 2, 10), "x"),
+        # user 3: every event null-typed across two days
+        (9, 3, d(2024, 3, 1, 5), None),
+        (10, 3, d(2024, 3, 2, 5), None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r.from_type, r.to_type): r.n for r in naive.collect()}
+    assert (None, "b") in want  # the day-boundary null-predecessor pair
+
+    import tempfile
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q77_transition_matrix
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(f"{tmp}/events.parquet")
+        got = {
+            (r.from_type, r.to_type): r.n
+            for r in q77_transition_matrix(spark, tmp).collect()
+        }
+    assert got == want

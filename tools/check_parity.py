@@ -118,7 +118,8 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {q.name}: spark error: {type(e).__name__}: {str(e)[:400]}")
             failures += 1
-            rec.update(status="fail", errs=[f"spark error: {type(e).__name__}: {str(e)[:400]}"])
+            rec.update(status="fail", secs=round(time.time() - t0, 1),
+                       errs=[f"spark error: {type(e).__name__}: {str(e)[:400]}"])
             continue
         rec["rows"] = len(spark_pdf)
         if q.oracle is None:
@@ -130,7 +131,8 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {q.name}: oracle error: {type(e).__name__}: {str(e)[:400]}")
             failures += 1
-            rec.update(status="fail", errs=[f"oracle error: {type(e).__name__}: {str(e)[:400]}"])
+            rec.update(status="fail", secs=round(time.time() - t0, 1),
+                       errs=[f"oracle error: {type(e).__name__}: {str(e)[:400]}"])
             continue
         errs = compare(spark_pdf, oracle_pdf)
         rec["secs"] = round(time.time() - t0, 1)
