@@ -181,6 +181,56 @@ def connected_components(
     return labels.select("v", F.col("lbl").alias("cluster_id"))
 
 
+def resolve_ancestors(
+    mapping: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve each child's parent-pointer CHAIN to its terminal ancestor.
+
+    Input is a functional graph — at most one ``parent`` per ``child``,
+    and acyclic (every near-dup claimant arrived strictly before its
+    duplicate, so dedup chains A←B←C can never loop). Output maps every
+    child to the END of its chain: the ancestor that is not itself a
+    child (the SURVIVING document in a dedup mapping).
+
+    This is deliberately NOT min-label connected components
+    (:func:`connected_components`): with out-of-order ids across stream
+    micro-batches the terminal ancestor need not be the min id of its
+    component (doc 10 arrives first, doc 5 duplicates it later → the
+    survivor is 10). Chain-following respects arrival order; min-label
+    would not.
+
+    Scale design — pointer doubling, not step-by-step walking: each round
+    self-joins the current resolution table (child → 2^k-step ancestor)
+    with itself, so depth-d chains resolve in ceil(log2 d)+1 rounds of
+    ONE hash-join shuffle each (both sides partitioned on the join key);
+    ``localCheckpoint`` truncates lineage per round; the convergence
+    probe is a ``limit(1).count()`` — no driver-side data movement.
+    """
+    res = (
+        mapping.select(F.col(child).alias("c"), F.col(parent).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        jump = res.select(F.col("c").alias("jc"), F.col("p").alias("jp"))
+        stepped = (
+            res.join(jump, res["p"] == jump["jc"], "left")
+            .select(
+                "c",
+                F.coalesce("jp", "p").alias("p"),
+                F.col("jc").isNotNull().alias("_moved"),
+            )
+            .localCheckpoint()  # eager: one materialization reused by both actions
+        )
+        moved = stepped.filter("_moved").limit(1).count()
+        res = stepped.select("c", "p")
+        if moved == 0:
+            break
+    return res.select(F.col("c").alias(child), F.col("p").alias(parent))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -173,28 +173,29 @@ ORDER BY user_id, session_start
 # batch-vs-corpus check). Drains a REAL stream (availableNow) of the
 # documents table and emits the per-doc verdict; with one micro-batch the
 # first-wins arrival rule collapses to "shares a band with a lower-id
-# doc", which the oracle rebuilds from first principles. Docs shorter
-# than the shingle width carry no bands and are never duplicates.
+# doc", which the oracle rebuilds from first principles. canonical_id is
+# TRANSITIVE (round 5): a duplicate whose direct claimant was itself
+# flagged via a different band resolves through the claimant chain to
+# the SURVIVING ancestor (canonicalize_flags → resolve_ancestors pointer
+# doubling); the oracle mirrors the chain with a recursive CTE — chains
+# strictly decrease in doc_id within one batch, so min over the chain IS
+# the terminal. Docs shorter than the shingle width carry no bands and
+# are never duplicates.
 # ---------------------------------------------------------------------------
 def q96_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.neardup import neardup_flags_stream
+    from ..streaming.neardup import canonicalize_flags, neardup_flags_stream
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     out = _drain_to_memory(docs, neardup_flags_stream, "q96_neardup")
-    flags = out.groupBy("doc_id").agg(
-        F.max("dup_hit").alias("_hit"),
-        # canonical document for a duplicate: min over its HIT bands'
-        # claimants (single batch: provably the min id sharing any band)
-        F.min(F.when(F.col("dup_hit") == 1, F.col("claimant"))).alias("_canon"),
-    )
+    verdict = canonicalize_flags(out)
     return (
         docs.select("doc_id", "lang")
-        .join(flags, "doc_id", "left")
+        .join(verdict, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
-            F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("is_neardup"),
-            F.col("_canon").alias("canonical_id"),
+            F.coalesce(F.col("is_neardup"), F.lit(0)).cast("int").alias("is_neardup"),
+            "canonical_id",
         )
         .orderBy("doc_id")
     )
@@ -204,7 +205,7 @@ def _q96_sql() -> str:
     from .dedup_plans import SHINGLE_K, _BANDS, _SIGS, _shingle_sql
 
     return f"""
-WITH sh AS (
+WITH RECURSIVE sh AS (
     SELECT doc_id, {_shingle_sql()} AS shingles
     FROM documents
     WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
@@ -222,14 +223,25 @@ banded AS (
     ) t
 ),
 flagged AS (
-    SELECT a.doc_id, min(b.doc_id) AS canonical_id
+    SELECT a.doc_id, min(b.doc_id) AS parent_id
     FROM banded a JOIN banded b ON a.band_key = b.band_key AND b.doc_id < a.doc_id
     GROUP BY a.doc_id
+),
+chain AS (
+    SELECT doc_id, parent_id AS anc FROM flagged
+    UNION ALL
+    SELECT c.doc_id, f.parent_id
+    FROM chain c JOIN flagged f ON f.doc_id = c.anc
+),
+resolved AS (
+    -- parent chains strictly decrease in doc_id, so the chain's min IS
+    -- its terminal: the surviving (never-flagged) ancestor
+    SELECT doc_id, min(anc) AS canonical_id FROM chain GROUP BY doc_id
 )
 SELECT d.doc_id, d.lang,
-       CAST(f.doc_id IS NOT NULL AS INTEGER) AS is_neardup,
-       f.canonical_id
-FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+       CAST(r.doc_id IS NOT NULL AS INTEGER) AS is_neardup,
+       r.canonical_id
+FROM documents d LEFT JOIN resolved r ON r.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 

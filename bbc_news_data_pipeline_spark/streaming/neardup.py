@@ -92,11 +92,12 @@ def neardup_flags_stream(
 ) -> DataFrame:
     """(band_key, doc_id, dup_hit, claimant) append stream: dup_hit=1 iff
     the band was claimed by a strictly-earlier document, ``claimant``
-    being that owner. Aggregate per doc downstream with ``max(dup_hit)``
-    and ``min(claimant) where dup_hit=1`` (the canonical document a
-    duplicate maps to — earliest arrival, min id within a batch). Docs
-    shorter than ``k`` tokens carry no bands and never appear — same
-    drop rule as the batch operator."""
+    being that owner. Aggregate per doc downstream with
+    :func:`canonicalize_flags` — max(dup_hit) for the verdict plus
+    TRANSITIVE resolution of the claimant chain to the surviving
+    ancestor (a direct claimant may itself be a duplicate dropped in an
+    earlier batch). Docs shorter than ``k`` tokens carry no bands and
+    never appear — same drop rule as the batch operator."""
     keys = band_keys(docs, id_col, text_col, n_hashes, bands, k).select(
         F.col(id_col).alias("doc_id"), "band_key"
     )
@@ -107,3 +108,35 @@ def neardup_flags_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def canonicalize_flags(flags: DataFrame) -> DataFrame:
+    """Per-document verdict over accumulated ``neardup_flags_stream``
+    output, with TRANSITIVE canonical resolution: (doc_id, is_neardup,
+    canonical_id) where canonical_id is the SURVIVING ancestor, not
+    merely the direct claimant.
+
+    A duplicate's direct claimant may itself have been flagged via a
+    different band in an earlier micro-batch (A←B on band 1, then B←C on
+    band 2 would leave C pointing at dropped B) — a corpus-dedup consumer
+    wants C mapped to A, the document actually kept. Each doc's direct
+    parent is the min over its hit bands' claimants (deterministic when
+    several earlier docs claimed different bands); parent chains always
+    point strictly backwards in arrival order, so
+    :func:`~..operators.curation.resolve_ancestors` (pointer doubling)
+    follows them to the surviving terminal in O(log depth) shuffles.
+    Run this as the batch post-pass over the drained/accumulated flag
+    rows (foreachBatch sink or periodic compaction), not inside the
+    stateful stage — resolution needs the cross-band global view.
+    """
+    from ..operators.curation import resolve_ancestors
+
+    per_doc = flags.groupBy("doc_id").agg(
+        F.max("dup_hit").alias("is_neardup"),
+        F.min(F.when(F.col("dup_hit") == 1, F.col("claimant"))).alias("_parent"),
+    )
+    mapping = per_doc.filter(F.col("is_neardup") == 1).select("doc_id", "_parent")
+    resolved = resolve_ancestors(mapping, "doc_id", "_parent").select(
+        "doc_id", F.col("_parent").alias("canonical_id")
+    )
+    return per_doc.select("doc_id", "is_neardup").join(resolved, "doc_id", "left")

@@ -131,6 +131,42 @@ def test_connected_components_idempotent_on_clique(spark):
     assert got == {i: 0 for i in range(5)}
 
 
+# --- ancestor-chain resolution ---------------------------------------------
+
+
+def _resolved(spark, pairs):
+    from bbc_news_data_pipeline_spark.operators.curation import resolve_ancestors
+
+    df = spark.createDataFrame(pairs, "child long, parent long")
+    return {r.child: r.parent for r in resolve_ancestors(df).collect()}
+
+
+def test_resolve_ancestors_chain_to_terminal(spark):
+    # C(2)->B(1)->A(0): both flagged docs resolve to the surviving root
+    assert _resolved(spark, [(1, 0), (2, 1)]) == {1: 0, 2: 0}
+
+
+def test_resolve_ancestors_out_of_order_ids(spark):
+    """Arrival order, not id order: doc 10 arrived first, 5 duplicates it,
+    3 duplicates 5. The terminal is 10 — NOT the component's min id, which
+    is why this is chain-following and not min-label CC."""
+    assert _resolved(spark, [(5, 10), (3, 5)]) == {5: 10, 3: 10}
+
+
+def test_resolve_ancestors_deep_chain_and_fanin(spark):
+    # depth-9 chain exercises pointer doubling past several rounds; two
+    # extra children share a mid-chain parent (fan-in)
+    chain = [(i + 1, i) for i in range(9)]
+    fanin = [(100, 4), (101, 4)]
+    got = _resolved(spark, chain + fanin)
+    assert got == {**{i + 1: 0 for i in range(9)}, 100: 0, 101: 0}
+
+
+def test_resolve_ancestors_no_chains_is_identity(spark):
+    # parents that are not themselves children pass through unchanged
+    assert _resolved(spark, [(7, 2), (8, 3)]) == {7: 2, 8: 3}
+
+
 # --- as-of join ------------------------------------------------------------
 
 
