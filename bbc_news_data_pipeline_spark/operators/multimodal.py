@@ -21,14 +21,16 @@ contract for media columns:
                  deliberately per-job, not a repo-wide default, because
                  it would chop every text pandas-UDF batch ~20x.
 
-Real codecs (PIL / librosa / av) are NOT in this container, so the
-byte-level decoders are STUBS: ``_real_decode_meta`` raises
-``NotImplementedError`` and the pipeline falls back to
-``_fake_decode_meta``, a deterministic md5-derived metadata synthesizer.
-The fake keeps every piece of Spark plumbing real (schema, Arrow batch
-iteration, null handling, per-mime dispatch) and is reproducible in SQL,
-which is what lets the DuckDB oracle check the whole mapInPandas path
-(plans/multimodal_plans.py).
+Header-level metadata is parsed FOR REAL with pure-python walks — JPEG
+marker segments (SOF dims), RIFF/WAVE chunks (sample rate), and the ISO
+BMFF box tree (``moov``→``mvhd`` duration, ``tkhd`` dims, ``stts``
+frame count) — no codec library needed. Pixel/sample-level decode (PIL /
+librosa / av) is NOT in this container: byte streams that don't parse as
+their declared mime fall back to ``_fake_decode_meta``, a deterministic
+md5-derived metadata synthesizer. The fake keeps every piece of Spark
+plumbing real (schema, Arrow batch iteration, null handling, per-mime
+dispatch) and is reproducible in SQL, which is what lets the DuckDB
+oracle check the whole mapInPandas path (plans/multimodal_plans.py).
 """
 
 from __future__ import annotations
@@ -123,17 +125,106 @@ def _parse_wav_rate(b: bytes) -> int:
     raise NotImplementedError("no fmt chunk found")
 
 
+#: ISO BMFF container boxes whose payload is itself a box sequence.
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+#: Box types legal at the top level of a file we accept as MP4.
+_MP4_TOP_LEVEL = frozenset((b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide"))
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each ISO BMFF box in
+    ``b[start:end]``: 4-byte big-endian size + 4-byte type, size==1 →
+    64-bit largesize follows, size==0 → box extends to the end."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise NotImplementedError("truncated MP4 largesize header")
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise NotImplementedError("corrupt MP4 box size")
+        yield btype, i + hdr, i + size
+        i += size
+    if i != end:
+        raise NotImplementedError("trailing garbage after last MP4 box")
+
+
+def _parse_mp4_meta(b: bytes) -> dict:
+    """Video metadata from an ISO BMFF (MP4) byte stream by walking the
+    box tree — pure-python, no av/ffmpeg: ``moov``→``mvhd`` gives
+    timescale + duration (→ ``duration_s``), the first ``trak``'s
+    ``tkhd`` gives presentation ``width``/``height`` (16.16 fixed
+    point), and the first ``stbl``→``stts`` sample table gives
+    ``n_frames`` (sum of its entry counts). Single-video-track files
+    (the overwhelming training-corpus case) are exact; for muxed
+    audio+video the first track wins — a production decoder would
+    select the trak whose ``minf`` carries ``vmhd``. Raises
+    NotImplementedError when the bytes are not a parseable MP4.
+    """
+    if len(b) < 8 or b[4:8] not in _MP4_TOP_LEVEL:
+        raise NotImplementedError("not an ISO BMFF stream (no known top-level box)")
+    meta = {"width": None, "height": None, "n_frames": None, "duration_s": None}
+    stack = [(b"", 0, len(b))]
+    while stack:
+        _, s, e = stack.pop()
+        for btype, ps, pe in _mp4_boxes(b, s, e):
+            if btype in _MP4_CONTAINERS:
+                stack.append((btype, ps, pe))
+            elif btype == b"mvhd" and meta["duration_s"] is None:
+                if pe - ps < 20:
+                    raise NotImplementedError("truncated mvhd box")
+                version = b[ps]
+                if version == 1:
+                    if pe - ps < 32:
+                        raise NotImplementedError("truncated mvhd v1 box")
+                    timescale = int.from_bytes(b[ps + 20 : ps + 24], "big")
+                    duration = int.from_bytes(b[ps + 24 : ps + 32], "big")
+                else:
+                    timescale = int.from_bytes(b[ps + 12 : ps + 16], "big")
+                    duration = int.from_bytes(b[ps + 16 : ps + 20], "big")
+                if timescale == 0:
+                    raise NotImplementedError("mvhd timescale is zero")
+                meta["duration_s"] = duration / timescale
+            elif btype == b"tkhd" and meta["width"] is None:
+                version = b[ps] if pe > ps else 0
+                off = ps + (88 if version == 1 else 76)
+                if off + 8 > pe:
+                    raise NotImplementedError("truncated tkhd box")
+                meta["width"] = int.from_bytes(b[off : off + 4], "big") >> 16
+                meta["height"] = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+            elif btype == b"stts" and meta["n_frames"] is None:
+                if pe - ps < 8:
+                    raise NotImplementedError("truncated stts box")
+                n_entries = int.from_bytes(b[ps + 4 : ps + 8], "big")
+                if ps + 8 + 8 * n_entries > pe:
+                    raise NotImplementedError("truncated stts entry table")
+                meta["n_frames"] = sum(
+                    int.from_bytes(b[ps + 8 + 8 * k : ps + 12 + 8 * k], "big")
+                    for k in range(n_entries)
+                )
+    if meta["duration_s"] is None or meta["n_frames"] is None:
+        raise NotImplementedError("no moov/mvhd + stts boxes found")
+    return meta
+
+
 def _real_decode_meta(payload: bytes, mime: str) -> dict:
     """Decode actual media bytes.
 
-    JPEG and WAV are parsed with pure-python header walks (no codec
+    JPEG, WAV and MP4 are parsed with pure-python header walks (no codec
     libraries needed): real dimensions for ``image/jpeg``, real sample
-    rate for ``audio/wav``. Video containers (and any byte stream that
-    does not parse as its declared mime — e.g. the synthetic utf-8
-    payloads in the test fixtures) raise ``NotImplementedError``, and
-    the caller falls back to the deterministic fake; a production
-    deployment would instead route unparseable rows to a quarantine
-    column and plug PIL/librosa/av in here for full decode.
+    rate for ``audio/wav``, real track dims + frame count from the
+    ``moov`` box tree for ``video/mp4``. Any byte stream that does not
+    parse as its declared mime — e.g. the synthetic utf-8 payloads in
+    the test fixtures — raises ``NotImplementedError``, and the caller
+    falls back to the deterministic fake; a production deployment would
+    instead route unparseable rows to a quarantine column and plug
+    PIL/librosa/av in here for full pixel/sample decode.
     """
     meta = {"n_bytes": len(payload), "width": None, "height": None,
             "n_frames": None, "sample_rate": None}
@@ -143,9 +234,13 @@ def _real_decode_meta(payload: bytes, mime: str) -> dict:
     if mime == "audio/wav":
         meta["sample_rate"] = _parse_wav_rate(payload)
         return meta
+    if mime == "video/mp4":
+        m = _parse_mp4_meta(payload)
+        meta["width"], meta["height"] = m["width"], m["height"]
+        meta["n_frames"] = m["n_frames"]
+        return meta
     raise NotImplementedError(
-        f"no pure-python parser for {mime!r} (video needs a real codec); "
-        "using deterministic fake decode"
+        f"no pure-python parser for {mime!r}; using deterministic fake decode"
     )
 
 

@@ -99,6 +99,102 @@ REAL_WAV = (
 )
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    """One ISO BMFF box: 4-byte big-endian size (incl. header) + type."""
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _mp4_fixture(timescale=600, duration=3000, w=320, h=240, frames=(100, 25)):
+    """Hand-authored minimal-but-valid MP4 (ISO BMFF) byte string:
+    ftyp + moov{mvhd v0, trak{tkhd v0, mdia{minf{stbl{stts}}}}} + mdat.
+    Synthetic fixture — box tree and field offsets follow the public
+    ISO/IEC 14496-12 layout; no real encoder output involved."""
+    mvhd = _box(
+        b"mvhd",
+        bytes(4)                            # version 0 + flags
+        + bytes(8)                          # creation/modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes(80),                        # rate/volume/matrix/... padding
+    )
+    tkhd = _box(
+        b"tkhd",
+        bytes(4) + bytes(8)                 # version+flags, creation/modif
+        + (1).to_bytes(4, "big")            # track id
+        + bytes(4) + bytes(4)               # reserved, duration
+        + bytes(8) + bytes(8)               # reserved, layer/alt/volume/resv
+        + bytes(36)                         # matrix
+        + (w << 16).to_bytes(4, "big")      # width, 16.16 fixed
+        + (h << 16).to_bytes(4, "big"),     # height, 16.16 fixed
+    )
+    stts_entries = b"".join(
+        n.to_bytes(4, "big") + (24).to_bytes(4, "big") for n in frames
+    )
+    stts = _box(b"stts", bytes(4) + len(frames).to_bytes(4, "big") + stts_entries)
+    stbl = _box(b"stbl", stts)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return _box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom") + moov + _box(b"mdat", b"\x00" * 16)
+
+
+REAL_MP4 = _mp4_fixture()
+
+
+def test_real_decode_parses_mp4_box_tree():
+    from bbc_news_data_pipeline_spark.operators.multimodal import _parse_mp4_meta
+
+    m = _parse_mp4_meta(REAL_MP4)
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["n_frames"] == 125          # sum of stts entry counts
+    assert m["duration_s"] == 5.0        # mvhd 3000 ticks / 600 timescale
+    vm = _real_decode_meta(REAL_MP4, "video/mp4")
+    assert (vm["width"], vm["height"], vm["n_frames"]) == (320, 240, 125)
+    assert vm["sample_rate"] is None and vm["n_bytes"] == len(REAL_MP4)
+
+
+def test_mp4_largesize_and_v1_boxes():
+    from bbc_news_data_pipeline_spark.operators.multimodal import _parse_mp4_meta
+
+    # 64-bit largesize wrapper around moov must walk identically
+    ftyp = _box(b"ftyp", b"mp42\x00\x00\x00\x00")
+    moov_start = REAL_MP4.index(b"moov") - 4
+    moov = REAL_MP4[moov_start:]
+    inner = moov[8:-24]  # payload (strip trailing mdat box: 8 hdr + 16 data)
+    large_moov = (1).to_bytes(4, "big") + b"moov" + (16 + len(inner)).to_bytes(8, "big") + inner
+    m = _parse_mp4_meta(ftyp + large_moov)
+    assert m["n_frames"] == 125 and m["duration_s"] == 5.0
+
+    # mvhd version 1: 64-bit creation/modification/duration fields
+    mvhd_v1 = _box(
+        b"mvhd",
+        b"\x01" + bytes(3) + bytes(16)
+        + (1000).to_bytes(4, "big") + (2500).to_bytes(8, "big") + bytes(80),
+    )
+    stts = _box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+                + (42).to_bytes(4, "big") + (24).to_bytes(4, "big"))
+    doc = ftyp + _box(b"moov", mvhd_v1 + _box(b"stbl", stts))
+    m1 = _parse_mp4_meta(doc)
+    assert m1["duration_s"] == 2.5 and m1["n_frames"] == 42
+
+
+def test_mp4_corrupt_streams_raise():
+    from bbc_news_data_pipeline_spark.operators.multimodal import _parse_mp4_meta
+
+    with pytest.raises(NotImplementedError):
+        _parse_mp4_meta(b"document number 0 text bytes")   # not BMFF
+    with pytest.raises(NotImplementedError):
+        _parse_mp4_meta(_box(b"ftyp", b"mp42"))            # no moov/stts
+    with pytest.raises(NotImplementedError):
+        _parse_mp4_meta(REAL_MP4[:40])                     # truncated box
+    bad = bytearray(REAL_MP4)
+    stts_at = REAL_MP4.index(b"stts") + 8
+    bad[stts_at : stts_at + 4] = (9999).to_bytes(4, "big")  # entry count lies
+    with pytest.raises(NotImplementedError):
+        _parse_mp4_meta(bytes(bad))
+
+
 def test_real_decode_parses_jpeg_and_wav_headers():
     jm = _real_decode_meta(REAL_JPEG, "image/jpeg")
     assert (jm["width"], jm["height"]) == (64, 48)
@@ -122,6 +218,7 @@ def test_decode_media_meta_uses_real_parse_for_real_bytes(spark):
             (0, bytearray(REAL_JPEG), "image/jpeg"),
             (1, bytearray(REAL_WAV), "audio/wav"),
             (2, bytearray(fake_payload), "image/jpeg"),
+            (3, bytearray(REAL_MP4), "video/mp4"),
         ],
         "doc_id long, bytes binary, mime string",
     ).select("doc_id", F.struct("bytes", "mime").alias("media"))
@@ -130,6 +227,7 @@ def test_decode_media_meta_uses_real_parse_for_real_bytes(spark):
     assert rows[1].sample_rate == 22050
     expect = _fake_decode_meta(fake_payload, "image/jpeg")
     assert (rows[2].width, rows[2].height) == (expect["width"], expect["height"])
+    assert (rows[3].width, rows[3].height, rows[3].n_frames) == (320, 240, 125)
 
 
 def test_fake_decode_deterministic_md5_derivation():
