@@ -25,6 +25,27 @@ from bbc_news_data_pipeline_spark import get_spark
 from bbc_news_data_pipeline_spark.plans import all_queries
 
 
+def _calibration_sec(spark, sf_dir: str) -> float:
+    """Fixed machine-speed probe timed with the same 3-run-min protocol as
+    the headliners: full lineitem scan + row-local arithmetic + one global
+    sum. Deliberately shuffle-free and plan-trivial, so its round-over-round
+    ratio measures AMBIENT HOST SPEED (co-tenant load, CPU throttling),
+    not any code in this repo — tools/bench_compare.py divides per-query
+    ratios by it to separate real plan regressions from machine noise
+    (the r4 lesson: a 1.27x apparent regression was co-tenant load)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.select(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -36,6 +57,8 @@ def main() -> None:
 
     # JVM/codegen warmup on a trivial action so q1 isn't charged for startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    calibration = _calibration_sec(spark, sf_dir)
 
     # Three timed runs per query, report the min: run 1 pays one-time JVM
     # codegen/JIT compilation for that plan shape; the min of the rest is
@@ -71,6 +94,7 @@ def main() -> None:
                 "runs_per_query": 3,
                 "agg": "min",
                 "loadavg_1m": loadavg,
+                "calibration_sec": calibration,
             }
         )
     )

@@ -1,4 +1,5 @@
-"""Compare two bench JSON records per query, load-aware.
+"""Compare two bench JSON records per query, load-aware and
+calibration-normalized.
 
 Usage:
   python tools/bench_compare.py BENCH_r03.json BENCH_r04.json
@@ -9,6 +10,13 @@ raw line. Prints per-query ratios (new/old), the comparable-subset totals
 (queries present in BOTH runs), and each run's loadavg — ambient co-tenant
 load swings sub-second local-mode queries 20-40%, so read ratios against
 the loadavg delta before calling anything a regression (see SCALE.md).
+
+When BOTH records carry "calibration_sec" (bench.py r5+: a fixed
+shuffle-free lineitem scan+sum timed with the same protocol), ratios are
+ALSO reported normalized by the calibration ratio — the calibration query
+never changes, so its drift is pure machine speed and dividing it out
+isolates real plan movement. A normalized ratio near 1.0 under a hot
+loadavg is noise, not regression.
 """
 
 from __future__ import annotations
@@ -37,17 +45,42 @@ def main() -> int:
     shared = sorted(set(oq) & set(nq))
     print(f"old: total={old.get('value')}s loadavg={old.get('loadavg_1m')}  "
           f"new: total={new.get('value')}s loadavg={new.get('loadavg_1m')}")
+
+    cal_o, cal_n = old.get("calibration_sec"), new.get("calibration_sec")
+    cal_ratio = None
+    if cal_o and cal_n:
+        cal_ratio = cal_n / cal_o
+        print(f"calibration: {cal_o:.3f}s -> {cal_n:.3f}s  x{cal_ratio:.2f} "
+              f"(machine-speed drift; normalized ratios divide this out)")
+    else:
+        missing = [lbl for lbl, c in (("old", cal_o), ("new", cal_n)) if not c]
+        print(f"calibration: absent in {'/'.join(missing)} record(s) — "
+              f"raw ratios only")
+
+    hdr = f"  {'query':40s} {'old':>7s}    {'new':>7s}   ratio"
+    print(hdr + ("   norm" if cal_ratio else ""))
     tot_o = tot_n = 0.0
     for q in shared:
         a, b = oq[q], nq[q]
         tot_o += a
         tot_n += b
         ratio = b / a if a > 0 else float("inf")
-        flag = "  <<<" if ratio > 1.3 else ("  >>>" if ratio < 0.77 else "")
-        print(f"  {q:40s} {a:7.3f} -> {b:7.3f}  x{ratio:5.2f}{flag}")
+        line = f"  {q:40s} {a:7.3f} -> {b:7.3f}  x{ratio:5.2f}"
+        if cal_ratio:
+            norm = ratio / cal_ratio
+            flag = "  <<<" if norm > 1.3 else ("  >>>" if norm < 0.77 else "")
+            line += f"  x{norm:5.2f}{flag}"
+        else:
+            flag = "  <<<" if ratio > 1.3 else ("  >>>" if ratio < 0.77 else "")
+            line += flag
+        print(line)
     if shared and tot_o > 0:
-        print(f"comparable subset ({len(shared)} queries): "
-              f"{tot_o:.3f}s -> {tot_n:.3f}s  x{tot_n / tot_o:.2f}")
+        tot_ratio = tot_n / tot_o
+        msg = (f"comparable subset ({len(shared)} queries): "
+               f"{tot_o:.3f}s -> {tot_n:.3f}s  x{tot_ratio:.2f}")
+        if cal_ratio:
+            msg += f"  (normalized x{tot_ratio / cal_ratio:.2f})"
+        print(msg)
     for label, only in (("only-old", set(oq) - set(nq)), ("only-new", set(nq) - set(oq))):
         if only:
             secs = sum((oq if label == "only-old" else nq)[q] for q in only)
