@@ -124,16 +124,20 @@ def test_hf_real_model_parity_when_present(spark):
 
 
 def test_hf_wire_format_parity_with_reference_loop(spark):
-    """EXECUTED parity for the real-HF branch (VERDICT r3 next-step #4):
-    the Spark iterator-UDF path must produce exactly what the reference's
+    """WIRE-FORMAT parity for the real-HF branch — explicitly NOT
+    model-output parity: the committed fixture is HAND-AUTHORED to mimic
+    transformers output shapes, its scores are invented (see
+    tests/fixtures/HF_FIXTURE_PROVENANCE.md; tools/record_hf_fixture.py
+    upgrades it to recorded real outputs wherever transformers is
+    importable, and this test consumes either variant). What it proves:
+    the Spark iterator-UDF path produces exactly what the reference's
     driver-side pandas loop (_run_transformer,
-    sentiment_analysis.py:76-112) produces, given the SAME classifier
-    callable. A wire-format-faithful fake pipeline (committed fixture,
-    tests/fixtures/hf_pipeline_wire_fixture.json: dict results, 1-element
-    list results, top_k=None full class lists, uppercase labels) is
-    injected via pipeline_factory, so the REAL branch — normalization,
-    isinstance argmax dispatch, lowercase mapping, float coercion — runs
-    inside actual Spark python workers rather than the lexicon stub."""
+    sentiment_analysis.py:76-112) produces given the SAME classifier
+    callable — dict results, 1-element list results, top_k=None full
+    class lists, uppercase labels — with the REAL branch (normalization,
+    isinstance argmax dispatch, lowercase mapping, float coercion)
+    running inside actual Spark python workers via pipeline_factory
+    injection, not the lexicon stub."""
     import json
     import pathlib
 
@@ -180,10 +184,14 @@ def test_hf_wire_format_parity_with_reference_loop(spark):
         want_labels, want_scores = reference_loop([wire[t] for t in texts])
         for t, wl, ws in zip(texts, want_labels, want_scores):
             assert got[t] == (wl, ws), (task, t, got[t], (wl, ws))
-    # the fixture's deliberate shape coverage actually engaged: argmax on
-    # lists, passthrough on dicts, uppercase→lowercase
-    assert isinstance(fix["sentiment"][texts[1]], list)
-    assert fix["emotion"][texts[2]][0]["label"] == "NEUTRAL"
+    # For the HAND-AUTHORED fixture, check its deliberate shape coverage
+    # actually engaged: argmax on lists, passthrough on dicts,
+    # uppercase→lowercase. A RECORDED fixture (tools/record_hf_fixture.py)
+    # carries whatever shapes the real pipelines emitted — skip the
+    # authored-shape asserts but keep the parity above.
+    if fix["_provenance"].startswith("Hand-authored"):
+        assert isinstance(fix["sentiment"][texts[1]], list)
+        assert fix["emotion"][texts[2]][0]["label"] == "NEUTRAL"
 
 
 def test_hf_stub_runs_as_pandas_udf(spark):

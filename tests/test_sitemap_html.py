@@ -1,5 +1,9 @@
 """Ingestion parsing fixtures: sitemap XML (S1/S2) and article HTML
-(S3/U7) including selector fallbacks (F17) and validation drops (P10)."""
+(S3/U7) including selector fallbacks (F17) and validation drops (P10).
+
+All XML/HTML strings here are HAND-AUTHORED synthetic fixtures shaped
+after the public sitemap/article layouts the reference's spider targets —
+nothing is captured from a live site."""
 
 import pytest
 from pyspark.sql import functions as F
