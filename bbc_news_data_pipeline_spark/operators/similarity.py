@@ -2,9 +2,20 @@
 
 Extension surface for the LLM-data pipeline (BASELINE.json north star):
 brute-force cosine top-k as the exactness baseline, plus an LSH-bucketed
-variant as the scale path. All arithmetic is double-precision, sequential
-left-to-right (zip_with + aggregate), so the DuckDB oracle — written with
-the same list algebra — reproduces results bit-for-bit before rounding.
+variant as the scale path.
+
+Determinism (round 5): similarity arithmetic is QUANTIZED-EXACT. Float
+components are quantized to 1e-6 resolution int64s and dot/norm² are
+integer sums — exactly associative, so ANY evaluation order on ANY
+engine produces the same value (the r4 float-fold version relied on
+DuckDB's list_sum matching Spark's sequential double fold bit-for-bit,
+which held at sf0.01 and broke by 1 ulp on 4 pairs at sf0.1 — rank
+boundaries then flipped). The final sqrt/divide operate on exactly
+int64-representable doubles (bounds: |x|≤1, dim≤4096 → norm² ≤ 4e15 <
+2^53), so they are IEEE-deterministic too. Quantization perturbs cosine
+by ~1e-6 relative — far below the 4dp output rounding — and the DuckDB
+oracles apply the identical quantization, making parity hold BY
+CONSTRUCTION at every scale.
 
 Scale notes: brute-force against ONE query vector is a broadcast map —
 embarrassingly parallel, no shuffle, and TakeOrderedAndProject handles the
@@ -19,25 +30,75 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _to_double(arr: Column) -> Column:
-    return F.transform(arr, lambda x: x.cast("double"))
+#: Quantization scale: 1e-6 component resolution. Scales cancel in
+#: cosine (dot is scale², each norm is scale¹), so no rescaling needed.
+QUANT_SCALE = 1_000_000
+
+
+def _qint(arr: Column) -> Column:
+    """Components quantized to int64 at 1e-6 resolution via
+    floor(x·scale + 0.5) — pure IEEE ops, so identical in Spark and
+    DuckDB for identical input doubles (native round() implementations
+    diverge at decimal-representation boundaries; see :func:`qround`)."""
+    return F.transform(
+        arr,
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long"),
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product — deterministic accumulation order."""
+    """Quantized-exact dot product: int64 sum of quantized component
+    products (exactly associative — engine/order independent), returned
+    as double in QUANT_SCALE² units."""
     return F.aggregate(
-        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
-        F.lit(0.0),
+        F.zip_with(_qint(a), _qint(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+
+
+def norm(a: Column) -> Column:
+    """Quantized-exact L2 norm in QUANT_SCALE units: sqrt of the exact
+    int64 sum of squares (sqrt input is int64-exact → IEEE-deterministic)."""
+    return F.sqrt(
+        F.aggregate(
+            _qint(a), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized-exact dot/norms — unitless (scales cancel),
+    deterministic across engines and evaluation orders."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Quantized-exact squared L2 distance: int64 sum of squared
+    quantized component differences (QUANT_SCALE² units). Being an exact
+    integer, it ranks without ANY rounding — the k-means assignment
+    argmin needs no 6dp tiebreak epsilon at all."""
+    return F.aggregate(
+        F.zip_with(_qint(a), _qint(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+def qround(c: Column, d: int) -> Column:
+    """Engine-deterministic fixed-point rounding: floor(x·10^d + 0.5)/10^d.
 
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    Native round() differs between engines on identical input doubles —
+    Spark rounds the exact decimal expansion (BigDecimal HALF_UP) while
+    DuckDB rounds in float arithmetic — and the similarity family ranks
+    on rounded scores, so a boundary value flips top-k membership (seen
+    at sf0.1: one 6dp boundary among 16k scores). This form is pure
+    IEEE multiply/floor/divide: identical doubles in → identical doubles
+    out on both engines. (Half-ties round toward +inf rather than away
+    from zero — applied identically on both sides, so parity is by
+    construction.) SQL twin: plans/embeddings_plans.py:_round_sql."""
+    s = float(10**d)
+    return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
 
 
 def cosine_topk(
@@ -60,7 +121,7 @@ def cosine_topk(
         emb.crossJoin(F.broadcast(q2))
         .withColumn(
             "cos_sim",
-            F.round(
+            qround(
                 dot(F.col(vec_col), F.col("qv"))
                 / (norm(F.col(vec_col)) * F.col("_qn")),
                 4,
@@ -126,7 +187,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(cent))
         .withColumn(
             "c_cos",
-            F.round(
+            qround(
                 dot(F.col(vec_col), F.col("cell_vec"))
                 / (F.col("_nrm") * F.col("cell_nrm")),
                 6,
@@ -139,7 +200,7 @@ def ivf_topk(
     # probed cells: nprobe centroids nearest to the query
     probed = (
         cent.crossJoin(F.broadcast(query_vec))
-        .withColumn("q_cos", F.round(cosine(F.col("cell_vec"), F.col("qv")), 6))
+        .withColumn("q_cos", qround(cosine(F.col("cell_vec"), F.col("qv")), 6))
         .orderBy(F.desc("q_cos"), F.asc("cell_id"))
         .limit(nprobe)
         .select("cell_id")
@@ -152,7 +213,7 @@ def ivf_topk(
         candidates.crossJoin(F.broadcast(q2))
         .withColumn(
             "cos_sim",
-            F.round(
+            qround(
                 dot(F.col(vec_col), F.col("qv"))
                 / (norm(F.col(vec_col)) * F.col("_qn")),
                 4,
@@ -230,7 +291,7 @@ def lsh_bucket_ann(
                         lambda y: F.struct(
                             x[id_col].alias("id_a"),
                             y[id_col].alias("id_b"),
-                            F.round(
+                            qround(
                                 dot(x[vec_col], y[vec_col])
                                 / (x["_nrm"] * y["_nrm"]),
                                 4,

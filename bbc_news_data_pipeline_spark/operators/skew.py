@@ -52,6 +52,72 @@ def salted_sum(
     return partial.groupBy(*key_cols).agg(F.sum("_partial_s").alias("total"))
 
 
+def exclusive_prefix_sum(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    block_size: int = 256,
+    out_col: str = "_prefix",
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` per ``part_col`` in
+    ``order_col`` order, WITHOUT a full-partition window sort — the
+    two-phase parallel prefix sum.
+
+    The naive ``sum over (partition by part order by ord)`` serializes a
+    hot partition into ONE task's sort that AQE cannot split — the same
+    scale-killer bounded_sessionize (q21) and the q77 pair extraction
+    eliminated. Here the classic fix:
+
+      1. block ``ord`` into ranges of ``block_size`` and partial-sum each
+         (part, block) — one uniform hash shuffle, map-side combinable;
+      2. a window over BLOCK rows per part (rows/block_size, e.g. 256×
+         fewer) yields each block's exclusive offset;
+      3. join offsets back (equi-join on (part, block)) and add the
+         in-block exclusive prefix — a window whose partitions are
+         bounded by one block's row count.
+
+    Both windows are bounded (block count / block width), every shuffle
+    is uniform, semantics identical to the naive window for any unique
+    ``order_col`` within a partition. For corpora where even rows/
+    block_size block rows overflow one task, recurse step 2 — one extra
+    level covers block_size² × task capacity.
+
+    Requires numeric ``order_col``; blocks are value ranges, so row
+    count per block is bounded when ids are ~dense (doc ids, event
+    ids). Returns ``df`` + ``out_col``.
+    """
+    from pyspark.sql import Window as W
+
+    staged = df.withColumn("_blk", F.floor(F.col(order_col) / F.lit(block_size)))
+    wb = (
+        W.partitionBy(part_col)
+        .orderBy("_blk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        staged.groupBy(part_col, "_blk")
+        .agg(F.sum(value_col).alias("_bsum"))
+        .withColumn("_boff", F.coalesce(F.sum("_bsum").over(wb), F.lit(0)))
+        .select(part_col, "_blk", "_boff")
+    )
+    wi = (
+        W.partitionBy(part_col, "_blk")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        staged.join(offsets, [part_col, "_blk"])
+        .withColumn(
+            out_col,
+            (F.col("_boff") + F.coalesce(F.sum(value_col).over(wi), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop("_blk", "_boff")
+    )
+
+
 def salted_broadcast_join(
     big: DataFrame,
     small: DataFrame,

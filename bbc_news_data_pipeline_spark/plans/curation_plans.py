@@ -491,29 +491,30 @@ ORDER BY lang, sample_rank
 # ---------------------------------------------------------------------------
 # q68 — token-budget shard packing (ext): assign documents to contiguous
 # training shards of ~200 tokens each, per language — the sequence-packing
-# / output-sharding step of a pretraining pipeline. Running-sum window
-# per stratum: partitionBy(lang) keeps every stratum's prefix sum
-# independent and parallel (a single global ordering would serialize at
-# 100 TB; per-stratum is the scale form).
+# / output-sharding step of a pretraining pipeline. Round 5: the prefix
+# sum is the two-phase PARALLEL form (operators/skew.py:
+# exclusive_prefix_sum) — a naive per-lang running-sum window serializes
+# a hot language (most of a real corpus is one language!) into a single
+# task's sort; blocking by doc_id range bounds both window levels, the
+# same treatment as q21 sessionization and q77 pair extraction. Identical
+# semantics; the oracle keeps the naive window as the independent check.
 # ---------------------------------------------------------------------------
 _Q68_BUDGET = 200
 
 
 def q68_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.skew import exclusive_prefix_sum
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return toks.select(
+    prefixed = exclusive_prefix_sum(toks, "lang", "doc_id", "n_tokens")
+    return prefixed.select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _Q68_BUDGET)
-        .cast("long")
-        .alias("shard_id"),
+        F.floor(F.col("_prefix") / _Q68_BUDGET).cast("long").alias("shard_id"),
     )
 
 
@@ -548,5 +549,5 @@ QUERIES = [
     Query("q67_stratified_sample", q67_stratified_sample, Q67_SQL,
           survey="ext:stratified-sampling"),
     Query("q68_token_shards", q68_token_shards, Q68_SQL,
-          survey="ext:shard-packing,W2"),
+          survey="ext:shard-packing,W2", tags=("bench",)),
 ]

@@ -2,9 +2,11 @@
 
 LLM-pipeline extension surface (BASELINE.json): exact brute-force cosine
 top-k (the correctness baseline for any ANN index) and a probe-assignment
-query (the inner loop of IVF-style partitioning). Both use sequential
-double-precision folds so the DuckDB oracle (same list algebra) matches
-bit-for-bit before rounding.
+query (the inner loop of IVF-style partitioning). Similarity arithmetic
+is QUANTIZED-EXACT (operators/similarity.py round-5 note): int64 sums of
+1e-6-quantized components are exactly associative, so the DuckDB twins
+below match by construction at every scale — the r4 double-fold macros
+drifted 1 ulp from Spark's fold at sf0.1 and flipped rank boundaries.
 """
 
 from __future__ import annotations
@@ -18,17 +20,37 @@ from ..operators.similarity import cosine, cosine_topk, lsh_bucket_ann
 from ..sources.tables import load
 from .registry import Query
 
-# DuckDB list-algebra twins of operators/similarity.py:dot/norm.
+# DuckDB list-algebra twins of operators/similarity.py:dot/norm —
+# QUANTIZED-EXACT: components → round(x·1e6) BIGINTs, integer sums
+# (list_sum over BIGINT is exact), cast to DOUBLE only at the end
+# (values < 2^53 → exact). Identical quantization on the Spark side, so
+# equality is arithmetic identity, not float-fold luck.
 # (index-based: DuckDB 1.0's list_zip yields unnamed structs)
+_Q = "CAST(floor(CAST({x} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
 _DOT = (
-    "list_sum(list_transform(generate_series(1, len({a})), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+    f"i -> {_Q.format(x='{a}[i]')} * {_Q.format(x='{b}[i]')})) AS DOUBLE)"
 )
-_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_NORM = (
+    "sqrt(CAST(list_sum(list_transform({a}, "
+    f"x -> {_Q.format(x='x')} * {_Q.format(x='x')})) AS DOUBLE))"
+)
 
 
 def _cos_sql(a: str, b: str) -> str:
     return f"({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+
+
+def _round_sql(expr: str, d: int) -> str:
+    """Deterministic fixed-point rounding, the SQL twin of
+    operators/similarity.py:qround — floor(x·10^d + 0.5)/10^d in pure
+    IEEE ops. DuckDB's native round() rounds in float arithmetic while
+    Spark's rounds the exact decimal expansion; on a 6dp boundary value
+    the two disagree and rank-on-rounded-score queries flip a top-k
+    member (observed at sf0.1). This form gives identical doubles on
+    both engines for identical inputs."""
+    s = f"1e{d}"
+    return f"(floor(({expr}) * {s} + 0.5) / {s})"
 
 
 # ---------------------------------------------------------------------------
@@ -43,7 +65,7 @@ def q40_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q40_SQL = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, round({_cos_sql('embedding', 'qv')}, 4) AS cos_sim
+SELECT vec_id, {_round_sql(_cos_sql('embedding', 'qv'), 4)} AS cos_sim
 FROM embeddings CROSS JOIN q
 WHERE vec_id != 0
 ORDER BY cos_sim DESC, vec_id ASC
@@ -57,7 +79,7 @@ LIMIT 10
 # broadcast; ranking via row_number with rounded-score + probe-id tiebreak.
 # ---------------------------------------------------------------------------
 def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dot, norm
+    from ..operators.similarity import dot, norm, qround
 
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8).select(
@@ -75,7 +97,7 @@ def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = targets.crossJoin(F.broadcast(probes)).withColumn(
         "cos6",
-        F.round(
+        qround(
             dot(F.col("embedding"), F.col("probe_vec"))
             / (F.col("_nrm") * F.col("probe_nrm")),
             6,
@@ -88,7 +110,7 @@ def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "probe_id",
-            F.round(F.col("cos6"), 4).alias("cos_sim"),
+            qround(F.col("cos6"), 4).alias("cos_sim"),
             (F.col("label") == F.col("probe_label")).cast("int").alias("label_match"),
         )
     )
@@ -101,16 +123,16 @@ WITH probes AS (
 ),
 scored AS (
     SELECT e.vec_id, p.probe_id,
-           round({_cos_sql('e.embedding', 'p.probe_vec')}, 6) AS cos6,
+           {_round_sql(_cos_sql('e.embedding', 'p.probe_vec'), 6)} AS cos6,
            CAST(e.label = p.probe_label AS INTEGER) AS label_match,
            row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY round({_cos_sql('e.embedding', 'p.probe_vec')}, 6) DESC, p.probe_id ASC
+               ORDER BY {_round_sql(_cos_sql('e.embedding', 'p.probe_vec'), 6)} DESC, p.probe_id ASC
            ) AS rn
     FROM embeddings e CROSS JOIN probes p
     WHERE e.vec_id >= 8
 )
-SELECT vec_id, probe_id, round(cos6, 4) AS cos_sim, label_match
+SELECT vec_id, probe_id, {_round_sql('cos6', 4)} AS cos_sim, label_match
 FROM scored WHERE rn = 1
 ORDER BY vec_id
 """
@@ -158,11 +180,11 @@ kept AS (
     SELECT bucket FROM bucketed GROUP BY bucket HAVING count(*) <= {_MAX_BUCKET}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+       {_round_sql(_cos_sql('a.embedding', 'b.embedding'), 4)} AS cos_sim
 FROM bucketed a
 JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 JOIN kept k ON k.bucket = a.bucket
-WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= {_MIN_COS}
+WHERE {_round_sql(_cos_sql('a.embedding', 'b.embedding'), 4)} >= {_MIN_COS}
 ORDER BY id_a, id_b
 """
 
@@ -192,7 +214,7 @@ assigned AS (
     SELECT e.vec_id, e.embedding, cell_id,
            row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY round({_cos_sql('e.embedding', 'cell_vec')}, 6) DESC, cell_id ASC
+               ORDER BY {_round_sql(_cos_sql('e.embedding', 'cell_vec'), 6)} DESC, cell_id ASC
            ) AS rn
     FROM embeddings e CROSS JOIN cent
     WHERE e.vec_id >= 8
@@ -200,10 +222,10 @@ assigned AS (
 inv AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
 probed AS (
     SELECT cell_id FROM cent CROSS JOIN q
-    ORDER BY round({_cos_sql('cell_vec', 'qv')}, 6) DESC, cell_id ASC
+    ORDER BY {_round_sql(_cos_sql('cell_vec', 'qv'), 6)} DESC, cell_id ASC
     LIMIT 2
 )
-SELECT i.vec_id, i.cell_id, round({_cos_sql('i.embedding', 'qv')}, 4) AS cos_sim
+SELECT i.vec_id, i.cell_id, {_round_sql(_cos_sql('i.embedding', 'qv'), 4)} AS cos_sim
 FROM inv i JOIN probed USING (cell_id) CROSS JOIN q
 ORDER BY cos_sim DESC, i.vec_id ASC
 LIMIT 10
@@ -224,12 +246,28 @@ _Q82_OUT_VECS = 20
 
 
 def q82_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engine-deterministic moments (round 5): mu and sigma come from
+    # EXACT int64 sums of 1e-6-quantized values (Σq, Σq² both < 2^53),
+    # combined with the naive-variance formula in identical double ops
+    # on both engines — a float avg/stddev's accumulation order is
+    # engine-dependent (the q41 1-ulp class). z is scale-invariant, so
+    # no de-quantization is needed anywhere.
+    from ..operators.similarity import QUANT_SCALE, qround
+
     emb = load(spark, sf_dir, "embeddings")
+    qval = F.floor(F.col("val").cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long")
     exploded = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "val")
-    ).withColumn("val", F.col("val").cast("double"))
+    ).select("vec_id", "dim", qval.alias("q"))
     stats = exploded.groupBy("dim").agg(
-        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sigma")
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mu)
+        / (F.col("n") - 1)
     )
     return (
         exploded.filter(F.col("vec_id") < _Q82_OUT_VECS)
@@ -237,7 +275,7 @@ def q82_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "dim",
-            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+            qround((F.col("q").cast("double") - mu) / sigma, 4).alias("z"),
         )
         .orderBy("vec_id", "dim")
     )
@@ -245,14 +283,19 @@ def q82_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q82_SQL = f"""
 WITH exploded AS (
-    SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+    SELECT vec_id, i - 1 AS dim, {_Q.format(x='embedding[i]')} AS q
     FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 ),
 stats AS (
-    SELECT dim, avg(val) AS mu, stddev_samp(val) AS sigma
+    SELECT dim, count(*) AS n,
+           CAST(sum(q) AS DOUBLE) AS s1,
+           CAST(sum(q * q) AS DOUBLE) AS s2
     FROM exploded GROUP BY dim
 )
-SELECT e.vec_id, e.dim, round((e.val - s.mu) / s.sigma, 4) AS z
+SELECT e.vec_id, e.dim,
+       {_round_sql(
+           "(CAST(e.q AS DOUBLE) - s.s1 / s.n)"
+           " / sqrt((s.s2 - s.s1 * (s.s1 / s.n)) / (s.n - 1))", 4)} AS z
 FROM exploded e JOIN stats s ON e.dim = s.dim
 WHERE e.vec_id < {_Q82_OUT_VECS}
 ORDER BY e.vec_id, e.dim
@@ -261,35 +304,36 @@ ORDER BY e.vec_id, e.dim
 
 # ---------------------------------------------------------------------------
 # q83 — one Lloyd iteration of k-means (ext): assign every vector to its
-# nearest of 10 fixed seed centroids (squared L2, rounded 6dp before the
-# argmin, ties → lowest seed id), then recompute per-(cluster, dim)
-# centroid means — the training loop of an IVF index (q41/q53 consume
-# exactly such centroids). Assignment is a broadcast map over the corpus
-# (no shuffle); the centroid update is ONE shuffle on (cluster, dim)
-# with map-side partial aggregation. Iterating = re-running with the
-# output as the new seeds; each round is the same two-stage plan.
+# nearest of 10 fixed seed centroids (quantized-exact squared L2 — an
+# int64, so the argmin needs NO rounding epsilon; ties → lowest seed id),
+# then recompute per-(cluster, dim) centroid means — the training loop of
+# an IVF index (q41/q53 consume exactly such centroids). Assignment is a
+# broadcast map over the corpus (no shuffle); the centroid update is ONE
+# shuffle on (cluster, dim) with map-side partial aggregation, the mean
+# computed as exact-int64 sum of quantized components / (scale · n) so
+# the value is engine-deterministic (a float avg's accumulation order
+# differs between engines — the same 1-ulp class q41 hit at sf0.1).
+# Iterating = re-running with the output as the new seeds.
 # ---------------------------------------------------------------------------
 _Q83_SEED_MOD = 50  # seeds: vec_id 0, 50, …, 450 → k = 10
 
 
 def q83_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import QUANT_SCALE, qround, sq_l2
+
     emb = load(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") % _Q83_SEED_MOD == 0).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
     )
     corpus = emb.filter(F.col("vec_id") % _Q83_SEED_MOD != 0)
-    diff = F.zip_with(
-        "embedding",
-        "seed_vec",
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    sqd = F.round(
-        F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), 6
-    ).alias("d")
     assigned = (
         corpus.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "embedding", "seed_id", sqd)
+        .select(
+            "vec_id",
+            "embedding",
+            "seed_id",
+            sq_l2(F.col("embedding"), F.col("seed_vec")).alias("d"),
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -298,24 +342,33 @@ def q83_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
     )
+    qval = F.floor(F.col("val").cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long")
     return (
         assigned.select(
             F.col("seed_id").alias("cluster_id"),
             F.posexplode("embedding").alias("dim", "val"),
         )
         .groupBy("cluster_id", "dim")
-        .agg(
-            F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"),
-            F.count("*").alias("n_members"),
+        .agg(F.sum(qval).alias("_qs"), F.count("*").alias("n_members"))
+        .select(
+            "cluster_id",
+            "dim",
+            qround(
+                F.col("_qs").cast("double") / (F.lit(float(QUANT_SCALE)) * F.col("n_members")),
+                4,
+            ).alias("centroid_val"),
+            "n_members",
         )
         .orderBy("cluster_id", "dim")
     )
 
 
+# exact int64 squared distance on quantized components — ranks without
+# rounding, so the ORDER BY compares identical integers on both engines
 _SQD_SQL = (
-    "round(list_sum(list_transform(generate_series(1, len(e.embedding)), "
-    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed_vec[i] AS DOUBLE)) "
-    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed_vec[i] AS DOUBLE)))), 6)"
+    "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    f"i -> ({_Q.format(x='e.embedding[i]')} - {_Q.format(x='s.seed_vec[i]')}) "
+    f"* ({_Q.format(x='e.embedding[i]')} - {_Q.format(x='s.seed_vec[i]')})))"
 )
 
 Q83_SQL = f"""
@@ -334,7 +387,9 @@ assigned AS (
 ),
 members AS (SELECT seed_id AS cluster_id, embedding FROM assigned WHERE rn = 1)
 SELECT cluster_id, i - 1 AS dim,
-       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val,
+       {_round_sql(
+           "CAST(sum(" + _Q.format(x='embedding[i]') + ") AS DOUBLE)"
+           " / (1000000.0 * count(*))", 4)} AS centroid_val,
        count(*) AS n_members
 FROM members, unnest(generate_series(1, len(embedding))) AS t(i)
 GROUP BY cluster_id, i
@@ -388,7 +443,7 @@ dropped AS (
     FROM bucketed a
     JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     JOIN kept k ON k.bucket = a.bucket
-    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= {_NEARDUP_COS}
+    WHERE {_round_sql(_cos_sql('a.embedding', 'b.embedding'), 4)} >= {_NEARDUP_COS}
 )
 SELECT e.vec_id, e.label
 FROM embeddings e

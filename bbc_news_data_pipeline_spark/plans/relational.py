@@ -670,8 +670,11 @@ ORDER BY k_bucket
 # q25 — approximate distinct counting (the 100 TB form of A13/S8 counts:
 # HLL sketches are mergeable, so the combine is map-side and tiny).
 # HLL implementations differ across engines, so the oracle checks the
-# EXACT counts plus the CONTRACT — approx within 5% of exact (rsd=0.05)
-# — rather than the sketch value itself.
+# EXACT counts plus the CONTRACT — approx within 5% of exact. The sketch
+# runs at rsd=0.01 so the ±5% claim is a 5-sigma bound, not the 1-sigma
+# coin-flip the original rsd=0.05 made of it (which duly failed at
+# sf0.1: all five groups drifted 5.3-6.1%). rsd=0.01 is ~16 KB of HLL
+# registers per group — still trivially mergeable at 100 TB.
 # ---------------------------------------------------------------------------
 def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -680,7 +683,7 @@ def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (
                 F.abs(
-                    F.approx_count_distinct("user_id", rsd=0.05) - F.count_distinct("user_id")
+                    F.approx_count_distinct("user_id", rsd=0.01) - F.count_distinct("user_id")
                 )
                 / F.count_distinct("user_id")
             )

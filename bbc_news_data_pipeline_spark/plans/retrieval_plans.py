@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import with_shingles
 from ..sources.tables import load
 from .dedup_plans import _shingle_sql
+from .embeddings_plans import _cos_sql, _round_sql
 from .registry import Query
 
 
@@ -278,7 +279,7 @@ _Q84_QUERY_VEC = 0
 
 
 def q84_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine
+    from ..operators.similarity import cosine, qround
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
@@ -300,7 +301,7 @@ def q84_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("id"),
-            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cs"),
+            qround(cosine(F.col("embedding"), F.col("qv")), 4).alias("cs"),
         )
         .orderBy(F.col("cs").desc(), F.col("id"))
         .limit(_Q84_POOL)
@@ -311,7 +312,8 @@ def q84_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("cs").desc(), F.col("id")))
         .alias("vr"),
     )
-    rrf = F.round(
+    # qround, not F.round: the fused score is compared/ordered cross-engine
+    rrf = qround(
         F.coalesce(1.0 / (_RRF_K + F.col("tr")), F.lit(0.0))
         + F.coalesce(1.0 / (_RRF_K + F.col("vr")), F.lit(0.0)),
         6,
@@ -359,14 +361,10 @@ text_rank AS (
 ),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_Q84_QUERY_VEC}),
 cs AS (
+    -- quantized-exact cosine, the same macro family as embeddings_plans
+    -- (operators/similarity.py round-5 determinism note)
     SELECT vec_id AS id,
-           round(
-             list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(qv,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cs
+           {_round_sql(_cos_sql('embedding', 'qv'), 4)} AS cs
     FROM embeddings CROSS JOIN q
 ),
 vec_rank AS (
@@ -376,8 +374,9 @@ vec_rank AS (
     ) WHERE vr <= {_Q84_POOL}
 )
 SELECT coalesce(t.id, v.id) AS id, t.tr, v.vr,
-       round(coalesce(1.0 / ({_RRF_K} + t.tr), 0)
-             + coalesce(1.0 / ({_RRF_K} + v.vr), 0), 6) AS rrf
+       {_round_sql(
+           f"coalesce(1.0 / ({_RRF_K} + t.tr), 0)"
+           f" + coalesce(1.0 / ({_RRF_K} + v.vr), 0)", 6)} AS rrf
 FROM text_rank t FULL OUTER JOIN vec_rank v ON t.id = v.id
 ORDER BY rrf DESC, id
 LIMIT {_Q84_TOPK}

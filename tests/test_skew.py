@@ -157,6 +157,42 @@ def test_bounded_transition_pairs_equal_naive_lead(spark):
     assert got == want
 
 
+def test_exclusive_prefix_sum_equals_naive_window(spark):
+    """The two-phase parallel prefix sum (q68's round-5 shape) must equal
+    the naive full-partition running-sum window exactly — including a hot
+    partition holding ~90% of rows, sparse/non-contiguous ids, and a
+    partition smaller than one block."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.skew import exclusive_prefix_sum
+
+    rng = random.Random(11)
+    rows = []
+    # hot partition "en": 2000 rows, ids sparse with gaps
+    next_id = 0
+    for _ in range(2000):
+        next_id += rng.randint(1, 7)
+        rows.append(("en", next_id, rng.randint(0, 500)))
+    # small partitions, one below block size
+    for part, n in (("fr", 150), ("de", 40), ("xx", 3)):
+        for _ in range(n):
+            next_id += rng.randint(1, 9)
+            rows.append((part, next_id, rng.randint(0, 500)))
+    df = spark.createDataFrame(rows, "lang string, doc_id long, v long")
+
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    naive = df.select(
+        "lang", "doc_id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("want")
+    )
+    got = exclusive_prefix_sum(df, "lang", "doc_id", "v", block_size=64)
+    joined = got.join(naive, ["lang", "doc_id"])
+    assert joined.count() == len(rows)
+    assert joined.filter(F.col("_prefix") != F.col("want")).count() == 0
+
+
 def test_transition_pairs_null_event_type_at_day_boundary(spark):
     """A NULL-typed event ENDING a day must still contribute its
     (null -> first-of-next-day) boundary pair, exactly as the naive lead
