@@ -46,25 +46,38 @@ def _qint(arr: Column) -> Column:
     )
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Quantized-exact dot product: int64 sum of quantized component
-    products (exactly associative — engine/order independent), returned
-    as double in QUANT_SCALE² units."""
+def dot_q(aq: Column, bq: Column) -> Column:
+    """Dot product over PRE-QUANTIZED int64 arrays (see :func:`_qint`) —
+    the hot-path form: stage the quantized array once per vector and
+    score many pairs against it, instead of re-quantizing both sides per
+    pair. Returns double in QUANT_SCALE² units."""
     return F.aggregate(
-        F.zip_with(_qint(a), _qint(b), lambda x, y: x * y),
+        F.zip_with(aq, bq, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     ).cast("double")
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Quantized-exact dot product: int64 sum of quantized component
+    products (exactly associative — engine/order independent), returned
+    as double in QUANT_SCALE² units."""
+    return dot_q(_qint(a), _qint(b))
+
+
+def norm_q(aq: Column) -> Column:
+    """L2 norm over a PRE-QUANTIZED int64 array, in QUANT_SCALE units."""
+    return F.sqrt(
+        F.aggregate(
+            aq, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+
+
 def norm(a: Column) -> Column:
     """Quantized-exact L2 norm in QUANT_SCALE units: sqrt of the exact
     int64 sum of squares (sqrt input is int64-exact → IEEE-deterministic)."""
-    return F.sqrt(
-        F.aggregate(
-            _qint(a), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).cast("double")
-    )
+    return norm_q(_qint(a))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -73,16 +86,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sq_l2_q(aq: Column, bq: Column) -> Column:
+    """Squared L2 over PRE-QUANTIZED int64 arrays (hot-path form of
+    :func:`sq_l2` — stage :func:`_qint` once per vector when scoring
+    many pairs)."""
+    return F.aggregate(
+        F.zip_with(aq, bq, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def sq_l2(a: Column, b: Column) -> Column:
     """Quantized-exact squared L2 distance: int64 sum of squared
     quantized component differences (QUANT_SCALE² units). Being an exact
     integer, it ranks without ANY rounding — the k-means assignment
     argmin needs no 6dp tiebreak epsilon at all."""
-    return F.aggregate(
-        F.zip_with(_qint(a), _qint(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    return sq_l2_q(_qint(a), _qint(b))
 
 
 def qround(c: Column, d: int) -> Column:
@@ -113,16 +133,19 @@ def cosine_topk(
     The query side is broadcast; each partition scores its rows and the
     rounded score + id tiebreak gives a total order for the limit.
     """
-    # Query norm precomputes into the 1-row broadcast; an inline cosine
-    # would re-fold it once per corpus row. Same division grouping as
-    # cosine() -> identical doubles.
-    q2 = query_vec.select("qv", norm(F.col("qv")).alias("_qn"))
+    # Query-side quantized array + norm precompute into the 1-row
+    # broadcast — an inline cosine would re-quantize and re-fold them
+    # once per corpus row. Same division grouping as cosine() ->
+    # identical doubles.
+    q2 = query_vec.select(
+        _qint(F.col("qv")).alias("_qqv"), norm(F.col("qv")).alias("_qn")
+    )
     scored = (
         emb.crossJoin(F.broadcast(q2))
         .withColumn(
             "cos_sim",
             qround(
-                dot(F.col(vec_col), F.col("qv"))
+                dot_q(_qint(F.col(vec_col)), F.col("_qqv"))
                 / (norm(F.col(vec_col)) * F.col("_qn")),
                 4,
             ),
@@ -132,17 +155,28 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
-def hyperplane_sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+def hyperplane_sign_bucket(qvec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bit per plane, packed to a long.
 
-    `planes` are fixed (seeded) driver-side constants — tiny literals in
-    the plan, no join needed. Cosine-similar vectors collide with
-    probability 1 - theta/pi per bit.
+    Takes a PRE-QUANTIZED vector column (:func:`_qint` staged once per
+    row — the signs cost |planes| dots per row, so inline quantization
+    would multiply that work). `planes` are fixed (seeded) driver-side
+    constants, quantized HERE in python with the same floor(x·scale+0.5)
+    the engines use (python floats are the same IEEE doubles, so the
+    literal ints match the SQL twin exactly) — tiny int literals in the
+    plan, no join and no per-row plane quantization. Cosine-similar
+    vectors collide with probability 1 - theta/pi per bit.
     """
+    import math
+
     bits = []
     for i, p in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(dot(vec_col, lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        qlit = F.array(
+            *[F.lit(int(math.floor(float(x) * QUANT_SCALE + 0.5))) for x in p]
+        )
+        bits.append(
+            F.when(dot_q(qvec_col, qlit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
     out = bits[0]
     for b in bits[1:]:
         out = out + b
@@ -174,24 +208,31 @@ def ivf_topk(
     cent = centroids.select(
         F.col(id_col).alias("cell_id"),
         F.col(vec_col).alias("cell_vec"),
+        _qint(F.col(vec_col)).alias("cell_qv"),
         norm(F.col(vec_col)).alias("cell_nrm"),
     )
     # stage 1: inverted file — nearest centroid per corpus vector. The
-    # corpus vector's norm is staged ONCE per row (not once per centroid
-    # — the assignment scores |cells| pairs per vector), and centroid
-    # norms precompute into the tiny broadcast. Same division grouping
-    # as cosine() -> identical doubles.
+    # corpus vector's quantized array + norm are staged ONCE per row
+    # (not once per centroid — the assignment scores |cells| pairs per
+    # vector), and centroid quantizations/norms precompute into the tiny
+    # broadcast. Same division grouping as cosine() -> identical doubles.
     w_vec = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cell_id"))
     assigned = (
-        emb.withColumn("_nrm", norm(F.col(vec_col)))
+        emb.withColumn("_qv", _qint(F.col(vec_col)))
+        .withColumn("_nrm", norm_q(F.col("_qv")))
         .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "c_cos",
+        # slim BEFORE the argmax window: the staged quantized arrays and
+        # both vector payloads must not ride through the window sort —
+        # only (id, vec, cell, score) does
+        .select(
+            id_col,
+            vec_col,
+            "cell_id",
             qround(
-                dot(F.col(vec_col), F.col("cell_vec"))
+                dot_q(F.col("_qv"), F.col("cell_qv"))
                 / (F.col("_nrm") * F.col("cell_nrm")),
                 6,
-            ),
+            ).alias("c_cos"),
         )
         .withColumn("rn", F.row_number().over(w_vec))
         .filter(F.col("rn") == 1)
@@ -205,16 +246,19 @@ def ivf_topk(
         .limit(nprobe)
         .select("cell_id")
     )
-    # stage 2: score only vectors living in probed cells (query norm
-    # staged in the 1-row broadcast, one fold instead of one per row)
-    q2 = query_vec.select("qv", norm(F.col("qv")).alias("_qn"))
+    # stage 2: score only vectors living in probed cells (query-side
+    # quantization + norm staged in the 1-row broadcast, one fold each
+    # instead of one per row)
+    q2 = query_vec.select(
+        _qint(F.col("qv")).alias("_qqv"), norm(F.col("qv")).alias("_qn")
+    )
     candidates = assigned.join(F.broadcast(probed), "cell_id")
     scored = (
         candidates.crossJoin(F.broadcast(q2))
         .withColumn(
             "cos_sim",
             qround(
-                dot(F.col(vec_col), F.col("qv"))
+                dot_q(_qint(F.col(vec_col)), F.col("_qqv"))
                 / (norm(F.col(vec_col)) * F.col("_qn")),
                 4,
             ),
@@ -248,16 +292,23 @@ def lsh_bucket_ann(
     (a degenerate bucket of near-identical vectors adds no recall worth
     its d² cost); None = keep all, the oracle-exact setting.
     """
-    # The per-vector norm rides along in the bucket payload: computed
-    # ONCE per vector at bucketing time instead of twice per candidate
-    # pair (pair count >> vector count is exactly when LSH matters).
-    # Identical doubles -> identical cosines; id stays the leading
-    # struct field so array_sort still orders pairs by id.
-    bucketed = emb.select(
+    # The per-vector QUANTIZED array and norm ride along in the bucket
+    # payload: computed ONCE per vector at bucketing time instead of
+    # once/twice per candidate pair (pair count >> vector count is
+    # exactly when LSH matters). The quantization itself is STAGED
+    # through a select so the 6 sign dots + norm + payload share one
+    # _qint evaluation (CollapseProject keeps a non-cheap expr staged
+    # when it is referenced more than once). Identical ints -> identical
+    # cosines; id stays the leading struct field so array_sort still
+    # orders pairs by id.
+    staged = emb.select(F.col(id_col), _qint(F.col(vec_col)).alias("_qv"))
+    bucketed = staged.select(
         F.struct(
-            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
+            F.col(id_col),
+            F.col("_qv"),
+            norm_q(F.col("_qv")).alias("_nrm"),
         ).alias("d"),
-        hyperplane_sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_sign_bucket(F.col("_qv"), planes).alias("bucket"),
     )
     if max_bucket is not None:
         # Pre-collect cap: filter hot buckets via a window count BEFORE
@@ -292,7 +343,7 @@ def lsh_bucket_ann(
                             x[id_col].alias("id_a"),
                             y[id_col].alias("id_b"),
                             qround(
-                                dot(x[vec_col], y[vec_col])
+                                dot_q(x["_qv"], y["_qv"])
                                 / (x["_nrm"] * y["_nrm"]),
                                 4,
                             ).alias("cos_sim"),

@@ -79,29 +79,36 @@ LIMIT 10
 # broadcast; ranking via row_number with rounded-score + probe-id tiebreak.
 # ---------------------------------------------------------------------------
 def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dot, norm, qround
+    from ..operators.similarity import _qint, dot_q, norm, qround
 
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
+        _qint(F.col("embedding")).alias("probe_qv"),
         F.col("label").alias("probe_label"),
         norm(F.col("embedding")).alias("probe_nrm"),
     )
-    # Target norm staged once per vector, probe norms once in the tiny
-    # broadcast — the scoring row multiplies |probes| per vector, so
-    # inline norms would fold 2×|probes| times per row. Same division
-    # grouping as cosine() -> identical doubles.
-    targets = emb.filter(F.col("vec_id") >= 8).withColumn(
-        "_nrm", norm(F.col("embedding"))
+    # Target quantization + norm staged once per vector, probe ones once
+    # in the tiny broadcast — the scoring row multiplies |probes| per
+    # vector, so inline folds would run 2×|probes| times per row. Same
+    # division grouping as cosine() -> identical doubles.
+    targets = (
+        emb.filter(F.col("vec_id") >= 8)
+        .withColumn("_qv", _qint(F.col("embedding")))
+        .withColumn("_nrm", norm(F.col("embedding")))
     )
-    scored = targets.crossJoin(F.broadcast(probes)).withColumn(
-        "cos6",
+    # slim before the argmax window: embeddings + staged quantized
+    # arrays must not ride through the window sort
+    scored = targets.crossJoin(F.broadcast(probes)).select(
+        "vec_id",
+        "probe_id",
+        "label",
+        "probe_label",
         qround(
-            dot(F.col("embedding"), F.col("probe_vec"))
+            dot_q(F.col("_qv"), F.col("probe_qv"))
             / (F.col("_nrm") * F.col("probe_nrm")),
             6,
-        ),
+        ).alias("cos6"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos6"), F.asc("probe_id"))
     return (
@@ -319,20 +326,24 @@ _Q83_SEED_MOD = 50  # seeds: vec_id 0, 50, …, 450 → k = 10
 
 
 def q83_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import QUANT_SCALE, qround, sq_l2
+    from ..operators.similarity import QUANT_SCALE, _qint, qround, sq_l2_q
 
     emb = load(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") % _Q83_SEED_MOD == 0).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+        F.col("vec_id").alias("seed_id"), _qint(F.col("embedding")).alias("seed_qv")
     )
-    corpus = emb.filter(F.col("vec_id") % _Q83_SEED_MOD != 0)
+    # corpus quantization staged once per row (the assignment scores
+    # k seeds per vector); seed quantizations ride the tiny broadcast
+    corpus = emb.filter(F.col("vec_id") % _Q83_SEED_MOD != 0).withColumn(
+        "_qv", _qint(F.col("embedding"))
+    )
     assigned = (
         corpus.crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
             "embedding",
             "seed_id",
-            sq_l2(F.col("embedding"), F.col("seed_vec")).alias("d"),
+            sq_l2_q(F.col("_qv"), F.col("seed_qv")).alias("d"),
         )
         .withColumn(
             "rn",
