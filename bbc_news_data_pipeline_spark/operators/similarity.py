@@ -216,17 +216,20 @@ def ivf_topk(
     # (not once per centroid — the assignment scores |cells| pairs per
     # vector), and centroid quantizations/norms precompute into the tiny
     # broadcast. Same division grouping as cosine() -> identical doubles.
-    w_vec = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cell_id"))
-    assigned = (
+    # Argmax is a SORT-FREE hash aggregate over SLIM columns only:
+    # max_by on the composite (c_cos, -cell_id) reproduces the (score
+    # desc, cell_id asc) window tiebreak, stays primitive-typed (so
+    # Spark picks HashAggregate with map-side partials — the exchange
+    # moves one (id, cell) row per vector, not |cells| payload rows),
+    # and the embedding column rejoins afterwards instead of riding the
+    # aggregation buffer (an array-typed first() demotes the whole agg
+    # to SortAggregate).
+    cell_map = (
         emb.withColumn("_qv", _qint(F.col(vec_col)))
         .withColumn("_nrm", norm_q(F.col("_qv")))
         .crossJoin(F.broadcast(cent))
-        # slim BEFORE the argmax window: the staged quantized arrays and
-        # both vector payloads must not ride through the window sort —
-        # only (id, vec, cell, score) does
         .select(
             id_col,
-            vec_col,
             "cell_id",
             qround(
                 dot_q(F.col("_qv"), F.col("cell_qv"))
@@ -234,10 +237,14 @@ def ivf_topk(
                 6,
             ).alias("c_cos"),
         )
-        .withColumn("rn", F.row_number().over(w_vec))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cell_id"), F.struct(F.col("c_cos"), (-F.col("cell_id")).alias("_t"))
+            ).alias("cell_id")
+        )
     )
+    assigned = emb.select(id_col, vec_col).join(cell_map, id_col)
     # probed cells: nprobe centroids nearest to the query
     probed = (
         cent.crossJoin(F.broadcast(query_vec))

@@ -97,8 +97,6 @@ def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_qv", _qint(F.col("embedding")))
         .withColumn("_nrm", norm(F.col("embedding")))
     )
-    # slim before the argmax window: embeddings + staged quantized
-    # arrays must not ride through the window sort
     scored = targets.crossJoin(F.broadcast(probes)).select(
         "vec_id",
         "probe_id",
@@ -110,15 +108,22 @@ def q41_nearest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos6"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos6"), F.asc("probe_id"))
+    # Sort-free argmax (the at-scale form SCALE.md promises): max_by on
+    # the composite (cos6, -probe_id) reproduces the (score desc,
+    # probe_id asc) tiebreak as a map-side-combinable hash aggregate —
+    # no per-vector window sort, exchange moves one row per vector.
+    best = F.max_by(
+        F.struct("probe_id", "cos6", "label", "probe_label"),
+        F.struct(F.col("cos6"), (-F.col("probe_id")).alias("_t")),
+    ).alias("b")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vec_id")
+        .agg(best)
         .select(
             "vec_id",
-            "probe_id",
-            qround(F.col("cos6"), 4).alias("cos_sim"),
-            (F.col("label") == F.col("probe_label")).cast("int").alias("label_match"),
+            F.col("b.probe_id").alias("probe_id"),
+            qround(F.col("b.cos6"), 4).alias("cos_sim"),
+            (F.col("b.label") == F.col("b.probe_label")).cast("int").alias("label_match"),
         )
     )
 
@@ -337,22 +342,26 @@ def q83_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % _Q83_SEED_MOD != 0).withColumn(
         "_qv", _qint(F.col("embedding"))
     )
-    assigned = (
+    # Sort-free argmin: min_by on the composite (d, seed_id) reproduces
+    # the (distance asc, seed_id asc) tiebreak as a primitive-typed
+    # HashAggregate (d is an exact int64, no rounding epsilon); the
+    # embedding rejoins afterwards rather than riding the agg buffer
+    # (array-typed any_value would demote the agg to SortAggregate)
+    seed_map = (
         corpus.crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
-            "embedding",
             "seed_id",
             sq_l2_q(F.col("_qv"), F.col("seed_qv")).alias("d"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("seed_id").asc())
-            ),
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.col("seed_id"), F.struct(F.col("d"), F.col("seed_id"))).alias(
+                "seed_id"
+            )
         )
-        .filter(F.col("rn") == 1)
     )
+    assigned = corpus.select("vec_id", "embedding").join(seed_map, "vec_id")
     qval = F.floor(F.col("val").cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long")
     return (
         assigned.select(
