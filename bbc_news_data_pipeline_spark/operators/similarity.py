@@ -244,7 +244,6 @@ def ivf_topk(
             ).alias("cell_id")
         )
     )
-    assigned = emb.select(id_col, vec_col).join(cell_map, id_col)
     # probed cells: nprobe centroids nearest to the query
     probed = (
         cent.crossJoin(F.broadcast(query_vec))
@@ -253,13 +252,18 @@ def ivf_topk(
         .limit(nprobe)
         .select("cell_id")
     )
-    # stage 2: score only vectors living in probed cells (query-side
+    # stage 2: score only vectors living in probed cells. The probed-cell
+    # filter lands on the SLIM (id, cell) mapping FIRST — the embedding
+    # payload rejoins only for the nprobe/ncells survivors, so the big
+    # join's build side shrinks before any vector bytes move (query-side
     # quantization + norm staged in the 1-row broadcast, one fold each
     # instead of one per row)
     q2 = query_vec.select(
         _qint(F.col("qv")).alias("_qqv"), norm(F.col("qv")).alias("_qn")
     )
-    candidates = assigned.join(F.broadcast(probed), "cell_id")
+    candidates = emb.select(id_col, vec_col).join(
+        cell_map.join(F.broadcast(probed), "cell_id"), id_col
+    )
     scored = (
         candidates.crossJoin(F.broadcast(q2))
         .withColumn(
