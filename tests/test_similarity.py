@@ -34,6 +34,35 @@ def test_cosine_matches_numpy(spark, vectors):
         assert got[vid] == pytest.approx(round(ref, 4), abs=2e-4)
 
 
+def test_quantized_cosine_error_bound(spark, vectors):
+    """The quantized-exact cosine (SCALE.md round-5 determinism note) may
+    differ from the true float64 cosine by the 1e-6 component resolution
+    — property-check the bound UNROUNDED across random pairs, including
+    tiny-magnitude vectors where relative quantization error is worst."""
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(scale=s, size=16)])
+            for i, s in enumerate([1.0] * 20 + [0.01] * 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a, b = df.alias("a"), df.alias("b")
+    got = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .collect()
+    )
+    by_id = {i: np.array(v, dtype="float64") for i, v in rows}
+    # float32 storage already quantizes at ~1e-7 relative; the 1e-6 grid
+    # adds |Δcos| ≲ 2·dim·ε/|v| — loose bound 1e-3 for the 0.01-scale rows
+    for r in got:
+        va, vb = by_id[r.ia], by_id[r.ib]
+        ref = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        tol = 1e-4 if min(np.linalg.norm(va), np.linalg.norm(vb)) > 0.5 else 1e-3
+        assert abs(r.c - ref) < tol, (r.ia, r.ib, r.c, ref)
+
+
 def test_topk_order(spark, vectors):
     rows, df = vectors
     qv = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
