@@ -26,24 +26,27 @@ from bbc_news_data_pipeline_spark.plans import all_queries
 
 
 def _calibration_sec(spark, sf_dir: str) -> float:
-    """Fixed machine-speed probe timed with the same 3-run-min protocol as
-    the headliners: full lineitem scan + row-local arithmetic + one global
-    sum. Deliberately shuffle-free and plan-trivial, so its round-over-round
-    ratio measures AMBIENT HOST SPEED (co-tenant load, CPU throttling),
-    not any code in this repo — tools/bench_compare.py divides per-query
-    ratios by it to separate real plan regressions from machine noise
-    (the r4 lesson: a 1.27x apparent regression was co-tenant load)."""
+    """Fixed machine-speed probe: full lineitem scan + row-local arithmetic
+    + one global sum. Deliberately shuffle-free and plan-trivial, so its
+    round-over-round ratio measures AMBIENT HOST SPEED (co-tenant load,
+    CPU throttling), not any code in this repo — tools/bench_compare.py
+    divides per-query ratios by it to separate real plan regressions from
+    machine noise (the r4 lesson: a 1.27x apparent regression was
+    co-tenant load). MEDIAN of 5 (not min of 3): the probe is a
+    denominator, and a one-off lucky 0.2s sample against a typical 0.3s
+    would skew every normalized ratio by 1.5x — robustness beats
+    best-case here."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    best = float("inf")
-    for _ in range(3):
+    samples = []
+    for _ in range(5):
         t0 = time.perf_counter()
         df.select(
             F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
         ).collect()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[2], 3)
 
 
 def main() -> None:
