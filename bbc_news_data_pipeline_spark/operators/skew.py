@@ -59,10 +59,11 @@ def exclusive_prefix_sum(
     value_col: str,
     block_size: int = 256,
     out_col: str = "_prefix",
+    levels: int = 2,
 ) -> DataFrame:
     """Exclusive running sum of ``value_col`` per ``part_col`` in
     ``order_col`` order, WITHOUT a full-partition window sort — the
-    two-phase parallel prefix sum.
+    multi-level parallel prefix sum.
 
     The naive ``sum over (partition by part order by ord)`` serializes a
     hot partition into ONE task's sort that AQE cannot split — the same
@@ -71,36 +72,53 @@ def exclusive_prefix_sum(
 
       1. block ``ord`` into ranges of ``block_size`` and partial-sum each
          (part, block) — one uniform hash shuffle, map-side combinable;
-      2. a window over BLOCK rows per part (rows/block_size, e.g. 256×
-         fewer) yields each block's exclusive offset;
+      2. compute each block's exclusive offset over the per-block totals
+         — RECURSIVELY with ``levels-1`` further blockings, so the only
+         true window ever run sits at the top of the hierarchy over
+         ≤ rows/block_size^(levels-1) rows per part (levels=2 bounds a
+         65k-row window at 16M rows/part with the default block; raise
+         to 3 for 4G rows/part);
       3. join offsets back (equi-join on (part, block)) and add the
          in-block exclusive prefix — a window whose partitions are
          bounded by one block's row count.
 
-    Both windows are bounded (block count / block width), every shuffle
-    is uniform, semantics identical to the naive window for any unique
-    ``order_col`` within a partition. For corpora where even rows/
-    block_size block rows overflow one task, recurse step 2 — one extra
-    level covers block_size² × task capacity.
-
-    Requires numeric ``order_col``; blocks are value ranges, so row
-    count per block is bounded when ids are ~dense (doc ids, event
-    ids). Returns ``df`` + ``out_col``.
+    Every window is bounded, every shuffle uniform, semantics identical
+    to the naive window for any unique ``order_col`` within a partition
+    at every ``levels`` (property-tested). Requires numeric
+    ``order_col``; blocks are value ranges, so row count per block is
+    bounded when ids are ~dense (doc ids, event ids). Returns ``df`` +
+    ``out_col``.
     """
     from pyspark.sql import Window as W
 
+    reserved = {"_blk", "_po", "_bsum"}
+    if out_col in reserved:
+        raise ValueError(f"out_col must not be one of the internal names {reserved}")
     staged = df.withColumn("_blk", F.floor(F.col(order_col) / F.lit(block_size)))
-    wb = (
-        W.partitionBy(part_col)
-        .orderBy("_blk")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = (
-        staged.groupBy(part_col, "_blk")
-        .agg(F.sum(value_col).alias("_bsum"))
-        .withColumn("_boff", F.coalesce(F.sum("_bsum").over(wb), F.lit(0)))
-        .select(part_col, "_blk", "_boff")
-    )
+    totals = staged.groupBy(part_col, "_blk").agg(F.sum(value_col).alias("_bsum"))
+    if levels > 1:
+        # rename before recursing: the inner level derives its own _blk
+        # from ITS order column, which must not collide with ours
+        inner = totals.select(
+            part_col,
+            F.col("_blk").alias("_ord_up"),
+            F.col("_bsum").alias("_val_up"),
+        )
+        offsets = exclusive_prefix_sum(
+            inner, part_col, "_ord_up", "_val_up",
+            # out_col must differ from this level's internal "_po": the
+            # implementation drops its internal names on exit
+            block_size=block_size, out_col="_off_up", levels=levels - 1,
+        ).select(part_col, F.col("_ord_up").alias("_blk"), F.col("_off_up").alias("_po"))
+    else:
+        wb = (
+            W.partitionBy(part_col)
+            .orderBy("_blk")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offsets = totals.withColumn(
+            "_po", F.coalesce(F.sum("_bsum").over(wb), F.lit(0))
+        ).select(part_col, "_blk", "_po")
     wi = (
         W.partitionBy(part_col, "_blk")
         .orderBy(order_col)
@@ -110,11 +128,11 @@ def exclusive_prefix_sum(
         staged.join(offsets, [part_col, "_blk"])
         .withColumn(
             out_col,
-            (F.col("_boff") + F.coalesce(F.sum(value_col).over(wi), F.lit(0))).cast(
+            (F.col("_po") + F.coalesce(F.sum(value_col).over(wi), F.lit(0))).cast(
                 "long"
             ),
         )
-        .drop("_blk", "_boff")
+        .drop("_blk", "_po")
     )
 
 

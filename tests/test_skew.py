@@ -187,10 +187,17 @@ def test_exclusive_prefix_sum_equals_naive_window(spark):
     naive = df.select(
         "lang", "doc_id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("want")
     )
-    got = exclusive_prefix_sum(df, "lang", "doc_id", "v", block_size=64)
-    joined = got.join(naive, ["lang", "doc_id"])
-    assert joined.count() == len(rows)
-    assert joined.filter(F.col("_prefix") != F.col("want")).count() == 0
+    # equivalence must hold at every recursion depth: 1 (single offset
+    # window), 2 (default), 3 (block-of-blocks — with block 8 over
+    # ~14k id range all three levels genuinely engage)
+    for levels, blk in ((1, 64), (2, 64), (3, 8)):
+        got = exclusive_prefix_sum(
+            df, "lang", "doc_id", "v", block_size=blk, levels=levels
+        )
+        joined = got.join(naive, ["lang", "doc_id"])
+        assert joined.count() == len(rows), (levels, blk)
+        bad = joined.filter(F.col("_prefix") != F.col("want")).count()
+        assert bad == 0, (levels, blk, bad)
 
 
 def test_transition_pairs_null_event_type_at_day_boundary(spark):
