@@ -472,6 +472,73 @@ ORDER BY e.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q97 — SemDeDup semantic deduplication (Abbas et al. 2023): cluster the
+# corpus around deterministic seed centroids (q83's assignment shape),
+# then inside each cluster drop every vector with a lower-id cluster-mate
+# at cosine >= threshold (the same iff-lower-id rule as q93 — the
+# sequential greedy scan would serialize the corpus). This is the
+# embedding-space analogue of MinHash dedup for TRAINING-SET redundancy:
+# near-dup text dedup (q93) catches copies; semantic dedup catches
+# paraphrases/translations that share no surface form. Seeds are the
+# mod-rule sample for oracle determinism; in production k is a bounded
+# parameter (see operators/similarity.py:semantic_dedup). Cluster
+# occupancy cap mirrored in the oracle, same policy as q44/q93.
+# ---------------------------------------------------------------------------
+_Q97_SEED_MOD = 50
+_Q97_MIN_COS = 0.3
+_Q97_MAX_CLUSTER = 1024
+
+
+def q97_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _Q97_SEED_MOD == 0).select(
+        F.col("vec_id").alias("seed_id"), _qint(F.col("embedding")).alias("seed_qv")
+    )
+    return semantic_dedup(
+        emb, seeds, min_cos=_Q97_MIN_COS, max_cluster=_Q97_MAX_CLUSTER
+    ).orderBy("vec_id")
+
+
+Q97_SQL = f"""
+WITH seeds AS (
+    SELECT vec_id AS seed_id, embedding AS seed_vec
+    FROM embeddings WHERE vec_id % {_Q97_SEED_MOD} = 0
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, s.seed_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_SQD_SQL} ASC, s.seed_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+    WHERE e.vec_id % {_Q97_SEED_MOD} <> 0
+),
+members AS (
+    SELECT seed_id AS cluster_id, vec_id, embedding FROM assigned WHERE rn = 1
+    UNION ALL
+    SELECT seed_id, seed_id, seed_vec FROM seeds
+),
+kept AS (
+    SELECT cluster_id FROM members
+    GROUP BY cluster_id HAVING count(*) <= {_Q97_MAX_CLUSTER}
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM members a
+    JOIN members b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    JOIN kept k ON k.cluster_id = a.cluster_id
+    WHERE {_round_sql(_cos_sql('a.embedding', 'b.embedding'), 4)} >= {_Q97_MIN_COS}
+)
+SELECT m.vec_id, m.cluster_id
+FROM members m
+WHERE m.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY m.vec_id
+"""
+
+
 QUERIES = [
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
@@ -485,4 +552,7 @@ QUERIES = [
           survey="ext:kmeans-step,ann-ivf-train"),
     Query("q93_embedding_neardup", q93_embedding_neardup, Q93_SQL,
           survey="ext:embedding-neardup", tags=("bench",)),
+    Query("q97_semantic_dedup", q97_semantic_dedup, Q97_SQL,
+          survey="ext:semantic-dedup,ann-ivf,embedding-neardup",
+          tags=("bench",)),
 ]

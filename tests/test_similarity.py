@@ -104,3 +104,81 @@ def test_embedding_neardup_survivors(spark, vectors):
     assert {i for i in range(25, 50)} <= survivors
     # the planted cluster collapses: at least one member dropped
     assert dropped and dropped <= set(range(25))
+
+
+def _qint_py(v):
+    import math
+
+    return [int(math.floor(float(x) * similarity.QUANT_SCALE + 0.5)) for x in v]
+
+
+@pytest.fixture(scope="module")
+def semdedup_frames(spark):
+    """Hand-built corpus (synthetic, authored for this test): two seed
+    directions with near-duplicate satellites plus one orthogonal loner.
+
+    ids 0/50: seeds (e_x, e_y). ids 1,2: ≈e_x (cluster 0 near-dups of the
+    seed and each other). id 3: e_z, nearest seed 0 by L2 but orthogonal
+    (no cosine hit). id 51: ≈e_y (cluster 50 near-dup of the seed).
+    """
+    dim = 4
+
+    def unit(i, eps=0.0):
+        v = [0.0] * dim
+        v[i] = 1.0
+        if eps:
+            v[(i + 1) % dim] += eps
+        return v
+
+    rows = [
+        (0, unit(0)),
+        (1, unit(0, 1e-3)),
+        (2, unit(0, 2e-3)),
+        (3, unit(2)),
+        (50, unit(1)),
+        (51, unit(1, 1e-3)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = spark.createDataFrame(
+        [(i, _qint_py(v)) for i, v in rows if i % 50 == 0],
+        "seed_id long, seed_qv array<long>",
+    )
+    return rows, emb, seeds
+
+
+def test_semantic_dedup_drop_rule(spark, semdedup_frames):
+    """Lower-id-wins within a cluster: the seed (lowest id) survives, every
+    near-dup satellite drops, orthogonal members survive, and cluster
+    assignment follows the exact-L2 argmin."""
+    rows, emb, seeds = semdedup_frames
+    out = {
+        r.vec_id: r.cluster_id
+        for r in similarity.semantic_dedup(emb, seeds, min_cos=0.9).collect()
+    }
+    # survivors: both seeds + the orthogonal loner; all satellites dropped
+    assert out == {0: 0, 3: 0, 50: 50}
+
+
+def test_semantic_dedup_chain_drops_all_lower_id_matches(spark, semdedup_frames):
+    """ids 1 and 2 BOTH drop (each has a lower-id cosine match — 0 for
+    both, and 1 for 2): the iff-lower-id rule, not a sequential greedy
+    scan whose survivor set could differ under reordering."""
+    rows, emb, seeds = semdedup_frames
+    survivors = {
+        r.vec_id for r in similarity.semantic_dedup(emb, seeds, min_cos=0.9).collect()
+    }
+    assert 1 not in survivors and 2 not in survivors
+
+
+def test_semantic_dedup_cluster_cap(spark, semdedup_frames):
+    """max_cluster below cluster-0's occupancy (4 members) disables pair
+    generation there — all its members survive — while cluster 50 (2
+    members, under the cap) still dedups. Mirrors q97's oracle HAVING."""
+    rows, emb, seeds = semdedup_frames
+    survivors = {
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            emb, seeds, min_cos=0.9, max_cluster=3
+        ).collect()
+    }
+    assert survivors == {0, 1, 2, 3, 50}
