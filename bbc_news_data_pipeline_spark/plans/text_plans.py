@@ -572,6 +572,67 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q98 — BPE tokenizer-TRAINING pair-count step (LLM-pipeline ext,
+# Sennrich et al. 2016): the inner loop of byte-pair-encoding training is
+# "count every adjacent symbol pair across the corpus, weighted by word
+# frequency; merge the argmax". The scale design IS the semantics here:
+# pair counting runs over the DISTINCT-WORD table weighted by word count
+# (|vocab| rows, Zipf-bounded — sublinear in corpus size), never over raw
+# tokens — counting pairs on the exploded token stream would shuffle
+# O(corpus) rows per merge iteration where this shape shuffles O(|vocab|).
+# Two hash shuffles (word rollup, pair rollup) + TakeOrderedAndProject
+# for the top-k; the first rollup is map-side combinable so the exploded
+# token stream never crosses the wire either. Repeated pairs within one
+# word each count (BPE occurrence semantics), mirrored by the oracle's
+# per-position generate_series.
+# ---------------------------------------------------------------------------
+_Q98_TOPK = 20
+
+
+def q98_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(_Q98_TOPK)
+    )
+
+
+Q98_SQL = f"""
+WITH vocab AS (
+    SELECT w, count(*) AS wc
+    FROM (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents) t
+    WHERE length(w) >= 2
+    GROUP BY w
+),
+pairs AS (
+    SELECT substring(w, i, 2) AS pair, wc
+    FROM vocab, unnest(generate_series(1, length(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {_Q98_TOPK}
+"""
+
+
 QUERIES = [
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
@@ -589,4 +650,6 @@ QUERIES = [
           tags=("bench",)),
     Query("q95_charngram_langid", q95_charngram_langid, Q95_SQL,
           survey="ext:lang-id-ngram", tags=("bench",)),
+    Query("q98_bpe_pair_counts", q98_bpe_pair_counts, Q98_SQL,
+          survey="ext:bpe-train-step,A11", tags=("bench",)),
 ]

@@ -114,3 +114,49 @@ def test_q86_star_join_pushdown_no_nested_loops(spark, sf_dir):
     assert "CartesianProduct" not in phys
     # region/nation joins must never sort-merge (broadcast literals)
     assert phys.count("SortMergeJoin") == 0 or "BroadcastHashJoin" in phys
+
+
+def test_q98_vocab_weighted_equals_raw_stream_counts(spark):
+    """The distinct-word-weighted pair counting (the O(vocab) scale shape)
+    must equal naive counting over the raw token stream — on a synthetic
+    corpus (authored here) with repeated words, repeated in-word pairs
+    ('aaa' → 'aa'×2), multi-space runs, and 1-char words to exercise the
+    length filter."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the cat  sat on the mat a",
+        "aaa the banana cat",
+        "b aa banana",
+    ]
+    naive = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    naive[w[i : i + 2]] += 1
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    got = {
+        r.pair: r.pair_count
+        for r in vocab.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .collect()
+    }
+    assert got == dict(naive)
