@@ -292,3 +292,64 @@ def asof_join(
         F.col(f"_match.{c}").alias(c) for c in right_cols
     ]
     return matched.select(*out_cols)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Global deterministic training-order shuffle + hash-range sharding:
+    adds ``shuffle_key`` (the 32-bit md5 key of :func:`sample_key_expr`)
+    and ``shard_id`` = floor(key·n_shards / 2³²) — the "randomize document
+    order before training" step of a pretraining pipeline (every epoch-0
+    data order in C4/Dolma-style corpora is exactly this).
+
+    The scale point: a global shuffle needs NO global sort. The key is a
+    row-local map (pushes past the scan, zero shuffle to compute), the
+    shard boundaries are fixed ranges of a uniform key space (balanced in
+    expectation at any corpus size, no quantile pass), and within-shard
+    order is established at WRITE time by sortWithinPartitions (see
+    :func:`write_shuffle_shards`) — per-partition sorts, never a single
+    range-partitioned total order. key·n ≤ 2⁴⁸ stays exactly
+    representable in the IEEE division by 2³², so shard assignment is
+    engine-deterministic; changing ``salt`` re-deals the epoch.
+    """
+    if n_shards < 1 or n_shards > (1 << 16):
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    key = sample_key_expr(id_col, salt)
+    return df.withColumn("shuffle_key", key).withColumn(
+        "shard_id",
+        F.floor(
+            F.col("shuffle_key") * F.lit(n_shards) / F.lit(float(SAMPLE_KEY_MOD))
+        ).cast("long"),
+    )
+
+
+def write_shuffle_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shuf",
+) -> None:
+    """Materialize the shuffled corpus as one parquet directory per shard,
+    rows in shuffle_key order within each shard: repartition on shard_id
+    (one uniform hash shuffle) + sortWithinPartitions (per-partition
+    spillable sorts) + partitionBy write. Reading shards back in shard_id
+    order yields the full deterministic training order without any
+    consumer-side sort."""
+    out = shuffle_shards(df, id_col, n_shards, salt)
+    # The sort LEADS with shard_id: FileFormatWriter requires its input
+    # ordered by the partition columns and silently inserts its own
+    # (unstable) sort when it is not — which would scramble the key
+    # order just established. Satisfying the requirement up front makes
+    # the explicit sort the only one in the plan.
+    (
+        out.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shuffle_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

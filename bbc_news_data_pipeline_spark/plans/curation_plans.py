@@ -534,6 +534,37 @@ ORDER BY lang, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q99 — global deterministic training-order shuffle + hash-range sharding
+# (ext): the "randomize the corpus before training" step. The assignment
+# is a row-local map over a uniform 32-bit md5 key — NO global sort, no
+# quantile pass, shard boundaries are fixed key ranges — so at 100 TB it
+# costs one projection; ordering inside each shard happens at write time
+# via sortWithinPartitions (operators/curation.py:write_shuffle_shards).
+# The ORDER BY here exists for the oracle comparison, not the operator.
+# ---------------------------------------------------------------------------
+_Q99_SHARDS = 16
+
+
+def q99_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", _Q99_SHARDS, salt="shuf").select(
+        "doc_id", "shuffle_key", "shard_id"
+    ).orderBy("shard_id", "shuffle_key", "doc_id")
+
+
+Q99_SQL = f"""
+SELECT doc_id,
+       CAST({_sample_key_sql("shuf")} AS BIGINT) AS shuffle_key,
+       CAST(floor(({_sample_key_sql("shuf")} * {_Q99_SHARDS}) / 4294967296.0)
+            AS BIGINT) AS shard_id
+FROM documents
+ORDER BY shard_id, shuffle_key, doc_id
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -550,4 +581,6 @@ QUERIES = [
           survey="ext:stratified-sampling"),
     Query("q68_token_shards", q68_token_shards, Q68_SQL,
           survey="ext:shard-packing,W2", tags=("bench",)),
+    Query("q99_shuffle_shards", q99_shuffle_shards, Q99_SQL,
+          survey="ext:global-shuffle,ext:hash-sampling"),
 ]

@@ -215,3 +215,53 @@ def test_asof_join_preserves_left_rowcount(spark):
     out = asof_join(left, right, "k", "ts", "ts", ["rid"])
     assert out.count() == 50
     assert out.select("i").distinct().count() == 50
+
+
+def test_shuffle_shards_assignment_properties(spark):
+    from bbc_news_data_pipeline_spark.operators.curation import shuffle_shards
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 2000
+    # shard = fixed key range; every shard in [0, 8) and populated
+    shards = {r.shard_id for r in out}
+    assert shards == set(range(8))
+    for r in out:
+        assert r.shard_id == (r.shuffle_key * 8) >> 32
+    # uniform key → roughly balanced shards (within 3x of ideal)
+    from collections import Counter
+
+    sizes = Counter(r.shard_id for r in out)
+    assert max(sizes.values()) < 3 * (2000 / 8)
+    # a different salt re-deals the epoch
+    out2 = {r.doc_id: r.shard_id for r in shuffle_shards(df, "doc_id", 8, salt="ep1").collect()}
+    moved = sum(1 for r in out if out2[r.doc_id] != r.shard_id)
+    assert moved > 1000
+
+
+def test_write_shuffle_shards_readback_order(spark, tmp_path):
+    from bbc_news_data_pipeline_spark.operators.curation import (
+        shuffle_shards,
+        write_shuffle_shards,
+    )
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards")
+    write_shuffle_shards(df, path, "doc_id", n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert {r.shard_id for r in back.select("shard_id").distinct().collect()} == {
+        0, 1, 2, 3,
+    }
+    # within one shard directory the rows come back in shuffle_key order
+    # (single small file → one ordered split)
+    rows = spark.read.parquet(f"{path}/shard_id=0").coalesce(1).collect()
+    keys = [r.shuffle_key for r in rows]
+    assert keys == sorted(keys)
+    # the full assignment matches the row-local operator exactly
+    expect = {
+        (r.doc_id, r.shard_id)
+        for r in shuffle_shards(df, "doc_id", 4).select("doc_id", "shard_id").collect()
+    }
+    got = {(r.doc_id, r.shard_id) for r in back.select("doc_id", "shard_id").collect()}
+    assert got == expect
