@@ -114,6 +114,47 @@ def main() -> None:
             }
         )
     )
+    # Semantic dedup (q97 path) under a degenerate embedding block: n_dup
+    # byte-identical vectors all assign to ONE seed cluster, whose
+    # occupancy then blows past max_cluster — the pre-collect cap must
+    # prune that cluster from pair generation entirely (uncapped it would
+    # score n_dup·(n_dup−1)/2 pairs inside one collected array), its
+    # members all survive, and organic clusters keep deduping normally.
+    from bbc_news_data_pipeline_spark.operators.similarity import (
+        _qint,
+        semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_emb = emb.count()
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("seed_id"), _qint(F.col("embedding")).alias("seed_qv")
+    )
+    organic_survivors = semantic_dedup(emb, seeds, min_cos=0.3, max_cluster=1024).count()
+    for n_dup in (2_000, 20_000):
+        block = spark.range(n_dup).select(
+            (F.col("id") + F.lit(n_emb * 100 + 1)).alias("vec_id"),
+            F.array_repeat(F.lit(0.5).cast("float"), 64).alias("embedding"),
+        )
+        dirty = emb.unionByName(block).localCheckpoint()
+        t0 = time.perf_counter()
+        surv = semantic_dedup(dirty, seeds, min_cos=0.3, max_cluster=1024)
+        n_surv = surv.count()
+        n_block_surv = surv.filter(F.col("vec_id") > n_emb * 100).count()
+        t_s = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "scenario": f"semdedup_cap1024_{n_dup}_identical_vectors",
+                    "total_vectors": n_emb + n_dup,
+                    "survivors": n_surv,
+                    "block_survivors": n_block_surv,
+                    "organic_survivors_clean": organic_survivors,
+                    "quadratic_would_be": n_dup * (n_dup - 1) // 2,
+                    "sec": round(t_s, 2),
+                }
+            )
+        )
     spark.stop()
 
 
