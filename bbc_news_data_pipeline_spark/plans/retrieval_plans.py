@@ -383,6 +383,64 @@ LIMIT {_Q84_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# q100 — SEMANTIC decontamination (ext): q79 catches eval-set leakage by
+# exact n-gram overlap; this catches paraphrased/translated leakage by
+# embedding cosine against the eval set — both belong in a modern
+# pretraining pipeline. "Eval set" = vec_id % 97 = 0 (the deterministic
+# stand-in; production eval sets are SMALL BY CONSTRUCTION, which is the
+# scale contract here: the eval side — staged quantized vectors + norms —
+# broadcasts, the corpus never shuffles for scoring, and the only
+# exchange is the final slim (id, hits, max) rollup). Quantized-exact
+# arithmetic + qround as everywhere in the similarity family.
+# ---------------------------------------------------------------------------
+_Q100_EVAL_MOD = 97
+_Q100_COS = 0.3
+
+
+def q100_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, dot_q, norm_q, qround
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % _Q100_EVAL_MOD == 0).select(
+        _qint(F.col("embedding")).alias("_eqv")
+    )
+    ev = ev.withColumn("_enrm", norm_q(F.col("_eqv")))
+    corpus = (
+        emb.filter(F.col("vec_id") % _Q100_EVAL_MOD != 0)
+        .select("vec_id", _qint(F.col("embedding")).alias("_qv"))
+        .withColumn("_nrm", norm_q(F.col("_qv")))
+    )
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        qround(
+            dot_q(F.col("_qv"), F.col("_eqv")) / (F.col("_nrm") * F.col("_enrm")), 4
+        ).alias("cos"),
+    )
+    return (
+        scored.filter(F.col("cos") >= _Q100_COS)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("cos").alias("max_cos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q100_SQL = f"""
+SELECT c.vec_id,
+       count(*) AS n_eval_hits,
+       max({_round_sql(_cos_sql('c.embedding', 'e.embedding'), 4)}) AS max_cos
+FROM embeddings c, embeddings e
+WHERE e.vec_id % {_Q100_EVAL_MOD} = 0
+  AND c.vec_id % {_Q100_EVAL_MOD} <> 0
+  AND {_round_sql(_cos_sql('c.embedding', 'e.embedding'), 4)} >= {_Q100_COS}
+GROUP BY c.vec_id
+ORDER BY c.vec_id
+"""
+
+
 QUERIES = [
     Query("q79_decontamination", q79_decontamination, Q79_SQL,
           survey="ext:decontamination,J1,E2"),
@@ -392,4 +450,6 @@ QUERIES = [
           survey="ext:chunking,U5"),
     Query("q84_hybrid_rrf", q84_hybrid_rrf, Q84_SQL,
           survey="ext:hybrid-search-rrf,T1"),
+    Query("q100_semantic_decon", q100_semantic_decon, Q100_SQL,
+          survey="ext:semantic-decontamination,ext:decontamination"),
 ]
