@@ -342,3 +342,88 @@ def test_capped_pairs_preserve_components(spark, postings, cap):
     if max_bucket <= cap:
         assert exact == capped
     assert capped <= exact  # star pairs are a subset of all-pairs
+
+
+# --- semantic_dedup vs a pure-python twin -----------------------------------
+# Third independent implementation (beyond Spark and the DuckDB oracle):
+# quantize → argmin-L2 assignment with (d, seed_id) tiebreak → within-
+# cluster lower-id-wins cosine drops, all in plain python floats/ints.
+
+_VEC = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=4,
+    max_size=4,
+)
+
+
+def _py_semantic_dedup(rows, seed_ids, min_cos):
+    import math
+
+    def q(v):
+        return [int(math.floor(float(x) * 1_000_000 + 0.5)) for x in v]
+
+    qv = {i: q(v) for i, v in rows}
+    clusters = {}
+    for i, _ in rows:
+        if i in seed_ids:
+            clusters[i] = i
+            continue
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(qv[i], qv[s])), s) for s in seed_ids
+        )
+        clusters[i] = best[1]
+    survivors = {}
+    for i, _ in rows:
+        dropped = False
+        for j, _ in rows:
+            if j >= i or clusters[j] != clusters[i]:
+                continue
+            dot = float(sum(a * b for a, b in zip(qv[i], qv[j])))
+            na = math.sqrt(float(sum(a * a for a in qv[i])))
+            nb = math.sqrt(float(sum(b * b for b in qv[j])))
+            if na == 0.0 or nb == 0.0:
+                continue
+            cos = math.floor((dot / (na * nb)) * 1e4 + 0.5) / 1e4
+            if cos >= min_cos:
+                dropped = True
+                break
+        if not dropped:
+            survivors[i] = clusters[i]
+    return survivors
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vecs=st.lists(_VEC, min_size=3, max_size=14),
+    n_seeds=st.integers(1, 3),
+    min_cos=st.sampled_from([0.3, 0.8, 0.95]),
+)
+def test_semantic_dedup_matches_python_twin(spark, vecs, n_seeds, min_cos):
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.similarity import (
+        _qint,
+        semantic_dedup,
+    )
+
+    # zero-norm vectors are excluded: cosine is undefined (the q97 path
+    # never sees them — real embedding tables are unit-normalized)
+    rows = [(i, v) for i, v in enumerate(vecs) if any(abs(x) > 1e-3 for x in v)]
+    if len(rows) < 2:
+        return
+    seed_ids = {rows[k][0] for k in range(min(n_seeds, len(rows)))}
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # quantize seed floats through Spark so both sides see the float32→
+    # double value Spark reads (python floats here are float64)
+    seeds = emb.filter(F.col("vec_id").isin(*seed_ids)).select(
+        F.col("vec_id").alias("seed_id"), _qint(F.col("embedding")).alias("seed_qv")
+    )
+    got = {
+        r.vec_id: r.cluster_id
+        for r in semantic_dedup(emb, seeds, min_cos=min_cos).collect()
+    }
+    spark_rows = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").collect()
+    ]
+    assert got == _py_semantic_dedup(spark_rows, seed_ids, min_cos)
