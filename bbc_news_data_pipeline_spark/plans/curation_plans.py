@@ -565,6 +565,94 @@ ORDER BY shard_id, shuffle_key, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q103 — TEMPERATURE-scaled dataset mixing (mT5 / mC4, Xue et al. 2021,
+# arXiv:2010.11934 §3.2): where q56's mixing rates are operator-CHOSEN
+# literals, here the rates are DERIVED from corpus statistics — each
+# language's sampling weight is n^α / Σ n^α (α < 1 upsamples rare
+# languages relative to their natural share), realized deterministically
+# by hash-thresholding each stratum at rate = budget·total·q_s / n_s.
+# α = 0.5 on purpose: sqrt is IEEE-correctly-rounded, so the only
+# engine-varying float is the Σ√n accumulation order, absorbed by the
+# round(,6) on the rate BEFORE thresholding (both engines then floor the
+# same double → identical integer threshold → identical kept set).
+#
+# Scale shape: exactly TWO corpus passes — a per-stratum count (map-side
+# combinable, lang column only) to derive the O(#strata) broadcast rate
+# table, then one keyed pass that computes n_docs / rate / sampled_n in a
+# SINGLE groupBy (conditional count against the broadcast threshold), so
+# the rate subtree never re-enters the plan and nothing scans the corpus
+# twice for the same column. No global sort, row-local key derivation.
+# ---------------------------------------------------------------------------
+_Q103_BUDGET = 0.5  # target sample size as a fraction of the corpus
+
+
+def q103_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import SAMPLE_KEY_MOD
+
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    # The Σ√n / Σn denominators come from a GLOBAL window over the counts
+    # table — O(#strata) rows in one task, so the unpartitioned window is
+    # bounded by construction AND the counts subtree enters the plan once
+    # (a separate .agg() + crossJoin re-derives the count pass).
+    w_all = W.partitionBy()
+    # Association mirrors the oracle exactly: (budget*tot) * (sqrt(n)/d) / n
+    rates = counts.select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                (F.lit(_Q103_BUDGET) * F.sum("n").over(w_all))
+                * (F.sqrt("n") / F.sum(F.sqrt("n")).over(w_all))
+                / F.col("n"),
+                6,
+            ),
+        ).alias("rate"),
+    )
+    keyed = docs.select("lang", sample_key_expr("doc_id", salt="tmix").alias("k"))
+    thr = F.floor(F.col("rate") * F.lit(float(SAMPLE_KEY_MOD))).cast("long")
+    return (
+        keyed.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("rate").alias("rate"),
+            F.sum(F.when(F.col("k") < thr, 1).otherwise(0))
+            .cast("long")
+            .alias("sampled_n"),
+        )
+        .select("lang", "n_docs", "rate", "sampled_n")
+        .orderBy("lang")
+    )
+
+
+Q103_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+den AS (SELECT sum(sqrt(n)) AS d, sum(n) AS tot FROM counts),
+rates AS (
+    SELECT lang, n,
+           least(1.0, round(({_Q103_BUDGET} * tot) * (sqrt(n) / d) / n, 6)) AS rate
+    FROM counts, den
+),
+keyed AS (SELECT lang, {_sample_key_sql("tmix")} AS k FROM documents),
+kept AS (
+    SELECT k.lang, count(*) AS kept
+    FROM keyed k JOIN rates r USING (lang)
+    WHERE k.k < CAST(floor(r.rate * 4294967296) AS BIGINT)
+    GROUP BY k.lang
+),
+out AS (
+    SELECT r.lang, r.n AS n_docs, r.rate,
+           CAST(coalesce(kept.kept, 0) AS BIGINT) AS sampled_n
+    FROM rates r LEFT JOIN kept USING (lang)
+)
+SELECT * FROM out ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -583,4 +671,6 @@ QUERIES = [
           survey="ext:shard-packing,W2", tags=("bench",)),
     Query("q99_shuffle_shards", q99_shuffle_shards, Q99_SQL,
           survey="ext:global-shuffle,ext:hash-sampling"),
+    Query("q103_temperature_mix", q103_temperature_mix, Q103_SQL,
+          survey="ext:temperature-mixing,ext:hash-sampling"),
 ]

@@ -338,6 +338,106 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q101 — EXACT-SUBSTRING duplicated spans (Lee et al. 2021,
+# arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+# Better"): find, per document, the maximal token spans whose every
+# K-token window occurs ≥2 times anywhere in the corpus (including twice
+# in the same document — suffix-array repeat semantics). This is the
+# span-level complement of the whole-doc dedup family (q37/q42) and the
+# sketch family (q38–q46): those drop near-identical DOCUMENTS; this
+# locates verbatim repeated PASSAGES (boilerplate, licenses, quoted wire
+# copy) inside otherwise-distinct documents, which is what the
+# suffix-array pass in the paper removes from training data.
+#
+# Shape: tokenize → one K-gram per position (row-local) → global
+# occurrence count per gram (map-side-combinable groupBy: the ONE
+# O(corpus-tokens) shuffle, inherent to exact-substring matching — a
+# distributed suffix array does the same volume with worse constants) →
+# semi-join duplicated grams back onto positions (second shuffle on the
+# gram key) → per-doc gaps-and-islands merge of adjacent duplicated
+# positions into maximal spans (WindowExec partitioned by doc_id —
+# bounded by a single document's length) → per-doc summary. At 100 TB,
+# swap the gram STRING for xxhash64(gram) as the shuffle key: ~10× fewer
+# shuffle bytes, identical semantics modulo 2^-64 collisions; the string
+# key is kept here so the DuckDB oracle needs no hash-function parity.
+# Integer-only output → hash-exact across engines.
+# ---------------------------------------------------------------------------
+_SPAN_K = 5  # tokens per window; spans shorter than K are not reported
+
+
+def q101_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= _SPAN_K)
+    grams = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {_SPAN_K} + 1), "
+                f"i -> array_join(slice(ws, i, {_SPAN_K}), ' '))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    dg = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dg.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + _SPAN_K).alias("span_tokens"))
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+            F.max("span_tokens").cast("long").alias("max_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q101_SQL = f"""
+WITH words AS (
+    SELECT doc_id, str_split(lower(text), ' ') AS ws FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(ws, i, i + {_SPAN_K} - 1), ' ') AS gram
+    FROM words, unnest(generate_series(1, len(ws) - {_SPAN_K} + 1)) AS t(i)
+    WHERE len(ws) >= {_SPAN_K}
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+dg AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM dg
+),
+spans AS (
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) - min(pos) + {_SPAN_K} AS span_tokens
+    FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(max(span_tokens) AS BIGINT) AS max_span
+FROM spans
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -348,4 +448,6 @@ QUERIES = [
           survey="ext:rolling-hash-fingerprint", tags=("bench",)),
     Query("q94_incremental_neardup", q94_incremental_neardup, Q94_SQL,
           survey="ext:incremental-dedup", tags=("bench",)),
+    Query("q101_dup_spans", q101_dup_spans, Q101_SQL,
+          survey="ext:exact-substring-dedup", tags=("bench",)),
 ]

@@ -633,6 +633,71 @@ LIMIT {_Q98_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# q102 — unigram-LM log-probability quality score (LLM-pipeline ext): the
+# CCNet-style "perplexity bucket" filter (Wenzek et al. 2020,
+# arXiv:1911.00359) with the corpus's own unigram model standing in for
+# the external KenLM 5-gram (no model download in this container; the
+# pipeline SHAPE — train counts on the corpus, score every doc, filter by
+# bucket — is identical). bits_per_token = mean over tokens of
+# -log2 P(w), P(w) = count(w)/total; low = stereotyped/boilerplate text,
+# high = noise — both tails get dropped in a real curation pass.
+#
+# Scale shape: tokens roll up to (doc, word) BEFORE the vocab join
+# (map-side combinable, same trick as q98's vocab rollup), so the join
+# input is per-doc DISTINCT words, not the raw token stream; the vocab
+# itself is Zipf-bounded. The corpus total is a 1-row scalar, broadcast.
+# Float caveat (registry header): per-doc sum of c·ln(wc) accumulates in
+# engine-specific order; round(,4) absorbs the last-ulp drift.
+# ---------------------------------------------------------------------------
+def q102_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    dw = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    vocab = dw.groupBy("w").agg(F.sum("c").alias("wc"))
+    tot = vocab.agg(F.sum("wc").alias("t"))
+    per_doc = (
+        dw.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.log("wc")).alias("s_ln"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.log("t") - F.col("s_ln") / F.col("n_tokens")) / F.log(F.lit(2.0)), 4
+            ).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q102_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents
+),
+dw AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+vocab AS (SELECT w, sum(c) AS wc FROM dw GROUP BY w),
+tot AS (SELECT sum(wc) AS t FROM vocab),
+per_doc AS (
+    SELECT dw.doc_id, CAST(sum(dw.c) AS BIGINT) AS n_tokens,
+           sum(dw.c * ln(vocab.wc)) AS s_ln
+    FROM dw JOIN vocab USING (w)
+    GROUP BY dw.doc_id
+)
+SELECT doc_id, n_tokens,
+       round((ln((SELECT t FROM tot)) - s_ln / n_tokens) / ln(2.0), 4)
+           AS bits_per_token
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
@@ -652,4 +717,6 @@ QUERIES = [
           survey="ext:lang-id-ngram", tags=("bench",)),
     Query("q98_bpe_pair_counts", q98_bpe_pair_counts, Q98_SQL,
           survey="ext:bpe-train-step,A11", tags=("bench",)),
+    Query("q102_unigram_logprob", q102_unigram_logprob, Q102_SQL,
+          survey="ext:lm-quality-score", tags=("bench",)),
 ]

@@ -160,3 +160,101 @@ def test_q98_vocab_weighted_equals_raw_stream_counts(spark):
         .collect()
     }
     assert got == dict(naive)
+
+
+def _write_docs(tmp_path, rows):
+    """Author a documents.parquet (synthetic, hand-written here) matching
+    the testdata schema so plan builders can run against tmp_path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_q101_dup_spans_semantics(spark, tmp_path):
+    """Exact-substring span detection on an authored corpus with a known
+    answer: a 7-token phrase shared across two docs (3 overlapping
+    5-grams -> ONE merged 7-token span in each), an in-doc repeat (the
+    same 5-gram twice in one doc -> two 5-token spans), a unique doc and
+    a too-short doc (no rows)."""
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import q101_dup_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    rows = [
+        (0, shared + " unique0 tail0 here0", "en", "s", None),
+        (1, "lead1 lead2 " + shared, "en", "s", None),
+        # same 5-gram twice within ONE doc, separated by a unique token
+        (2, "p q r s t zzz p q r s t", "en", "s", None),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "s", None),  # unique
+        (4, "too short here", "en", "s", None),  # < K tokens
+    ]
+    out = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.max_span)
+        for r in q101_dup_spans(spark, _write_docs(tmp_path, rows)).collect()
+    }
+    assert out[0] == (1, 7, 7)
+    assert out[1] == (1, 7, 7)
+    assert out[2] == (2, 10, 5)
+    assert 3 not in out and 4 not in out
+
+
+def test_q102_unigram_logprob_matches_python_twin(spark, tmp_path):
+    """bits_per_token equals a pure-python unigram-LM computation on an
+    authored corpus (including repeated words and multi-space runs)."""
+    import math
+    from collections import Counter
+
+    from bbc_news_data_pipeline_spark.plans.text_plans import q102_unigram_logprob
+
+    texts = ["the cat sat", "the the dog", "a  b"]
+    rows = [(i, t, "en", "s", None) for i, t in enumerate(texts)]
+    toks = [t.lower().split(" ") for t in texts]
+    vocab = Counter(w for ws in toks for w in ws)
+    total = sum(vocab.values())
+    out = {
+        r.doc_id: (r.n_tokens, r.bits_per_token)
+        for r in q102_unigram_logprob(spark, _write_docs(tmp_path, rows)).collect()
+    }
+    for i, ws in enumerate(toks):
+        bits = sum(-math.log2(vocab[w] / total) for w in ws) / len(ws)
+        assert out[i][0] == len(ws)
+        assert abs(out[i][1] - round(bits, 4)) < 1e-9, (i, out[i], bits)
+
+
+def test_q103_temperature_mix_rates(spark, tmp_path):
+    """Temperature mixing must upsample rare strata: rates follow
+    budget*tot*sqrt(n)/(d*n) (clamped to 1), so the rarest language gets
+    the highest rate; kept counts are within [0, n]; the sampled totals
+    are deterministic across invocations."""
+    import math
+
+    from bbc_news_data_pipeline_spark.plans.curation_plans import q103_temperature_mix
+
+    rows = []
+    did = 0
+    for lang, n in [("en", 64), ("fr", 16), ("zh", 4)]:
+        for _ in range(n):
+            rows.append((did, f"text {did} body", lang, "s", None))
+            did += 1
+    sf = _write_docs(tmp_path, rows)
+    got = {r.lang: r for r in q103_temperature_mix(spark, sf).collect()}
+    d = sum(math.sqrt(n) for n in (64, 16, 4))
+    tot = 84
+    for lang, n in [("en", 64), ("fr", 16), ("zh", 4)]:
+        expect = min(1.0, round((0.5 * tot) * (math.sqrt(n) / d) / n, 6))
+        assert abs(got[lang].rate - expect) < 1e-12
+        assert 0 <= got[lang].sampled_n <= n
+    # rare stratum gets a strictly higher rate than the dominant one
+    assert got["zh"].rate > got["fr"].rate > got["en"].rate
+    again = {r.lang: r.sampled_n for r in q103_temperature_mix(spark, sf).collect()}
+    assert again == {lang: got[lang].sampled_n for lang in got}
