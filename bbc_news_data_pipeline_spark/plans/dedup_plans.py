@@ -438,6 +438,258 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q104 — BLOCK-level dedup-and-reconstruct (the RefinedWeb / FineWeb
+# line-dedup shape, arXiv:2306.01116 §3.3, applied to deterministic
+# 10-token blocks since this corpus has no newline structure): every
+# block that occurs more than once ANYWHERE in the corpus survives only
+# at its first occurrence (global (doc_id, block_idx) order); documents
+# are REWRITTEN from their surviving blocks. Complements q101: q101
+# reports repeated passages, q104 actually removes them and emits the
+# cleaned corpus — the difference between an audit and a curation pass.
+#
+# Shape: blocking is row-local; first-wins is ONE shuffle on the block
+# value (window min over a struct — no join-back); reassembly is a
+# per-doc groupBy whose collect_list is bounded by a single document's
+# block count. At 100 TB the block-value shuffle key becomes
+# xxhash64(block) (same note as q101) and reassembly cost stays
+# per-doc-bounded — no global sort anywhere.
+# ---------------------------------------------------------------------------
+_BLOCK_W = 10  # tokens per block
+
+
+def q104_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(lower(text), ' ')) "
+                f"/ {_BLOCK_W}.0) AS INT) - 1), "
+                f"i -> array_join(slice(split(lower(text), ' '), "
+                f"i * {_BLOCK_W} + 1, {_BLOCK_W}), ' '))"
+            )
+        ).alias("bidx", "block"),
+    )
+    first = F.min(F.struct("doc_id", "bidx")).over(W.partitionBy("block"))
+    flagged = blocks.withColumn(
+        "keep", (F.struct("doc_id", "bidx") == first).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep") == 1, F.struct("bidx", "block")
+                            )
+                        )
+                    ),
+                    lambda x: x["block"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q104_SQL = f"""
+WITH ws AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents),
+blocks AS (
+    SELECT doc_id, i AS bidx,
+           array_to_string(
+               list_slice(w, i * {_BLOCK_W} + 1, i * {_BLOCK_W} + {_BLOCK_W}), ' '
+           ) AS block
+    FROM ws,
+         unnest(generate_series(0,
+             CAST(ceil(len(w) / {_BLOCK_W}.0) AS INT) - 1)) AS t(i)
+),
+flagged AS (
+    SELECT doc_id, bidx, block,
+           CASE WHEN (doc_id, bidx) =
+                     min((doc_id, bidx)) OVER (PARTITION BY block)
+                THEN 1 ELSE 0 END AS keep
+    FROM blocks
+)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       coalesce(
+           string_agg(block, ' ' ORDER BY bidx) FILTER (WHERE keep = 1), ''
+       ) AS new_text
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q105 — BLOOM-accelerated incremental near-dup (q94's every-ingest
+# operation with an O(1)-memory membership prefilter; Bloom 1970 +
+# the "bloom-prefilter then exact-verify" pattern of every production
+# ingest). The corpus's LSH band-key index is folded into a Bloom
+# filter built RELATIONALLY — k=4 md5-derived bit positions per key,
+# ``groupBy(word) . agg(bit_or(mask))`` over {_BLOOM_WORDS} 32-bit words
+# — i.e. the filter itself is a 2048-row DataFrame, broadcastable at any
+# corpus size (m is FIXED: 65536 bits here; a real deployment sizes m to
+# the index cardinality, the shape is unchanged). A new doc's band keys
+# probe the broadcast filter (no corpus access at all for bloom-negative
+# keys — the no-false-negative guarantee makes skipping sound); only
+# bloom-positive keys enter the exact verify, which broadcasts that
+# (tiny) candidate set against the stored index exactly like q94 — the
+# corpus index never shuffles. vs q94: the broadcast payload shrinks
+# from ALL batch keys to bloom-hit keys, and at streaming rates the
+# filter alone answers "definitely new" without touching the index.
+#
+# Everything — including the Bloom bit arithmetic — is md5-derived
+# integer algebra, so the ORACLE reproduces the filter bit-for-bit and
+# verifies both the exact is_dup AND the bloom_candidate flags
+# (false positives included, if the fill ratio ever produces one).
+# ---------------------------------------------------------------------------
+_Q105_SPLIT = 400  # doc_id < 400 = indexed corpus, >= 400 = new batch
+_BLOOM_WORDS = 2048  # 32-bit words -> m = 65536 bits
+_BLOOM_K = 4  # probes per key
+
+
+def _bloom_pos(key_col: F.Column) -> list[F.Column]:
+    """k Bloom bit positions for an md5-hex key: double hashing
+    h1 + j*h2 (Kirsch-Mitzenmacher) over two 32-bit hex slices."""
+    m = _BLOOM_WORDS * 32
+    h1 = F.conv(F.substring(key_col, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(key_col, 9, 8), 16, 10).cast("long")
+    return [(h1 + F.lit(j) * h2) % F.lit(m) for j in range(_BLOOM_K)]
+
+
+def q105_bloom_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import band_keys
+
+    docs = load(spark, sf_dir, "documents")
+    corpus_keys = band_keys(
+        docs.filter(F.col("doc_id") < _Q105_SPLIT), "doc_id", "text",
+        n_hashes=8, bands=4, k=SHINGLE_K,
+    )
+    bloom = (
+        corpus_keys.select(
+            F.explode(F.array(*_bloom_pos(F.col("band_key")))).alias("p")
+        )
+        .select(
+            F.expr("p DIV 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("m1"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m1)").alias("mask"))
+    )
+    batch = docs.filter(F.col("doc_id") >= _Q105_SPLIT)
+    batch_keys = band_keys(batch, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+    probes = batch_keys.select(
+        "doc_id", "band_key",
+        F.explode(F.array(*_bloom_pos(F.col("band_key")))).alias("p"),
+    ).withColumn("word", F.expr("p DIV 32"))
+    per_key = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.expr("shiftright(mask, CAST(p % 32 AS INT)) % 2") == 1, 1
+            ).otherwise(0),
+        )
+        .groupBy("doc_id", "band_key")
+        .agg((F.sum("hit") == _BLOOM_K).cast("int").alias("cand"))
+    )
+    cand_by_doc = per_key.groupBy("doc_id").agg(F.max("cand").alias("bloom_candidate"))
+    cand_keys = per_key.filter(F.col("cand") == 1).select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+    matched = (
+        corpus_keys.join(F.broadcast(cand_keys), "band_key")
+        .select("new_id")
+        .distinct()
+        .withColumnRenamed("new_id", "doc_id")
+        .withColumn("_m", F.lit(1))
+    )
+    return (
+        batch.join(cand_by_doc, "doc_id", "left")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("bloom_candidate", F.lit(0)).cast("int").alias("bloom_candidate"),
+            F.coalesce("_m", F.lit(0)).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q105_POS = ", ".join(
+    f"({_hex2int_sql('band_key', 1, 8)} + {j} * {_hex2int_sql('band_key', 9, 8)}) "
+    f"% {_BLOOM_WORDS * 32}"
+    for j in range(_BLOOM_K)
+)
+
+Q105_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+),
+bloom AS (
+    SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+    FROM (
+        SELECT unnest([{_Q105_POS}]) AS p
+        FROM banded WHERE doc_id < {_Q105_SPLIT}
+    )
+    GROUP BY 1
+),
+probes AS (
+    SELECT doc_id, band_key, unnest([{_Q105_POS}]) AS p
+    FROM banded WHERE doc_id >= {_Q105_SPLIT}
+),
+per_key AS (
+    SELECT pr.doc_id, pr.band_key,
+           CAST(count(*) FILTER (
+               WHERE (b.mask >> CAST(pr.p % 32 AS INT)) % 2 = 1
+           ) = {_BLOOM_K} AS INTEGER) AS cand
+    FROM probes pr LEFT JOIN bloom b ON b.word = pr.p // 32
+    GROUP BY pr.doc_id, pr.band_key
+),
+cand_by_doc AS (
+    SELECT doc_id, max(cand) AS bloom_candidate FROM per_key GROUP BY doc_id
+),
+matched AS (
+    SELECT DISTINCT ck.doc_id
+    FROM per_key ck
+    JOIN banded o ON ck.band_key = o.band_key AND o.doc_id < {_Q105_SPLIT}
+    WHERE ck.cand = 1
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(c.bloom_candidate, 0) AS INTEGER) AS bloom_candidate,
+       CAST(d.doc_id IN (SELECT doc_id FROM matched) AS INTEGER) AS is_dup
+FROM documents d
+LEFT JOIN cand_by_doc c ON c.doc_id = d.doc_id
+WHERE d.doc_id >= {_Q105_SPLIT}
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -450,4 +702,9 @@ QUERIES = [
           survey="ext:incremental-dedup", tags=("bench",)),
     Query("q101_dup_spans", q101_dup_spans, Q101_SQL,
           survey="ext:exact-substring-dedup", tags=("bench",)),
+    Query("q104_block_dedup", q104_block_dedup, Q104_SQL,
+          survey="ext:block-dedup,ext:exact-dedup"),
+    Query("q105_bloom_incremental_neardup", q105_bloom_incremental_neardup,
+          Q105_SQL, survey="ext:bloom-prefilter,ext:incremental-dedup",
+          tags=("bench",)),
 ]

@@ -258,3 +258,59 @@ def test_q103_temperature_mix_rates(spark, tmp_path):
     assert got["zh"].rate > got["fr"].rate > got["en"].rate
     again = {r.lang: r.sampled_n for r in q103_temperature_mix(spark, sf).collect()}
     assert again == {lang: got[lang].sampled_n for lang in got}
+
+
+def test_q104_block_dedup_semantics(spark, tmp_path):
+    """Block dedup on an authored corpus: a 10-token block shared across
+    two docs survives only in the earlier doc; a block repeated INSIDE
+    one doc keeps only its first occurrence; untouched docs come back
+    verbatim (lowercased)."""
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import q104_block_dedup
+
+    blk = " ".join(f"w{i}" for i in range(10))  # one exact 10-token block
+    uniq = " ".join(f"u{i}" for i in range(10))
+    rows = [
+        (0, blk + " " + uniq, "en", "s", None),          # owns first occurrence
+        (1, " ".join(f"x{i}" for i in range(10)) + " " + blk, "en", "s", None),
+        (2, blk + " " + blk, "en", "s", None),           # in-doc repeat
+        (3, "solo text here", "en", "s", None),          # single short block
+    ]
+    out = {r.doc_id: r for r in q104_block_dedup(spark, _write_docs(tmp_path, rows)).collect()}
+    assert (out[0].n_blocks, out[0].n_kept) == (2, 2)
+    assert out[0].new_text == blk + " " + uniq
+    assert (out[1].n_blocks, out[1].n_kept) == (2, 1)
+    assert out[1].new_text == " ".join(f"x{i}" for i in range(10))
+    assert (out[2].n_blocks, out[2].n_kept) == (2, 0)  # both copies lose to doc 0
+    assert out[2].new_text == ""
+    assert (out[3].n_blocks, out[3].n_kept) == (1, 1)
+    assert out[3].new_text == "solo text here"
+
+
+def test_q105_bloom_no_false_negatives_and_exact(spark, sf_dir):
+    """The Bloom prefilter must never produce a false negative
+    (is_dup=1 -> bloom_candidate=1), and is_dup must equal the plain
+    band-key-join ground truth computed WITHOUT the bloom."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.dedup import band_keys
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        _Q105_SPLIT,
+        SHINGLE_K,
+        q105_bloom_incremental_neardup,
+    )
+    from bbc_news_data_pipeline_spark.sources.tables import load
+
+    out = q105_bloom_incremental_neardup(spark, sf_dir).collect()
+    assert all(r.bloom_candidate >= r.is_dup for r in out)
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = band_keys(docs.filter(F.col("doc_id") < _Q105_SPLIT),
+                       "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+    batch = band_keys(docs.filter(F.col("doc_id") >= _Q105_SPLIT),
+                      "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+    truth = {
+        r.doc_id
+        for r in batch.join(corpus.select("band_key").distinct(), "band_key")
+        .select("doc_id").distinct().collect()
+    }
+    assert {r.doc_id for r in out if r.is_dup == 1} == truth
