@@ -448,10 +448,14 @@ ORDER BY doc_id
 # reports repeated passages, q104 actually removes them and emits the
 # cleaned corpus — the difference between an audit and a curation pass.
 #
-# Shape: blocking is row-local; first-wins is ONE shuffle on the block
-# value (window min over a struct — no join-back); reassembly is a
-# per-doc groupBy whose collect_list is bounded by a single document's
-# block count. At 100 TB the block-value shuffle key becomes
+# Shape: blocking is row-local; first-wins is a map-side-combinable
+# groupBy(block).min(struct) plus an equi-join back on the block value —
+# deliberately NOT a window min: a window partitioned by block puts
+# every copy of a hot block (boilerplate repeated millions of times) in
+# ONE un-splittable task, while the agg partially combines hot keys
+# before the wire and the join-back is AQE-skew-splittable. Reassembly
+# is a per-doc groupBy whose collect_list is bounded by a single
+# document's block count. At 100 TB the block-value shuffle key becomes
 # xxhash64(block) (same note as q101) and reassembly cost stays
 # per-doc-bounded — no global sort anywhere.
 # ---------------------------------------------------------------------------
@@ -459,8 +463,6 @@ _BLOCK_W = 10  # tokens per block
 
 
 def q104_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load(spark, sf_dir, "documents")
     blocks = docs.select(
         "doc_id",
@@ -473,9 +475,11 @@ def q104_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bidx", "block"),
     )
-    first = F.min(F.struct("doc_id", "bidx")).over(W.partitionBy("block"))
-    flagged = blocks.withColumn(
-        "keep", (F.struct("doc_id", "bidx") == first).cast("int")
+    winners = blocks.groupBy("block").agg(
+        F.min(F.struct("doc_id", "bidx")).alias("first")
+    )
+    flagged = blocks.join(winners, "block").withColumn(
+        "keep", (F.struct("doc_id", "bidx") == F.col("first")).cast("int")
     )
     return (
         flagged.groupBy("doc_id")
