@@ -539,6 +539,118 @@ ORDER BY m.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q107 — one POWER-ITERATION step for the top principal component
+# (v' = Xᵀ(Xv), the inner loop of PCA/orthogonal-iteration; the
+# embedding-pipeline use is whitening/top-PC removal à la
+# all-but-the-top, arXiv:1702.01417). Joins the iterative-algorithm
+# family (q83 k-means step): ONE step, deterministic seed, so the
+# step itself is oracle-verifiable; a driver loop composes steps.
+#
+# Determinism is the point: the matvec runs in QUANTIZED-EXACT integer
+# arithmetic end-to-end — s_i = xq_i·vq (int64), scaled by a SIGN-SAFE
+# truncating division (written as CASE to pin toward-zero semantics on
+# both engines), and the component sums accumulate in decimal(38,0)
+# (Spark) / HUGEINT (DuckDB) — exact and order-independent, so vk_raw
+# hash-matches at any parallelism. Only the final normalization touches
+# IEEE doubles (64-term norm; engine accumulation-order drift absorbed
+# by qround(,6)).
+#
+# Shape at 100 TB: s_i is row-local; the contribution sum is ONE
+# map-side-combinable shuffle with exactly DIM (=64) keys — each task
+# pre-folds to 64 accumulators, so the wire carries O(tasks·dim), never
+# O(rows·dim). The seed is an in-plan literal; the output is dim rows.
+# ---------------------------------------------------------------------------
+_PI_DIM = 64
+# Authored deterministic seed, pre-quantized (±1.0 / 0.5 exactly):
+_PI_VQ = [
+    1_000_000 if k % 3 == 0 else (-1_000_000 if k % 3 == 1 else 500_000)
+    for k in range(_PI_DIM)
+]
+
+
+def q107_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import QUANT_SCALE, _qint, qround
+
+    emb = load(spark, sf_dir, "embeddings")
+    vq = F.array(*[F.lit(v).cast("long") for v in _PI_VQ])
+    scored = (
+        emb.select(_qint(F.col("embedding")).alias("xq"))
+        .withColumn(
+            "s",
+            F.aggregate(
+                F.zip_with(F.col("xq"), vq, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "s2",
+            F.expr(
+                f"CASE WHEN s >= 0 THEN s DIV {QUANT_SCALE} "
+                f"ELSE -((-s) DIV {QUANT_SCALE}) END"
+            ),
+        )
+    )
+    comp = (
+        scored.select(F.posexplode("xq").alias("k", "xk"), "s2")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("xk").cast("decimal(38,0)") * F.col("s2"))
+            .cast("long")
+            .alias("vk_raw")
+        )
+    )
+    nrm = F.sqrt(
+        F.sum(F.col("vk_raw").cast("double") * F.col("vk_raw").cast("double")).over(
+            W.partitionBy()
+        )
+    )
+    return (
+        comp.select(
+            "k",
+            "vk_raw",
+            qround(F.col("vk_raw").cast("double") / nrm, 6).alias("comp"),
+        )
+        .orderBy("k")
+    )
+
+
+_PI_VQ_SQL = "[" + ", ".join(str(v) for v in _PI_VQ) + "]"
+
+Q107_SQL = f"""
+WITH xq AS (
+    SELECT list_transform(embedding, x -> {_Q.format(x='x')}) AS xq
+    FROM embeddings
+),
+sc AS (
+    SELECT xq,
+           list_sum(list_transform(generate_series(1, {_PI_DIM}),
+               i -> xq[i] * ({_PI_VQ_SQL})[i])) AS s
+    FROM xq
+),
+scaled AS (
+    SELECT xq,
+           CASE WHEN s >= 0 THEN s // 1000000
+                ELSE -((-s) // 1000000) END AS s2
+    FROM sc
+),
+comp AS (
+    SELECT i - 1 AS k, CAST(sum(xq[i] * s2) AS BIGINT) AS vk_raw
+    FROM scaled, unnest(generate_series(1, {_PI_DIM})) AS t(i)
+    GROUP BY i - 1
+)
+SELECT k, vk_raw,
+       {_round_sql(
+           "CAST(vk_raw AS DOUBLE) / "
+           "sqrt(sum(CAST(vk_raw AS DOUBLE) * CAST(vk_raw AS DOUBLE)) OVER ())",
+           6,
+       )} AS comp
+FROM comp
+ORDER BY k
+"""
+
+
 QUERIES = [
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
@@ -555,4 +667,6 @@ QUERIES = [
     Query("q97_semantic_dedup", q97_semantic_dedup, Q97_SQL,
           survey="ext:semantic-dedup,ann-ivf,embedding-neardup",
           tags=("bench",)),
+    Query("q107_power_iteration", q107_power_iteration, Q107_SQL,
+          survey="ext:pca-power-step,ext:kmeans-step"),
 ]

@@ -698,6 +698,92 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q106 — BPE tokenizer APPLY step (the encode-side twin of q98's
+# pair-count TRAINING step; Sennrich et al. 2016 §3): apply an ordered,
+# externally-trained merge list to the corpus and report the resulting
+# token budget per language. Each word is lifted to a sentinel-spaced
+# symbol string (" w a t c h ") and each merge (a,b) is one literal
+# " a b " -> " ab " replace — the surrounding spaces make the pattern
+# match WHOLE symbols only (never the tail of a longer symbol), and
+# later merges see earlier merges' output (the " th e " rule below only
+# fires after " t h " has produced "th"). Merge application is
+# left-to-right non-overlapping per pass — one replace pass per rule,
+# identical in Spark's StringReplace and DuckDB's replace.
+#
+# Scale shape is q98's: the merge chain runs over the DISTINCT
+# (lang, word) table weighted by word count — O(|vocab|) rows, never the
+# raw token stream — and the chain itself is row-local codegen'd string
+# algebra. The merge list is an authored constant (in a real pipeline it
+# is the artifact q98's training loop produces); swapping in a learned
+# list changes no plan shape.
+# ---------------------------------------------------------------------------
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("th", "e"),
+)
+
+
+def q106_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("wc"))
+    )
+    spaced = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    for a, b in BPE_MERGES:
+        spaced = F.replace(spaced, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    n_tok = (
+        F.length(spaced) - F.length(F.replace(spaced, F.lit(" "), F.lit(""))) - 1
+    ).cast("long")
+    return (
+        vocab.select("lang", "wc", n_tok.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wc").cast("long").alias("ws_tokens"),
+            F.sum(F.col("wc") * F.col("nt")).cast("long").alias("bpe_tokens"),
+            F.round(F.sum(F.col("wc") * F.col("nt")) / F.sum("wc"), 4).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q106_chain_sql() -> str:
+    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return expr
+
+
+Q106_SQL = f"""
+WITH vocab AS (
+    SELECT lang, w, count(*) AS wc
+    FROM (SELECT lang, unnest(str_split(lower(text), ' ')) AS w FROM documents) t
+    WHERE length(w) >= 1
+    GROUP BY lang, w
+),
+tok AS (
+    SELECT lang, wc,
+           length({_q106_chain_sql()})
+             - length(replace({_q106_chain_sql()}, ' ', '')) - 1 AS nt
+    FROM vocab
+)
+SELECT lang,
+       count(*) AS n_words,
+       CAST(sum(wc) AS BIGINT) AS ws_tokens,
+       CAST(sum(wc * nt) AS BIGINT) AS bpe_tokens,
+       round(sum(wc * nt) / sum(wc), 4) AS tokens_per_word
+FROM tok
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
@@ -719,4 +805,6 @@ QUERIES = [
           survey="ext:bpe-train-step,A11", tags=("bench",)),
     Query("q102_unigram_logprob", q102_unigram_logprob, Q102_SQL,
           survey="ext:lm-quality-score", tags=("bench",)),
+    Query("q106_bpe_apply", q106_bpe_apply, Q106_SQL,
+          survey="ext:bpe-apply,ext:bpe-train-step"),
 ]

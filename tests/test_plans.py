@@ -314,3 +314,58 @@ def test_q105_bloom_no_false_negatives_and_exact(spark, sf_dir):
         .select("doc_id").distinct().collect()
     }
     assert {r.doc_id for r in out if r.is_dup == 1} == truth
+
+
+def test_q106_bpe_apply_matches_python_twin(spark, tmp_path):
+    """The sentinel-spaced merge chain must equal a pure-python
+    left-to-right single-pass BPE apply on an authored vocabulary —
+    including the chained rule ('th','e') that only fires after ('t','h'),
+    and a word where a rule must NOT fire inside a merged symbol."""
+    from collections import Counter
+
+    from bbc_news_data_pipeline_spark.plans.text_plans import BPE_MERGES, q106_bpe_apply
+
+    def bpe_tokens(word: str) -> int:
+        s = " " + "".join(c + " " for c in word)
+        for a, b in BPE_MERGES:
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(s.split())
+
+    texts = ["the rat sat on the thin mat", "inner anther rethink on and the"]
+    rows = [(i, t, "en", "s", None) for i, t in enumerate(texts)]
+    vocab = Counter(w for t in texts for w in t.lower().split(" ") if w)
+    expect_bpe = sum(c * bpe_tokens(w) for w, c in vocab.items())
+    expect_ws = sum(vocab.values())
+    out = q106_bpe_apply(spark, _write_docs(tmp_path, rows)).collect()
+    assert len(out) == 1 and out[0].lang == "en"
+    assert out[0].n_words == len(vocab)
+    assert out[0].ws_tokens == expect_ws
+    assert out[0].bpe_tokens == expect_bpe
+    assert abs(out[0].tokens_per_word - round(expect_bpe / expect_ws, 4)) < 1e-12
+    # sanity on the chain itself: 'the' collapses to ONE token
+    assert bpe_tokens("the") == 1 and bpe_tokens("then") == 2
+
+
+def test_q107_power_step_matches_numpy(spark, sf_dir):
+    """vk_raw must equal the exact integer matvec computed independently
+    in numpy (quantize -> int64 dot -> sign-safe scale -> int64
+    contraction), and comp must be vk_raw normalized to unit L2."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _PI_VQ,
+        q107_power_iteration,
+    )
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()["embedding"]
+    xq = np.floor(np.array(emb, dtype=np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    vq = np.array(_PI_VQ, dtype=np.int64)
+    s = xq @ vq
+    s2 = np.sign(s) * (np.abs(s) // 1_000_000)
+    expect = (xq * s2[:, None]).sum(axis=0)
+    out = q107_power_iteration(spark, sf_dir).collect()
+    got = np.array([r.vk_raw for r in sorted(out, key=lambda r: r.k)])
+    assert (got == expect).all()
+    comps = np.array([r.comp for r in out])
+    assert abs((comps**2).sum() - 1.0) < 1e-4
