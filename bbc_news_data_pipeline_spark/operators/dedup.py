@@ -528,3 +528,95 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def dup_spans(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Exact-substring duplicated spans (Lee et al. 2021,
+    arXiv:2107.06499): per document, the maximal token spans whose every
+    k-token window occurs >= 2 times anywhere in the corpus (including
+    twice in one document — suffix-array repeat semantics). Returns one
+    row per document that contains any such span:
+    (id, n_spans, dup_tokens, max_span).
+
+    Scale shape (see plans/dedup_plans.py:q101 for the full audit): one
+    map-side-combinable O(corpus-tokens) shuffle for gram occurrence
+    counts — inherent to exact-substring matching — then a per-doc
+    gaps-and-islands window bounded by one document's length. At 100 TB
+    swap the gram string for xxhash64(gram) as the shuffle key."""
+    from pyspark.sql import Window as W
+
+    words = df.select(
+        F.col(id_col), F.split(F.lower(text_col), " ").alias("ws")
+    ).filter(F.size("ws") >= k)
+    grams = words.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {k} + 1), "
+                f"i -> array_join(slice(ws, i, {k}), ' '))"
+            )
+        ).alias("p0", "gram"),
+    ).select(id_col, (F.col("p0") + 1).alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    dg = grams.join(dup, "gram", "left_semi").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dg.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "island")
+        .agg((F.max("pos") - F.min("pos") + k).alias("span_tokens"))
+    )
+    return spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("long").alias("max_span"),
+    )
+
+
+def block_dedup(df: DataFrame, id_col: str, text_col: str, block_w: int = 10) -> DataFrame:
+    """Block-level dedup-and-reconstruct (RefinedWeb/FineWeb line-dedup
+    shape, arXiv:2306.01116 §3.3, on deterministic ``block_w``-token
+    blocks): every block value survives only at its globally-first
+    (id, block_idx) occurrence; documents are rewritten from surviving
+    blocks. Returns (id, n_blocks, n_kept, new_text).
+
+    First-wins is a map-side-combinable groupBy(block).min(struct) plus
+    an AQE-skew-splittable equi-join back — deliberately NOT a window
+    partitioned by block, which would put every copy of a hot
+    boilerplate block into one un-splittable task (see SCALE.md)."""
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(lower({text_col}), ' ')) "
+                f"/ {block_w}.0) AS INT) - 1), "
+                f"i -> array_join(slice(split(lower({text_col}), ' '), "
+                f"i * {block_w} + 1, {block_w}), ' '))"
+            )
+        ).alias("bidx", "block"),
+    )
+    winners = blocks.groupBy("block").agg(
+        F.min(F.struct(id_col, "bidx")).alias("first")
+    )
+    flagged = blocks.join(winners, "block").withColumn(
+        "keep", (F.struct(id_col, "bidx") == F.col("first")).cast("int")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep") == 1, F.struct("bidx", "block"))
+                    )
+                ),
+                lambda x: x["block"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )

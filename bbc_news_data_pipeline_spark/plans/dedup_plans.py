@@ -367,43 +367,10 @@ _SPAN_K = 5  # tokens per window; spans shorter than K are not reported
 
 
 def q101_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.dedup import dup_spans
 
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("ws")
-    ).filter(F.size("ws") >= _SPAN_K)
-    grams = words.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(ws) - {_SPAN_K} + 1), "
-                f"i -> array_join(slice(ws, i, {_SPAN_K}), ' '))"
-            )
-        ).alias("p0", "gram"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("gram")
-    )
-    dg = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
-    w = W.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        dg.withColumn("island", F.col("pos") - F.row_number().over(w))
-        .groupBy("doc_id", "island")
-        .agg((F.max("pos") - F.min("pos") + _SPAN_K).alias("span_tokens"))
-    )
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum("span_tokens").cast("long").alias("dup_tokens"),
-            F.max("span_tokens").cast("long").alias("max_span"),
-        )
-        .orderBy("doc_id")
-    )
+    return dup_spans(docs, "doc_id", "text", k=_SPAN_K).orderBy("doc_id")
 
 
 Q101_SQL = f"""
@@ -463,45 +430,10 @@ _BLOCK_W = 10  # tokens per block
 
 
 def q104_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import block_dedup
+
     docs = load(spark, sf_dir, "documents")
-    blocks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST(ceil(size(split(lower(text), ' ')) "
-                f"/ {_BLOCK_W}.0) AS INT) - 1), "
-                f"i -> array_join(slice(split(lower(text), ' '), "
-                f"i * {_BLOCK_W} + 1, {_BLOCK_W}), ' '))"
-            )
-        ).alias("bidx", "block"),
-    )
-    winners = blocks.groupBy("block").agg(
-        F.min(F.struct("doc_id", "bidx")).alias("first")
-    )
-    flagged = blocks.join(winners, "block").withColumn(
-        "keep", (F.struct("doc_id", "bidx") == F.col("first")).cast("int")
-    )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_blocks"),
-            F.sum("keep").cast("long").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("keep") == 1, F.struct("bidx", "block")
-                            )
-                        )
-                    ),
-                    lambda x: x["block"],
-                ),
-                " ",
-            ).alias("new_text"),
-        )
-        .orderBy("doc_id")
-    )
+    return block_dedup(docs, "doc_id", "text", block_w=_BLOCK_W).orderBy("doc_id")
 
 
 Q104_SQL = f"""

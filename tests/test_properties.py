@@ -427,3 +427,98 @@ def test_semantic_dedup_matches_python_twin(spark, vecs, n_seeds, min_cos):
         for r in emb.orderBy("vec_id").collect()
     ]
     assert got == _py_semantic_dedup(spark_rows, seed_ids, min_cos)
+
+
+# --------------------------------------------------------------------------
+# dup_spans / block_dedup vs pure-python twins — random corpora over a tiny
+# word alphabet so repeated k-grams and blocks occur constantly, including
+# in-doc repeats and cross-doc overlaps at arbitrary offsets.
+# --------------------------------------------------------------------------
+_CORPUS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=25)
+    .map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_dup_spans(texts, k):
+    from collections import Counter
+
+    grams = Counter()
+    toks = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        toks[i] = ws
+        for p in range(len(ws) - k + 1):
+            grams[" ".join(ws[p : p + k])] += 1
+    out = {}
+    for i, ws in toks.items():
+        pos = [
+            p + 1
+            for p in range(len(ws) - k + 1)
+            if grams[" ".join(ws[p : p + k])] >= 2
+        ]
+        if not pos:
+            continue
+        spans = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p == prev + 1:
+                prev = p
+            else:
+                spans.append(prev - start + k)
+                start = prev = p
+        spans.append(prev - start + k)
+        out[i] = (len(spans), sum(spans), max(spans))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_CORPUS)
+def test_dup_spans_matches_python_twin(spark, texts):
+    from bbc_news_data_pipeline_spark.operators.dedup import dup_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.max_span)
+        for r in dup_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert got == _py_dup_spans(texts, 3)
+
+
+def _py_block_dedup(texts, w):
+    import math
+
+    first = {}
+    by_doc = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        bl = [
+            " ".join(ws[j * w : (j + 1) * w]) for j in range(math.ceil(len(ws) / w))
+        ]
+        by_doc[i] = bl
+        for b, blk in enumerate(bl):
+            first.setdefault(blk, (i, b))
+    out = {}
+    for i, bl in by_doc.items():
+        kept = [blk for b, blk in enumerate(bl) if first[blk] == (i, b)]
+        out[i] = (len(bl), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_CORPUS)
+def test_block_dedup_matches_python_twin(spark, texts):
+    from bbc_news_data_pipeline_spark.operators.dedup import block_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.new_text)
+        for r in block_dedup(df, "doc_id", "text", block_w=4).collect()
+    }
+    assert got == _py_block_dedup(texts, 4)
