@@ -639,7 +639,7 @@ QUERIES = [
     Query("q101_dup_spans", q101_dup_spans, Q101_SQL,
           survey="ext:exact-substring-dedup", tags=("bench",)),
     Query("q104_block_dedup", q104_block_dedup, Q104_SQL,
-          survey="ext:block-dedup,ext:exact-dedup"),
+          survey="ext:block-dedup,ext:exact-dedup", tags=("bench",)),
     Query("q105_bloom_incremental_neardup", q105_bloom_incremental_neardup,
           Q105_SQL, survey="ext:bloom-prefilter,ext:incremental-dedup",
           tags=("bench",)),

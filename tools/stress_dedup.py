@@ -155,6 +155,45 @@ def main() -> None:
                 }
             )
         )
+    # Block dedup (q104 path) + exact-substring spans (q101 path) under
+    # the boilerplate block: every copy contributes identical 10-token
+    # blocks, so the winners table stays tiny while the join-back's hot
+    # block key carries n_boiler rows — the map-side-combined min-agg +
+    # AQE-skew-splittable join shape this operator chose over a
+    # per-block window (SCALE.md). Assertions: across ALL boilerplate
+    # copies each distinct block value survives exactly once (in the
+    # first copy), and wall-clock stays flat 2k → 20k.
+    from bbc_news_data_pipeline_spark.operators.dedup import block_dedup, dup_spans
+
+    for n_boiler in (2_000, 20_000):
+        corpus, total = dirty_corpus(spark, sf_dir, n_copies, n_boiler)
+        corpus = corpus.localCheckpoint()
+        first_boiler_id = total - n_boiler
+        t0 = time.perf_counter()
+        bd = block_dedup(corpus, "doc_id", "text", block_w=10)
+        boiler_rows = bd.filter(F.col("doc_id") >= first_boiler_id)
+        later_kept = (
+            boiler_rows.filter(F.col("doc_id") > first_boiler_id)
+            .agg(F.sum("n_kept"))
+            .collect()[0][0]
+        )
+        t_bd = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ds = dup_spans(corpus, "doc_id", "text", k=5)
+        boiler_spanned = ds.filter(F.col("doc_id") >= first_boiler_id).count()
+        t_ds = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "scenario": f"blockdedup_spans_{n_copies}x_plus_{n_boiler}_boilerplate",
+                    "total_docs": total,
+                    "later_boiler_blocks_kept": later_kept,
+                    "boiler_docs_with_dup_spans": boiler_spanned,
+                    "block_dedup_sec": round(t_bd, 2),
+                    "dup_spans_sec": round(t_ds, 2),
+                }
+            )
+        )
     spark.stop()
 
 
