@@ -653,6 +653,171 @@ SELECT * FROM out ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q108 — the composite GOPHER quality-rule verdict (Rae et al. 2021,
+# arXiv:2112.11446 App. A1.1, adapted to this corpus's tokenization):
+# where q58 reports two repetition ratios, this emits the full rule-set
+# decision a curation pass actually filters on — one flag column PER
+# RULE plus the conjunction — so downstream consumers can both filter
+# (passed=1) and audit WHICH rule killed a document. Every rule is
+# row-local column algebra over one tokenize (flags are exact-rational
+# comparisons — no rounding needed for parity); zero shuffles before
+# the final sort. Rules: word count in [20, 100000]; mean word length
+# in [2, 12]; >= 2 distinct common stopwords present (the Gopher
+# "stop word" heuristic); >= 80% of words contain an alphabetic char;
+# duplicate-word ratio <= 0.5 (q58's threshold).
+# ---------------------------------------------------------------------------
+_G_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q108_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    n = F.size("toks")
+    sum_chars = F.length(F.array_join(F.col("toks"), ""))
+    mean_len = sum_chars / n
+    stop_hits = sum(
+        (F.array_contains("toks", s).cast("int") for s in _G_STOPS), F.lit(0)
+    )
+    alpha_ratio = F.size(F.filter("toks", lambda w: w.rlike("[a-z]"))) / n
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct("toks")) / n
+    flags = toked.select(
+        "doc_id",
+        ((n >= 20) & (n <= 100000)).cast("int").alias("r_nwords"),
+        ((mean_len >= 2.0) & (mean_len <= 12.0)).cast("int").alias("r_wordlen"),
+        (stop_hits >= 2).cast("int").alias("r_stopwords"),
+        (alpha_ratio >= 0.8).cast("int").alias("r_alpha"),
+        (dup_ratio <= 0.5).cast("int").alias("r_rep"),
+    )
+    return flags.withColumn(
+        "passed",
+        (
+            F.col("r_nwords")
+            * F.col("r_wordlen")
+            * F.col("r_stopwords")
+            * F.col("r_alpha")
+            * F.col("r_rep")
+        ).cast("int"),
+    ).orderBy("doc_id")
+
+
+_G_STOP_SQL = " + ".join(
+    f"CAST(list_contains(toks, '{s}') AS INTEGER)" for s in _G_STOPS
+)
+
+Q108_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents
+),
+flags AS (
+    SELECT doc_id,
+        CAST(len(toks) >= 20 AND len(toks) <= 100000 AS INTEGER) AS r_nwords,
+        CAST(length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE) >= 2.0
+             AND length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE) <= 12.0
+             AS INTEGER) AS r_wordlen,
+        CAST(({_G_STOP_SQL}) >= 2 AS INTEGER) AS r_stopwords,
+        CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+             / CAST(len(toks) AS DOUBLE) >= 0.8 AS INTEGER) AS r_alpha,
+        CAST(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) <= 0.5
+             AS INTEGER) AS r_rep
+    FROM toked
+)
+SELECT doc_id, r_nwords, r_wordlen, r_stopwords, r_alpha, r_rep,
+       CAST(r_nwords * r_wordlen * r_stopwords * r_alpha * r_rep AS INTEGER)
+           AS passed
+FROM flags
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q109 — DSIR-style importance-resampling weights (Xie et al. 2023,
+# arXiv:2302.03169): score every corpus document by how much more likely
+# its unigrams are under a TARGET-domain distribution than under the
+# corpus distribution — log w_d = Σ_w c_dw·(ln p_t(w) − ln p_c(w)) with
+# add-1 smoothing over the corpus vocabulary — then take the top-k as
+# the resampled, target-shaped training subset. The target here is an
+# in-corpus slice (doc_id < 100) standing in for the external target
+# set; swapping in real target counts changes no plan shape.
+#
+# Scale shape: per-word log-ratios live on the O(|vocab|) table (two
+# map-side-combinable rollups + one broadcast-scalar crossJoin); the
+# per-doc contraction joins the (doc, word) rollup — distinct words,
+# never the raw token stream (q102's trick) — and top-k compiles to
+# TakeOrderedAndProject. Float caveat as q102: ln() + per-doc sum
+# drift absorbed by round(,4); ties broken by doc_id.
+# ---------------------------------------------------------------------------
+_Q109_TARGET_SPLIT = 100
+_Q109_TOPK = 50
+
+
+def q109_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    dw = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    vc = dw.groupBy("w").agg(F.sum("c").alias("cc"))
+    vt = (
+        dw.filter(F.col("doc_id") < _Q109_TARGET_SPLIT)
+        .groupBy("w")
+        .agg(F.sum("c").alias("ct"))
+    )
+    vocab = vc.join(vt, "w", "left").select(
+        "w", "cc", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    scal = vocab.agg(
+        F.sum("cc").alias("nc"), F.sum("ct").alias("nt"), F.count("*").alias("v")
+    )
+    delta = vocab.crossJoin(F.broadcast(scal)).select(
+        "w",
+        (
+            F.log(F.col("ct") + 1)
+            - F.log(F.col("nt") + F.col("v"))
+            - F.log(F.col("cc") + 1)
+            + F.log(F.col("nc") + F.col("v"))
+        ).alias("d"),
+    )
+    return (
+        dw.join(delta, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("d")), 4).alias("log_w"),
+        )
+        .orderBy(F.desc("log_w"), F.asc("doc_id"))
+        .limit(_Q109_TOPK)
+    )
+
+
+Q109_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents
+),
+dw AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+vc AS (SELECT w, sum(c) AS cc FROM dw GROUP BY w),
+vt AS (
+    SELECT w, sum(c) AS ct FROM dw
+    WHERE doc_id < {_Q109_TARGET_SPLIT} GROUP BY w
+),
+vocab AS (
+    SELECT vc.w, vc.cc, coalesce(vt.ct, 0) AS ct
+    FROM vc LEFT JOIN vt ON vc.w = vt.w
+),
+scal AS (SELECT sum(cc) AS nc, sum(ct) AS nt, count(*) AS v FROM vocab),
+delta AS (
+    SELECT w,
+           ln(ct + 1) - ln(nt + v) - ln(cc + 1) + ln(nc + v) AS d
+    FROM vocab, scal
+)
+SELECT dw.doc_id,
+       CAST(sum(dw.c) AS BIGINT) AS n_tokens,
+       round(sum(dw.c * delta.d), 4) AS log_w
+FROM dw JOIN delta ON dw.w = delta.w
+GROUP BY dw.doc_id
+ORDER BY log_w DESC, dw.doc_id ASC
+LIMIT {_Q109_TOPK}
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -673,4 +838,8 @@ QUERIES = [
           survey="ext:global-shuffle,ext:hash-sampling"),
     Query("q103_temperature_mix", q103_temperature_mix, Q103_SQL,
           survey="ext:temperature-mixing,ext:hash-sampling"),
+    Query("q108_gopher_rules", q108_gopher_rules, Q108_SQL,
+          survey="ext:gopher-quality,ext:curation-pipeline"),
+    Query("q109_dsir_weights", q109_dsir_weights, Q109_SQL,
+          survey="ext:importance-resampling,ext:lm-quality-score"),
 ]

@@ -369,3 +369,68 @@ def test_q107_power_step_matches_numpy(spark, sf_dir):
     assert (got == expect).all()
     comps = np.array([r.comp for r in out])
     assert abs((comps**2).sum() - 1.0) < 1e-4
+
+
+def test_q108_gopher_rules_each_rule_fires(spark, tmp_path):
+    """Authored corpus with one doc failing exactly one rule each, plus a
+    clean pass — every flag must isolate its own rule."""
+    from bbc_news_data_pipeline_spark.plans.curation_plans import q108_gopher_rules
+
+    good = ("the data and tools that have come with this work be known "
+            "to all of us and the rest follow along fine today")  # 23 words
+    rows = [
+        (0, good, "en", "s", None),
+        (1, "the short one of and", "en", "s", None),              # < 20 words
+        (2, " ".join(["the", "of", "and"] + ["x" * 40] * 18), "en", "s", None),  # mean len > 12
+        (3, " ".join(f"uniq{i}" for i in range(25)), "en", "s", None),  # no stopwords
+        (4, "the of " + " ".join(str(i) for i in range(100, 121)), "en", "s", None),  # digits
+        (5, "the of and " + " ".join(["rep"] * 22), "en", "s", None),  # dup ratio
+    ]
+    out = {r.doc_id: r for r in q108_gopher_rules(spark, _write_docs(tmp_path, rows)).collect()}
+    assert out[0].passed == 1
+    assert (out[1].r_nwords, out[1].passed) == (0, 0)
+    assert (out[2].r_wordlen, out[2].passed) == (0, 0)
+    assert (out[3].r_stopwords, out[3].passed) == (0, 0)
+    assert (out[4].r_alpha, out[4].passed) == (0, 0)
+    assert (out[5].r_rep, out[5].passed) == (0, 0)
+    # each failing doc fails ONLY its intended rule
+    for i, flag in [(1, "r_nwords"), (3, "r_stopwords"), (4, "r_alpha"), (5, "r_rep")]:
+        others = {f for f in ("r_nwords", "r_wordlen", "r_stopwords", "r_alpha", "r_rep")} - {flag}
+        assert all(getattr(out[i], f) == 1 for f in others), (i, out[i])
+
+
+def test_q109_dsir_matches_python_twin(spark, tmp_path):
+    """log_w must equal the pure-python DSIR computation (add-1 smoothed
+    unigram log-ratio, target = doc_id < 100) on an authored corpus where
+    target and non-target docs use overlapping but distinct vocab."""
+    import math
+    from collections import Counter
+
+    from bbc_news_data_pipeline_spark.plans.curation_plans import q109_dsir_weights
+
+    texts = {
+        0: "alpha alpha beta gamma",       # target (doc_id < 100)
+        1: "alpha beta beta delta",        # target
+        200: "alpha beta gamma delta",     # mixed -> moderate weight
+        201: "omega omega sigma tau tau",  # off-target -> low weight
+        202: "alpha alpha alpha beta",     # on-target -> high weight
+    }
+    rows = [(i, t, "en", "s", None) for i, t in sorted(texts.items())]
+    cc = Counter(w for t in texts.values() for w in t.split())
+    ct = Counter(w for i, t in texts.items() if i < 100 for w in t.split())
+    nc, nt, v = sum(cc.values()), sum(ct.values()), len(cc)
+    expect = {}
+    for i, t in texts.items():
+        dwc = Counter(t.split())
+        expect[i] = round(sum(
+            c * (math.log(ct.get(w, 0) + 1) - math.log(nt + v)
+                 - math.log(cc[w] + 1) + math.log(nc + v))
+            for w, c in dwc.items()
+        ), 4)
+    out = {r.doc_id: r.log_w for r in q109_dsir_weights(spark, _write_docs(tmp_path, rows)).collect()}
+    assert set(out) == set(expect)
+    for i in expect:
+        assert abs(out[i] - expect[i]) < 1e-9, (i, out[i], expect[i])
+    # the off-target-vocab doc must score strictly lowest (and negative):
+    assert out[201] < 0 < max(out[200], out[202])
+    assert out[201] == min(out.values())
