@@ -577,18 +577,12 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFram
     )
 
 
-def block_dedup(df: DataFrame, id_col: str, text_col: str, block_w: int = 10) -> DataFrame:
-    """Block-level dedup-and-reconstruct (RefinedWeb/FineWeb line-dedup
-    shape, arXiv:2306.01116 §3.3, on deterministic ``block_w``-token
-    blocks): every block value survives only at its globally-first
-    (id, block_idx) occurrence; documents are rewritten from surviving
-    blocks. Returns (id, n_blocks, n_kept, new_text).
-
-    First-wins is a map-side-combinable groupBy(block).min(struct) plus
-    an AQE-skew-splittable equi-join back — deliberately NOT a window
-    partitioned by block, which would put every copy of a hot
-    boilerplate block into one un-splittable task (see SCALE.md)."""
-    blocks = df.select(
+def blockize(df: DataFrame, id_col: str, text_col: str, block_w: int = 10) -> DataFrame:
+    """(id, bidx, block): deterministic ``block_w``-token blocks per
+    document (last block may be shorter). Row-local — the shared
+    tokenization of batch :func:`block_dedup` and the streaming twin
+    (streaming/blockdedup.py), so both dedup the SAME block values."""
+    return df.select(
         F.col(id_col),
         F.posexplode(
             F.expr(
@@ -599,12 +593,13 @@ def block_dedup(df: DataFrame, id_col: str, text_col: str, block_w: int = 10) ->
             )
         ).alias("bidx", "block"),
     )
-    winners = blocks.groupBy("block").agg(
-        F.min(F.struct(id_col, "bidx")).alias("first")
-    )
-    flagged = blocks.join(winners, "block").withColumn(
-        "keep", (F.struct(id_col, "bidx") == F.col("first")).cast("int")
-    )
+
+
+def reassemble_blocks(flagged: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_blocks, n_kept, new_text) from (id, bidx, block, keep) rows:
+    rewrite each document from its surviving (keep=1) blocks in block
+    order. Per-doc groupBy; collect_list bounded by one document's
+    block count."""
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_blocks"),
         F.sum("keep").cast("long").alias("n_kept"),
@@ -620,3 +615,24 @@ def block_dedup(df: DataFrame, id_col: str, text_col: str, block_w: int = 10) ->
             " ",
         ).alias("new_text"),
     )
+
+
+def block_dedup(df: DataFrame, id_col: str, text_col: str, block_w: int = 10) -> DataFrame:
+    """Block-level dedup-and-reconstruct (RefinedWeb/FineWeb line-dedup
+    shape, arXiv:2306.01116 §3.3, on deterministic ``block_w``-token
+    blocks): every block value survives only at its globally-first
+    (id, block_idx) occurrence; documents are rewritten from surviving
+    blocks. Returns (id, n_blocks, n_kept, new_text).
+
+    First-wins is a map-side-combinable groupBy(block).min(struct) plus
+    an AQE-skew-splittable equi-join back — deliberately NOT a window
+    partitioned by block, which would put every copy of a hot
+    boilerplate block into one un-splittable task (see SCALE.md)."""
+    blocks = blockize(df, id_col, text_col, block_w)
+    winners = blocks.groupBy("block").agg(
+        F.min(F.struct(id_col, "bidx")).alias("first")
+    )
+    flagged = blocks.join(winners, "block").withColumn(
+        "keep", (F.struct(id_col, "bidx") == F.col("first")).cast("int")
+    )
+    return reassemble_blocks(flagged, id_col)

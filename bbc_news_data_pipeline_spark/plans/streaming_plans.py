@@ -249,10 +249,41 @@ ORDER BY d.doc_id
 Q96_SQL = _q96_sql()
 
 
+# ---------------------------------------------------------------------------
+# q110 — STREAMING block-level dedup (streaming/blockdedup.py: the
+# seen-block index as applyInPandasWithState state — the stream twin of
+# q104's batch pass). Drains a REAL availableNow stream of the documents
+# table, strips every block already claimed by an earlier arrival, and
+# reassembles documents from their surviving blocks with the SAME fold
+# the batch operator uses. With one micro-batch the arrival rule
+# collapses to the batch global-first-wins, so the oracle IS q104's SQL
+# — the strongest possible cross-check: an independent engine's batch
+# derivation validating a stateful streaming execution.
+# ---------------------------------------------------------------------------
+def q110_stream_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import reassemble_blocks
+    from ..streaming.blockdedup import block_flags_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = _drain_to_memory(docs, block_flags_stream, "q110_blocks")
+    return reassemble_blocks(out, "doc_id").orderBy("doc_id")
+
+
+def _q110_sql() -> str:
+    from .dedup_plans import Q104_SQL
+
+    return Q104_SQL
+
+
+Q110_SQL = _q110_sql()
+
+
 QUERIES = [
     Query("q50_hourly_windows", q50_hourly_windows, Q50_SQL, survey="ST4,A2"),
     Query("q51_sliding_windows", q51_sliding_windows, Q51_SQL, survey="ST4"),
     Query("q52_stream_sessions", q52_stream_sessions, Q52_SQL, survey="ST-ext:stateful-sessions"),
     Query("q96_stream_neardup", q96_stream_neardup, Q96_SQL,
           survey="ST-ext:stream-incremental-neardup,ext:incremental-dedup"),
+    Query("q110_stream_block_dedup", q110_stream_block_dedup, Q110_SQL,
+          survey="ST-ext:stream-block-dedup,ext:block-dedup"),
 ]
