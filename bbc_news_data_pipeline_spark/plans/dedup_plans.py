@@ -160,8 +160,10 @@ _SIGS = ",\n       ".join(f"{_lane_sql(i)} AS sig_{i}" for i in range(8))
 _BANDS = ",\n        ".join(
     f"md5('{b}' || '|' || sig_{2 * b} || '|' || sig_{2 * b + 1})" for b in range(4)
 )
-Q46_SQL = f"""
-WITH sh AS (
+# The capped candidate-pair CTE chain, shared by Q46 (the pair parity
+# proof) and Q111 (PageRank over the same graph) — identical to what
+# minhash_candidates emits, star expansion included.
+_CAPPED_PAIRS_CTES = f"""sh AS (
     SELECT doc_id, {_shingle_sql()} AS shingles
     FROM documents
     WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
@@ -192,7 +194,10 @@ pairs AS (
     FROM banded m
     JOIN grp g ON g.band_key = m.band_key
     WHERE g.cnt > {_MAX_GROUP} AND m.doc_id <> g.min_id
-)
+)"""
+
+Q46_SQL = f"""
+WITH {_CAPPED_PAIRS_CTES}
 SELECT DISTINCT id_a, id_b FROM pairs
 ORDER BY id_a, id_b
 """
@@ -626,6 +631,88 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q111 — one PAGERANK step over the near-dup similarity graph (Page et
+# al. 1999; the data-curation use is canonical-representative scoring:
+# within a duplicate cluster, the doc most connected to other
+# high-connectivity docs is the best survivor — a smarter keep-rule
+# than min-id). Joins the one-verifiable-step iterative family (q57 CC,
+# q83 k-means, q107 power iteration): ONE step from the uniform
+# distribution, normalized so N cancels —
+# nrank(v) = (1−d) + d·Σ_{u~v} 1/deg(u) — over the SAME capped
+# candidate-pair graph q46 certifies (oracle reuses its CTE chain
+# verbatim, star expansion included).
+#
+# Shape: the pair graph is the banding output (≪ corpus); one
+# map-side-combinable degree agg + one join + one contribution agg —
+# every shuffle keyed on doc ids. Fixed-point rounding (floor(x·1e6+.5),
+# the qround form) before the top-k so rank-on-rounded parity holds;
+# ties break on doc_id. A driver loop feeding rank_k back in composes
+# full PageRank; each step stays oracle-checkable.
+# ---------------------------------------------------------------------------
+_PR_D = 0.85  # damping
+_PR_BASE = 0.15  # (1 - damping), written as its own literal so both
+# engines parse the same decimal string (1.0-0.85 in float is NOT 0.15)
+_PR_TOPK = 20
+
+
+def q111_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash_candidates(
+            docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+            max_group=_MAX_GROUP,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).union(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    agg = (
+        edges.join(deg, "u")
+        .groupBy("v")
+        .agg(
+            F.count("*").alias("indeg"),
+            F.sum(F.lit(1.0) / F.col("deg")).alias("sum_inv"),
+        )
+    )
+    nrank = F.lit(_PR_BASE) + F.lit(_PR_D) * F.col("sum_inv")
+    return (
+        agg.select(
+            F.col("v").alias("doc_id"),
+            F.col("indeg").cast("long").alias("deg"),
+            (F.floor(nrank * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("nrank"),
+        )
+        .orderBy(F.desc("nrank"), F.asc("doc_id"))
+        .limit(_PR_TOPK)
+    )
+
+
+Q111_SQL = f"""
+WITH {_CAPPED_PAIRS_CTES},
+cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM cand
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM cand
+),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+agg AS (
+    SELECT e.v AS doc_id, count(*) AS indeg, sum(1.0 / d.deg) AS sum_inv
+    FROM edges e JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+)
+SELECT doc_id,
+       CAST(indeg AS BIGINT) AS deg,
+       floor(({_PR_BASE} + {_PR_D} * sum_inv) * 1e6 + 0.5) / 1e6 AS nrank
+FROM agg
+ORDER BY nrank DESC, doc_id ASC
+LIMIT {_PR_TOPK}
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -643,4 +730,6 @@ QUERIES = [
     Query("q105_bloom_incremental_neardup", q105_bloom_incremental_neardup,
           Q105_SQL, survey="ext:bloom-prefilter,ext:incremental-dedup",
           tags=("bench",)),
+    Query("q111_pagerank_step", q111_pagerank_step, Q111_SQL,
+          survey="ext:pagerank-step,ext:dup-clustering"),
 ]

@@ -434,3 +434,51 @@ def test_q109_dsir_matches_python_twin(spark, tmp_path):
     # the off-target-vocab doc must score strictly lowest (and negative):
     assert out[201] < 0 < max(out[200], out[202])
     assert out[201] == min(out.values())
+
+
+def test_q111_pagerank_step_matches_python_twin(spark, tmp_path):
+    """nrank must equal a pure-python one-step PageRank over the SAME
+    candidate-pair graph the operator builds (pairs taken from
+    minhash_candidates so the twin tests the rank math, not minhash),
+    on an authored corpus with two duplicate groups of different sizes."""
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.operators.dedup import minhash_candidates
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        _PR_BASE,
+        _PR_D,
+        q111_pagerank_step,
+    )
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    small = "one two three four five six seven eight nine ten eleven twelve"
+    rows = (
+        [(i, big, "en", "s", None) for i in range(4)]
+        + [(10 + i, small, "en", "s", None) for i in range(2)]
+        + [(20, "totally different unique words forever alone here today now",
+            "en", "s", None)]
+    )
+    sf = _write_docs(tmp_path, rows)
+    docs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(docs, "doc_id", "text", n_hashes=8, bands=4, k=5)
+        .select("id_a", "id_b").distinct().collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expect = {}
+    for v, ns in nbrs.items():
+        s = sum(1.0 / len(nbrs[u]) for u in sorted(ns))
+        import math
+        expect[v] = (len(ns), math.floor((_PR_BASE + _PR_D * s) * 1e6 + 0.5) / 1e6)
+    got = {r.doc_id: (r.deg, r.nrank) for r in q111_pagerank_step(spark, sf).collect()}
+    # top-k of a 7-doc corpus graph is the whole graph
+    assert got == expect
+    # regular-graph invariant: inside a perfect duplicate clique every
+    # member's one-step rank from uniform is exactly (1-d) + d·1 = 1.0
+    assert got[0] == (3, 1.0) and got[10] == (1, 1.0)
