@@ -636,3 +636,64 @@ def block_dedup(df: DataFrame, id_col: str, text_col: str, block_w: int = 10) ->
         "keep", (F.struct(id_col, "bidx") == F.col("first")).cast("int")
     )
     return reassemble_blocks(flagged, id_col)
+
+
+BLOOM_WORD_BITS = 32
+
+
+def bloom_positions(key_col: Column, words: int, k: int = 4) -> list[Column]:
+    """k Bloom bit positions for an md5-hex key column: double hashing
+    h1 + j*h2 (Kirsch-Mitzenmacher 2006) over two 32-bit hex slices of
+    the key, mod m = words*32. Pure integer algebra over md5 — identical
+    in Spark and DuckDB, so a filter built from these positions can be
+    reproduced bit-for-bit by an oracle."""
+    m = words * BLOOM_WORD_BITS
+    h1 = F.conv(F.substring(key_col, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(key_col, 9, 8), 16, 10).cast("long")
+    return [(h1 + F.lit(j) * h2) % F.lit(m) for j in range(k)]
+
+
+def bloom_build(keys: DataFrame, key_col: str, words: int = 2048, k: int = 4) -> DataFrame:
+    """(word, mask): a Bloom filter over ``keys[key_col]`` built
+    RELATIONALLY — one row per 32-bit word, OR-folded with a map-side
+    combinable groupBy. The result is a ≤``words``-row DataFrame,
+    broadcastable at ANY input cardinality (size the bit space via
+    ``words``; the shape is constant-memory)."""
+    return (
+        keys.select(F.explode(F.array(*bloom_positions(F.col(key_col), words, k))).alias("p"))
+        .select(
+            F.expr(f"p DIV {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("m1"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m1)").alias("mask"))
+    )
+
+
+def bloom_probe(
+    keys: DataFrame, bloom: DataFrame, id_col: str, key_col: str,
+    words: int = 2048, k: int = 4,
+) -> DataFrame:
+    """(id, key, bloom_hit): probe each (id, key) row against a
+    :func:`bloom_build` filter — hit=1 iff ALL k bit positions are set.
+    No false negatives by construction (a present key's bits were all
+    OR-ed in); false-positive rate follows the fill ratio. The filter
+    side is broadcast — probing never shuffles the probe stream."""
+    probes = keys.select(
+        id_col, key_col,
+        F.explode(F.array(*bloom_positions(F.col(key_col), words, k))).alias("p"),
+    ).withColumn("word", F.expr(f"p DIV {BLOOM_WORD_BITS}"))
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.expr(f"shiftright(mask, CAST(p % {BLOOM_WORD_BITS} AS INT)) % 2") == 1,
+                1,
+            ).otherwise(0),
+        )
+        .groupBy(id_col, key_col)
+        .agg((F.sum("hit") == k).cast("int").alias("bloom_hit"))
+    )

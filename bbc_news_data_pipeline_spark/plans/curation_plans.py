@@ -818,6 +818,106 @@ LIMIT {_Q109_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# q112 — dataset-lineage SOURCE-OVERLAP matrix (the "how much does
+# subcorpus A near-duplicate subcorpus B" audit run before mixing
+# datasets — the cross-dataset generalization of q94's batch-vs-corpus
+# check, reported as a full pairwise matrix): for every unordered source
+# pair, the number of LSH band keys present in BOTH sources and the
+# Jaccard overlap of their key sets. Zero rows are kept — a complete
+# matrix is the deliverable, absence of overlap is a finding too.
+#
+# Shape at scale: (source, band_key) DISTINCT rollup is map-side
+# combinable; the self-join on band_key fans out at most
+# (#sources choose 2) rows per key AFTER the distinct — bounded by the
+# source count, not the corpus — and the final pair rollup is tiny.
+# Exact-rational Jaccard (int/int) rounded identically on both sides.
+# ---------------------------------------------------------------------------
+def q112_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import band_keys
+
+    docs = load(spark, sf_dir, "documents")
+    keys = (
+        band_keys(docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "band_key")
+        .distinct()
+    )
+    sizes = keys.groupBy("source").agg(F.count("*").alias("n_keys"))
+    shared = (
+        keys.alias("a")
+        .join(keys.alias("b"), "band_key")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    grid = (
+        sizes.alias("x")
+        .crossJoin(sizes.alias("y"))
+        .filter(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+            F.col("x.n_keys").alias("keys_a"),
+            F.col("y.n_keys").alias("keys_b"),
+        )
+    )
+    return (
+        grid.join(shared, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / (F.col("keys_a") + F.col("keys_b") - F.coalesce("n_shared", F.lit(0))),
+                4,
+            ).alias("key_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+Q112_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+keys AS (
+    SELECT DISTINCT d.source, t.band_key
+    FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+    JOIN documents d ON d.doc_id = t.doc_id
+),
+sizes AS (SELECT source, count(*) AS n_keys FROM keys GROUP BY source),
+shared AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+    FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT x.source AS src_a, y.source AS src_b,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       round(coalesce(s.n_shared, 0)
+             / CAST(x.n_keys + y.n_keys - coalesce(s.n_shared, 0) AS DOUBLE), 4)
+           AS key_jaccard
+FROM sizes x
+JOIN sizes y ON x.source < y.source
+LEFT JOIN shared s ON s.src_a = x.source AND s.src_b = y.source
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -842,4 +942,6 @@ QUERIES = [
           survey="ext:gopher-quality,ext:curation-pipeline"),
     Query("q109_dsir_weights", q109_dsir_weights, Q109_SQL,
           survey="ext:importance-resampling,ext:lm-quality-score"),
+    Query("q112_source_overlap", q112_source_overlap, Q112_SQL,
+          survey="ext:dataset-lineage,ext:minhash-lsh"),
 ]

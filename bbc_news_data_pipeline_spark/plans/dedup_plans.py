@@ -499,51 +499,20 @@ _BLOOM_WORDS = 2048  # 32-bit words -> m = 65536 bits
 _BLOOM_K = 4  # probes per key
 
 
-def _bloom_pos(key_col: F.Column) -> list[F.Column]:
-    """k Bloom bit positions for an md5-hex key: double hashing
-    h1 + j*h2 (Kirsch-Mitzenmacher) over two 32-bit hex slices."""
-    m = _BLOOM_WORDS * 32
-    h1 = F.conv(F.substring(key_col, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(key_col, 9, 8), 16, 10).cast("long")
-    return [(h1 + F.lit(j) * h2) % F.lit(m) for j in range(_BLOOM_K)]
-
-
 def q105_bloom_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import band_keys
+    from ..operators.dedup import band_keys, bloom_build, bloom_probe
 
     docs = load(spark, sf_dir, "documents")
     corpus_keys = band_keys(
         docs.filter(F.col("doc_id") < _Q105_SPLIT), "doc_id", "text",
         n_hashes=8, bands=4, k=SHINGLE_K,
     )
-    bloom = (
-        corpus_keys.select(
-            F.explode(F.array(*_bloom_pos(F.col("band_key")))).alias("p")
-        )
-        .select(
-            F.expr("p DIV 32").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("m1"),
-        )
-        .groupBy("word")
-        .agg(F.expr("bit_or(m1)").alias("mask"))
-    )
+    bloom = bloom_build(corpus_keys, "band_key", words=_BLOOM_WORDS, k=_BLOOM_K)
     batch = docs.filter(F.col("doc_id") >= _Q105_SPLIT)
     batch_keys = band_keys(batch, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
-    probes = batch_keys.select(
-        "doc_id", "band_key",
-        F.explode(F.array(*_bloom_pos(F.col("band_key")))).alias("p"),
-    ).withColumn("word", F.expr("p DIV 32"))
-    per_key = (
-        probes.join(F.broadcast(bloom), "word", "left")
-        .withColumn(
-            "hit",
-            F.when(
-                F.expr("shiftright(mask, CAST(p % 32 AS INT)) % 2") == 1, 1
-            ).otherwise(0),
-        )
-        .groupBy("doc_id", "band_key")
-        .agg((F.sum("hit") == _BLOOM_K).cast("int").alias("cand"))
-    )
+    per_key = bloom_probe(
+        batch_keys, bloom, "doc_id", "band_key", words=_BLOOM_WORDS, k=_BLOOM_K
+    ).withColumnRenamed("bloom_hit", "cand")
     cand_by_doc = per_key.groupBy("doc_id").agg(F.max("cand").alias("bloom_candidate"))
     cand_keys = per_key.filter(F.col("cand") == 1).select(
         F.col("doc_id").alias("new_id"), "band_key"

@@ -254,3 +254,59 @@ def test_band_keys_consistent_with_candidates(corpus):
         ).collect()
     }
     assert got == want and (0, 1) in got
+
+
+def test_bloom_no_false_negatives_and_fp_regime(spark):
+    """bloom_build/bloom_probe (the q105 core): (1) NO false negative at
+    any size — every present key hits; (2) at a saturating size (words=2
+    -> 64 bits for 400 present keys) absent keys false-positive heavily,
+    and every one of those FPs is exactly the kind the downstream
+    exact-verify removes; (3) at a generous size (words=4096) absent
+    keys mostly miss. All deterministic md5 arithmetic, mirrored by a
+    pure-python twin."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.dedup import bloom_build, bloom_probe
+
+    present = [f"p{i}" for i in range(400)]
+    absent = [f"a{i}" for i in range(200)]
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def py_bloom(keys, words, k=4):
+        m = words * 32
+        bits = set()
+        for key in keys:
+            h = md5hex(key)
+            h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+            bits.update((h1 + j * h2) % m for j in range(k))
+        return bits
+
+    def py_hit(key, bits, words, k=4):
+        m = words * 32
+        h = md5hex(key)
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        return all((h1 + j * h2) % m in bits for j in range(k))
+
+    pres_df = spark.createDataFrame(
+        [(i, md5hex(s)) for i, s in enumerate(present)], "id long, key string"
+    )
+    abs_df = spark.createDataFrame(
+        [(i, md5hex(s)) for i, s in enumerate(absent)], "id long, key string"
+    )
+    for words in (2, 4096):
+        bloom = bloom_build(pres_df, "key", words=words)
+        got_p = {r.key: r.bloom_hit for r in bloom_probe(pres_df, bloom, "id", "key", words=words).collect()}
+        got_a = {r.key: r.bloom_hit for r in bloom_probe(abs_df, bloom, "id", "key", words=words).collect()}
+        assert all(v == 1 for v in got_p.values()), f"false negative at words={words}"
+        bits = py_bloom(present, words)
+        expect_a = {md5hex(s): int(py_hit(s, bits, words)) for s in absent}
+        assert got_a == expect_a, f"probe mismatch vs python twin at words={words}"
+        fp = sum(got_a.values())
+        if words == 2:
+            assert fp == len(absent)  # saturated: every absent key FPs
+        else:
+            assert fp < len(absent) * 0.1  # generous sizing: <10% FP
