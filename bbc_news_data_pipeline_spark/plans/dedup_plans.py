@@ -682,6 +682,80 @@ LIMIT {_PR_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# q113 — per-document N-GRAM NOVELTY profile (the corpus-audit metric
+# behind "how much of this document is new text vs recycled" — the
+# document-level view of the duplication q101 locates and q104 removes;
+# cf. the novel-n-gram analyses of Lee et al. 2021 §6 / RefinedWeb §4).
+# A gram TYPE is novel to the document holding its globally-FIRST
+# occurrence (min doc_id over the corpus); a document's novelty is the
+# fraction of its distinct gram types that are novel to it. Low novelty
+# at the corpus tail = boilerplate recycling; a clean corpus profiles
+# flat.
+#
+# Shape: per-doc DISTINCT grams (row-local after one map-side-combinable
+# rollup), global argmin per gram (second combinable rollup), one join
+# back on the gram key — the same O(corpus-tokens)-shuffle family as
+# q101, sharing its at-100-TB hash-the-key note. Novelty is an exact
+# rational (int/int) rounded identically on both sides.
+# ---------------------------------------------------------------------------
+def q113_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= _SPAN_K)
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(ws) - {_SPAN_K} + 1), "
+                f"i -> array_join(slice(ws, i, {_SPAN_K}), ' ')))"
+            )
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "novel_types"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_types",
+            "novel_types",
+            F.round(F.col("novel_types") / F.col("n_types"), 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q113_SQL = f"""
+WITH words AS (
+    SELECT doc_id, str_split(lower(text), ' ') AS ws FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(ws, i, i + {_SPAN_K} - 1), ' ') AS gram
+    FROM words, unnest(generate_series(1, len(ws) - {_SPAN_K} + 1)) AS t(i)
+    WHERE len(ws) >= {_SPAN_K}
+),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_types,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_types,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM grams g JOIN first f ON f.gram = g.gram
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -701,4 +775,6 @@ QUERIES = [
           tags=("bench",)),
     Query("q111_pagerank_step", q111_pagerank_step, Q111_SQL,
           survey="ext:pagerank-step,ext:dup-clustering"),
+    Query("q113_ngram_novelty", q113_ngram_novelty, Q113_SQL,
+          survey="ext:novelty-profile,ext:exact-substring-dedup"),
 ]

@@ -482,3 +482,29 @@ def test_q111_pagerank_step_matches_python_twin(spark, tmp_path):
     # regular-graph invariant: inside a perfect duplicate clique every
     # member's one-step rank from uniform is exactly (1-d) + d·1 = 1.0
     assert got[0] == (3, 1.0) and got[10] == (1, 1.0)
+
+
+def test_q113_novelty_semantics(spark, tmp_path):
+    """Novelty on an authored corpus: the first doc owns all its grams
+    (novelty 1.0); an exact copy later owns none (0.0); a half-recycled
+    doc scores in between with exactly the expected type counts."""
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import q113_ngram_novelty
+
+    orig = "alpha beta gamma delta epsilon zeta eta theta"      # 8 tokens, 4 gram types
+    fresh = "one two three four five"                           # 5 tokens, 1 gram type
+    rows = [
+        (0, orig, "en", "s", None),
+        (1, orig, "en", "s", None),                 # full copy -> novelty 0
+        (2, orig + " " + fresh, "en", "s", None),   # recycled prefix + new tail
+        (3, "tiny", "en", "s", None),               # < K tokens -> no row
+    ]
+    out = {
+        r.doc_id: (r.n_types, r.novel_types, r.novelty)
+        for r in q113_ngram_novelty(spark, _write_docs(tmp_path, rows)).collect()
+    }
+    assert out[0] == (4, 4, 1.0)
+    assert out[1] == (4, 0, 0.0)
+    # doc 2: 13 tokens -> 9 windows, all distinct; 4 of them are doc 0's
+    assert out[2][0] == 9 and out[2][1] == 5
+    assert abs(out[2][2] - round(5 / 9, 4)) < 1e-12
+    assert 3 not in out
