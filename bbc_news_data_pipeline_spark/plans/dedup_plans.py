@@ -756,6 +756,96 @@ ORDER BY g.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q114 — MinHash ESTIMATOR CALIBRATION (Broder 1997: P[sig lanes match]
+# = Jaccard): for every capped candidate pair, the lane-match estimate
+# (matching sig lanes / 8) side-by-side with the EXACT shingle-set
+# Jaccard and the absolute error — the validation run that justifies the
+# banding thresholds the whole dedup family (q38/q39/q46/q94/q96/q105)
+# is tuned by. Both columns are exact rationals; the "estimator" being
+# estimated is itself deterministic given the md5 lanes, so the oracle
+# checks the calibration table value-for-value.
+#
+# Shape: the EXACT side is computed ONLY for candidate pairs — the
+# banding output, ≪ corpus — via two joins against the per-doc distinct
+# shingle sets (arrays ride along, bounded by document length). The
+# estimate side joins the signature table twice (8 ints per doc). At
+# 100 TB the candidate set is what this audit costs, not the corpus.
+# ---------------------------------------------------------------------------
+def q114_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import with_minhash, with_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash_candidates(
+            docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+            max_group=_MAX_GROUP,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sigs = with_minhash(docs, "doc_id", "text", n_hashes=8, k=SHINGLE_K)
+    sh = with_shingles(docs, "doc_id", "text", SHINGLE_K).select(
+        "doc_id", F.array_distinct("shingles").alias("sset")
+    )
+    est = sum(
+        (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int") for i in range(8)
+    ) / F.lit(8.0)
+    inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
+    union = F.size("sa.sset") + F.size("sb.sset") - inter
+    return (
+        pairs.join(sigs.alias("a"), pairs.id_a == F.col("a.doc_id"))
+        .join(sigs.alias("b"), pairs.id_b == F.col("b.doc_id"))
+        .withColumn("est", F.round(est, 4))
+        .select("id_a", "id_b", "est")
+        .join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            "est",
+            F.round(inter / union, 4).alias("exact"),
+            F.round(F.abs(F.col("est") - F.round(inter / union, 4)), 4).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_Q114_EST = "(" + " + ".join(
+    f"CAST(sa.sig_{i} = sb.sig_{i} AS INTEGER)" for i in range(8)
+) + ") / 8.0"
+
+Q114_SQL = f"""
+WITH {_CAPPED_PAIRS_CTES},
+cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+sets AS (
+    SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+),
+est AS (
+    SELECT c.id_a, c.id_b, round({_Q114_EST}, 4) AS est
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+),
+exact AS (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(x.sset, y.sset))
+                 / CAST(len(x.sset) + len(y.sset)
+                        - len(list_intersect(x.sset, y.sset)) AS DOUBLE), 4)
+               AS exact
+    FROM cand c
+    JOIN sets x ON x.doc_id = c.id_a
+    JOIN sets y ON y.doc_id = c.id_b
+)
+SELECT e.id_a, e.id_b, e.est, x.exact,
+       round(abs(e.est - x.exact), 4) AS abs_err
+FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+ORDER BY e.id_a, e.id_b
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -777,4 +867,6 @@ QUERIES = [
           survey="ext:pagerank-step,ext:dup-clustering"),
     Query("q113_ngram_novelty", q113_ngram_novelty, Q113_SQL,
           survey="ext:novelty-profile,ext:exact-substring-dedup"),
+    Query("q114_minhash_calibration", q114_minhash_calibration, Q114_SQL,
+          survey="ext:minhash-calibration,ext:jaccard-neardup"),
 ]

@@ -508,3 +508,33 @@ def test_q113_novelty_semantics(spark, tmp_path):
     assert out[2][0] == 9 and out[2][1] == 5
     assert abs(out[2][2] - round(5 / 9, 4)) < 1e-12
     assert 3 not in out
+
+
+def test_q114_estimator_calibration_semantics(spark, tmp_path):
+    """On an exact-duplicate pair the lane estimate AND the exact Jaccard
+    are both 1.0 (error 0); on a partially-overlapping pair the exact
+    Jaccard matches a hand-computed shingle-set ratio and the estimate
+    stays within the 8-lane granularity (multiples of 0.125)."""
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        q114_minhash_calibration,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    half = "alpha beta gamma delta epsilon zeta eta NEW1 NEW2 NEW3"
+    rows = [
+        (0, base, "en", "s", None),
+        (1, base, "en", "s", None),   # exact dup of 0
+        (2, half, "en", "s", None),   # shares a prefix with 0
+    ]
+    out = {
+        (r.id_a, r.id_b): (r.est, r.exact, r.abs_err)
+        for r in q114_minhash_calibration(spark, _write_docs(tmp_path, rows)).collect()
+    }
+    assert out[(0, 1)] == (1.0, 1.0, 0.0)
+    for (a, b), (est, exact, err) in out.items():
+        assert abs(est * 8 - round(est * 8)) < 1e-9  # 8-lane granularity
+        assert abs(err - round(abs(est - exact), 4)) < 1e-9
+    if (0, 2) in out:  # candidate iff some band matched
+        # doc0: 6 shingles, doc2: 6 shingles (lowercased), shared = 3
+        # ("alpha..epsilon","beta..zeta","gamma..eta"): jaccard = 3/9
+        assert out[(0, 2)][1] == round(3 / 9, 4)
