@@ -697,3 +697,40 @@ def bloom_probe(
         .groupBy(id_col, key_col)
         .agg((F.sum("hit") == k).cast("int").alias("bloom_hit"))
     )
+
+
+def bloom_collected(bloom: DataFrame) -> dict[int, int]:
+    """Collect a :func:`bloom_build` filter to a {word: mask} dict. The
+    filter is ≤``words`` rows BY CONSTRUCTION (a sizing constant, not a
+    data-dependent cardinality), so this driver-side collect is bounded
+    the same way a broadcast of it would be — it is the packaging step
+    for :func:`bloom_hit_expr`'s in-plan literal map."""
+    return {int(r["word"]): int(r["mask"]) for r in bloom.collect()}
+
+
+def bloom_hit_expr(
+    key_col: Column, filter_map: dict[int, int], words: int, k: int = 4
+) -> Column:
+    """ROW-LOCAL Bloom membership test (1/0) against a collected filter —
+    zero shuffle, zero join, so it composes anywhere a plain expression
+    does: scan filters, streaming ingest (readStream .filter), generated
+    columns. The filter rides the plan as a literal int→int map; the bit
+    test is pure arithmetic (floor(mask / 2^bit) % 2 — 2^bit exact in
+    doubles for bit < 32, no shift builtin needed since Spark's
+    shiftright only takes a literal shift amount). Same no-FN guarantee
+    as :func:`bloom_probe`; per-position misses (word absent from the
+    map) are definitive negatives."""
+    items: list[Column] = []
+    for w, mask in sorted(filter_map.items()):
+        items.extend((F.lit(w), F.lit(mask)))
+    m_map = F.create_map(*items) if items else F.create_map(F.lit(0), F.lit(0))
+    hit = F.lit(True)
+    for p in bloom_positions(key_col, words, k):
+        word = F.floor(p / F.lit(BLOOM_WORD_BITS)).cast("int")
+        bit = (p % F.lit(BLOOM_WORD_BITS)).cast("double")
+        mask = F.element_at(m_map, word)
+        bit_set = (
+            F.floor(mask.cast("double") / F.pow(F.lit(2.0), bit)).cast("long") % 2 == 1
+        )
+        hit = hit & F.coalesce(bit_set, F.lit(False))
+    return hit.cast("int")

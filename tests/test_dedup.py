@@ -310,3 +310,67 @@ def test_bloom_no_false_negatives_and_fp_regime(spark):
             assert fp == len(absent)  # saturated: every absent key FPs
         else:
             assert fp < len(absent) * 0.1  # generous sizing: <10% FP
+
+
+def test_bloom_hit_expr_matches_probe_and_streams(spark, tmp_path):
+    """The row-local literal-map probe must agree with the join-based
+    bloom_probe on every key (present AND absent, across saturated and
+    generous sizings), and must work as a plain filter on a REAL
+    readStream — the zero-shuffle ingest-time membership check the
+    groupBy-based probe cannot provide."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_collected,
+        bloom_hit_expr,
+        bloom_probe,
+    )
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    present = [md5hex(f"p{i}") for i in range(300)]
+    mixed = [(i, md5hex(f"p{i}")) for i in range(150)] + [
+        (1000 + i, md5hex(f"x{i}")) for i in range(150)
+    ]
+    pres_df = spark.createDataFrame([(k,) for k in present], "key string")
+    probe_df = spark.createDataFrame(mixed, "id long, key string")
+    for words in (8, 2048):
+        bloom = bloom_build(pres_df, "key", words=words)
+        fmap = bloom_collected(bloom)
+        via_join = {
+            r.id: r.bloom_hit
+            for r in bloom_probe(probe_df, bloom, "id", "key", words=words).collect()
+        }
+        via_expr = {
+            r.id: r.hit
+            for r in probe_df.select(
+                "id", bloom_hit_expr(F.col("key"), fmap, words=words).alias("hit")
+            ).collect()
+        }
+        assert via_expr == via_join, f"expr/probe divergence at words={words}"
+        assert all(via_expr[i] == 1 for i, _ in mixed[:150])  # no false negatives
+
+    # streaming: the expr is a plain row-local filter on readStream
+    src = str(tmp_path / "src")
+    probe_df.coalesce(1).write.parquet(src)
+    bloom = bloom_build(pres_df, "key", words=2048)
+    fmap = bloom_collected(bloom)
+    stream = spark.readStream.schema("id long, key string").parquet(src)
+    q = (
+        stream.filter(bloom_hit_expr(F.col("key"), fmap, words=2048) == 1)
+        .writeStream.format("memory")
+        .queryName("bloom_stream_hits")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hits = {r.id for r in spark.table("bloom_stream_hits").collect()}
+    spark.catalog.dropTempView("bloom_stream_hits")
+    expect = {i for i, _ in mixed if via_expr.get(i, 0) == 1}
+    assert hits == {i for i, k in mixed if i in expect}
