@@ -10,6 +10,14 @@ The reference deduplicates only by exact key (unique ``url`` index,
   minhash      — shingle → K independent min-hashes → band buckets → join
   simhash      — 64-bit weighted-majority fingerprint, Hamming-bucket join
   ngram_jaccard— exact Jaccard over shingle sets via inverted-index join
+  dup_spans    — exact-substring repeated-passage spans (Lee 2021 shape)
+  block_dedup  — block-level first-wins rewrite (RefinedWeb line-dedup
+                 shape), with blockize/reassemble shared by the
+                 streaming twin (streaming/blockdedup.py)
+  bloom_*      — relational Bloom filter over any md5 key column:
+                 bloom_build/bloom_probe (join form) and
+                 bloom_collected/bloom_hit_expr (row-local literal-map
+                 form for scan filters and streaming ingest)
 
 Scale notes: every operator is expressed as DataFrame ops whose only wide
 stages are hash-partitioned groupBy/join on content-derived keys, so skew
