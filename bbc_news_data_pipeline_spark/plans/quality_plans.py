@@ -588,6 +588,74 @@ ORDER BY event_type, bin
 """
 
 
+# ---------------------------------------------------------------------------
+# q115 — robust MAD outlier detection over document lengths per language
+# (the corpus-QA pass that flags truncated fragments and concatenation
+# blowups before training; median/MAD rather than mean/stddev so the
+# outliers themselves cannot mask the threshold — the standard robust
+# z-score with the 1.4826 normal-consistency constant). Exact
+# interpolated medians on both engines (Spark ``percentile`` ↔ DuckDB
+# ``quantile_cont``, the q61 pattern), so med/MAD are identical doubles
+# and the strict-inequality flag needs no rounding margin.
+#
+# Shape at scale: two per-lang aggregations (exact percentile sorts
+# within each lang partition — swap for approx_percentile at 100 TB,
+# same plan shape) + two broadcast joins of the O(#langs) stats table;
+# the flag itself is row-local.
+# ---------------------------------------------------------------------------
+_Q115_K = 3.0  # robust z threshold
+_MAD_C = 1.4826  # normal-consistency scale factor
+
+
+def q115_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    med = toks.groupBy("lang").agg(
+        F.expr("percentile(n_tokens, 0.5)").alias("med")
+    )
+    dev = toks.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (
+                F.col("adev") > F.lit(_Q115_K) * F.lit(_MAD_C) * F.col("mad")
+            ).cast("int").alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q115_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+med AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS med FROM toks GROUP BY lang),
+dev AS (
+    SELECT t.doc_id, t.lang, t.n_tokens, m.med,
+           abs(t.n_tokens - m.med) AS adev
+    FROM toks t JOIN med m ON m.lang = t.lang
+),
+mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_tokens,
+       round(d.med, 4) AS med,
+       round(x.mad, 4) AS mad,
+       CAST(d.adev > {_Q115_K} * {_MAD_C} * x.mad AS INTEGER) AS is_outlier
+FROM dev d JOIN mad x ON x.lang = d.lang
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -605,4 +673,6 @@ QUERIES = [
           survey="ext:winsorization,A3"),
     Query("q90_quantile_drift", q90_quantile_drift, Q90_SQL,
           survey="ext:quantile-drift,A7,W2"),
+    Query("q115_length_outliers", q115_length_outliers, Q115_SQL,
+          survey="ext:robust-outlier-qa,A3"),
 ]

@@ -538,3 +538,32 @@ def test_q114_estimator_calibration_semantics(spark, tmp_path):
         # doc0: 6 shingles, doc2: 6 shingles (lowercased), shared = 3
         # ("alpha..epsilon","beta..zeta","gamma..eta"): jaccard = 3/9
         assert out[(0, 2)][1] == round(3 / 9, 4)
+
+
+def test_q115_mad_outliers_match_numpy(spark, tmp_path):
+    """med/MAD/flags must equal a numpy twin (interpolated median) on an
+    authored corpus with one extreme length outlier per language."""
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q115_length_outliers
+
+    rows = []
+    did = 0
+    lens = {"en": [10, 11, 12, 13, 400], "fr": [20, 21, 22]}
+    for lang, ls in lens.items():
+        for n in ls:
+            rows.append((did, " ".join(["w"] * n), lang, "s", None))
+            did += 1
+    out = {r.doc_id: r for r in q115_length_outliers(spark, _write_docs(tmp_path, rows)).collect()}
+    did = 0
+    for lang, ls in lens.items():
+        arr = np.array(ls, dtype=float)
+        med = float(np.percentile(arr, 50))
+        mad = float(np.percentile(np.abs(arr - med), 50))
+        for n in ls:
+            r = out[did]
+            assert (r.med, r.mad) == (round(med, 4), round(mad, 4))
+            assert r.is_outlier == int(abs(n - med) > 3.0 * 1.4826 * mad), (did, n)
+            did += 1
+    assert out[4].is_outlier == 1  # the 400-token doc
+    assert sum(r.is_outlier for r in out.values()) == 1
