@@ -535,6 +535,75 @@ ORDER BY lang, doc_id
 
 
 # ---------------------------------------------------------------------------
+# q116 — sequence packing with exact token offsets (ext): the
+# concat-and-chunk step that turns a curated corpus into fixed-length
+# training sequences (GPT-style packing; see e.g. Brown et al. 2020 §2.1
+# — documents are concatenated in a deterministic global order and split
+# into context-window-sized sequences, a document may SPAN a sequence
+# boundary). q68 assigns whole documents to per-language shards; this
+# operator answers the finer question a dataloader needs: for every
+# document, which training sequence does its first token land in
+# (first_seq), which its last (last_seq), at what offset within the
+# first sequence (seq_offset), and across how many sequences it is split
+# (n_seqs).
+#
+# All four outputs are pure integer arithmetic over ONE number per doc:
+# the exclusive prefix sum of token counts in the global doc_id order.
+# Scale shape: a single global running sum is the textbook hot-partition
+# scale-killer (one task sorts the whole corpus), so the prefix comes
+# from operators/skew.exclusive_prefix_sum — the multi-level parallel
+# prefix sum already used by q68 — here with a CONSTANT partition key,
+# i.e. the degenerate everything-is-one-group case that machinery was
+# built to bound: uniform block shuffles + one top-level window over
+# ≤ n/block² rows. Composing with q99's shuffle_key instead of doc_id
+# gives packed-after-shuffle order with no plan change.
+# ---------------------------------------------------------------------------
+_Q116_SEQLEN = 128
+
+
+def q116_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import exclusive_prefix_sum
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn("_g", F.lit(0))
+    prefixed = exclusive_prefix_sum(toks, "_g", "doc_id", "n_tokens")
+    L = F.lit(_Q116_SEQLEN)
+    first = F.floor(F.col("_prefix") / L).cast("long")
+    last = F.floor((F.col("_prefix") + F.col("n_tokens") - 1) / L).cast("long")
+    return prefixed.select(
+        "doc_id",
+        "n_tokens",
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        (F.col("_prefix") % L).cast("long").alias("seq_offset"),
+        (last - first + 1).alias("n_seqs"),
+    )
+
+
+Q116_SQL = f"""
+SELECT doc_id, n_tokens,
+       CAST(floor(pre / {_Q116_SEQLEN}) AS BIGINT) AS first_seq,
+       CAST(floor((pre + n_tokens - 1) / {_Q116_SEQLEN}) AS BIGINT) AS last_seq,
+       CAST(pre % {_Q116_SEQLEN} AS BIGINT) AS seq_offset,
+       CAST(floor((pre + n_tokens - 1) / {_Q116_SEQLEN})
+            - floor(pre / {_Q116_SEQLEN}) + 1 AS BIGINT) AS n_seqs
+FROM (
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(sum(CAST(len(str_split(text, ' ')) AS BIGINT)) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS pre
+    FROM documents
+) t
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q99 — global deterministic training-order shuffle + hash-range sharding
 # (ext): the "randomize the corpus before training" step. The assignment
 # is a row-local map over a uniform 32-bit md5 key — NO global sort, no
@@ -944,4 +1013,6 @@ QUERIES = [
           survey="ext:importance-resampling,ext:lm-quality-score"),
     Query("q112_source_overlap", q112_source_overlap, Q112_SQL,
           survey="ext:dataset-lineage,ext:minhash-lsh"),
+    Query("q116_sequence_packing", q116_sequence_packing, Q116_SQL,
+          survey="ext:sequence-packing,ext:shard-packing"),
 ]

@@ -656,6 +656,79 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q117 — hashed linear quality-classifier APPLY (ext): the fastText-style
+# scoring pass (Joulin et al. 2016, arXiv:1607.01759) that GPT-3-era
+# pipelines run over every document to keep "looks like the high-quality
+# reference corpus" text (Brown et al. 2020 Appendix A). Featurization is
+# the hashing trick — token → md5-derived bucket in [0, D) — and the
+# model is a bucket-indexed weight vector with mean pooling:
+# logit = Σ w[bucket(t)] / n_tokens, score = σ(logit).
+#
+# The weight table here is a deterministic function of the bucket id
+# (w_int(b) = (b·2654435761) mod 100001 − 50000, i.e. Knuth
+# multiplicative hashing scaled to [−0.5, 0.5]) standing in for a
+# trained artifact — in production the same plan broadcasts a learned
+# D-row table; the plan shape does not change. All accumulation is
+# INTEGER (w_sum is a sum of int64 weights, exact and order-independent
+# across engines); floats appear only in the final per-row division and
+# sigmoid, and the keep/drop decision compares the exact integer w_sum
+# against 0 — no float-boundary hazard.
+#
+# Shape at scale: ZERO shuffles — hashing, weight lookup, and the fold
+# over tokens are row-local Catalyst higher-order functions, so the
+# whole classifier is one projection over the scan and scales linearly
+# with input bytes. No Python, no explode, no vocab join.
+# ---------------------------------------------------------------------------
+_Q117_D = 4096  # hashing-trick bucket count
+_Q117_WMOD = 100001  # weight lattice: w_int in [-50000, 50000]
+
+
+def q117_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+
+    def w_int(t: F.Column) -> F.Column:
+        hex8 = F.substring(F.md5(F.concat(F.lit("ft:"), t)), 1, 8)
+        bucket = F.conv(hex8, 16, 10).cast("long") % _Q117_D
+        return (bucket * F.lit(2654435761)) % F.lit(_Q117_WMOD) - F.lit(50000)
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + w_int(t)
+        ).alias("w_sum"),
+    )
+    logit = F.col("w_sum") / (F.lit(100000.0) * F.col("n_tokens"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "w_sum",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        F.when(F.col("w_sum") >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
+    )
+
+
+_Q117_HEX = _hex2int_sql("md5('ft:' || t)", 1, 8)
+_Q117_W_SQL = f"({_Q117_HEX} % {_Q117_D}) * 2654435761 % {_Q117_WMOD} - 50000"
+
+Q117_SQL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(str_split(lower(text), ' '),
+                t -> {_Q117_W_SQL})) AS BIGINT) AS w_sum
+    FROM documents
+)
+SELECT doc_id, n_tokens, w_sum,
+       round(1.0 / (1.0 + exp(-(w_sum / (100000.0 * n_tokens)))), 6) AS score,
+       CASE WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -675,4 +748,6 @@ QUERIES = [
           survey="ext:quantile-drift,A7,W2"),
     Query("q115_length_outliers", q115_length_outliers, Q115_SQL,
           survey="ext:robust-outlier-qa,A3"),
+    Query("q117_hashed_classifier", q117_hashed_classifier, Q117_SQL,
+          survey="ext:quality-classifier,ext:hash-sampling"),
 ]

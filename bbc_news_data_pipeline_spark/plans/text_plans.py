@@ -699,6 +699,122 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q118 — interpolated bigram-LM quality score (ext): the next rung of the
+# CCNet perplexity-filter ladder above q102's unigram model (Wenzek et
+# al. 2020 — the real pipeline uses a KenLM 5-gram; the bigram with
+# unigram-interpolation smoothing captures the structure: conditional
+# corpus statistics, backoff mass, per-doc bits-per-token). Model:
+#   P(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/T,   λ = 0.7
+# where c(w1·) counts w1 as a PREDECESSOR (positions 1..n−1) so the
+# conditional rows sum to exactly λ, and the unigram backoff uses the
+# full token count T. Per doc: bits_per_bigram = −Σ c·ln P / (n·ln 2).
+#
+# Scale shape (q102's discipline, one level up): bigrams are built
+# ROW-LOCALLY (zip of the token array with its own tail — no positional
+# self-join, no explode-then-lag window), rolled up to (doc, w1, w2)
+# counts map-side BEFORE any vocab join; the probability table is
+# computed once per DISTINCT corpus bigram (Zipf-bounded, like the
+# vocab), then equi-joined back to the per-doc rollup. Every shuffle key
+# is a vocab key or doc_id — nothing scales with raw token count except
+# the first map-side combine. Float caveat as q102: the per-doc Σ c·ln P
+# accumulates in engine-specific order; round(,4) absorbs last-ulp
+# drift (ln itself may differ by 1 ulp across libms).
+# ---------------------------------------------------------------------------
+_Q118_LAMBDA = 0.7
+
+
+def q118_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", "u.w1", "u.w2")
+    )
+    db = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
+    bv = db.groupBy("w1", "w2").agg(F.sum("c").alias("bc"))
+    pred = bv.groupBy("w1").agg(F.sum("bc").alias("c1"))
+    uni = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("uc"))
+    )
+    tot = uni.agg(F.sum("uc").alias("t"))
+    lam = F.lit(_Q118_LAMBDA)
+    p = (
+        bv.join(pred, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                lam * F.col("bc") / F.col("c1")
+                + F.lit(1.0 - _Q118_LAMBDA) * F.col("uc") / F.col("t")
+            ).alias("lp"),
+        )
+    )
+    per_doc = (
+        db.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lp")).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-F.col("s") / F.col("n_bigrams") / F.log(F.lit(2.0)), 4).alias(
+            "bits_per_bigram"
+        ),
+    )
+
+
+Q118_SQL = f"""
+WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS ts FROM documents),
+bg AS (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+           i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS u
+    FROM toks WHERE len(ts) >= 2
+),
+db AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS c FROM bg GROUP BY ALL),
+bv AS (SELECT w1, w2, sum(c) AS bc FROM db GROUP BY ALL),
+pred AS (SELECT w1, sum(bc) AS c1 FROM bv GROUP BY w1),
+uni AS (
+    SELECT w, count(*) AS uc
+    FROM (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY w
+),
+tot AS (SELECT sum(uc) AS t FROM uni),
+p AS (
+    SELECT bv.w1, bv.w2,
+           ln({_Q118_LAMBDA!r} * bv.bc / pred.c1
+              + {1.0 - _Q118_LAMBDA!r} * uni.uc / (SELECT t FROM tot)) AS lp
+    FROM bv JOIN pred USING (w1) JOIN uni ON uni.w = bv.w2
+),
+per_doc AS (
+    SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+           sum(db.c * p.lp) AS s
+    FROM db JOIN p USING (w1, w2)
+    GROUP BY db.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(-s / n_bigrams / ln(2.0), 4) AS bits_per_bigram
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q106 — BPE tokenizer APPLY step (the encode-side twin of q98's
 # pair-count TRAINING step; Sennrich et al. 2016 §3): apply an ordered,
 # externally-trained merge list to the corpus and report the resulting
@@ -807,4 +923,6 @@ QUERIES = [
           survey="ext:lm-quality-score", tags=("bench",)),
     Query("q106_bpe_apply", q106_bpe_apply, Q106_SQL,
           survey="ext:bpe-apply,ext:bpe-train-step"),
+    Query("q118_bigram_logprob", q118_bigram_logprob, Q118_SQL,
+          survey="ext:lm-quality-score,A11"),
 ]

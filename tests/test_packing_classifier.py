@@ -1,0 +1,114 @@
+"""Unit tests for the round-5 additions q116 (sequence packing), q117
+(hashed linear classifier), q118 (bigram-LM score) — each checked against
+a pure-python twin computed from the same parquet input, independently of
+both the Spark plan and the DuckDB oracle (which the parity suite covers).
+"""
+
+import hashlib
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from bbc_news_data_pipeline_spark.plans.curation_plans import (
+    _Q116_SEQLEN,
+    q116_sequence_packing,
+)
+from bbc_news_data_pipeline_spark.plans.quality_plans import (
+    _Q117_D,
+    _Q117_WMOD,
+    q117_hashed_classifier,
+)
+from bbc_news_data_pipeline_spark.plans.text_plans import (
+    _Q118_LAMBDA,
+    q118_bigram_logprob,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+
+
+def test_sequence_packing_matches_python_twin(spark, docs_pdf):
+    out = q116_sequence_packing(spark, SF_DIR).toPandas()
+    rows = docs_pdf.sort_values("doc_id")
+    pre = 0
+    expected = {}
+    for _, r in rows.iterrows():
+        n = len(r["text"].split(" "))
+        first = pre // _Q116_SEQLEN
+        last = (pre + n - 1) // _Q116_SEQLEN
+        expected[r["doc_id"]] = (n, first, last, pre % _Q116_SEQLEN, last - first + 1)
+        pre += n
+    assert len(out) == len(expected)
+    for row in out.itertuples():
+        assert expected[row.doc_id] == (
+            row.n_tokens, row.first_seq, row.last_seq, row.seq_offset, row.n_seqs
+        )
+
+
+def test_sequence_packing_is_gapless(spark):
+    """Consecutive docs tile the token stream with no gaps or overlaps:
+    doc i+1's global start equals doc i's global start + n_tokens."""
+    out = q116_sequence_packing(spark, SF_DIR).toPandas().sort_values("doc_id")
+    start = out.first_seq * _Q116_SEQLEN + out.seq_offset
+    assert (start.iloc[1:].values == (start + out.n_tokens).iloc[:-1].values).all()
+    assert (out.seq_offset < _Q116_SEQLEN).all()
+    assert (out.n_seqs >= 1).all()
+
+
+def _py_w_sum(text: str) -> int:
+    s = 0
+    for t in text.lower().split(" "):
+        h = int(hashlib.md5(f"ft:{t}".encode()).hexdigest()[:8], 16)
+        s += (h % _Q117_D) * 2654435761 % _Q117_WMOD - 50000
+    return s
+
+
+def test_hashed_classifier_matches_python_twin(spark, docs_pdf):
+    out = q117_hashed_classifier(spark, SF_DIR).toPandas()
+    by_id = dict(zip(docs_pdf.doc_id, docs_pdf.text))
+    for row in out.itertuples():
+        w = _py_w_sum(by_id[row.doc_id])
+        assert row.w_sum == w
+        n = len(by_id[row.doc_id].split(" "))
+        assert row.n_tokens == n
+        score = 1.0 / (1.0 + math.exp(-(w / (100000.0 * n))))
+        assert abs(row.score - score) < 1e-6
+        assert row.label == ("keep" if w >= 0 else "drop")
+
+
+def test_bigram_logprob_matches_python_twin(spark, docs_pdf):
+    out = q118_bigram_logprob(spark, SF_DIR).toPandas()
+    toks = {r.doc_id: r.text.lower().split(" ") for r in docs_pdf.itertuples()}
+    bc: dict = {}
+    uc: dict = {}
+    for ts in toks.values():
+        for w in ts:
+            uc[w] = uc.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    c1: dict = {}
+    for (a, _), c in bc.items():
+        c1[a] = c1.get(a, 0) + c
+    total = sum(uc.values())
+    lam = _Q118_LAMBDA
+    expected = {}
+    for did, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        s = 0.0
+        for a, b in zip(ts, ts[1:]):
+            s += math.log(lam * bc[(a, b)] / c1[a] + (1.0 - lam) * uc[b] / total)
+        n = len(ts) - 1
+        expected[did] = (n, -s / n / math.log(2.0))
+    assert len(out) == len(expected)
+    for row in out.itertuples():
+        n, bits = expected[row.doc_id]
+        assert row.n_bigrams == n
+        # python accumulates the per-doc sum in yet another order; the
+        # 4dp round on the operator side bounds the comparison at ~1e-4
+        assert abs(row.bits_per_bigram - bits) < 5e-4
