@@ -35,7 +35,15 @@ from ..operators.curation import (
 )
 from ..operators.dedup import minhash_candidates
 from ..sources.tables import load
-from .dedup_plans import SHINGLE_K, _BANDS, _SIGS, _hex2int_sql, _shingle_sql
+from .dedup_plans import (
+    SHINGLE_K,
+    _BANDS,
+    _CAPPED_PAIRS_CTES,
+    _MAX_GROUP,
+    _SIGS,
+    _hex2int_sql,
+    _shingle_sql,
+)
 from .registry import Query
 
 
@@ -555,7 +563,11 @@ ORDER BY lang, doc_id
 # prefix sum already used by q68 — here with a CONSTANT partition key,
 # i.e. the degenerate everything-is-one-group case that machinery was
 # built to bound: uniform block shuffles + one top-level window over
-# ≤ n/block² rows. Composing with q99's shuffle_key instead of doc_id
+# ≤ n/block^(levels−1) rows (raise `levels` for larger corpora).
+# Catalyst constant-folds the literal partition key away, so that top
+# window logs Spark's "No Partition Defined" warning — expected here:
+# its INPUT is the per-block totals table, already reduced by block²,
+# not the corpus. Composing with q99's shuffle_key instead of doc_id
 # gives packed-after-shuffle order with no plan change.
 # ---------------------------------------------------------------------------
 _Q116_SEQLEN = 128
@@ -600,6 +612,77 @@ FROM (
     FROM documents
 ) t
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q120 — contrastive training-pair generation (ext): the (anchor,
+# positive, negative) triples an embedding-model trainer consumes
+# (DPR, Karpukhin et al. 2020 §3.2 uses in-batch + sampled negatives;
+# retrieval fine-tunes mine positives from near-duplicate / co-click
+# pairs). Positives come from the SAME capped MinHash-LSH candidate
+# graph as q46/q57/q111 (caps mirrored in the oracle, so parity holds at
+# any scale); negatives are drawn deterministically — each document
+# hashes into one of B buckets (md5 key, salt "neg"), each bucket elects
+# a min-doc_id representative, and an anchor's negative is the
+# representative of the NEXT bucket on the ring. Triples where the
+# negative collides with the anchor or positive are dropped (mirrored).
+#
+# The bucket-representative scheme is the scale point: sampling "a
+# random other document" naively needs a global index (zipWithIndex = a
+# full sort) or a nondeterministic rand(); the ring gives a uniform,
+# reproducible, join-free-at-scale negative — the rep table is B rows,
+# broadcast, and the only wide ops are the LSH band join (shared with
+# q46) plus one equi-join to fetch the anchor's bucket. More negatives
+# per anchor = more ring offsets, same plan shape.
+# ---------------------------------------------------------------------------
+_Q120_B = 64
+
+
+def q120_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash_candidates(
+            docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+            max_group=_MAX_GROUP,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    bucketed = docs.select(
+        "doc_id", (sample_key_expr("doc_id", "neg") % _Q120_B).alias("b")
+    )
+    reps = bucketed.groupBy("b").agg(F.min("doc_id").alias("neg_id"))
+    out = (
+        pairs.join(bucketed.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumn("nb", (F.col("b") + 1) % _Q120_B)
+        .join(F.broadcast(reps.withColumnRenamed("b", "nb")), "nb")
+        .filter(
+            (F.col("neg_id") != F.col("id_a")) & (F.col("neg_id") != F.col("id_b"))
+        )
+    )
+    return out.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        "neg_id",
+    )
+
+
+_Q120_NEG_KEY = _sample_key_sql("neg")
+
+Q120_SQL = f"""
+WITH {_CAPPED_PAIRS_CTES},
+cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+bucketed AS (
+    SELECT doc_id, {_Q120_NEG_KEY} % {_Q120_B} AS b FROM documents
+),
+reps AS (SELECT b, min(doc_id) AS neg_id FROM bucketed GROUP BY b)
+SELECT c.id_a AS anchor_id, c.id_b AS positive_id, r.neg_id
+FROM cand c
+JOIN bucketed ba ON ba.doc_id = c.id_a
+JOIN reps r ON r.b = (ba.b + 1) % {_Q120_B}
+WHERE r.neg_id <> c.id_a AND r.neg_id <> c.id_b
+ORDER BY anchor_id, positive_id
 """
 
 
@@ -1015,4 +1098,6 @@ QUERIES = [
           survey="ext:dataset-lineage,ext:minhash-lsh"),
     Query("q116_sequence_packing", q116_sequence_packing, Q116_SQL,
           survey="ext:sequence-packing,ext:shard-packing"),
+    Query("q120_contrastive_pairs", q120_contrastive_pairs, Q120_SQL,
+          survey="ext:contrastive-pairs,ext:minhash-lsh,ext:hash-sampling"),
 ]

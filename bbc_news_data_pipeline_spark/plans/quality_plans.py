@@ -729,6 +729,88 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q119 — incremental stats-manifest MERGE (ext): a 100 TB pipeline never
+# re-profiles the whole corpus — each ingest batch writes a small
+# "manifest" of ALGEBRAIC partials (count / sum / min / max / sum-of-
+# squares), and corpus-level stats are recovered by merging manifests.
+# This query proves that contract end-to-end: documents are split into 8
+# synthetic ingest shards (doc_id mod 8, standing in for batch
+# boundaries), per-(lang, shard) partials are computed first, and ONLY
+# the partials are merged into per-lang corpus stats — count by summing
+# counts, mean from merged sums, population stddev from the merged
+# sum-of-squares (Var = E[x²] − E[x]²). The oracle computes the same
+# stats DIRECTLY from the raw table, so a green row proves
+# merge-of-partials ≡ single-pass — the algebraic-merge property the
+# incremental design rests on.
+#
+# Determinism: every partial is an exact int64 (token counts and their
+# squares), so merge order cannot perturb them; floats appear only in
+# the final mean/stddev derivation, computed with the identical
+# expression tree on both engines and rounded at 4dp (sqrt and the two
+# divisions are correctly-rounded IEEE ops).
+#
+# Shape at scale: two narrow shuffles — (lang, shard) then (lang) — the
+# second over |langs|·|shards| rows only. In production the first
+# aggregation runs once per ingest batch and lands in a manifest table;
+# the merge is a metadata-sized job.
+# ---------------------------------------------------------------------------
+_Q119_SHARDS = 8
+
+
+def q119_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        (F.col("doc_id") % _Q119_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+    )
+    partials = toks.groupBy("lang", "shard").agg(
+        F.count("*").alias("p_n"),
+        F.sum("nt").alias("p_s"),
+        F.min("nt").alias("p_min"),
+        F.max("nt").alias("p_max"),
+        F.sum(F.col("nt") * F.col("nt")).alias("p_ss"),
+    )
+    merged = partials.groupBy("lang").agg(
+        F.sum("p_n").cast("long").alias("n_docs"),
+        F.sum("p_s").cast("long").alias("total_tokens"),
+        F.min("p_min").cast("long").alias("min_tokens"),
+        F.max("p_max").cast("long").alias("max_tokens"),
+        F.sum("p_ss").cast("long").alias("ss"),
+    )
+    mean = F.col("total_tokens") / F.col("n_docs")
+    return merged.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.round(mean, 4).alias("mean_tokens"),
+        F.round(F.sqrt(F.col("ss") / F.col("n_docs") - mean * mean), 4).alias(
+            "std_tokens"
+        ),
+    )
+
+
+Q119_SQL = """
+WITH toks AS (
+    SELECT lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS nt FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(min(nt) AS BIGINT) AS min_tokens,
+       CAST(max(nt) AS BIGINT) AS max_tokens,
+       round(sum(nt) / count(*), 4) AS mean_tokens,
+       round(sqrt(sum(nt * nt) / count(*)
+                  - (sum(nt) / count(*)) * (sum(nt) / count(*))), 4) AS std_tokens
+FROM toks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -750,4 +832,6 @@ QUERIES = [
           survey="ext:robust-outlier-qa,A3"),
     Query("q117_hashed_classifier", q117_hashed_classifier, Q117_SQL,
           survey="ext:quality-classifier,ext:hash-sampling"),
+    Query("q119_manifest_merge", q119_manifest_merge, Q119_SQL,
+          survey="ext:incremental-stats,A3,A13"),
 ]

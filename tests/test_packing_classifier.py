@@ -1,7 +1,9 @@
 """Unit tests for the round-5 additions q116 (sequence packing), q117
-(hashed linear classifier), q118 (bigram-LM score) — each checked against
-a pure-python twin computed from the same parquet input, independently of
-both the Spark plan and the DuckDB oracle (which the parity suite covers).
+(hashed linear classifier), q118 (bigram-LM score), q119 (manifest
+merge), q120 (contrastive triples) — each checked against a pure-python
+twin or structural invariants computed from the same parquet input,
+independently of both the Spark plan and the DuckDB oracle (which the
+parity suite covers).
 """
 
 import hashlib
@@ -14,10 +16,16 @@ from bbc_news_data_pipeline_spark.plans.curation_plans import (
     _Q116_SEQLEN,
     q116_sequence_packing,
 )
+from bbc_news_data_pipeline_spark.plans.curation_plans import (
+    _Q120_B,
+    q120_contrastive_pairs,
+)
 from bbc_news_data_pipeline_spark.plans.quality_plans import (
     _Q117_D,
     _Q117_WMOD,
+    _Q119_SHARDS,
     q117_hashed_classifier,
+    q119_manifest_merge,
 )
 from bbc_news_data_pipeline_spark.plans.text_plans import (
     _Q118_LAMBDA,
@@ -112,3 +120,37 @@ def test_bigram_logprob_matches_python_twin(spark, docs_pdf):
         # python accumulates the per-doc sum in yet another order; the
         # 4dp round on the operator side bounds the comparison at ~1e-4
         assert abs(row.bits_per_bigram - bits) < 5e-4
+
+
+def test_manifest_merge_equals_single_pass_python(spark, docs_pdf):
+    """Merge-of-shard-partials must equal a direct single-pass profile —
+    the algebraic property the incremental-manifest design rests on."""
+    out = q119_manifest_merge(spark, SF_DIR).toPandas().set_index("lang")
+    nt = docs_pdf.assign(nt=docs_pdf.text.str.split(" ").str.len())
+    for lang, grp in nt.groupby("lang"):
+        row = out.loc[lang]
+        n, s = len(grp), int(grp.nt.sum())
+        assert row.n_docs == n and row.total_tokens == s
+        assert row.min_tokens == grp.nt.min() and row.max_tokens == grp.nt.max()
+        assert abs(row.mean_tokens - round(s / n, 4)) < 1e-9
+        ss = int((grp.nt.astype("int64") ** 2).sum())
+        assert abs(row.std_tokens - round(math.sqrt(ss / n - (s / n) ** 2), 4)) < 1e-9
+    # the shard split actually has >1 shard at this SF (merge is exercised)
+    assert docs_pdf.doc_id.mod(_Q119_SHARDS).nunique() > 1
+
+
+def test_contrastive_triples_invariants(spark, docs_pdf):
+    out = q120_contrastive_pairs(spark, SF_DIR).toPandas()
+    ids = set(docs_pdf.doc_id)
+    assert len(out) > 0
+    # negatives are real corpus docs, never the anchor or the positive
+    assert set(out.neg_id).issubset(ids)
+    assert (out.neg_id != out.anchor_id).all()
+    assert (out.neg_id != out.positive_id).all()
+    # deterministic: same anchor always draws the same negative
+    assert (out.groupby("anchor_id").neg_id.nunique() == 1).all()
+    # rerun is byte-identical (no rand() anywhere)
+    again = q120_contrastive_pairs(spark, SF_DIR).toPandas()
+    a = out.sort_values(["anchor_id", "positive_id"]).reset_index(drop=True)
+    b = again.sort_values(["anchor_id", "positive_id"]).reset_index(drop=True)
+    assert a.equals(b)
