@@ -1,0 +1,166 @@
+"""Mergeable frequency/cardinality sketches, built RELATIONALLY.
+
+At 100 TB the exact answers these approximate — per-key counts, distinct
+cardinality — are the queries whose state explodes: an exact distinct
+count shuffles every key; an exact frequency table materializes the full
+vocabulary. The sketches here reduce both to CONSTANT-size tables
+(a depth×width counter grid, an m-register vector) with two properties
+the rest of this repo's incremental design leans on:
+
+  * **relational construction** — each sketch is an ordinary DataFrame
+    aggregation (map-side combinable groupBy over hash-derived cells),
+    so Catalyst plans it like any other rollup and the result is a
+    broadcastable few-KB table;
+  * **mergeability** — counters add and registers max, so per-shard
+    sketches combine into corpus sketches exactly like the q119 stats
+    manifests; and because every hash is md5-derived (never engine
+    ``hash()``), an oracle engine reproduces the sketch BIT-FOR-BIT,
+    which is what makes the approximation itself verifiable.
+
+Count–min sketch: Cormode & Muthukrishnan 2005 (J. Algorithms 55) —
+point estimate = min over depth rows, never underestimates.
+HyperLogLog: Flajolet et al. 2007 — stochastic averaging over m
+first-byte buckets of the rank of the first 1-bit; the rank is computed
+with INTEGER/string algebra (hex-digit inspection), not floor(log2()),
+because log2 is the one place a 1-ulp libm difference could flip an
+integer and silently desynchronize engines.
+
+The reference has no sketch surface (its scale ceiling is ~1,000 docs,
+``data_preparation.py:38-40``); this is part of the LLM-pipeline
+extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+HLL_M = 256  # 2^8 buckets: bucket = first md5 byte
+
+
+def _md5_int(prefix: str, col: Column, start: int, length: int) -> Column:
+    hx = F.substring(F.md5(F.concat(F.lit(prefix), col)), start, length)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def cm_cell(col: Column, d: int, width: int = CM_WIDTH) -> Column:
+    """Row-``d`` column index for a key: md5-derived, engine-portable."""
+    return _md5_int(f"cm{d}:", col, 1, 8) % width
+
+
+def cm_build(
+    weighted_keys: DataFrame,
+    key_col: str,
+    count_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """(d, col, cnt): count–min counter grid over a pre-rolled-up
+    (key, count) table. Feeding the DISTINCT-key rollup instead of the
+    raw stream keeps the build shuffle vocab-bounded (Zipf-bounded for
+    text) — the raw stream is only touched by the first map-side
+    combine. depth×width rows out: broadcastable, and mergeable across
+    shards by summing cnt cell-wise."""
+    k = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), cm_cell(k, d, width).alias("col"))
+            for d in range(depth)
+        ]
+    )
+    return (
+        weighted_keys.select(F.col(count_col).alias("_c"), F.explode(cells).alias("u"))
+        .select("u.d", "u.col", "_c")
+        .groupBy("d", "col")
+        .agg(F.sum("_c").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-query each key against a :func:`cm_build` grid: estimate =
+    min over the depth cells. The grid is broadcast — probing never
+    shuffles the probe side."""
+    k = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), cm_cell(k, d, width).alias("col"))
+            for d in range(depth)
+        ]
+    )
+    probes = keys.withColumn("_u", F.explode(cells)).select(
+        *keys.columns, F.col("_u.d").alias("d"), F.col("_u.col").alias("col")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["d", "col"])
+        .groupBy(*keys.columns)
+        .agg(F.min("cnt").cast("long").alias(out_col))
+    )
+
+
+def hll_bucket_rho(col: Column, salt: str = "hll:") -> tuple[Column, Column]:
+    """(bucket, rho) for one key: bucket = first md5 byte (0..255); rho =
+    1 + number of leading zero BITS of the next 32 hash bits (33 if all
+    zero). rho is derived by hex-digit inspection — count leading '0'
+    hex digits, then the leading-zero bits inside the first non-zero
+    nibble via exact integer comparisons — so both engines compute the
+    identical integer with no floating log anywhere."""
+    md5 = F.md5(F.concat(F.lit(salt), col))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("long")
+    hs = F.substring(md5, 3, 8)
+    z = F.length(F.regexp_extract(hs, "^0*", 0))
+    d = F.conv(hs.substr(z + F.lit(1), F.lit(1)), 16, 10).cast("long")
+    lzn = (
+        F.when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
+    )
+    rho = F.when(z == 8, F.lit(33)).otherwise(z * 4 + lzn + 1).cast("long")
+    return bucket, rho
+
+
+def hll_registers(
+    keys: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., bucket, r): HLL register table — max rho per bucket
+    (optionally per group). ≤ HLL_M rows per group, mergeable across
+    shards by bucket-wise max. Duplicate keys hash identically, so the
+    input needs NO distinct pass — max absorbs repeats."""
+    group_cols = group_cols or []
+    bucket, rho = hll_bucket_rho(F.col(key_col))
+    return (
+        keys.select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("r"))
+    )
+
+
+# alpha_m for m = 256 (Flajolet et al. 2007, fig. 3), and the
+# alpha_m * m^2 product PRE-MULTIPLIED in Python so both engines consume
+# one identical double literal instead of each multiplying two
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_AM2 = HLL_ALPHA * float(HLL_M * HLL_M)
+
+
+def hll_estimate_cols(m: int = HLL_M) -> tuple[Column, Column]:
+    """Given an aggregated row with ``sum_pow`` = Σ 2^-r over OCCUPIED
+    buckets, ``occupied`` = their count, and ``zero_buckets`` implied,
+    returns (raw, corrected) estimate columns. Empty buckets contribute
+    2^0 = 1 each; all 2^-r terms are exact dyadic doubles whose sum is
+    exact (≤ m terms of ≥ 2^-33), so the harmonic denominator is
+    order-independent. Small-range (linear counting) correction applies
+    below 2.5·m when empty buckets exist — same branch, same literals,
+    both engines."""
+    denom = F.col("sum_pow") + (F.lit(m) - F.col("occupied"))
+    raw = F.lit(HLL_AM2) / denom
+    v = F.lit(m) - F.col("occupied")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return raw, corrected

@@ -43,6 +43,7 @@ def all_queries() -> list[Query]:
         quality_plans,
         relational,
         retrieval_plans,
+        sketch_plans,
         streaming_plans,
         subquery_plans,
         text_plans,
@@ -58,7 +59,7 @@ def all_queries() -> list[Query]:
     for mod in (relational, text_plans, dedup_plans, embeddings_plans,
                 multimodal_plans, streaming_plans, curation_plans,
                 timeseries_plans, subquery_plans, quality_plans,
-                retrieval_plans):
+                retrieval_plans, sketch_plans):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     if len(names) != len(set(names)):

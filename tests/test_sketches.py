@@ -1,0 +1,115 @@
+"""operators/sketches.py unit tests: python-twin reproduction of the
+md5-derived cells/registers, the CMS one-sided-error invariant under
+forced collisions, and the shard-mergeability contracts (counters add,
+registers max) that make both sketches manifest-compatible.
+
+All inputs here are synthetic in-memory key sets (larger than the
+sf0.001 vocab, so CMS actually collides at width 512)."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.operators.sketches import (
+    CM_DEPTH,
+    CM_WIDTH,
+    HLL_AM2,
+    HLL_M,
+    cm_build,
+    cm_estimate,
+    hll_bucket_rho,
+    hll_registers,
+)
+
+
+def _keys_df(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.lit(1).alias("c")
+    )
+
+
+def _py_cell(key: str, d: int) -> int:
+    return int(hashlib.md5(f"cm{d}:{key}".encode()).hexdigest()[:8], 16) % CM_WIDTH
+
+
+def test_cm_grid_matches_python_twin(spark):
+    grid = {
+        (r.d, r.col): r.cnt
+        for r in cm_build(_keys_df(spark, 300), "k", "c").collect()
+    }
+    expected: dict = {}
+    for i in range(300):
+        for d in range(CM_DEPTH):
+            cell = (d, _py_cell(f"k{i}", d))
+            expected[cell] = expected.get(cell, 0) + 1
+    assert grid == expected
+
+
+def test_cm_never_underestimates_under_collisions(spark):
+    # 5000 distinct keys into 512 columns: every column collides ~10x
+    keys = _keys_df(spark, 5000)
+    counters = cm_build(keys, "k", "c")
+    sample = keys.limit(200)
+    est = cm_estimate(sample, counters, "k").collect()
+    assert len(est) == 200
+    assert all(r.cms_estimate >= 1 for r in est)
+    # collisions actually happened (the invariant is non-vacuous)
+    assert any(r.cms_estimate > 1 for r in est)
+
+
+def test_cm_shards_merge_to_whole(spark):
+    whole = cm_build(_keys_df(spark, 2000), "k", "c")
+    a = cm_build(_keys_df(spark, 1000), "k", "c")
+    b = cm_build(_keys_df(spark, 1000, start=1000), "k", "c")
+    merged = (
+        a.unionByName(b).groupBy("d", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    w = {(r.d, r.col): r.cnt for r in whole.collect()}
+    m = {(r.d, r.col): r.cnt for r in merged.collect()}
+    assert w == m
+
+
+def _py_bucket_rho(key: str) -> tuple[int, int]:
+    hx = hashlib.md5(f"hll:{key}".encode()).hexdigest()
+    bucket = int(hx[:2], 16)
+    v = int(hx[2:10], 16)
+    rho = 33 if v == 0 else 32 - v.bit_length() + 1
+    return bucket, rho
+
+
+def test_hll_bucket_rho_matches_python_twin(spark):
+    df = _keys_df(spark, 500)
+    bucket, rho = hll_bucket_rho(F.col("k"))
+    rows = df.select("k", bucket.alias("b"), rho.alias("r")).collect()
+    for r in rows:
+        eb, er = _py_bucket_rho(r.k)
+        assert (r.b, r.r) == (eb, er), r.k
+
+
+def test_hll_estimate_within_tolerance_and_duplicate_blind(spark):
+    n = 5000
+    keys = _keys_df(spark, n)
+    # duplicate every key 3x: registers must not move (max absorbs)
+    tripled = keys.unionByName(keys).unionByName(keys)
+    regs1 = {(r.bucket): r.r for r in hll_registers(keys, "k").collect()}
+    regs3 = {(r.bucket): r.r for r in hll_registers(tripled, "k").collect()}
+    assert regs1 == regs3
+    sum_pow = sum(2.0 ** -r for r in regs1.values())
+    occupied = len(regs1)
+    est = HLL_AM2 / (sum_pow + (HLL_M - occupied))
+    if est <= 2.5 * HLL_M and occupied < HLL_M:
+        est = HLL_M * math.log(HLL_M / (HLL_M - occupied))
+    # standard error ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.2
+
+
+def test_hll_shards_merge_to_whole(spark):
+    whole = {(r.bucket): r.r for r in hll_registers(_keys_df(spark, 2000), "k").collect()}
+    a = hll_registers(_keys_df(spark, 1000), "k")
+    b = hll_registers(_keys_df(spark, 1000, start=1000), "k")
+    merged = {
+        (r.bucket): r.r
+        for r in a.unionByName(b).groupBy("bucket").agg(F.max("r").alias("r")).collect()
+    }
+    assert whole == merged
