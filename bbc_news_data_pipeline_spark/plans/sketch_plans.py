@@ -30,6 +30,7 @@ from ..operators.sketches import (
     HLL_M,
     cm_build,
     cm_estimate,
+    hll_bucket_rho,
     hll_estimate_cols,
     hll_registers,
 )
@@ -198,9 +199,187 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q123 — approximate quantiles from a DETERMINISTIC sample, with the
+# error quantified in-query (the AQP pattern: BlinkDB, Agarwal et al.
+# 2013). Exact per-group quantiles at 100 TB sort every group's full
+# value set; the md5-threshold sample (q55's machinery — reproducible
+# across engines, runs, and cluster layouts, unlike rand() or a stateful
+# reservoir) bounds that sort at rate·n while keeping the pipeline
+# deterministic. The query computes BOTH the full-data and the sampled
+# quantiles and reports |error| — so the accuracy claim is a verified
+# column, not prose. Both sides use the proven exact-interpolation pair
+# (Spark `percentile` ↔ DuckDB `quantile_cont`, the q61/q115 pattern);
+# errors are differences of already-rounded values, hence engine-exact.
+# ---------------------------------------------------------------------------
+_Q123_RATE = 0.2
+_Q123_PCTS = (0.5, 0.9)
+
+
+def q123_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr, sample_threshold
+
+    ev = load(spark, sf_dir, "events")
+
+    def qaggs(tag: str):
+        return [
+            F.round(F.percentile("value", F.lit(p)), 4).alias(f"p{int(p*100)}_{tag}")
+            for p in _Q123_PCTS
+        ] + [F.count("*").alias(f"n_{tag}")]
+
+    full = ev.groupBy("event_type").agg(*qaggs("full"))
+    samp = (
+        ev.filter(
+            sample_key_expr("event_id", "aqp") < F.lit(sample_threshold(_Q123_RATE))
+        )
+        .groupBy("event_type")
+        .agg(*qaggs("sample"))
+    )
+    out = full.join(samp, "event_type")
+    errs = [
+        F.round(
+            F.abs(F.col(f"p{int(p*100)}_sample") - F.col(f"p{int(p*100)}_full")), 4
+        ).alias(f"p{int(p*100)}_abs_err")
+        for p in _Q123_PCTS
+    ]
+    return out.select("event_type", *[c for c in out.columns if c != "event_type"],
+                      *errs).orderBy("event_type")
+
+
+_Q123_KEY = _hex2int_sql("md5('aqp:' || CAST(event_id AS VARCHAR))", 1, 8)
+_Q123_THR = int(_Q123_RATE * (1 << 32))
+
+Q123_SQL = f"""
+WITH fq AS (
+    SELECT event_type,
+           {", ".join(f"round(quantile_cont(value, {p}), 4) AS p{int(p*100)}_full" for p in _Q123_PCTS)},
+           count(*) AS n_full
+    FROM events GROUP BY event_type
+),
+samp AS (
+    SELECT event_type,
+           {", ".join(f"round(quantile_cont(value, {p}), 4) AS p{int(p*100)}_sample" for p in _Q123_PCTS)},
+           count(*) AS n_sample
+    FROM events
+    WHERE {_Q123_KEY} < {_Q123_THR}
+    GROUP BY event_type
+)
+SELECT fq.event_type,
+       {", ".join(f"p{int(p*100)}_full" for p in _Q123_PCTS)}, n_full,
+       {", ".join(f"p{int(p*100)}_sample" for p in _Q123_PCTS)}, n_sample,
+       {", ".join(f"round(abs(p{int(p*100)}_sample - p{int(p*100)}_full), 4) AS p{int(p*100)}_abs_err" for p in _Q123_PCTS)}
+FROM fq JOIN samp USING (event_type)
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q124 — HLL registers as STREAMING STATE: the same 256-register sketch
+# as q122 built by a real Structured Streaming aggregation (availableNow
+# drain, complete output mode). The register table IS the streaming
+# state — groupBy(bucket).max(rho) is an algebraic streaming agg whose
+# state is bounded at m rows FOREVER, the property that makes
+# cardinality tracking over an unbounded ingest feed viable where exact
+# streaming distinct-count state grows without bound. The drained
+# registers feed the identical estimate derivation as q122; the oracle
+# recomputes registers + estimate from the batch table — so the green
+# row proves stream-built state ≡ batch sketch, the ST6 incremental ≡
+# batch contract applied to a sketch.
+# ---------------------------------------------------------------------------
+def q124_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming_plans import _drain_to_memory
+
+    docs = load(spark, sf_dir, "documents").select("text")
+
+    def registers_stream(st):
+        tok = st.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        bucket, rho = hll_bucket_rho(F.col("w"))
+        return (
+            tok.select(bucket.alias("bucket"), rho.alias("_rho"))
+            .groupBy("bucket")
+            .agg(F.max("_rho").alias("r"))
+        )
+
+    regs = _drain_to_memory(docs, registers_stream, "q124_hll",
+                            output_mode="complete")
+    agg = regs.agg(
+        F.count("*").alias("occupied"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
+        ).alias("sum_pow"),
+    )
+    raw, corrected = hll_estimate_cols()
+    est = agg.select("occupied", corrected.alias("_est"))
+    exact = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .agg(F.count_distinct("w").alias("exact_distinct"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("occupied").cast("long").alias("occupied"),
+        F.round("_est", 2).alias("hll_estimate"),
+    )
+
+
+Q124_SQL = f"""
+WITH tok AS (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents),
+h AS (
+    SELECT {_HLL_BUCKET} AS bucket,
+           substring(md5('hll:' || w), 3, 8) AS hs
+    FROM tok
+),
+rho AS (
+    SELECT bucket,
+           CASE WHEN z = 8 THEN 33
+                ELSE 4 * z + CASE WHEN dv >= 8 THEN 0
+                                  WHEN dv >= 4 THEN 1
+                                  WHEN dv >= 2 THEN 2
+                                  ELSE 3 END + 1
+           END AS rho
+    FROM (
+        SELECT bucket, z,
+               CAST(strpos('0123456789abcdef',
+                           substring(hs, z + 1, 1)) - 1 AS BIGINT) AS dv
+        FROM (SELECT bucket, hs,
+                     length(regexp_extract(hs, '^0*')) AS z FROM h) t0
+    ) t1
+),
+regs AS (SELECT bucket, max(rho) AS r FROM rho GROUP BY bucket),
+agg AS (
+    SELECT count(*) AS occupied,
+           sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << r)) AS sum_pow
+    FROM regs
+),
+est AS (
+    SELECT occupied,
+           CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE) AND zb > 0
+                THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                     * ln(CAST({float(HLL_M)!r} AS DOUBLE) / zb)
+                ELSE raw
+           END AS e
+    FROM (
+        SELECT occupied,
+               CAST({HLL_AM2!r} AS DOUBLE)
+                   / (sum_pow + ({HLL_M} - occupied)) AS raw,
+               {HLL_M} - occupied AS zb
+        FROM agg
+    ) t
+)
+SELECT CAST((SELECT count(DISTINCT w) FROM tok) AS BIGINT) AS exact_distinct,
+       CAST(occupied AS BIGINT) AS occupied,
+       round(e, 2) AS hll_estimate
+FROM est
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11"),
     Query("q122_hll_vocab", q122_hll_vocab, Q122_SQL,
           survey="ext:hll-cardinality,A13"),
+    Query("q123_sampled_quantiles", q123_sampled_quantiles, Q123_SQL,
+          survey="ext:aqp-quantiles,ext:hash-sampling,ext:percentiles"),
+    Query("q124_stream_hll", q124_stream_hll, Q124_SQL,
+          survey="ext:hll-cardinality,ST6,ST1"),
 ]

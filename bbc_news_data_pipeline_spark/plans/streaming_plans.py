@@ -78,7 +78,9 @@ ORDER BY window_start
 SESSION_GAP_S = 1800
 
 
-def _drain_to_memory(batch_df, transform, prefix: str) -> "DataFrame":
+def _drain_to_memory(
+    batch_df, transform, prefix: str, output_mode: str = "append"
+) -> "DataFrame":
     """Run ``transform(stream_df)`` as a REAL availableNow streaming query
     over a temp parquet re-emission of ``batch_df`` and return the drained
     memory table. One canonical drain recipe for every streaming query:
@@ -108,7 +110,7 @@ def _drain_to_memory(batch_df, transform, prefix: str) -> "DataFrame":
             .writeStream.format("memory")
             .queryName(sink)
             .option("checkpointLocation", ckpt)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )

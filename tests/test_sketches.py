@@ -104,6 +104,40 @@ def test_hll_estimate_within_tolerance_and_duplicate_blind(spark):
     assert abs(est - n) / n < 0.2
 
 
+def test_hll_stream_state_accumulates_across_microbatches(spark, tmp_path):
+    """q124's contract at the seam the drain can hide: with
+    maxFilesPerTrigger=1 the register aggregation sees the corpus over
+    SEVERAL micro-batches, and the final complete-mode state must equal
+    the batch-built registers over the union."""
+    a, b = _keys_df(spark, 400), _keys_df(spark, 400, start=400)
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        hll_registers(stream, "k")
+        .writeStream.format("memory")
+        .queryName("hll_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is None or True  # drained
+    streamed = {r.bucket: r.r for r in spark.table("hll_mb").collect()}
+    spark.catalog.dropTempView("hll_mb")
+    batch = {
+        r.bucket: r.r
+        for r in hll_registers(a.unionByName(b), "k").collect()
+    }
+    assert streamed == batch
+
+
 def test_hll_shards_merge_to_whole(spark):
     whole = {(r.bucket): r.r for r in hll_registers(_keys_df(spark, 2000), "k").collect()}
     a = hll_registers(_keys_df(spark, 1000), "k")
