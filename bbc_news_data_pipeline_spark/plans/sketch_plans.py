@@ -373,6 +373,240 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# q125 — two-pass heavy hitters: SKETCH shortlist, EXACT verify (the
+# production use of a CMS — Cormode 2005 §4.1's "CM-based heavy
+# hitters"). Pass 1 builds the counter grid; pass 2 shortlists words
+# whose estimate clears φ·N (possible false positives, NEVER false
+# negatives — the one-sided error guarantee) and verifies each
+# candidate's exact count. The payoff at 100 TB: the exact count runs
+# only over the shortlist (bounded by ~1/φ + collision noise), not the
+# vocabulary; on an unbounded stream pass 1 is q124-style streaming
+# state. Output marks which candidates survived exact verification, so
+# the false-positive behavior is data, not prose.
+# ---------------------------------------------------------------------------
+_Q125_PHI = 0.01  # heavy = more than 1% of all tokens
+
+
+def q125_cms_heavy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = vocab.agg(F.sum("c").alias("n"))
+    counters = cm_build(vocab, "w", "c")
+    est = cm_estimate(vocab.select("w", "c"), counters, "w")
+    out = (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("cms_estimate") * F.lit(100) >= F.col("n") * F.lit(int(_Q125_PHI * 100)))
+        .select(
+            "w",
+            F.col("c").cast("long").alias("exact_count"),
+            "cms_estimate",
+            (F.col("c") * F.lit(100) >= F.col("n") * F.lit(int(_Q125_PHI * 100)))
+            .cast("int")
+            .alias("is_true_heavy"),
+        )
+    )
+    return out.orderBy(F.desc("exact_count"), F.asc("w"))
+
+
+Q125_SQL = f"""
+WITH tok AS (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents),
+vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+total AS (SELECT sum(c) AS n FROM vocab),
+lanes AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d),
+cells AS (
+    SELECT d, {_CM_COL} AS col, c
+    FROM vocab CROSS JOIN lanes
+),
+counters AS (SELECT d, col, sum(c) AS cnt FROM cells GROUP BY d, col),
+probe AS (
+    SELECT w, c, d, {_CM_COL} AS col
+    FROM vocab CROSS JOIN lanes
+),
+est AS (
+    SELECT p.w, p.c, min(counters.cnt) AS e
+    FROM probe p JOIN counters USING (d, col)
+    GROUP BY p.w, p.c
+)
+SELECT w,
+       CAST(c AS BIGINT) AS exact_count,
+       CAST(e AS BIGINT) AS cms_estimate,
+       CAST(c * 100 >= (SELECT n FROM total) * {int(_Q125_PHI * 100)} AS INTEGER)
+           AS is_true_heavy
+FROM est
+WHERE e * 100 >= (SELECT n FROM total) * {int(_Q125_PHI * 100)}
+ORDER BY exact_count DESC, w
+"""
+
+
+# ---------------------------------------------------------------------------
+# q126 — cross-source cardinality overlap from MERGED HLL registers: the
+# sketch-space answer to q112's band-key lineage matrix. Per-source
+# register tables (built once, m rows each) combine by bucket-wise MAX
+# into the union sketch — the HLL merge identity |A∪B| — and
+# inclusion–exclusion gives the intersection and Jaccard estimates
+# WITHOUT touching the raw data again: at 100 TB the pairwise audit of
+# k sources costs k sketch builds + k² metadata-sized merges, versus k²
+# corpus-scale distinct-joins. The merged sketch is an ordinary HLL, so
+# the small-range (linear counting) correction applies to it unchanged.
+# The exact Jaccard column is computed alongside for audit, which is
+# the point: the estimation error is VISIBLE data. Integer register
+# identities (merge ≡ bucket-wise max, one-sided buckets preserved) are
+# what the parity gate proves; accuracy is reported, not asserted.
+# ---------------------------------------------------------------------------
+def q126_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    regs = hll_registers(tok, "w", ["source"])
+    srcs = docs.select("source").distinct()
+    src_pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    # HLL union merge: replicate each source's registers into every pair
+    # it belongs to, then bucket-wise MAX — a bucket occupied by either
+    # source survives (a join keyed on bucket alone would drop one-sided
+    # buckets). All of this is metadata-sized: k·m register rows
+    # replicated (k−1)×.
+    expand = (
+        regs.join(F.broadcast(src_pairs), regs.source == src_pairs.src_a)
+        .select("src_a", "src_b", "bucket", "r")
+        .unionByName(
+            regs.join(F.broadcast(src_pairs), regs.source == src_pairs.src_b)
+            .select("src_a", "src_b", "bucket", "r")
+        )
+    )
+    merged = (
+        expand.groupBy("src_a", "src_b", "bucket")
+        .agg(F.max("r").alias("r"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("occupied"),
+            F.sum(
+                F.lit(1.0)
+                / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
+            ).alias("sum_pow"),
+        )
+    )
+    _, corrected = hll_estimate_cols()
+    union_est = merged.select("src_a", "src_b", corrected.alias("est_union"))
+    # exact pairwise Jaccard for audit: distinct words per source pair
+    per_src = tok.groupBy("source").agg(F.count_distinct("w").alias("nd"))
+    inter = (
+        tok.select("source", "w").distinct().alias("x")
+        .join(tok.select("source", "w").distinct().alias("y"), "w")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pa = per_src.select(F.col("source").alias("src_a"), F.col("nd").alias("nd_a"))
+    pb = per_src.select(F.col("source").alias("src_b"), F.col("nd").alias("nd_b"))
+    return (
+        union_est.join(inter, ["src_a", "src_b"])
+        .join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round("est_union", 2).alias("est_union"),
+            F.col("n_inter").cast("long").alias("exact_inter"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("nd_a") + F.col("nd_b") - F.col("n_inter")),
+                4,
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+Q126_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest(str_split(lower(text), ' ')) AS w FROM documents
+),
+h AS (
+    SELECT source,
+           {_HLL_BUCKET} AS bucket,
+           substring(md5('hll:' || w), 3, 8) AS hs
+    FROM tok
+),
+rho AS (
+    SELECT source, bucket,
+           CASE WHEN z = 8 THEN 33
+                ELSE 4 * z + CASE WHEN dv >= 8 THEN 0
+                                  WHEN dv >= 4 THEN 1
+                                  WHEN dv >= 2 THEN 2
+                                  ELSE 3 END + 1
+           END AS rho
+    FROM (
+        SELECT source, bucket, z,
+               CAST(strpos('0123456789abcdef',
+                           substring(hs, z + 1, 1)) - 1 AS BIGINT) AS dv
+        FROM (SELECT source, bucket, hs,
+                     length(regexp_extract(hs, '^0*')) AS z FROM h) t0
+    ) t1
+),
+regs AS (SELECT source, bucket, max(rho) AS r FROM rho GROUP BY source, bucket),
+srcs AS (SELECT DISTINCT source FROM documents),
+src_pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+expand AS (
+    SELECT p.src_a, p.src_b, r.bucket, r.r
+    FROM regs r JOIN src_pairs p ON r.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, r.bucket, r.r
+    FROM regs r JOIN src_pairs p ON r.source = p.src_b
+),
+uregs AS (
+    SELECT src_a, src_b, bucket, max(r) AS r FROM expand GROUP BY ALL
+),
+merged AS (
+    SELECT src_a, src_b, count(*) AS occupied,
+           sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << r)) AS sum_pow
+    FROM uregs GROUP BY ALL
+),
+union_est AS (
+    SELECT src_a, src_b,
+           CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE) AND zb > 0
+                THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                     * ln(CAST({float(HLL_M)!r} AS DOUBLE) / zb)
+                ELSE raw
+           END AS est_union
+    FROM (
+        SELECT src_a, src_b,
+               CAST({HLL_AM2!r} AS DOUBLE)
+                   / (sum_pow + ({HLL_M} - occupied)) AS raw,
+               {HLL_M} - occupied AS zb
+        FROM merged
+    ) t
+),
+dw AS (SELECT DISTINCT source, w FROM tok),
+per_src AS (SELECT source, count(*) AS nd FROM dw GROUP BY source),
+inter AS (
+    SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
+    FROM dw x JOIN dw y USING (w)
+    WHERE x.source < y.source
+    GROUP BY x.source, y.source
+)
+SELECT u.src_a, u.src_b,
+       round(u.est_union, 2) AS est_union,
+       CAST(i.n_inter AS BIGINT) AS exact_inter,
+       round(i.n_inter / (pa.nd + pb.nd - i.n_inter), 4) AS exact_jaccard
+FROM union_est u
+JOIN inter i ON i.src_a = u.src_a AND i.src_b = u.src_b
+JOIN per_src pa ON pa.source = u.src_a
+JOIN per_src pb ON pb.source = u.src_b
+ORDER BY u.src_a, u.src_b
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11"),
@@ -382,4 +616,8 @@ QUERIES = [
           survey="ext:aqp-quantiles,ext:hash-sampling,ext:percentiles"),
     Query("q124_stream_hll", q124_stream_hll, Q124_SQL,
           survey="ext:hll-cardinality,ST6,ST1"),
+    Query("q125_cms_heavy_verify", q125_cms_heavy_verify, Q125_SQL,
+          survey="ext:countmin-sketch,ext:heavy-hitters,A12"),
+    Query("q126_hll_source_overlap", q126_hll_source_overlap, Q126_SQL,
+          survey="ext:hll-cardinality,ext:dataset-lineage"),
 ]

@@ -138,6 +138,56 @@ def test_hll_stream_state_accumulates_across_microbatches(spark, tmp_path):
     assert streamed == batch
 
 
+def test_cms_heavy_verify_has_no_false_negatives(spark):
+    """q125: every TRUE heavy hitter must appear in the sketch shortlist
+    (one-sided error), with is_true_heavy=1."""
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q125_PHI,
+        q125_cms_heavy_verify,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q125_cms_heavy_verify(spark, sf).toPandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    counts: dict = {}
+    for t in docs.text:
+        for w in t.lower().split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    n = sum(counts.values())
+    truly_heavy = {w for w, c in counts.items() if c * 100 >= n * int(_Q125_PHI * 100)}
+    listed = set(out.w)
+    assert truly_heavy <= listed
+    flagged = set(out[out.is_true_heavy == 1].w)
+    assert flagged == truly_heavy
+    for r in out.itertuples():
+        assert r.cms_estimate >= r.exact_count
+
+
+def test_hll_source_overlap_union_tracks_exact(spark):
+    """q126: every source pair present; union estimate within HLL
+    tolerance of the exact distinct union."""
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        q126_hll_source_overlap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q126_hll_source_overlap(spark, sf).toPandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    words: dict = {}
+    for r in docs.itertuples():
+        words.setdefault(r.source, set()).update(r.text.lower().split(" "))
+    k = len(words)
+    assert len(out) == k * (k - 1) // 2
+    for r in out.itertuples():
+        exact_union = len(words[r.src_a] | words[r.src_b])
+        assert abs(r.est_union - exact_union) / exact_union < 0.25
+        assert r.exact_inter == len(words[r.src_a] & words[r.src_b])
+
+
 def test_hll_shards_merge_to_whole(spark):
     whole = {(r.bucket): r.r for r in hll_registers(_keys_df(spark, 2000), "k").collect()}
     a = hll_registers(_keys_df(spark, 1000), "k")
