@@ -1097,7 +1097,7 @@ QUERIES = [
     Query("q112_source_overlap", q112_source_overlap, Q112_SQL,
           survey="ext:dataset-lineage,ext:minhash-lsh"),
     Query("q116_sequence_packing", q116_sequence_packing, Q116_SQL,
-          survey="ext:sequence-packing,ext:shard-packing"),
+          survey="ext:sequence-packing,ext:shard-packing", tags=("bench",)),
     Query("q120_contrastive_pairs", q120_contrastive_pairs, Q120_SQL,
           survey="ext:contrastive-pairs,ext:minhash-lsh,ext:hash-sampling"),
 ]

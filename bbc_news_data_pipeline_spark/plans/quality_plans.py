@@ -831,7 +831,7 @@ QUERIES = [
     Query("q115_length_outliers", q115_length_outliers, Q115_SQL,
           survey="ext:robust-outlier-qa,A3"),
     Query("q117_hashed_classifier", q117_hashed_classifier, Q117_SQL,
-          survey="ext:quality-classifier,ext:hash-sampling"),
+          survey="ext:quality-classifier,ext:hash-sampling", tags=("bench",)),
     Query("q119_manifest_merge", q119_manifest_merge, Q119_SQL,
           survey="ext:incremental-stats,A3,A13"),
 ]

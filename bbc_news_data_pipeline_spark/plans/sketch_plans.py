@@ -609,11 +609,11 @@ ORDER BY u.src_a, u.src_b
 
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
-          survey="ext:countmin-sketch,A11"),
+          survey="ext:countmin-sketch,A11", tags=("bench",)),
     Query("q122_hll_vocab", q122_hll_vocab, Q122_SQL,
           survey="ext:hll-cardinality,A13"),
     Query("q123_sampled_quantiles", q123_sampled_quantiles, Q123_SQL,
-          survey="ext:aqp-quantiles,ext:hash-sampling,ext:percentiles"),
+          survey="ext:aqp-quantiles,ext:hash-sampling,ext:percentiles", tags=("bench",)),
     Query("q124_stream_hll", q124_stream_hll, Q124_SQL,
           survey="ext:hll-cardinality,ST6,ST1"),
     Query("q125_cms_heavy_verify", q125_cms_heavy_verify, Q125_SQL,

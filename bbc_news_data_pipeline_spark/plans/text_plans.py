@@ -924,5 +924,5 @@ QUERIES = [
     Query("q106_bpe_apply", q106_bpe_apply, Q106_SQL,
           survey="ext:bpe-apply,ext:bpe-train-step"),
     Query("q118_bigram_logprob", q118_bigram_logprob, Q118_SQL,
-          survey="ext:lm-quality-score,A11"),
+          survey="ext:lm-quality-score,A11", tags=("bench",)),
 ]
