@@ -651,6 +651,146 @@ ORDER BY k
 """
 
 
+# ---------------------------------------------------------------------------
+# q127 — TWO chained Lloyd iterations (ext): q83 proves one k-means step;
+# this query proves the ITERATION CONTRACT — that the step's output can
+# feed the next step with cross-engine determinism intact. The subtle
+# point is the centroid round-trip: iteration 1's means are fixed-point
+# rounded at 4dp (qround — identical doubles both engines), then
+# RE-QUANTIZED to int64 (floor(cv·1e6 + 0.5)) before iteration 2's
+# distance argmin, so the second assignment again compares exact
+# integers with no epsilon. Without the round-trip, iteration 2 would
+# rank on raw float means whose accumulation order differs per engine —
+# the classic way an iterative algorithm drifts apart after step 1.
+# Empty clusters simply vanish from the centroid table (mirrored).
+#
+# Shape at scale per iteration (same as q83): broadcast-map assignment
+# (no shuffle), one (cluster, dim) map-side-combinable shuffle for the
+# update, and a k·dim-row centroid table rebuilt into broadcastable
+# arrays. A full convergence loop is this plan in a driver loop with
+# localCheckpoint every few rounds (the q57 CC policy); each iteration
+# stays oracle-checkable because the state handed forward is exact.
+# ---------------------------------------------------------------------------
+def q127_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import QUANT_SCALE, _qint, qround, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _Q83_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cluster_id"), _qint(F.col("embedding")).alias("cqv")
+    )
+    corpus = emb.filter(F.col("vec_id") % _Q83_SEED_MOD != 0).withColumn(
+        "_qv", _qint(F.col("embedding"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        return (
+            corpus.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                "cluster_id",
+                sq_l2_q(F.col("_qv"), F.col("cqv")).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.col("cluster_id"), F.struct(F.col("d"), F.col("cluster_id"))
+                ).alias("cluster_id")
+            )
+        )
+
+    qval = F.floor(F.col("val").cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long")
+
+    def update(assignment: DataFrame) -> DataFrame:
+        return (
+            corpus.select("vec_id", "embedding")
+            .join(assignment, "vec_id")
+            .select("cluster_id", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum(qval).alias("_qs"), F.count("*").alias("n_members"))
+            .select(
+                "cluster_id",
+                "dim",
+                qround(
+                    F.col("_qs").cast("double")
+                    / (F.lit(float(QUANT_SCALE)) * F.col("n_members")),
+                    4,
+                ).alias("centroid_val"),
+                "n_members",
+            )
+        )
+
+    c1 = update(assign(seeds))
+    # centroid round-trip: 4dp-rounded means re-quantized to exact int64
+    # arrays (ordered by dim) — iteration 2 ranks on exact integers again
+    c1_arr = (
+        c1.select(
+            "cluster_id",
+            "dim",
+            F.floor(F.col("centroid_val") * QUANT_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("qc"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "qc"))).alias("_s"))
+        .select("cluster_id", F.expr("transform(_s, x -> x.qc)").alias("cqv"))
+    )
+    return update(assign(c1_arr)).orderBy("cluster_id", "dim")
+
+
+_SQD2_SQL = (
+    "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    f"i -> ({_Q.format(x='e.embedding[i]')} - c.cqv[i]) "
+    f"* ({_Q.format(x='e.embedding[i]')} - c.cqv[i])))"
+)
+
+Q127_SQL = f"""
+WITH seeds AS (
+    SELECT vec_id AS seed_id, embedding AS seed_vec
+    FROM embeddings WHERE vec_id % {_Q83_SEED_MOD} = 0
+),
+a1 AS (
+    SELECT e.vec_id, e.embedding, s.seed_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_SQD_SQL} ASC, s.seed_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+    WHERE e.vec_id % {_Q83_SEED_MOD} <> 0
+),
+m1 AS (SELECT seed_id AS cluster_id, embedding FROM a1 WHERE rn = 1),
+c1 AS (
+    SELECT cluster_id, i - 1 AS dim,
+           {_round_sql(
+               "CAST(sum(" + _Q.format(x='embedding[i]') + ") AS DOUBLE)"
+               " / (1000000.0 * count(*))", 4)} AS cv
+    FROM m1, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY cluster_id, i
+),
+carr AS (
+    SELECT cluster_id, list({_Q.format(x='cv')} ORDER BY dim) AS cqv
+    FROM c1 GROUP BY cluster_id
+),
+a2 AS (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_SQD2_SQL} ASC, c.cluster_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN carr c
+    WHERE e.vec_id % {_Q83_SEED_MOD} <> 0
+),
+m2 AS (SELECT cluster_id, embedding FROM a2 WHERE rn = 1)
+SELECT cluster_id, i - 1 AS dim,
+       {_round_sql(
+           "CAST(sum(" + _Q.format(x='embedding[i]') + ") AS DOUBLE)"
+           " / (1000000.0 * count(*))", 4)} AS centroid_val,
+       count(*) AS n_members
+FROM m2, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY cluster_id, i
+ORDER BY cluster_id, dim
+"""
+
+
 QUERIES = [
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
@@ -669,4 +809,6 @@ QUERIES = [
           tags=("bench",)),
     Query("q107_power_iteration", q107_power_iteration, Q107_SQL,
           survey="ext:pca-power-step,ext:kmeans-step"),
+    Query("q127_kmeans_two_steps", q127_kmeans_two_steps, Q127_SQL,
+          survey="ext:kmeans-step,ann-ivf-train"),
 ]

@@ -182,3 +182,58 @@ def test_semantic_dedup_cluster_cap(spark, semdedup_frames):
         ).collect()
     }
     assert survivors == {0, 1, 2, 3, 50}
+
+
+def test_kmeans_two_steps_matches_numpy_twin(spark):
+    """q127: both Lloyd iterations — including the 4dp-round +
+    re-quantize centroid round-trip between them — recomputed in numpy
+    from the parquet input."""
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q83_SEED_MOD,
+        q127_kmeans_two_steps,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q127_kmeans_two_steps(spark, sf).toPandas()
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    ids = tbl.vec_id.to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl.embedding])
+    q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    seed_mask = ids % _Q83_SEED_MOD == 0
+    corpus_q, corpus_raw = q[~seed_mask], mat[~seed_mask]
+
+    def lloyd(cent_ids, cent_q):
+        # assignment: exact int64 squared L2, tiebreak lowest cluster id
+        d = ((corpus_q[:, None, :] - cent_q[None, :, :]) ** 2).sum(axis=2)
+        assign = cent_ids[np.argmin(d, axis=1)]  # argmin takes first = lowest id
+        cents = {}
+        for cid in sorted(set(assign)):
+            members = corpus_raw[assign == cid]
+            s = np.floor(members * 1_000_000 + 0.5).astype(np.int64).sum(axis=0)
+            cv = s.astype(np.float64) / (1_000_000.0 * len(members))
+            cv = np.floor(cv * 10_000 + 0.5) / 10_000  # qround 4dp
+            cents[cid] = (cv, len(members))
+        return cents
+
+    c1 = lloyd(ids[seed_mask], q[seed_mask])
+    cent_ids2 = np.array(sorted(c1))
+    cent_q2 = np.stack(
+        [np.floor(c1[c][0] * 1_000_000 + 0.5).astype(np.int64) for c in cent_ids2]
+    )
+    c2 = lloyd(cent_ids2, cent_q2)
+
+    got = {
+        (r.cluster_id, r.dim): (r.centroid_val, r.n_members) for r in out.itertuples()
+    }
+    want = {
+        (cid, dim): (cv[dim], n)
+        for cid, (cv, n) in c2.items()
+        for dim in range(cv.shape[0])
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], k
+        assert abs(got[k][0] - want[k][0]) < 1e-12, k
