@@ -88,7 +88,12 @@ def cm_estimate(
 ) -> DataFrame:
     """Point-query each key against a :func:`cm_build` grid: estimate =
     min over the depth cells. The grid is broadcast — probing never
-    shuffles the probe side."""
+    shuffles the probe side. The join is LEFT with empty cells read as
+    0: a sparse grid omits untouched (d, col) rows, and CMS semantics
+    require the min to SEE those zeros — an inner join would both
+    overestimate keys that share only some cells with built keys and
+    silently drop keys touching no built cell (an unseen key's correct
+    estimate is 0, not absence)."""
     k = F.col(key_col)
     cells = F.array(
         *[
@@ -100,9 +105,9 @@ def cm_estimate(
         *keys.columns, F.col("_u.d").alias("d"), F.col("_u.col").alias("col")
     )
     return (
-        probes.join(F.broadcast(counters), ["d", "col"])
+        probes.join(F.broadcast(counters), ["d", "col"], "left")
         .groupBy(*keys.columns)
-        .agg(F.min("cnt").cast("long").alias(out_col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
     )
 
 
@@ -123,6 +128,21 @@ def hll_bucket_rho(col: Column, salt: str = "hll:") -> tuple[Column, Column]:
     )
     rho = F.when(z == 8, F.lit(33)).otherwise(z * 4 + lzn + 1).cast("long")
     return bucket, rho
+
+
+def hll_harmonic_agg(regs: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """(group..., occupied, sum_pow): the harmonic aggregation every HLL
+    estimate consumes, over a :func:`hll_registers` table (or any table
+    with a ``r`` rank column). 2^-r is computed as 1.0 / (1 << r) —
+    exact dyadic doubles whose sum is order-independent — shared by
+    q122/q124/q126 so the arithmetic cannot drift between them."""
+    group_cols = group_cols or []
+    return regs.groupBy(*group_cols).agg(
+        F.count("*").alias("occupied"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
+        ).alias("sum_pow"),
+    )
 
 
 def hll_registers(

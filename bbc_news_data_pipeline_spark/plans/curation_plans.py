@@ -19,7 +19,7 @@ banding pairs), independently of our label-propagation implementation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.curation import (
@@ -625,8 +625,11 @@ ORDER BY doc_id
 # any scale); negatives are drawn deterministically — each document
 # hashes into one of B buckets (md5 key, salt "neg"), each bucket elects
 # a min-doc_id representative, and an anchor's negative is the
-# representative of the NEXT bucket on the ring. Triples where the
-# negative collides with the anchor or positive are dropped (mirrored).
+# representative of the next OCCUPIED bucket on the ring (lead over the
+# ≤B-row rep table, wrapping to the first — an empty successor bucket
+# must fall through to the next occupied one, not silently drop the
+# anchor's triples). Triples where the negative collides with the
+# anchor or positive are dropped (mirrored).
 #
 # The bucket-representative scheme is the scale point: sampling "a
 # random other document" naively needs a global index (zipWithIndex = a
@@ -653,10 +656,22 @@ def q120_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (sample_key_expr("doc_id", "neg") % _Q120_B).alias("b")
     )
     reps = bucketed.groupBy("b").agg(F.min("doc_id").alias("neg_id"))
+    # successor on the OCCUPIED-bucket ring: lead over the ≤B-row rep
+    # table (unpartitioned window over metadata — bounded by B forever),
+    # wrapping the last occupied bucket to the first
+    wlead = Window.orderBy("b")
+    wall = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    succ = reps.select(
+        "b",
+        F.coalesce(
+            F.lead("neg_id").over(wlead), F.first("neg_id").over(wall)
+        ).alias("neg_id"),
+    )
     out = (
         pairs.join(bucketed.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .withColumn("nb", (F.col("b") + 1) % _Q120_B)
-        .join(F.broadcast(reps.withColumnRenamed("b", "nb")), "nb")
+        .join(F.broadcast(succ), "b")
         .filter(
             (F.col("neg_id") != F.col("id_a")) & (F.col("neg_id") != F.col("id_b"))
         )
@@ -676,11 +691,20 @@ cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
 bucketed AS (
     SELECT doc_id, {_Q120_NEG_KEY} % {_Q120_B} AS b FROM documents
 ),
-reps AS (SELECT b, min(doc_id) AS neg_id FROM bucketed GROUP BY b)
+reps AS (SELECT b, min(doc_id) AS neg_id FROM bucketed GROUP BY b),
+succ AS (
+    SELECT b,
+           COALESCE(lead(neg_id) OVER (ORDER BY b),
+                    first_value(neg_id) OVER (
+                        ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)) AS neg_id
+    FROM reps
+)
 SELECT c.id_a AS anchor_id, c.id_b AS positive_id, r.neg_id
 FROM cand c
 JOIN bucketed ba ON ba.doc_id = c.id_a
-JOIN reps r ON r.b = (ba.b + 1) % {_Q120_B}
+JOIN succ r ON r.b = ba.b
 WHERE r.neg_id <> c.id_a AND r.neg_id <> c.id_b
 ORDER BY anchor_id, positive_id
 """

@@ -32,6 +32,7 @@ from ..operators.sketches import (
     cm_estimate,
     hll_bucket_rho,
     hll_estimate_cols,
+    hll_harmonic_agg,
     hll_registers,
 )
 from ..sources.tables import load
@@ -111,12 +112,7 @@ def q122_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
     regs = hll_registers(tok, "w", ["lang"])
-    agg = regs.groupBy("lang").agg(
-        F.count("*").alias("occupied"),
-        F.sum(
-            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
-        ).alias("sum_pow"),
-    )
+    agg = hll_harmonic_agg(regs, ["lang"])
     raw, corrected = hll_estimate_cols()
     est = agg.select("lang", corrected.alias("_est"))
     exact = tok.groupBy("lang").agg(F.count_distinct("w").alias("exact_distinct"))
@@ -139,18 +135,25 @@ def q122_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HLL_BUCKET = _hex2int_sql("md5('hll:' || w)", 1, 2)
 
-Q122_SQL = f"""
-WITH tok AS (
-    SELECT lang, unnest(str_split(lower(text), ' ')) AS w FROM documents
-),
-h AS (
-    SELECT lang,
-           {_HLL_BUCKET} AS bucket,
+
+# Shared HLL SQL fragments — ONE definition of the rho algebra, the
+# harmonic aggregation, and the correction branch, parameterized by the
+# grouping prefix, so q122/q124/q126 cannot drift apart (the Spark twin
+# of the same sharing is operators/sketches.py:hll_registers/
+# hll_harmonic_agg/hll_estimate_cols). Every float literal is CAST to
+# DOUBLE: DuckDB parses bare decimal literals as DECIMAL, whose
+# division would NOT reproduce Spark's exact-dyadic double arithmetic.
+def _hll_regs_ctes(group: str) -> str:
+    """CTE chain h → rho → regs over a ``tok(…, w)`` CTE."""
+    g = f"{group}, " if group else ""
+    gb = f"{group}, bucket" if group else "bucket"
+    return f"""h AS (
+    SELECT {g}{_HLL_BUCKET} AS bucket,
            substring(md5('hll:' || w), 3, 8) AS hs
     FROM tok
 ),
 rho AS (
-    SELECT lang, bucket,
+    SELECT {g}bucket,
            CASE WHEN z = 8 THEN 33
                 ELSE 4 * z + CASE WHEN dv >= 8 THEN 0
                                   WHEN dv >= 4 THEN 1
@@ -158,37 +161,54 @@ rho AS (
                                   ELSE 3 END + 1
            END AS rho
     FROM (
-        SELECT lang, bucket, z,
+        SELECT {g}bucket, z,
                CAST(strpos('0123456789abcdef',
                            substring(hs, z + 1, 1)) - 1 AS BIGINT) AS dv
-        FROM (SELECT lang, bucket, hs,
+        FROM (SELECT {g}bucket, hs,
                      length(regexp_extract(hs, '^0*')) AS z FROM h) t0
     ) t1
 ),
-regs AS (SELECT lang, bucket, max(rho) AS r FROM rho GROUP BY lang, bucket),
-agg AS (
-    -- every literal is CAST to DOUBLE: DuckDB parses bare decimal
-    -- literals as DECIMAL and its decimal division would NOT reproduce
-    -- Spark's exact-dyadic double arithmetic
-    SELECT lang, count(*) AS occupied,
+regs AS (SELECT {gb}, max(rho) AS r FROM rho GROUP BY {gb})"""
+
+
+def _hll_agg_sql(group: str, src: str = "regs") -> str:
+    """agg CTE: (group…, occupied, sum_pow) over a register table."""
+    g = f"{group}, " if group else ""
+    gb = f" GROUP BY {group}" if group else ""
+    return f"""agg AS (
+    SELECT {g}count(*) AS occupied,
            sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << r)) AS sum_pow
-    FROM regs GROUP BY lang
-),
-est AS (
-    SELECT lang,
+    FROM {src}{gb}
+)"""
+
+
+def _hll_est_sql(group: str, src: str = "agg") -> str:
+    """est CTE: corrected estimate ``e`` from (occupied, sum_pow)."""
+    g = f"{group}, " if group else ""
+    return f"""est AS (
+    SELECT {g}occupied,
            CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE) AND zb > 0
                 THEN CAST({float(HLL_M)!r} AS DOUBLE)
                      * ln(CAST({float(HLL_M)!r} AS DOUBLE) / zb)
                 ELSE raw
            END AS e
     FROM (
-        SELECT lang,
+        SELECT {g}occupied,
                CAST({HLL_AM2!r} AS DOUBLE)
                    / (sum_pow + ({HLL_M} - occupied)) AS raw,
                {HLL_M} - occupied AS zb
-        FROM agg
+        FROM {src}
     ) t
+)"""
+
+
+Q122_SQL = f"""
+WITH tok AS (
+    SELECT lang, unnest(str_split(lower(text), ' ')) AS w FROM documents
 ),
+{_hll_regs_ctes('lang')},
+{_hll_agg_sql('lang')},
+{_hll_est_sql('lang')},
 exact AS (SELECT lang, count(DISTINCT w) AS x FROM tok GROUP BY lang)
 SELECT exact.lang,
        CAST(x AS BIGINT) AS exact_distinct,
@@ -302,12 +322,7 @@ def q124_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     regs = _drain_to_memory(docs, registers_stream, "q124_hll",
                             output_mode="complete")
-    agg = regs.agg(
-        F.count("*").alias("occupied"),
-        F.sum(
-            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
-        ).alias("sum_pow"),
-    )
+    agg = hll_harmonic_agg(regs)
     raw, corrected = hll_estimate_cols()
     est = agg.select("occupied", corrected.alias("_est"))
     exact = (
@@ -324,48 +339,9 @@ def q124_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q124_SQL = f"""
 WITH tok AS (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents),
-h AS (
-    SELECT {_HLL_BUCKET} AS bucket,
-           substring(md5('hll:' || w), 3, 8) AS hs
-    FROM tok
-),
-rho AS (
-    SELECT bucket,
-           CASE WHEN z = 8 THEN 33
-                ELSE 4 * z + CASE WHEN dv >= 8 THEN 0
-                                  WHEN dv >= 4 THEN 1
-                                  WHEN dv >= 2 THEN 2
-                                  ELSE 3 END + 1
-           END AS rho
-    FROM (
-        SELECT bucket, z,
-               CAST(strpos('0123456789abcdef',
-                           substring(hs, z + 1, 1)) - 1 AS BIGINT) AS dv
-        FROM (SELECT bucket, hs,
-                     length(regexp_extract(hs, '^0*')) AS z FROM h) t0
-    ) t1
-),
-regs AS (SELECT bucket, max(rho) AS r FROM rho GROUP BY bucket),
-agg AS (
-    SELECT count(*) AS occupied,
-           sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << r)) AS sum_pow
-    FROM regs
-),
-est AS (
-    SELECT occupied,
-           CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE) AND zb > 0
-                THEN CAST({float(HLL_M)!r} AS DOUBLE)
-                     * ln(CAST({float(HLL_M)!r} AS DOUBLE) / zb)
-                ELSE raw
-           END AS e
-    FROM (
-        SELECT occupied,
-               CAST({HLL_AM2!r} AS DOUBLE)
-                   / (sum_pow + ({HLL_M} - occupied)) AS raw,
-               {HLL_M} - occupied AS zb
-        FROM agg
-    ) t
-)
+{_hll_regs_ctes('')},
+{_hll_agg_sql('')},
+{_hll_est_sql('')}
 SELECT CAST((SELECT count(DISTINCT w) FROM tok) AS BIGINT) AS exact_distinct,
        CAST(occupied AS BIGINT) AS occupied,
        round(e, 2) AS hll_estimate
@@ -481,21 +457,14 @@ def q126_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src_a", "src_b", "bucket", "r")
         )
     )
-    merged = (
-        expand.groupBy("src_a", "src_b", "bucket")
-        .agg(F.max("r").alias("r"))
-        .groupBy("src_a", "src_b")
-        .agg(
-            F.count("*").alias("occupied"),
-            F.sum(
-                F.lit(1.0)
-                / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
-            ).alias("sum_pow"),
-        )
-    )
+    uregs = expand.groupBy("src_a", "src_b", "bucket").agg(F.max("r").alias("r"))
+    merged = hll_harmonic_agg(uregs, ["src_a", "src_b"])
     _, corrected = hll_estimate_cols()
     union_est = merged.select("src_a", "src_b", corrected.alias("est_union"))
-    # exact pairwise Jaccard for audit: distinct words per source pair
+    # exact pairwise Jaccard for audit: distinct words per source pair.
+    # The intersection join is LEFT from the estimate side: a pair with
+    # ZERO common words has no `inter` row, and an inner join would drop
+    # exactly the disjoint pair an overlap audit most needs to surface.
     per_src = tok.groupBy("source").agg(F.count_distinct("w").alias("nd"))
     inter = (
         tok.select("source", "w").distinct().alias("x")
@@ -506,18 +475,18 @@ def q126_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = per_src.select(F.col("source").alias("src_a"), F.col("nd").alias("nd_a"))
     pb = per_src.select(F.col("source").alias("src_b"), F.col("nd").alias("nd_b"))
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
     return (
-        union_est.join(inter, ["src_a", "src_b"])
+        union_est.join(inter, ["src_a", "src_b"], "left")
         .join(F.broadcast(pa), "src_a")
         .join(F.broadcast(pb), "src_b")
         .select(
             "src_a",
             "src_b",
             F.round("est_union", 2).alias("est_union"),
-            F.col("n_inter").cast("long").alias("exact_inter"),
+            n_inter.cast("long").alias("exact_inter"),
             F.round(
-                F.col("n_inter")
-                / (F.col("nd_a") + F.col("nd_b") - F.col("n_inter")),
+                n_inter / (F.col("nd_a") + F.col("nd_b") - n_inter),
                 4,
             ).alias("exact_jaccard"),
         )
@@ -529,29 +498,7 @@ Q126_SQL = f"""
 WITH tok AS (
     SELECT source, unnest(str_split(lower(text), ' ')) AS w FROM documents
 ),
-h AS (
-    SELECT source,
-           {_HLL_BUCKET} AS bucket,
-           substring(md5('hll:' || w), 3, 8) AS hs
-    FROM tok
-),
-rho AS (
-    SELECT source, bucket,
-           CASE WHEN z = 8 THEN 33
-                ELSE 4 * z + CASE WHEN dv >= 8 THEN 0
-                                  WHEN dv >= 4 THEN 1
-                                  WHEN dv >= 2 THEN 2
-                                  ELSE 3 END + 1
-           END AS rho
-    FROM (
-        SELECT source, bucket, z,
-               CAST(strpos('0123456789abcdef',
-                           substring(hs, z + 1, 1)) - 1 AS BIGINT) AS dv
-        FROM (SELECT source, bucket, hs,
-                     length(regexp_extract(hs, '^0*')) AS z FROM h) t0
-    ) t1
-),
-regs AS (SELECT source, bucket, max(rho) AS r FROM rho GROUP BY source, bucket),
+{_hll_regs_ctes('source')},
 srcs AS (SELECT DISTINCT source FROM documents),
 src_pairs AS (
     SELECT a.source AS src_a, b.source AS src_b
@@ -567,26 +514,8 @@ expand AS (
 uregs AS (
     SELECT src_a, src_b, bucket, max(r) AS r FROM expand GROUP BY ALL
 ),
-merged AS (
-    SELECT src_a, src_b, count(*) AS occupied,
-           sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << r)) AS sum_pow
-    FROM uregs GROUP BY ALL
-),
-union_est AS (
-    SELECT src_a, src_b,
-           CASE WHEN raw <= CAST({2.5 * HLL_M!r} AS DOUBLE) AND zb > 0
-                THEN CAST({float(HLL_M)!r} AS DOUBLE)
-                     * ln(CAST({float(HLL_M)!r} AS DOUBLE) / zb)
-                ELSE raw
-           END AS est_union
-    FROM (
-        SELECT src_a, src_b,
-               CAST({HLL_AM2!r} AS DOUBLE)
-                   / (sum_pow + ({HLL_M} - occupied)) AS raw,
-               {HLL_M} - occupied AS zb
-        FROM merged
-    ) t
-),
+{_hll_agg_sql('src_a, src_b', 'uregs')},
+{_hll_est_sql('src_a, src_b')},
 dw AS (SELECT DISTINCT source, w FROM tok),
 per_src AS (SELECT source, count(*) AS nd FROM dw GROUP BY source),
 inter AS (
@@ -596,11 +525,12 @@ inter AS (
     GROUP BY x.source, y.source
 )
 SELECT u.src_a, u.src_b,
-       round(u.est_union, 2) AS est_union,
-       CAST(i.n_inter AS BIGINT) AS exact_inter,
-       round(i.n_inter / (pa.nd + pb.nd - i.n_inter), 4) AS exact_jaccard
-FROM union_est u
-JOIN inter i ON i.src_a = u.src_a AND i.src_b = u.src_b
+       round(u.e, 2) AS est_union,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS exact_inter,
+       round(COALESCE(i.n_inter, 0)
+             / (pa.nd + pb.nd - COALESCE(i.n_inter, 0)), 4) AS exact_jaccard
+FROM est u
+LEFT JOIN inter i ON i.src_a = u.src_a AND i.src_b = u.src_b
 JOIN per_src pa ON pa.source = u.src_a
 JOIN per_src pb ON pb.source = u.src_b
 ORDER BY u.src_a, u.src_b

@@ -58,6 +58,21 @@ def test_cm_never_underestimates_under_collisions(spark):
     assert any(r.cms_estimate > 1 for r in est)
 
 
+def test_cm_estimate_sees_zero_cells_for_unseen_keys(spark):
+    """The point-query contract for keys NOT in the build set: an unseen
+    key must still produce a row, and its estimate must be the min over
+    ALL depth cells including untouched (zero) ones — never the min over
+    only the cells it happens to share with built keys."""
+    built = _keys_df(spark, 20)  # sparse grid: most (d, col) cells empty
+    counters = cm_build(built, "k", "c")
+    unseen = _keys_df(spark, 50, start=10_000).select("k")
+    est = cm_estimate(unseen, counters, "k").collect()
+    assert len(est) == 50  # nobody vanished
+    # with 20 keys in 4x512 cells, an unseen key colliding on ALL 4
+    # rows is (~20/512)^4 — none of these 50 should, so all must be 0
+    assert all(r.cms_estimate == 0 for r in est)
+
+
 def test_cm_shards_merge_to_whole(spark):
     whole = cm_build(_keys_df(spark, 2000), "k", "c")
     a = cm_build(_keys_df(spark, 1000), "k", "c")
@@ -128,8 +143,8 @@ def test_hll_stream_state_accumulates_across_microbatches(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    assert q.lastProgress is None or True  # drained
     streamed = {r.bucket: r.r for r in spark.table("hll_mb").collect()}
+    assert streamed, "drain produced no registers"
     spark.catalog.dropTempView("hll_mb")
     batch = {
         r.bucket: r.r
