@@ -742,3 +742,32 @@ def bloom_hit_expr(
         )
         hit = hit & F.coalesce(bit_set, F.lit(False))
     return hit.cast("int")
+
+
+def bloom_dense_masks(filter_map: dict[int, int], words: int) -> list[int]:
+    """Densify a :func:`bloom_collected` map to a ``words``-length list
+    (absent words → 0), the input :func:`bloom_hit_expr_dense` wants."""
+    return [filter_map.get(w, 0) for w in range(words)]
+
+
+def bloom_hit_expr_dense(key_col: Column, masks: list[int], k: int = 4) -> Column:
+    """ROW-LOCAL Bloom test against a DENSE mask array. Same contract as
+    :func:`bloom_hit_expr`, different lookup cost: the map form's
+    ``element_at`` scans the folded MapData linearly per probe (fine for
+    a handful of probes per row), while this form indexes a folded
+    ARRAY literal — O(1) per probe — which is what a per-TOKEN gate
+    needs (k probes × shingles-per-doc × docs lookups inside a
+    higher-order ``transform``). Every word has a mask (0 when empty),
+    so the missing-word branch disappears."""
+    words = len(masks)
+    arr = F.array(*[F.lit(m) for m in masks])  # foldable → one literal
+    hit = F.lit(True)
+    for p in bloom_positions(key_col, words, k):
+        word = F.floor(p / F.lit(BLOOM_WORD_BITS)).cast("int")
+        bit = (p % F.lit(BLOOM_WORD_BITS)).cast("double")
+        mask = F.element_at(arr, word + F.lit(1))
+        bit_set = (
+            F.floor(mask.cast("double") / F.pow(F.lit(2.0), bit)).cast("long") % 2 == 1
+        )
+        hit = hit & bit_set
+    return hit.cast("int")

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import with_shingles
 from ..sources.tables import load
-from .dedup_plans import _shingle_sql
+from .dedup_plans import _hex2int_sql, _shingle_sql
 from .embeddings_plans import _cos_sql, _round_sql
 from .registry import Query
 
@@ -441,9 +441,122 @@ ORDER BY c.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q128 — STREAMING decontamination gate (ext): q79's eval-set n-gram
+# check moved to where a production pipeline actually runs it — the
+# ingest stream, before a contaminated document ever lands in the
+# corpus. The eval set's shingle hashes are compiled into a relational
+# Bloom filter (operators/dedup.py:bloom_build — the q105 machinery),
+# densified, and embedded in the stream plan as ONE folded array
+# literal; the per-document gate is then a pure row-local expression
+# (md5 + O(1) array probes inside a higher-order transform) — no state,
+# no watermark, no shuffle, legal in append mode at any stream rate.
+#
+# Bloom semantics are the point and are mirrored EXACTLY in the oracle
+# (which rebuilds the same bits): no false negatives — every truly
+# contaminated document is flagged — while n_bloom_hits may exceed true
+# contamination by the filter's FP rate; the flagged stream feeds q79's
+# exact check as the second pass, touching only flagged docs. Run as a
+# real availableNow drain vs the batch oracle (the ST6 pattern).
+# ---------------------------------------------------------------------------
+_Q128_WORDS = 2048  # 65,536 bits
+_Q128_K = 4
+
+
+def q128_stream_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        bloom_build,
+        bloom_collected,
+        bloom_dense_masks,
+        bloom_hit_expr_dense,
+    )
+    from .streaming_plans import _drain_to_memory
+
+    docs = load(spark, sf_dir, "documents")
+    eval_keys = (
+        with_shingles(
+            docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            "doc_id", "text", k=_DECON_K,
+        )
+        .select(F.explode(F.array_distinct("shingles")).alias("s"))
+        .select(F.md5("s").alias("hk"))
+        .distinct()
+    )
+    masks = bloom_dense_masks(
+        bloom_collected(bloom_build(eval_keys, "hk", words=_Q128_WORDS, k=_Q128_K)),
+        _Q128_WORDS,
+    )
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select("doc_id", "text")
+
+    def gate(st):
+        sh = with_shingles(st, "doc_id", "text", k=_DECON_K)
+        dsh = F.array_distinct(F.col("shingles"))
+        hits = F.aggregate(
+            F.transform(
+                dsh, lambda sg: bloom_hit_expr_dense(F.md5(sg), masks, k=_Q128_K)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return sh.select(
+            "doc_id",
+            F.size(dsh).cast("long").alias("n_shingles"),
+            hits.alias("n_bloom_hits"),
+        ).filter(F.col("n_bloom_hits") > 0)
+
+    return _drain_to_memory(corpus, gate, "q128_decon")
+
+
+_Q128_POS = ", ".join(
+    f"({_hex2int_sql('hk', 1, 8)} + {j} * {_hex2int_sql('hk', 9, 8)}) "
+    f"% {_Q128_WORDS * 32}"
+    for j in range(_Q128_K)
+)
+
+Q128_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, list_distinct({_shingle_sql(_DECON_K)}) AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {_DECON_K}
+),
+ex AS (SELECT doc_id, md5(unnest(shingles)) AS hk FROM sh),
+bloom AS (
+    SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+    FROM (
+        SELECT unnest([{_Q128_POS}]) AS p
+        FROM ex WHERE doc_id % {_BENCH_MOD} = 0
+    )
+    GROUP BY 1
+),
+probes AS (
+    SELECT doc_id, hk, unnest([{_Q128_POS}]) AS p
+    FROM ex WHERE doc_id % {_BENCH_MOD} <> 0
+),
+per_key AS (
+    SELECT doc_id, hk,
+           CAST(count(*) FILTER (
+               WHERE (b.mask >> CAST(p % 32 AS INT)) % 2 = 1
+           ) = {_Q128_K} AS INTEGER) AS hit
+    FROM probes LEFT JOIN bloom b ON b.word = p // 32
+    GROUP BY doc_id, hk
+),
+agg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_bloom_hits
+    FROM per_key GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_bloom_hits
+FROM agg
+WHERE n_bloom_hits > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("q79_decontamination", q79_decontamination, Q79_SQL,
           survey="ext:decontamination,J1,E2"),
+    Query("q128_stream_decon", q128_stream_decon, Q128_SQL,
+          survey="ext:decontamination,ST3,ST6"),
     Query("q80_bm25_search", q80_bm25_search, Q80_SQL,
           survey="ext:bm25-search,A10,T1", tags=("bench",)),
     Query("q81_chunk_documents", q81_chunk_documents, Q81_SQL,

@@ -142,3 +142,18 @@ def test_q81_checksums_match_hashlib(spark, sf_dir):
         expect = " ".join(toks[c.start : c.start + _W])
         assert c.checksum == hashlib.md5(expect.encode()).hexdigest()
         assert c.n_tok == min(_W, len(toks) - c.start)
+
+
+def test_stream_decon_has_no_false_negatives_vs_exact(spark):
+    """q128's Bloom gate may over-flag (FPs) but must NEVER miss a doc
+    that q79's exact intersection reports as contaminated."""
+    from bbc_news_data_pipeline_spark.plans.retrieval_plans import (
+        q79_decontamination,
+        q128_stream_decon,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.doc_id for r in q79_decontamination(spark, sf).collect()}
+    flagged = {r.doc_id for r in q128_stream_decon(spark, sf).collect()}
+    assert exact, "exact check found no contamination — test is vacuous"
+    assert exact <= flagged
