@@ -259,6 +259,111 @@ ORDER BY doc_id, chunk_idx
 
 
 # ---------------------------------------------------------------------------
+# q129 — CONTENT-DEFINED chunking (ext): the FastCDC-family counterpart
+# to q81's fixed stride (Muthitacharoen et al. 2001 LBFS; Xia et al.
+# 2016 FastCDC). A chunk boundary falls after token p wherever the
+# rolling k-gram hash ending at p ≡ 0 (mod D) — a pure CONTENT
+# predicate, so an edit early in a document shifts only the chunks
+# that overlap it; later boundaries re-align and their checksums are
+# unchanged (the property that makes chunk-level dedup and incremental
+# sync work — q104's block dedup composes on chunk_md5 directly, with
+# edit-resistant blocks instead of offset-locked ones). A forced
+# boundary every M=256 tokens bounds the worst case (a document whose
+# grams never hit the divisor would otherwise be ONE chunk) at the
+# documented cost of shift-invariance across a forced cut.
+#
+# Shape at scale: 100% row-local — gram hashing, boundary selection,
+# span construction, and checksums are higher-order array functions
+# inside one projection; ZERO shuffles at any corpus size, embarrassing
+# parallelism by document. Determinism: md5-derived gram hashes and
+# integer positions only — no floats anywhere.
+# ---------------------------------------------------------------------------
+_CDC_K = 3  # rolling gram width (tokens)
+_CDC_D = 16  # divisor: expected chunk ~D tokens
+_CDC_M = 256  # forced-boundary safety bound
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """The row-local CDC core over any (doc_id, text) frame — separated
+    from q129 so tests can drive it with authored edits (the
+    shift-invariance property needs a controlled insertion)."""
+    toked = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+
+    def gram_hash(p):  # k-gram ending at 1-based token position p
+        gram = F.concat_ws(" ", F.slice("toks", p - F.lit(_CDC_K - 1), F.lit(_CDC_K)))
+        return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+
+    cut = F.filter(
+        F.sequence(F.lit(_CDC_K), F.col("n") - 1),
+        lambda p: (gram_hash(p) % _CDC_D == 0) | (p % _CDC_M == 0),
+    )
+    bs = F.concat(F.array(F.lit(0)), cut, F.array(F.col("n")))
+    spans = F.expr(
+        "transform(sequence(1, size(bs) - 1), i -> struct(bs[i-1] AS s, bs[i] AS e))"
+    )
+    short = F.col("n") < F.lit(_CDC_K + 1)  # too short for any interior cut
+    chunked = toked.withColumn(
+        "bs", F.when(short, F.array(F.lit(0), F.col("n"))).otherwise(bs)
+    ).select("doc_id", "toks", F.posexplode(spans).alias("chunk_idx", "u"))
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("u.s").cast("long").alias("start_tok"),
+        F.col("u.e").cast("long").alias("end_tok"),
+        (F.col("u.e") - F.col("u.s")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("u.s") + 1, F.col("u.e") - F.col("u.s")))
+        ).alias("chunk_md5"),
+    )
+
+
+def q129_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_chunk_frame(load(spark, sf_dir, "documents"))
+
+
+_CDC_GRAM = (
+    "array_to_string(list_slice(toks, p - " + str(_CDC_K - 1) + ", p), ' ')"
+)
+_CDC_HASH = _hex2int_sql(f"md5({_CDC_GRAM})", 1, 8)
+
+Q129_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, str_split(lower(text), ' ') AS toks,
+           len(str_split(lower(text), ' ')) AS n
+    FROM documents
+),
+bounds AS (
+    SELECT doc_id, toks, n,
+           list_concat(list_concat(
+               [0::BIGINT],
+               CASE WHEN n < {_CDC_K + 1} THEN []
+                    ELSE list_filter(generate_series({_CDC_K}::BIGINT, n - 1),
+                                     p -> {_CDC_HASH} % {_CDC_D} = 0
+                                          OR p % {_CDC_M} = 0)
+               END),
+               [n::BIGINT]) AS bs
+    FROM toked
+),
+spans AS (
+    SELECT doc_id, toks,
+           unnest(list_transform(generate_series(1, len(bs) - 1),
+                  i -> struct_pack(ci := i - 1, s := bs[i], e := bs[i + 1]))) AS u
+    FROM bounds
+)
+SELECT doc_id,
+       CAST(u.ci AS INTEGER) AS chunk_idx,
+       CAST(u.s AS BIGINT) AS start_tok,
+       CAST(u.e AS BIGINT) AS end_tok,
+       CAST(u.e - u.s AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, u.s + 1, u.e), ' ')) AS chunk_md5
+FROM spans
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # q84 — hybrid search with reciprocal-rank fusion (ext): fuse the BM25
 # keyword ranking (q80's scorer) with a dense cosine ranking against a
 # query vector (doc_id ↔ vec_id), RRF(k=60): Σ 1/(k + rank), missing
@@ -557,6 +662,8 @@ QUERIES = [
           survey="ext:decontamination,J1,E2"),
     Query("q128_stream_decon", q128_stream_decon, Q128_SQL,
           survey="ext:decontamination,ST3,ST6"),
+    Query("q129_cdc_chunks", q129_cdc_chunks, Q129_SQL,
+          survey="ext:chunking,ext:exact-dedup"),
     Query("q80_bm25_search", q80_bm25_search, Q80_SQL,
           survey="ext:bm25-search,A10,T1", tags=("bench",)),
     Query("q81_chunk_documents", q81_chunk_documents, Q81_SQL,

@@ -157,3 +157,74 @@ def test_stream_decon_has_no_false_negatives_vs_exact(spark):
     flagged = {r.doc_id for r in q128_stream_decon(spark, sf).collect()}
     assert exact, "exact check found no contamination — test is vacuous"
     assert exact <= flagged
+
+
+def test_cdc_chunks_match_python_twin(spark):
+    """q129 boundaries and checksums recomputed in pure python."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.retrieval_plans import (
+        _CDC_D,
+        _CDC_K,
+        _CDC_M,
+        q129_cdc_chunks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q129_cdc_chunks(spark, sf).toPandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    expected = []
+    for r in docs.itertuples():
+        toks = r.text.lower().split(" ")
+        n = len(toks)
+        if n < _CDC_K + 1:
+            bs = [0, n]
+        else:
+            cuts = [
+                p
+                for p in range(_CDC_K, n)
+                if int(
+                    hashlib.md5(" ".join(toks[p - _CDC_K:p]).encode()).hexdigest()[:8],
+                    16,
+                ) % _CDC_D == 0
+                or p % _CDC_M == 0
+            ]
+            bs = [0] + cuts + [n]
+        for ci, (a, b) in enumerate(zip(bs, bs[1:])):
+            expected.append(
+                (r.doc_id, ci, a, b, b - a,
+                 hashlib.md5(" ".join(toks[a:b]).encode()).hexdigest())
+            )
+    got = list(
+        out.sort_values(["doc_id", "chunk_idx"]).itertuples(index=False, name=None)
+    )
+    assert got == expected
+
+
+def test_cdc_chunks_realign_after_edit(spark):
+    """The CDC property: inserting tokens near the start shifts only the
+    chunks overlapping the edit; once boundaries re-sync, every later
+    chunk checksum is identical (fixed-stride q81 would shift ALL)."""
+    from bbc_news_data_pipeline_spark.plans.retrieval_plans import cdc_chunk_frame
+
+    base = " ".join(f"tok{(i * 7) % 43}x{i % 11}" for i in range(120))
+    toks = base.split(" ")
+    edited = " ".join(toks[:5] + ["INSERTED", "NOISE"] + toks[5:])
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunk_frame(df).toPandas()
+    sums_base = list(out[out.doc_id == 0].sort_values("chunk_idx").chunk_md5)
+    sums_edit = list(out[out.doc_id == 1].sort_values("chunk_idx").chunk_md5)
+    # suffix re-alignment: a substantial common tail of chunk checksums
+    tail = 0
+    while (
+        tail < min(len(sums_base), len(sums_edit))
+        and sums_base[-1 - tail] == sums_edit[-1 - tail]
+    ):
+        tail += 1
+    assert tail >= len(sums_base) // 2, (tail, len(sums_base))
+    # and the head (pre-edit prefix region) differs somewhere
+    assert sums_base != sums_edit
