@@ -542,6 +542,133 @@ ORDER BY event_type, day_ts
 """
 
 
+# ---------------------------------------------------------------------------
+# q130 — EXACT median by two-pass SELECTION (ext): the exact counterpart
+# to q123's sampled quantiles, and the at-scale alternative to q61's
+# sort-based percentile. The classic distributed selection algorithm
+# (Blum et al.'s selection idea in histogram form): pass 1 builds a
+# 64-bucket equi-width histogram per group (one map-side-combinable
+# aggregation — NO sort); the cumulative bucket counts (≤64 rows per
+# group) locate the bucket containing the k-th order statistic; pass 2
+# sorts ONLY that bucket's rows — expected n/64 of the group — and
+# picks the k-th element exactly. At 100 TB the full-group sort that
+# `percentile` implies never happens; recursing one more level bounds
+# the sorted slice at n/64², the same levels knob as the prefix sum.
+#
+# Determinism: bucket arithmetic is shared-form IEEE (step computed
+# once, floor, clamp) so both engines bin identically; the median
+# itself is a VALUE picked from the data (no float arithmetic at all),
+# and the oracle re-derives it with an independent row_number scan —
+# only n_bucket_rows mirrors the histogram construction.
+# ---------------------------------------------------------------------------
+_Q130_B = 64
+
+
+def q130_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    step = (F.col("mx") - F.col("mn")) / F.lit(float(_Q130_B))
+    binned = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "value",
+        "n",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_Q130_B - 1),
+                F.floor((F.col("value") - F.col("mn")) / step).cast("int"),
+            )
+        )
+        .alias("b"),
+    )
+    hist = binned.groupBy("event_type", "n", "b").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("b")
+    k = (F.col("n") + 1) / 2  # lower median: k = floor((n+1)/2)
+    cum = hist.select(
+        "event_type", "n", "b", "c",
+        F.coalesce(F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                   F.lit(0)).alias("before"),
+    )
+    target = cum.filter(
+        (F.col("before") < F.floor(k)) & (F.col("before") + F.col("c") >= F.floor(k))
+    ).select(
+        "event_type",
+        F.col("b").alias("tb"),
+        F.col("c").alias("n_bucket_rows"),
+        (F.floor(k) - F.col("before")).alias("off"),
+    )
+    t2 = target.select(
+        F.col("event_type").alias("et"), "tb", "n_bucket_rows", "off"
+    )
+    inb = (
+        binned.join(
+            F.broadcast(t2),
+            (F.col("event_type") == F.col("et")) & (F.col("b") == F.col("tb")),
+        )
+        .select("event_type", "value", "n", "n_bucket_rows", "off")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    return (
+        inb.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == F.col("off"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_bucket_rows").cast("long").alias("n_bucket_rows"),
+            F.col("value").alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q130_SQL = f"""
+WITH stats AS (
+    SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+    FROM events GROUP BY event_type
+),
+binned AS (
+    SELECT e.event_type, e.value, s.n,
+           CASE WHEN s.mx = s.mn THEN 0
+                ELSE least({_Q130_B - 1},
+                           CAST(floor((e.value - s.mn)
+                                / ((s.mx - s.mn) / {float(_Q130_B)!r})) AS INTEGER))
+           END AS b
+    FROM events e JOIN stats s USING (event_type)
+),
+hist AS (
+    SELECT event_type, n, b, count(*) AS c
+    FROM binned GROUP BY event_type, n, b
+),
+cum AS (
+    SELECT event_type, n, b, c,
+           COALESCE(sum(c) OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM hist
+),
+target AS (
+    SELECT event_type, c AS n_bucket_rows
+    FROM cum
+    WHERE before < floor((n + 1) / 2.0) AND before + c >= floor((n + 1) / 2.0)
+),
+-- independent median derivation: a straight order-statistic scan
+ranked AS (
+    SELECT event_type, value, n,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+    FROM binned
+)
+SELECT r.event_type,
+       CAST(r.n AS BIGINT) AS n,
+       CAST(t.n_bucket_rows AS BIGINT) AS n_bucket_rows,
+       r.value AS median_value
+FROM ranked r
+JOIN target t USING (event_type)
+WHERE r.rn = CAST(floor((r.n + 1) / 2.0) AS BIGINT)
+ORDER BY r.event_type
+"""
+
+
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
@@ -560,6 +687,8 @@ QUERIES = [
           survey="ext:trend-regression,A3"),
     Query("q88_equidepth_histogram", q88_equidepth_histogram, Q88_SQL,
           survey="ext:equidepth-histogram,A7"),
+    Query("q130_selection_median", q130_selection_median, Q130_SQL,
+          survey="ext:selection-median,ext:percentiles,A3"),
     Query("q89_ewma_daily", q89_ewma_daily, Q89_SQL,
           survey="ext:ewma,U8,ST2"),
 ]

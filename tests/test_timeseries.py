@@ -128,3 +128,25 @@ def test_sessionize_counts_null_timestamps(spark):
     # extra from the null block
     assert got[1] == (1, 3)
     assert got[2] == (1, 1)  # all-null user: one row, one session
+
+
+def test_selection_median_matches_python_twin(spark):
+    """q130: the two-pass selection must return the exact k-th order
+    statistic (lower median), and the target bucket must be a small
+    slice of each group (the point of the algorithm)."""
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        q130_selection_median,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q130_selection_median(spark, sf).toPandas().set_index("event_type")
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    for et, grp in ev.groupby("event_type"):
+        vals = sorted(grp.value)
+        k = (len(vals) + 1) // 2
+        row = out.loc[et]
+        assert row.n == len(vals)
+        assert row.median_value == vals[k - 1]
+        assert row.n_bucket_rows < max(8, len(vals) // 4)
