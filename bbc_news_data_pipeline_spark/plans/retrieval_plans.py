@@ -663,7 +663,7 @@ QUERIES = [
     Query("q128_stream_decon", q128_stream_decon, Q128_SQL,
           survey="ext:decontamination,ST3,ST6"),
     Query("q129_cdc_chunks", q129_cdc_chunks, Q129_SQL,
-          survey="ext:chunking,ext:exact-dedup"),
+          survey="ext:chunking,ext:exact-dedup", tags=("bench",)),
     Query("q80_bm25_search", q80_bm25_search, Q80_SQL,
           survey="ext:bm25-search,A10,T1", tags=("bench",)),
     Query("q81_chunk_documents", q81_chunk_documents, Q81_SQL,

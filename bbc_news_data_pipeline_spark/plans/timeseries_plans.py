@@ -688,7 +688,7 @@ QUERIES = [
     Query("q88_equidepth_histogram", q88_equidepth_histogram, Q88_SQL,
           survey="ext:equidepth-histogram,A7"),
     Query("q130_selection_median", q130_selection_median, Q130_SQL,
-          survey="ext:selection-median,ext:percentiles,A3"),
+          survey="ext:selection-median,ext:percentiles,A3", tags=("bench",)),
     Query("q89_ewma_daily", q89_ewma_daily, Q89_SQL,
           survey="ext:ewma,U8,ST2"),
 ]
