@@ -811,6 +811,119 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q131 — higher-moment manifest merge (ext): q119 proves mergeable
+# count/sum/min/max/sum² manifests; distribution-SHAPE monitoring (is the
+# length distribution drifting right-skewed? heavy-tailed?) needs the 3rd
+# and 4th moments too, and those are where int64 manifests break first: at
+# 100 TB, Σx⁴ over ~1e10 rows of 4-digit lengths is ~1e21 — past int64's
+# 9.2e18 — so the partials here accumulate in DECIMAL(38,0) (Spark) /
+# HUGEINT (DuckDB), which stay EXACT under any merge order and overflow at
+# 1e38, not 9e18. Per-(lang, shard) partials (shard = doc_id % 16 standing
+# in for ingest batches) are merged per lang and only then converted to
+# doubles — every sum at test scale is < 2^53, so the double conversion is
+# exact, and skewness / excess kurtosis come out of the identical
+# expression tree on both engines. The oracle computes the moments
+# DIRECTLY from the raw table: a green row proves merge-of-partials ≡
+# single-pass for all four moments.
+#
+# Shape at scale: two narrow shuffles — (lang, shard), then (lang) over
+# |langs|·16 manifest rows. The m2 > 0 guard keeps degenerate groups
+# (zero variance) NULL instead of NaN/Inf on both engines.
+# ---------------------------------------------------------------------------
+_Q131_SHARDS = 16
+
+
+def q131_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(9,0)")
+    staged = docs.select(
+        "lang",
+        (F.col("doc_id") % _Q131_SHARDS).alias("shard"),
+        x.alias("x1"),
+        (x * x).alias("x2"),
+        (x * x * x).alias("x3"),
+        (x * x * x * x).alias("x4"),
+    )
+    partials = staged.groupBy("lang", "shard").agg(
+        F.count("*").alias("p_n"),
+        F.sum("x1").alias("p_s1"),
+        F.sum("x2").alias("p_s2"),
+        F.sum("x3").alias("p_s3"),
+        F.sum("x4").alias("p_s4"),
+    )
+    merged = partials.groupBy("lang").agg(
+        F.sum("p_n").cast("long").alias("n_docs"),
+        F.sum("p_s1").cast("double").alias("s1"),
+        F.sum("p_s2").cast("double").alias("s2"),
+        F.sum("p_s3").cast("double").alias("s3"),
+        F.sum("p_s4").cast("double").alias("s4"),
+    )
+    n = F.col("n_docs").cast("double")
+    m1 = F.col("s1") / n
+    r2 = F.col("s2") / n
+    r3 = F.col("s3") / n
+    r4 = F.col("s4") / n
+    m2 = r2 - m1 * m1
+    skew = (r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1) / (m2 * F.sqrt(m2))
+    kurt = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (m2 * m2) - F.lit(3.0)
+    return (
+        merged.select(
+            "lang",
+            "n_docs",
+            F.round(m1, 4).alias("mean_chars"),
+            F.round(F.sqrt(m2), 4).alias("std_chars"),
+            F.when(m2 > 0, F.round(skew, 4)).alias("skewness"),
+            F.when(m2 > 0, F.round(kurt, 4)).alias("excess_kurtosis"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q131_SQL = """
+WITH x AS (
+    SELECT lang, CAST(n_chars AS HUGEINT) AS x FROM documents
+),
+agg AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(x) AS DOUBLE) AS s1,
+           CAST(sum(x * x) AS DOUBLE) AS s2,
+           CAST(sum(x * x * x) AS DOUBLE) AS s3,
+           CAST(sum(x * x * x * x) AS DOUBLE) AS s4
+    FROM x GROUP BY lang
+),
+m AS (
+    SELECT lang, n_docs,
+           s1 / CAST(n_docs AS DOUBLE) AS m1,
+           s2 / CAST(n_docs AS DOUBLE) AS r2,
+           s3 / CAST(n_docs AS DOUBLE) AS r3,
+           s4 / CAST(n_docs AS DOUBLE) AS r4
+    FROM agg
+),
+d AS (
+    SELECT lang, n_docs, m1, r2, r3, r4, r2 - m1 * m1 AS m2 FROM m
+)
+SELECT lang, n_docs,
+       round(m1, 4) AS mean_chars,
+       round(sqrt(m2), 4) AS std_chars,
+       CASE WHEN m2 > 0 THEN
+           round((r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1) / (m2 * sqrt(m2)), 4)
+       END AS skewness,
+       CASE WHEN m2 > 0 THEN
+           round((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                  - 3.0 * m1 * m1 * m1 * m1) / (m2 * m2) - 3.0, 4)
+       END AS excess_kurtosis
+FROM d
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -834,4 +947,6 @@ QUERIES = [
           survey="ext:quality-classifier,ext:hash-sampling", tags=("bench",)),
     Query("q119_manifest_merge", q119_manifest_merge, Q119_SQL,
           survey="ext:incremental-stats,A3,A13"),
+    Query("q131_moments_merge", q131_moments_merge, Q131_SQL,
+          survey="ext:incremental-stats,ext:drift-psi,A3"),
 ]

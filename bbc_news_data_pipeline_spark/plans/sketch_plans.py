@@ -20,7 +20,7 @@ sketch twin of q119's stats manifests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sketches import (
@@ -537,6 +537,156 @@ ORDER BY u.src_a, u.src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q132 — KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer
+# et al. 2007): the third mergeable-sketch primitive next to CMS (q121,
+# frequencies) and HLL (q122, cardinality-only). Keep the k smallest
+# 60-bit md5 hash values of the distinct keys (word bigrams here); the
+# k-th smallest U_(k) estimates cardinality as (k−1)·2^60 / h_(k), and —
+# unlike HLL — the sketch doubles as a UNIFORM SAMPLE OVER DISTINCT keys
+# (each manifest row is a real bigram), which is what distinct-aware AQP
+# and join-size estimation want at 100 TB. Merge rule: union the
+# per-source manifests, dedup on hash, re-take bottom-k — any globally
+# k-smallest distinct hash is k-smallest within its source too, so
+# merge-of-manifests ≡ direct. This query BUILDS per-source manifests and
+# derives the corpus row only from their union; the oracle computes both
+# grains DIRECTLY from the raw table — a green row proves the merge
+# property, not just the estimate.
+#
+# Determinism: hashes are md5-derived 60-bit ints (engine-portable via
+# conv/strpos algebra), the estimator divides an exactly-representable
+# float numerator by an int64, and a manifest with fewer than k keys IS
+# the exact distinct set (est = n_man, mirrored on both sides).
+#
+# Shape at scale: distinct → per-source row_number ≤ k (one shuffle each);
+# the corpus merge runs over ≤ k·|sources| manifest rows and the global
+# bottom-k is TakeOrdered (per-partition top-k, no global sort). In
+# production the per-source pass runs once per ingest batch; the merge is
+# metadata-sized.
+# ---------------------------------------------------------------------------
+_Q132_K = 64
+_Q132_NUMER = float((_Q132_K - 1) * 2**60)  # exactly representable: 6 sig bits
+
+
+def q132_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("ts"))
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> ts[i] || ' ' || ts[i + 1])"
+                )
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("b"))), 1, 15), 16, 10
+    ).cast("long")
+    keyed = bg.select("source", "b", hv.alias("hv"))
+    # n_true rides the SAME source-partitioned exchange as the rank (keyed
+    # is already distinct on (source, b), so a plain window count is the
+    # distinct count) — no second aggregate, no join-back.
+    w = Window.partitionBy("source").orderBy("hv")
+    wfull = Window.partitionBy("source")
+    man = keyed.select(
+        "source",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wfull).alias("src_n"),
+    ).filter(F.col("rn") <= _Q132_K)
+    per_src = man.groupBy("source").agg(
+        F.max("hv").alias("kth"),
+        F.count("*").alias("n_man"),
+        F.max("src_n").alias("n_true"),
+    )
+    # corpus grain: derived ONLY from the union of per-source manifests
+    gman = (
+        man.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(_Q132_K)
+        .agg(F.max("hv").alias("kth"), F.count("*").alias("n_man"))
+    )
+    gtruth = keyed.agg(F.countDistinct("b").alias("n_true"))
+    allrow = gman.crossJoin(gtruth).select(
+        F.lit("ALL").alias("source"), "kth", "n_man", "n_true"
+    )
+    unioned = per_src.select("source", "kth", "n_man", "n_true").unionByName(allrow)
+    est_raw = F.when(
+        F.col("n_man") >= F.lit(_Q132_K), F.lit(_Q132_NUMER) / F.col("kth")
+    ).otherwise(F.col("n_man").cast("double"))
+    return (
+        unioned.select(
+            "source",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("kth").cast("long").alias("kth_hash"),
+            F.round(est_raw, 2).alias("est_distinct"),
+            F.round(
+                (est_raw - F.col("n_true")) / F.col("n_true") * F.lit(100.0), 2
+            ).alias("err_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q132_HV = _hex2int_sql("md5('kmv:' || b)", 1, 15)
+
+Q132_SQL = f"""
+WITH t AS (
+    SELECT source, str_split(text, ' ') AS ws FROM documents
+),
+bg AS (
+    SELECT DISTINCT source, ws[i] || ' ' || ws[i + 1] AS b
+    FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+    WHERE len(ws) >= 2
+),
+keyed AS (
+    SELECT source, b, {_Q132_HV} AS hv FROM bg
+),
+ranked AS (
+    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM keyed
+),
+src_man AS (
+    SELECT source, max(hv) AS kth, count(*) AS n_man
+    FROM ranked WHERE rn <= {_Q132_K} GROUP BY source
+),
+src_truth AS (
+    SELECT source, count(*) AS n_true FROM keyed GROUP BY source
+),
+g_keyed AS (SELECT DISTINCT b, hv FROM keyed),
+g_ranked AS (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM g_keyed
+),
+g_row AS (
+    SELECT 'ALL' AS source, max(hv) AS kth, count(*) AS n_man,
+           (SELECT count(*) FROM g_keyed) AS n_true
+    FROM g_ranked WHERE rn <= {_Q132_K}
+),
+unioned AS (
+    SELECT s.source, m.kth, m.n_man, s.n_true
+    FROM src_truth s JOIN src_man m USING (source)
+    UNION ALL
+    SELECT source, kth, n_man, n_true FROM g_row
+)
+SELECT source,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(kth AS BIGINT) AS kth_hash,
+       round(CASE WHEN n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / kth
+                  ELSE CAST(n_man AS DOUBLE) END, 2) AS est_distinct,
+       round((CASE WHEN n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / kth
+                   ELSE CAST(n_man AS DOUBLE) END - n_true)
+             / n_true * 100.0, 2) AS err_pct
+FROM unioned
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -550,4 +700,6 @@ QUERIES = [
           survey="ext:countmin-sketch,ext:heavy-hitters,A12"),
     Query("q126_hll_source_overlap", q126_hll_source_overlap, Q126_SQL,
           survey="ext:hll-cardinality,ext:dataset-lineage"),
+    Query("q132_kmv_distinct", q132_kmv_distinct, Q132_SQL,
+          survey="ext:kmv-sketch,ext:aqp-quantiles,ext:incremental-stats"),
 ]

@@ -228,3 +228,53 @@ def test_cdc_chunks_realign_after_edit(spark):
     assert tail >= len(sums_base) // 2, (tail, len(sums_base))
     # and the head (pre-edit prefix region) differs somewhere
     assert sums_base != sums_edit
+
+
+def test_q131_moments_match_exact_python_twin(spark, sf_dir):
+    """q131 twin: recompute all four moments with arbitrary-precision
+    python ints (the sums are < 2^53, so the engine's decimal->double
+    conversion is exact and the rounded outputs must match EXACTLY)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q131_moments_merge
+
+    out = {r.lang: r for r in q131_moments_merge(spark, sf_dir).collect()}
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    for lang, grp in docs.groupby("lang"):
+        xs = [int(v) for v in grp.n_chars]
+        n = float(len(xs))
+        s1, s2 = float(sum(xs)), float(sum(x * x for x in xs))
+        s3 = float(sum(x * x * x for x in xs))
+        s4 = float(sum(x * x * x * x for x in xs))
+        m1, r2, r3, r4 = s1 / n, s2 / n, s3 / n, s4 / n
+        m2 = r2 - m1 * m1
+        row = out[lang]
+        assert row.n_docs == len(xs)
+        assert row.mean_chars == round(m1, 4)
+        assert row.std_chars == round(math.sqrt(m2), 4)
+        skew = (r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1) / (m2 * math.sqrt(m2))
+        kurt = (
+            r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1
+        ) / (m2 * m2) - 3.0
+        assert abs(row.skewness - skew) < 1e-3
+        assert abs(row.excess_kurtosis - kurt) < 1e-3
+
+
+def test_q131_zero_variance_group_is_null_not_nan(spark, tmp_path):
+    """A degenerate group (all lengths equal -> m2 == 0) must emit NULL
+    shape moments on the engine side, mirroring the oracle's CASE guard —
+    never NaN/Inf from a 0/0."""
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q131_moments_merge
+
+    df = spark.createDataFrame(
+        [(0, "x", "aa", "s0", 7), (1, "y", "aa", "s0", 7), (2, "z", "bb", "s0", 3),
+         (3, "w", "bb", "s0", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.lang: r for r in q131_moments_merge(spark, str(tmp_path)).collect()}
+    assert out["aa"].std_chars == 0.0
+    assert out["aa"].skewness is None and out["aa"].excess_kurtosis is None
+    assert out["bb"].skewness is not None

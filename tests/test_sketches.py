@@ -212,3 +212,78 @@ def test_hll_shards_merge_to_whole(spark):
         for r in a.unionByName(b).groupBy("bucket").agg(F.max("r").alias("r")).collect()
     }
     assert whole == merged
+
+
+def test_kmv_manifest_matches_python_twin(spark):
+    """q132 full twin at sf0.001: rebuild every per-source bottom-k manifest
+    and the merged corpus row with hashlib md5 + exact python ints; the
+    sketch (kth hash, manifest size) and the truth column must reproduce
+    bit-for-bit, and the exact-path/estimator-path split must match."""
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q132_K,
+        _Q132_NUMER,
+        q132_kmv_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.source: r for r in q132_kmv_distinct(spark, sf).collect()}
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    per_src: dict = {}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        per_src.setdefault(r.source, set()).update(
+            f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)
+        )
+
+    def hv(b):
+        return int(hashlib.md5(f"kmv:{b}".encode()).hexdigest()[:15], 16)
+
+    g_hashes: set = set()
+    for src, bigrams in per_src.items():
+        hs = sorted(hv(b) for b in bigrams)
+        man = hs[: _Q132_K]
+        g_hashes.update(man)
+        row = out[src]
+        assert row.n_true == len(bigrams)
+        assert row.kth_hash == man[-1]
+        if len(man) >= _Q132_K:
+            assert abs(row.est_distinct - round(_Q132_NUMER / man[-1], 2)) < 1e-9
+        else:
+            assert row.est_distinct == float(len(man))
+    # merged corpus row: bottom-k over the UNION of manifests
+    g_man = sorted(g_hashes)[: _Q132_K]
+    g_true = len(set().union(*per_src.values()))
+    assert out["ALL"].n_true == g_true
+    assert out["ALL"].kth_hash == g_man[-1]
+
+
+def test_kmv_exact_path_below_k(spark, tmp_path):
+    """A corpus with fewer distinct bigrams than k stores ALL of them:
+    the sketch degrades to an exact distinct count (est == truth, 0 err)."""
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import q132_kmv_distinct
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b", "en", "srcA", 9), (1, "c d e", "en", "srcB", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r for r in q132_kmv_distinct(spark, str(tmp_path)).collect()}
+    # srcA: {a b, b c, c a, a b} -> 3 distinct; srcB: {c d, d e} -> 2
+    assert out["srcA"].n_true == 3 and out["srcA"].est_distinct == 3.0
+    assert out["srcB"].n_true == 2 and out["srcB"].est_distinct == 2.0
+    assert out["ALL"].n_true == 5 and out["ALL"].est_distinct == 5.0
+    assert out["ALL"].err_pct == 0.0
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    """At sf0.001 every source has >600 distinct bigrams (estimator path
+    engages everywhere); KMV with k=64 has sigma ~= 1/sqrt(k-2) ~= 12.7%,
+    so 4-sigma = 51% bounds all 21 rows without flakiness."""
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import q132_kmv_distinct
+
+    rows = q132_kmv_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 21
+    for r in rows:
+        assert abs(r.err_pct) < 51.0, (r.source, r.err_pct)
