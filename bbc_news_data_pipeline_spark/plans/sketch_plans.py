@@ -568,7 +568,9 @@ _Q132_K = 64
 _Q132_NUMER = float((_Q132_K - 1) * 2**60)  # exactly representable: 6 sig bits
 
 
-def q132_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmv_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, bigram) keys with their 60-bit md5 hash — the
+    shared input of the KMV sketches (q132 cardinality, q133 overlap)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("source", F.split("text", " ").alias("ts"))
     bg = (
@@ -587,18 +589,27 @@ def q132_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = F.conv(
         F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("b"))), 1, 15), 16, 10
     ).cast("long")
-    keyed = bg.select("source", "b", hv.alias("hv"))
-    # n_true rides the SAME source-partitioned exchange as the rank (keyed
-    # is already distinct on (source, b), so a plain window count is the
-    # distinct count) — no second aggregate, no join-back.
+    return bg.select("source", "b", hv.alias("hv"))
+
+
+def _kmv_manifests(keyed: DataFrame) -> DataFrame:
+    """Per-source bottom-k manifest (source, hv, rn, src_n). n_true rides
+    the SAME source-partitioned exchange as the rank (keyed is already
+    distinct on (source, b), so a plain window count is the distinct
+    count) — no second aggregate, no join-back."""
     w = Window.partitionBy("source").orderBy("hv")
     wfull = Window.partitionBy("source")
-    man = keyed.select(
+    return keyed.select(
         "source",
         "hv",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(wfull).alias("src_n"),
     ).filter(F.col("rn") <= _Q132_K)
+
+
+def q132_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = _kmv_keyed(spark, sf_dir)
+    man = _kmv_manifests(keyed)
     per_src = man.groupBy("source").agg(
         F.max("hv").alias("kth"),
         F.count("*").alias("n_man"),
@@ -687,6 +698,192 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q133 — pairwise overlap from MERGED KMV manifests (Beyer et al. 2007's
+# multiset-operations estimators; the bottom-k twin of q126's HLL union).
+# For every source pair, union the two bottom-k manifests, dedup on hash,
+# re-take bottom-k: that IS the KMV sketch of A∪B, so the k-th smallest
+# gives est_union. The extra power over HLL: each union-sketch member is
+# an identifiable KEY, and membership in the union sketch implies
+# membership in each side's own manifest (h among the k smallest of A∪B
+# and h ∈ A ⇒ h among the k smallest of A) — so flagging which union-
+# sketch hashes appear in BOTH manifests yields an unbiased Jaccard
+# estimate ρ = n_both / k_used and est_inter = ρ · est_union, computed
+# ONLY from two k-row synopses. k² cross-source containment audits over
+# a 100 TB corpus become metadata-sized merges. Exact intersection and
+# Jaccard ride alongside (q126 convention) so estimation error is data.
+#
+# When the union has fewer than k distinct hashes the sketch IS the
+# union: est_union = n_man and ρ is the exact Jaccard — the exact-path
+# fallback mirrors on both engines. The oracle computes the same
+# estimators DIRECTLY from the full per-source distinct sets (manifest
+# membership ≡ full-set membership for union-sketch members), so a green
+# row proves merge-of-manifests ≡ direct.
+#
+# Shape at scale: manifests (≤ k·|sources| rows) fan out to |pairs|
+# copies — bounded by k·|sources|² ≈ metadata — then one (src_a, src_b)
+# window; the exact columns reuse keyed's distinct shuffle. Pair
+# expansion keeps one-sided hashes (union semantics), never an equi-join
+# that would drop them.
+# ---------------------------------------------------------------------------
+
+
+def q133_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keyed feeds 3 consumers (manifests + exact inter + per-source
+    # counts) and man feeds 3 (two expand branches + source list): lazy
+    # localCheckpoint materializes each once instead of re-running the
+    # distinct / window chains per consumer (q57/q69 policy; man is
+    # ≤ k·|sources| rows, metadata-sized).
+    keyed = _kmv_keyed(spark, sf_dir).localCheckpoint(eager=False)
+    man = _kmv_manifests(keyed).localCheckpoint(eager=False)
+    srcs = man.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .crossJoin(srcs.alias("b"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    e = (
+        man.join(F.broadcast(pairs), man.source == pairs.src_a)
+        .select("src_a", "src_b", "hv", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(
+            man.join(F.broadcast(pairs), man.source == pairs.src_b).select(
+                "src_a", "src_b", "hv", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+            )
+        )
+    )
+    u = e.groupBy("src_a", "src_b", "hv").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("hv")
+    sk = (
+        u.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _Q132_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("hv").alias("kth"),
+            F.count("*").alias("n_man"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+        )
+    )
+    # exact intersection / Jaccard alongside (error becomes data)
+    dw = keyed.select("source", "b")
+    inter = (
+        dw.alias("x")
+        .join(dw.alias("y"), "b")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    per_src = keyed.groupBy("source").agg(F.count("*").alias("nd"))
+    exact = (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .join(per_src.withColumnRenamed("source", "src_a")
+              .withColumnRenamed("nd", "nd_a"), "src_a")
+        .join(per_src.withColumnRenamed("source", "src_b")
+              .withColumnRenamed("nd", "nd_b"), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+            "nd_a",
+            "nd_b",
+        )
+    )
+    est_union = F.when(
+        F.col("n_man") >= F.lit(_Q132_K), F.lit(_Q132_NUMER) / F.col("kth")
+    ).otherwise(F.col("n_man").cast("double"))
+    est_j = F.col("n_both") / F.col("n_man")
+    return (
+        sk.join(exact, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            F.round(est_union, 2).alias("est_union"),
+            F.round(est_j, 4).alias("est_jaccard"),
+            F.round(est_j * est_union, 2).alias("est_inter"),
+            F.col("n_inter").cast("long").alias("exact_inter"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("nd_a") + F.col("nd_b") - F.col("n_inter")),
+                4,
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+Q133_SQL = f"""
+WITH t AS (
+    SELECT source, str_split(text, ' ') AS ws FROM documents
+),
+bg AS (
+    SELECT DISTINCT source, ws[i] || ' ' || ws[i + 1] AS b
+    FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+    WHERE len(ws) >= 2
+),
+keyed AS (
+    SELECT source, b, {_Q132_HV} AS hv FROM bg
+),
+srcs AS (SELECT DISTINCT source FROM keyed),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+expand AS (
+    SELECT p.src_a, p.src_b, k.hv, 1 AS ia, 0 AS ib
+    FROM keyed k JOIN pairs p ON k.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, k.hv, 0 AS ia, 1 AS ib
+    FROM keyed k JOIN pairs p ON k.source = p.src_b
+),
+u AS (
+    SELECT src_a, src_b, hv, max(ia) AS ia, max(ib) AS ib
+    FROM expand GROUP BY ALL
+),
+ranked AS (
+    SELECT src_a, src_b, hv, ia, ib,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn
+    FROM u
+),
+sk AS (
+    SELECT src_a, src_b, max(hv) AS kth, count(*) AS n_man,
+           sum(ia * ib) AS n_both
+    FROM ranked WHERE rn <= {_Q132_K} GROUP BY src_a, src_b
+),
+per_src AS (SELECT source, count(*) AS nd FROM keyed GROUP BY source),
+inter AS (
+    SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
+    FROM keyed x JOIN keyed y USING (b)
+    WHERE x.source < y.source
+    GROUP BY x.source, y.source
+),
+exact AS (
+    SELECT p.src_a, p.src_b, COALESCE(i.n_inter, 0) AS n_inter,
+           pa.nd AS nd_a, pb.nd AS nd_b
+    FROM pairs p
+    LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+    JOIN per_src pa ON pa.source = p.src_a
+    JOIN per_src pb ON pb.source = p.src_b
+)
+SELECT s.src_a, s.src_b,
+       round(CASE WHEN s.n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / s.kth
+                  ELSE CAST(s.n_man AS DOUBLE) END, 2) AS est_union,
+       round(s.n_both / s.n_man, 4) AS est_jaccard,
+       round(s.n_both / s.n_man
+             * CASE WHEN s.n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / s.kth
+                    ELSE CAST(s.n_man AS DOUBLE) END, 2) AS est_inter,
+       CAST(e.n_inter AS BIGINT) AS exact_inter,
+       round(e.n_inter / (e.nd_a + e.nd_b - e.n_inter), 4) AS exact_jaccard
+FROM sk s JOIN exact e ON e.src_a = s.src_a AND e.src_b = s.src_b
+ORDER BY s.src_a, s.src_b
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -702,4 +899,6 @@ QUERIES = [
           survey="ext:hll-cardinality,ext:dataset-lineage"),
     Query("q132_kmv_distinct", q132_kmv_distinct, Q132_SQL,
           survey="ext:kmv-sketch,ext:aqp-quantiles,ext:incremental-stats"),
+    Query("q133_kmv_overlap", q133_kmv_overlap, Q133_SQL,
+          survey="ext:kmv-sketch,ext:dataset-lineage"),
 ]

@@ -287,3 +287,55 @@ def test_kmv_estimates_within_tolerance(spark):
     assert len(rows) == 21
     for r in rows:
         assert abs(r.err_pct) < 51.0, (r.source, r.err_pct)
+
+
+def test_kmv_overlap_matches_python_twin(spark):
+    """q133 twin at sf0.001: rebuild each pair's union sketch from the
+    FULL distinct sets with hashlib (the oracle's direct path) and check
+    the sketch columns bit-for-bit — proving merge-of-manifests ≡ direct
+    — plus the exact intersection/Jaccard columns."""
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q132_K,
+        _Q132_NUMER,
+        q133_kmv_overlap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r.src_a, r.src_b): r for r in q133_kmv_overlap(spark, sf).collect()}
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    per_src: dict = {}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        per_src.setdefault(r.source, set()).update(
+            f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)
+        )
+
+    def hv(b):
+        return int(hashlib.md5(f"kmv:{b}".encode()).hexdigest()[:15], 16)
+
+    def r_up(x, n):
+        # engines round HALF_UP; python round() is banker's (42/64 =
+        # 0.65625 ties at 4dp) — emulate the engine rule
+        return math.floor(x * 10**n + 0.5) / 10**n
+
+    srcs = sorted(per_src)
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            ha = {hv(x) for x in per_src[a]}
+            hb = {hv(x) for x in per_src[b]}
+            union = sorted(ha | hb)[: _Q132_K]
+            n_man = len(union)
+            n_both = sum(1 for h in union if h in ha and h in hb)
+            est_u = _Q132_NUMER / union[-1] if n_man >= _Q132_K else float(n_man)
+            row = out[(a, b)]
+            assert abs(row.est_union - r_up(est_u, 2)) < 1e-9
+            assert abs(row.est_jaccard - r_up(n_both / n_man, 4)) < 1e-9
+            inter = len(per_src[a] & per_src[b])
+            assert row.exact_inter == inter
+            exact_j = inter / (len(per_src[a]) + len(per_src[b]) - inter)
+            assert abs(row.exact_jaccard - r_up(exact_j, 4)) < 1e-9
+            # the estimator tracks truth: 4-sigma band for k=64
+            assert abs(row.est_jaccard - exact_j) < 0.51
