@@ -184,3 +184,52 @@ def hll_estimate_cols(m: int = HLL_M) -> tuple[Column, Column]:
         (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw)
     return raw, corrected
+
+
+# --- count-sketch / AMS second frequency moment ---------------------------
+
+CS_DEPTH = 5  # odd, so the median row is unique
+CS_WIDTH = 512
+
+
+def cs_cell(col: Column, d: int, width: int = CS_WIDTH) -> Column:
+    """Row-``d`` column index for a key (count-sketch grid)."""
+    return _md5_int(f"cs{d}:", col, 1, 8) % width
+
+
+def cs_sign(col: Column, d: int) -> Column:
+    """Row-``d`` ±1 sign for a key: an independent md5 bit, so the oracle
+    reproduces every sign exactly (never engine hash())."""
+    return F.lit(1) - F.lit(2) * (_md5_int(f"sg{d}:", col, 9, 1) % 2)
+
+
+def cs_build(
+    weighted_keys: DataFrame,
+    key_col: str,
+    count_col: str,
+    depth: int = CS_DEPTH,
+    width: int = CS_WIDTH,
+) -> DataFrame:
+    """(d, col, cnt): count-sketch counter grid (Charikar et al. 2002) —
+    the CMS grid with ±1 signs, Σ s_d(k)·f(k) per cell. Like cm_build it
+    feeds off the DISTINCT-key rollup (vocab-bounded shuffle) and merges
+    across shards by summing cells; unlike CMS its cell squares estimate
+    the SECOND frequency moment F2 = Σf² — the self-join size — per
+    depth, with the median over depths as the robust estimate."""
+    k = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                cs_cell(k, d, width).alias("col"),
+                cs_sign(k, d).alias("s"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        weighted_keys.select(F.col(count_col).alias("_c"), F.explode(cells).alias("u"))
+        .select("u.d", "u.col", (F.col("u.s") * F.col("_c")).alias("_sc"))
+        .groupBy("d", "col")
+        .agg(F.sum("_sc").alias("cnt"))
+    )

@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from ..operators.sketches import (
     CM_DEPTH,
     CM_WIDTH,
+    CS_DEPTH,
+    CS_WIDTH,
+    cs_build,
     HLL_AM2,
     HLL_M,
     cm_build,
@@ -884,6 +887,107 @@ ORDER BY s.src_a, s.src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q134 — count-sketch / AMS second frequency moment (Alon–Matias–Szegedy
+# 1996; Charikar et al. 2002): the fourth mergeable sketch, and the one
+# planners actually consult — F2 = Σf² IS the self-join size, the number
+# a 100 TB engine wants BEFORE committing to a shuffle strategy on a
+# skewed key. Each depth's cells hold Σ s_d(k)·f(k) with md5-derived ±1
+# signs; cross terms cancel in expectation, so Σ cell² estimates F2 per
+# depth and the median over (odd) depths is the robust estimate. The
+# oracle rebuilds every signed counter bit-for-bit (q121 convention) and
+# the exact F2 rides alongside, so estimator error is data, not prose.
+#
+# Determinism: the whole pipeline is integer arithmetic — signs, cells,
+# signed sums, squares (accumulated in DECIMAL(38,0)/HUGEINT: cell
+# squares hit ~1e28 at 100 TB token counts, far past int64), the exact
+# LIMIT-3 median with depth tie-break — floats appear only in the final
+# err_pct division of two exact int64s.
+#
+# Shape at scale: the grid builds off the DISTINCT-word rollup
+# (Zipf-bounded input, map-side combined), lands at depth×width ≈ 2,560
+# rows, and merges across ingest shards by cell-wise ADD (signs are
+# key-deterministic, so shard grids are compatible by construction —
+# the same property that makes q119/q131 manifests mergeable).
+# ---------------------------------------------------------------------------
+
+
+def q134_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the grid AND the exact F2
+    )
+    counters = cs_build(vocab, "w", "c")
+    cc = F.col("cnt").cast("decimal(19,0)")
+    per_depth = counters.groupBy("d").agg(
+        F.sum(cc * cc).cast("long").alias("f2_est")
+    )
+    xc = F.col("c").cast("decimal(19,0)")
+    exact = vocab.agg(F.sum(xc * xc).cast("long").alias("f2_exact"))
+    med = (
+        per_depth.orderBy("f2_est", "d")
+        .limit((CS_DEPTH + 1) // 2)
+        .agg(F.max("f2_est").alias("f2_est"))
+        .select(F.lit(-1).alias("d"), "f2_est")
+    )
+    rows = per_depth.select(
+        F.col("d").cast("int").alias("d"), "f2_est"
+    ).unionByName(med)
+    return (
+        rows.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("d").alias("depth"),
+            "f2_est",
+            "f2_exact",
+            F.round(
+                (F.col("f2_est") - F.col("f2_exact"))
+                / F.col("f2_exact")
+                * F.lit(100.0),
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("depth")
+    )
+
+
+_CS_COL = (
+    _hex2int_sql("md5('cs' || CAST(d AS VARCHAR) || ':' || w)", 1, 8)
+    + f" % {CS_WIDTH}"
+)
+_CS_SGN = _hex2int_sql("md5('sg' || CAST(d AS VARCHAR) || ':' || w)", 9, 1)
+
+Q134_SQL = f"""
+WITH tok AS (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents),
+vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+lanes AS (SELECT unnest(generate_series(0, {CS_DEPTH - 1})) AS d),
+cells AS (
+    SELECT d, {_CS_COL} AS col, (1 - 2 * ({_CS_SGN} % 2)) * c AS sc
+    FROM vocab CROSS JOIN lanes
+),
+counters AS (SELECT d, col, sum(sc) AS cnt FROM cells GROUP BY d, col),
+per_depth AS (
+    SELECT d, CAST(sum(cnt * cnt) AS BIGINT) AS f2_est FROM counters GROUP BY d
+),
+med AS (
+    SELECT -1 AS d, max(f2_est) AS f2_est FROM (
+        SELECT f2_est FROM per_depth ORDER BY f2_est, d LIMIT {(CS_DEPTH + 1) // 2}
+    )
+),
+rows_ AS (
+    SELECT CAST(d AS INTEGER) AS d, f2_est FROM per_depth
+    UNION ALL SELECT d, f2_est FROM med
+),
+ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM vocab)
+SELECT r.d AS depth, r.f2_est, e.f2_exact,
+       round((r.f2_est - e.f2_exact) / e.f2_exact * 100.0, 2) AS err_pct
+FROM rows_ r CROSS JOIN ex e
+ORDER BY depth
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -901,4 +1005,6 @@ QUERIES = [
           survey="ext:kmv-sketch,ext:aqp-quantiles,ext:incremental-stats"),
     Query("q133_kmv_overlap", q133_kmv_overlap, Q133_SQL,
           survey="ext:kmv-sketch,ext:dataset-lineage"),
+    Query("q134_countsketch_f2", q134_countsketch_f2, Q134_SQL,
+          survey="ext:countsketch-f2,ext:countmin-sketch"),
 ]

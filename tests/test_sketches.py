@@ -12,6 +12,9 @@ import math
 from pyspark.sql import functions as F
 
 from bbc_news_data_pipeline_spark.operators.sketches import (
+    CS_DEPTH,
+    CS_WIDTH,
+    cs_build,
     CM_DEPTH,
     CM_WIDTH,
     HLL_AM2,
@@ -339,3 +342,72 @@ def test_kmv_overlap_matches_python_twin(spark):
             assert abs(row.exact_jaccard - r_up(exact_j, 4)) < 1e-9
             # the estimator tracks truth: 4-sigma band for k=64
             assert abs(row.est_jaccard - exact_j) < 0.51
+
+
+def _py_cs_cell(key: str, d: int) -> int:
+    return int(hashlib.md5(f"cs{d}:{key}".encode()).hexdigest()[:8], 16) % CS_WIDTH
+
+
+def _py_cs_sign(key: str, d: int) -> int:
+    return 1 - 2 * (int(hashlib.md5(f"sg{d}:{key}".encode()).hexdigest()[8], 16) % 2)
+
+
+def test_cs_grid_matches_python_twin(spark):
+    grid = {
+        (r.d, r.col): r.cnt
+        for r in cs_build(_keys_df(spark, 300), "k", "c").collect()
+    }
+    expected: dict = {}
+    for i in range(300):
+        for d in range(CS_DEPTH):
+            cell = (d, _py_cs_cell(f"k{i}", d))
+            expected[cell] = expected.get(cell, 0) + _py_cs_sign(f"k{i}", d)
+    expected = {c: v for c, v in expected.items() if v != 0 or c in grid}
+    # cells whose signs fully cancel may legitimately hold 0
+    for cell, v in grid.items():
+        assert expected.get(cell, 0) == v
+    # signs actually vary (the grid is not CMS in disguise)
+    assert any(v < 0 for v in grid.values())
+
+
+def test_cs_shards_merge_to_whole(spark):
+    whole = {
+        (r.d, r.col): r.cnt for r in cs_build(_keys_df(spark, 2000), "k", "c").collect()
+    }
+    a = cs_build(_keys_df(spark, 1000), "k", "c")
+    b = cs_build(_keys_df(spark, 1000, start=1000), "k", "c")
+    merged = {
+        (r.d, r.col): r.cnt
+        for r in a.unionByName(b)
+        .groupBy("d", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    merged = {c: v for c, v in merged.items() if v != 0}
+    whole = {c: v for c, v in whole.items() if v != 0}
+    assert whole == merged
+
+
+def test_cs_f2_median_tracks_exact(spark):
+    """q134 at sf0.001: per-depth relative stddev is ~sqrt(2/512) = 6.3%,
+    so a 30% band on the median row is 4-sigma-safe; the exact column
+    must equal the python-computed sum of squared counts."""
+    import pyarrow.parquet as pq
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import q134_countsketch_f2
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.depth: r for r in q134_countsketch_f2(spark, sf).collect()}
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    freq: dict = {}
+    for t in docs.text:
+        for w in t.lower().split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    f2 = sum(c * c for c in freq.values())
+    assert all(r.f2_exact == f2 for r in out.values())
+    assert len(out) == CS_DEPTH + 1
+    med = out[-1]
+    assert abs(med.err_pct) < 30.0, med.err_pct
+    # the median row really is the median of the depth rows
+    depth_ests = sorted(out[d].f2_est for d in range(CS_DEPTH))
+    assert med.f2_est == depth_ests[CS_DEPTH // 2]
