@@ -1002,9 +1002,10 @@ QUERIES = [
     Query("q126_hll_source_overlap", q126_hll_source_overlap, Q126_SQL,
           survey="ext:hll-cardinality,ext:dataset-lineage"),
     Query("q132_kmv_distinct", q132_kmv_distinct, Q132_SQL,
-          survey="ext:kmv-sketch,ext:aqp-quantiles,ext:incremental-stats"),
+          survey="ext:kmv-sketch,ext:aqp-quantiles,ext:incremental-stats",
+          tags=("bench",)),
     Query("q133_kmv_overlap", q133_kmv_overlap, Q133_SQL,
-          survey="ext:kmv-sketch,ext:dataset-lineage"),
+          survey="ext:kmv-sketch,ext:dataset-lineage", tags=("bench",)),
     Query("q134_countsketch_f2", q134_countsketch_f2, Q134_SQL,
-          survey="ext:countsketch-f2,ext:countmin-sketch"),
+          survey="ext:countsketch-f2,ext:countmin-sketch", tags=("bench",)),
 ]

@@ -52,3 +52,19 @@ def test_load_normalizes_every_ts_physical_format(spark, tmp_path, unit):
 def test_load_rejects_unknown_table(spark, sf_dir):
     with pytest.raises(KeyError):
         load(spark, sf_dir, "nope")
+
+
+def test_ensure_utc_survives_unset_session_zone(spark):
+    """Spark 4 validates the FALLBACK value of conf.get when the key is
+    unset — so on a truly plain session (driver harness, no zone ever
+    set) a bare conf.get(key, "") throws INVALID_CONF_VALUE. The guard
+    must treat that as "not UTC" and pin the zone, not crash."""
+    from bbc_news_data_pipeline_spark.sources.tables import _ensure_utc_session
+
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.unset("spark.sql.session.timeZone")
+        _ensure_utc_session(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
