@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 from ..operators.sketches import (
     CM_DEPTH,
@@ -571,28 +572,29 @@ _Q132_K = 64
 _Q132_NUMER = float((_Q132_K - 1) * 2**60)  # exactly representable: 6 sig bits
 
 
-def _kmv_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (source, bigram) keys with their 60-bit md5 hash — the
-    shared input of the KMV sketches (q132 cardinality, q133 overlap)."""
-    docs = load(spark, sf_dir, "documents")
+def _kmv_bigrams(docs: DataFrame) -> DataFrame:
+    """Row-local (source, b, hv) bigram stream — works on batch AND
+    streaming frames (no distinct; KMV state dedups by set semantics)."""
     toks = docs.select("source", F.split("text", " ").alias("ts"))
-    bg = (
-        toks.filter(F.size("ts") >= 2)
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(ts) - 2),"
-                    " i -> ts[i] || ' ' || ts[i + 1])"
-                )
-            ).alias("b"),
-        )
-        .distinct()
+    bg = toks.filter(F.size("ts") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2),"
+                " i -> ts[i] || ' ' || ts[i + 1])"
+            )
+        ).alias("b"),
     )
     hv = F.conv(
         F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("b"))), 1, 15), 16, 10
     ).cast("long")
     return bg.select("source", "b", hv.alias("hv"))
+
+
+def _kmv_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, bigram) keys with their 60-bit md5 hash — the
+    shared input of the KMV sketches (q132 cardinality, q133 overlap)."""
+    return _kmv_bigrams(load(spark, sf_dir, "documents")).distinct()
 
 
 def _kmv_manifests(keyed: DataFrame) -> DataFrame:
@@ -608,6 +610,23 @@ def _kmv_manifests(keyed: DataFrame) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count("*").over(wfull).alias("src_n"),
     ).filter(F.col("rn") <= _Q132_K)
+
+
+def _kmv_finish(df: DataFrame) -> DataFrame:
+    """(source, kth, n_man, n_true) → the KMV output contract: estimator
+    when the manifest is full, exact count when it holds everything."""
+    est_raw = F.when(
+        F.col("n_man") >= F.lit(_Q132_K), F.lit(_Q132_NUMER) / F.col("kth")
+    ).otherwise(F.col("n_man").cast("double"))
+    return df.select(
+        "source",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("kth").cast("long").alias("kth_hash"),
+        F.round(est_raw, 2).alias("est_distinct"),
+        F.round(
+            (est_raw - F.col("n_true")) / F.col("n_true") * F.lit(100.0), 2
+        ).alias("err_pct"),
+    ).orderBy("source")
 
 
 def q132_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,27 +650,14 @@ def q132_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("source"), "kth", "n_man", "n_true"
     )
     unioned = per_src.select("source", "kth", "n_man", "n_true").unionByName(allrow)
-    est_raw = F.when(
-        F.col("n_man") >= F.lit(_Q132_K), F.lit(_Q132_NUMER) / F.col("kth")
-    ).otherwise(F.col("n_man").cast("double"))
-    return (
-        unioned.select(
-            "source",
-            F.col("n_true").cast("long").alias("n_true"),
-            F.col("kth").cast("long").alias("kth_hash"),
-            F.round(est_raw, 2).alias("est_distinct"),
-            F.round(
-                (est_raw - F.col("n_true")) / F.col("n_true") * F.lit(100.0), 2
-            ).alias("err_pct"),
-        )
-        .orderBy("source")
-    )
+    return _kmv_finish(unioned)
 
 
 _Q132_HV = _hex2int_sql("md5('kmv:' || b)", 1, 15)
 
-Q132_SQL = f"""
-WITH t AS (
+# per-source CTE chain shared by the batch (q132) and streaming (q135)
+# oracles — both must rank the same keyed set the same way
+_KMV_SRC_CTES = f"""WITH t AS (
     SELECT source, str_split(text, ' ') AS ws FROM documents
 ),
 bg AS (
@@ -672,7 +678,9 @@ src_man AS (
 ),
 src_truth AS (
     SELECT source, count(*) AS n_true FROM keyed GROUP BY source
-),
+)"""
+
+Q132_SQL = _KMV_SRC_CTES + f""",
 g_keyed AS (SELECT DISTINCT b, hv FROM keyed),
 g_ranked AS (
     SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM g_keyed
@@ -988,6 +996,114 @@ ORDER BY depth
 """
 
 
+# ---------------------------------------------------------------------------
+# q135 — KMV manifests as STREAMING STATE (the KMV twin of q124's stream
+# HLL): per-source bottom-k held in ``applyInPandasWithState``, so a
+# stream tracks per-source distinct cardinality with state bounded at k
+# longs per source FOREVER — where exact streaming count-distinct state
+# grows with the cardinality itself. Each micro-batch set-unions its
+# hashes into the manifest and re-truncates to k; duplicate bigrams
+# across batches collapse by set semantics (redelivery-idempotent), and
+# the per-batch emissions reduce deterministically to the final state:
+# n_man only grows, and AT the maximal n_man the kth is minimal — below
+# k the manifest is the exact set (same n_man ⇒ same set ⇒ same kth;
+# note kth GROWS while the manifest is filling, so a bare min(kth) would
+# resurrect an early partial state), and at n_man = k the bottom-k only
+# improves, so kth only decreases. max(struct(n_man, −kth)) over the
+# append stream therefore IS the final manifest summary. The oracle
+# computes the same per-source rows
+# directly from the raw table (shared CTE chain with q132): a green row
+# proves stream-accumulated state ≡ batch sketch.
+#
+# Shape at scale: bigram+hash is row-local pre-state; the only wide op
+# is the groupBy(source) state shuffle. Unlike the batch path there is
+# no distinct pass — the state set IS the dedup, bounded at k.
+# ---------------------------------------------------------------------------
+_KMV_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("kth", LongType()),
+        StructField("n_man", LongType()),
+    ]
+)
+_KMV_STATE_SCHEMA = StructType([StructField("hs", ArrayType(LongType()))])
+
+
+def _kmv_state_group(
+    key: tuple, pdfs: "Iterable[pd.DataFrame]", state: "GroupState"
+) -> "Iterator[pd.DataFrame]":
+    import pandas as pd
+
+    (source,) = key
+    new = {int(x) for pdf in pdfs for x in pdf["hv"].tolist()}
+    cur = set(state.get[0]) if state.exists else set()
+    cur |= new
+    if not cur:
+        return
+    man = sorted(cur)[: _Q132_K]
+    state.update((man,))
+    yield pd.DataFrame(
+        {"source": [source], "kth": [man[-1]], "n_man": [len(man)]}
+    )
+
+
+def q135_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .streaming_plans import _drain_to_memory
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+
+    def transform(st):
+        return (
+            _kmv_bigrams(st)
+            .select("source", "hv")
+            .groupBy("source")
+            .applyInPandasWithState(
+                _kmv_state_group,
+                outputStructType=_KMV_OUT_SCHEMA,
+                stateStructType=_KMV_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    drained = _drain_to_memory(docs, transform, "q135_kmv", output_mode="append")
+    final = (
+        drained.groupBy("source")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_man"), (-F.col("kth")).alias("neg_kth")
+                )
+            ).alias("s")
+        )
+        .select(
+            "source",
+            F.col("s.n_man").alias("n_man"),
+            (-F.col("s.neg_kth")).alias("kth"),
+        )
+    )
+    truth = _kmv_keyed(spark, sf_dir).groupBy("source").agg(
+        F.count("*").alias("n_true")
+    )
+    return _kmv_finish(final.join(truth, "source"))
+
+
+Q135_SQL = _KMV_SRC_CTES + f"""
+SELECT s.source,
+       CAST(s.n_true AS BIGINT) AS n_true,
+       CAST(m.kth AS BIGINT) AS kth_hash,
+       round(CASE WHEN m.n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / m.kth
+                  ELSE CAST(m.n_man AS DOUBLE) END, 2) AS est_distinct,
+       round((CASE WHEN m.n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / m.kth
+                   ELSE CAST(m.n_man AS DOUBLE) END - s.n_true)
+             / s.n_true * 100.0, 2) AS err_pct
+FROM src_truth s JOIN src_man m USING (source)
+ORDER BY s.source
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -1008,4 +1124,6 @@ QUERIES = [
           survey="ext:kmv-sketch,ext:dataset-lineage", tags=("bench",)),
     Query("q134_countsketch_f2", q134_countsketch_f2, Q134_SQL,
           survey="ext:countsketch-f2,ext:countmin-sketch", tags=("bench",)),
+    Query("q135_stream_kmv", q135_stream_kmv, Q135_SQL,
+          survey="ext:kmv-sketch,ST6,ST1"),
 ]

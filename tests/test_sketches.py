@@ -411,3 +411,72 @@ def test_cs_f2_median_tracks_exact(spark):
     # the median row really is the median of the depth rows
     depth_ests = sorted(out[d].f2_est for d in range(CS_DEPTH))
     assert med.f2_est == depth_ests[CS_DEPTH // 2]
+
+
+def test_kmv_stream_state_accumulates_across_microbatches(spark, tmp_path):
+    """q135's contract at the seam the single-batch drain can hide: with
+    maxFilesPerTrigger=1 the state stage sees the corpus over several
+    micro-batches — with deliberately OVERLAPPING bigrams across batches
+    (cross-batch set-union dedup must hold) — and the min(kth)/max(n_man)
+    reduction of the append emissions must equal the batch-built
+    manifests over the union."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _KMV_OUT_SCHEMA,
+        _KMV_STATE_SCHEMA,
+        _kmv_bigrams,
+        _kmv_manifests,
+        _kmv_state_group,
+    )
+
+    rows_a = [(0, "a b c d e f g", "en", "s0", 13), (1, "q r s t u v", "en", "s1", 11)]
+    rows_b = [(2, "c d e x y z", "en", "s0", 11), (3, "q r s w", "en", "s1", 7)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+    batch_all = spark.createDataFrame(rows_a + rows_b, schema)
+
+    stream = (
+        spark.readStream.schema(batch_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        _kmv_bigrams(stream)
+        .select("source", "hv")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _kmv_state_group,
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("kmv_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("kmv_mb").toPandas()
+    spark.catalog.dropTempView("kmv_mb")
+    # several emissions per source prove multi-batch state updates ran
+    assert len(drained) > drained.source.nunique()
+    # final state = kth AT the maximal n_man (kth grows while the
+    # manifest fills; it only decreases once full) — q135's reduction
+    final = {}
+    for s, g in drained.groupby("source"):
+        at_max = g[g.n_man == g.n_man.max()]
+        final[s] = (at_max.kth.min(), int(g.n_man.max()))
+    man = (
+        _kmv_manifests(_kmv_bigrams(batch_all).distinct())
+        .groupBy("source")
+        .agg(F.max("hv").alias("kth"), F.count("*").alias("n_man"))
+        .collect()
+    )
+    expected = {r.source: (r.kth, r.n_man) for r in man}
+    assert final == expected
