@@ -787,9 +787,17 @@ def q119_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_tokens",
         "max_tokens",
         F.round(mean, 4).alias("mean_tokens"),
-        F.round(F.sqrt(F.col("ss") / F.col("n_docs") - mean * mean), 4).alias(
-            "std_tokens"
-        ),
+        # greatest(·, 0): a zero-variance group can land a hair below 0
+        # from float rounding — clamp so std is 0, never NaN (q131's
+        # m2 > 0 guard, mirrored here)
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("ss") / F.col("n_docs") - mean * mean, F.lit(0.0)
+                )
+            ),
+            4,
+        ).alias("std_tokens"),
     )
 
 
@@ -803,8 +811,8 @@ SELECT lang,
        CAST(min(nt) AS BIGINT) AS min_tokens,
        CAST(max(nt) AS BIGINT) AS max_tokens,
        round(sum(nt) / count(*), 4) AS mean_tokens,
-       round(sqrt(sum(nt * nt) / count(*)
-                  - (sum(nt) / count(*)) * (sum(nt) / count(*))), 4) AS std_tokens
+       round(sqrt(greatest(sum(nt * nt) / count(*)
+                  - (sum(nt) / count(*)) * (sum(nt) / count(*)), 0)), 4) AS std_tokens
 FROM toks
 GROUP BY lang
 ORDER BY lang

@@ -681,13 +681,13 @@ src_truth AS (
 )"""
 
 Q132_SQL = _KMV_SRC_CTES + f""",
-g_keyed AS (SELECT DISTINCT b, hv FROM keyed),
+g_keyed AS (SELECT DISTINCT hv FROM keyed),
 g_ranked AS (
     SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM g_keyed
 ),
 g_row AS (
     SELECT 'ALL' AS source, max(hv) AS kth, count(*) AS n_man,
-           (SELECT count(*) FROM g_keyed) AS n_true
+           (SELECT count(DISTINCT b) FROM keyed) AS n_true
     FROM g_ranked WHERE rn <= {_Q132_K}
 ),
 unioned AS (
@@ -907,10 +907,17 @@ ORDER BY s.src_a, s.src_b
 # the exact F2 rides alongside, so estimator error is data, not prose.
 #
 # Determinism: the whole pipeline is integer arithmetic — signs, cells,
-# signed sums, squares (accumulated in DECIMAL(38,0)/HUGEINT: cell
-# squares hit ~1e28 at 100 TB token counts, far past int64), the exact
-# LIMIT-3 median with depth tie-break — floats appear only in the final
-# err_pct division of two exact int64s.
+# signed sums, squares, the LIMIT-3 median with depth tie-break — all
+# carried in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) END TO END,
+# including the OUTPUT columns: cell squares hit ~1e28 at 100 TB token
+# counts, far past int64, so a BIGINT cast anywhere (even at the output
+# boundary) would null (Spark non-ANSI) or error (DuckDB) exactly when
+# the sketch matters most. f2_est/f2_exact are emitted as DOUBLE — at
+# test scale every value is < 2^53 so the conversion is exact; at 100 TB
+# a correctly-rounded 15-digit double is the right contract for an
+# ESTIMATOR readout (the median SELECTION still happens on the exact
+# decimals, so rounding can never change which depth wins). err_pct is
+# the same double expression tree on both engines.
 #
 # Shape at scale: the grid builds off the DISTINCT-word rollup
 # (Zipf-bounded input, map-side combined), lands at depth×width ≈ 2,560
@@ -930,11 +937,11 @@ def q134_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counters = cs_build(vocab, "w", "c")
     cc = F.col("cnt").cast("decimal(19,0)")
-    per_depth = counters.groupBy("d").agg(
-        F.sum(cc * cc).cast("long").alias("f2_est")
-    )
+    # stay in decimal(38,0) through the median selection — only the
+    # final readout converts to double (exact below 2^53; see header)
+    per_depth = counters.groupBy("d").agg(F.sum(cc * cc).alias("f2_est"))
     xc = F.col("c").cast("decimal(19,0)")
-    exact = vocab.agg(F.sum(xc * xc).cast("long").alias("f2_exact"))
+    exact = vocab.agg(F.sum(xc * xc).alias("f2_exact"))
     med = (
         per_depth.orderBy("f2_est", "d")
         .limit((CS_DEPTH + 1) // 2)
@@ -944,17 +951,16 @@ def q134_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = per_depth.select(
         F.col("d").cast("int").alias("d"), "f2_est"
     ).unionByName(med)
+    est_d = F.col("f2_est").cast("double")
+    exact_d = F.col("f2_exact").cast("double")
     return (
         rows.crossJoin(F.broadcast(exact))
         .select(
             F.col("d").alias("depth"),
-            "f2_est",
-            "f2_exact",
+            est_d.alias("f2_est"),
+            exact_d.alias("f2_exact"),
             F.round(
-                (F.col("f2_est") - F.col("f2_exact"))
-                / F.col("f2_exact")
-                * F.lit(100.0),
-                2,
+                (est_d - exact_d) / exact_d * F.lit(100.0), 2
             ).alias("err_pct"),
         )
         .orderBy("depth")
@@ -977,20 +983,23 @@ cells AS (
 ),
 counters AS (SELECT d, col, sum(sc) AS cnt FROM cells GROUP BY d, col),
 per_depth AS (
-    SELECT d, CAST(sum(cnt * cnt) AS BIGINT) AS f2_est FROM counters GROUP BY d
+    SELECT d, sum(cnt * cnt) AS f2_est FROM counters GROUP BY d
 ),
 med AS (
     SELECT -1 AS d, max(f2_est) AS f2_est FROM (
-        SELECT f2_est FROM per_depth ORDER BY f2_est, d LIMIT {(CS_DEPTH + 1) // 2}
+        SELECT d, f2_est FROM per_depth ORDER BY f2_est, d LIMIT {(CS_DEPTH + 1) // 2}
     )
 ),
 rows_ AS (
     SELECT CAST(d AS INTEGER) AS d, f2_est FROM per_depth
     UNION ALL SELECT d, f2_est FROM med
 ),
-ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM vocab)
-SELECT r.d AS depth, r.f2_est, e.f2_exact,
-       round((r.f2_est - e.f2_exact) / e.f2_exact * 100.0, 2) AS err_pct
+ex AS (SELECT sum(c * c) AS f2_exact FROM vocab)
+SELECT r.d AS depth,
+       CAST(r.f2_est AS DOUBLE) AS f2_est,
+       CAST(e.f2_exact AS DOUBLE) AS f2_exact,
+       round((CAST(r.f2_est AS DOUBLE) - CAST(e.f2_exact AS DOUBLE))
+             / CAST(e.f2_exact AS DOUBLE) * 100.0, 2) AS err_pct
 FROM rows_ r CROSS JOIN ex e
 ORDER BY depth
 """

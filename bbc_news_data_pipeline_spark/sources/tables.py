@@ -38,13 +38,19 @@ def _ensure_utc_session(spark: SparkSession) -> None:
     # get_spark() already sets this at build time; this guard exists for
     # externally-built sessions (the driver harness) and only mutates when
     # the zone is actually wrong, so repeated load() calls are no-ops.
+    from pyspark.errors import PySparkException
+
     try:
         current = spark.conf.get("spark.sql.session.timeZone", "")
-    except Exception:
+    except PySparkException:
         # Spark 4 VALIDATES the fallback value when the key is unset in
         # the session conf — conf.get(key, "") throws INVALID_CONF_VALUE
-        # on a session that never set a zone (the exact case this guard
-        # exists for). Treat "cannot even read it" as "not UTC".
+        # (an IllegalArgumentException, a PySparkException subclass) on a
+        # session that never set a zone — the exact case this guard
+        # exists for. Treat "unset" as "not UTC". Deliberately NARROW:
+        # an unrelated failure (e.g. stopped SparkContext raises a py4j
+        # error, not a PySparkException) propagates from the read itself
+        # rather than resurfacing as a confusing conf.set failure.
         current = ""
     if current != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
