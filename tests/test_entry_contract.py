@@ -54,6 +54,80 @@ def test_driver_window_prioritizes_unverified():
         )
 
 
+def test_driver_window_rework_awareness():
+    """A query whose plan source changed AFTER its last green stamp must
+    sort to the front (priority −1) exactly like a red one — the round-5
+    judge finding: q40/q41/... were reworked after their r3–r4 stamps
+    and waited out blind rotation. Synthetic history + hash snapshots
+    exercise every branch of the priority function."""
+    from types import SimpleNamespace
+
+    qs = [SimpleNamespace(name=n) for n in ("a", "b", "c", "d", "e")]
+    history = (
+        # last_green: a@2, b@2, c@3, d never green, e@3
+        {"a": 2, "b": 2, "c": 3, "e": 3},
+        # last_attempt: d red at 3 (attempt newer than its green=never)
+        {"a": 2, "b": 2, "c": 3, "d": 3, "e": 3},
+    )
+    # snapshots: round-3 snapshot attests a/b/c/e; b's hash changed since
+    snapshots = {3: {"a": "h_a", "b": "h_b_OLD", "c": "h_c", "e": "h_e"}}
+    current = {"a": "h_a", "b": "h_b_NEW", "c": "h_c", "d": "h_d", "e": "h_e"}
+
+    ordered = [
+        q.name
+        for q in E._driver_window_order(
+            qs, history=history, snapshots=snapshots, current=current
+        )
+    ]
+    # b (reworked since stamp) and d (red) tie at −1, canonical order
+    # breaks the tie; then a (green@2, unchanged), then c/e (green@3).
+    assert ordered == ["b", "d", "a", "c", "e"]
+
+    # a green stamp with NO covering snapshot is unknown provenance → −1
+    ordered2 = [
+        q.name
+        for q in E._driver_window_order(
+            qs, history=history, snapshots={}, current=current
+        )
+    ]
+    assert ordered2 == ["a", "b", "c", "d", "e"]  # everyone at −1 → canonical
+
+    # hash infrastructure absent entirely → degrade to stamp-age ordering
+    ordered3 = [
+        q.name
+        for q in E._driver_window_order(qs, history=history, snapshots={}, current={})
+    ]
+    assert ordered3 == ["d", "a", "b", "c", "e"]
+
+
+def test_query_hash_snapshot_current():
+    """QUERY_HASHES.json must attest the registry at HEAD for the LATEST
+    snapshot round... except for queries deliberately reworked mid-round
+    (those must sort to the driver window front instead). This test pins
+    the invariant the artifact-refresh checklist relies on: every
+    registry query appears in the latest snapshot OR is prioritized
+    into the window's −1 tier."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from query_hashes import current_hashes, load_snapshots
+
+    snaps = load_snapshots()
+    assert snaps, "QUERY_HASHES.json missing or empty"
+    latest = snaps[max(snaps)]
+    current = current_hashes()
+    ordered = list(E.queries())
+    stale = [n for n in current if latest.get(n) != current[n]]
+    if stale:
+        # reworked/new queries must occupy a contiguous window-front slice
+        front = ordered[: len(stale) + sum(1 for n in ordered if n not in latest)]
+        missing_from_front = [n for n in stale if n not in front]
+        assert not missing_from_front, (
+            f"queries reworked since snapshot r{max(snaps)} but not "
+            f"prioritized: {missing_from_front}"
+        )
+
+
 def test_every_oracle_parses_in_duckdb(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
