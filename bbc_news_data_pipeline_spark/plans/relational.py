@@ -801,6 +801,100 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q136 — keyed MERGE/upsert snapshot-diff classification (ext; SURVEY ST5's
+# "allow updates via Delta MERGE" design decision, the UPDATE half that S9's
+# insert-if-absent — reference pipelines.py:38-44, re-crawl SKIPS changed
+# articles — deliberately lacks). This query certifies the RELATIONAL
+# semantics of sources/sinks.py:merge_upsert: the merged snapshot is
+# anti-join survivors ∪ incoming batch (exactly the operator's plan), and
+# every key classifies as
+#   insert       — in the batch, absent from the base snapshot
+#   update       — in both, value changed (batch wins)
+#   noop_update  — in both, value identical (MERGE rewrote it, content same)
+#   carry        — base only, survives untouched.
+# Base = orders keys ∉ 7ℤ (value o_custkey); batch = keys ∈ 3ℤ with value
+# perturbed (+17) on odd keys only, so all four classes are populated at
+# every SF. Output is the per-class count / value-sum / key-range — the
+# audit row a production MERGE job emits per run. The disk-level operator
+# (partition-scoped dynamic-overwrite rewrite, crash-safe swap, duplicate-
+# key refusal) is exercised in tests/test_sinks.py.
+#
+# Shape at scale: one broadcast-able anti join + one left join on the key
+# (both shuffle-on-key if the batch outgrows broadcast; AQE decides), one
+# 4-group aggregate. All-integer values — no float hazard.
+# ---------------------------------------------------------------------------
+def q136_merge_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    base = orders.filter(k % 7 != 0).select(
+        k.alias("k"), F.col("o_custkey").cast("long").alias("v")
+    )
+    delta = orders.filter(k % 3 == 0).select(
+        k.alias("k"),
+        F.when(k % 2 == 0, F.col("o_custkey").cast("long"))
+        .otherwise(F.col("o_custkey").cast("long") + 17)
+        .alias("v"),
+    )
+    survivors = base.join(delta.select("k"), "k", "left_anti")
+    merged = survivors.withColumn("src", F.lit("base")).unionByName(
+        delta.withColumn("src", F.lit("delta"))
+    )
+    bvals = base.select("k", F.col("v").alias("v_base"))
+    status = (
+        F.when(F.col("src") == "base", F.lit("carry"))
+        .when(F.col("v_base").isNull(), F.lit("insert"))
+        .when(F.col("v") == F.col("v_base"), F.lit("noop_update"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        merged.join(bvals, "k", "left")
+        .select("k", "v", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("v").cast("long").alias("sum_val"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+Q136_SQL = """
+WITH base AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS v
+    FROM orders WHERE o_orderkey % 7 <> 0
+),
+delta AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS BIGINT)
+                ELSE CAST(o_custkey AS BIGINT) + 17 END AS v
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+merged AS (
+    SELECT b.k, b.v, 'base' AS src FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.k = b.k)
+    UNION ALL
+    SELECT k, v, 'delta' AS src FROM delta
+),
+cls AS (
+    SELECT m.k, m.v,
+           CASE WHEN m.src = 'base' THEN 'carry'
+                WHEN b.v IS NULL THEN 'insert'
+                WHEN m.v = b.v THEN 'noop_update'
+                ELSE 'update' END AS status
+    FROM merged m LEFT JOIN base b ON b.k = m.k
+)
+SELECT status,
+       count(*) AS n_keys,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       min(k) AS min_key,
+       max(k) AS max_key
+FROM cls GROUP BY status ORDER BY status
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
@@ -830,4 +924,6 @@ QUERIES = [
     Query("q26_top_suppliers_per_region", q26_top_suppliers_per_region, Q26_SQL, survey="J1,W3,T4"),
     Query("q86_regional_revenue", q86_regional_revenue, Q86_SQL,
           survey="J1,A3,P9,ext:star-join", tags=("bench",)),
+    Query("q136_merge_upsert_classify", q136_merge_upsert_classify, Q136_SQL,
+          survey="ext:merge-upsert,ST5,S9,J2", tags=("bench",)),
 ]

@@ -27,6 +27,81 @@ def test_keyed_append_insert_if_absent(spark, links, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    stats = sinks.merge_upsert(spark, base, path, "k")
+    assert stats == {"inserted": 3, "updated": 0, "partitions_rewritten": None}
+
+    delta = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    stats = sinks.merge_upsert(spark, delta, path, "k")
+    assert stats == {"inserted": 1, "updated": 1, "partitions_rewritten": None}
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    # idempotent re-run: same batch → all keys now match, content stable
+    stats = sinks.merge_upsert(spark, delta, path, "k")
+    assert stats == {"inserted": 0, "updated": 2, "partitions_rewritten": None}
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == got
+
+
+def test_merge_upsert_rejects_duplicate_keys(spark, tmp_path):
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        sinks.merge_upsert(spark, dup, str(tmp_path / "t"), "k")
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    import glob
+    import os
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (11, 1, "c"), (12, 1, "d")],
+        "k long, p long, v string",
+    )
+    stats = sinks.merge_upsert(spark, base, path, "k", partition_col="p")
+    assert stats["inserted"] == 4 and stats["partitions_rewritten"] == 2
+
+    untouched_before = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "p=0", "*"))
+    }
+    delta = spark.createDataFrame([(11, 1, "C"), (13, 1, "e")], "k long, p long, v string")
+    stats = sinks.merge_upsert(spark, delta, path, "k", partition_col="p")
+    assert stats == {"inserted": 1, "updated": 1, "partitions_rewritten": 1}
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 11: "C", 12: "d", 13: "e"}
+    # dynamic overwrite must leave the unaffected partition byte-identical
+    untouched_after = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "p=0", "*"))
+    }
+    assert untouched_after == untouched_before
+
+    # idempotent re-run
+    stats = sinks.merge_upsert(spark, delta, path, "k", partition_col="p")
+    assert stats == {"inserted": 0, "updated": 2, "partitions_rewritten": 1}
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == got
+
+
+def test_merge_upsert_crash_recovery(spark, tmp_path):
+    """A crash stranded between the two renames rolls FORWARD (tmp was a
+    complete merged copy); recover_merge runs on entry of the next merge."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    sinks.merge_upsert(spark, base, path, "k")
+    # simulate: merged tmp fully written, path renamed to bak, then crash
+    merged = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    merged.write.mode("overwrite").parquet(f"{path}.merge.tmp")
+    os.rename(path, f"{path}.merge.bak")
+    assert sinks.recover_merge(path) == "rolled_forward"
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == {1: "A", 2: "b"}
+    assert not os.path.exists(f"{path}.merge.bak")
+    shutil.rmtree(path)
+
+
 def test_overwrite_table(spark, links, tmp_path):
     path = str(tmp_path / "t")
     sinks.overwrite_table(links, path)
