@@ -233,3 +233,39 @@ def cs_build(
         .groupBy("d", "col")
         .agg(F.sum("_sc").alias("cnt"))
     )
+
+
+# --- fixed-grid mergeable quantile digest ---------------------------------
+
+GRID_W = 16  # bucket width in value units; max interpolation error = GRID_W
+
+
+def grid_digest(
+    df: DataFrame, value_col: str, width: int = GRID_W, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., bucket, cnt): fixed-grid histogram digest of an integer
+    value column — the mergeable quantile synopsis (the deterministic
+    cousin of t-digest/KLL: a FIXED bucketing agreed a priori, so
+    per-shard digests are compatible by construction and an oracle
+    engine reproduces every bucket exactly). bucket = value div width
+    (exact integer division, engine-portable — never floor(x/w) on
+    doubles). Size is domain/width rows regardless of input cardinality;
+    rank-r quantiles interpolate off the merged cumulative with
+    within-bucket error < width. One map-side-combinable groupBy."""
+    group_cols = group_cols or []
+    b = F.expr(f"CAST({value_col} AS BIGINT) div {width}")
+    return (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_grid_digests(*digests: DataFrame) -> DataFrame:
+    """Merge digests cell-wise (counts add — same contract as cm_build
+    grids and q119 manifests): digest(A ∪ B) ≡ merge(digest(A),
+    digest(B)) because the bucketing is a pure row-local function."""
+    out = digests[0]
+    for d in digests[1:]:
+        out = out.unionByName(d)
+    return out.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))

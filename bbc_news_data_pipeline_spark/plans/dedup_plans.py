@@ -846,6 +846,125 @@ ORDER BY e.id_a, e.id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q139 — PageRank ITERATED TO K=3 with per-step fixed-point
+# re-quantization and a convergence-delta column (round-6 judge task #5:
+# generalize q127's two-chained-Lloyd-steps contract to the iterative
+# graph case). This is the pattern every iterative graph/ML op at 100 TB
+# needs: bounded drift per step, proven per step.
+#
+# The iteration is INTEGER arithmetic end-to-end — ranks live in
+# micro-units (r0 = 1_000_000), each step is
+#   r_{k+1}(v) = 150_000 + (85 · Σ_{u~v} (r_k(u) div deg(u))) div 100
+# i.e. damping 0.85 and the 1/deg spread applied as exact integer
+# floor-divisions. Stronger than q111's qround-after-float: there is NO
+# float anywhere in the recurrence, so cross-engine (and cross-cluster-
+# layout) drift is structurally impossible at ANY K — the re-quantization
+# IS the arithmetic. The oracle unrolls the same three steps as CTEs over
+# the identical capped candidate-pair graph (q46's CTE chain). Output:
+# top-20 nodes by final rank with the full rank trajectory and
+# delta_micro = |r3 − r2| in micro-units — the per-node convergence
+# readout (mass conservation makes it shrink step over step).
+#
+# Shape at scale: each step is ONE shuffle keyed on node id (join rank →
+# spread → combinable sum); the graph (edges, deg) is computed once and
+# lineage-pinned with a lazy localCheckpoint so K references don't
+# re-derive the banding. A production K-to-convergence loop checkpoints
+# each r_k the same way and stops on Σ delta — every step of which stays
+# exactly this oracle-checkable.
+# ---------------------------------------------------------------------------
+_Q139_K = 3
+_Q139_SCALE = 1_000_000
+
+
+def q139_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash_candidates(
+            docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+            max_group=_MAX_GROUP,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=False)  # K step-joins + deg reference this
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False
+    )
+    rank = deg.select(F.col("u").alias("v"), F.lit(_Q139_SCALE).cast("long").alias("r"))
+    trajectory: list[DataFrame] = []
+    for _ in range(_Q139_K):
+        spread = (
+            edges.join(deg, "u")
+            .join(rank.select(F.col("v").alias("u"), "r"), "u")
+            .select("v", F.expr("r div deg").alias("c"))
+        )
+        rank = spread.groupBy("v").agg(
+            (F.lit(150_000) + F.expr("(85 * sum(c)) div 100")).alias("r")
+        )
+        trajectory.append(rank)
+    r1, r2, r3 = trajectory
+    scale_d = F.lit(float(_Q139_SCALE))
+    return (
+        r3.select("v", F.col("r").alias("r3"))
+        .join(r2.select("v", F.col("r").alias("r2")), "v")
+        .join(r1.select("v", F.col("r").alias("r1")), "v")
+        .join(deg.select(F.col("u").alias("v"), "deg"), "v")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("deg").cast("long").alias("deg"),
+            (F.col("r1") / scale_d).alias("rank1"),
+            (F.col("r2") / scale_d).alias("rank2"),
+            (F.col("r3") / scale_d).alias("rank3"),
+            F.abs(F.col("r3") - F.col("r2")).cast("long").alias("delta_micro"),
+        )
+        .orderBy(F.desc("rank3"), F.asc("doc_id"))
+        .limit(_PR_TOPK)
+    )
+
+
+def _q139_step_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT e.v, 150000 + (85 * sum({prev}.r // d.deg)) // 100 AS r
+    FROM edges e
+    JOIN deg d ON d.u = e.u
+    JOIN {prev} ON {prev}.v = e.u
+    GROUP BY e.v
+)"""
+
+
+Q139_SQL = f"""
+WITH {_CAPPED_PAIRS_CTES},
+cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM cand
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM cand
+),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+r0 AS (SELECT u AS v, CAST({_Q139_SCALE} AS BIGINT) AS r FROM deg),
+{_q139_step_sql("r0", "r1")},
+{_q139_step_sql("r1", "r2")},
+{_q139_step_sql("r2", "r3")}
+SELECT r3.v AS doc_id,
+       CAST(d2.deg AS BIGINT) AS deg,
+       r1.r / CAST({_Q139_SCALE} AS DOUBLE) AS rank1,
+       r2.r / CAST({_Q139_SCALE} AS DOUBLE) AS rank2,
+       r3.r / CAST({_Q139_SCALE} AS DOUBLE) AS rank3,
+       CAST(abs(r3.r - r2.r) AS BIGINT) AS delta_micro
+FROM r3
+JOIN r2 ON r2.v = r3.v
+JOIN r1 ON r1.v = r3.v
+JOIN deg d2 ON d2.u = r3.v
+ORDER BY rank3 DESC, doc_id ASC
+LIMIT {_PR_TOPK}
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -865,6 +984,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q111_pagerank_step", q111_pagerank_step, Q111_SQL,
           survey="ext:pagerank-step,ext:dup-clustering"),
+    Query("q139_pagerank_iterations", q139_pagerank_iterations, Q139_SQL,
+          survey="ext:pagerank-step,ext:iterate-to-convergence",
+          tags=("bench",)),
     Query("q113_ngram_novelty", q113_ngram_novelty, Q113_SQL,
           survey="ext:novelty-profile,ext:exact-substring-dedup"),
     Query("q114_minhash_calibration", q114_minhash_calibration, Q114_SQL,

@@ -1113,6 +1113,142 @@ ORDER BY s.source
 """
 
 
+# ---------------------------------------------------------------------------
+# q138 — MERGEABLE fixed-grid quantile digest (round-6 judge task #4: the
+# sketch-family gap — q123 samples, q130 selects, but neither is a
+# mergeable quantile synopsis). The deterministic cousin of t-digest/KLL:
+# a bucketing FIXED a priori (bucket = n_tokens div 16), so per-shard
+# digests are compatible by construction — counts add cell-wise, exactly
+# like q119's manifests and the CMS grid. The plan builds per-(shard)
+# partials (doc_id % 8 standing in for ingest batches), merges ONLY the
+# partials, takes the merged cumulative, and interpolates rank-r
+# quantiles (r = ceil(pct·n/100), exact integer arithmetic). The oracle
+# computes the same grid in ONE pass over the raw table — a green row
+# proves merge-of-partials ≡ single-pass, the q119/q131/q132 contract
+# applied to quantiles.
+#
+# Error is a verified COLUMN, not prose (the q123 discipline): the true
+# rank-r value lives in the selected bucket (cum_prev < r ≤ cum), and the
+# interpolated estimate lives in the same bucket, so |est − exact| <
+# width; `exact` comes from the exact value-histogram cumulative and
+# bound_ok lands in the output for the parity gate to check.
+#
+# Determinism: bucketing, ranks, and bucket selection are integer algebra
+# end-to-end; the only floats are the final interpolation (identical
+# IEEE expression tree both engines, 4dp round) and the abs-err of
+# already-rounded values. The two ORDER BY-only window cumulative sums
+# run over DOMAIN-BOUNDED frames (≤ max_tokens/16 grid rows; ≤ distinct
+# token-counts rows — value-domain-bounded, NOT corpus-bounded), the
+# same bounded-by-construction class as q73/q84/q120 (SCALE.md audit).
+#
+# Shape at scale: one map-side-combinable groupBy per shard batch (in
+# production each ingest batch lands its digest rows in a manifest
+# table), then metadata-sized merges; the exact-histogram side exists
+# only FOR the audit column, exactly like q122's exact distinct count.
+# ---------------------------------------------------------------------------
+_Q138_W = 16
+_Q138_SHARDS = 8
+_Q138_PCTS = (50, 90, 99)
+
+
+def q138_grid_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import grid_digest, merge_grid_digests
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        (F.col("doc_id") % _Q138_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+    )
+    partials = grid_digest(vals, "nt", _Q138_W, group_cols=["shard"])
+    merged = merge_grid_digests(partials.drop("shard"))
+    wcum = Window.orderBy("bucket")
+    cum = merged.select(
+        "bucket", "cnt", F.sum("cnt").over(wcum).cast("long").alias("cum")
+    )
+    total = merged.agg(F.sum("cnt").cast("long").alias("n"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _Q138_PCTS])).alias("pct")
+    )
+    tgt = pcts.crossJoin(F.broadcast(total)).select(
+        "pct", "n", F.expr("(n * pct + 99) div 100").alias("r")
+    )
+    sel = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("pct", "n", "r")
+        .agg(F.min(F.struct("bucket", "cnt", "cum")).alias("s"))
+        .select("pct", "n", "r", "s.bucket", "s.cnt", "s.cum")
+    )
+    hist = vals.groupBy("nt").agg(F.count("*").alias("c1"))
+    hcum = hist.select("nt", F.sum("c1").over(Window.orderBy("nt")).alias("cum1"))
+    exact = (
+        tgt.join(F.broadcast(hcum), F.col("cum1") >= F.col("r"))
+        .groupBy("pct")
+        .agg(F.min("nt").alias("exact"))
+    )
+    frac = (F.col("r") - (F.col("cum") - F.col("cnt"))) / F.col("cnt").cast("double")
+    est = F.round(F.lit(float(_Q138_W)) * (F.col("bucket") + frac), 4)
+    joined = sel.join(exact, "pct").select(
+        "pct", "n", "r", est.alias("est"), "exact"
+    )
+    abs_err = F.round(F.abs(F.col("est") - F.col("exact")), 4)
+    return joined.select(
+        "pct",
+        "n",
+        "r",
+        "est",
+        "exact",
+        abs_err.alias("abs_err"),
+        F.lit(_Q138_W).alias("err_bound"),
+        (F.abs(F.col("est") - F.col("exact")) <= F.lit(float(_Q138_W)))
+        .cast("int")
+        .alias("bound_ok"),
+    ).orderBy("pct")
+
+
+Q138_SQL = f"""
+WITH vals AS (
+    SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS nt FROM documents
+),
+grid AS (SELECT nt // {_Q138_W} AS bucket, count(*) AS cnt FROM vals GROUP BY 1),
+cum AS (
+    SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM grid
+),
+tot AS (SELECT count(*) AS n FROM vals),
+pcts AS (SELECT unnest([{", ".join(str(p) for p in _Q138_PCTS)}]) AS pct),
+tgt AS (SELECT pct, n, (n * pct + 99) // 100 AS r FROM pcts CROSS JOIN tot),
+sel AS (
+    SELECT t.pct, t.n, t.r, min(c.bucket) AS bucket
+    FROM tgt t JOIN cum c ON c.cum >= t.r
+    GROUP BY 1, 2, 3
+),
+selc AS (
+    SELECT s.pct, s.n, s.r, s.bucket, c.cnt, c.cum
+    FROM sel s JOIN cum c USING (bucket)
+),
+hist AS (SELECT nt, count(*) AS c1 FROM vals GROUP BY nt),
+hcum AS (SELECT nt, sum(c1) OVER (ORDER BY nt) AS cum1 FROM hist),
+ex AS (
+    SELECT t.pct, min(h.nt) AS exact
+    FROM tgt t JOIN hcum h ON h.cum1 >= t.r
+    GROUP BY 1
+),
+est_t AS (
+    SELECT s.pct, s.n, s.r,
+           round(CAST({_Q138_W} AS DOUBLE)
+                 * (s.bucket + (s.r - (s.cum - s.cnt)) / CAST(s.cnt AS DOUBLE)),
+                 4) AS est,
+           e.exact
+    FROM selc s JOIN ex e USING (pct)
+)
+SELECT CAST(pct AS INTEGER) AS pct, n, r, est, exact,
+       round(abs(est - exact), 4) AS abs_err,
+       {_Q138_W} AS err_bound,
+       CAST(abs(est - exact) <= CAST({_Q138_W} AS DOUBLE) AS INTEGER) AS bound_ok
+FROM est_t
+ORDER BY pct
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -1135,4 +1271,7 @@ QUERIES = [
           survey="ext:countsketch-f2,ext:countmin-sketch", tags=("bench",)),
     Query("q135_stream_kmv", q135_stream_kmv, Q135_SQL,
           survey="ext:kmv-sketch,ST6,ST1"),
+    Query("q138_grid_quantile_digest", q138_grid_quantile_digest, Q138_SQL,
+          survey="ext:quantile-digest,ext:aqp-quantiles,ext:incremental-stats",
+          tags=("bench",)),
 ]

@@ -280,6 +280,43 @@ def _q110_sql() -> str:
 Q110_SQL = _q110_sql()
 
 
+# ---------------------------------------------------------------------------
+# q137 — stream-stream interval join (streaming/joins.py) drained
+# availableNow against q62's range-join SQL (round-6 judge task #3: the
+# last streaming operator that was pytest-only). BOTH sides of the join
+# arrive as one real Structured Streaming source (split by filter — a
+# supported stream self-join); the join predicate time-bounds each side
+# so Spark can derive state eviction. The drain pushes the watermark far
+# back so no row is evicted mid-replay, making the full drain exactly
+# the batch inequality join the oracle runs; watermark-driven state
+# eviction across micro-batches is exercised separately in
+# tests/test_streaming_joins.py (maxFilesPerTrigger=1).
+# ---------------------------------------------------------------------------
+def q137_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join_streams
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    out = _drain_to_memory(
+        ev,
+        lambda st: interval_join_streams(st, delay="36500 days"),
+        "q137_ij",
+    )
+    return out.select("event_id", "click_id", "user_id", "gap_us").orderBy(
+        "event_id", "click_id"
+    )
+
+
+def _q137_sql() -> str:
+    from .timeseries_plans import Q62_SQL
+
+    return Q62_SQL
+
+
+Q137_SQL = _q137_sql()
+
+
 QUERIES = [
     Query("q50_hourly_windows", q50_hourly_windows, Q50_SQL, survey="ST4,A2"),
     Query("q51_sliding_windows", q51_sliding_windows, Q51_SQL, survey="ST4"),
@@ -288,4 +325,6 @@ QUERIES = [
           survey="ST-ext:stream-incremental-neardup,ext:incremental-dedup"),
     Query("q110_stream_block_dedup", q110_stream_block_dedup, Q110_SQL,
           survey="ST-ext:stream-block-dedup,ext:block-dedup"),
+    Query("q137_stream_interval_join", q137_stream_interval_join, Q137_SQL,
+          survey="ST-ext:stream-interval-join,ext:range-join", tags=("bench",)),
 ]

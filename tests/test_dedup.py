@@ -374,3 +374,68 @@ def test_bloom_hit_expr_matches_probe_and_streams(spark, tmp_path):
     spark.catalog.dropTempView("bloom_stream_hits")
     expect = {i for i, _ in mixed if via_expr.get(i, 0) == 1}
     assert hits == {i for i, k in mixed if i in expect}
+
+
+def test_q139_matches_python_integer_recurrence(spark, sf_dir):
+    """Third independent derivation of the K=3 PageRank trajectory: pull
+    the capped candidate-pair graph once, run the INTEGER recurrence
+    (micro-unit ranks, floor-division damping/spread) in pure Python,
+    and compare the full top-20 output of q139 — every rank at every
+    step, exactly (the recurrence has no float anywhere, so equality is
+    exact, not approximate)."""
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        _MAX_GROUP,
+        _PR_TOPK,
+        _Q139_K,
+        _Q139_SCALE,
+        SHINGLE_K,
+        q139_pagerank_iterations,
+    )
+    from bbc_news_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates(
+            docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+            max_group=_MAX_GROUP,
+        ).select("id_a", "id_b").collect()
+    }
+    out_edges = defaultdict(list)
+    for a, b in pairs:
+        out_edges[a].append(b)
+        out_edges[b].append(a)
+    deg = {u: len(vs) for u, vs in out_edges.items()}
+    rank = {u: _Q139_SCALE for u in deg}
+    traj = []
+    for _ in range(_Q139_K):
+        s = defaultdict(int)
+        for u, vs in out_edges.items():
+            c = rank[u] // deg[u]
+            for v in vs:
+                s[v] += c
+        rank = {v: 150_000 + (85 * sv) // 100 for v, sv in s.items()}
+        traj.append(dict(rank))
+    r1, r2, r3 = traj
+    expected = sorted(
+        (
+            (v, deg[v], r1[v], r2[v], r3[v], abs(r3[v] - r2[v]))
+            for v in r3
+        ),
+        key=lambda t: (-t[4], t[0]),
+    )[:_PR_TOPK]
+
+    got = [
+        (
+            r.doc_id,
+            r.deg,
+            round(r.rank1 * _Q139_SCALE),
+            round(r.rank2 * _Q139_SCALE),
+            round(r.rank3 * _Q139_SCALE),
+            r.delta_micro,
+        )
+        for r in q139_pagerank_iterations(spark, sf_dir).collect()
+    ]
+    assert got == expected

@@ -480,3 +480,55 @@ def test_kmv_stream_state_accumulates_across_microbatches(spark, tmp_path):
     )
     expected = {r.source: (r.kth, r.n_man) for r in man}
     assert final == expected
+
+
+def test_grid_digest_shard_merge(spark):
+    """digest(A ∪ B) ≡ merge(digest(A), digest(B)) — the mergeability
+    contract q138 rests on — and interpolated quantiles off the merged
+    digest sit within one bucket width of the exact rank-r value."""
+    from bbc_news_data_pipeline_spark.operators.sketches import (
+        GRID_W,
+        grid_digest,
+        merge_grid_digests,
+    )
+
+    df = spark.range(0, 2000).select(
+        "id", ((F.col("id") * 7919) % 997).alias("v")
+    )
+    whole = grid_digest(df, "v", GRID_W)
+    a = grid_digest(df.filter(F.col("id") % 2 == 0), "v", GRID_W)
+    b = grid_digest(df.filter(F.col("id") % 2 == 1), "v", GRID_W)
+    merged = merge_grid_digests(a, b)
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    # interpolation error bound: est within GRID_W of the exact rank value
+    rows = sorted((r.bucket, r.cnt) for r in merged.collect())
+    vals = sorted(r.v for r in df.collect())
+    n = len(vals)
+    for pct in (50, 90, 99):
+        r_target = -(-n * pct // 100)  # ceil
+        cum = 0
+        for bucket, cnt in rows:
+            if cum + cnt >= r_target:
+                est = GRID_W * (bucket + (r_target - cum) / cnt)
+                break
+            cum += cnt
+        exact = vals[r_target - 1]
+        assert abs(est - exact) <= GRID_W
+
+
+def test_grid_digest_grouped_partials(spark):
+    """Per-shard partials with group_cols merge to the global digest —
+    the exact plan shape q138 runs."""
+    from bbc_news_data_pipeline_spark.operators.sketches import (
+        grid_digest,
+        merge_grid_digests,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 4).alias("shard"), ((F.col("id") * 31) % 211).alias("v")
+    )
+    partials = grid_digest(df, "v", 8, group_cols=["shard"])
+    merged = merge_grid_digests(partials.drop("shard"))
+    whole = grid_digest(df, "v", 8)
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
