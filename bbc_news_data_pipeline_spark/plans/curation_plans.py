@@ -1119,9 +1119,9 @@ QUERIES = [
     Query("q109_dsir_weights", q109_dsir_weights, Q109_SQL,
           survey="ext:importance-resampling,ext:lm-quality-score"),
     Query("q112_source_overlap", q112_source_overlap, Q112_SQL,
-          survey="ext:dataset-lineage,ext:minhash-lsh"),
+          survey="ext:dataset-lineage,ext:minhash-lsh", tags=("bench",)),
     Query("q116_sequence_packing", q116_sequence_packing, Q116_SQL,
           survey="ext:sequence-packing,ext:shard-packing", tags=("bench",)),
     Query("q120_contrastive_pairs", q120_contrastive_pairs, Q120_SQL,
-          survey="ext:contrastive-pairs,ext:minhash-lsh,ext:hash-sampling"),
+          survey="ext:contrastive-pairs,ext:minhash-lsh,ext:hash-sampling", tags=("bench",)),
 ]

@@ -968,9 +968,9 @@ LIMIT {_PR_TOPK}
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
-    Query("q43_simhash_pairs", q43_simhash_pairs, Q43_SQL, survey="ext:simhash"),
+    Query("q43_simhash_pairs", q43_simhash_pairs, Q43_SQL, survey="ext:simhash", tags=("bench",)),
     Query("q46_minhash_band_candidates", q46_minhash_band_candidates, Q46_SQL,
-          survey="ext:minhash-lsh"),
+          survey="ext:minhash-lsh", tags=("bench",)),
     Query("q91_winnow_fingerprints", q91_winnow_fingerprints, Q91_SQL,
           survey="ext:rolling-hash-fingerprint", tags=("bench",)),
     Query("q94_incremental_neardup", q94_incremental_neardup, Q94_SQL,
@@ -983,12 +983,12 @@ QUERIES = [
           Q105_SQL, survey="ext:bloom-prefilter,ext:incremental-dedup",
           tags=("bench",)),
     Query("q111_pagerank_step", q111_pagerank_step, Q111_SQL,
-          survey="ext:pagerank-step,ext:dup-clustering"),
+          survey="ext:pagerank-step,ext:dup-clustering", tags=("bench",)),
     Query("q139_pagerank_iterations", q139_pagerank_iterations, Q139_SQL,
           survey="ext:pagerank-step,ext:iterate-to-convergence",
           tags=("bench",)),
     Query("q113_ngram_novelty", q113_ngram_novelty, Q113_SQL,
-          survey="ext:novelty-profile,ext:exact-substring-dedup"),
+          survey="ext:novelty-profile,ext:exact-substring-dedup", tags=("bench",)),
     Query("q114_minhash_calibration", q114_minhash_calibration, Q114_SQL,
-          survey="ext:minhash-calibration,ext:jaccard-neardup"),
+          survey="ext:minhash-calibration,ext:jaccard-neardup", tags=("bench",)),
 ]

@@ -801,7 +801,7 @@ QUERIES = [
     Query("q82_standardize_dims", q82_standardize_dims, Q82_SQL,
           survey="ext:feature-scaling"),
     Query("q83_kmeans_step", q83_kmeans_step, Q83_SQL,
-          survey="ext:kmeans-step,ann-ivf-train"),
+          survey="ext:kmeans-step,ann-ivf-train", tags=("bench",)),
     Query("q93_embedding_neardup", q93_embedding_neardup, Q93_SQL,
           survey="ext:embedding-neardup", tags=("bench",)),
     Query("q97_semantic_dedup", q97_semantic_dedup, Q97_SQL,
@@ -810,5 +810,5 @@ QUERIES = [
     Query("q107_power_iteration", q107_power_iteration, Q107_SQL,
           survey="ext:pca-power-step,ext:kmeans-step"),
     Query("q127_kmeans_two_steps", q127_kmeans_two_steps, Q127_SQL,
-          survey="ext:kmeans-step,ann-ivf-train"),
+          survey="ext:kmeans-step,ann-ivf-train", tags=("bench",)),
 ]

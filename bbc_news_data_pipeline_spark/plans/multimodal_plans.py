@@ -108,7 +108,7 @@ ORDER BY doc_id, frame_idx
 """
 
 QUERIES = [
-    Query("q45_media_meta", q45_media_meta, Q45_SQL, survey="ext:multimodal-decode"),
+    Query("q45_media_meta", q45_media_meta, Q45_SQL, survey="ext:multimodal-decode", tags=("bench",)),
     Query("q47_image_resize_plan", q47_image_resize_plan, Q47_SQL,
           survey="ext:multimodal-resize"),
     Query("q48_video_frame_sample", q48_video_frame_sample, Q48_SQL,

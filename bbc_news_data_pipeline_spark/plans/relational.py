@@ -920,7 +920,7 @@ QUERIES = [
     Query("q22_priority_with_heavy_lines", q22_priority_with_heavy_lines, Q22_SQL, survey="J2"),
     Query("q23_cube_events", q23_cube_events, Q23_SQL, survey="A2+cube"),
     Query("q24_json_extract", q24_json_extract, Q24_SQL, survey="F24,F25"),
-    Query("q25_approx_distinct", q25_approx_distinct, Q25_SQL, survey="A13+approx-sketch"),
+    Query("q25_approx_distinct", q25_approx_distinct, Q25_SQL, survey="A13+approx-sketch", tags=("bench",)),
     Query("q26_top_suppliers_per_region", q26_top_suppliers_per_region, Q26_SQL, survey="J1,W3,T4"),
     Query("q86_regional_revenue", q86_regional_revenue, Q86_SQL,
           survey="J1,A3,P9,ext:star-join", tags=("bench",)),

@@ -659,9 +659,9 @@ ORDER BY doc_id
 
 QUERIES = [
     Query("q79_decontamination", q79_decontamination, Q79_SQL,
-          survey="ext:decontamination,J1,E2"),
+          survey="ext:decontamination,J1,E2", tags=("bench",)),
     Query("q128_stream_decon", q128_stream_decon, Q128_SQL,
-          survey="ext:decontamination,ST3,ST6"),
+          survey="ext:decontamination,ST3,ST6", tags=("bench",)),
     Query("q129_cdc_chunks", q129_cdc_chunks, Q129_SQL,
           survey="ext:chunking,ext:exact-dedup", tags=("bench",)),
     Query("q80_bm25_search", q80_bm25_search, Q80_SQL,

@@ -739,12 +739,18 @@ ORDER BY source
 # ---------------------------------------------------------------------------
 
 
-def q133_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # keyed feeds 3 consumers (manifests + exact inter + per-source
-    # counts) and man feeds 3 (two expand branches + source list): lazy
-    # localCheckpoint materializes each once instead of re-running the
-    # distinct / window chains per consumer (q57/q69 policy; man is
-    # ≤ k·|sources| rows, metadata-sized).
+def _kmv_pair_sketch(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared by q133 (overlap) and q141 (difference/containment): per
+    source pair, the merged union KMV sketch — (kth, n_man, n_both,
+    n_a_only, n_b_only) from two k-row manifests — plus the exact
+    (n_inter, nd_a, nd_b) counterparts.
+
+    keyed feeds 3 consumers (manifests + exact inter + per-source
+    counts) and man feeds 3 (two expand branches + source list): lazy
+    localCheckpoint materializes each once instead of re-running the
+    distinct / window chains per consumer (q57/q69 policy; man is
+    ≤ k·|sources| rows, metadata-sized).
+    """
     keyed = _kmv_keyed(spark, sf_dir).localCheckpoint(eager=False)
     man = _kmv_manifests(keyed).localCheckpoint(eager=False)
     srcs = man.select("source").distinct()
@@ -777,9 +783,11 @@ def q133_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hv").alias("kth"),
             F.count("*").alias("n_man"),
             F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+            F.sum(F.col("ia") * (F.lit(1) - F.col("ib"))).alias("n_a_only"),
+            F.sum((F.lit(1) - F.col("ia")) * F.col("ib")).alias("n_b_only"),
         )
     )
-    # exact intersection / Jaccard alongside (error becomes data)
+    # exact intersection / per-source distinct counts alongside
     dw = keyed.select("source", "b")
     inter = (
         dw.alias("x")
@@ -805,9 +813,18 @@ def q133_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nd_b",
         )
     )
-    est_union = F.when(
+    return sk, exact
+
+
+def _kmv_est_union() -> F.Column:
+    return F.when(
         F.col("n_man") >= F.lit(_Q132_K), F.lit(_Q132_NUMER) / F.col("kth")
     ).otherwise(F.col("n_man").cast("double"))
+
+
+def q133_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk, exact = _kmv_pair_sketch(spark, sf_dir)
+    est_union = _kmv_est_union()
     est_j = F.col("n_both") / F.col("n_man")
     return (
         sk.join(exact, ["src_a", "src_b"])
@@ -828,8 +845,9 @@ def q133_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q133_SQL = f"""
-WITH t AS (
+# The pair-sketch CTE chain shared by the q133 and q141 oracles — one
+# text, two finishers, mirroring the shared _kmv_pair_sketch builder.
+_KMV_PAIR_CTES = f"""WITH t AS (
     SELECT source, str_split(text, ' ') AS ws FROM documents
 ),
 bg AS (
@@ -863,7 +881,9 @@ ranked AS (
 ),
 sk AS (
     SELECT src_a, src_b, max(hv) AS kth, count(*) AS n_man,
-           sum(ia * ib) AS n_both
+           sum(ia * ib) AS n_both,
+           sum(ia * (1 - ib)) AS n_a_only,
+           sum((1 - ia) * ib) AS n_b_only
     FROM ranked WHERE rn <= {_Q132_K} GROUP BY src_a, src_b
 ),
 per_src AS (SELECT source, count(*) AS nd FROM keyed GROUP BY source),
@@ -880,7 +900,9 @@ exact AS (
     LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
     JOIN per_src pa ON pa.source = p.src_a
     JOIN per_src pb ON pb.source = p.src_b
-)
+)"""
+
+Q133_SQL = _KMV_PAIR_CTES + f"""
 SELECT s.src_a, s.src_b,
        round(CASE WHEN s.n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / s.kth
                   ELSE CAST(s.n_man AS DOUBLE) END, 2) AS est_union,
@@ -890,6 +912,70 @@ SELECT s.src_a, s.src_b,
                     ELSE CAST(s.n_man AS DOUBLE) END, 2) AS est_inter,
        CAST(e.n_inter AS BIGINT) AS exact_inter,
        round(e.n_inter / (e.nd_a + e.nd_b - e.n_inter), 4) AS exact_jaccard
+FROM sk s JOIN exact e ON e.src_a = s.src_a AND e.src_b = s.src_b
+ORDER BY s.src_a, s.src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q141 — KMV set-DIFFERENCE and containment estimators (the remaining
+# Beyer et al. 2007 multiset operations over the q133 pair sketch): for
+# every source pair, est |A\B| = (n_a_only / n_man) · est_union (and
+# symmetrically |B\A|), plus the containment of B in A — the fraction of
+# B's union-sketch members that A also holds. These are THE incremental-
+# ingest planning numbers at 100 TB: "how many genuinely new keys does
+# source B add over what A already covers?" answered from two k-row
+# synopses instead of an exact anti-join over the corpus. Exact
+# counterparts (nd_a − n_inter etc.) ride alongside per the q126/q133
+# convention, so estimation error is data. The sketch construction and
+# the oracle CTE chain are SHARED with q133 (_kmv_pair_sketch /
+# _KMV_PAIR_CTES) — one derivation, two finishers.
+#
+# The containment denominator (B's union-sketch members) can be zero in
+# the adversarial case where all k smallest union hashes come from A;
+# both engines emit NULL there via the same explicit guard.
+# ---------------------------------------------------------------------------
+def q141_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk, exact = _kmv_pair_sketch(spark, sf_dir)
+    est_union = _kmv_est_union()
+    b_in_union = F.col("n_both") + F.col("n_b_only")
+    cov = F.when(
+        b_in_union > 0, F.col("n_both") / b_in_union
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        sk.join(exact, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("n_a_only") / F.col("n_man") * est_union, 2).alias(
+                "est_a_only"
+            ),
+            F.round(F.col("n_b_only") / F.col("n_man") * est_union, 2).alias(
+                "est_b_only"
+            ),
+            (F.col("nd_a") - F.col("n_inter")).cast("long").alias("exact_a_only"),
+            (F.col("nd_b") - F.col("n_inter")).cast("long").alias("exact_b_only"),
+            F.round(cov, 4).alias("est_cov_b_in_a"),
+            F.round(F.col("n_inter") / F.col("nd_b"), 4).alias("exact_cov_b_in_a"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+Q141_SQL = _KMV_PAIR_CTES + f"""
+SELECT s.src_a, s.src_b,
+       round(s.n_a_only / s.n_man
+             * CASE WHEN s.n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / s.kth
+                    ELSE CAST(s.n_man AS DOUBLE) END, 2) AS est_a_only,
+       round(s.n_b_only / s.n_man
+             * CASE WHEN s.n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / s.kth
+                    ELSE CAST(s.n_man AS DOUBLE) END, 2) AS est_b_only,
+       CAST(e.nd_a - e.n_inter AS BIGINT) AS exact_a_only,
+       CAST(e.nd_b - e.n_inter AS BIGINT) AS exact_b_only,
+       round(CASE WHEN (s.n_both + s.n_b_only) > 0
+                  THEN s.n_both / (s.n_both + s.n_b_only)
+                  ELSE NULL END, 4) AS est_cov_b_in_a,
+       round(e.n_inter / e.nd_b, 4) AS exact_cov_b_in_a
 FROM sk s JOIN exact e ON e.src_a = s.src_a AND e.src_b = s.src_b
 ORDER BY s.src_a, s.src_b
 """
@@ -1151,16 +1237,13 @@ _Q138_SHARDS = 8
 _Q138_PCTS = (50, 90, 99)
 
 
-def q138_grid_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import grid_digest, merge_grid_digests
-
-    docs = load(spark, sf_dir, "documents")
-    vals = docs.select(
-        (F.col("doc_id") % _Q138_SHARDS).alias("shard"),
-        F.size(F.split("text", " ")).cast("long").alias("nt"),
-    )
-    partials = grid_digest(vals, "nt", _Q138_W, group_cols=["shard"])
-    merged = merge_grid_digests(partials.drop("shard"))
+def _grid_quantile_finish(spark, merged: DataFrame, vals: DataFrame) -> DataFrame:
+    """Shared quantile finisher over a (bucket, cnt) digest: merged
+    cumulative → rank-r bucket selection (min-struct, deterministic) →
+    within-bucket interpolation, next to the exact order statistic from
+    ``vals``'s value histogram with the verified error-bound columns.
+    Consumed by q138 (batch shard merge) and q140 (streaming state) so
+    the two paths cannot drift arithmetically."""
     wcum = Window.orderBy("bucket")
     cum = merged.select(
         "bucket", "cnt", F.sum("cnt").over(wcum).cast("long").alias("cum")
@@ -1203,6 +1286,19 @@ def q138_grid_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bound_ok"),
     ).orderBy("pct")
+
+
+def q138_grid_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import grid_digest, merge_grid_digests
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        (F.col("doc_id") % _Q138_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+    )
+    partials = grid_digest(vals, "nt", _Q138_W, group_cols=["shard"])
+    merged = merge_grid_digests(partials.drop("shard"))
+    return _grid_quantile_finish(spark, merged, vals)
 
 
 Q138_SQL = f"""
@@ -1249,6 +1345,44 @@ ORDER BY pct
 """
 
 
+# ---------------------------------------------------------------------------
+# q140 — the grid quantile digest as REAL STREAMING STATE: completes the
+# "every mergeable sketch is also proven as streaming state" family
+# (HLL → q124, KMV → q135, digest → here). The digest build —
+# groupBy(bucket).count() — is an algebraic streaming aggregation whose
+# state is bounded at domain/width rows FOREVER, so quantile tracking
+# over an unbounded ingest feed costs O(grid) state where an exact
+# streaming quantile would buffer the whole value stream. The drained
+# registers feed the IDENTICAL finisher as q138 (shared
+# _grid_quantile_finish — the two paths cannot drift arithmetically),
+# and the oracle IS q138's single-pass SQL: a green row proves
+# stream-built state ≡ batch digest ≡ direct computation, the ST6
+# contract applied to quantiles. Multi-micro-batch accumulation (the
+# q135 lesson: single-batch drains hide state-reduction bugs) is
+# exercised with maxFilesPerTrigger=1 in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+def q140_stream_grid_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import grid_digest
+    from .streaming_plans import _drain_to_memory
+
+    docs = load(spark, sf_dir, "documents").select("text")
+
+    def digest_stream(st):
+        nt = st.select(F.size(F.split("text", " ")).cast("long").alias("nt"))
+        return grid_digest(nt, "nt", _Q138_W)
+
+    merged = _drain_to_memory(
+        docs, digest_stream, "q140_digest", output_mode="complete"
+    ).select("bucket", F.col("cnt").cast("long").alias("cnt"))
+    vals = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("nt")
+    )
+    return _grid_quantile_finish(spark, merged, vals)
+
+
+Q140_SQL = Q138_SQL  # identical output contract: stream state ≡ batch digest
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -1257,11 +1391,11 @@ QUERIES = [
     Query("q123_sampled_quantiles", q123_sampled_quantiles, Q123_SQL,
           survey="ext:aqp-quantiles,ext:hash-sampling,ext:percentiles", tags=("bench",)),
     Query("q124_stream_hll", q124_stream_hll, Q124_SQL,
-          survey="ext:hll-cardinality,ST6,ST1"),
+          survey="ext:hll-cardinality,ST6,ST1", tags=("bench",)),
     Query("q125_cms_heavy_verify", q125_cms_heavy_verify, Q125_SQL,
           survey="ext:countmin-sketch,ext:heavy-hitters,A12"),
     Query("q126_hll_source_overlap", q126_hll_source_overlap, Q126_SQL,
-          survey="ext:hll-cardinality,ext:dataset-lineage"),
+          survey="ext:hll-cardinality,ext:dataset-lineage", tags=("bench",)),
     Query("q132_kmv_distinct", q132_kmv_distinct, Q132_SQL,
           survey="ext:kmv-sketch,ext:aqp-quantiles,ext:incremental-stats",
           tags=("bench",)),
@@ -1270,8 +1404,13 @@ QUERIES = [
     Query("q134_countsketch_f2", q134_countsketch_f2, Q134_SQL,
           survey="ext:countsketch-f2,ext:countmin-sketch", tags=("bench",)),
     Query("q135_stream_kmv", q135_stream_kmv, Q135_SQL,
-          survey="ext:kmv-sketch,ST6,ST1"),
+          survey="ext:kmv-sketch,ST6,ST1", tags=("bench",)),
     Query("q138_grid_quantile_digest", q138_grid_quantile_digest, Q138_SQL,
           survey="ext:quantile-digest,ext:aqp-quantiles,ext:incremental-stats",
+          tags=("bench",)),
+    Query("q140_stream_grid_digest", q140_stream_grid_digest, Q140_SQL,
+          survey="ext:quantile-digest,ST6,ST1", tags=("bench",)),
+    Query("q141_kmv_difference", q141_kmv_difference, Q141_SQL,
+          survey="ext:kmv-sketch,ext:dataset-lineage,ext:incremental-dedup",
           tags=("bench",)),
 ]

@@ -320,11 +320,11 @@ Q137_SQL = _q137_sql()
 QUERIES = [
     Query("q50_hourly_windows", q50_hourly_windows, Q50_SQL, survey="ST4,A2"),
     Query("q51_sliding_windows", q51_sliding_windows, Q51_SQL, survey="ST4"),
-    Query("q52_stream_sessions", q52_stream_sessions, Q52_SQL, survey="ST-ext:stateful-sessions"),
+    Query("q52_stream_sessions", q52_stream_sessions, Q52_SQL, survey="ST-ext:stateful-sessions", tags=("bench",)),
     Query("q96_stream_neardup", q96_stream_neardup, Q96_SQL,
-          survey="ST-ext:stream-incremental-neardup,ext:incremental-dedup"),
+          survey="ST-ext:stream-incremental-neardup,ext:incremental-dedup", tags=("bench",)),
     Query("q110_stream_block_dedup", q110_stream_block_dedup, Q110_SQL,
-          survey="ST-ext:stream-block-dedup,ext:block-dedup"),
+          survey="ST-ext:stream-block-dedup,ext:block-dedup", tags=("bench",)),
     Query("q137_stream_interval_join", q137_stream_interval_join, Q137_SQL,
           survey="ST-ext:stream-interval-join,ext:range-join", tags=("bench",)),
 ]

@@ -24,6 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bbc_news_data_pipeline_spark import get_spark
 from bbc_news_data_pipeline_spark.plans import all_queries
 
+# Quiet-machine reference value for the calibration probe (the round-5
+# committed baseline run, see SCALE.md): each BENCH artifact rescales its
+# own timings by (REF / this run's calibration) into `queries_norm` /
+# `value_norm`, so artifacts from different rounds/machines compare
+# DIRECTLY — no re-deriving the calibration ratio (the r5 lesson: the
+# same code read 1.20x on the driver box and 0.91x on a quiet rerun;
+# both were ~1.0x normalized). The constant's absolute value is
+# arbitrary (it only anchors the unit); never change it once artifacts
+# exist, or cross-round normalized comparisons silently re-scale.
+CALIBRATION_REF_SEC = 0.182
+
 
 def _calibration_sec(spark, sf_dir: str) -> float:
     """Fixed machine-speed probe: full lineitem scan + row-local arithmetic
@@ -78,6 +89,9 @@ def main() -> None:
         timings[q.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    scale = CALIBRATION_REF_SEC / calibration if calibration > 0 else 1.0
+    queries_norm = {k: round(v * scale, 3) for k, v in timings.items()}
+    value_norm = round(sum(queries_norm.values()), 3)
     # Ambient load on the shared host — context for round-over-round
     # comparisons (a loadavg of 2+ from co-tenants inflates every number
     # ~20-40%; per-query times at sf0.1 are dominated by fixed local-mode
@@ -98,6 +112,9 @@ def main() -> None:
                 "agg": "min",
                 "loadavg_1m": loadavg,
                 "calibration_sec": calibration,
+                "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "value_norm": value_norm,
+                "queries_norm": queries_norm,
             }
         )
     )

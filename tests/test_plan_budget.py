@@ -45,3 +45,34 @@ def test_no_row_python_udfs_budgeted():
     budget = plan_audit.load_budget()
     offenders = {k: v for k, v in budget.items() if v.get("row_python_udfs", 0)}
     assert not offenders, f"row-at-a-time Python UDFs budgeted: {offenders}"
+
+
+def test_unpartitioned_window_sites_pinned():
+    """Every ORDER BY-only (single-partition) window in package code must
+    appear in this pinned inventory with a bounded-by-construction input
+    — the SCALE.md audit as an executable invariant (round-6 fix: the
+    prose claimed "exactly two places" after a third appeared). A new
+    site fails here until it is reviewed for boundedness and added."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).parent.parent / "bbc_news_data_pipeline_spark"
+    # site → occurrence count; every input bounded by CONSTRUCTION:
+    expected = {
+        "plans/quality_plans.py": 1,    # q73 PSI totals (5 event types)
+        "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
+        "plans/curation_plans.py": 2,   # q120 rep ring (B=64 bucket reps)
+        "plans/sketch_plans.py": 2,     # q138 grid + value-hist cumulatives
+                                        # (value-DOMAIN-bounded, not corpus)
+    }
+    pat = re.compile(r"Window\.orderBy|Window\.partitionBy\(\)")
+    got = {}
+    for py in pkg.rglob("*.py"):
+        n = len(pat.findall(py.read_text()))
+        if n:
+            got[str(py.relative_to(pkg))] = n
+    assert got == expected, (
+        f"unpartitioned-window inventory drifted:\ngot      {got}\n"
+        f"expected {expected}\n— review the new site for bounded input, "
+        "then update BOTH this test and SCALE.md"
+    )

@@ -532,3 +532,63 @@ def test_grid_digest_grouped_partials(spark):
     merged = merge_grid_digests(partials.drop("shard"))
     whole = grid_digest(df, "v", 8)
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_stream_grid_digest_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """q140's contract under FORCED multi-micro-batch arrival
+    (maxFilesPerTrigger=1 — the q135 lesson: a single-batch drain hides
+    state-reduction bugs): the complete-mode streaming digest state
+    after draining N batches must equal the batch digest of the same
+    rows."""
+    from bbc_news_data_pipeline_spark.operators.sketches import grid_digest
+    from bbc_news_data_pipeline_spark.sources.tables import load
+
+    nt = (
+        load(spark, sf_dir, "documents")
+        .select(F.size(F.split("text", " ")).cast("long").alias("nt"))
+    )
+    src = str(tmp_path / "src")
+    nt.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(nt.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        grid_digest(stream, "nt", 16)
+        .writeStream.format("memory")
+        .queryName("gd_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.bucket, r.cnt) for r in spark.table("gd_mb").collect())
+    spark.catalog.dropTempView("gd_mb")
+    exp = sorted(
+        (r.bucket, r.cnt)
+        for r in grid_digest(spark.read.parquet(src), "nt", 16).collect()
+    )
+    assert got == exp
+
+
+def test_kmv_difference_partitions_union(spark, sf_dir):
+    """q141's difference estimators and q133's intersection estimator
+    partition the union estimate: est_a_only + est_b_only + est_inter =
+    est_union (exact identity before rounding — the three counts sum to
+    n_man), and containment stays a valid fraction. The parity oracle
+    separately proves merge-of-manifests ≡ direct full-set computation;
+    this pins the in-engine algebra."""
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        q133_kmv_overlap,
+        q141_kmv_difference,
+    )
+
+    ov = {(r.src_a, r.src_b): r for r in q133_kmv_overlap(spark, sf_dir).collect()}
+    for r in q141_kmv_difference(spark, sf_dir).collect():
+        o = ov[(r.src_a, r.src_b)]
+        assert abs(r.est_a_only + r.est_b_only + o.est_inter - o.est_union) <= 0.03
+        assert r.est_cov_b_in_a is None or 0.0 <= r.est_cov_b_in_a <= 1.0
+        assert 0.0 <= r.exact_cov_b_in_a <= 1.0
+        assert r.exact_a_only >= 0 and r.exact_b_only >= 0

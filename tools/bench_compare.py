@@ -41,8 +41,6 @@ def main() -> int:
         print(__doc__)
         return 2
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
-    oq, nq = old.get("queries", {}), new.get("queries", {})
-    shared = sorted(set(oq) & set(nq))
     print(f"old: total={old.get('value')}s loadavg={old.get('loadavg_1m')}  "
           f"new: total={new.get('value')}s loadavg={new.get('loadavg_1m')}")
 
@@ -56,6 +54,24 @@ def main() -> int:
         missing = [lbl for lbl, c in (("old", cal_o), ("new", cal_n)) if not c]
         print(f"calibration: absent in {'/'.join(missing)} record(s) — "
               f"raw ratios only")
+
+    # Prefer pre-normalized values (bench.py r6+: each artifact rescales
+    # itself to the fixed CALIBRATION_REF_SEC machine speed) — then the
+    # ratios below are directly machine-independent and no further
+    # per-ratio correction applies.
+    if (
+        "queries_norm" in old
+        and "queries_norm" in new
+        and old.get("calibration_ref_sec") == new.get("calibration_ref_sec")
+    ):
+        oq, nq = old["queries_norm"], new["queries_norm"]
+        cal_ratio = None
+        print(f"comparing PRE-NORMALIZED values (ref "
+              f"{new.get('calibration_ref_sec')}s probe): "
+              f"norm totals {old.get('value_norm')}s -> {new.get('value_norm')}s")
+    else:
+        oq, nq = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(oq) & set(nq))
 
     hdr = f"  {'query':40s} {'old':>7s}    {'new':>7s}   ratio"
     print(hdr + ("   norm" if cal_ratio else ""))
