@@ -522,3 +522,57 @@ def test_block_dedup_matches_python_twin(spark, texts):
         for r in block_dedup(df, "doc_id", "text", block_w=4).collect()
     }
     assert got == _py_block_dedup(texts, 4)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=120),
+    st.sampled_from([8, 16, 64]),
+)
+def test_grid_digest_interpolation_bound_property(values, width):
+    """Pure-python twin of q138's finisher algebra: for ANY value set and
+    grid width, the rank-r interpolated estimate off the bucket grid is
+    within one bucket width of the exact order statistic, for every pct.
+    (The Spark implementation of the same algebra is oracle-verified at
+    three SFs; this pins the algorithm itself across random inputs.)"""
+    from collections import Counter
+
+    n = len(values)
+    grid = Counter(v // width for v in values)
+    rows = sorted(grid.items())
+    svals = sorted(values)
+    for pct in (50, 90, 99):
+        r = (n * pct + 99) // 100
+        cum = 0
+        for bucket, cnt in rows:
+            if cum + cnt >= r:
+                est = width * (bucket + (r - cum) / cnt)
+                break
+            cum += cnt
+        exact = svals[r - 1]
+        assert abs(est - exact) <= width, (values, width, pct, est, exact)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 3), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_resolve_latest_matches_python_max(spark, rows):
+    """streaming/upsert.resolve_latest == per-key max over (version,
+    payload) tuples — the total-order resolution that makes the upsert
+    deterministic under version ties."""
+    from bbc_news_data_pipeline_spark.streaming.upsert import resolve_latest
+
+    df = spark.createDataFrame(rows, "k long, v long, payload string")
+    got = {
+        r.k: (r.v, r.payload) for r in resolve_latest(df, "k", "v").collect()
+    }
+    expected = {}
+    for k, v, p in rows:
+        if k not in expected or (v, p) > expected[k]:
+            expected[k] = (v, p)
+    assert got == expected
