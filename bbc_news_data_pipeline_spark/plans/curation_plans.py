@@ -1094,6 +1094,437 @@ ORDER BY src_a, src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q143 — rendezvous (highest-random-weight) sharding and the re-shard
+# migration contract (Thaler & Ravishankar 1998): assign every doc to the
+# shard whose md5-weight for (doc, shard) is highest, under S=16 and
+# S=17, and measure how many keys MOVE — versus naive `hash mod S`
+# placement. HRW moves ~1/(S+1) of keys when a shard is added (only keys
+# whose new shard wins the argmax); mod-hash moves ~S/(S+1). At 100 TB
+# that is the difference between rewriting ~6% and ~94% of a bucketed
+# corpus on re-shard — the reason consistent placement is a first-class
+# operator, not an ops afterthought.
+#
+# Shape at scale: the argmax over shards is computed ROW-LOCALLY as
+# array_max over a sequence literal (no explode, no shuffle) — O(S) work
+# per key with zero data movement; the only exchange is the final 1-row
+# aggregate. Ties in the 32-bit weight are broken by shard id via the
+# exact integer encoding weight*32 + s (weight < 2^32, s < 32: the
+# encoding is injective and preserves weight order), identically in the
+# oracle's unnest+max derivation.
+# ---------------------------------------------------------------------------
+_Q143_S0, _Q143_S1 = 16, 17
+
+
+def _hrw_shard_col(n_shards: int):
+    """Row-local HRW shard id for doc_id over ``n_shards`` shards."""
+
+    def weight(s):
+        h = F.md5(
+            F.concat(
+                F.lit("hrw:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                s.cast("string"),
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") * 32 + s.cast(
+            "long"
+        )
+
+    vals = F.transform(F.sequence(F.lit(0), F.lit(n_shards - 1)), weight)
+    return F.array_max(vals) % 32
+
+
+def q143_hrw_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hv0 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    flags = docs.select(
+        (_hrw_shard_col(_Q143_S0) != _hrw_shard_col(_Q143_S1))
+        .cast("long")
+        .alias("hrw_moved"),
+        ((hv0 % _Q143_S0) != (hv0 % _Q143_S1)).cast("long").alias("mod_moved"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("hrw_moved").alias("hrw"),
+        F.sum("mod_moved").alias("mod"),
+    )
+    return (
+        agg.selectExpr(
+            "stack(2, 'hrw', hrw, 'mod', mod) as (method, n_moved)", "n_keys"
+        )
+        .select(
+            "method",
+            "n_keys",
+            "n_moved",
+            F.round(F.col("n_moved") / F.col("n_keys") * F.lit(100.0), 2).alias(
+                "moved_pct"
+            ),
+        )
+        .orderBy("method")
+    )
+
+
+def _q143_hrw_sql(n_shards: int) -> str:
+    hexpr = _hex2int_sql(
+        "md5('hrw:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))", 1, 8
+    )
+    return (
+        f"SELECT doc_id, max(({hexpr}) * 32 + s) % 32 AS shard "
+        f"FROM documents, generate_series(0, {n_shards - 1}) AS t(s) "
+        f"GROUP BY doc_id"
+    )
+
+
+_Q143_HV0 = _hex2int_sql("md5('shard:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q143_SQL = f"""
+WITH h16 AS ({_q143_hrw_sql(_Q143_S0)}),
+h17 AS ({_q143_hrw_sql(_Q143_S1)}),
+flags AS (
+    SELECT CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END AS hrw_moved,
+           CASE WHEN ({_Q143_HV0}) % {_Q143_S0} <> ({_Q143_HV0}) % {_Q143_S1}
+                THEN 1 ELSE 0 END AS mod_moved
+    FROM h16 a JOIN h17 b USING (doc_id) JOIN documents d USING (doc_id)
+),
+agg AS (
+    SELECT count(*) AS n_keys,
+           sum(hrw_moved) AS n_hrw, sum(mod_moved) AS n_mod
+    FROM flags
+),
+stacked AS (
+    SELECT 'hrw' AS method, n_keys, CAST(n_hrw AS BIGINT) AS n_moved FROM agg
+    UNION ALL
+    SELECT 'mod', n_keys, CAST(n_mod AS BIGINT) FROM agg
+)
+SELECT method, n_keys, n_moved,
+       round(n_moved / CAST(n_keys AS DOUBLE) * 100.0, 2) AS moved_pct
+FROM stacked
+ORDER BY method
+"""
+
+
+# ---------------------------------------------------------------------------
+# q144 — triangle census over the near-dup graph with degree-ordered
+# orientation (Cohen 2009 / Suri & Vassilvitskii WWW'11): q57 clusters the
+# MinHash/LSH candidate graph and q111/q139 rank it; the triangle count +
+# global clustering coefficient measure how CLIQUE-LIKE the duplicate
+# neighborhoods are (template families triangulate heavily, chain-like
+# boilerplate does not). The algorithmic contract is the orientation
+# trick: orient every edge from the lower (degree, id) endpoint to the
+# higher, so each triangle is counted exactly once at its lowest-rank
+# apex and every vertex's OUT-degree is O(√m) — the wedge self-join that
+# explodes d² on a hot vertex in the naive formulation becomes bounded,
+# which is the difference between feasible and not at 100 TB graph scale.
+#
+# Determinism: ranks are the injective integer deg·2³² + id (graph ids
+# are < 2³²; degree dominates, id breaks ties) — identical orientation on
+# both engines, no float anywhere. The oracle re-derives the same census
+# from the raw table through the q57 banding CTEs.
+# ---------------------------------------------------------------------------
+def q144_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(
+        docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K
+    ).select("id_a", "id_b")
+    deg = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    rk = deg.select("v", (F.col("d") * F.lit(2**32) + F.col("v")).alias("rk"))
+    e = (
+        pairs.join(rk.select(F.col("v").alias("id_a"), F.col("rk").alias("rk_a")), "id_a")
+        .join(rk.select(F.col("v").alias("id_b"), F.col("rk").alias("rk_b")), "id_b")
+        .select(
+            F.when(F.col("rk_a") < F.col("rk_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("src"),
+            F.when(F.col("rk_a") < F.col("rk_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("dst"),
+            F.greatest("rk_a", "rk_b").alias("rk_dst"),
+        )
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.rk_dst") < F.col("e2.rk_dst")),
+    ).select(F.col("e1.dst").alias("wv"), F.col("e2.dst").alias("ww"))
+    tri = wedges.join(
+        e.select(F.col("src").alias("wv"), F.col("dst").alias("ww")),
+        ["wv", "ww"],
+        "left_semi",
+    )
+    counts = (
+        deg.agg(
+            F.count("*").alias("n_vertices"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )
+    return counts.select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_triangles") * F.lit(3.0) / F.col("n_wedges"), 4
+            )
+        )
+        .alias("clustering"),
+    )
+
+
+Q144_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+deg AS (
+    SELECT v, count(*) AS d FROM (
+        SELECT id_a AS v FROM pairs UNION ALL SELECT id_b FROM pairs
+    ) u GROUP BY v
+),
+rk AS (SELECT v, d * 4294967296 + v AS rk FROM deg),
+ore AS (
+    SELECT CASE WHEN ra.rk < rb.rk THEN p.id_a ELSE p.id_b END AS src,
+           CASE WHEN ra.rk < rb.rk THEN p.id_b ELSE p.id_a END AS dst,
+           greatest(ra.rk, rb.rk) AS rk_dst
+    FROM pairs p
+    JOIN rk ra ON ra.v = p.id_a
+    JOIN rk rb ON rb.v = p.id_b
+),
+wedge AS (
+    SELECT e1.dst AS wv, e2.dst AS ww
+    FROM ore e1 JOIN ore e2
+      ON e1.src = e2.src AND e1.rk_dst < e2.rk_dst
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM wedge w
+    WHERE EXISTS (
+        SELECT 1 FROM ore e3 WHERE e3.src = w.wv AND e3.dst = w.ww
+    )
+)
+SELECT (SELECT count(*) FROM deg) AS n_vertices,
+       (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) = 0 THEN 0.0
+            ELSE round(n_triangles * 3.0
+                       / (SELECT sum(d * (d - 1) / 2) FROM deg), 4)
+       END AS clustering
+FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
+# q145 — leakage-safe train/val/test split (ext): the hold-out assignment a
+# training-data pipeline actually needs. Hashing doc_id into folds leaks:
+# near-duplicate documents land on opposite sides of the split and the
+# eval set scores memorization. The fix composes two operators this
+# engine already certifies — duplicate clusters (q57's connected
+# components over MinHash/LSH pairs) and deterministic hash-fold
+# assignment (q55) — by hashing the CLUSTER CANONICAL (min doc_id of the
+# component; singletons are their own canonical), so every near-dup
+# family lands in one fold by construction. The query computes BOTH
+# assignments and counts split-crossing candidate edges under each:
+# a green row proves leak_edges = 0 for the cluster method from the data
+# (not by assertion) next to the naive method's non-zero leak.
+#
+# Shape at scale: components are the q57 propagation (bounded rounds ×
+# one shuffle); fold assignment is row-local md5; the leak audit joins
+# the capped candidate-pair list against the ≤(docs) label table twice on
+# its key — broadcast-able labels at dim scale, sort-merge otherwise.
+# ---------------------------------------------------------------------------
+def q145_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(
+        docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "cluster_id"
+    )
+
+    def fold(col):
+        h = F.md5(F.concat(F.lit("fold:"), col.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10
+
+    def split_of(fold_col):
+        return (
+            F.when(fold_col <= 7, F.lit("train"))
+            .when(fold_col == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    lab = (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("canon"),
+        )
+        .select(
+            "doc_id",
+            split_of(fold(F.col("canon"))).alias("split_c"),
+            split_of(fold(F.col("doc_id"))).alias("split_n"),
+        )
+    )
+    counts = (
+        lab.groupBy(F.col("split_c").alias("split"))
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit("cluster").alias("method"), "split", "n_docs")
+        .unionByName(
+            lab.groupBy(F.col("split_n").alias("split"))
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.lit("naive").alias("method"), "split", "n_docs")
+        )
+    )
+    la = lab.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split_c").alias("ca"),
+        F.col("split_n").alias("na"),
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split_c").alias("cb"),
+        F.col("split_n").alias("nb"),
+    )
+    leaks = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .agg(
+            F.sum((F.col("ca") != F.col("cb")).cast("long")).alias("leak_cluster"),
+            F.sum((F.col("na") != F.col("nb")).cast("long")).alias("leak_naive"),
+        )
+        .select(
+            F.coalesce("leak_cluster", F.lit(0)).alias("leak_cluster"),
+            F.coalesce("leak_naive", F.lit(0)).alias("leak_naive"),
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(leaks))
+        .select(
+            "method",
+            "split",
+            "n_docs",
+            F.when(F.col("method") == "cluster", F.col("leak_cluster"))
+            .otherwise(F.col("leak_naive"))
+            .alias("leak_edges"),
+        )
+        .orderBy("method", "split")
+    )
+
+
+_Q145_FOLD_C = _hex2int_sql("md5('fold:' || CAST(canon AS VARCHAR))", 1, 8)
+_Q145_FOLD_N = _hex2int_sql("md5('fold:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q145_SQL = f"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, {{shingle}} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {{sigs}}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {{bands}}
+        ]) AS band_key FROM sig
+    ) t
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+base AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS canon
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+lab AS (
+    SELECT doc_id,
+           CASE WHEN ({_Q145_FOLD_C}) % 10 <= 7 THEN 'train'
+                WHEN ({_Q145_FOLD_C}) % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split_c,
+           CASE WHEN ({_Q145_FOLD_N}) % 10 <= 7 THEN 'train'
+                WHEN ({_Q145_FOLD_N}) % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split_n
+    FROM base
+),
+counts AS (
+    SELECT 'cluster' AS method, split_c AS split, count(*) AS n_docs
+    FROM lab GROUP BY split_c
+    UNION ALL
+    SELECT 'naive', split_n, count(*) FROM lab GROUP BY split_n
+),
+leaks AS (
+    SELECT
+        coalesce(sum(CASE WHEN a.split_c <> b.split_c THEN 1 ELSE 0 END), 0)
+            AS leak_cluster,
+        coalesce(sum(CASE WHEN a.split_n <> b.split_n THEN 1 ELSE 0 END), 0)
+            AS leak_naive
+    FROM pairs p
+    JOIN lab a ON a.doc_id = p.id_a
+    JOIN lab b ON b.doc_id = p.id_b
+)
+SELECT c.method, c.split, c.n_docs,
+       CAST(CASE WHEN c.method = 'cluster' THEN l.leak_cluster
+                 ELSE l.leak_naive END AS BIGINT) AS leak_edges
+FROM counts c, leaks l
+ORDER BY c.method, c.split
+""".replace("{shingle}", _shingle_sql()).replace("{sigs}", _SIGS).replace(
+    "{bands}", _BANDS
+)
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -1124,4 +1555,12 @@ QUERIES = [
           survey="ext:sequence-packing,ext:shard-packing", tags=("bench",)),
     Query("q120_contrastive_pairs", q120_contrastive_pairs, Q120_SQL,
           survey="ext:contrastive-pairs,ext:minhash-lsh,ext:hash-sampling", tags=("bench",)),
+    Query("q143_hrw_reshard", q143_hrw_reshard, Q143_SQL,
+          survey="ext:consistent-sharding,ext:shard-packing", tags=("bench",)),
+    Query("q144_triangle_census", q144_triangle_census, Q144_SQL,
+          survey="ext:triangle-count,ext:dup-clustering,ext:minhash-lsh",
+          tags=("bench",)),
+    Query("q145_leakage_safe_split", q145_leakage_safe_split, Q145_SQL,
+          survey="ext:leakage-safe-split,ext:dup-clustering,ext:hash-sampling",
+          tags=("bench",)),
 ]

@@ -1383,6 +1383,146 @@ def q140_stream_grid_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q140_SQL = Q138_SQL  # identical output contract: stream state ≡ batch digest
 
 
+# ---------------------------------------------------------------------------
+# q142 — priority sampling with unbiased subset-sum estimation (Duffield,
+# Lund & Thorup, JACM 2007): the weighted-sample sketch that completes the
+# sampling family — q55 samples uniformly, q67 stratifies, q76 draws a
+# per-stratum weighted sample (Efraimidis–Spirakis), but NONE of them
+# supports unbiased SUM estimation over arbitrary posterior subsets from
+# one fixed-size sample. Priority sampling does: draw u ~ U(0,1) per row,
+# priority = w/u, keep the top-k priorities, let τ = the (k+1)-th; then
+# Σ_{i ∈ sample ∩ A} max(w_i, τ) is an unbiased estimator of Σ_{i ∈ A} w_i
+# for ANY subset A chosen after the fact — the contract a 100 TB corpus
+# wants for "how many chars of German do we hold?" without a full scan.
+#
+# Determinism (cross-engine exact, no ulp risk): u = (hex8(md5)+0.5)/2^32
+# is EXACT in double (int < 2^33, division by a power of two); priority
+# w/u is ONE correctly-rounded IEEE division of identical operands →
+# bit-identical on Spark and DuckDB; τ is then fixed-pointed ONCE
+# (round(τ·1e4) as int64) and the estimator Σ max(w·1e4, τ_fp) runs in
+# exact int64 arithmetic — accumulation order cannot matter.
+#
+# Shape at scale: orderBy(pri).limit(k+1) IS TakeOrderedAndProject —
+# per-partition top-(k+1) heaps merged once, no shuffle, no global sort;
+# the engine itself executes the sketch's merge rule (any global top-k
+# element is top-k within its partition). Everything downstream of the
+# limit is a ≤65-row broadcast. The full-table per-lang truth scan exists
+# only to score the estimator in-query (err_pct column, the q123 pattern).
+# ---------------------------------------------------------------------------
+_Q142_K = 64
+_Q142_U_DEN = float(2**32)
+
+
+def q142_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("psmp:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv.cast("double") + F.lit(0.5)) / F.lit(_Q142_U_DEN)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("w"),
+        (F.col("n_chars").cast("double") / u).alias("pri"),
+    )
+    top = keyed.orderBy(F.col("pri").desc(), "doc_id").limit(_Q142_K + 1)
+    # τ row = lexicographic min(struct(pri, doc_id)) of the k+1 — the one
+    # excluded row; its priority (fixed-pointed once) is the threshold.
+    thr = top.agg(F.min(F.struct("pri", "doc_id")).alias("t")).select(
+        F.col("t.pri").alias("t_pri"),
+        F.col("t.doc_id").alias("t_doc"),
+        F.round(F.col("t.pri") * F.lit(10000.0)).cast("long").alias("tau_fp"),
+    )
+    samp = top.crossJoin(F.broadcast(thr)).filter(
+        (F.col("pri") > F.col("t_pri"))
+        | ((F.col("pri") == F.col("t_pri")) & (F.col("doc_id") > F.col("t_doc")))
+    )
+    contrib = F.greatest(F.col("w") * F.lit(10000), F.col("tau_fp"))
+    est = (
+        samp.groupBy("lang")
+        .agg(F.count("*").alias("n_sample"), F.sum(contrib).alias("c"))
+        .unionByName(
+            samp.agg(
+                F.count("*").alias("n_sample"), F.sum(contrib).alias("c")
+            ).select(F.lit("ALL").alias("lang"), "n_sample", "c")
+        )
+    )
+    truth = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("true_chars"))
+        .unionByName(
+            docs.agg(F.sum("n_chars").cast("long").alias("true_chars")).select(
+                F.lit("ALL").alias("lang"), "true_chars"
+            )
+        )
+    )
+    est_raw = F.coalesce(F.col("c"), F.lit(0)) / F.lit(10000.0)
+    return (
+        truth.join(F.broadcast(est), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_sample"), F.lit(0)).cast("long").alias("n_sample"),
+            F.round(est_raw, 2).alias("est_chars"),
+            "true_chars",
+            F.round(
+                (est_raw - F.col("true_chars")) / F.col("true_chars") * F.lit(100.0),
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q142_HEX = _hex2int_sql("md5('psmp:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q142_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+           CAST(n_chars AS DOUBLE) / ((({_Q142_HEX}) + 0.5) / {_Q142_U_DEN!r})
+               AS pri
+    FROM documents
+),
+top AS (
+    SELECT * FROM keyed ORDER BY pri DESC, doc_id LIMIT {_Q142_K + 1}
+),
+thr AS (
+    SELECT pri AS t_pri, doc_id AS t_doc,
+           CAST(round(pri * 10000.0) AS BIGINT) AS tau_fp
+    FROM top ORDER BY pri ASC, doc_id ASC LIMIT 1
+),
+samp AS (
+    SELECT t.lang, t.w, thr.tau_fp
+    FROM top t, thr
+    WHERE t.pri > thr.t_pri OR (t.pri = thr.t_pri AND t.doc_id > thr.t_doc)
+),
+est AS (
+    SELECT lang, count(*) AS n_sample,
+           sum(greatest(w * 10000, tau_fp)) AS c
+    FROM samp GROUP BY lang
+    UNION ALL
+    SELECT 'ALL', count(*), sum(greatest(w * 10000, tau_fp)) FROM samp
+),
+truth AS (
+    SELECT lang, CAST(sum(n_chars) AS BIGINT) AS true_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'ALL', CAST(sum(n_chars) AS BIGINT) FROM documents
+)
+SELECT tr.lang,
+       CAST(coalesce(e.n_sample, 0) AS BIGINT) AS n_sample,
+       round(coalesce(e.c, 0) / 10000.0, 2) AS est_chars,
+       tr.true_chars,
+       round((coalesce(e.c, 0) / 10000.0 - tr.true_chars)
+             / tr.true_chars * 100.0, 2) AS err_pct
+FROM truth tr LEFT JOIN est e USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -1412,5 +1552,8 @@ QUERIES = [
           survey="ext:quantile-digest,ST6,ST1", tags=("bench",)),
     Query("q141_kmv_difference", q141_kmv_difference, Q141_SQL,
           survey="ext:kmv-sketch,ext:dataset-lineage,ext:incremental-dedup",
+          tags=("bench",)),
+    Query("q142_priority_sample", q142_priority_sample, Q142_SQL,
+          survey="ext:priority-sampling,ext:weighted-sampling,ext:hash-sampling",
           tags=("bench",)),
 ]
