@@ -13,7 +13,7 @@ principles (hex→int positional sums) rather than trusting our operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -965,6 +965,157 @@ LIMIT {_PR_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# q146 — prefix-filtered set-similarity self-join (AllPairs/PPJoin family:
+# Bayardo, Ma & Srikant WWW'07; Xiao et al. WWW'08): the EXACT-recall
+# complement of the probabilistic LSH candidates (q46). Set elements are
+# distinct k-word shingles (k=SHINGLE_K, as across the dedup family).
+# Order the shingle vocabulary by ascending document frequency (rarest
+# first); a doc with n distinct shingles only needs its first
+# p = n − ⌈t·n⌉ + 1 shingles in that order as join keys, because two sets
+# with Jaccard ≥ t MUST share at
+# least one element inside either's prefix — so the candidate join touches
+# the RARE end of every posting list instead of all of it, and candidate
+# volume collapses from Σ df² over the whole vocabulary to Σ df² over
+# prefix tokens. A length prune (t·max(n_a,n_b) ≤ min — in exact integer
+# cross-multiplication) rides the same join. Exact Jaccard then verifies
+# candidates in one array_intersect per pair.
+#
+# Caps at scale (mirrored bit-identically in the oracle, q39 pattern): a
+# prefix token with df > _Q146_MAXDF is excluded from the join — with
+# rare-first ordering this only triggers on near-degenerate corpora, and
+# it bounds the hottest join key at the cost of documented recall, never
+# d² on a stop-word. No global rank is materialized: (df, token) is
+# itself the rare-first total order, so the only window partitions by
+# doc_id (per-doc position) — nothing in the plan sorts the vocabulary
+# in one partition.
+# ---------------------------------------------------------------------------
+_Q146_T_NUM, _Q146_T_DEN = 7, 10  # Jaccard threshold 0.7 as an exact ratio
+_Q146_MAXDF = 1024
+
+
+def q146_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import with_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    # Set elements are k-word shingles (k=SHINGLE_K, as everywhere in the
+    # dedup family), NOT unigram tokens: on a templated corpus unigram
+    # SETS are near-identical across unrelated docs (54k "pairs" at
+    # sf0.001), while shingle sets are order-sensitive and discriminative.
+    toked = with_shingles(docs, "doc_id", "text", SHINGLE_K, out="_sh").select(
+        "doc_id", F.array_distinct("_sh").alias("toks")
+    ).withColumn("n", F.size("toks").cast("long"))
+    tok = toked.select("doc_id", "n", F.explode("toks").alias("t"))
+    df = tok.groupBy("t").agg(F.count("*").alias("df"))
+    # (df, t) IS the rare-first total order — no dense global rank (and
+    # therefore no single-partition window over the vocabulary) is needed.
+    pos = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "t"))
+    p_len = F.col("n") - F.floor(
+        (F.lit(_Q146_T_NUM) * F.col("n") + F.lit(_Q146_T_DEN - 1))
+        / F.lit(_Q146_T_DEN)
+    ) + F.lit(1)
+    prefix = (
+        tok.join(df, "t")
+        .withColumn("pos", pos)
+        .filter((F.col("pos") <= p_len) & (F.col("df") <= _Q146_MAXDF))
+        .select("doc_id", "n", "t")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("b.n") * _Q146_T_DEN >= F.col("a.n") * _Q146_T_NUM
+            )
+            & (
+                F.col("a.n") * _Q146_T_DEN >= F.col("b.n") * _Q146_T_NUM
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = toked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    tb = toked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
+        )
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .filter(
+            F.col("n_inter") * _Q146_T_DEN >= F.col("n_union") * _Q146_T_NUM
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        F.round(F.col("n_inter") / F.col("n_union"), 4).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+Q146_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, list_distinct({_shingle_sql()}) AS toks
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sized AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM toked
+),
+tok AS (SELECT doc_id, n, unnest(toks) AS t FROM sized),
+df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+pref AS (
+    SELECT doc_id, n, t FROM (
+        SELECT tok.doc_id, tok.n, tok.t, df.df,
+               row_number() OVER (
+                   PARTITION BY tok.doc_id ORDER BY df.df, tok.t
+               ) AS pos
+        FROM tok JOIN df ON df.t = tok.t
+    ) x
+    WHERE pos <= n - ({_Q146_T_NUM} * n + {_Q146_T_DEN - 1})
+                     // {_Q146_T_DEN} + 1
+      AND df <= {_Q146_MAXDF}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a
+    JOIN pref b
+      ON a.t = b.t AND a.doc_id < b.doc_id
+     AND b.n * {_Q146_T_DEN} >= a.n * {_Q146_T_NUM}
+     AND a.n * {_Q146_T_DEN} >= b.n * {_Q146_T_NUM}
+),
+verified AS (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS n_inter,
+           x.n + y.n - len(list_intersect(x.toks, y.toks)) AS n_union
+    FROM cand c
+    JOIN sized x ON x.doc_id = c.id_a
+    JOIN sized y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_inter, CAST(n_union AS BIGINT) AS n_union,
+       round(n_inter / CAST(n_union AS DOUBLE), 4) AS jaccard
+FROM verified
+WHERE n_inter * {_Q146_T_DEN} >= n_union * {_Q146_T_NUM}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -991,4 +1142,7 @@ QUERIES = [
           survey="ext:novelty-profile,ext:exact-substring-dedup", tags=("bench",)),
     Query("q114_minhash_calibration", q114_minhash_calibration, Q114_SQL,
           survey="ext:minhash-calibration,ext:jaccard-neardup", tags=("bench",)),
+    Query("q146_prefix_filter_join", q146_prefix_filter_join, Q146_SQL,
+          survey="ext:prefix-filter-join,ext:jaccard-neardup,ext:exact-dedup",
+          tags=("bench",)),
 ]
