@@ -1108,7 +1108,9 @@ ORDER BY src_a, src_b
 # Shape at scale: the argmax over shards is computed ROW-LOCALLY as
 # array_max over a sequence literal (no explode, no shuffle) — O(S) work
 # per key with zero data movement; the only exchange is the final 1-row
-# aggregate. Ties in the 32-bit weight are broken by shard id via the
+# aggregate. For S in the thousands, replace the flat argmax with
+# skeleton-tree HRW (argmax over √S groups, then within the winner) —
+# same placement contract, O(√S) per lookup. Ties in the 32-bit weight are broken by shard id via the
 # exact integer encoding weight*32 + s (weight < 2^32, s < 32: the
 # encoding is injective and preserves weight order), identically in the
 # oracle's unnest+max derivation.
@@ -1231,9 +1233,14 @@ ORDER BY method
 # ---------------------------------------------------------------------------
 def q144_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_candidates(
-        docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K
-    ).select("id_a", "id_b")
+    # pairs feeds deg, the orientation join, and the edge count; e feeds
+    # both wedge sides and the closing semi-join — lineage-pinned lazily
+    # (q57/q139 policy) so the LSH banding runs once, not six times.
+    pairs = (
+        minhash_candidates(docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     deg = (
         pairs.select(F.col("id_a").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("v")))
@@ -1253,6 +1260,7 @@ def q144_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dst"),
             F.greatest("rk_a", "rk_b").alias("rk_dst"),
         )
+        .localCheckpoint(eager=False)
     )
     e1, e2 = e.alias("e1"), e.alias("e2")
     wedges = e1.join(
@@ -1372,9 +1380,11 @@ FROM tri
 # ---------------------------------------------------------------------------
 def q145_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_candidates(
-        docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K
-    ).select("id_a", "id_b")
+    pairs = (
+        minhash_candidates(docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # feeds CC + the two leak-audit joins
+    )
     comp = connected_components(pairs).select(
         F.col("v").alias("doc_id"), "cluster_id"
     )
@@ -1401,6 +1411,7 @@ def q145_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             split_of(fold(F.col("canon"))).alias("split_c"),
             split_of(fold(F.col("doc_id"))).alias("split_n"),
         )
+        .localCheckpoint(eager=False)  # two split counts + two label joins
     )
     counts = (
         lab.groupBy(F.col("split_c").alias("split"))

@@ -33,8 +33,11 @@ def test_driver_window_prioritizes_unverified():
     ordered = list(E.queries())
     assert sorted(ordered) == sorted(canonical)
 
-    green_ever: set[str] = set()
+    import re
+
+    last_green: dict[str, int] = {}
     for path in g.glob(o.path.join(o.path.dirname(E.__file__), "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", o.path.basename(path)).group(1))
         with open(path) as f:
             for name, res in json.load(f).items():
                 if (
@@ -44,13 +47,33 @@ def test_driver_window_prioritizes_unverified():
                     and res.get("schema_match") is not False
                     and res.get("hash_match") is not False
                 ):
-                    green_ever.add(name)
-    never_green = [n for n in canonical if n not in green_ever]
-    # every never-green query must sort before every has-been-green one
-    if never_green and len(never_green) < len(ordered):
-        cutoff = max(ordered.index(n) for n in never_green)
-        assert set(ordered[: cutoff + 1]) == set(never_green), (
-            "never-green queries are not a contiguous prefix of the driver order"
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+    never_green = [n for n in canonical if n not in last_green]
+    # Queries may ALSO sort to the front when their source fingerprint
+    # changed after their stamp (rework-awareness, round-6): the front
+    # block is never-green ∪ hash-demoted. The contract: no
+    # green-AND-unchanged query (per the same at-or-after attestation
+    # the priority function uses) ever sorts ahead of a never-green one.
+    import sys
+
+    sys.path.insert(0, o.path.join(o.path.dirname(E.__file__), "tools"))
+    from query_hashes import current_hashes, hash_at_or_after, load_snapshots
+
+    snaps = load_snapshots()
+    cur = current_hashes()
+    unchanged_green = {
+        n
+        for n, rnd in last_green.items()
+        if hash_at_or_after(snaps, n, rnd) == cur.get(n)
+        and hash_at_or_after(snaps, n, rnd) is not None
+    }
+    if never_green and unchanged_green:
+        pos = {n: i for i, n in enumerate(ordered)}
+        worst_new = max(pos[n] for n in never_green)
+        best_settled = min(pos[n] for n in unchanged_green)
+        assert worst_new < best_settled, (
+            "a green-and-unchanged query sorts ahead of a never-green one: "
+            f"{[n for n in unchanged_green if pos[n] < worst_new][:5]}"
         )
 
 

@@ -1,0 +1,200 @@
+"""Property tests for the round-6 contract extensions: priority-sampling
+estimator algebra (q142), HRW re-shard migration invariant (q143),
+degree-ordered triangle census vs brute force (q144), leakage-safe split
+totality (q145), and the prefix-filter completeness theorem (q146).
+
+All pure-python twins — the Spark implementations of the same algebra are
+oracle-verified at three SFs; these pin the ALGORITHMS across random
+inputs Hypothesis invents."""
+
+import hashlib
+from itertools import combinations
+
+from hypothesis import given, settings, strategies as st
+
+
+def _hex8(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# --- q142: priority sampling (Duffield–Lund–Thorup) ------------------------
+
+
+def _priority_estimate(weights, k, seed):
+    """Pure-python twin of q142's algebra: priorities w/u with a seeded
+    uniform, top-k sample, tau = (k+1)-th priority, subset-sum estimate
+    over the full population."""
+    import random
+
+    rng = random.Random(seed)
+    pri = sorted(
+        ((w / rng.uniform(1e-12, 1.0), i, w) for i, w in enumerate(weights)),
+        reverse=True,
+    )
+    if len(pri) <= k:
+        return float(sum(weights))
+    tau = pri[k][0]
+    return float(sum(max(w, tau) for _, _, w in pri[:k]))
+
+
+def test_priority_sampling_estimator_is_unbiased():
+    """Mean of the estimator over many independent draws converges to the
+    true sum (the Duffield–Lund–Thorup unbiasedness theorem) — pins the
+    max(w, tau) / (k+1)-th-priority algebra, which is exactly what q142
+    executes in fixed point."""
+    weights = [((i * 37) % 100) + 1 for i in range(200)]
+    true = float(sum(weights))
+    k = 32
+    trials = 2000
+    mean = sum(_priority_estimate(weights, k, s) for s in range(trials)) / trials
+    assert abs(mean - true) / true < 0.02, (mean, true)
+
+
+def test_priority_sampling_exact_below_k():
+    """n <= k: the 'sample' is the whole population and the estimate is
+    exactly the true sum (q142's degenerate-population contract)."""
+    weights = [5, 17, 3]
+    assert _priority_estimate(weights, 32, seed=0) == float(sum(weights))
+
+
+# --- q143: HRW sharding ----------------------------------------------------
+
+
+def _hrw_shard(key: int, n_shards: int) -> int:
+    return (
+        max(_hex8(f"hrw:{key}:{s}") * 32 + s for s in range(n_shards)) % 32
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.integers(0, 10**6), min_size=1, max_size=150))
+def test_hrw_migration_only_onto_new_shard(keys):
+    """Adding shard S to an HRW ring can only move a key ONTO shard S
+    (weights of shards 0..S-1 are unchanged, so the argmax changes only
+    when the new shard wins) — the minimal-migration property q143
+    measures. Also: every unmoved key keeps its exact placement."""
+    for key in keys:
+        s16 = _hrw_shard(key, 16)
+        s17 = _hrw_shard(key, 17)
+        if s16 != s17:
+            assert s17 == 16, (key, s16, s17)
+
+
+# --- q144: oriented triangle census ----------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        max_size=40,
+    )
+)
+def test_oriented_wedge_count_equals_brute_force_triangles(edges):
+    """q144's algebra: orient every edge low-(deg,id) → high-(deg,id),
+    close wedges at the lowest-rank apex — counts each triangle exactly
+    once, for ANY graph (vs brute-force enumeration)."""
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    rk = {v: d * 2**32 + v for v, d in deg.items()}
+    oriented = {
+        (a, b) if rk[a] < rk[b] else (b, a) for a, b in edges
+    }
+    out = {}
+    for u, v in oriented:
+        out.setdefault(u, []).append(v)
+    tri_oriented = sum(
+        1
+        for u, nbrs in out.items()
+        for v, w in combinations(sorted(nbrs, key=lambda x: rk[x]), 2)
+        if (v, w) in oriented
+    )
+    verts = sorted(deg)
+    eset = set(edges)
+    tri_brute = sum(
+        1
+        for x, y, z in combinations(verts, 3)
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset
+    )
+    assert tri_oriented == tri_brute
+
+
+# --- q145: leakage-safe split ----------------------------------------------
+
+
+def _fold(x: int) -> int:
+    return _hex8(f"fold:{x}") % 10
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        max_size=50,
+    )
+)
+def test_cluster_canonical_split_never_leaks(edges):
+    """Hash-folding on the connected-component canonical (min member id)
+    puts both endpoints of EVERY edge in the same fold — zero leak edges
+    for any graph, the invariant q145 proves from data."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    canon = {v: find(v) for v in parent}
+    for a, b in edges:
+        assert _fold(canon[a]) == _fold(canon[b])
+
+
+# --- q146: prefix-filter completeness --------------------------------------
+
+
+def _prefix(tokens, order, t_num=7, t_den=10):
+    """First p = n - ceil(t*n) + 1 tokens of the set in global order."""
+    n = len(tokens)
+    p = n - (t_num * n + t_den - 1) // t_den + 1
+    return set(sorted(tokens, key=lambda x: order[x])[:p])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(0, 30), min_size=1, max_size=20),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_never_misses_a_qualifying_pair(sets):
+    """The AllPairs/PPJoin theorem behind q146: two sets with Jaccard
+    >= 0.7 MUST share a token within BOTH of their df-ordered prefixes
+    (the smallest common element in global order cannot sit outside
+    either prefix without contradicting the overlap bound) — so q146's
+    prefix-to-prefix join has perfect recall with no df cap. Checked for
+    every pair of every random collection, with the exact integer
+    prefix-length formula q146 uses."""
+    df = {}
+    for s in sets:
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    order = {tok: (d, tok) for tok, d in df.items()}
+    prefixes = [_prefix(s, order) for s in sets]
+    for (i, a), (j, b) in combinations(enumerate(sets), 2):
+        inter = len(a & b)
+        union = len(a | b)
+        if inter * 10 >= union * 7:
+            assert prefixes[i] & prefixes[j], (a, b)
