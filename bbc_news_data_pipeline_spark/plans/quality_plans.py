@@ -932,6 +932,160 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q148 — Z-order (Morton curve) layout audit (Morton 1966; the
+# Delta/Iceberg OPTIMIZE ZORDER contract): interleave the bits of two
+# normalized dimensions (user_id, event epoch) into one sort key, bucket
+# rows into files by Z-range, and measure DATA SKIPPING — for a 2-D
+# range predicate, how many files' (min, max) zone-maps overlap the
+# query box — against the same file count laid out in insert order. The
+# point at 100 TB: a linear layout clusters ONE dimension, so any
+# predicate on the other touches every file; Morton interleaving bounds
+# both dimensions per file, and the audit quantifies the read-fraction
+# difference from the data (the 2-D generalization of
+# sources/sinks.layout_audit's sorted-vs-sprayed check).
+#
+# Determinism: normalization is pure integer arithmetic
+# ((v − min)·65535 DIV span) off a broadcast 1-row bounds frame; bit
+# extraction is (xn DIV 2^j) % 2 — no bit-twiddling builtins, identical
+# on both engines; files are fixed Z-ranges (z DIV 2^24) and fixed
+# event_id stripes, NOT row_number — no global sort anywhere in the
+# audit (the production WRITE path is repartitionByRange(z) +
+# sortWithinPartitions, a distributed range sort).
+# ---------------------------------------------------------------------------
+_Q148_SEL = 8191  # query box: first eighth of each normalized dimension
+_Q148_FILES = 256
+
+
+def _q148_interleave(xn: str, yn: str) -> str:
+    """Morton-interleave two 16-bit ints: SQL expression string valid in
+    both Spark SQL (DIV) and, via _q148_sqlize, DuckDB (//)."""
+    terms = []
+    for j in range(16):
+        terms.append(f"(({xn} DIV {1 << j}) % 2) * {1 << (2 * j + 1)}")
+        terms.append(f"(({yn} DIV {1 << j}) % 2) * {1 << (2 * j)}")
+    return " + ".join(terms)
+
+
+def q148_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ep")
+    )
+    b = ev.agg(
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+        F.min("ep").alias("mne"),
+        F.max("ep").alias("mxe"),
+        F.max("event_id").alias("mxid"),
+    )
+    j = ev.crossJoin(F.broadcast(b)).selectExpr(
+        "event_id",
+        "mxid",
+        "((user_id - mnu) * 65535) DIV greatest(mxu - mnu, 1) AS xn",
+        "((ep - mne) * 65535) DIV greatest(mxe - mne, 1) AS yn",
+    )
+    f = j.selectExpr(
+        "xn",
+        "yn",
+        f"({_q148_interleave('xn', 'yn')}) DIV {2**32 // _Q148_FILES} AS zfile",
+        f"(event_id * {_Q148_FILES}) DIV (mxid + 1) AS linfile",
+    ).localCheckpoint(eager=False)  # feeds both layout rollups + the truth agg
+    per_file = (
+        f.groupBy(F.col("zfile").alias("file_id"))
+        .agg(F.min("xn").alias("mnx"), F.min("yn").alias("mny"), F.count("*").alias("c"))
+        .select(F.lit("zorder").alias("layout"), "mnx", "mny", "c")
+        .unionByName(
+            f.groupBy(F.col("linfile").alias("file_id"))
+            .agg(
+                F.min("xn").alias("mnx"),
+                F.min("yn").alias("mny"),
+                F.count("*").alias("c"),
+            )
+            .select(F.lit("linear").alias("layout"), "mnx", "mny", "c")
+        )
+    )
+    hit = (F.col("mnx") <= _Q148_SEL) & (F.col("mny") <= _Q148_SEL)
+    stats = per_file.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum(hit.cast("long")).alias("n_files_hit"),
+        F.sum(F.when(hit, F.col("c")).otherwise(F.lit(0))).alias("rows_in_hit_files"),
+    )
+    truth = f.agg(
+        F.sum(
+            ((F.col("xn") <= _Q148_SEL) & (F.col("yn") <= _Q148_SEL)).cast("long")
+        ).alias("n_match_rows")
+    )
+    return (
+        stats.crossJoin(F.broadcast(truth))
+        .select(
+            "layout",
+            "n_files",
+            "n_files_hit",
+            F.round(F.col("n_files_hit") / F.col("n_files"), 4).alias("file_frac"),
+            "rows_in_hit_files",
+            "n_match_rows",
+        )
+        .orderBy("layout")
+    )
+
+
+Q148_SQL = f"""
+WITH ev AS (
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ep
+    FROM events
+),
+b AS (
+    SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+           min(ep) AS mne, max(ep) AS mxe, max(event_id) AS mxid
+    FROM ev
+),
+norm AS (
+    SELECT event_id, mxid,
+           ((user_id - mnu) * 65535) // greatest(mxu - mnu, 1) AS xn,
+           ((ep - mne) * 65535) // greatest(mxe - mne, 1) AS yn
+    FROM ev, b
+),
+f AS (
+    SELECT xn, yn,
+           ({_q148_interleave("xn", "yn").replace(" DIV ", " // ")})
+               // {2**32 // _Q148_FILES} AS zfile,
+           (event_id * {_Q148_FILES}) // (mxid + 1) AS linfile
+    FROM norm
+),
+per_file AS (
+    SELECT 'zorder' AS layout, zfile AS file_id,
+           min(xn) AS mnx, min(yn) AS mny, count(*) AS c
+    FROM f GROUP BY zfile
+    UNION ALL
+    SELECT 'linear', linfile, min(xn), min(yn), count(*)
+    FROM f GROUP BY linfile
+),
+stats AS (
+    SELECT layout,
+           count(*) AS n_files,
+           sum(CASE WHEN mnx <= {_Q148_SEL} AND mny <= {_Q148_SEL}
+                    THEN 1 ELSE 0 END) AS n_files_hit,
+           sum(CASE WHEN mnx <= {_Q148_SEL} AND mny <= {_Q148_SEL}
+                    THEN c ELSE 0 END) AS rows_in_hit_files
+    FROM per_file GROUP BY layout
+),
+truth AS (
+    SELECT sum(CASE WHEN xn <= {_Q148_SEL} AND yn <= {_Q148_SEL}
+                    THEN 1 ELSE 0 END) AS n_match_rows
+    FROM f
+)
+SELECT s.layout,
+       CAST(s.n_files AS BIGINT) AS n_files,
+       CAST(s.n_files_hit AS BIGINT) AS n_files_hit,
+       round(s.n_files_hit / CAST(s.n_files AS DOUBLE), 4) AS file_frac,
+       CAST(s.rows_in_hit_files AS BIGINT) AS rows_in_hit_files,
+       CAST(t.n_match_rows AS BIGINT) AS n_match_rows
+FROM stats s, truth t
+ORDER BY s.layout
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -957,4 +1111,6 @@ QUERIES = [
           survey="ext:incremental-stats,A3,A13"),
     Query("q131_moments_merge", q131_moments_merge, Q131_SQL,
           survey="ext:incremental-stats,ext:drift-psi,A3"),
+    Query("q148_zorder_layout", q148_zorder_layout, Q148_SQL,
+          survey="ext:zorder-layout,ext:data-skipping", tags=("bench",)),
 ]

@@ -1523,6 +1523,171 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q147 — join-size estimation from per-table KMV synopses (Beyer et al.
+# 2007 applied to the optimizer's oldest problem): estimate
+# |σ(orders) ⋈ σ(customer)| WITHOUT touching either table beyond its
+# synopsis. Per filtered side keep (n_rows, bottom-k KMV of distinct
+# join keys); merge the two k-row manifests (q133 algebra: union sketch,
+# ρ = n_both/k_used, est_inter = ρ·est_union) and scale by each side's
+# average multiplicity n_rows/est_distinct — the uniform-frequency
+# assumption every histogram-free planner makes. The exact intersection
+# / exact join size ride alongside so the estimation error is DATA (the
+# q123/q132 convention): a green row proves the synopsis algebra, not
+# just "close enough".
+#
+# Shape at scale: each manifest is orderBy(hv).limit(k) —
+# TakeOrderedAndProject, per-partition bottom-k heaps, no shuffle; the
+# merge and every estimator term run on ≤2k rows. In production the
+# synopses persist per table/partition at ingest (they merge by the same
+# union-rededup-retake rule) and the planner never scans at all — the
+# full-table truth columns here exist only to score err_pct in-query.
+# ---------------------------------------------------------------------------
+_Q147_K = 64
+_Q147_NUMER = float((_Q147_K - 1) * 2**60)
+_Q147_PRICE = 150000.0
+
+
+def q147_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _Q147_PRICE)
+        .select(F.col("o_custkey").alias("k"))
+        .localCheckpoint(eager=False)  # feeds n_rows, distinct, truth mults
+    )
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("jsz:"), F.col("k").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    da = a.distinct().select("k", hv.alias("hv")).localCheckpoint(eager=False)
+    db = b.distinct().select("k", hv.alias("hv")).localCheckpoint(eager=False)
+    man_a = da.select("hv").orderBy("hv").limit(_Q147_K).localCheckpoint(eager=False)
+    man_b = db.select("hv").orderBy("hv").limit(_Q147_K).localCheckpoint(eager=False)
+    sk_a = man_a.agg(F.max("hv").alias("kth_a"), F.count("*").alias("n_man_a"))
+    sk_b = man_b.agg(F.max("hv").alias("kth_b"), F.count("*").alias("n_man_b"))
+    u = (
+        man_a.select("hv", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(man_b.select("hv", F.lit(0).alias("ia"), F.lit(1).alias("ib")))
+        .groupBy("hv")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    sk = (
+        u.orderBy("hv")
+        .limit(_Q147_K)
+        .agg(
+            F.max("hv").alias("kth"),
+            F.count("*").alias("n_man"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+        )
+    )
+    n_a = a.agg(F.count("*").alias("n_rows_a"))
+    n_b = b.agg(F.count("*").alias("n_rows_b"))
+    ni = da.join(db, "k").agg(F.count("*").alias("n_inter_true"))
+    tj = (
+        a.groupBy("k")
+        .agg(F.count("*").alias("ca"))
+        .join(b.groupBy("k").agg(F.count("*").alias("cb")), "k")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("n_join_true"))
+    )
+
+    def est_nd(n_man_col, kth_col):
+        return F.when(
+            F.col(n_man_col) >= F.lit(_Q147_K),
+            F.lit(_Q147_NUMER) / F.col(kth_col),
+        ).otherwise(F.col(n_man_col).cast("double"))
+
+    est_inter = (F.col("n_both") / F.col("n_man")) * est_nd("n_man", "kth")
+    est_join = (
+        est_inter
+        * (F.col("n_rows_a") / est_nd("n_man_a", "kth_a"))
+        * (F.col("n_rows_b") / est_nd("n_man_b", "kth_b"))
+    )
+    return (
+        sk.crossJoin(sk_a)
+        .crossJoin(sk_b)
+        .crossJoin(n_a)
+        .crossJoin(n_b)
+        .crossJoin(ni)
+        .crossJoin(tj)
+        .select(
+            F.round(est_inter, 2).alias("est_inter_keys"),
+            F.col("n_inter_true").cast("long").alias("n_inter_true"),
+            F.round(est_join, 2).alias("est_join_rows"),
+            F.col("n_join_true").cast("long").alias("n_join_true"),
+            F.round(
+                (est_join - F.col("n_join_true")) / F.col("n_join_true") * F.lit(100.0),
+                2,
+            ).alias("err_pct"),
+        )
+    )
+
+
+_Q147_HV = _hex2int_sql("md5('jsz:' || CAST(k AS VARCHAR))", 1, 15)
+
+Q147_SQL = f"""
+WITH a AS (
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > {_Q147_PRICE!r}
+),
+b AS (
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0.0
+),
+da AS (SELECT k, {_Q147_HV} AS hv FROM (SELECT DISTINCT k FROM a) t),
+db AS (SELECT k, {_Q147_HV} AS hv FROM (SELECT DISTINCT k FROM b) t),
+man_a AS (SELECT hv FROM da ORDER BY hv LIMIT {_Q147_K}),
+man_b AS (SELECT hv FROM db ORDER BY hv LIMIT {_Q147_K}),
+sk_a AS (SELECT max(hv) AS kth_a, count(*) AS n_man_a FROM man_a),
+sk_b AS (SELECT max(hv) AS kth_b, count(*) AS n_man_b FROM man_b),
+u AS (
+    SELECT hv, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT hv, 1 AS ia, 0 AS ib FROM man_a
+        UNION ALL
+        SELECT hv, 0, 1 FROM man_b
+    ) e GROUP BY hv
+),
+sk AS (
+    SELECT max(hv) AS kth, count(*) AS n_man, sum(ia * ib) AS n_both
+    FROM (SELECT * FROM u ORDER BY hv LIMIT {_Q147_K}) t
+),
+n_a AS (SELECT count(*) AS n_rows_a FROM a),
+n_b AS (SELECT count(*) AS n_rows_b FROM b),
+ni AS (SELECT count(*) AS n_inter_true FROM da JOIN db USING (k)),
+tj AS (
+    SELECT coalesce(sum(ca * cb), 0) AS n_join_true
+    FROM (SELECT k, count(*) AS ca FROM a GROUP BY k) x
+    JOIN (SELECT k, count(*) AS cb FROM b GROUP BY k) y USING (k)
+),
+est AS (
+    SELECT
+        (CAST(n_both AS DOUBLE) / n_man) *
+        (CASE WHEN n_man >= {_Q147_K} THEN {_Q147_NUMER!r} / kth
+              ELSE CAST(n_man AS DOUBLE) END) AS est_inter,
+        (CASE WHEN n_man_a >= {_Q147_K} THEN {_Q147_NUMER!r} / kth_a
+              ELSE CAST(n_man_a AS DOUBLE) END) AS est_nd_a,
+        (CASE WHEN n_man_b >= {_Q147_K} THEN {_Q147_NUMER!r} / kth_b
+              ELSE CAST(n_man_b AS DOUBLE) END) AS est_nd_b
+    FROM sk, sk_a, sk_b
+)
+SELECT round(est.est_inter, 2) AS est_inter_keys,
+       CAST(ni.n_inter_true AS BIGINT) AS n_inter_true,
+       round(est.est_inter * (n_a.n_rows_a / est.est_nd_a)
+             * (n_b.n_rows_b / est.est_nd_b), 2) AS est_join_rows,
+       CAST(tj.n_join_true AS BIGINT) AS n_join_true,
+       round((est.est_inter * (n_a.n_rows_a / est.est_nd_a)
+              * (n_b.n_rows_b / est.est_nd_b) - tj.n_join_true)
+             / tj.n_join_true * 100.0, 2) AS err_pct
+FROM est, n_a, n_b, ni, tj
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -1555,5 +1720,8 @@ QUERIES = [
           tags=("bench",)),
     Query("q142_priority_sample", q142_priority_sample, Q142_SQL,
           survey="ext:priority-sampling,ext:weighted-sampling,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q147_joinsize_estimate", q147_joinsize_estimate, Q147_SQL,
+          survey="ext:kmv-sketch,ext:join-size-estimation,ext:aqp-quantiles",
           tags=("bench",)),
 ]
