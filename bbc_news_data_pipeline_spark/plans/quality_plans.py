@@ -933,6 +933,130 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# q149 — Neyman-allocation stratified sampling (Neyman 1934; survey
+# sampling's optimal-allocation theorem applied to corpus curation):
+# q67 stratifies with FIXED per-group rates; Neyman allocation sizes
+# each stratum's sample ∝ N_h·σ_h — more budget where the data varies
+# more — which minimizes the variance of the estimated corpus mean at a
+# fixed total budget. The variance feeding the allocation comes from the
+# same exact integer moment manifests as q119/q131 (DECIMAL sums,
+# double only at the boundary), the per-stratum weights are fixed-pointed
+# BEFORE the cross-strata total (integer sum — accumulation-order-free),
+# and the realized sample is drawn by the q55 hash-threshold mechanism
+# with an EXACT integer threshold (alloc·2³² DIV N_h), so allocation,
+# thresholds, and realized counts all reproduce bit-for-bit on both
+# engines. Output scores allocation against realization per stratum.
+#
+# Shape at scale: one map-side-combinable groupBy builds the moment
+# manifest (metadata-sized); the allocation math runs on |strata| rows;
+# the draw is a broadcast join + row-local hash compare. Nothing scans
+# twice except the draw itself — and in production the manifest already
+# exists (q119's incremental-stats contract), so allocation is free.
+# ---------------------------------------------------------------------------
+_Q149_N = 200
+
+
+def q149_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(9,0)")
+    strata = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+    )
+    n = F.col("n_h").cast("double")
+    m1 = F.col("s1") / n
+    sig = F.sqrt(F.greatest(F.col("s2") / n - m1 * m1, F.lit(0.0)))
+    staged = strata.select(
+        "lang",
+        "n_h",
+        sig.alias("_sig"),
+        F.round(n * sig * F.lit(10000.0)).cast("long").alias("w_fp"),
+    ).localCheckpoint(eager=False)  # feeds the total, the alloc, the join
+    tot = staged.agg(F.sum("w_fp").alias("w_tot"))
+    alloc = staged.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_h",
+        F.round(F.col("_sig"), 4).alias("sigma_chars"),
+        F.round(F.lit(float(_Q149_N)) * F.col("w_fp") / F.col("w_tot"))
+        .cast("long")
+        .alias("alloc_n"),
+    )
+    thr = alloc.selectExpr(
+        "lang",
+        "n_h",
+        "sigma_chars",
+        "alloc_n",
+        "(alloc_n * 4294967296) DIV n_h AS thr",
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ney:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        docs.select("lang", hv.alias("hv"))
+        .join(F.broadcast(thr.select("lang", "thr")), "lang")
+        .filter(F.col("hv") < F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("realized_n"))
+    )
+    return (
+        thr.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_h",
+            "sigma_chars",
+            "alloc_n",
+            F.coalesce("realized_n", F.lit(0)).cast("long").alias("realized_n"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q149_HV = _hex2int_sql("md5('ney:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q149_SQL = f"""
+WITH strata AS (
+    SELECT lang, count(*) AS n_h,
+           CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS s1,
+           CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                AS DOUBLE) AS s2
+    FROM documents GROUP BY lang
+),
+staged AS (
+    SELECT lang, n_h,
+           sqrt(greatest(s2 / n_h - (s1 / n_h) * (s1 / n_h), 0.0)) AS sig
+    FROM strata
+),
+wfp AS (
+    SELECT lang, n_h, sig,
+           CAST(round(n_h * sig * 10000.0) AS BIGINT) AS w_fp
+    FROM staged
+),
+tot AS (SELECT sum(w_fp) AS w_tot FROM wfp),
+alloc AS (
+    SELECT lang, n_h, round(sig, 4) AS sigma_chars,
+           CAST(round({float(_Q149_N)!r} * w_fp / w_tot) AS BIGINT) AS alloc_n
+    FROM wfp, tot
+),
+thr AS (SELECT *, (alloc_n * 4294967296) // n_h AS thr FROM alloc),
+kept AS (
+    SELECT d.lang, count(*) AS realized_n
+    FROM documents d JOIN thr ON thr.lang = d.lang
+    WHERE ({_Q149_HV}) < thr.thr
+    GROUP BY d.lang
+)
+SELECT t.lang, CAST(t.n_h AS BIGINT) AS n_h, t.sigma_chars, t.alloc_n,
+       CAST(coalesce(k.realized_n, 0) AS BIGINT) AS realized_n
+FROM thr t LEFT JOIN kept k USING (lang)
+ORDER BY t.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # q148 — Z-order (Morton curve) layout audit (Morton 1966; the
 # Delta/Iceberg OPTIMIZE ZORDER contract): interleave the bits of two
 # normalized dimensions (user_id, event epoch) into one sort key, bucket
@@ -1113,4 +1237,7 @@ QUERIES = [
           survey="ext:incremental-stats,ext:drift-psi,A3"),
     Query("q148_zorder_layout", q148_zorder_layout, Q148_SQL,
           survey="ext:zorder-layout,ext:data-skipping", tags=("bench",)),
+    Query("q149_neyman_allocation", q149_neyman_allocation, Q149_SQL,
+          survey="ext:stratified-sampling,ext:incremental-stats,ext:hash-sampling",
+          tags=("bench",)),
 ]

@@ -198,3 +198,136 @@ def test_prefix_filter_never_misses_a_qualifying_pair(sets):
         union = len(a | b)
         if inter * 10 >= union * 7:
             assert prefixes[i] & prefixes[j], (a, b)
+
+
+# --- q147: KMV join-size estimation ----------------------------------------
+
+
+def _kmv_joinsize(a_counts, b_counts, k):
+    """Pure-python twin of q147's estimator: bottom-k manifests of md5'd
+    distinct keys, union-sketch intersection estimate, avg-multiplicity
+    scaling."""
+    def hv(key):
+        return int(hashlib.md5(f"jsz:{key}".encode()).hexdigest()[:15], 16)
+
+    da = sorted(hv(x) for x in a_counts)
+    db = sorted(hv(x) for x in b_counts)
+    man_a, man_b = set(da[:k]), set(db[:k])
+    union = sorted(man_a | man_b)[:k]
+    n_man, n_both = len(union), sum(1 for h in union if h in man_a and h in man_b)
+    numer = float((k - 1) * 2**60)
+    est_union = numer / union[-1] if n_man >= k else float(n_man)
+    est_inter = (n_both / n_man) * est_union if n_man else 0.0
+    est_nd_a = numer / max(man_a) if len(man_a) >= k else float(len(man_a))
+    est_nd_b = numer / max(man_b) if len(man_b) >= k else float(len(man_b))
+    ra, rb = sum(a_counts.values()), sum(b_counts.values())
+    return est_inter * (ra / est_nd_a) * (rb / est_nd_b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sets(st.integers(0, 10**6), min_size=1, max_size=40),
+    st.sets(st.integers(0, 10**6), min_size=1, max_size=40),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_kmv_joinsize_exact_when_manifests_hold_everything(ka, kb, ma, mb):
+    """Below k distinct keys per side with uniform multiplicities, the
+    synopsis IS the data and the estimate equals the exact join size —
+    q147's exact-path contract."""
+    a = {x: ma for x in ka}
+    b = {x: mb for x in kb}
+    true = len(ka & kb) * ma * mb
+    est = _kmv_joinsize(a, b, k=64)
+    assert abs(est - true) < 1e-6, (est, true)
+
+
+# --- q148: Morton interleave + zone-map audit ------------------------------
+
+
+def _morton_divmod(x, y):
+    """q148's DIV/% bit algebra, verbatim."""
+    return sum(
+        ((x // (1 << j)) % 2) * (1 << (2 * j + 1))
+        + ((y // (1 << j)) % 2) * (1 << (2 * j))
+        for j in range(16)
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 65535), st.integers(0, 65535))
+def test_morton_divmod_algebra_matches_bit_interleave(x, y):
+    """The division-based Morton formula (portable to both engines)
+    equals true bit interleaving."""
+    z = 0
+    for j in range(16):
+        z |= ((x >> j) & 1) << (2 * j + 1)
+        z |= ((y >> j) & 1) << (2 * j)
+    assert _morton_divmod(x, y) == z
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_zone_map_skipping_never_misses_a_matching_row(pts):
+    """Data-skipping soundness (the invariant that makes q148's audit
+    meaningful): every point inside the query box lives in a file whose
+    zone-map min-x/min-y overlap test flags it as HIT — skipped files
+    provably contain no matches, for any point set and any layout."""
+    sel = 8191
+    files = {}
+    for x, y in pts:
+        files.setdefault(_morton_divmod(x, y) // (2**32 // 256), []).append((x, y))
+    n_match = sum(1 for x, y in pts if x <= sel and y <= sel)
+    rows_in_hit = sum(
+        len(v)
+        for v in files.values()
+        if min(x for x, _ in v) <= sel and min(y for _, y in v) <= sel
+    )
+    matches_in_hit = sum(
+        1
+        for v in files.values()
+        if min(x for x, _ in v) <= sel and min(y for _, y in v) <= sel
+        for x, y in v
+        if x <= sel and y <= sel
+    )
+    assert matches_in_hit == n_match
+    assert rows_in_hit >= n_match
+
+
+# --- q149: Neyman allocation -----------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(10, 5000), st.floats(0.1, 500.0)),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_neyman_allocation_never_worse_than_proportional(strata):
+    """Neyman's theorem (the reason q149 exists): allocating n_h ∝ N_h·σ_h
+    gives estimated-mean variance Σ(N_h·σ_h)²/n_h no larger than
+    proportional allocation n_h ∝ N_h, for any strata profile (real-
+    valued allocations; q149's fixed-point rounding is oracle-verified
+    separately)."""
+    n_total = 100.0
+    wsum = sum(nh * s for nh, s in strata)
+    nsum = sum(nh for nh, _ in strata)
+    if wsum <= 0:
+        return
+    var_neyman = sum(
+        (nh * s) ** 2 / (n_total * (nh * s) / wsum)
+        for nh, s in strata
+        if nh * s > 0
+    )
+    var_prop = sum(
+        (nh * s) ** 2 / (n_total * nh / nsum) for nh, s in strata
+    )
+    assert var_neyman <= var_prop * (1 + 1e-9)
