@@ -22,7 +22,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..operators.sketches import (
     CM_DEPTH,
@@ -1688,6 +1695,207 @@ FROM est, n_a, n_b, ni, tj
 """
 
 
+# ---------------------------------------------------------------------------
+# q150 — priority sample as STREAMING state (q142's streaming twin; the
+# fourth member of the sketch-as-stream-state family: HLL → q124, KMV →
+# q135, grid digest → q140). Per source the state is the top-(k+1) rows
+# by (priority DESC, doc_id ASC) — a deterministic function of the SET
+# of rows seen, so ANY micro-batch slicing converges to the batch
+# sketch. Each batch emits (n_man, boundary priority, boundary doc,
+# est_fp); the final reduce keeps max(struct(n_man, tau, −b_doc)):
+# n_man is monotone nondecreasing, and once full the boundary KEY
+# (tau, −b_doc) is monotone nondecreasing in the same lexicographic
+# order the state sorts by — the q135 sub-k reduction lesson applied to
+# priorities. The estimator sum is computed IN the state function in
+# exact int64 (w·10⁴ vs the once-fixed-pointed τ, via decimal HALF_UP —
+# bit-matching Spark/DuckDB round()), so the drained value equals the
+# oracle's batch computation digit-for-digit.
+#
+# Shape at scale: the priority is computed JVM-side before the state
+# shuffle (one IEEE division, same expression as q142/oracle); state is
+# ≤(k+1)·3 longs per source forever; emission is one row per
+# source-batch.
+# ---------------------------------------------------------------------------
+_Q150_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n_man", LongType()),
+        StructField("tau", DoubleType()),
+        StructField("b_doc", LongType()),
+        StructField("est_fp", LongType()),
+    ]
+)
+_Q150_STATE_SCHEMA = StructType(
+    [
+        StructField("pri", ArrayType(DoubleType())),
+        StructField("doc", ArrayType(LongType())),
+        StructField("w", ArrayType(LongType())),
+    ]
+)
+
+
+def _psmp_state_group(
+    key: tuple, pdfs: "Iterable[pd.DataFrame]", state: "GroupState"
+) -> "Iterator[pd.DataFrame]":
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    (source,) = key
+    rows = [
+        (float(p), int(d), int(w))
+        for pdf in pdfs
+        for p, d, w in zip(pdf["pri"], pdf["doc_id"], pdf["w"])
+    ]
+    if state.exists:
+        sp, sd, sw = state.get
+        rows.extend(zip(sp, sd, sw))
+    if not rows:
+        return
+    # top-(k+1) by (pri DESC, doc_id ASC); dedup exact replays on doc id
+    best: dict[int, tuple[float, int, int]] = {}
+    for p, d, w in rows:
+        best[d] = (p, d, w)
+    top = sorted(best.values(), key=lambda r: (-r[0], r[1]))[: _Q142_K + 1]
+    state.update(([r[0] for r in top], [r[1] for r in top], [r[2] for r in top]))
+    if len(top) > _Q142_K:
+        tau, b_doc = top[_Q142_K][0], top[_Q142_K][1]
+        tau_fp = int(
+            Decimal(tau * 10000.0).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+    else:
+        tau, b_doc, tau_fp = 0.0, 0, 0
+    sample = top[: _Q142_K]
+    est_fp = sum(max(w * 10000, tau_fp) for _, _, w in sample)
+    yield pd.DataFrame(
+        {
+            "source": [source],
+            "n_man": [len(top)],
+            "tau": [tau],
+            "b_doc": [b_doc],
+            "est_fp": [est_fp],
+        }
+    )
+
+
+def q150_stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .streaming_plans import _drain_to_memory
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+
+    def keyed(df):
+        hv = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("psmp:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (hv.cast("double") + F.lit(0.5)) / F.lit(_Q142_U_DEN)
+        return df.select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            (F.col("n_chars").cast("double") / u).alias("pri"),
+        )
+
+    def transform(st):
+        return (
+            keyed(st)
+            .groupBy("source")
+            .applyInPandasWithState(
+                _psmp_state_group,
+                outputStructType=_Q150_OUT_SCHEMA,
+                stateStructType=_Q150_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    drained = _drain_to_memory(docs, transform, "q150_psmp", output_mode="append")
+    final = (
+        drained.groupBy("source")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_man", "tau", (-F.col("b_doc")).alias("nbd"), "est_fp"
+                )
+            ).alias("s")
+        )
+        .select("source", F.col("s.n_man").alias("n_man"), F.col("s.est_fp").alias("est_fp"))
+    )
+    truth = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("true_chars"))
+    )
+    est_raw = F.col("est_fp") / F.lit(10000.0)
+    return (
+        truth.join(final, "source")
+        .select(
+            "source",
+            F.least(F.col("n_man"), F.lit(_Q142_K)).cast("long").alias("n_sample"),
+            F.round(est_raw, 2).alias("est_chars"),
+            "true_chars",
+            F.round(
+                (est_raw - F.col("true_chars")) / F.col("true_chars") * F.lit(100.0),
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+Q150_SQL = f"""
+WITH keyed AS (
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+           CAST(n_chars AS DOUBLE) / ((({_Q142_HEX}) + 0.5) / {_Q142_U_DEN!r})
+               AS pri
+    FROM documents
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY pri DESC, doc_id
+    ) AS rn
+    FROM keyed
+),
+top AS (SELECT * FROM ranked WHERE rn <= {_Q142_K + 1}),
+agg AS (
+    SELECT source, count(*) AS n_man,
+           coalesce(max(CASE WHEN rn = {_Q142_K + 1}
+                             THEN CAST(round(pri * 10000.0) AS BIGINT) END),
+                    0) AS tau_fp
+    FROM top GROUP BY source
+),
+est AS (
+    SELECT t.source,
+           sum(CASE WHEN t.rn <= {_Q142_K}
+                    THEN greatest(t.w * 10000, a.tau_fp) ELSE 0 END) AS est_fp,
+           min(a.n_man) AS n_man
+    FROM top t JOIN agg a ON a.source = t.source
+    GROUP BY t.source
+),
+truth AS (
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS true_chars
+    FROM documents GROUP BY source
+)
+SELECT tr.source,
+       CAST(least(e.n_man, {_Q142_K}) AS BIGINT) AS n_sample,
+       round(e.est_fp / 10000.0, 2) AS est_chars,
+       tr.true_chars,
+       round((e.est_fp / 10000.0 - tr.true_chars)
+             / tr.true_chars * 100.0, 2) AS err_pct
+FROM truth tr JOIN est e USING (source)
+ORDER BY tr.source
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -1724,4 +1932,6 @@ QUERIES = [
     Query("q147_joinsize_estimate", q147_joinsize_estimate, Q147_SQL,
           survey="ext:kmv-sketch,ext:join-size-estimation,ext:aqp-quantiles",
           tags=("bench",)),
+    Query("q150_stream_priority_sample", q150_stream_priority_sample, Q150_SQL,
+          survey="ext:priority-sampling,ST6,ST1", tags=("bench",)),
 ]

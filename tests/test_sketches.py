@@ -592,3 +592,108 @@ def test_kmv_difference_partitions_union(spark, sf_dir):
         assert r.est_cov_b_in_a is None or 0.0 <= r.est_cov_b_in_a <= 1.0
         assert 0.0 <= r.exact_cov_b_in_a <= 1.0
         assert r.exact_a_only >= 0 and r.exact_b_only >= 0
+
+
+def test_priority_sample_stream_state_multibatch(spark, tmp_path):
+    """q150's contract at the multi-batch seam: with maxFilesPerTrigger=1
+    and OVERLAPPING doc_ids across batches (exact-replay dedup must
+    hold), the max(n_man, tau, -b_doc) reduction of the append emissions
+    must equal the top-(k+1) priority state built over the union — tau
+    path exercised (>k rows in one source)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q142_K,
+        _Q142_U_DEN,
+        _Q150_OUT_SCHEMA,
+        _Q150_STATE_SCHEMA,
+        _psmp_state_group,
+    )
+
+    def mk(i):
+        return (i, "t", "en", "s0" if i % 29 else "s1", 100 + (i * 37) % 500)
+
+    rows_a = [mk(i) for i in range(70)]
+    rows_b = [mk(i) for i in range(60, 130)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(rows_a, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("psmp:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv.cast("double") + F.lit(0.5)) / F.lit(_Q142_U_DEN)
+    q = (
+        stream.select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            (F.col("n_chars").cast("double") / u).alias("pri"),
+        )
+        .groupBy("source")
+        .applyInPandasWithState(
+            _psmp_state_group,
+            outputStructType=_Q150_OUT_SCHEMA,
+            stateStructType=_Q150_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("psmp_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("psmp_mb").toPandas()
+    spark.catalog.dropTempView("psmp_mb")
+    assert len(drained) > drained.source.nunique()
+
+    final = {}
+    for s, grp in drained.groupby("source"):
+        best = max(grp.itertuples(), key=lambda r: (r.n_man, r.tau, -r.b_doc))
+        final[s] = (int(best.n_man), int(best.est_fp))
+
+    def twin(rows):
+        def pri(d, w):
+            h = int(hashlib.md5(f"psmp:{d}".encode()).hexdigest()[:8], 16)
+            return w / ((h + 0.5) / 2**32)
+
+        top = sorted(
+            ((pri(d, w), d, w) for d, w in rows), key=lambda r: (-r[0], r[1])
+        )[: _Q142_K + 1]
+        if len(top) > _Q142_K:
+            tau_fp = int(
+                Decimal(top[_Q142_K][0] * 10000.0).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+        else:
+            tau_fp = 0
+        return (
+            len(top),
+            sum(max(w * 10000, tau_fp) for _, _, w in top[: _Q142_K]),
+        )
+
+    union = {r[0]: r for r in rows_a + rows_b}
+    by_src: dict = {}
+    for doc_id, _, _, source, n_chars in union.values():
+        by_src.setdefault(source, []).append((doc_id, n_chars))
+    expected = {s: twin(rows) for s, rows in by_src.items()}
+    assert final == expected
+    # tau path actually exercised: the big source exceeds k
+    assert expected["s0"][0] == _Q142_K + 1
