@@ -1536,6 +1536,129 @@ ORDER BY c.method, c.split
 )
 
 
+# ---------------------------------------------------------------------------
+# q151 — bounded k-core peeling (Seidman 1983; Batagelj–Zaveršnik made
+# iterative): strip vertices of degree < k from the near-dup graph,
+# recompute degrees, repeat — K=3 unrolled rounds with per-round removal
+# counts and a `stable` flag (round removed nothing ⇒ the 2-core is
+# final). Completes the graph-operator family over the shared capped LSH
+# pair graph: q57 components (what's connected), q139 PageRank (what's
+# central), q144 triangles (what's clique-like), q151 k-core (what
+# SURVIVES pruning — the dense boilerplate families worth human review).
+# The iterate-to-convergence contract matches q139/q127: each round is a
+# pure integer recompute (degree counts, anti-joins), so K rounds drift
+# nothing cross-engine, and the oracle unrolls the same K rounds as
+# CTEs — an independent derivation at every step.
+#
+# Shape at scale: each round is one degree aggregation + two semi-joins
+# on the (capped, candidate-pair-sized) edge list; rounds are bounded by
+# K, not by data. Production runs rounds until the removal count hits 0
+# (the flag this query emits); each round's edge list only shrinks.
+# ---------------------------------------------------------------------------
+_Q151_K = 2
+_Q151_ROUNDS = 3
+
+
+def q151_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    edges = (
+        minhash_candidates(docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    rounds = []
+    cur = edges
+    for rnd in range(1, _Q151_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("id_a").alias("v"))
+            .unionAll(cur.select(F.col("id_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+            .localCheckpoint(eager=False)  # feeds keep-set + both stats
+        )
+        keep = deg.filter(F.col("d") >= _Q151_K).select("v")
+        stats = deg.agg(
+            F.sum((F.col("d") < _Q151_K).cast("long")).alias("n_removed"),
+            F.sum((F.col("d") >= _Q151_K).cast("long")).alias("n_left"),
+        ).select(F.lit(rnd).alias("round"), "n_removed", "n_left")
+        rounds.append(stats)
+        cur = (
+            cur.join(keep.withColumnRenamed("v", "id_a"), "id_a", "left_semi")
+            .join(keep.withColumnRenamed("v", "id_b"), "id_b", "left_semi")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=False)  # next round's deg + semi-joins
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "round",
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("n_left", F.lit(0)).alias("n_left"),
+        (F.coalesce("n_removed", F.lit(0)) == 0).alias("stable"),
+    ).orderBy("round")
+
+
+def _q151_round_sql(i: int) -> str:
+    """CTEs for round i: deg{i} over e{i-1}, stats, e{i} restricted."""
+    return f"""
+deg{i} AS (
+    SELECT v, count(*) AS d FROM (
+        SELECT id_a AS v FROM e{i - 1} UNION ALL SELECT id_b FROM e{i - 1}
+    ) u GROUP BY v
+),
+st{i} AS (
+    SELECT {i} AS round,
+           coalesce(sum(CASE WHEN d < {_Q151_K} THEN 1 ELSE 0 END), 0)
+               AS n_removed,
+           coalesce(sum(CASE WHEN d >= {_Q151_K} THEN 1 ELSE 0 END), 0)
+               AS n_left
+    FROM deg{i}
+),
+e{i} AS (
+    SELECT e.id_a, e.id_b FROM e{i - 1} e
+    WHERE EXISTS (SELECT 1 FROM deg{i} a
+                  WHERE a.v = e.id_a AND a.d >= {_Q151_K})
+      AND EXISTS (SELECT 1 FROM deg{i} b
+                  WHERE b.v = e.id_b AND b.d >= {_Q151_K})
+)"""
+
+
+Q151_SQL = (
+    f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+),
+e0 AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),"""
+    + ",".join(_q151_round_sql(i) for i in range(1, _Q151_ROUNDS + 1))
+    + f"""
+SELECT round, CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_left AS BIGINT) AS n_left,
+       (n_removed = 0) AS stable
+FROM (SELECT * FROM st1 UNION ALL SELECT * FROM st2 UNION ALL SELECT * FROM st3) s
+ORDER BY round
+"""
+)
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -1573,5 +1696,8 @@ QUERIES = [
           tags=("bench",)),
     Query("q145_leakage_safe_split", q145_leakage_safe_split, Q145_SQL,
           survey="ext:leakage-safe-split,ext:dup-clustering,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q151_kcore_peeling", q151_kcore_peeling, Q151_SQL,
+          survey="ext:kcore-peeling,ext:dup-clustering,ext:iterate-to-convergence",
           tags=("bench",)),
 ]

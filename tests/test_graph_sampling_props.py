@@ -331,3 +331,54 @@ def test_neyman_allocation_never_worse_than_proportional(strata):
         (nh * s) ** 2 / (n_total * nh / nsum) for nh, s in strata
     )
     assert var_neyman <= var_prop * (1 + 1e-9)
+
+
+# --- q151: k-core peeling --------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        max_size=60,
+    ),
+    st.integers(0, 3),
+)
+def test_kcore_is_order_independent(edges, shuffle_seed):
+    """The k-core is UNIQUE (Seidman): peeling degree-<k vertices to a
+    fixpoint yields the same surviving set regardless of removal order —
+    so q151's simultaneous-round peeling (all under-degree vertices per
+    round) converges to the same core a one-at-a-time peel does."""
+    import random
+
+    k = 2
+
+    def peel_rounds(es):
+        es = set(es)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {v for v, d in deg.items() if d < k}
+            if not drop:
+                return {v for e in es for v in e}
+            es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+    def peel_one_at_a_time(es, seed):
+        es = set(es)
+        rng = random.Random(seed)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            under = sorted(v for v, d in deg.items() if d < k)
+            if not under:
+                return {v for e in es for v in e}
+            v = rng.choice(under)
+            es = {(a, b) for a, b in es if a != v and b != v}
+
+    assert peel_rounds(edges) == peel_one_at_a_time(edges, shuffle_seed)
