@@ -1002,9 +1002,15 @@ def q146_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup family), NOT unigram tokens: on a templated corpus unigram
     # SETS are near-identical across unrelated docs (54k "pairs" at
     # sf0.001), while shingle sets are order-sensitive and discriminative.
-    toked = with_shingles(docs, "doc_id", "text", SHINGLE_K, out="_sh").select(
-        "doc_id", F.array_distinct("_sh").alias("toks")
-    ).withColumn("n", F.size("toks").cast("long"))
+    toked = (
+        with_shingles(docs, "doc_id", "text", SHINGLE_K, out="_sh")
+        .select("doc_id", F.array_distinct("_sh").alias("toks"))
+        .withColumn("n", F.size("toks").cast("long"))
+        # Shingling + array_distinct is the dominant cost and this frame
+        # feeds THREE consumers (df/prefix via explode, and both sides of
+        # the verify join) — pin it so the work runs once (q144 pattern).
+        .localCheckpoint(eager=False)
+    )
     tok = toked.select("doc_id", "n", F.explode("toks").alias("t"))
     df = tok.groupBy("t").agg(F.count("*").alias("df"))
     # (df, t) IS the rare-first total order — no dense global rank (and

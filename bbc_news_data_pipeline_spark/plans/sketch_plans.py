@@ -1896,6 +1896,141 @@ ORDER BY tr.source
 """
 
 
+# ---------------------------------------------------------------------------
+# q152 — Misra–Gries mergeable heavy hitters (Misra & Gries 1982; merge
+# rule from Agarwal et al., "Mergeable Summaries", PODS'12): the
+# deterministic counter-based complement of the hash-based CMS family
+# (q121/q125). Each ingest shard reduces its exact token counts to a
+# ≤K-counter summary ORDER-FREE: subtract the (K+1)-th largest per-shard
+# count λ_s from every counter and drop non-positives (a valid MG summary
+# — the top K+1 counts each absorb ≥ λ_s of the decrement mass, so the
+# per-token deficit ≤ λ_s ≤ (n_s − m̂_s)/(K+1)). Merging sums counters by
+# token, then applies the same reduction with the (K+1)-th largest merged
+# counter λ'. Every value is an exact integer, so the DuckDB oracle
+# reproduces the summary counter-for-counter, and the output carries the
+# PROVABLE deficit bound Σ_s λ_s + λ' next to the true count — the
+# one-sided-error twin of CMS (MG never OVERestimates; CMS never
+# underestimates).
+#
+# Scale shape: per-shard reduction is a groupBy + a window partitioned by
+# shard (S shards = the ingest parallelism unit; per-shard state is the
+# shard's vocabulary, exactly the map-side-combine working set). The
+# merged table is ≤ S·K rows, λ' comes from a TakeOrdered limit (no
+# global window), and the final truth join broadcasts the ≤K survivors.
+# ---------------------------------------------------------------------------
+_Q152_K = 20
+_Q152_SHARDS = 8
+
+
+def q152_misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    docs = load(spark, sf_dir, "documents")
+    k1 = _Q152_K + 1
+    cnts = (
+        docs.select(
+            F.pmod(sample_key_expr("doc_id", salt="mg"), F.lit(_Q152_SHARDS))
+            .alias("shard"),
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .groupBy("shard", "w")
+        .agg(F.count("*").alias("cnt"))
+        # Feeds the per-shard reduction AND the exact-truth rollup — pin so
+        # the corpus tokenization runs once (q144 pattern).
+        .localCheckpoint(eager=False)
+    )
+    win = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = cnts.withColumn("rn", F.row_number().over(win))
+    lam = ranked.filter(F.col("rn") == k1).select(
+        "shard", F.col("cnt").alias("lam")
+    )
+    surv = (
+        ranked.join(F.broadcast(lam), "shard", "left")
+        .withColumn("est", F.col("cnt") - F.coalesce("lam", F.lit(0)))
+        .filter(F.col("est") > 0)
+    )
+    merged = surv.groupBy("w").agg(F.sum("est").alias("m"))
+    lamp = (
+        merged.orderBy(F.desc("m"), F.asc("w"))
+        .limit(k1)
+        .agg(
+            F.when(F.count("*") == k1, F.min("m"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lamp")
+        )
+    )
+    lam_sum = lam.agg(
+        F.coalesce(F.sum("lam"), F.lit(0)).cast("long").alias("lam_sum")
+    )
+    truth = cnts.groupBy("w").agg(F.sum("cnt").cast("long").alias("true_count"))
+    hitters = (
+        merged.crossJoin(F.broadcast(lamp))
+        .crossJoin(F.broadcast(lam_sum))
+        .withColumn("mg_estimate", (F.col("m") - F.col("lamp")).cast("long"))
+        .filter(F.col("mg_estimate") > 0)
+        .withColumn("err_bound", (F.col("lam_sum") + F.col("lamp")).cast("long"))
+        .select("w", "mg_estimate", "err_bound")
+    )
+    return (
+        truth.join(F.broadcast(hitters), "w")
+        .withColumn(
+            "within_bound",
+            (F.col("mg_estimate") <= F.col("true_count"))
+            & (F.col("true_count") - F.col("mg_estimate") <= F.col("err_bound")),
+        )
+        .select("w", "mg_estimate", "true_count", "err_bound", "within_bound")
+        .orderBy(F.desc("mg_estimate"), F.asc("w"))
+    )
+
+
+Q152_SQL = f"""
+WITH cnts AS (
+    SELECT CAST({_hex2int_sql("md5('mg:' || CAST(doc_id AS VARCHAR))", 1, 8)}
+                % {_Q152_SHARDS} AS BIGINT) AS shard,
+           w, count(*) AS cnt
+    FROM (
+        SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w
+        FROM documents
+    )
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT shard, w, cnt,
+           row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, w) AS rn
+    FROM cnts
+),
+lam AS (SELECT shard, cnt AS lam FROM ranked WHERE rn = {_Q152_K + 1}),
+surv AS (
+    SELECT r.w, r.cnt - COALESCE(l.lam, 0) AS est
+    FROM ranked r LEFT JOIN lam l ON l.shard = r.shard
+    WHERE r.cnt - COALESCE(l.lam, 0) > 0
+),
+merged AS (SELECT w, SUM(est) AS m FROM surv GROUP BY w),
+lamp AS (
+    SELECT CASE WHEN count(*) = {_Q152_K + 1}
+                THEN CAST(MIN(m) AS BIGINT) ELSE 0 END AS lamp
+    FROM (SELECT m FROM merged ORDER BY m DESC, w LIMIT {_Q152_K + 1})
+),
+lam_sum AS (SELECT CAST(COALESCE(SUM(lam), 0) AS BIGINT) AS lam_sum FROM lam),
+truth AS (
+    SELECT w, CAST(SUM(cnt) AS BIGINT) AS true_count FROM cnts GROUP BY w
+),
+hitters AS (
+    SELECT m.w,
+           CAST(m.m - lamp.lamp AS BIGINT) AS mg_estimate,
+           CAST(lam_sum.lam_sum + lamp.lamp AS BIGINT) AS err_bound
+    FROM merged m CROSS JOIN lamp CROSS JOIN lam_sum
+    WHERE m.m - lamp.lamp > 0
+)
+SELECT t.w, h.mg_estimate, t.true_count, h.err_bound,
+       h.mg_estimate <= t.true_count
+       AND t.true_count - h.mg_estimate <= h.err_bound AS within_bound
+FROM truth t JOIN hitters h ON h.w = t.w
+ORDER BY mg_estimate DESC, t.w
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -1934,4 +2069,7 @@ QUERIES = [
           tags=("bench",)),
     Query("q150_stream_priority_sample", q150_stream_priority_sample, Q150_SQL,
           survey="ext:priority-sampling,ST6,ST1", tags=("bench",)),
+    Query("q152_misra_gries_heavy", q152_misra_gries_heavy, Q152_SQL,
+          survey="ext:heavy-hitters,ext:countmin-sketch,ext:incremental-stats",
+          tags=("bench",)),
 ]

@@ -1,7 +1,8 @@
 """Property tests for the round-6 contract extensions: priority-sampling
 estimator algebra (q142), HRW re-shard migration invariant (q143),
 degree-ordered triangle census vs brute force (q144), leakage-safe split
-totality (q145), and the prefix-filter completeness theorem (q146).
+totality (q145), the prefix-filter completeness theorem (q146), and the
+Misra-Gries mergeable-summary guarantees (q152).
 
 All pure-python twins — the Spark implementations of the same algebra are
 oracle-verified at three SFs; these pin the ALGORITHMS across random
@@ -382,3 +383,78 @@ def test_kcore_is_order_independent(edges, shuffle_seed):
             es = {(a, b) for a, b in es if a != v and b != v}
 
     assert peel_rounds(edges) == peel_one_at_a_time(edges, shuffle_seed)
+
+
+# --- q152: Misra-Gries mergeable heavy hitters ------------------------------
+
+
+def _mg_reduce(counts: dict, k: int):
+    """Order-free MG summary of exact counts: subtract the (k+1)-th largest
+    count from every counter, drop non-positives. Returns (summary, lam)."""
+    vals = sorted(counts.values(), reverse=True)
+    lam = vals[k] if len(vals) > k else 0
+    return {t: c - lam for t, c in counts.items() if c - lam > 0}, lam
+
+
+def _mg_q152(shard_counts: list, k: int):
+    """Twin of q152's full pipeline: per-shard reduce, merge-sum, reduce
+    again. Returns (estimates, err_bound)."""
+    merged: dict = {}
+    lam_sum = 0
+    for counts in shard_counts:
+        summ, lam = _mg_reduce(counts, k)
+        lam_sum += lam
+        for t, c in summ.items():
+            merged[t] = merged.get(t, 0) + c
+    final, lamp = _mg_reduce(merged, k)
+    return final, lam_sum + lamp
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=150, deadline=None)
+def test_mg_summary_contract(shard_streams, k):
+    """The three MG guarantees q152 outputs as columns, over arbitrary
+    sharded streams: <= k counters survive, estimates never overestimate,
+    the deficit is within the emitted bound, and every token whose true
+    count exceeds the bound is PRESENT (no false-negative heavy hitter)."""
+    shard_counts = []
+    true: dict = {}
+    for stream in shard_streams:
+        counts: dict = {}
+        for t in stream:
+            counts[t] = counts.get(t, 0) + 1
+            true[t] = true.get(t, 0) + 1
+        shard_counts.append(counts)
+    est, bound = _mg_q152(shard_counts, k)
+    assert len(est) <= k
+    for t, e in est.items():
+        assert e <= true[t]
+        assert true[t] - e <= bound
+    for t, c in true.items():
+        if c > bound:
+            assert t in est, (t, c, bound)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=150, deadline=None)
+def test_mg_shard_reduce_is_valid_summary(stream, k):
+    """Validity condition from the Mergeable Summaries paper: the order-free
+    per-shard reduction's decrement lam satisfies lam <= (n - m_hat)/(k+1),
+    i.e. it is a legal MG summary and therefore merge-closed."""
+    counts: dict = {}
+    for t in stream:
+        counts[t] = counts.get(t, 0) + 1
+    summ, lam = _mg_reduce(counts, k)
+    n = len(stream)
+    m_hat = sum(summ.values())
+    assert lam * (k + 1) <= n - m_hat
