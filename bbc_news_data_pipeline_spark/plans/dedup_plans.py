@@ -1122,6 +1122,187 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q153 — fuzzy record linkage: edit-distance self-join via PassJoin-style
+# segment blocking (Li, Deng, Wang & Feng, VLDB'11). The 100 TB shape is
+# a THREE-level collapse: (1) the corpus rolls up to DISTINCT strings +
+# multiplicity (the only corpus-scale shuffle); (2) the distinct domain
+# is blocked by the pigeonhole principle — an index string of length m
+# splits into d+1 segments, and any probe within edit distance d must
+# contain one segment VERBATIM at a start shifted by at most d, so the
+# probe enumerates (d+1)·(2d+1)² bounded substring keys instead of
+# joining n²; (3) levenshtein verifies candidates, and multiplicity
+# algebra (mult_a·mult_b per name pair, C(mult,2) within a name) expands
+# back to record-pair counts without ever materializing record pairs.
+#
+# EXACT RECALL is the point: the DuckDB oracle brute-forces the distinct
+# name matrix directly (no blocking), so a green parity row is a proof
+# that the segment blocking found EVERY pair — the deterministic
+# complement of the probabilistic LSH recall (q46/q114) and the exact
+# q146 prefix filter. Strings shorter than d+1 segments can't be
+# indexed; they live in a bounded domain (alphabet^(d+2)) and take a
+# broadcast short-path join against names of length <= n+d.
+# ---------------------------------------------------------------------------
+_Q153_D = 2
+_Q153_K = _Q153_D + 1
+
+
+def _q153_seg_len(m, i: int):
+    lb = F.floor(m / _Q153_K).cast("int")
+    r = (m % _Q153_K).cast("int")
+    return lb + F.when(F.lit(i) >= F.lit(_Q153_K) - r, 1).otherwise(0)
+
+
+def _q153_seg_start(m, i: int):
+    lb = F.floor(m / _Q153_K).cast("int")
+    r = (m % _Q153_K).cast("int")
+    return (
+        F.lit(i) * lb + F.greatest(F.lit(0), F.lit(i) - (F.lit(_Q153_K) - r)) + 1
+    ).cast("int")
+
+
+def q153_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count("*").alias("mult"))
+        .withColumn("n", F.length("p_name").cast("int"))
+        # Feeds index, probe, the short path, and the d=0 rollup — the
+        # distinct rollup runs once (q144 pattern).
+        .localCheckpoint(eager=False)
+    )
+    nn = F.col("n")
+    idx = names.filter(nn >= _Q153_K).select(
+        F.col("p_name").alias("name_i"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    nn.alias("m"),
+                    F.lit(i).alias("slot"),
+                    F.col("p_name")
+                    .substr(_q153_seg_start(nn, i), _q153_seg_len(nn, i))
+                    .alias("key"),
+                )
+                for i in range(_Q153_K)
+            ])
+        ).alias("s"),
+    ).select("name_i", "s.m", "s.slot", "s.key")
+    probe_structs = []
+    for dm in range(-_Q153_D, _Q153_D + 1):
+        m = (nn + F.lit(dm)).cast("int")
+        for i in range(_Q153_K):
+            start = _q153_seg_start(m, i)
+            seglen = _q153_seg_len(m, i)
+            for ds in range(-_Q153_D, _Q153_D + 1):
+                probe_structs.append(
+                    F.struct(
+                        m.alias("m"),
+                        F.lit(i).alias("slot"),
+                        (start + F.lit(ds)).cast("int").alias("s"),
+                        seglen.alias("l"),
+                    )
+                )
+    probe = (
+        names.select("p_name", "n", F.explode(F.array(*probe_structs)).alias("c"))
+        .filter(
+            (F.col("c.m") >= _Q153_K)
+            & (F.col("c.s") >= 1)
+            & (F.col("c.l") >= 1)
+            & (F.col("c.s") + F.col("c.l") - 1 <= F.col("n"))
+        )
+        .select(
+            F.col("p_name").alias("name_p"),
+            "c.m",
+            "c.slot",
+            F.col("p_name").substr(F.col("c.s"), F.col("c.l")).alias("key"),
+        )
+        .distinct()
+    )
+    blocked = (
+        probe.join(idx, ["m", "slot", "key"])
+        .filter(F.col("name_p") != F.col("name_i"))
+        .select(
+            F.least("name_p", "name_i").alias("a"),
+            F.greatest("name_p", "name_i").alias("b"),
+        )
+    )
+    # Short path: index strings with n < K have no K-segment split; their
+    # whole DOMAIN is bounded (alphabet^(K-1)), so a broadcast join against
+    # the length<=n+D band keeps recall unconditional without blowup.
+    shorts = names.filter(nn < _Q153_K).select(F.col("p_name").alias("s_name"),
+                                               nn.alias("s_n"))
+    short_pairs = (
+        names.filter(nn <= _Q153_K - 1 + _Q153_D)
+        .join(
+            F.broadcast(shorts),
+            (F.col("s_name") != F.col("p_name"))
+            & (F.abs(nn - F.col("s_n")) <= _Q153_D),
+        )
+        .select(
+            F.least("p_name", "s_name").alias("a"),
+            F.greatest("p_name", "s_name").alias("b"),
+        )
+    )
+    pairs = (
+        blocked.unionByName(short_pairs)
+        .distinct()
+        .withColumn("dist", F.levenshtein("a", "b"))
+        .filter(F.col("dist") <= _Q153_D)
+    )
+    m_a = names.select(F.col("p_name").alias("a"), F.col("mult").alias("mult_a"))
+    m_b = names.select(F.col("p_name").alias("b"), F.col("mult").alias("mult_b"))
+    typo = (
+        pairs.join(F.broadcast(m_a), "a")
+        .join(F.broadcast(m_b), "b")
+        .groupBy("dist")
+        .agg(
+            F.count("*").alias("n_name_pairs"),
+            F.sum(F.col("mult_a") * F.col("mult_b")).cast("long")
+            .alias("n_record_pairs"),
+        )
+    )
+    exact0 = names.agg(
+        F.sum(F.expr("(mult * (mult - 1)) div 2")).cast("long").alias("rp")
+    ).select(
+        F.lit(0).cast("int").alias("dist"),
+        F.lit(0).cast("long").alias("n_name_pairs"),
+        F.col("rp").alias("n_record_pairs"),
+    )
+    return (
+        typo.select(
+            F.col("dist").cast("int").alias("dist"), "n_name_pairs",
+            "n_record_pairs",
+        )
+        .unionByName(exact0)
+        .orderBy("dist")
+    )
+
+
+Q153_SQL = f"""
+WITH names AS (
+    SELECT p_name, CAST(count(*) AS BIGINT) AS mult
+    FROM part GROUP BY p_name
+),
+pairs AS (
+    SELECT levenshtein(a.p_name, b.p_name) AS dist,
+           a.mult AS ma, b.mult AS mb
+    FROM names a JOIN names b ON a.p_name < b.p_name
+),
+typo AS (
+    SELECT CAST(dist AS INTEGER) AS dist,
+           CAST(count(*) AS BIGINT) AS n_name_pairs,
+           CAST(SUM(ma * mb) AS BIGINT) AS n_record_pairs
+    FROM pairs WHERE dist <= {_Q153_D} GROUP BY dist
+),
+exact0 AS (
+    SELECT CAST(0 AS INTEGER) AS dist, CAST(0 AS BIGINT) AS n_name_pairs,
+           CAST(SUM((mult * (mult - 1)) // 2) AS BIGINT) AS n_record_pairs
+    FROM names
+)
+SELECT * FROM typo UNION ALL SELECT * FROM exact0 ORDER BY dist
+"""
+
+
 QUERIES = [
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
@@ -1150,5 +1331,8 @@ QUERIES = [
           survey="ext:minhash-calibration,ext:jaccard-neardup", tags=("bench",)),
     Query("q146_prefix_filter_join", q146_prefix_filter_join, Q146_SQL,
           survey="ext:prefix-filter-join,ext:jaccard-neardup,ext:exact-dedup",
+          tags=("bench",)),
+    Query("q153_fuzzy_name_join", q153_fuzzy_name_join, Q153_SQL,
+          survey="ext:edit-distance-join,ext:fuzzy-linkage,ext:exact-dedup",
           tags=("bench",)),
 ]

@@ -1,8 +1,9 @@
 """Property tests for the round-6 contract extensions: priority-sampling
 estimator algebra (q142), HRW re-shard migration invariant (q143),
 degree-ordered triangle census vs brute force (q144), leakage-safe split
-totality (q145), the prefix-filter completeness theorem (q146), and the
-Misra-Gries mergeable-summary guarantees (q152).
+totality (q145), the prefix-filter completeness theorem (q146), the
+Misra-Gries mergeable-summary guarantees (q152), and the PassJoin
+segment-blocking recall theorem (q153).
 
 All pure-python twins — the Spark implementations of the same algebra are
 oracle-verified at three SFs; these pin the ALGORITHMS across random
@@ -458,3 +459,82 @@ def test_mg_shard_reduce_is_valid_summary(stream, k):
     n = len(stream)
     m_hat = sum(summ.values())
     assert lam * (k + 1) <= n - m_hat
+
+
+# --- q153: PassJoin segment blocking ----------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _q153_seg(m: int, i: int, k: int):
+    """(start0, length) of slot i when a length-m string splits into k
+    segments — first k - (m % k) slots get floor(m/k), the rest one more.
+    Twin of _q153_seg_start/_q153_seg_len (1-based there)."""
+    lb, r = divmod(m, k)
+    length = lb + (1 if i >= k - r else 0)
+    start = i * lb + max(0, i - (k - r))
+    return start, length
+
+
+def _q153_blocked_candidates(strings, d):
+    k = d + 1
+    idx = {}
+    for s in strings:
+        n = len(s)
+        if n < k:
+            continue
+        for i in range(k):
+            p, l = _q153_seg(n, i, k)
+            idx.setdefault((n, i, s[p:p + l]), set()).add(s)
+    cands = set()
+    for s in strings:
+        n = len(s)
+        for m in range(n - d, n + d + 1):
+            if m < k:
+                continue
+            for i in range(k):
+                p, l = _q153_seg(m, i, k)
+                for ds in range(-d, d + 1):
+                    st = p + ds
+                    if st < 0 or st + l > n or l < 1:
+                        continue
+                    for other in idx.get((m, i, s[st:st + l]), ()):
+                        if other != s:
+                            cands.add((min(s, other), max(s, other)))
+    # short path: index strings below k chars, banded by length
+    shorts = [s for s in strings if len(s) < k]
+    for s in shorts:
+        for o in strings:
+            if o != s and abs(len(o) - len(s)) <= d:
+                cands.add((min(s, o), max(s, o)))
+    return cands
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=9),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_passjoin_blocking_has_exact_recall(strings):
+    """The pigeonhole guarantee q153's parity row rests on: every pair
+    within edit distance d shares one index segment verbatim at a start
+    shifted by at most d, so the blocked candidate set is a SUPERSET of
+    the true pair set. Adversarial alphabet ('ab', lengths 0-9) maximizes
+    collisions and boundary cases (empty strings ride the short path)."""
+    d = 2
+    cands = _q153_blocked_candidates(strings, d)
+    for x, y in combinations(sorted(strings), 2):
+        if _lev(x, y) <= d:
+            assert (x, y) in cands, (x, y, _lev(x, y))
