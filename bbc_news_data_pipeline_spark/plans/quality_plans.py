@@ -1210,6 +1210,98 @@ ORDER BY s.layout
 """
 
 
+# ---------------------------------------------------------------------------
+# q154 — SCD Type-2 history build via gaps-and-islands: collapse each
+# customer's order-status timeline into validity intervals
+# (valid_from/valid_to half-open, is_current on the last island). The
+# island id is a running sum of change flags over a window PARTITIONED
+# BY customer — the canonical warehouse pattern for deriving a
+# slowly-changing-dimension table from an event/fact stream, and the
+# temporal complement of q74's snapshot diff (diff says WHAT changed
+# between two snapshots; SCD2 says WHEN each value held). Total order
+# (od, o_orderkey) makes the islands engine-independent; every window
+# partitions by o_custkey (bounded by a customer's order count), and the
+# island rollup + lead() ride the SAME partitioning — one shuffle end to
+# end.
+# ---------------------------------------------------------------------------
+def q154_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    lag_status = F.lag("o_orderstatus").over(w)
+    flagged = orders.withColumn(
+        "chg",
+        F.when(
+            lag_status.isNull() | (lag_status != F.col("o_orderstatus")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    isl = flagged.groupBy("o_custkey", "island", "o_orderstatus").agg(
+        F.min("od").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("island")
+    return (
+        isl.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "o_custkey",
+            F.col("island").cast("int").alias("island_seq"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("valid_from").cast("string").alias("valid_from"),
+            F.col("valid_to").cast("string").alias("valid_to"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "is_current",
+        )
+        .orderBy("o_custkey", "island_seq")
+    )
+
+
+Q154_SQL = """
+WITH seq AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           CAST(o_orderdate AS DATE) AS od
+    FROM orders
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                  OR lag(o_orderstatus) OVER w <> o_orderstatus
+                THEN 1 ELSE 0 END AS chg
+    FROM seq
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+),
+islands AS (
+    SELECT *,
+           SUM(chg) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+isl AS (
+    SELECT o_custkey, island, o_orderstatus,
+           min(od) AS valid_from, count(*) AS n_orders
+    FROM islands GROUP BY 1, 2, 3
+)
+SELECT o_custkey,
+       CAST(island AS INTEGER) AS island_seq,
+       o_orderstatus AS status,
+       CAST(valid_from AS VARCHAR) AS valid_from,
+       CAST(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+            AS VARCHAR) AS valid_to,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+           IS NULL AS is_current
+FROM isl
+ORDER BY o_custkey, island_seq
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -1240,4 +1332,6 @@ QUERIES = [
     Query("q149_neyman_allocation", q149_neyman_allocation, Q149_SQL,
           survey="ext:stratified-sampling,ext:incremental-stats,ext:hash-sampling",
           tags=("bench",)),
+    Query("q154_scd2_status_history", q154_scd2_status_history, Q154_SQL,
+          survey="ext:scd2-history,ext:snapshot-diff,W1,W3"),
 ]

@@ -2031,6 +2031,146 @@ ORDER BY mg_estimate DESC, t.w
 """
 
 
+# ---------------------------------------------------------------------------
+# q156 — Poisson bootstrap confidence intervals (Chamandy et al., "Estimating
+# uncertainty for massive data streams", Google TR 2012; the one-pass
+# bootstrap that replaces resample-with-replacement at scale): each row
+# gets B independent Poisson(1) weights derived by inverse-CDF lookup on
+# an md5 uniform, so "B resampled datasets" is a row-local column
+# expansion — ONE scan, map-side partial aggs, and a shuffle of
+# |groups|·B tiny rows, where a classical bootstrap would re-shuffle the
+# corpus B times. The per-resample means are ratios of exact integer
+# sums (weights 0..6, int64 n_chars), the CI is the exact-interpolation
+# percentile over the B means (q61 machinery), and `covered` reports
+# whether the true mean landed inside its own interval — accuracy as
+# data, q123-style. CDF thresholds are Python-precomputed doubles
+# embedded {t!r} on BOTH engines (SCALE.md float-constant rule).
+# ---------------------------------------------------------------------------
+_Q156_B = 64
+_Q156_CDF: tuple = tuple()
+
+
+def _q156_cdf() -> tuple:
+    global _Q156_CDF
+    if not _Q156_CDF:
+        import math
+
+        acc, term = 0.0, math.exp(-1.0)
+        out = []
+        for k in range(7):
+            acc += term
+            out.append(acc)
+            term /= k + 1
+        _Q156_CDF = tuple(out)
+    return _Q156_CDF
+
+
+def q156_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    expl = docs.select(
+        "doc_id",
+        "source",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_Q156_B - 1))).alias("b"),
+    )
+    hex8 = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    u = (F.conv(hex8, 16, 10).cast("long") + F.lit(0.5)) / F.lit(float(2**32))
+    w = sum(
+        (u >= F.lit(t)).cast("int") for t in _q156_cdf()
+    )  # Poisson(1) inverse CDF, truncated at 7 (P[X>7] < 1e-5)
+    per = (
+        expl.withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("sx"),
+            F.sum("w").alias("sw"),
+        )
+    )
+    means = per.select(
+        "source",
+        F.when(F.col("sw") > 0, F.col("sx") / F.col("sw")).alias("m"),
+    )
+    ci = means.groupBy("source").agg(
+        F.round(F.expr("percentile(m, 0.025D)"), 4).alias("boot_lo"),
+        F.round(F.expr("percentile(m, 0.975D)"), 4).alias("boot_hi"),
+    )
+    truth = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("x"), 4).alias("mean_chars"),
+    )
+    return (
+        truth.join(F.broadcast(ci), "source")
+        .withColumn(
+            "covered",
+            (F.col("boot_lo") <= F.col("mean_chars"))
+            & (F.col("mean_chars") <= F.col("boot_hi")),
+        )
+        .orderBy("source")
+    )
+
+
+def _q156_w_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN u >= CAST({t!r} AS DOUBLE) THEN 1 ELSE 0 END"
+        for t in _q156_cdf()
+    )
+
+
+Q156_SQL = f"""
+WITH expl AS (
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
+           unnest(generate_series(0, {_Q156_B - 1})) AS b
+    FROM documents
+),
+uni AS (
+    SELECT source, x, b,
+           ({_hex2int_sql(
+               "md5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))",
+               1, 8)} + 0.5) / CAST({float(2**32)!r} AS DOUBLE) AS u
+    FROM expl
+),
+per AS (
+    SELECT source, b,
+           SUM(({_q156_w_sql()}) * x) AS sx,
+           SUM({_q156_w_sql()}) AS sw
+    FROM uni GROUP BY source, b
+),
+means AS (
+    SELECT source, CASE WHEN sw > 0 THEN sx / CAST(sw AS DOUBLE) END AS m
+    FROM per
+),
+ci AS (
+    SELECT source,
+           round(quantile_cont(m, 0.025), 4) AS boot_lo,
+           round(quantile_cont(m, 0.975), 4) AS boot_hi
+    FROM means GROUP BY source
+),
+truth AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(x), 4) AS mean_chars
+    FROM (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents)
+    GROUP BY source
+)
+SELECT t.source, t.n_docs, t.mean_chars, c.boot_lo, c.boot_hi,
+       c.boot_lo <= t.mean_chars AND t.mean_chars <= c.boot_hi AS covered
+FROM truth t JOIN ci c ON c.source = t.source
+ORDER BY t.source
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -2071,5 +2211,8 @@ QUERIES = [
           survey="ext:priority-sampling,ST6,ST1", tags=("bench",)),
     Query("q152_misra_gries_heavy", q152_misra_gries_heavy, Q152_SQL,
           survey="ext:heavy-hitters,ext:countmin-sketch,ext:incremental-stats",
+          tags=("bench",)),
+    Query("q156_bootstrap_ci", q156_bootstrap_ci, Q156_SQL,
+          survey="ext:poisson-bootstrap,ext:aqp-quantiles,ext:hash-sampling",
           tags=("bench",)),
 ]

@@ -669,6 +669,148 @@ ORDER BY r.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q155 — KEYLESS interval-overlap join via grid cells: user sessions
+# (gaps-and-islands intervals, q154's algebra over q21's gap rule) ×
+# global incident windows (high-value error events ± 15 min), with NO
+# shared equi-key — the case q62's per-user binned range join cannot
+# cover and where naive Spark degenerates to a cartesian product.
+# Each interval emits its covered 1-hour grid cells; the join is a plain
+# equi-join on cell; a pair is counted EXACTLY ONCE — no distinct — by
+# keeping it only in the cell containing max(starts) (the first cell the
+# two intervals share). The overlap predicate and seconds are exact
+# integer arithmetic, and the DuckDB oracle runs the UN-gridded
+# brute-force overlap join, so a green row proves the grid decomposition
+# is complete and duplicate-free (q153's recall-proof pattern).
+#
+# Scale: cell emission is bounded by interval_length/cell (sessions are
+# gap-bounded; incidents are fixed 30 min); the join shuffles on cell —
+# time-local, so load spreads across the timeline rather than piling on
+# a hot user key. Per-user session windows bound partitions at one
+# user's history (q75's documented shape).
+# ---------------------------------------------------------------------------
+_Q155_GAP_S = 1800
+_Q155_CELL_S = 3600
+_Q155_HALF_WIN_S = 900
+_Q155_VAL = 195.0
+
+
+def q155_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ep"),
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    lag_ep = F.lag("ep").over(w)
+    sess = (
+        ev.withColumn(
+            "chg",
+            F.when(
+                lag_ep.isNull() | (F.col("ep") - lag_ep > _Q155_GAP_S), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ep").alias("s_start"),
+            (F.max("ep") + 1).alias("s_end"),  # half-open
+        )
+    )
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= _Q155_VAL)
+    ).select(
+        F.col("event_id").alias("inc_id"),
+        (F.col("ep") - _Q155_HALF_WIN_S).alias("i_start"),
+        (F.col("ep") + _Q155_HALF_WIN_S).alias("i_end"),
+    )
+    cell = _Q155_CELL_S
+    s_cells = sess.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_start") / cell), F.floor((F.col("s_end") - 1) / cell)
+            )
+        ),
+    )
+    i_cells = inc.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("i_start") / cell), F.floor((F.col("i_end") - 1) / cell)
+            )
+        ),
+    )
+    pairs = (
+        s_cells.join(i_cells, "cell")
+        .filter(
+            (F.col("s_start") < F.col("i_end")) & (F.col("i_start") < F.col("s_end"))
+        )
+        # count-once cell: the first cell both intervals cover
+        .filter(F.col("cell") == F.floor(F.greatest("s_start", "i_start") / cell))
+        .withColumn(
+            "ov", F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+        )
+    )
+    return (
+        pairs.groupBy("inc_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("ov").cast("long").alias("overlap_seconds"),
+        )
+        .orderBy("inc_id")
+    )
+
+
+Q155_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+           event_type, value
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ep) OVER w IS NULL
+                  OR ep - lag(ep) OVER w > {_Q155_GAP_S}
+                THEN 1 ELSE 0 END AS chg
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+sess AS (
+    SELECT user_id, sid, min(ep) AS s_start, max(ep) + 1 AS s_end
+    FROM (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    GROUP BY user_id, sid
+),
+inc AS (
+    SELECT event_id AS inc_id,
+           ep - {_Q155_HALF_WIN_S} AS i_start,
+           ep + {_Q155_HALF_WIN_S} AS i_end
+    FROM ev
+    WHERE event_type = 'error' AND value >= CAST({_Q155_VAL!r} AS DOUBLE)
+),
+pairs AS (
+    SELECT i.inc_id, s.user_id,
+           least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start) AS ov
+    FROM sess s JOIN inc i
+      ON s.s_start < i.i_end AND i.i_start < s.s_end
+)
+SELECT inc_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(ov) AS BIGINT) AS overlap_seconds
+FROM pairs GROUP BY inc_id ORDER BY inc_id
+"""
+
+
 QUERIES = [
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
@@ -691,4 +833,7 @@ QUERIES = [
           survey="ext:selection-median,ext:percentiles,A3", tags=("bench",)),
     Query("q89_ewma_daily", q89_ewma_daily, Q89_SQL,
           survey="ext:ewma,U8,ST2"),
+    Query("q155_interval_overlap_join", q155_interval_overlap_join, Q155_SQL,
+          survey="ext:interval-overlap-join,ext:range-join,W1",
+          tags=("bench",)),
 ]

@@ -538,3 +538,97 @@ def test_passjoin_blocking_has_exact_recall(strings):
     for x, y in combinations(sorted(strings), 2):
         if _lev(x, y) <= d:
             assert (x, y) in cands, (x, y, _lev(x, y))
+
+
+# --- q154: SCD2 gaps-and-islands --------------------------------------------
+
+
+def _scd2_islands(rows):
+    """Twin of q154's island algebra: rows = [(day, key, status)] for ONE
+    customer; returns [(status, valid_from, valid_to, n)] ordered."""
+    seq = sorted(rows)
+    islands = []
+    for day, _, status in seq:
+        if not islands or islands[-1][0] != status:
+            islands.append([status, day, None, 0])
+        islands[-1][3] += 1
+    for i in range(len(islands) - 1):
+        islands[i][2] = islands[i + 1][1]
+    return [tuple(x) for x in islands]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=10**6),
+            st.sampled_from("OFP"),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[1],
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_scd2_islands_partition_the_timeline(rows):
+    """The SCD2 contracts q154's output is trusted for: island order counts
+    sum to the fact count, consecutive islands always change status
+    (maximal compression), intervals chain half-open with no gaps
+    (valid_to == next valid_from), and exactly one island is current."""
+    islands = _scd2_islands(rows)
+    assert sum(n for _, _, _, n in islands) == len(rows)
+    for (s1, _, t1, _), (s2, f2, _, _) in zip(islands, islands[1:]):
+        assert s1 != s2
+        assert t1 == f2
+    assert [i for i, (_, _, t, _) in enumerate(islands) if t is None] == [
+        len(islands) - 1
+    ]
+
+
+# --- q155: grid-cell interval overlap join ----------------------------------
+
+
+def _grid_overlap_pairs(a_ivals, b_ivals, cell):
+    """Twin of q155's grid decomposition: emit covered cells, equi-join on
+    cell, keep a pair only in the cell containing max(starts)."""
+    from collections import defaultdict
+
+    cells_b = defaultdict(list)
+    for j, (bs, be) in enumerate(b_ivals):
+        for c in range(bs // cell, (be - 1) // cell + 1):
+            cells_b[c].append(j)
+    out = set()
+    for i, (s, e) in enumerate(a_ivals):
+        for c in range(s // cell, (e - 1) // cell + 1):
+            for j in cells_b.get(c, ()):
+                bs, be = b_ivals[j]
+                if s < be and bs < e and c == max(s, bs) // cell:
+                    out.add((i, j))
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 40)),
+        min_size=1, max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 40)),
+        min_size=1, max_size=30,
+    ),
+    st.integers(min_value=1, max_value=24),
+)
+@settings(max_examples=300, deadline=None)
+def test_grid_overlap_join_is_exact_and_duplicate_free(a_raw, b_raw, cell):
+    """q155's count-once-cell rule: the gridded join finds EVERY
+    overlapping pair EXACTLY once (set equality vs brute force), for any
+    cell size — so its aggregates need no distinct and lose nothing."""
+    a = [(s, s + l) for s, l in a_raw]
+    b = [(s, s + l) for s, l in b_raw]
+    brute = {
+        (i, j)
+        for i, (s, e) in enumerate(a)
+        for j, (bs, be) in enumerate(b)
+        if s < be and bs < e
+    }
+    assert _grid_overlap_pairs(a, b, cell) == brute

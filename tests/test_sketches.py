@@ -697,3 +697,42 @@ def test_priority_sample_stream_state_multibatch(spark, tmp_path):
     assert final == expected
     # tau path actually exercised: the big source exceeds k
     assert expected["s0"][0] == _Q142_K + 1
+
+
+def _boot_w(b: int, key: str, cdf) -> int:
+    u = (int(hashlib.md5(f"boot:{b}:{key}".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+    return sum(1 for t in cdf if u >= t)
+
+
+def test_poisson_bootstrap_weights_and_coverage():
+    """Twin of q156's algebra: the md5 inverse-CDF weights follow
+    Poisson(1) empirically (mean ~1, pmf within 2% absolute on 20k
+    deterministic draws), and the 2.5/97.5 percentile interval over B=64
+    deterministic resample means covers the true mean of a synthetic
+    population — the `covered` column's contract."""
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import _q156_cdf
+
+    cdf = _q156_cdf()
+    draws = [_boot_w(b, str(i), cdf) for b in range(4) for i in range(5000)]
+    n = len(draws)
+    assert abs(sum(draws) / n - 1.0) < 0.02
+    pmf = [math.exp(-1.0)]
+    for k in range(1, 4):
+        pmf.append(pmf[-1] / k)
+    for k in range(4):
+        assert abs(draws.count(k) / n - pmf[k]) < 0.02, k
+    # coverage on a deterministic skewed population
+    xs = [((i * 37) % 100) + 1 for i in range(400)]
+    true_mean = sum(xs) / len(xs)
+    means = []
+    for b in range(64):
+        ws = [_boot_w(b, str(i), cdf) for i in range(len(xs))]
+        sw = sum(ws)
+        means.append(sum(w * x for w, x in zip(ws, xs)) / sw)
+    means.sort()
+    # exact-interpolation percentiles, q61 definition (type-7)
+    def pct(p):
+        h = p * (len(means) - 1)
+        lo = int(h)
+        return means[lo] + (h - lo) * (means[min(lo + 1, len(means) - 1)] - means[lo])
+    assert pct(0.025) <= true_mean <= pct(0.975)
