@@ -1302,6 +1302,203 @@ ORDER BY o_custkey, island_seq
 """
 
 
+# ---------------------------------------------------------------------------
+# q158 — k-anonymity audit over a generalization ladder (Sweeney 2002;
+# the governance twin of q54's PII redaction: redaction hides VALUES,
+# k-anonymity measures whether quasi-identifier COMBINATIONS still
+# single people out). One scan walks four generalization levels of the
+# quasi-identifier (nation, segment, acctbal@$100 → @$1000 → dropped →
+# segment-only) via GROUPING SETS — a single Expand, one shuffle — and
+# reports per level the equivalence-class count, the smallest class,
+# the re-identifiable row mass (rows in classes below k=5), and whether
+# the level achieves k-anonymity. The level label derives from
+# GROUPING() indicators (never the engine-specific grouping_id bit
+# order). At 100 TB the class table is bounded by the quasi-identifier
+# domain, not the row count — audit cost is one rollup.
+# ---------------------------------------------------------------------------
+_Q158_K = 5
+
+
+def q158_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("b100"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("b1000"),
+    )
+    classes = base.groupingSets(
+        [["nat", "seg", "b100"], ["nat", "seg", "b1000"], ["nat", "seg"], ["seg"]],
+        "nat",
+        "seg",
+        "b100",
+        "b1000",
+    ).agg(
+        F.count("*").alias("n"),
+        F.when(F.grouping("b100") == 0, "L0_bal100")
+        .when(F.grouping("b1000") == 0, "L1_bal1000")
+        .when(F.grouping("nat") == 0, "L2_nation_seg")
+        .otherwise("L3_segment")
+        .alias("lvl"),
+    )
+    below = F.sum(
+        F.when(F.col("n") < _Q158_K, F.col("n")).otherwise(F.lit(0))
+    )
+    return (
+        classes.groupBy("lvl")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.min("n").cast("long").alias("min_class_size"),
+            below.cast("long").alias("n_rows_below_k"),
+            F.sum("n").alias("_rows"),
+        )
+        .select(
+            "lvl",
+            "n_classes",
+            "min_class_size",
+            "n_rows_below_k",
+            F.round(F.col("n_rows_below_k") / F.col("_rows"), 4).alias(
+                "pct_below_k"
+            ),
+            (F.col("min_class_size") >= _Q158_K).alias("k_anonymous"),
+        )
+        .orderBy("lvl")
+    )
+
+
+Q158_SQL = f"""
+WITH base AS (
+    SELECT c_nationkey AS nat, c_mktsegment AS seg,
+           CAST(floor(c_acctbal / 100) AS BIGINT) AS b100,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS b1000
+    FROM customer
+),
+classes AS (
+    SELECT CASE WHEN GROUPING(b100) = 0 THEN 'L0_bal100'
+                WHEN GROUPING(b1000) = 0 THEN 'L1_bal1000'
+                WHEN GROUPING(nat) = 0 THEN 'L2_nation_seg'
+                ELSE 'L3_segment' END AS lvl,
+           count(*) AS n
+    FROM base
+    GROUP BY GROUPING SETS ((nat, seg, b100), (nat, seg, b1000),
+                            (nat, seg), (seg))
+)
+SELECT lvl,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN n < {_Q158_K} THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_below_k,
+       round(SUM(CASE WHEN n < {_Q158_K} THEN n ELSE 0 END)
+             / CAST(SUM(n) AS DOUBLE), 4) AS pct_below_k,
+       min(n) >= {_Q158_K} AS k_anonymous
+FROM classes GROUP BY lvl ORDER BY lvl
+"""
+
+
+# ---------------------------------------------------------------------------
+# q159 — classifier calibration audit: reliability bins + Expected
+# Calibration Error (Guo et al., ICML'17) for q117's hashed linear
+# classifier against a deterministic ground truth (n_chars >= 300, the
+# corpus median). The ML-ops closer for the classifier family: q117
+# SCORES documents, q159 measures whether those scores can be TRUSTED
+# as probabilities. Scores are fixed-point-quantized to int64 BEFORE any
+# aggregation (sum of s_fp is exact, so per-bin means are
+# order-independent — the qround rule); bins, gaps, and the ECE rollup
+# all run on the ≤10-row bin table (the final window is bounded by
+# construction, q73's psi_total pattern). One corpus scan, one shuffle
+# on the 10-value bin key.
+# ---------------------------------------------------------------------------
+_Q159_THRESH = 300
+_Q159_FP = 1_000_000
+_Q159_TEMP = 4000.0  # temperature: spreads q117's near-0.5 raw sigmoids
+#                      across the unit interval (the paper's T-scaling)
+
+
+def q159_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+
+    # Same score as q117 (kept inline so q117's fingerprint is untouched;
+    # the expressions are cross-linked in both docstrings).
+    def w_int(t: F.Column) -> F.Column:
+        hex8 = F.substring(F.md5(F.concat(F.lit("ft:"), t)), 1, 8)
+        bucket = F.conv(hex8, 16, 10).cast("long") % _Q117_D
+        return (bucket * F.lit(2654435761)) % F.lit(_Q117_WMOD) - F.lit(50000)
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    scored = docs.select(
+        (F.col("n_chars") >= _Q159_THRESH).alias("y"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + w_int(t)
+        ).alias("w_sum"),
+    )
+    logit = F.col("w_sum") / (F.lit(_Q159_TEMP) * F.col("n_tokens"))
+    s_fp = F.round(
+        F.lit(_Q159_FP) / (F.lit(1.0) + F.exp(-logit)), 0
+    ).cast("long")
+    binned = scored.select(
+        "y", s_fp.alias("s_fp")
+    ).withColumn(
+        "bin",
+        F.least(F.floor(F.col("s_fp") / (_Q159_FP // 10)), F.lit(9)).cast("int"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("s_fp").alias("sum_fp"),
+        F.sum(F.col("y").cast("long")).alias("n_pos"),
+    )
+    w = Window.partitionBy()  # bounded: <= 10 bin rows
+    mean_s = F.col("sum_fp") / (F.col("n") * F.lit(float(_Q159_FP)))
+    frac_p = F.col("n_pos") / F.col("n")
+    gap = F.abs(mean_s - frac_p)
+    return (
+        per_bin.select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round(mean_s, 6).alias("mean_score"),
+            F.round(frac_p, 6).alias("frac_pos"),
+            F.round(gap, 6).alias("gap"),
+            F.round(
+                F.sum(gap * F.col("n")).over(w) / F.sum("n").over(w), 6
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q159_SQL = f"""
+WITH scored AS (
+    SELECT n_chars >= {_Q159_THRESH} AS y,
+           CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           list_sum(list_transform(str_split(lower(text), ' '),
+                    t -> {_Q117_W_SQL})) AS w_sum
+    FROM documents
+),
+binned AS (
+    SELECT y,
+           CAST(round({_Q159_FP} / (1.0 + exp(-(w_sum
+                / ({_Q159_TEMP!r} * n_tokens)))), 0) AS BIGINT) AS s_fp
+    FROM scored
+),
+per_bin AS (
+    SELECT CAST(least(s_fp // {_Q159_FP // 10}, 9) AS INTEGER) AS bin,
+           count(*) AS n, SUM(s_fp) AS sum_fp,
+           SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+    FROM binned GROUP BY 1
+)
+SELECT bin,
+       CAST(n AS BIGINT) AS n,
+       round(sum_fp / (n * CAST({float(_Q159_FP)!r} AS DOUBLE)), 6) AS mean_score,
+       round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos,
+       round(abs(sum_fp / (n * CAST({float(_Q159_FP)!r} AS DOUBLE))
+                 - n_pos / CAST(n AS DOUBLE)), 6) AS gap,
+       round(SUM(abs(sum_fp / (n * CAST({float(_Q159_FP)!r} AS DOUBLE))
+                     - n_pos / CAST(n AS DOUBLE)) * n) OVER ()
+             / CAST(SUM(n) OVER () AS DOUBLE), 6) AS ece
+FROM per_bin
+ORDER BY bin
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -1334,4 +1531,8 @@ QUERIES = [
           tags=("bench",)),
     Query("q154_scd2_status_history", q154_scd2_status_history, Q154_SQL,
           survey="ext:scd2-history,ext:snapshot-diff,W1,W3"),
+    Query("q158_kanonymity_audit", q158_kanonymity_audit, Q158_SQL,
+          survey="ext:kanonymity-audit,ext:pii-redaction,A7,A13"),
+    Query("q159_calibration_ece", q159_calibration_ece, Q159_SQL,
+          survey="ext:calibration-ece,ext:quality-classifier,A7"),
 ]

@@ -895,6 +895,110 @@ FROM cls GROUP BY status ORDER BY status
 """
 
 
+# ---------------------------------------------------------------------------
+# q157 — association rules / market-basket mining (Agrawal & Srikant,
+# VLDB'94 measures: support, confidence, lift): which part BRANDS
+# co-occur in an order more often than independence predicts. The 100 TB
+# shape: broadcast dim join lifts items to a bounded category domain
+# (|brands| = 25, so the rule space is ≤ 25·24 ordered pairs — bounded
+# by construction, the same role as the a-priori support prune), the
+# basket distinct and the per-order self-join shuffle ONCE on the
+# order key (pair fan-out bounded by basket²·category cap), and every
+# measure derives from three integer counts (supp_ab, supp_a, N) joined
+# broadcast — no row ever carries a float until the final rounded
+# division. Top-20 by lift with full (a,b) tiebreak.
+# ---------------------------------------------------------------------------
+_Q157_TOPN = 20
+
+
+def q157_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        # feeds totals, per-item supports, and both sides of the pair
+        # self-join — pin so the basket build runs once (q144 pattern)
+        .localCheckpoint(eager=False)
+    )
+    totals = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("p_brand").agg(F.count("*").alias("supp_i"))
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("antecedent"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("consequent"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("supp_ab"))
+    )
+    rules = (
+        pair.join(
+            F.broadcast(
+                item.select(
+                    F.col("p_brand").alias("antecedent"),
+                    F.col("supp_i").alias("supp_a"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item.select(
+                    F.col("p_brand").alias("consequent"),
+                    F.col("supp_i").alias("supp_b"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("supp_ab").cast("long").alias("supp_ab"),
+            F.round(F.col("supp_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("supp_ab") / F.col("supp_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("supp_ab") * F.col("n_orders"))
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("lift"), F.desc("confidence"), "antecedent", "consequent"
+    ).limit(_Q157_TOPN)
+
+
+Q157_SQL = f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+totals AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+item AS (SELECT p_brand, count(*) AS supp_i FROM baskets GROUP BY p_brand),
+pair AS (
+    SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+           count(*) AS supp_ab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+    GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent,
+       CAST(p.supp_ab AS BIGINT) AS supp_ab,
+       round(p.supp_ab / CAST(t.n_orders AS DOUBLE), 6) AS support,
+       round(p.supp_ab / CAST(ia.supp_i AS DOUBLE), 6) AS confidence,
+       round((p.supp_ab * t.n_orders)
+             / CAST(ia.supp_i * ib.supp_i AS DOUBLE), 6) AS lift
+FROM pair p
+JOIN item ia ON ia.p_brand = p.antecedent
+JOIN item ib ON ib.p_brand = p.consequent
+CROSS JOIN totals t
+ORDER BY lift DESC, confidence DESC, p.antecedent, p.consequent
+LIMIT {_Q157_TOPN}
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
@@ -926,4 +1030,6 @@ QUERIES = [
           survey="J1,A3,P9,ext:star-join", tags=("bench",)),
     Query("q136_merge_upsert_classify", q136_merge_upsert_classify, Q136_SQL,
           survey="ext:merge-upsert,ST5,S9,J2", tags=("bench",)),
+    Query("q157_association_rules", q157_association_rules, Q157_SQL,
+          survey="ext:association-rules,J1,A2,T1", tags=("bench",)),
 ]

@@ -2,8 +2,11 @@
 estimator algebra (q142), HRW re-shard migration invariant (q143),
 degree-ordered triangle census vs brute force (q144), leakage-safe split
 totality (q145), the prefix-filter completeness theorem (q146), the
-Misra-Gries mergeable-summary guarantees (q152), and the PassJoin
-segment-blocking recall theorem (q153).
+Misra-Gries mergeable-summary guarantees (q152), the PassJoin
+segment-blocking recall theorem (q153), SCD2 interval totality (q154),
+grid-overlap-join exactness (q155), association-rule identities (q157),
+the k-anonymity ladder monotonicity (q158), and the ECE rollup algebra
+(q159).
 
 All pure-python twins — the Spark implementations of the same algebra are
 oracle-verified at three SFs; these pin the ALGORITHMS across random
@@ -632,3 +635,120 @@ def test_grid_overlap_join_is_exact_and_duplicate_free(a_raw, b_raw, cell):
         if s < be and bs < e
     }
     assert _grid_overlap_pairs(a, b, cell) == brute
+
+
+# --- q157: association-rule algebra -----------------------------------------
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=5),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_association_rule_identities(baskets):
+    """The measure algebra q157 emits: lift is symmetric (lift(a->b) ==
+    lift(b->a)), confidence(a->b) * supp_a == supp_ab exactly, and
+    support/confidence/lift are consistent ratios of the same three
+    integer counts."""
+    n = len(baskets)
+    from collections import Counter
+
+    supp = Counter()
+    pair = Counter()
+    for b in baskets:
+        for x in b:
+            supp[x] += 1
+        for x in b:
+            for y in b:
+                if x != y:
+                    pair[(x, y)] += 1
+    for (a, b), sab in pair.items():
+        lift_ab = (sab * n) / (supp[a] * supp[b])
+        lift_ba = (pair[(b, a)] * n) / (supp[b] * supp[a])
+        assert pair[(b, a)] == sab  # co-occurrence is symmetric
+        assert lift_ab == lift_ba
+        conf = sab / supp[a]
+        assert conf * supp[a] == sab
+        assert 0 < conf <= 1
+        assert 0 < sab / n <= 1
+
+
+# --- q158: k-anonymity generalization ladder ---------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),                      # nat
+            st.sampled_from("AB"),                  # seg
+            st.integers(0, 9999),                   # balance in cents*? use raw
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_kanonymity_ladder_is_monotone(rows, k):
+    """q158's ladder contract: each level's classes are UNIONS of the
+    previous level's (bal@100 -> bal@1000 -> dropped -> segment-only), so
+    the min class size is nondecreasing and the below-k row mass is
+    nonincreasing as generalization coarsens — the property that makes
+    'walk the ladder until k-anonymous' a sound procedure."""
+    from collections import Counter
+
+    levels = [
+        lambda r: (r[0], r[1], r[2] // 100),
+        lambda r: (r[0], r[1], r[2] // 1000),
+        lambda r: (r[0], r[1]),
+        lambda r: (r[1],),
+    ]
+    prev_min, prev_below = 0, None
+    for key in levels:
+        sizes = Counter(key(r) for r in rows)
+        mn = min(sizes.values())
+        below = sum(v for v in sizes.values() if v < k)
+        assert mn >= prev_min
+        if prev_below is not None:
+            assert below <= prev_below
+        prev_min, prev_below = mn, below
+
+
+# --- q159: ECE algebra --------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # s_fp
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ece_is_weighted_mean_of_bin_gaps(items):
+    """q159's rollup: ECE == sum(n_b/N * |mean_score_b - frac_pos_b|),
+    every bin mean lies inside its bin's score range, and ECE is bounded
+    by the largest bin gap."""
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for s_fp, y in items:
+        bins[min(s_fp // 100000, 9)].append((s_fp, y))
+    n_total = len(items)
+    ece = 0.0
+    max_gap = 0.0
+    for b, rows in bins.items():
+        n = len(rows)
+        mean_s = sum(s for s, _ in rows) / (n * 1e6)
+        frac = sum(1 for _, y in rows if y) / n
+        gap = abs(mean_s - frac)
+        assert b / 10 - 1e-12 <= mean_s <= (b + 1) / 10 + 1e-6 or b == 9
+        ece += gap * n / n_total
+        max_gap = max(max_gap, gap)
+    assert 0.0 <= ece <= max_gap + 1e-12

@@ -59,7 +59,8 @@ def test_unpartitioned_window_sites_pinned():
     pkg = Path(__file__).parent.parent / "bbc_news_data_pipeline_spark"
     # site → occurrence count; every input bounded by CONSTRUCTION:
     expected = {
-        "plans/quality_plans.py": 1,    # q73 PSI totals (5 event types)
+        "plans/quality_plans.py": 2,    # q73 PSI totals (5 event types);
+                                        # q159 ECE rollup (<=10 bin rows)
         "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
         "plans/curation_plans.py": 2,   # q120 rep ring (B=64 bucket reps)
         "plans/sketch_plans.py": 2,     # q138 grid + value-hist cumulatives
