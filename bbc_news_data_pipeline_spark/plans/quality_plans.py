@@ -1224,7 +1224,11 @@ ORDER BY s.layout
 # island rollup + lead() ride the SAME partitioning — one shuffle end to
 # end.
 # ---------------------------------------------------------------------------
-def q154_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed SCD2 validity intervals (shared by q154 and the q162 as-of
+    dimension join): one row per (customer, island) with half-open
+    [valid_from, valid_to) DATE bounds, valid_to NULL on the current
+    island."""
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -1247,9 +1251,14 @@ def q154_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
     )
     w2 = Window.partitionBy("o_custkey").orderBy("island")
+    return isl.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def q154_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        isl.withColumn("valid_to", F.lead("valid_from").over(w2))
-        .withColumn("is_current", F.col("valid_to").isNull())
+        _scd2_intervals(spark, sf_dir)
         .select(
             "o_custkey",
             F.col("island").cast("int").alias("island_seq"),
@@ -1499,6 +1508,114 @@ ORDER BY bin
 """
 
 
+# ---------------------------------------------------------------------------
+# q162 — point-in-time (as-of) DIMENSION join against the q154 SCD2
+# table: every order fact joins the validity interval containing its
+# date (equi-join on customer + half-open containment), the training-
+# serving-skew killer of feature stores — features are read AS OF the
+# fact's timestamp, never leaked from the future. Because q154's
+# intervals partition [first_od, ∞) per customer (Hypothesis-pinned),
+# every fact matches EXACTLY one interval; the query emits that totality
+# as a `join_is_total` column computed from counts on BOTH engines
+# rather than asserting it in prose. Scale: the join co-partitions on
+# the customer key (a customer's interval list is bounded by their order
+# count); the containment predicate rides the equi-join — no range-join
+# blow-up.
+# ---------------------------------------------------------------------------
+def q162_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = _scd2_intervals(spark, sf_dir).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("dim_status"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        "o_totalprice",
+    )
+    joined = facts.join(dim, "o_custkey").filter(
+        (F.col("od") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
+    )
+    per = joined.groupBy("dim_status").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    totals = facts.agg(F.count("*").alias("n_facts"))
+    jt = per.agg(F.sum("n_orders").alias("n_joined"))
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(jt))
+        .select(
+            "dim_status",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            "revenue",
+            (F.col("n_joined") == F.col("n_facts")).alias("join_is_total"),
+        )
+        .orderBy("dim_status")
+    )
+
+
+Q162_SQL = """
+WITH seq AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           CAST(o_orderdate AS DATE) AS od
+    FROM orders
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                  OR lag(o_orderstatus) OVER w <> o_orderstatus
+                THEN 1 ELSE 0 END AS chg
+    FROM seq
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+),
+islands AS (
+    SELECT *,
+           SUM(chg) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+dim AS (
+    SELECT o_custkey, o_orderstatus AS dim_status, island,
+           min(od) AS valid_from
+    FROM islands GROUP BY 1, 2, 3
+),
+dim2 AS (
+    SELECT o_custkey, dim_status, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+               AS valid_to
+    FROM dim
+),
+joined AS (
+    SELECT d.dim_status, f.o_custkey, f.o_totalprice
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(o_orderdate AS DATE) AS od, o_totalprice
+          FROM orders) f
+    JOIN dim2 d
+      ON d.o_custkey = f.o_custkey
+     AND f.od >= d.valid_from
+     AND (d.valid_to IS NULL OR f.od < d.valid_to)
+),
+per AS (
+    SELECT dim_status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM joined GROUP BY dim_status
+)
+SELECT dim_status, n_orders, n_customers, revenue,
+       (SELECT SUM(n_orders) FROM per)
+           = (SELECT count(*) FROM orders) AS join_is_total
+FROM per
+ORDER BY dim_status
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -1535,4 +1652,6 @@ QUERIES = [
           survey="ext:kanonymity-audit,ext:pii-redaction,A7,A13"),
     Query("q159_calibration_ece", q159_calibration_ece, Q159_SQL,
           survey="ext:calibration-ece,ext:quality-classifier,A7"),
+    Query("q162_scd2_asof_join", q162_scd2_asof_join, Q162_SQL,
+          survey="ext:scd2-history,ext:asof-join,J1,P9"),
 ]

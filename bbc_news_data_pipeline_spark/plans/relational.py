@@ -896,6 +896,70 @@ FROM cls GROUP BY status ORDER BY status
 
 
 # ---------------------------------------------------------------------------
+# q160 — incremental view maintenance for a JOIN view (the bilinear
+# delta rule: (B_o∪Δo)⋈(B_c∪Δc) = B⋈B ∪ B⋈Δc ∪ Δo⋈B ∪ Δo⋈Δc): the
+# per-nation revenue view is maintained from FOUR quadrant partials —
+# both relations split into base/delta by a deterministic md5 parity —
+# and the partials merge by algebraic aggregation (counts add, sums
+# add), the join twin of the q119/q131 mergeable manifests. The ORACLE
+# recomputes the view directly from the full tables, so the green row
+# proves maintenance ≡ recompute. In production the B⋈B term IS the
+# stored view — an ingest batch costs only the three delta quadrants,
+# each bounded by |Δ|, never a full re-join; all four quadrants reuse
+# one co-partitioning on the customer key.
+# ---------------------------------------------------------------------------
+def q160_delta_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o_par = F.pmod(sample_key_expr("o_orderkey", salt="ivm"), F.lit(2))
+    c_par = F.pmod(sample_key_expr("c_custkey", salt="ivm"), F.lit(2))
+    ob, od = orders.filter(o_par == 0), orders.filter(o_par == 1)
+    cb, cd = cust.filter(c_par == 0), cust.filter(c_par == 1)
+
+    def quadrant(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("rev"))
+        )
+
+    partials = (
+        quadrant(ob, cb)
+        .unionByName(quadrant(ob, cd))
+        .unionByName(quadrant(od, cb))
+        .unionByName(quadrant(od, cd))
+    )
+    merged = partials.groupBy("c_nationkey").agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+    return (
+        merged.join(
+            F.broadcast(nation), merged.c_nationkey == nation.n_nationkey
+        )
+        .select(F.col("n_name").alias("nation"), "n_orders", "revenue")
+        .orderBy("nation")
+    )
+
+
+Q160_SQL = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # q157 — association rules / market-basket mining (Agrawal & Srikant,
 # VLDB'94 measures: support, confidence, lift): which part BRANDS
 # co-occur in an order more often than independence predicts. The 100 TB
@@ -1032,4 +1096,7 @@ QUERIES = [
           survey="ext:merge-upsert,ST5,S9,J2", tags=("bench",)),
     Query("q157_association_rules", q157_association_rules, Q157_SQL,
           survey="ext:association-rules,J1,A2,T1", tags=("bench",)),
+    Query("q160_delta_join_maintenance", q160_delta_join_maintenance, Q160_SQL,
+          survey="ext:incremental-view-maintenance,ext:incremental-stats,J1,A3",
+          tags=("bench",)),
 ]

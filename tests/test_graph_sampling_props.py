@@ -5,8 +5,8 @@ totality (q145), the prefix-filter completeness theorem (q146), the
 Misra-Gries mergeable-summary guarantees (q152), the PassJoin
 segment-blocking recall theorem (q153), SCD2 interval totality (q154),
 grid-overlap-join exactness (q155), association-rule identities (q157),
-the k-anonymity ladder monotonicity (q158), and the ECE rollup algebra
-(q159).
+the k-anonymity ladder monotonicity (q158), the ECE rollup algebra
+(q159), and the bilinear delta-join maintenance identity (q160).
 
 All pure-python twins — the Spark implementations of the same algebra are
 oracle-verified at three SFs; these pin the ALGORITHMS across random
@@ -752,3 +752,42 @@ def test_ece_is_weighted_mean_of_bin_gaps(items):
         ece += gap * n / n_total
         max_gap = max(max_gap, gap)
     assert 0.0 <= ece <= max_gap + 1e-12
+
+
+# --- q160: bilinear delta-join identity --------------------------------------
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(1, 100)), max_size=50),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)), max_size=20),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_join_quadrants_equal_full_join(orders, custs, seed):
+    """q160's identity: splitting BOTH join sides into base/delta and
+    summing the four quadrant aggregates equals aggregating the full
+    join — for any split (here a seeded pseudo-random one), because the
+    join is bilinear and the aggregates are algebraic."""
+    import random
+
+    rng = random.Random(seed)
+    o_split = [rng.randint(0, 1) for _ in orders]
+    c_split = [rng.randint(0, 1) for _ in custs]
+    full = {}
+    for (ok, price) in orders:
+        for (ck, nat) in custs:
+            if ok == ck:
+                n, s = full.get(nat, (0, 0))
+                full[nat] = (n + 1, s + price)
+    quad = {}
+    for so in (0, 1):
+        for sc in (0, 1):
+            for (ok, price), po in zip(orders, o_split):
+                if po != so:
+                    continue
+                for (ck, nat), pc in zip(custs, c_split):
+                    if pc != sc or ok != ck:
+                        continue
+                    n, s = quad.get(nat, (0, 0))
+                    quad[nat] = (n + 1, s + price)
+    assert quad == full
