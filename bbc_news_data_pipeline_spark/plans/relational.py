@@ -960,6 +960,97 @@ ORDER BY nation
 
 
 # ---------------------------------------------------------------------------
+# q161 — Pareto frontier / 2D skyline (Börzsönyi, Kossmann & Stocker,
+# ICDE'01): suppliers not dominated on (volume MAX, unit cost MIN).
+# Naive skyline is O(n²) NOT EXISTS; the scalable shape here is the
+# sort-scan theorem made distributed: over DISTINCT points ordered by
+# (x, y), a point is dominated iff the running min of y over its strict
+# predecessors is <= its y. That prefix scan decomposes into (a) a
+# 64-bucket range grid on x (bounds from one broadcast agg, q148
+# pattern), (b) per-bucket running mins (windows PARTITIONED by bucket),
+# and (c) a cross-bucket prefix-min over the <=64-row bucket-min table
+# (bounded by construction) — no global sort, no corpus-scale window.
+# Both measures are exact integers (quantities are integral; unit cost
+# is integer-cents DIV volume), duplicates collapse to DISTINCT points
+# first (equal points never dominate each other), and the ORACLE runs
+# the un-decomposed brute-force NOT EXISTS — a green row proves the
+# decomposition finds exactly the frontier (q153/q155 proof pattern).
+# ---------------------------------------------------------------------------
+_Q161_BUCKETS = 64
+
+
+def q161_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    pts = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("vol"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .alias("rev_c"),
+        )
+        .withColumn("unit_c", F.expr("rev_c div vol"))
+        # ox: minimize-orientation of the maximized axis
+        .withColumn("ox", -F.col("vol"))
+        .localCheckpoint(eager=False)  # feeds distinct pts + the final semi-join
+    )
+    dpts = pts.select("ox", F.col("unit_c").alias("y")).distinct()
+    bounds = dpts.agg(F.min("ox").alias("mn"), F.max("ox").alias("mx"))
+    bucketed = dpts.crossJoin(F.broadcast(bounds)).withColumn(
+        "b",
+        F.expr(f"((ox - mn) * {_Q161_BUCKETS - 1}) div greatest(mx - mn, 1)"),
+    )
+    bmins = bucketed.groupBy("b").agg(F.min("y").alias("bmin"))
+    wpre = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)  # <=64 rows
+    pmin = bmins.withColumn("pmin", F.min("bmin").over(wpre)).select("b", "pmin")
+    win = W.partitionBy("b").orderBy("ox", "y").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    sky = (
+        bucketed.join(F.broadcast(pmin), "b")
+        .withColumn("rmin", F.min("y").over(win))
+        .filter(
+            (F.col("pmin").isNull() | (F.col("pmin") > F.col("y")))
+            & (F.col("rmin").isNull() | (F.col("rmin") > F.col("y")))
+        )
+        .select("ox", "y")
+    )
+    return (
+        pts.join(
+            F.broadcast(sky),
+            (pts.ox == sky.ox) & (pts.unit_c == sky.y),
+            "left_semi",
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "vol",
+            "unit_c",
+        )
+        .orderBy(F.desc("vol"), "unit_c", "suppkey")
+    )
+
+
+Q161_SQL = """
+WITH pts AS (
+    SELECT l_suppkey AS suppkey,
+           CAST(sum(l_quantity) AS BIGINT) AS vol,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+    FROM lineitem GROUP BY 1
+),
+up AS (SELECT suppkey, vol, rev_c // vol AS unit_c FROM pts)
+SELECT suppkey, vol, CAST(unit_c AS BIGINT) AS unit_c
+FROM up p
+WHERE NOT EXISTS (
+    SELECT 1 FROM up q
+    WHERE q.vol >= p.vol AND q.unit_c <= p.unit_c
+      AND (q.vol > p.vol OR q.unit_c < p.unit_c)
+)
+ORDER BY vol DESC, unit_c, suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # q157 — association rules / market-basket mining (Agrawal & Srikant,
 # VLDB'94 measures: support, confidence, lift): which part BRANDS
 # co-occur in an order more often than independence predicts. The 100 TB
@@ -1099,4 +1190,6 @@ QUERIES = [
     Query("q160_delta_join_maintenance", q160_delta_join_maintenance, Q160_SQL,
           survey="ext:incremental-view-maintenance,ext:incremental-stats,J1,A3",
           tags=("bench",)),
+    Query("q161_pareto_frontier", q161_pareto_frontier, Q161_SQL,
+          survey="ext:skyline-pareto,A3,T1", tags=("bench",)),
 ]

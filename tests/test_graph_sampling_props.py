@@ -6,7 +6,8 @@ Misra-Gries mergeable-summary guarantees (q152), the PassJoin
 segment-blocking recall theorem (q153), SCD2 interval totality (q154),
 grid-overlap-join exactness (q155), association-rule identities (q157),
 the k-anonymity ladder monotonicity (q158), the ECE rollup algebra
-(q159), and the bilinear delta-join maintenance identity (q160).
+(q159), the bilinear delta-join maintenance identity (q160), and the
+bucketed prefix-scan skyline theorem (q161).
 
 All pure-python twins — the Spark implementations of the same algebra are
 oracle-verified at three SFs; these pin the ALGORITHMS across random
@@ -791,3 +792,62 @@ def test_delta_join_quadrants_equal_full_join(orders, custs, seed):
                     n, s = quad.get(nat, (0, 0))
                     quad[nat] = (n + 1, s + price)
     assert quad == full
+
+
+# --- q161: bucketed prefix-scan skyline ---------------------------------------
+
+
+def _skyline_scan(points, n_buckets):
+    """Twin of q161's decomposition: distinct points, range-bucket on x,
+    per-bucket 1-preceding running min over (x, y) order, cross-bucket
+    prefix min; survivor iff both mins exceed y."""
+    dpts = sorted(set(points))
+    if not dpts:
+        return set()
+    mn, mx = dpts[0][0], dpts[-1][0]
+    span = max(mx - mn, 1)
+
+    def bucket(x):
+        return (x - mn) * (n_buckets - 1) // span
+
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for p in dpts:
+        per_bucket[bucket(p[0])].append(p)
+    bmins = {b: min(y for _, y in ps) for b, ps in per_bucket.items()}
+    sky = set()
+    for b, ps in per_bucket.items():
+        pmin = min((m for bb, m in bmins.items() if bb < b), default=None)
+        run = None
+        for x, y in ps:  # already sorted (x, y)
+            if (pmin is None or pmin > y) and (run is None or run > y):
+                sky.add((x, y))
+            run = y if run is None else min(run, y)
+    return sky
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+@settings(max_examples=300, deadline=None)
+def test_bucketed_skyline_equals_brute_force(points, n_buckets):
+    """q161's parity claim as a theorem: the bucketed prefix-scan skyline
+    equals the NOT EXISTS brute force for any point multiset (duplicates
+    collapse first — equal points never dominate each other) and any
+    bucket count."""
+    dpts = set(points)
+    brute = {
+        p
+        for p in dpts
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p
+            for q in dpts
+        )
+    }
+    assert _skyline_scan(points, n_buckets) == brute
