@@ -900,6 +900,155 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q163 — BPE training, K=3 CHAINED merge iterations (closing the
+# iterate-to-convergence contract for the tokenizer family, the q127/
+# q139 pattern): each step counts adjacent symbol pairs over the
+# CURRENT spaced vocabulary (q98's step), merges the argmax (count
+# desc, pair asc — total order), and the NEXT step's counts run over
+# the merged strings — so a green row proves state genuinely flows
+# between iterations, not three independent counts. Emits per step the
+# merged pair, its count, and the corpus token budget after the merge
+# (monotone decreasing — each merge saves exactly pair_count symbols
+# under single-pass replace semantics, asserted in tests).
+#
+# Scale shape is q98's, held ACROSS iterations: every step runs over
+# the distinct-word table (Zipf-bounded), the argmax is a 1-row
+# TakeOrdered broadcast, the merge itself is row-local codegen'd string
+# replace (left-to-right non-overlapping, identical in Spark and
+# DuckDB — the q106 quirk), and the vocab is lineage-pinned per step so
+# iteration k+1 never recomputes k. The oracle unrolls the three steps
+# as CTEs.
+# ---------------------------------------------------------------------------
+_Q163_K = 3
+
+
+def q163_bpe_chained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+            "wc",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        syms = F.split(F.trim(F.col("s")), " ")
+        prs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+            ),
+        )
+        return (
+            df.filter(F.size(syms) >= 2)
+            .select(F.explode(prs).alias("pr"), "wc")
+            .groupBy("pr")
+            .agg(F.sum("wc").alias("pc"))
+        )
+
+    cur = vocab
+    steps = []
+    for k in range(1, _Q163_K + 1):
+        best = (
+            pair_counts(cur).orderBy(F.desc("pc"), F.asc("pr")).limit(1)
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("pr"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pr"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ),
+            )
+            .select("s", "wc")
+            .localCheckpoint(eager=False)  # feeds step k+1 AND this step's budget
+        )
+        n_sym = F.size(F.split(F.trim(F.col("s")), " "))
+        budget = cur.agg(
+            F.sum(F.col("wc") * n_sym).cast("long").alias("corpus_tokens_after")
+        )
+        steps.append(
+            best.crossJoin(F.broadcast(budget)).select(
+                F.lit(k).cast("int").alias("step"),
+                F.col("pr").alias("merged_pair"),
+                F.col("pc").cast("long").alias("pair_count"),
+                "corpus_tokens_after",
+            )
+        )
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.unionByName(s_df)
+    return out.orderBy("step")
+
+
+def _q163_sql() -> str:
+    spaced = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    pieces = [
+        f"v0 AS (SELECT {spaced} AS s, wc FROM vocab)",
+    ]
+    for k in range(1, _Q163_K + 1):
+        prev = f"v{k - 1}"
+        pieces.append(
+            f"""p{k} AS (
+    SELECT pr, SUM(wc) AS pc FROM (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(str_split(trim(s), ' ')) - 1),
+                   i -> str_split(trim(s), ' ')[i] || ' '
+                        || str_split(trim(s), ' ')[i + 1])) AS pr, wc
+        FROM {prev} WHERE len(str_split(trim(s), ' ')) >= 2
+    ) GROUP BY pr
+)"""
+        )
+        pieces.append(
+            f"b{k} AS (SELECT pr, pc FROM p{k} ORDER BY pc DESC, pr LIMIT 1)"
+        )
+        pieces.append(
+            f"""v{k} AS (
+    SELECT replace(s, ' ' || b.pr || ' ',
+                   ' ' || replace(b.pr, ' ', '') || ' ') AS s, wc
+    FROM {prev} CROSS JOIN b{k} b
+)"""
+        )
+        pieces.append(
+            f"""t{k} AS (
+    SELECT CAST(SUM(wc * len(str_split(trim(s), ' '))) AS BIGINT)
+               AS corpus_tokens_after
+    FROM v{k}
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, b{k}.pr AS merged_pair, "
+        f"CAST(b{k}.pc AS BIGINT) AS pair_count, t{k}.corpus_tokens_after "
+        f"FROM b{k} CROSS JOIN t{k}"
+        for k in range(1, _Q163_K + 1)
+    )
+    return (
+        "WITH vocab AS (\n"
+        "    SELECT w, count(*) AS wc\n"
+        "    FROM (SELECT unnest(str_split(lower(text), ' ')) AS w"
+        " FROM documents) t\n"
+        "    WHERE length(w) >= 2 GROUP BY w\n"
+        "),\n"
+        + ",\n".join(pieces)
+        + f"\nSELECT * FROM ({selects}) ORDER BY step"
+    )
+
+
+Q163_SQL = _q163_sql()
+
+
 QUERIES = [
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
@@ -925,4 +1074,7 @@ QUERIES = [
           survey="ext:bpe-apply,ext:bpe-train-step"),
     Query("q118_bigram_logprob", q118_bigram_logprob, Q118_SQL,
           survey="ext:lm-quality-score,A11", tags=("bench",)),
+    Query("q163_bpe_chained_merges", q163_bpe_chained_merges, Q163_SQL,
+          survey="ext:bpe-training,ext:iterate-to-convergence,A12",
+          tags=("bench",)),
 ]

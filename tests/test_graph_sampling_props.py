@@ -6,8 +6,9 @@ Misra-Gries mergeable-summary guarantees (q152), the PassJoin
 segment-blocking recall theorem (q153), SCD2 interval totality (q154),
 grid-overlap-join exactness (q155), association-rule identities (q157),
 the k-anonymity ladder monotonicity (q158), the ECE rollup algebra
-(q159), the bilinear delta-join maintenance identity (q160), and the
-bucketed prefix-scan skyline theorem (q161).
+(q159), the bilinear delta-join maintenance identity (q160), the bucketed
+prefix-scan skyline theorem (q161), and the chained-BPE budget
+contract (q163).
 
 All pure-python twins — the Spark implementations of the same algebra are
 oracle-verified at three SFs; these pin the ALGORITHMS across random
@@ -851,3 +852,60 @@ def test_bucketed_skyline_equals_brute_force(points, n_buckets):
         )
     }
     assert _skyline_scan(points, n_buckets) == brute
+
+
+# --- q163: chained BPE merges --------------------------------------------------
+
+
+def _spaced(w):
+    return " " + " ".join(w) + " "
+
+
+def _bpe_step(spaced_vocab):
+    """Twin of one q163 iteration over [(spaced, wc)]: count adjacent
+    symbol pairs, merge the argmax (count desc, pair asc) via single-pass
+    replace. Returns (new_vocab, pair, pair_count)."""
+    from collections import Counter
+
+    pc = Counter()
+    for s, wc in spaced_vocab:
+        syms = s.split()
+        for a, b in zip(syms, syms[1:]):
+            pc[f"{a} {b}"] += wc
+    if not pc:
+        return spaced_vocab, None, 0
+    pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+    merged = pair.replace(" ", "")
+    out = [(s.replace(f" {pair} ", f" {merged} "), wc) for s, wc in spaced_vocab]
+    return out, pair, cnt
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abc", min_size=2, max_size=8),
+                  st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_chained_merges_budget_contract(words):
+    """q163's emitted invariants: the corpus symbol budget strictly
+    decreases at every merge step, and each step's saving is in
+    [1, pair_count] — pair_count alone is an upper bound because
+    single-pass replace defers shared-space adjacent repeats (both
+    engines behave identically; this pins the twin's algebra)."""
+    vocab = [(_spaced(w), wc) for w, wc in words]
+
+    def budget(v):
+        return sum(len(s.split()) * wc for s, wc in v)
+
+    prev = budget(vocab)
+    for _ in range(3):
+        vocab, pair, cnt = _bpe_step(vocab)
+        if pair is None:
+            break
+        now = budget(vocab)
+        saved = prev - now
+        assert 1 <= saved <= cnt, (pair, cnt, saved)
+        prev = now
