@@ -2171,6 +2171,147 @@ ORDER BY t.source
 """
 
 
+# ---------------------------------------------------------------------------
+# q164 — GROUPED mergeable quantile digest: per-source p50/p90/p99 of
+# the token-count distribution off the q138 fixed-grid synopsis, with
+# the exact per-group quantile alongside and the |est − exact| < width
+# guarantee emitted as a column. Completes the digest family's three
+# deployment modes — global (q138), streaming state (q140), and
+# PER-GROUP (this): the shape a 100 TB pipeline actually runs ("p99
+# doc length per source, daily") where an exact per-group quantile
+# would sort every group. All windows partition by source; the digest
+# is domain/width rows per group regardless of group size; rank
+# selection and interpolation are the q138 arithmetic applied under a
+# group key (same integer rank r = ⌈n·p/100⌉, same within-bucket
+# linear interpolation).
+# ---------------------------------------------------------------------------
+_Q164_W = 16
+_Q164_PCTS = (50, 90, 99)
+
+
+def q164_grouped_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import grid_digest
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+    ).localCheckpoint(eager=False)  # feeds digest, totals, exact histogram
+    dig = grid_digest(vals, "nt", _Q164_W, group_cols=["source"])
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dig.withColumn("cum", F.sum("cnt").over(wcum))
+    tgt = (
+        vals.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "source",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in _Q164_PCTS])).alias("pct"),
+        )
+        .withColumn("r", F.expr("(n * pct + 99) div 100"))
+    )
+    sel = (
+        tgt.join(cum, "source")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("source", "pct", "n", "r")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    selc = sel.join(cum, ["source", "bucket"])
+    est = F.round(
+        F.lit(float(_Q164_W))
+        * (
+            F.col("bucket")
+            + (F.col("r") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        ),
+        4,
+    )
+    hist = vals.groupBy("source", "nt").agg(F.count("*").alias("c1"))
+    whist = (
+        Window.partitionBy("source")
+        .orderBy("nt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hcum = hist.withColumn("cum1", F.sum("c1").over(whist))
+    ex = (
+        tgt.join(hcum, "source")
+        .filter(F.col("cum1") >= F.col("r"))
+        .groupBy("source", "pct")
+        .agg(F.min("nt").alias("exact"))
+    )
+    return (
+        selc.withColumn("est", est)
+        .join(ex, ["source", "pct"])
+        .select(
+            "source",
+            F.col("pct").cast("int").alias("pct"),
+            F.col("n").cast("long").alias("n"),
+            "est",
+            F.col("exact").cast("long").alias("exact"),
+            (F.abs(F.col("est") - F.col("exact")) < _Q164_W).alias(
+                "within_width"
+            ),
+        )
+        .orderBy("source", "pct")
+    )
+
+
+Q164_SQL = f"""
+WITH vals AS (
+    SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents
+),
+grid AS (
+    SELECT source, nt // {_Q164_W} AS bucket, count(*) AS cnt
+    FROM vals GROUP BY 1, 2
+),
+cum AS (
+    SELECT source, bucket, cnt,
+           sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+    FROM grid
+),
+tot AS (SELECT source, count(*) AS n FROM vals GROUP BY source),
+tgt AS (
+    SELECT source, n, pct, (n * pct + 99) // 100 AS r
+    FROM tot, unnest([{", ".join(str(p) for p in _Q164_PCTS)}]) AS t(pct)
+),
+sel AS (
+    SELECT t.source, t.pct, t.n, t.r, min(c.bucket) AS bucket
+    FROM tgt t JOIN cum c ON c.source = t.source AND c.cum >= t.r
+    GROUP BY 1, 2, 3, 4
+),
+selc AS (
+    SELECT s.*, c.cnt, c.cum
+    FROM sel s JOIN cum c ON c.source = s.source AND c.bucket = s.bucket
+),
+hist AS (SELECT source, nt, count(*) AS c1 FROM vals GROUP BY 1, 2),
+hcum AS (
+    SELECT source, nt,
+           sum(c1) OVER (PARTITION BY source ORDER BY nt) AS cum1
+    FROM hist
+),
+ex AS (
+    SELECT t.source, t.pct, min(h.nt) AS exact
+    FROM tgt t JOIN hcum h ON h.source = t.source AND h.cum1 >= t.r
+    GROUP BY 1, 2
+)
+SELECT s.source,
+       CAST(s.pct AS INTEGER) AS pct,
+       CAST(s.n AS BIGINT) AS n,
+       round(CAST({_Q164_W} AS DOUBLE)
+             * (s.bucket + (s.r - (s.cum - s.cnt)) / CAST(s.cnt AS DOUBLE)),
+             4) AS est,
+       CAST(e.exact AS BIGINT) AS exact,
+       abs(round(CAST({_Q164_W} AS DOUBLE)
+                 * (s.bucket + (s.r - (s.cum - s.cnt)) / CAST(s.cnt AS DOUBLE)),
+                 4) - e.exact) < {_Q164_W} AS within_width
+FROM selc s JOIN ex e ON e.source = s.source AND e.pct = s.pct
+ORDER BY s.source, s.pct
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -2214,5 +2355,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q156_bootstrap_ci", q156_bootstrap_ci, Q156_SQL,
           survey="ext:poisson-bootstrap,ext:aqp-quantiles,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q164_grouped_quantile_digest", q164_grouped_quantile_digest,
+          Q164_SQL,
+          survey="ext:quantile-digest,ext:percentiles,ext:incremental-stats",
           tags=("bench",)),
 ]
