@@ -1659,6 +1659,150 @@ ORDER BY round
 )
 
 
+# ---------------------------------------------------------------------------
+# q165 — deterministic random-walk graph sampling (the DeepWalk/node2vec
+# corpus generator, Perozzi et al. KDD'14, made reproducible): K=3-step
+# walks from the S=16 highest-degree nodes of the shared LSH similarity
+# graph (the same capped edge derivation as q57/q144/q151 — the fifth
+# graph view rides the one banding pass). Each step moves to the
+# neighbor with the minimum md5("walk:<step>:<v>:<u>") key (tiebreak u)
+# — a deterministic stand-in for the uniform transition that hash-
+# matches across engines, runs, and cluster layouts, exactly like the
+# md5 sampling keys everywhere else in this repo. The oracle unrolls
+# the three steps as argmin CTEs over the same hash.
+#
+# Scale shape: the walk frontier is S rows — each step is one join of
+# the (pinned) adjacency list against a BROADCAST frontier plus a
+# per-start min(struct) — so a K-step walk costs K broadcast joins,
+# never a shuffle of the graph; degree/top-S is one rollup +
+# TakeOrdered.
+# ---------------------------------------------------------------------------
+_Q165_STARTS = 16
+_Q165_STEPS = 3
+
+
+def q165_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(
+        docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K
+    ).select("id_a", "id_b")
+    adj = (
+        pairs.select(F.col("id_a").alias("v"), F.col("id_b").alias("u"))
+        .unionAll(pairs.select(F.col("id_b").alias("v"), F.col("id_a").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=False)  # scanned once per walk step + degree
+    )
+    starts = (
+        adj.groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("v"))
+        .limit(_Q165_STARTS)
+        .select(F.col("v").alias("start"), F.col("v").alias("node"))
+    )
+    rows = [
+        starts.select(
+            "start", F.lit(0).cast("int").alias("step"), F.col("node")
+        )
+    ]
+    cur = starts
+    for t in range(1, _Q165_STEPS + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"walk:{t}:"),
+                        F.col("v").cast("string"),
+                        F.lit(":"),
+                        F.col("u").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = (
+            adj.join(
+                F.broadcast(cur.select("start", F.col("node").alias("v"))), "v"
+            )
+            .select("start", h.alias("h"), "u")
+            .groupBy("start")
+            .agg(F.min(F.struct("h", "u")).alias("m"))
+            .select("start", F.col("m.u").alias("node"))
+        )
+        cur = nxt
+        rows.append(
+            cur.select("start", F.lit(t).cast("int").alias("step"), "node")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("start", "step")
+
+
+def _q165_step_sql(t: int) -> str:
+    h = _hex2int_sql(
+        "md5('walk:" + str(t) + ":' || CAST(adj.v AS VARCHAR) || ':' "
+        "|| CAST(adj.u AS VARCHAR))",
+        1,
+        8,
+    )
+    return f"""w{t} AS (
+    SELECT start, node FROM (
+        SELECT w{t - 1}.start, adj.u AS node,
+               row_number() OVER (PARTITION BY w{t - 1}.start
+                                  ORDER BY {h}, adj.u) AS rn
+        FROM w{t - 1} JOIN adj ON adj.v = w{t - 1}.node
+    ) x WHERE rn = 1
+)"""
+
+
+Q165_SQL = (
+    f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql()} AS shingles
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sig AS (
+    SELECT doc_id,
+       {_SIGS}
+    FROM sh
+),
+banded AS (
+    SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+        {_BANDS}
+        ]) AS band_key FROM sig
+    ) t
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+adj AS (
+    SELECT id_a AS v, id_b AS u FROM pairs
+    UNION
+    SELECT id_b AS v, id_a AS u FROM pairs
+),
+deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+w0 AS (
+    SELECT v AS start, v AS node FROM deg
+    ORDER BY d DESC, v LIMIT {_Q165_STARTS}
+),
+"""
+    + ",\n".join(_q165_step_sql(t) for t in range(1, _Q165_STEPS + 1))
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT start, CAST({t} AS INTEGER) AS step, node FROM w{t}"
+        for t in range(0, _Q165_STEPS + 1)
+    )
+    + "\nORDER BY start, step"
+)
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -1699,5 +1843,8 @@ QUERIES = [
           tags=("bench",)),
     Query("q151_kcore_peeling", q151_kcore_peeling, Q151_SQL,
           survey="ext:kcore-peeling,ext:dup-clustering,ext:iterate-to-convergence",
+          tags=("bench",)),
+    Query("q165_random_walks", q165_random_walks, Q165_SQL,
+          survey="ext:random-walk-sampling,ext:dup-clustering,ext:hash-sampling",
           tags=("bench",)),
 ]

@@ -7,8 +7,8 @@ segment-blocking recall theorem (q153), SCD2 interval totality (q154),
 grid-overlap-join exactness (q155), association-rule identities (q157),
 the k-anonymity ladder monotonicity (q158), the ECE rollup algebra
 (q159), the bilinear delta-join maintenance identity (q160), the bucketed
-prefix-scan skyline theorem (q161), and the chained-BPE budget
-contract (q163).
+prefix-scan skyline theorem (q161), the chained-BPE budget contract
+(q163), and random-walk determinism/on-graph invariants (q165).
 
 All pure-python twins — the Spark implementations of the same algebra are
 oracle-verified at three SFs; these pin the ALGORITHMS across random
@@ -909,3 +909,57 @@ def test_bpe_chained_merges_budget_contract(words):
         saved = prev - now
         assert 1 <= saved <= cnt, (pair, cnt, saved)
         prev = now
+
+
+# --- q165: deterministic random walks ----------------------------------------
+
+
+def _walk(edges, start, steps):
+    """Twin of q165: at step t move from v to the neighbor u minimizing
+    (md5('walk:t:v:u'), u)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    path = [start]
+    v = start
+    for t in range(1, steps + 1):
+        nbrs = adj[v]
+        if not nbrs:
+            break
+        v = min(nbrs, key=lambda u: (_hex8(f"walk:{t}:{v}:{u}"), u))
+        path.append(v)
+    return path
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_random_walk_is_deterministic_and_on_graph(edges, seed):
+    """q165's contracts: the walk is invariant to edge-list order and
+    duplication (the md5 argmin depends only on the neighbor SET — the
+    property that makes it reproducible across partitionings), and every
+    consecutive path pair is a real edge."""
+    import random
+
+    edges = [e for e in edges if e[0] != e[1]]
+    if not edges:
+        return
+    eset = {frozenset(e) for e in edges}
+    start = edges[0][0]
+    p1 = _walk(edges, start, 3)
+    shuffled = edges[:]
+    random.Random(seed).shuffle(shuffled)
+    p2 = _walk(shuffled + edges[:3], start, 3)  # reorder + duplicates
+    assert p1 == p2
+    for a, b in zip(p1, p1[1:]):
+        assert frozenset((a, b)) in eset
