@@ -261,11 +261,31 @@ def grid_digest(
     )
 
 
-def merge_grid_digests(*digests: DataFrame) -> DataFrame:
+def merge_grid_digests(
+    *digests: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Merge digests cell-wise (counts add — same contract as cm_build
     grids and q119 manifests): digest(A ∪ B) ≡ merge(digest(A),
-    digest(B)) because the bucketing is a pure row-local function."""
+    digest(B)) because the bucketing is a pure row-local function.
+
+    Per-group digests (``grid_digest(..., group_cols=...)``) merge by
+    passing the SAME ``group_cols`` here — merging groups by (*group,
+    bucket). Inputs carrying columns beyond the declared keys + (bucket,
+    cnt) RAISE: silently summing across an undeclared group column would
+    collapse distinct digests into one wrong histogram."""
+    group_cols = group_cols or []
+    expected = {*group_cols, "bucket", "cnt"}
+    for d in digests:
+        extra = set(d.columns) - expected
+        if extra or not {"bucket", "cnt"} <= set(d.columns):
+            raise ValueError(
+                f"digest columns {sorted(d.columns)} do not match the "
+                f"declared shape {sorted(expected)} — pass group_cols= for "
+                "per-group digests (undeclared groups would be summed away)"
+            )
     out = digests[0]
     for d in digests[1:]:
         out = out.unionByName(d)
-    return out.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

@@ -250,13 +250,14 @@ def merge_upsert(
     directories named by the incoming batch's partition values are read
     back (partition pruning bounds the read to O(affected partitions))
     and rewritten via dynamic partition overwrite — every other
-    partition stays byte-identical. CONTRACT: ``partition_col`` must be
-    stable per key (derived from the key or an immutable attribute); a
-    key that "moves" partitions between snapshots would dodge its
-    matched-row delete and duplicate. Delta/Iceberg MERGE enforces this
-    with a global key match — the plain-parquet scoped rewrite trades
-    that check for never touching cold partitions, same as every
-    Hive-style dynamic-partition upsert.
+    partition stays byte-identical. CONTRACT (enforced): ``partition_col``
+    must be stable per key (derived from the key or an immutable
+    attribute); a key that "moves" partitions between snapshots would
+    dodge its matched-row delete and duplicate, so incoming keys found in
+    another stored partition RAISE before any write (Delta/Iceberg MERGE
+    gets this from its global key match; here it costs one column-pruned
+    (key, partition) scan of the cold partitions against the broadcast
+    incoming keys).
 
     Without ``partition_col`` the whole table is rewritten through the
     crash-safe two-rename swap (write ``.merge.tmp`` → swap; a crash is
@@ -266,9 +267,21 @@ def merge_upsert(
     The incoming batch must be unique on ``key`` (raises otherwise):
     ``dropDuplicates`` would pick an ARBITRARY survivor per key and an
     upsert that nondeterministically chooses which update wins is a
-    silent corruption, not a convenience.
+    silent corruption, not a convenience. The partition-stability
+    contract above is likewise ENFORCED, not honor-system: incoming keys
+    found in a stored partition other than their own raise before any
+    write (a column-pruned key scan of the cold partitions against the
+    broadcast incoming keys — the alternative is the silent duplicate).
     """
     import shutil
+
+    # Repair any stranded swap BEFORE probing existence: a crash between
+    # the two renames leaves `path` absent while the table lives on in
+    # .merge.tmp/.merge.bak — probing first would take the create branch,
+    # overwrite the table with just this batch, and a later recover would
+    # discard the stranded copy as leftovers. recover_merge is a no-op
+    # when nothing is stranded.
+    recover_merge(path)
 
     n_in, n_keys = df.agg(
         F.count("*").alias("n"), F.count_distinct(F.col(key)).alias("k")
@@ -296,7 +309,6 @@ def merge_upsert(
             ),
         }
 
-    recover_merge(path)
     existing = spark.read.parquet(path)
     incoming_keys = df.select(key)
 
@@ -306,6 +318,29 @@ def merge_upsert(
         parts = [
             r[0] for r in df.select(partition_col).distinct().collect()
         ]
+        # Enforce the partition-stability contract: a key arriving under a
+        # NEW partition value would dodge its matched-row delete (the
+        # rewrite is scoped to `parts`) and silently duplicate. The probe
+        # reads only (key, partition) of the cold partitions, semi-joined
+        # against the broadcast incoming keys.
+        moved = (
+            existing.filter(~F.col(partition_col).isin(parts))
+            .select(key, partition_col)
+            .join(F.broadcast(incoming_keys), key, "left_semi")
+        )
+        sample = moved.limit(3).collect()
+        if sample:
+            shown = ", ".join(
+                f"{r[key]!r} (stored {partition_col}={r[partition_col]!r})"
+                for r in sample
+            )
+            raise ValueError(
+                f"partition-stability violation: incoming key(s) already "
+                f"stored under a different '{partition_col}' — e.g. {shown}. "
+                f"A partition-scoped upsert cannot move keys between "
+                f"partitions; delete the old row first or upsert without "
+                f"partition_col."
+            )
         scoped = existing.filter(F.col(partition_col).isin(parts))
         matched = scoped.join(F.broadcast(incoming_keys), key, "left_semi").count()
         survivors = scoped.join(F.broadcast(incoming_keys), key, "left_anti")

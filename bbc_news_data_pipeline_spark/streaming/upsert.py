@@ -19,6 +19,11 @@ Resolution contract (``version_col``):
     are no-ops, and redelivered rows (version == stored) are filtered —
     effective exactly-once on top of at-least-once delivery without a
     transaction log.
+  * NULL versions are REFUSED (raise): under the strict ``>`` guard a
+    NULL-versioned row silently loses every cross-batch comparison and
+    every within-batch struct-max tie — an unorderable version is a
+    data bug upstream, not a resolvable conflict (mirrors
+    ``merge_upsert``'s duplicate-key refusal).
 
 Scale notes: the cross-batch guard reads only (key, version) of the
 existing table (column pruning); with ``partition_col`` the underlying
@@ -34,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.sinks import merge_upsert, table_exists
+from ..sources.sinks import merge_upsert, recover_merge, table_exists
 
 
 def resolve_latest(df: DataFrame, key: str, version_col: str) -> DataFrame:
@@ -58,8 +63,20 @@ def upsert_batch(
     partition_col: str | None = None,
 ) -> dict:
     """Apply one (micro-)batch: resolve within-batch, drop rows not
-    strictly newer than the stored version, merge the rest."""
+    strictly newer than the stored version, merge the rest. Raises on
+    NULL versions (see module docstring) and repairs any crash-stranded
+    swap BEFORE the existence probe — otherwise a stranded table reads
+    as absent, the version guard is skipped, and old replayed rows could
+    become the new table."""
     spark = batch_df.sparkSession
+    recover_merge(path)
+    n_null = batch_df.filter(F.col(version_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"{n_null} row(s) arrived with NULL '{version_col}' — an "
+            "unorderable version can never win the strict '>' guard; "
+            "assign versions upstream"
+        )
     resolved = resolve_latest(batch_df, key, version_col)
     if table_exists(spark, path):
         cur = spark.read.parquet(path).select(

@@ -102,6 +102,60 @@ def test_merge_upsert_crash_recovery(spark, tmp_path):
     shutil.rmtree(path)
 
 
+def test_merge_upsert_self_heals_stranded_swap(spark, tmp_path):
+    """The REAL crash-recovery path: after a crash between the two
+    renames (path absent, table stranded in tmp/bak), the next
+    merge_upsert call itself must repair BEFORE its existence probe —
+    probing first would take the create branch and overwrite the whole
+    table with just the incoming batch (silent permanent loss)."""
+    import os
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sinks.merge_upsert(spark, base, path, "k")
+    # simulate the crash: merged tmp fully written, path renamed away
+    merged = spark.createDataFrame(
+        [(1, "A"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    merged.write.mode("overwrite").parquet(f"{path}.merge.tmp")
+    os.rename(path, f"{path}.merge.bak")
+    # next upsert (NOT a manual recover_merge) must roll forward, then merge
+    delta = spark.createDataFrame([(4, "d")], "k long, v string")
+    stats = sinks.merge_upsert(spark, delta, path, "k")
+    assert stats == {"inserted": 1, "updated": 0, "partitions_rewritten": None}
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "A", 2: "b", 3: "c", 4: "d"}  # prior table survived
+    assert not os.path.exists(f"{path}.merge.bak")
+    assert not os.path.exists(f"{path}.merge.tmp")
+
+    # roll-BACK variant: crash after first rename with tmp lost
+    os.rename(path, f"{path}.merge.bak")
+    stats = sinks.merge_upsert(spark, delta, path, "k")
+    assert stats == {"inserted": 0, "updated": 1, "partitions_rewritten": None}
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == got
+
+
+def test_merge_upsert_rejects_moved_key(spark, tmp_path):
+    """Partition-stability contract is ENFORCED: a key arriving under a
+    different partition value than its stored row raises before any
+    write, and the table is untouched."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 0, "a"), (11, 1, "b")], "k long, p long, v string"
+    )
+    sinks.merge_upsert(spark, base, path, "k", partition_col="p")
+    moved = spark.createDataFrame([(1, 1, "a-moved")], "k long, p long, v string")
+    with pytest.raises(ValueError, match="partition-stability"):
+        sinks.merge_upsert(spark, moved, path, "k", partition_col="p")
+    got = {r.k: (r.p, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (0, "a"), 11: (1, "b")}  # nothing written
+
+    # same key in its OWN partition still updates fine
+    ok = spark.createDataFrame([(1, 0, "a2")], "k long, p long, v string")
+    stats = sinks.merge_upsert(spark, ok, path, "k", partition_col="p")
+    assert stats == {"inserted": 0, "updated": 1, "partitions_rewritten": 1}
+
+
 def test_overwrite_table(spark, links, tmp_path):
     path = str(tmp_path / "t")
     sinks.overwrite_table(links, path)

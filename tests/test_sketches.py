@@ -534,6 +534,30 @@ def test_grid_digest_grouped_partials(spark):
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
 
 
+def test_merge_grid_digests_group_cols_and_shape_guard(spark):
+    """Per-GROUP digests merge by declaring the same group_cols; an input
+    carrying an UNDECLARED group column raises instead of silently
+    summing distinct digests into one wrong histogram."""
+    import pytest
+
+    from bbc_news_data_pipeline_spark.operators.sketches import (
+        grid_digest,
+        merge_grid_digests,
+    )
+
+    df = spark.range(0, 400).select(
+        (F.col("id") % 2).alias("g"), ((F.col("id") * 17) % 97).alias("v")
+    )
+    a = grid_digest(df.filter(F.col("id") < 200), "v", 8, group_cols=["g"])
+    b = grid_digest(df.filter(F.col("id") >= 200), "v", 8, group_cols=["g"])
+    merged = merge_grid_digests(a, b, group_cols=["g"])
+    whole = grid_digest(df, "v", 8, group_cols=["g"])
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    with pytest.raises(ValueError, match="group_cols"):
+        merge_grid_digests(a, b)  # undeclared group column 'g'
+
+
 def test_stream_grid_digest_multibatch_equals_batch(spark, sf_dir, tmp_path):
     """q140's contract under FORCED multi-micro-batch arrival
     (maxFilesPerTrigger=1 — the q135 lesson: a single-batch drain hides

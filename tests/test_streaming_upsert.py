@@ -83,6 +83,37 @@ def test_stream_upsert_last_version_wins(spark, tmp_path):
     assert _table(spark, table) == got
 
 
+def test_upsert_batch_rejects_null_version(spark, tmp_path):
+    """NULL versions fail fast: under the strict > guard they would
+    silently lose every comparison (and every struct-max tie) — an
+    unorderable version is an upstream bug, not a resolvable conflict."""
+    import pytest
+
+    table = str(tmp_path / "table")
+    bad = spark.createDataFrame([(1, None, "x")], SCHEMA)
+    with pytest.raises(ValueError, match="NULL 'v'"):
+        upsert_batch(bad, table, "k", "v")
+    assert not os.path.exists(table)  # nothing written
+
+
+def test_upsert_batch_self_heals_stranded_swap(spark, tmp_path):
+    """A crash-stranded swap makes the table read as absent; upsert_batch
+    must repair it BEFORE the existence probe, or the cross-batch version
+    guard is skipped and a replayed OLD version becomes the new table."""
+    table = str(tmp_path / "table")
+    base = spark.createDataFrame([(1, 5, "v5")], SCHEMA)
+    upsert_batch(base, table, "k", "v")
+    # strand the table mid-swap (tmp complete, path renamed away)
+    cur = spark.read.parquet(table)
+    cur.write.mode("overwrite").parquet(f"{table}.merge.tmp")
+    os.rename(table, f"{table}.merge.bak")
+    # replay an OLD version: guard must hold — table stays at v5
+    old = spark.createDataFrame([(1, 3, "v3-replay")], SCHEMA)
+    stats = upsert_batch(old, table, "k", "v")
+    assert stats == {"inserted": 0, "updated": 0, "partitions_rewritten": None}
+    assert _table(spark, table) == {1: (5, "v5")}
+
+
 def test_upsert_batch_partition_scoped(spark, tmp_path):
     table = str(tmp_path / "table")
     base = spark.createDataFrame(
