@@ -33,7 +33,12 @@ CLEAN_STEPS: tuple[tuple[str, str], ...] = (
     (r"[^ 0-9a-z]", " "),  # F4: keep space/digit/lowercase
     (r"\b(\d+\d)\b", ""),  # F5: multi-digit tokens (quirk: >=2 digits)
     (r"http|https|www", ""),  # F6: literal leftovers
-    (r"\b[a-z]\b", " "),  # F7: single-char tokens
+    # F7: single-char tokens. Reference (data_preparation.py:73) replaces
+    # with "" — we use " ", which is output-EQUIVALENT: F8 collapses any
+    # space run to one and the final trim drops edges, and since F4 already
+    # replaced every non-[ 0-9a-z] with a space, a \b[a-z]\b match is always
+    # space/edge-delimited — "" would fuse nothing that " " keeps apart.
+    (r"\b[a-z]\b", " "),
     (r" +", " "),  # F8: collapse runs of spaces
 )
 

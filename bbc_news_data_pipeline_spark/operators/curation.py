@@ -353,3 +353,98 @@ def write_shuffle_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def cc_two_phase(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 40,
+) -> tuple[DataFrame, list[dict]]:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) → ((v, cluster_id), round stats).
+
+    :func:`connected_components` (min-label propagation) converges in
+    O(component diameter) rounds — the right tool for the near-clique
+    duplicate clusters LSH banding emits (diameter ≤ ~3), but a trap on
+    chain-shaped graphs (CDC-chunk overlap, citation-like corpora) where
+    the diameter is O(n) and 100 TB graphs would need thousands of
+    shuffles. Star contraction doubles the "reach" of every component
+    minimum each round instead:
+
+      * LARGE-STAR (per node u over its full neighborhood N(u)):
+        connect every neighbor v > u to m = min(N(u) ∪ {u}).
+      * SMALL-STAR (per node u over smaller neighbors N⁻(u)):
+        connect u and every v ∈ N⁻(u) to m = min(N⁻(u) ∪ {u}).
+
+    Both preserve connectivity and never raise any node's smallest
+    neighbor; the fixpoint is a forest of stars centered at component
+    minima, reached in O(log² n) rounds worst-case (O(log n) observed).
+
+    Scale design: every phase is one groupBy(min) + one join, both
+    hash-partitioned on the node id, over an edge list kept in CANONICAL
+    (big, small) direction; edges localCheckpoint each round so the plan
+    stays O(1) deep; the per-round change count is an exceptAll on the
+    (long, long) edge set. Deterministic: min() is order-insensitive.
+    Like connected_components, vertices appear in the output iff they
+    appear in ``edges`` (isolated vertices are their own singletons by
+    definition at the caller).
+
+    Returns ``(labels, rounds)``: labels = (v, cluster_id = component
+    min); rounds = per-round dicts {round, n_edges, changed} — the
+    convergence trace (changed = edges in the new set absent from the
+    old). Raises if ``max_rounds`` is hit before the fixpoint: a silent
+    partial clustering is corruption, not a result.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.greatest(a, b).alias("a"), F.least(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds: list[dict] = []
+    n_prev = e.count()
+    for rnd in range(1, max_rounds + 1):
+        # large-star: symmetric neighborhoods; emit (v, m) for v > u
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        e_ls = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: canonical edges already point big→small, so the
+        # groupBy key IS the star center u and every b < u
+        mins_s = e_ls.groupBy("a").agg(F.min("b").alias("m"))
+        e_ss = (
+            e_ls.join(mins_s, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins_s.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = e_ss.count()
+        new_edges = e_ss.exceptAll(e).count()
+        rounds.append({"round": rnd, "n_edges": n_new, "changed": new_edges})
+        converged = new_edges == 0 and n_new == n_prev
+        e, n_prev = e_ss, n_new
+        if converged:
+            labels = e.select(
+                F.col("a").alias("v"), F.col("b").alias("cluster_id")
+            ).union(
+                e.select(F.col("b").alias("v"), F.col("b").alias("cluster_id"))
+            ).distinct()
+            return labels, rounds
+    raise RuntimeError(
+        f"cc_two_phase did not converge in {max_rounds} rounds "
+        f"(last: {rounds[-1]})"
+    )

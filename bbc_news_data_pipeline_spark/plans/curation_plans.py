@@ -27,6 +27,7 @@ from ..operators.curation import (
     IPV4_RE,
     PHONE_RE,
     asof_join,
+    cc_two_phase,
     connected_components,
     pii_counts,
     redact_pii,
@@ -763,31 +764,37 @@ ORDER BY shard_id, shuffle_key, doc_id
 _Q103_BUDGET = 0.5  # target sample size as a fraction of the corpus
 
 
-def q103_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import SAMPLE_KEY_MOD
-
+def _temperature_rates(counts: DataFrame, budget: float) -> DataFrame:
+    """(lang, rate): n^0.5-temperature sampling rates off a per-stratum
+    count table (q103/q167 shared core). The Σ√n / Σn denominators come
+    from a GLOBAL window over the counts table — O(#strata) rows in one
+    task, so the unpartitioned window is bounded by construction AND the
+    counts subtree enters the plan once (a separate .agg() + crossJoin
+    re-derives the count pass). Association mirrors the oracle exactly:
+    (budget*tot) * (sqrt(n)/d) / n."""
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
-    # The Σ√n / Σn denominators come from a GLOBAL window over the counts
-    # table — O(#strata) rows in one task, so the unpartitioned window is
-    # bounded by construction AND the counts subtree enters the plan once
-    # (a separate .agg() + crossJoin re-derives the count pass).
     w_all = W.partitionBy()
-    # Association mirrors the oracle exactly: (budget*tot) * (sqrt(n)/d) / n
-    rates = counts.select(
+    return counts.select(
         "lang",
         F.least(
             F.lit(1.0),
             F.round(
-                (F.lit(_Q103_BUDGET) * F.sum("n").over(w_all))
+                (F.lit(budget) * F.sum("n").over(w_all))
                 * (F.sqrt("n") / F.sum(F.sqrt("n")).over(w_all))
                 / F.col("n"),
                 6,
             ),
         ).alias("rate"),
     )
+
+
+def q103_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import SAMPLE_KEY_MOD
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    rates = _temperature_rates(counts, _Q103_BUDGET)
     keyed = docs.select("lang", sample_key_expr("doc_id", salt="tmix").alias("k"))
     thr = F.floor(F.col("rate") * F.lit(float(SAMPLE_KEY_MOD))).cast("long")
     return (
@@ -1803,6 +1810,278 @@ w0 AS (
 )
 
 
+# ---------------------------------------------------------------------------
+# q166 — O(log n) connected components on a HIGH-DIAMETER graph (ext):
+# large-star/small-star contraction (Kiveris et al. 2014, operators/
+# curation.cc_two_phase). q57's min-label propagation needs O(diameter)
+# shuffles — fine on near-clique LSH dup clusters, fatal on chain graphs
+# (CDC-chunk overlap, citation chains) where diameter ~ n. This query
+# builds the adversarial case on purpose: per-source PATH graphs over
+# sorted doc_ids (diameter = docs/source - 1; ~250 at sf0.1, where
+# propagation would need ~250 rounds vs ~9 for star contraction), plus
+# deterministic md5-selected skip edges so the graph is not a pure path.
+# Components are provably the sources; the oracle re-derives them from the
+# same edge list with a RECURSIVE-CTE transitive closure (q57 pattern) —
+# fully independent of the contraction algebra.
+# Scale: edge construction is one partitioned window (lead x2, no self
+# join); each star round is groupBy(min)+join hash-partitioned on the
+# node id; rounds grow as log(diameter), the property that makes CC
+# feasible on 100 TB chain-shaped graphs.
+# ---------------------------------------------------------------------------
+_Q166_SKIP_MOD = 4
+
+
+def q166_logstar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    ).localCheckpoint(eager=False)  # feeds both edge sets
+    path_e = d.filter(F.col("n1").isNotNull()).select(
+        F.col("doc_id").alias("a"), F.col("n1").alias("b")
+    )
+    skip_e = d.filter(
+        F.col("n2").isNotNull()
+        & (sample_key_expr("doc_id", salt="ccskip") % _Q166_SKIP_MOD == 0)
+    ).select(F.col("doc_id").alias("a"), F.col("n2").alias("b"))
+    labels, _rounds = cc_two_phase(path_e.unionByName(skip_e), "a", "b")
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("v").cast("long").alias("sum_ids"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_Q166_SKIP_KEY = _hex2int_sql("md5('ccskip:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q166_SQL = f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id,
+           lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS n1,
+           lead(doc_id, 2) OVER (PARTITION BY source ORDER BY doc_id) AS n2
+    FROM documents
+),
+edges0 AS (
+    SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+    UNION ALL
+    SELECT doc_id AS a, n2 AS b FROM d
+    WHERE n2 IS NOT NULL AND ({_Q166_SKIP_KEY}) % {_Q166_SKIP_MOD} = 0
+),
+edges AS (
+    SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+),
+reach(v, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+),
+lbl AS (
+    SELECT v, min(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(v) AS BIGINT) AS sum_ids
+FROM lbl
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q167 — the FULL nightly corpus build, end to end (ext flagship v2): q63
+# stops at corpus stats; this runs the training-side tail a real 100 TB
+# build ships every night and emits the per-shard MANIFEST a trainer
+# consumes: exact dedup → Gopher-lite quality gate (q63 thresholds) →
+# n^0.5-temperature mixing with rates derived from the POST-GATE counts
+# (q103 core, shared helper) → deterministic hash shuffle-shard assignment
+# (q99 core) → per-shard sequence packing in training order (q116's
+# parallel prefix sum, blocked so a hot shard never serializes into one
+# window task) → one manifest row per shard: doc/token counts, packed
+# sequence count, boundary-spanning docs, and an md5-fold checksum (the
+# reproducibility receipt — any upstream nondeterminism changes it).
+# Composition is the point: every stage is individually oracle-green
+# (q37/q63/q103/q99/q116); this proves the CHAIN, where stage coupling
+# (mix rates over gated counts, packing over mixed order) is the part no
+# per-stage test exercises.
+# Plan shape: dedup shuffle → row-local gate (lineage-pinned so the
+# filter cannot re-inline the HOF chain) → O(#langs) broadcast rate table
+# → row-local shard keys → blocked prefix-sum (bounded windows) → 1
+# manifest row per shard. No global sort, no unbounded window, no
+# corpus-scale broadcast.
+# ---------------------------------------------------------------------------
+_Q167_SHARDS = 8
+_Q167_SEQLEN = 128
+_Q167_BUDGET = 0.5
+
+
+def q167_corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import max_run_count_expr
+    from ..operators.curation import SAMPLE_KEY_MOD, shuffle_shards
+    from ..operators.dedup import exact_dedup, shingles_from_tokens
+    from ..operators.skew import exclusive_prefix_sum
+
+    docs = load(spark, sf_dir, "documents")
+    surv = exact_dedup(docs, "text", "doc_id")
+    toked = surv.select(
+        "doc_id", "lang", F.split("text", " ").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    base = toked.select(
+        "doc_id",
+        "lang",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_toks")) / F.size("_toks"), 4
+        ).alias("dup_word_ratio"),
+        shingles_from_tokens("_toks", 2).alias("_bi"),
+    )
+    staged = base.withColumn(
+        "top_bigram_ratio",
+        F.round(max_run_count_expr(F.col("_bi")) / F.size("_bi"), 4),
+    ).drop("_bi")
+    # lineage pin BEFORE the gate: (a) the filter cannot be pushed below
+    # the projection (which would re-inline the HOF chain per q63's note),
+    # (b) the gated frame feeds TWO consumers (rate counts + keyed pass)
+    # without recomputing the dedup+gate subtree (q146 pattern).
+    gated = (
+        staged.filter(
+            (F.col("dup_word_ratio") <= _Q63_DUP_T)
+            & (F.col("top_bigram_ratio") <= _Q63_BIGRAM_T)
+        )
+        .select("doc_id", "lang", "n_tokens")
+        .localCheckpoint(eager=False)
+    )
+    rates = _temperature_rates(
+        gated.groupBy("lang").agg(F.count("*").alias("n")), _Q167_BUDGET
+    )
+    thr = F.floor(F.col("rate") * F.lit(float(SAMPLE_KEY_MOD))).cast("long")
+    mixed = (
+        gated.join(F.broadcast(rates), "lang")
+        .filter(sample_key_expr("doc_id", salt="cbmix") < thr)
+        .select("doc_id", "n_tokens")
+    )
+    sharded = shuffle_shards(mixed, "doc_id", _Q167_SHARDS, salt="cbshuf")
+    # training order within a shard = (shuffle_key, doc_id); composed into
+    # one unique numeric order key for the blocked prefix sum (doc ids are
+    # < 2^31 in this data model; production would widen the key layout).
+    # block_size 2^47 = the top 16 bits of the uniform shuffle_key, so
+    # both prefix-sum levels stay bounded even though keys are sparse.
+    ordered = sharded.withColumn(
+        "_ord", F.col("shuffle_key") * F.lit(2**31) + F.col("doc_id")
+    )
+    packed = exclusive_prefix_sum(
+        ordered, "shard_id", "_ord", "n_tokens", block_size=2**47
+    )
+    L = _Q167_SEQLEN
+    first = F.expr(f"_prefix div {L}")
+    last = F.expr(f"(_prefix + n_tokens - 1) div {L}")
+    return (
+        packed.select(
+            "shard_id",
+            "n_tokens",
+            first.alias("_first"),
+            last.alias("_last"),
+            sample_key_expr("doc_id", salt="cbsum").alias("_ck"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (F.max("_last") + 1).cast("long").alias("n_seqs"),
+            F.sum(F.when(F.col("_last") > F.col("_first"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spanning"),
+            F.sum("_ck").cast("long").alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_Q167_MIX_KEY = _sample_key_sql("cbmix")
+_Q167_SHUF_KEY = _sample_key_sql("cbshuf")
+_Q167_CK_KEY = _sample_key_sql("cbsum")
+
+Q167_SQL = f"""
+WITH surv AS (
+    SELECT * FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text))))
+),
+toked AS (
+    SELECT doc_id, lang, str_split(text, ' ') AS toks
+    FROM surv WHERE len(str_split(text, ' ')) >= 2
+),
+base AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+               AS dup_word_ratio,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bi
+    FROM toked
+),
+cnt AS (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bi) AS gram FROM base) g
+    GROUP BY doc_id, gram
+),
+top AS (
+    SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_ratio
+    FROM cnt GROUP BY doc_id
+),
+gated AS (
+    SELECT b.doc_id, b.lang, b.n_tokens
+    FROM base b JOIN top t USING (doc_id)
+    WHERE b.dup_word_ratio <= {_Q63_DUP_T} AND t.top_bigram_ratio <= {_Q63_BIGRAM_T}
+),
+counts AS (SELECT lang, count(*) AS n FROM gated GROUP BY lang),
+den AS (SELECT sum(sqrt(n)) AS d, sum(n) AS tot FROM counts),
+rates AS (
+    SELECT lang, least(1.0, round(({_Q167_BUDGET} * tot) * (sqrt(n) / d) / n, 6)) AS rate
+    FROM counts, den
+),
+mixed AS (
+    SELECT g.doc_id, g.n_tokens
+    FROM gated g JOIN rates r USING (lang)
+    WHERE {_Q167_MIX_KEY} < CAST(floor(r.rate * 4294967296) AS BIGINT)
+),
+sharded AS (
+    SELECT doc_id, n_tokens,
+           CAST({_Q167_SHUF_KEY} AS BIGINT) AS shuffle_key,
+           CAST(floor(({_Q167_SHUF_KEY} * {_Q167_SHARDS}) / 4294967296.0)
+                AS BIGINT) AS shard_id
+    FROM mixed
+),
+packed AS (
+    SELECT shard_id, doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard_id ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS pre
+    FROM sharded
+),
+perdoc AS (
+    SELECT shard_id, n_tokens,
+           pre // {_Q167_SEQLEN} AS first_seq,
+           (pre + n_tokens - 1) // {_Q167_SEQLEN} AS last_seq,
+           CAST({_Q167_CK_KEY} AS BIGINT) AS ck
+    FROM packed
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_spanning,
+       CAST(sum(ck) AS BIGINT) AS checksum
+FROM perdoc
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -1846,5 +2125,12 @@ QUERIES = [
           tags=("bench",)),
     Query("q165_random_walks", q165_random_walks, Q165_SQL,
           survey="ext:random-walk-sampling,ext:dup-clustering,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q166_logstar_components", q166_logstar_components, Q166_SQL,
+          survey="ext:dup-clustering,ext:iterate-to-convergence",
+          tags=("bench",)),
+    Query("q167_corpus_build_manifest", q167_corpus_build_manifest, Q167_SQL,
+          survey="ext:dedup-exact,ext:quality-gates,ext:dataset-mixing,"
+                 "ext:sequence-packing,ext:hash-sampling",
           tags=("bench",)),
 ]

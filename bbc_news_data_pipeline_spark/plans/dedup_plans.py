@@ -1251,9 +1251,13 @@ def q153_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_a = names.select(F.col("p_name").alias("a"), F.col("mult").alias("mult_a"))
     m_b = names.select(F.col("p_name").alias("b"), F.col("mult").alias("mult_b"))
+    # No broadcast hint here: the multiplicity side is the CORPUS-SCALE
+    # distinct-name rollup (a hint would override autoBroadcastJoinThreshold
+    # and OOM at scale). The small side is `pairs` (verified near-dup pairs);
+    # AQE picks broadcast-from-pairs at runtime when it fits.
     typo = (
-        pairs.join(F.broadcast(m_a), "a")
-        .join(F.broadcast(m_b), "b")
+        pairs.join(m_a, "a")
+        .join(m_b, "b")
         .groupBy("dist")
         .agg(
             F.count("*").alias("n_name_pairs"),

@@ -1616,6 +1616,100 @@ ORDER BY dim_status
 """
 
 
+# ---------------------------------------------------------------------------
+# q168 — SCD2 SNAPSHOT APPLY (ext): the maintenance leg of the warehouse
+# family (q154 builds history from events, q162 joins as-of, q160
+# maintains a join view; this applies a new FULL dimension snapshot to an
+# existing SCD2 history — close changed/disappeared keys' current
+# intervals at the snapshot date, open new current intervals for
+# changed/new keys, carry the rest; operators/scd2.py). Snapshots are
+# derived deterministically from customer: S0 drops an md5-selected tenth
+# of keys (they "arrive" later), S1 drops a different tenth (deletions)
+# and rewrites an md5-selected fifth of segments to seg_V2 (changes) —
+# so every transition class (carry / close+open / close-only / open-only)
+# is populated at every SF. The ORACLE rebuilds the history directly from
+# the UNION of the two snapshots (per-key timeline → intervals), fully
+# independent of the close/open mechanics, so green = apply ≡ rebuild.
+# The disk path (change-set upsert through merge_upsert's enforced
+# partition-scoped machinery, idempotent re-apply) is exercised in
+# tests/test_scd2.py.
+# Shape at scale: ONE outer join on the dimension key (|dim|, not
+# |facts|) + unions; DATE columns exit as VARCHAR (NULL-date hash trap,
+# SCALE.md).
+# ---------------------------------------------------------------------------
+_Q168_D0, _Q168_D1 = "2024-01-01", "2024-02-01"
+
+
+def q168_scd2_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+    from ..operators.scd2 import scd2_apply
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+    )
+    s0 = cust.filter(sample_key_expr(F.col("k"), "scadd") % 10 != 0)
+    s1 = cust.filter(sample_key_expr(F.col("k"), "scdrop") % 10 != 0).select(
+        "k",
+        F.when(
+            sample_key_expr(F.col("k"), "scchg") % 5 == 0,
+            F.concat(F.col("attr"), F.lit("_V2")),
+        )
+        .otherwise(F.col("attr"))
+        .alias("attr"),
+    )
+    history = s0.select(
+        "k",
+        "attr",
+        F.lit(_Q168_D0).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    out = scd2_apply(history, s1, "k", "attr", _Q168_D1)
+    return out.select(
+        "k",
+        "attr",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("k", "valid_from")
+
+
+def _q168_key(salt: str) -> str:
+    return _hex2int_sql(f"md5('{salt}:' || CAST(k AS VARCHAR))", 1, 8)
+
+
+Q168_SQL = f"""
+WITH cust AS (
+    SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS attr FROM customer
+),
+s0 AS (SELECT k, attr FROM cust WHERE ({_q168_key("scadd")}) % 10 <> 0),
+s1 AS (
+    SELECT k,
+           CASE WHEN ({_q168_key("scchg")}) % 5 = 0 THEN attr || '_V2'
+                ELSE attr END AS attr
+    FROM cust WHERE ({_q168_key("scdrop")}) % 10 <> 0
+),
+rows0 AS (
+    SELECT a.k, a.attr, DATE '{_Q168_D0}' AS valid_from,
+           CASE WHEN b.k IS NULL OR b.attr <> a.attr
+                THEN DATE '{_Q168_D1}' END AS valid_to
+    FROM s0 a LEFT JOIN s1 b ON b.k = a.k
+),
+rows1 AS (
+    SELECT b.k, b.attr, DATE '{_Q168_D1}' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM s1 b LEFT JOIN s0 a ON a.k = b.k
+    WHERE a.k IS NULL OR a.attr <> b.attr
+)
+SELECT k, attr,
+       CAST(valid_from AS VARCHAR) AS valid_from,
+       CAST(valid_to AS VARCHAR) AS valid_to,
+       valid_to IS NULL AS is_current
+FROM (SELECT * FROM rows0 UNION ALL SELECT * FROM rows1)
+ORDER BY k, valid_from
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -1654,4 +1748,7 @@ QUERIES = [
           survey="ext:calibration-ece,ext:quality-classifier,A7"),
     Query("q162_scd2_asof_join", q162_scd2_asof_join, Q162_SQL,
           survey="ext:scd2-history,ext:asof-join,J1,P9"),
+    Query("q168_scd2_snapshot_apply", q168_scd2_snapshot_apply, Q168_SQL,
+          survey="ext:scd2-history,ext:snapshot-diff,ext:hash-sampling,J3",
+          tags=("bench",)),
 ]

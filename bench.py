@@ -118,6 +118,28 @@ def main() -> None:
             }
         )
     )
+    # Compact summary AFTER the full record: a bounded tail capture of this
+    # output (the r6 artifact sliced mid-JSON and lost calibration_sec /
+    # value_norm, which print before the big per-query dicts) always
+    # retains the fields cross-round comparison needs.
+    top10 = dict(
+        sorted(queries_norm.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_summary_compact",
+                "sf": sf,
+                "n_queries": len(timings),
+                "value": total,
+                "value_norm": value_norm,
+                "calibration_sec": calibration,
+                "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "loadavg_1m": loadavg,
+                "top10_slowest_norm": top10,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

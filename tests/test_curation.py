@@ -131,6 +131,62 @@ def test_connected_components_idempotent_on_clique(spark):
     assert got == {i: 0 for i in range(5)}
 
 
+# --- large-star/small-star connected components ------------------------------
+
+
+def test_cc_two_phase_path_needs_log_rounds(spark):
+    """A 200-node path: min-label propagation would need ~200 rounds;
+    star contraction must land the same labels in O(log n) (the reason
+    the operator exists — chain-shaped graphs at 100 TB)."""
+    from bbc_news_data_pipeline_spark.operators.curation import cc_two_phase
+
+    n = 200
+    edges = [(i, i + 1) for i in range(n - 1)] + [(1000, 1001), (1001, 1002)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels, rounds = cc_two_phase(df)
+    got = {r.v: r.cluster_id for r in labels.collect()}
+    assert got == {**{i: 0 for i in range(n)}, 1000: 1000, 1001: 1000, 1002: 1000}
+    # diameter 199 >> rounds; empirical 9, bound leaves headroom without
+    # normalizing a regression to linear behavior
+    assert len(rounds) <= 14, rounds
+    assert rounds[-1]["changed"] == 0
+    # convergence trace is monotone-ish and ends at the fixpoint
+    assert all(r["n_edges"] >= 1 for r in rounds)
+
+
+def test_cc_two_phase_equals_propagation_on_random_graphs(spark):
+    """Equivalence vs min-label propagation on seeded random graphs
+    (mixed component shapes: chains, bushes, isolated pairs)."""
+    import random
+
+    from bbc_news_data_pipeline_spark.operators.curation import cc_two_phase
+
+    for seed, n, m in ((3, 120, 80), (11, 200, 150), (42, 80, 200)):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast, _ = cc_two_phase(df)
+        base = connected_components(df, max_iter=100)
+        a = {r.v: r.cluster_id for r in fast.collect()}
+        b = {r.v: r.cluster_id for r in base.collect()}
+        assert a == b, f"seed={seed}: {len(a)} vs {len(b)} labels"
+
+
+def test_cc_two_phase_raises_on_round_cap(spark):
+    import pytest
+
+    from bbc_news_data_pipeline_spark.operators.curation import cc_two_phase
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc_two_phase(df, max_rounds=2)
+
+
 # --- ancestor-chain resolution ---------------------------------------------
 
 

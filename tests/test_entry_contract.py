@@ -140,6 +140,14 @@ def test_query_hash_snapshot_current():
     latest = snaps[max(snaps)]
     current = current_hashes()
     ordered = list(E.queries())
+    # the latest snapshot must cover the whole registry (docs quote the
+    # count — r6 verdict caught a stale "158" after the registry grew to
+    # 162; enforcing count-parity here means prose can never drift silently)
+    assert set(latest) == set(current), (
+        f"latest QUERY_HASHES snapshot (r{max(snaps)}) covers "
+        f"{len(latest)} queries but the registry has {len(current)} — "
+        "run: python tools/query_hashes.py --write <round>"
+    )
     stale = [n for n in current if latest.get(n) != current[n]]
     if stale:
         # reworked/new queries must occupy a contiguous window-front slice

@@ -47,6 +47,48 @@ def test_no_row_python_udfs_budgeted():
     assert not offenders, f"row-at-a-time Python UDFs budgeted: {offenders}"
 
 
+def test_corpus_broadcast_hint_sites_pinned():
+    """Broadcast HINTS whose build side the static auditor cannot prove
+    bounded (tools/plan_audit.py corpus_broadcast_hints) — a hint
+    overrides autoBroadcastJoinThreshold, so a corpus-scale build side is
+    an OOM by construction at 100x (the r6 q153 finding: the multiplicity
+    rollup of the full distinct-name domain was hinted; fix was dropping
+    the hint and letting AQE choose). Every site below is REVIEWED
+    bounded-by-construction; genuinely corpus-scale hinted builds are
+    pinned at ZERO. A new site fails here until reviewed (or, correctly,
+    the hint is dropped — AQE broadcasts small sides on observed size).
+    """
+    budget = plan_audit.load_budget()
+    got = {
+        name: v["corpus_broadcast_hints"]
+        for name, v in budget.items()
+        if v.get("corpus_broadcast_hints", 0)
+    }
+    reviewed = {
+        # topic top-words vocab: k_topics x 15 rows, model-bounded; the
+        # lazy checkpoint hides the cap from the static walker
+        "q49_npmi_cooccurrence": 2,
+        # median-bucket survivors: <= one bucket row per event_type after
+        # the rank-window filter
+        "q130_selection_median": 1,
+        # drained stream digest state read back: bucket-domain-bounded
+        # (value_domain / GRID_W rows), opaque behind the drain's RDD scan
+        "q140_stream_grid_digest": 1,
+        # strata moment manifest joined to its own 1-row total: rows =
+        # n_strata (source x length-band), domain-bounded
+        "q149_neyman_allocation": 1,
+        # skyline prefix-scan survivors: <= one representative row per
+        # score bucket (B buckets) after the monotone-min filter
+        "q161_pareto_frontier": 1,
+    }
+    assert got == reviewed, (
+        f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"
+        f"reviewed {reviewed}\n— either drop the new hint (preferred: AQE "
+        "picks broadcast from observed sizes) or review boundedness and "
+        "add it here with a justification"
+    )
+
+
 def test_unpartitioned_window_sites_pinned():
     """Every ORDER BY-only (single-partition) window in package code must
     appear in this pinned inventory with a bounded-by-construction input

@@ -30,9 +30,43 @@ def _load(arg: str) -> dict:
         rec = json.loads(arg)
     except ValueError:
         with open(arg) as f:
-            rec = json.load(f)
-    if "parsed" in rec:
+            text = f.read()
+        try:
+            rec = json.loads(text)
+        except ValueError:
+            # bench.py r7+ prints TWO lines (full record, then a compact
+            # summary so tail captures keep the headline numbers): prefer
+            # the line carrying per-query timings, else the last parsable.
+            rec = _best_json_line(text)
+            if rec is None:
+                raise
+    if rec.get("parsed") is not None:
         rec = rec["parsed"]
+    elif "tail" in rec and "queries" not in rec:
+        # driver wrapper whose full-record parse was truncated: the compact
+        # summary line (bench.py r7+) prints LAST, so the tail retains it.
+        salvaged = _best_json_line(rec["tail"])
+        if salvaged is not None:
+            rec = salvaged
+    return rec
+
+
+def _best_json_line(text: str) -> dict | None:
+    """Last parsable JSON object line, preferring one with per-query
+    timings (bench.py prints the full record, then the compact summary)."""
+    rec = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            cand = json.loads(line)
+        except ValueError:
+            continue
+        if "queries" in cand:
+            rec = cand
+            break
+        rec = cand
     return rec
 
 

@@ -61,9 +61,144 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+# --- broadcast-hint boundedness audit (analyzed LOGICAL plan) --------------
+#
+# A broadcast HINT overrides autoBroadcastJoinThreshold: if the build side
+# grows with the corpus, the hint is an OOM by construction at scale — the
+# one failure class AQE cannot save you from. This walker classifies every
+# ResolvedHint subtree as bounded/unbounded:
+#
+#   bounded  — grouping-free Aggregate (≤1 row), Limit, a Filter whose
+#              condition bounds a string length against a literal (finite
+#              domain ≤ alphabet^k: the q153 "shorts" pattern), or leaves
+#              that never scale with the corpus (LocalRelation,
+#              OneRowRelation, Range).
+#   unbounded — any root-to-leaf path reaching a LogicalRelation (a real
+#              table scan) or an OPAQUE LogicalRDD (checkpoint — provable
+#              boundedness is lost, so it must be bounded BEFORE the
+#              checkpoint) without passing a bounding node. Grouped
+#              aggregates/distincts do NOT bound: a per-key rollup's
+#              cardinality is the key domain, which grows with the corpus
+#              (exactly the q153 m_a/m_b hazard this exists to catch).
+#
+# This is a TRIPWIRE, not a prover: the bounded rules below are heuristics
+# tuned to this repo's reviewed plan idioms, so a new hint site that trips
+# them lands in the pinned inventory (tests/test_plan_budget.py) where a
+# human writes down WHY its build side is bounded — or removes the hint.
+
+# Filter conditions that signal a deliberate cardinality selection before
+# the hint: comparison of an attribute against a LITERAL (key = const,
+# id < 8, md5-mod sampling = 0, bare string enums) or an explicit string
+# LENGTH bound (finite domain <= alphabet^k).
+_BOUNDING_FILTER_RX = re.compile(
+    r"(?:length\([^)]*\) <=? \d)"
+    r"|(?:(?:=|<=?|>=?) (?:cast\(-?\d|-?\d|'[^']*'|[A-Z][A-Za-z0-9_]*\)))"
+)
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation", "Range"}
+# Columns whose DOMAIN is independent of corpus row count (dimension
+# attributes, fixed sketch geometry, value-domain buckets) — a groupBy /
+# dropDuplicates keyed ONLY by these yields domain-bounded cardinality:
+#   source (20 feeds) / lang / event_type (5) / p_brand (25, TPC-H spec)
+#   dim (embedding dimensionality) / d, col (sketch depth x width grid)
+#   bucket, nt (value-domain histogram cells) / b (fixed replicate/ring
+#   index, B<=64) / shard (fixed shard count) / start (q165 walk frontier:
+#   one row per start node, starts drawn via limit(16))
+_DOMAIN_BOUNDED_COLS = {
+    "source", "lang", "event_type", "p_brand", "dim", "d", "col",
+    "bucket", "nt", "b", "shard", "start",
+}
+# Fixed-size TPC-H dimension tables (5 / 25 rows at every SF).
+_DIM_TABLES = {"region.parquet", "nation.parquet"}
+
+
+def _attr_names(seq) -> list[str] | None:
+    """Plain attribute names from a Seq[Expression]; None if any member
+    is not a simple AttributeReference (computed keys stay unbounded)."""
+    names = []
+    for i in range(seq.size()):
+        e = seq.apply(i)
+        if e.getClass().getSimpleName() != "AttributeReference":
+            return None
+        names.append(e.name())
+    return names
+
+
+def _relation_bounded(n) -> bool:
+    """LogicalRelation: fixed dimension tables are bounded; mid-query
+    artifacts written outside the testdata lake (batch deltas, manifests)
+    are treated as bounded — they are per-run, not corpus-scale."""
+    try:
+        path = n.relation().location().rootPaths().apply(0).toString()
+    except Exception:
+        return False
+    if "/testdata/" not in path:
+        return True
+    return os.path.basename(path.rstrip("/")) in _DIM_TABLES
+
+
+def _subtree_unbounded(node) -> bool:
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        nm = n.getClass().getSimpleName()
+        if nm == "Aggregate":
+            ge = n.groupingExpressions()
+            if ge.isEmpty():
+                continue
+            names = _attr_names(ge)
+            if names is not None and set(names) <= _DOMAIN_BOUNDED_COLS:
+                continue
+        if nm == "Deduplicate":
+            try:
+                names = _attr_names(n.keys())
+            except Exception:
+                names = None
+            if names is not None and set(names) <= _DOMAIN_BOUNDED_COLS:
+                continue
+        if nm in ("GlobalLimit", "LocalLimit"):
+            continue
+        if nm == "Filter" and _BOUNDING_FILTER_RX.search(n.condition().toString()):
+            continue
+        if nm in _BOUNDED_LEAVES:
+            continue
+        if nm == "LogicalRelation":
+            if _relation_bounded(n):
+                continue
+            return True
+        if nm == "LogicalRDD":
+            # opaque checkpoint: boundedness must be established BEFORE
+            # the checkpoint; a hint straight over one is unprovable here.
+            return True
+        cs = n.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+    return False
+
+
+def corpus_broadcast_hints(df) -> int:
+    """Number of broadcast-hinted subtrees whose build side derives,
+    unbounded, from a corpus-scale scan. Pinned at 0 in
+    tests/test_plan_budget.py — a hint that only AQE could have saved is
+    a plan bug, not a tuning choice."""
+    count = 0
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        cs = n.children()
+        if n.getClass().getSimpleName() == "ResolvedHint":
+            if any(_subtree_unbounded(cs.apply(i)) for i in range(cs.size())):
+                count += 1
+                continue  # don't double-count nested hints inside a flagged one
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+    return count
+
+
 def audit_one(df) -> dict[str, int]:
     text = plan_text(df)
-    return {key: len(rx.findall(text)) for key, rx in _COUNTED.items()}
+    counts = {key: len(rx.findall(text)) for key, rx in _COUNTED.items()}
+    counts["corpus_broadcast_hints"] = corpus_broadcast_hints(df)
+    return counts
 
 
 def audit_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
