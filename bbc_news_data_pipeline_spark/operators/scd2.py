@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .curation import sample_key_expr
-from ..sources.sinks import merge_upsert
+from ..sources.sinks import merge_upsert, recover_merge, table_exists
 
 HISTORY_COLS = ("valid_from", "valid_to")
 
@@ -150,8 +150,26 @@ def scd2_apply_table(
     update their stored row in place — same ``row_key``; opens insert)
     through the partition-scoped merge. Carries and closed history are
     never rewritten, so a snapshot touching k keys costs O(k's
-    partitions), not O(history). Returns merge_upsert's stats dict."""
+    partitions), not O(history). Returns merge_upsert's stats dict.
+
+    Uniform entry point for a streaming ``foreachBatch`` sink: repairs
+    any crash-stranded swap BEFORE probing existence (the merge_upsert
+    ordering lesson), self-initializes when the table does not exist
+    yet, and REFUSES a snapshot older than the newest stored interval —
+    snapshots must apply in date order; an out-of-order apply would
+    close intervals backwards in time. Equality is allowed (re-applying
+    the current snapshot is the idempotent no-op replay takes)."""
+    recover_merge(path)
+    if not table_exists(spark, path):
+        return scd2_init_table(spark, snapshot, path, key, attr, snap_date,
+                               n_buckets=n_buckets)
     hist = spark.read.parquet(path)
+    newest = hist.agg(F.max("valid_from")).first()[0]
+    if newest is not None and str(newest) > snap_date:
+        raise ValueError(
+            f"snapshot {snap_date} is older than the newest stored "
+            f"interval ({newest}) — SCD2 snapshots must apply in date order"
+        )
     current = hist.filter(F.col("valid_to").isNull()).select(
         key, attr, "valid_from", "valid_to"
     )

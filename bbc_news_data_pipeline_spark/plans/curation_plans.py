@@ -2082,6 +2082,149 @@ ORDER BY shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q170 — INCREMENTAL sequence-packing maintenance (ext): the append leg of
+# q167, the way q160 is the append leg of a join view and q94 of the dedup
+# index. A nightly batch of new documents must extend the packed corpus
+# WITHOUT re-packing history: per shard, new docs pack starting at the
+# STORED token total (sequences continue across the append boundary), and
+# the manifest updates additively (docs/tokens/spanning/checksum sum;
+# sequence count recomputed from the combined total). Training order is
+# (arrival_batch, shuffle_key, doc_id) within a shard — the order an
+# appending corpus actually has — which is exactly why incremental ≡ full:
+# every base row precedes every batch row, so the batch's offsets are
+# base_total + its own prefix sums.
+# ORACLE: one full repack over base ∪ batch in that order (naive per-shard
+# window) — green proves the incremental update equals the recompute (the
+# ST6/IVM contract). Scale shape: the batch side touches only batch rows
+# plus the O(#shards) manifest; the base packing here stands in for the
+# STORED manifest a production run reads from disk.
+# ---------------------------------------------------------------------------
+_Q170_SHARDS = 8
+_Q170_SEQLEN = 128
+
+
+def q170_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import shuffle_shards
+    from ..operators.skew import exclusive_prefix_sum
+
+    L = _Q170_SEQLEN
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    tagged = docs.withColumn(
+        "b", (sample_key_expr("doc_id", salt="incsplit") % 4 == 0).cast("int")
+    )
+    sharded = (
+        shuffle_shards(tagged, "doc_id", _Q170_SHARDS, salt="incshuf")
+        .withColumn("_ord", F.col("shuffle_key") * F.lit(2**31) + F.col("doc_id"))
+        .withColumn("_ck", sample_key_expr("doc_id", salt="incsum"))
+        .localCheckpoint(eager=False)  # feeds the base and batch branches
+    )
+
+    def _man(packed, off):
+        first = F.expr(f"({off} + _prefix) div {L}")
+        last = F.expr(f"({off} + _prefix + n_tokens - 1) div {L}")
+        return packed.groupBy("shard_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(last > first, 1).otherwise(0)).cast("long")
+            .alias("n_spanning"),
+            F.sum("_ck").cast("long").alias("checksum"),
+        )
+
+    base_man = _man(
+        exclusive_prefix_sum(
+            sharded.filter(F.col("b") == 0), "shard_id", "_ord", "n_tokens",
+            block_size=2**47,
+        ),
+        "0",
+    )
+    batch_p = exclusive_prefix_sum(
+        sharded.filter(F.col("b") == 1), "shard_id", "_ord", "n_tokens",
+        block_size=2**47,
+    ).join(
+        base_man.select("shard_id", F.col("n_tokens").alias("_base_tok")),
+        "shard_id",
+        "left",
+    ).withColumn("_base_tok", F.coalesce("_base_tok", F.lit(0)))
+    batch_man = _man(batch_p, "_base_tok")
+
+    b = base_man.select(
+        "shard_id", F.col("n_docs").alias("d0"), F.col("n_tokens").alias("t0"),
+        F.col("n_spanning").alias("s0"), F.col("checksum").alias("c0"),
+    )
+    n = batch_man.select(
+        "shard_id", F.col("n_docs").alias("d1"), F.col("n_tokens").alias("t1"),
+        F.col("n_spanning").alias("s1"), F.col("checksum").alias("c1"),
+    )
+    z = F.lit(0).cast("long")
+    comb = b.join(n, "shard_id", "full").select(
+        "shard_id",
+        (F.coalesce("d0", z) + F.coalesce("d1", z)).alias("n_docs"),
+        (F.coalesce("t0", z) + F.coalesce("t1", z)).alias("n_tokens"),
+        (F.coalesce("s0", z) + F.coalesce("s1", z)).alias("n_spanning"),
+        (F.coalesce("c0", z) + F.coalesce("c1", z)).alias("checksum"),
+    )
+    return comb.select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        # sequence count from the combined total: ceil(T/L) as exact
+        # integer algebra — equals max(last_seq)+1 of the full repack
+        F.expr(f"((n_tokens - 1) div {L}) + 1").cast("long").alias("n_seqs"),
+        "n_spanning",
+        "checksum",
+    ).orderBy("shard_id")
+
+
+_Q170_SHUF_KEY = _sample_key_sql("incshuf")
+_Q170_SPLIT_KEY = _sample_key_sql("incsplit")
+_Q170_CK_KEY = _sample_key_sql("incsum")
+
+Q170_SQL = f"""
+WITH docs AS (
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CASE WHEN ({_Q170_SPLIT_KEY}) % 4 = 0 THEN 1 ELSE 0 END AS b,
+           CAST({_Q170_CK_KEY} AS BIGINT) AS ck
+    FROM documents
+),
+sharded AS (
+    SELECT *,
+           CAST({_Q170_SHUF_KEY} AS BIGINT) AS shuffle_key,
+           CAST(floor(({_Q170_SHUF_KEY} * {_Q170_SHARDS}) / 4294967296.0)
+                AS BIGINT) AS shard_id
+    FROM docs
+),
+packed AS (
+    SELECT shard_id, doc_id, n_tokens, ck,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard_id ORDER BY b, shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS pre
+    FROM sharded
+),
+perdoc AS (
+    SELECT shard_id, n_tokens, ck,
+           pre // {_Q170_SEQLEN} AS first_seq,
+           (pre + n_tokens - 1) // {_Q170_SEQLEN} AS last_seq
+    FROM packed
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_spanning,
+       CAST(sum(ck) AS BIGINT) AS checksum
+FROM perdoc
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -2132,5 +2275,8 @@ QUERIES = [
     Query("q167_corpus_build_manifest", q167_corpus_build_manifest, Q167_SQL,
           survey="ext:dedup-exact,ext:quality-gates,ext:dataset-mixing,"
                  "ext:sequence-packing,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q170_incremental_packing", q170_incremental_packing, Q170_SQL,
+          survey="ext:sequence-packing,ext:incremental-stats,ext:hash-sampling",
           tags=("bench",)),
 ]

@@ -1710,6 +1710,144 @@ ORDER BY k, valid_from
 """
 
 
+# ---------------------------------------------------------------------------
+# q169 — STREAMING SCD2 apply (ext; ST5/ST6): three full dimension
+# snapshots arrive as a file stream (maxFilesPerTrigger=1 → three real
+# micro-batches, strictly ordered mtimes) and drain through
+# streaming/scd2.py's foreachBatch sink into a parquet SCD2 table via
+# merge_upsert's partition-scoped machinery — the production shape of
+# q168 run as an actual Structured Streaming query, exercising the
+# crash-recover-before-probe ordering, the partition-stability contract,
+# and the snapshot monotonicity guard on every batch. The third snapshot
+# adds the transitions a 2-snapshot apply never sees: a key deleted at D1
+# re-appearing at D2 (fresh interval) and a second consecutive change.
+# ORACLE: rebuild-from-union over the 3-date ladder with q154's
+# gaps-and-islands (an island breaks on a skipped snapshot index or an
+# attr change) — fully independent of the close/open mechanics AND of the
+# batching. Green = streaming incremental apply ≡ batch rebuild (ST6).
+# ---------------------------------------------------------------------------
+_Q169_DATES = ("2024-01-01", "2024-02-01", "2024-03-01")
+
+
+def q169_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..operators.curation import sample_key_expr
+    from ..streaming.scd2 import run_stream_scd2
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+    )
+    k = F.col("k")
+    snaps = [
+        cust.filter(sample_key_expr(k, "scadd") % 10 != 0),
+        cust.filter(sample_key_expr(k, "scdrop") % 10 != 0).select(
+            "k",
+            F.when(sample_key_expr(k, "scchg") % 5 == 0,
+                   F.concat(F.col("attr"), F.lit("_V2")))
+            .otherwise(F.col("attr")).alias("attr"),
+        ),
+        cust.filter(sample_key_expr(k, "scdrop2") % 8 != 0).select(
+            "k",
+            F.when(sample_key_expr(k, "scchg2") % 3 == 0,
+                   F.concat(F.col("attr"), F.lit("_V3")))
+            .otherwise(F.col("attr")).alias("attr"),
+        ),
+    ]
+    tmp = tempfile.mkdtemp(prefix="q169_")
+    src, ckpt, table = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/dim"
+    os.makedirs(src)
+    try:
+        base_t = time.time()
+        for i, (d, sdf) in enumerate(zip(_Q169_DATES, snaps)):
+            staged = f"{tmp}/stage_{i}"
+            sdf.withColumn("snap_date", F.lit(d)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            part = _glob.glob(f"{staged}/part-*.parquet")[0]
+            dst = f"{src}/snap_{i}.parquet"
+            shutil.copy(part, dst)
+            # FileStreamSource orders by modification time: pin strictly
+            # increasing mtimes so the three snapshots form three ordered
+            # micro-batches regardless of copy-time resolution.
+            os.utime(dst, (base_t + i, base_t + i))
+        stream = (
+            spark.readStream.schema("k long, attr string, snap_date string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_scd2(stream, table, ckpt, "k", "attr", "snap_date",
+                        n_buckets=8)
+        out = (
+            spark.read.parquet(table)
+            .select(
+                "k",
+                "attr",
+                F.col("valid_from").cast("string").alias("valid_from"),
+                F.col("valid_to").cast("string").alias("valid_to"),
+                F.col("valid_to").isNull().alias("is_current"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("k", "valid_from")
+
+
+_Q169_LADDER = " ".join(
+    f"WHEN {i} THEN DATE '{d}'" for i, d in enumerate(_Q169_DATES)
+)
+
+Q169_SQL = f"""
+WITH cust AS (
+    SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS attr FROM customer
+),
+tl AS (
+    SELECT k, 0 AS i, attr FROM cust WHERE ({_q168_key("scadd")}) % 10 <> 0
+    UNION ALL
+    SELECT k, 1 AS i,
+           CASE WHEN ({_q168_key("scchg")}) % 5 = 0 THEN attr || '_V2'
+                ELSE attr END AS attr
+    FROM cust WHERE ({_q168_key("scdrop")}) % 10 <> 0
+    UNION ALL
+    SELECT k, 2 AS i,
+           CASE WHEN ({_q168_key("scchg2")}) % 3 = 0 THEN attr || '_V3'
+                ELSE attr END AS attr
+    FROM cust WHERE ({_q168_key("scdrop2")}) % 8 <> 0
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(i) OVER w IS NULL
+                  OR lag(i) OVER w <> i - 1
+                  OR lag(attr) OVER w <> attr
+                THEN 1 ELSE 0 END AS chg
+    FROM tl
+    WINDOW w AS (PARTITION BY k ORDER BY i)
+),
+isl AS (
+    SELECT *,
+           SUM(chg) OVER (PARTITION BY k ORDER BY i ROWS UNBOUNDED PRECEDING)
+               AS g
+    FROM flagged
+),
+agg AS (
+    SELECT k, attr, min(i) AS i0, max(i) AS i1
+    FROM isl GROUP BY k, attr, g
+)
+SELECT k, attr,
+       CAST(CASE i0 {_Q169_LADDER} END AS VARCHAR) AS valid_from,
+       CAST(CASE i1 + 1 {_Q169_LADDER} END AS VARCHAR) AS valid_to,
+       (i1 = {len(_Q169_DATES) - 1}) AS is_current
+FROM agg
+ORDER BY k, valid_from
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -1750,5 +1888,8 @@ QUERIES = [
           survey="ext:scd2-history,ext:asof-join,J1,P9"),
     Query("q168_scd2_snapshot_apply", q168_scd2_snapshot_apply, Q168_SQL,
           survey="ext:scd2-history,ext:snapshot-diff,ext:hash-sampling,J3",
+          tags=("bench",)),
+    Query("q169_stream_scd2_apply", q169_stream_scd2_apply, Q169_SQL,
+          survey="ext:scd2-history,ext:snapshot-diff,ST5,ST6,J3",
           tags=("bench",)),
 ]

@@ -2312,6 +2312,212 @@ ORDER BY s.source, s.pct
 """
 
 
+# ---------------------------------------------------------------------------
+# q171 — sketch-driven JOIN-ORDER choice (ext): q147 estimates ONE join's
+# size from KMV manifests; this is the decision a cost-based optimizer
+# actually makes with that number — given the filtered 3-way chain
+# σ(lineitem) ⋈ σ(orders) ⋈ σ(customer), estimate BOTH candidate first
+# joins from per-side KMV sketches (distinct-key manifests + row counts;
+# uniform-multiplicity join model, q147's algebra with independent salts
+# per pair) and pick the smaller estimated intermediate. Output: one row
+# per candidate order with the estimate, the TRUE intermediate size, and
+# whether the estimate-driven choice matches the truth-optimal order —
+# the planner's decision, certified end to end by the oracle running the
+# same sketch algebra plus the real joins.
+# Shape at scale: everything the estimator touches is O(K) manifests +
+# per-side count aggregates (the stats a warehouse keeps per table);
+# only the TRUTH columns join the real relations, and those are
+# FK-shaped equi-joins. Choice comparisons use the 2dp-rounded
+# estimates so both engines compare identical values.
+# ---------------------------------------------------------------------------
+_Q171_QTY = 30.0
+_Q171_PRICE = 150000.0
+
+
+def q171_join_order_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _Q171_QTY)
+        .select(F.col("l_orderkey").cast("long").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _Q171_PRICE
+    ).localCheckpoint(eager=False)
+    o_ok = orders.select(F.col("o_orderkey").cast("long").alias("k"))
+    o_ck = orders.select(F.col("o_custkey").cast("long").alias("k"))
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select(F.col("c_custkey").cast("long").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _kmv_join(a, b, salt):
+        """1-row frame: (est, truth) for |a ⋈ b on k| — q147's estimator
+        with an independent hash salt."""
+        hv = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("k").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        da = a.distinct().select("k", hv.alias("hv")).localCheckpoint(eager=False)
+        db = b.distinct().select("k", hv.alias("hv")).localCheckpoint(eager=False)
+        man_a = da.select("hv").orderBy("hv").limit(_Q147_K).localCheckpoint(eager=False)
+        man_b = db.select("hv").orderBy("hv").limit(_Q147_K).localCheckpoint(eager=False)
+        sk_a = man_a.agg(F.max("hv").alias("kth_a"), F.count("*").alias("n_man_a"))
+        sk_b = man_b.agg(F.max("hv").alias("kth_b"), F.count("*").alias("n_man_b"))
+        u = (
+            man_a.select("hv", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+            .unionByName(man_b.select("hv", F.lit(0).alias("ia"), F.lit(1).alias("ib")))
+            .groupBy("hv")
+            .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+        )
+        sk = (
+            u.orderBy("hv")
+            .limit(_Q147_K)
+            .agg(
+                F.max("hv").alias("kth"),
+                F.count("*").alias("n_man"),
+                F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+            )
+        )
+        n_a = a.agg(F.count("*").alias("n_rows_a"))
+        n_b = b.agg(F.count("*").alias("n_rows_b"))
+        tj = (
+            a.groupBy("k")
+            .agg(F.count("*").alias("ca"))
+            .join(b.groupBy("k").agg(F.count("*").alias("cb")), "k")
+            .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("truth"))
+        )
+
+        def nd(n_man_col, kth_col):
+            return F.when(
+                F.col(n_man_col) >= F.lit(_Q147_K),
+                F.lit(_Q147_NUMER) / F.col(kth_col),
+            ).otherwise(F.col(n_man_col).cast("double"))
+
+        est = (
+            (F.col("n_both") / F.col("n_man"))
+            * nd("n_man", "kth")
+            * (F.col("n_rows_a") / nd("n_man_a", "kth_a"))
+            * (F.col("n_rows_b") / nd("n_man_b", "kth_b"))
+        )
+        return (
+            sk.crossJoin(sk_a)
+            .crossJoin(sk_b)
+            .crossJoin(n_a)
+            .crossJoin(n_b)
+            .crossJoin(tj)
+            .select(F.round(est, 2).alias("est"), F.col("truth").cast("long").alias("truth"))
+        )
+
+    e1 = _kmv_join(li, o_ok, "jo1:").select(
+        F.col("est").alias("e1"), F.col("truth").alias("t1")
+    )
+    e2 = _kmv_join(o_ck, cust, "jo2:").select(
+        F.col("est").alias("e2"), F.col("truth").alias("t2")
+    )
+    plans = e1.crossJoin(e2).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_orders_first").alias("plan"),
+                    F.col("e1").alias("est_intermediate_rows"),
+                    F.col("t1").alias("true_intermediate_rows"),
+                    (F.col("e1") <= F.col("e2")).alias("est_chosen"),
+                    (F.col("t1") <= F.col("t2")).alias("true_best"),
+                ),
+                F.struct(
+                    F.lit("orders_customer_first").alias("plan"),
+                    F.col("e2").alias("est_intermediate_rows"),
+                    F.col("t2").alias("true_intermediate_rows"),
+                    (F.col("e2") < F.col("e1")).alias("est_chosen"),
+                    (F.col("t2") < F.col("t1")).alias("true_best"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return plans.orderBy("plan")
+
+
+def _q171_pair_sql(p: str, a_cte: str, b_cte: str, salt: str) -> str:
+    hv = _hex2int_sql(f"md5('{salt}' || CAST(k AS VARCHAR))", 1, 15)
+    return f"""
+{p}da AS (SELECT k, {hv} AS hv FROM (SELECT DISTINCT k FROM {a_cte}) t),
+{p}db AS (SELECT k, {hv} AS hv FROM (SELECT DISTINCT k FROM {b_cte}) t),
+{p}man_a AS (SELECT hv FROM {p}da ORDER BY hv LIMIT {_Q147_K}),
+{p}man_b AS (SELECT hv FROM {p}db ORDER BY hv LIMIT {_Q147_K}),
+{p}sk_a AS (SELECT max(hv) AS kth_a, count(*) AS n_man_a FROM {p}man_a),
+{p}sk_b AS (SELECT max(hv) AS kth_b, count(*) AS n_man_b FROM {p}man_b),
+{p}u AS (
+    SELECT hv, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT hv, 1 AS ia, 0 AS ib FROM {p}man_a
+        UNION ALL
+        SELECT hv, 0, 1 FROM {p}man_b
+    ) e GROUP BY hv
+),
+{p}sk AS (
+    SELECT max(hv) AS kth, count(*) AS n_man, sum(ia * ib) AS n_both
+    FROM (SELECT * FROM {p}u ORDER BY hv LIMIT {_Q147_K}) t
+),
+{p}n_a AS (SELECT count(*) AS n_rows_a FROM {a_cte}),
+{p}n_b AS (SELECT count(*) AS n_rows_b FROM {b_cte}),
+{p}tj AS (
+    SELECT coalesce(sum(ca * cb), 0) AS truth
+    FROM (SELECT k, count(*) AS ca FROM {a_cte} GROUP BY k) x
+    JOIN (SELECT k, count(*) AS cb FROM {b_cte} GROUP BY k) y USING (k)
+),
+{p}out AS (
+    SELECT round(
+        (CAST(n_both AS DOUBLE) / n_man)
+        * (CASE WHEN n_man >= {_Q147_K} THEN {_Q147_NUMER!r} / kth
+                ELSE CAST(n_man AS DOUBLE) END)
+        * (n_rows_a / (CASE WHEN n_man_a >= {_Q147_K} THEN {_Q147_NUMER!r} / kth_a
+                            ELSE CAST(n_man_a AS DOUBLE) END))
+        * (n_rows_b / (CASE WHEN n_man_b >= {_Q147_K} THEN {_Q147_NUMER!r} / kth_b
+                            ELSE CAST(n_man_b AS DOUBLE) END)), 2) AS est,
+        CAST(truth AS BIGINT) AS truth
+    FROM {p}sk, {p}sk_a, {p}sk_b, {p}n_a, {p}n_b, {p}tj
+)"""
+
+
+Q171_SQL = f"""
+WITH li AS (
+    SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+    WHERE l_quantity >= {_Q171_QTY!r}
+),
+o_ok AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+    WHERE o_totalprice > {_Q171_PRICE!r}
+),
+o_ck AS (
+    SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+    WHERE o_totalprice > {_Q171_PRICE!r}
+),
+cust AS (
+    SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_acctbal > 0.0
+),{_q171_pair_sql("p1", "li", "o_ok", "jo1:")},{_q171_pair_sql("p2", "o_ck", "cust", "jo2:")}
+SELECT * FROM (
+    SELECT 'lineitem_orders_first' AS plan,
+           p1out.est AS est_intermediate_rows,
+           p1out.truth AS true_intermediate_rows,
+           p1out.est <= p2out.est AS est_chosen,
+           p1out.truth <= p2out.truth AS true_best
+    FROM p1out, p2out
+    UNION ALL
+    SELECT 'orders_customer_first',
+           p2out.est, p2out.truth,
+           p2out.est < p1out.est,
+           p2out.truth < p1out.truth
+    FROM p1out, p2out
+)
+ORDER BY plan
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -2359,5 +2565,8 @@ QUERIES = [
     Query("q164_grouped_quantile_digest", q164_grouped_quantile_digest,
           Q164_SQL,
           survey="ext:quantile-digest,ext:percentiles,ext:incremental-stats",
+          tags=("bench",)),
+    Query("q171_join_order_choice", q171_join_order_choice, Q171_SQL,
+          survey="ext:join-size-estimation,ext:kmv-sketch",
           tags=("bench",)),
 ]

@@ -132,6 +132,68 @@ def test_same_date_flip_refused(spark, tmp_path):
                          "2024-02-01", n_buckets=2)
 
 
+def test_apply_table_refuses_out_of_order_snapshot(spark, tmp_path):
+    """Snapshots must apply in date order: an older snapshot arriving
+    after a newer one would close intervals backwards in time."""
+    path = str(tmp_path / "dim")
+    scd2_init_table(spark, _snap(spark, [(1, "A")]), path, "k", "attr",
+                    "2024-02-01", n_buckets=2)
+    with pytest.raises(ValueError, match="date order"):
+        scd2_apply_table(spark, _snap(spark, [(1, "B")]), path, "k", "attr",
+                         "2024-01-01", n_buckets=2)
+
+
+def test_stream_scd2_drain_and_history_replay_refused(spark, tmp_path):
+    """Three snapshot micro-batches drain to the rebuild-from-union
+    history; replaying HISTORY from scratch (fresh checkpoint) into the
+    non-empty table hits the monotonicity guard on the first, oldest
+    snapshot — refused loudly, table untouched. (Batch replay within a
+    checkpoint is deduped by Spark; re-applying the LATEST snapshot is
+    the idempotent no-op tested in test_table_path_matches_pure_algebra.)"""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from bbc_news_data_pipeline_spark.streaming.scd2 import run_stream_scd2
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "dim")
+    os.makedirs(src)
+    for i, (date, snap) in enumerate(SNAPSHOTS):
+        rows = [(k, v, date) for k, v in sorted(snap.items())]
+        df = spark.createDataFrame(rows, "k long, attr string, snap_date string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/stage_{i}")
+        import glob
+        import shutil
+
+        part = glob.glob(f"{src}/stage_{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/snap_{i}.parquet")
+        shutil.rmtree(f"{src}/stage_{i}")
+        t = os.path.getmtime(f"{src}/snap_{i}.parquet")
+        os.utime(f"{src}/snap_{i}.parquet", (t + i, t + i))
+
+    def _stream():
+        return (
+            spark.readStream.schema("k long, attr string, snap_date string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_stream_scd2(_stream(), table, str(tmp_path / "ckpt"), "k", "attr",
+                    "snap_date", n_buckets=4)
+    got = _hist_rows(spark.read.parquet(table).drop("row_key", "p"))
+    assert got == _rebuild_from_union(SNAPSHOTS)
+    # fresh checkpoint = replaying history from scratch: the first batch
+    # carries the OLDEST snapshot, older than the newest stored interval
+    # — the monotonicity guard refuses before any write
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="date order"):
+        run_stream_scd2(_stream(), table, str(tmp_path / "ckpt2"), "k",
+                        "attr", "snap_date", n_buckets=4)
+    assert _hist_rows(spark.read.parquet(table).drop("row_key", "p")) == got
+
+
 def test_null_attr_classifies_with_eqnullsafe(spark):
     """NULL attrs: NULL→NULL carries; NULL→value and value→NULL are
     changes (close + open), never silent drops."""
