@@ -2518,6 +2518,149 @@ ORDER BY plan
 """
 
 
+# ---------------------------------------------------------------------------
+# q172 — HyperBall neighborhood function (ext): per-node HLL registers
+# propagated K rounds over a HIGH-DIAMETER graph (Boldi & Vigna,
+# "In-Core Computation of Geometric Centralities with HyperBall", 2013;
+# Palmer et al.'s ANF is the exact-bitset ancestor). N(v,t) = |ball of
+# radius t around v| is THE graph-profiling primitive at 100 TB —
+# effective diameter, average distance, and spid all read off it — and
+# exact BFS-per-node is O(n·m), hopeless. HyperBall replaces each
+# node's reachability SET with a 256-register HLL: one round is
+# regs ∪ (edges ⋈ regs) → groupBy(v,bucket).max(r), i.e. ONE
+# hash-partitioned join + ONE groupBy per hop, state ≤ m rows/node
+# regardless of ball size, registers mergeable by max (same algebra as
+# q122/q124/q126, shared via operators/sketches helpers). The graph is
+# q166's adversarial shape on purpose: per-source PATH graphs (diameter
+# ~250 at sf0.1) + deterministic md5 skip edges, where ball growth is
+# slow and the per-round snapshots actually differ.
+# Oracle: recursive-CTE balls within t ≤ K hops, then the IDENTICAL
+# register construction (shared _hll_regs_ctes/_hll_agg_sql/
+# _hll_est_sql fragments) — the estimates match bit-for-bit because
+# both engines compute the same integer registers and the same
+# exact-dyadic harmonic sums; per-node estimates are rounded to 4dp and
+# summed in DECIMAL(18,4) so the cross-node sum is order-independent.
+# Scale: no per-node BFS, no corpus-scale broadcast; K sequential
+# rounds of (join + partial-agg groupBy) on (v, bucket) — the exact
+# shape HyperBall runs on billion-edge graphs.
+# ---------------------------------------------------------------------------
+_Q172_K = 4
+_Q172_SKIP_MOD = 3
+
+
+def q172_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.curation import sample_key_expr
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    ).localCheckpoint(eager=False)  # feeds both edge sets
+    path_e = d.filter(F.col("n1").isNotNull()).select(
+        F.col("doc_id").alias("a"), F.col("n1").alias("b")
+    )
+    skip_e = d.filter(
+        F.col("n2").isNotNull()
+        & (sample_key_expr("doc_id", salt="nfskip") % _Q172_SKIP_MOD == 0)
+    ).select(F.col("doc_id").alias("a"), F.col("n2").alias("b"))
+    e0 = path_e.unionByName(skip_e)
+    edges = (
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused K times
+    )
+    bucket, rho = hll_bucket_rho(F.col("doc_id").cast("string"))
+    regs = (
+        docs.select(
+            F.col("doc_id").alias("v"), bucket.alias("bucket"), rho.alias("_r")
+        )
+        .groupBy("v", "bucket")
+        .agg(F.max("_r").alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    snaps = [regs.withColumn("t", F.lit(0))]
+    for t in range(1, _Q172_K + 1):
+        prop = (
+            edges.alias("e")
+            .join(regs.alias("g"), F.col("e.b") == F.col("g.v"))
+            .select(
+                F.col("e.a").alias("v"),
+                F.col("g.bucket").alias("bucket"),
+                F.col("g.r").alias("r"),
+            )
+        )
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("v", "bucket")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=False)  # keeps the plan O(1) deep
+        )
+        snaps.append(regs.withColumn("t", F.lit(t)))
+    allregs = reduce(lambda x, y: x.unionByName(y), snaps)
+    pernode = hll_harmonic_agg(allregs, ["t", "v"])
+    _raw, corrected = hll_estimate_cols()
+    return (
+        pernode.select("t", "v", "occupied", corrected.alias("_e"))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("occupied").cast("long").alias("occupied_total"),
+            F.sum(F.round(F.col("_e"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("ball_est_sum"),
+        )
+        .select(F.col("t").cast("int").alias("t"), "n_nodes",
+                "occupied_total", "ball_est_sum")
+        .orderBy("t")
+    )
+
+
+_Q172_SKIP_KEY = _hex2int_sql("md5('nfskip:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q172_SQL = f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id,
+           lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS n1,
+           lead(doc_id, 2) OVER (PARTITION BY source ORDER BY doc_id) AS n2
+    FROM documents
+),
+edges0 AS (
+    SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+    UNION ALL
+    SELECT doc_id AS a, n2 AS b FROM d
+    WHERE n2 IS NOT NULL AND ({_Q172_SKIP_KEY}) % {_Q172_SKIP_MOD} = 0
+),
+edges AS (
+    SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+),
+reach(v, w, t) AS (
+    SELECT doc_id, doc_id, 0 FROM documents
+    UNION
+    SELECT r.v, e.b, r.t + 1 FROM reach r JOIN edges e ON e.a = r.w
+    WHERE r.t < {_Q172_K}
+),
+ts AS (SELECT unnest([{", ".join(str(t) for t in range(_Q172_K + 1))}]) AS t),
+ball AS (
+    SELECT DISTINCT r.v, ts.t, r.w FROM reach r JOIN ts ON r.t <= ts.t
+),
+tok AS (SELECT v, t, CAST(w AS VARCHAR) AS w FROM ball),
+{_hll_regs_ctes('v, t')},
+{_hll_agg_sql('v, t')},
+{_hll_est_sql('v, t')}
+SELECT CAST(t AS INTEGER) AS t,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(occupied) AS BIGINT) AS occupied_total,
+       CAST(sum(CAST(round(e, 4) AS DECIMAL(18,4))) AS DOUBLE) AS ball_est_sum
+FROM est
+GROUP BY t
+ORDER BY t
+"""
+
+
 QUERIES = [
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
@@ -2568,5 +2711,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q171_join_order_choice", q171_join_order_choice, Q171_SQL,
           survey="ext:join-size-estimation,ext:kmv-sketch",
+          tags=("bench",)),
+    Query("q172_neighborhood_function", q172_neighborhood_function, Q172_SQL,
+          survey="ext:neighborhood-function,ext:hll-cardinality,"
+                 "ext:iterate-to-convergence",
           tags=("bench",)),
 ]

@@ -760,3 +760,60 @@ def test_poisson_bootstrap_weights_and_coverage():
         lo = int(h)
         return means[lo] + (h - lo) * (means[min(lo + 1, len(means) - 1)] - means[lo])
     assert pct(0.025) <= true_mean <= pct(0.975)
+
+
+def test_hyperball_tracks_exact_balls_and_is_monotone(spark, sf_dir):
+    """q172 invariants: per-t node count is constant (every node keeps a
+    register set), occupied/ball estimates are nondecreasing in t
+    (register max-union only grows), and the HLL ball-size sum tracks
+    the EXACT ball-size sum from a python BFS twin on the same
+    deterministically-constructed graph (balls are tiny vs m=256, so
+    linear counting should land within 5%)."""
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q172_K,
+        _Q172_SKIP_MOD,
+        q172_neighborhood_function,
+    )
+
+    rows = q172_neighborhood_function(spark, sf_dir).collect()
+    assert [r.t for r in rows] == list(range(_Q172_K + 1))
+    n = rows[0].n_nodes
+    assert all(r.n_nodes == n for r in rows)
+    occ = [r.occupied_total for r in rows]
+    est = [r.ball_est_sum for r in rows]
+    assert occ == sorted(occ) and est == sorted(est)
+    assert occ[0] == n  # t=0: exactly one register per node (itself)
+
+    # python BFS twin over the same path+skip construction
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source").collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    adj = defaultdict(set)
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r.doc_id)
+    for ids in by_src.values():
+        for i, a in enumerate(ids):
+            if i + 1 < len(ids):
+                adj[a].add(ids[i + 1]); adj[ids[i + 1]].add(a)
+            if i + 2 < len(ids):
+                h = int(hashlib.md5(f"nfskip:{a}".encode()).hexdigest()[:8], 16)
+                if h % _Q172_SKIP_MOD == 0:
+                    adj[a].add(ids[i + 2]); adj[ids[i + 2]].add(a)
+    exact = []
+    for t in range(_Q172_K + 1):
+        tot = 0
+        for r in docs:
+            ball = {r.doc_id}
+            frontier = {r.doc_id}
+            for _ in range(t):
+                frontier = {w for u in frontier for w in adj[u]} - ball
+                ball |= frontier
+            tot += len(ball)
+        exact.append(tot)
+    for e, x in zip(est, exact):
+        assert abs(e - x) / x < 0.05, (e, x)
