@@ -2225,6 +2225,162 @@ ORDER BY shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q173 — entity resolution with GOLDEN-RECORD survivorship (ext): the
+# master-data-management composition a 100 TB corpus runs to collapse
+# near-identical records into one canonical entity (Fellegi–Sunter-style
+# block → verify → cluster, then attribute survivorship). Chain:
+# (1) BLOCKING: capped MinHash/LSH banding (q46's operator, max_group
+#     star expansion — never all-pairs);
+# (2) VERIFY: exact shingle-set Jaccard on candidates only, as the
+#     integer cross-multiplication n_inter·DEN ≥ n_union·NUM (no float
+#     threshold, both engines compare identical integers);
+# (3) CLUSTER: connected components over verified edges (min-label
+#     propagation — LSH dup clusters are near-cliques, diameter ≤ ~3;
+#     chain-shaped graphs would use q166's cc_two_phase instead);
+# (4) SURVIVORSHIP: one golden record per entity — representative = the
+#     LONGEST member (max n_chars, min doc_id tiebreak, via a single
+#     struct-max argmax: no per-cluster sort), merged source/lang sets,
+#     member count and total bytes.
+# Each stage is individually oracle-green elsewhere (q46/q39/q57); the
+# new surface is the survivorship algebra and the stage coupling. The
+# oracle re-derives everything independently: recursive-CTE transitive
+# closure for the clusters and a row_number window for the
+# representative.
+# Scale: banding is one groupBy; verify joins shingle ARRAYS to the
+# capped candidate set only (pair volume bounded by banding, arrays by
+# doc length); survivorship is one groupBy on cluster_id. No collect,
+# no corpus-scale broadcast, no unpartitioned window.
+# ---------------------------------------------------------------------------
+_Q173_T_NUM, _Q173_T_DEN = 1, 2  # exact Jaccard threshold 1/2
+
+
+def q173_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import with_shingles
+
+    docs = load(spark, sf_dir, "documents").localCheckpoint(
+        eager=False
+    )  # feeds blocking, verify, and survivorship
+    cands = minhash_candidates(
+        docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+        max_group=_MAX_GROUP,
+    )
+    sh = with_shingles(docs, "doc_id", "text", SHINGLE_K).select(
+        "doc_id", F.array_distinct("shingles").alias("_sh")
+    ).localCheckpoint(eager=False)  # joined twice (both pair sides)
+    verified = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("_ni", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .withColumn(
+            "_nu", (F.size("_sa") + F.size("_sb")).cast("long") - F.col("_ni")
+        )
+        .filter(
+            F.col("_ni") * _Q173_T_DEN >= F.col("_nu") * _Q173_T_NUM
+        )
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(verified)
+    members = labels.join(docs, labels["v"] == docs["doc_id"])
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").cast("long").alias("entity_id"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("ni")
+                )
+            ).alias("_best"),
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
+                "sources"
+            ),
+            F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "entity_id",
+            "n_members",
+            (-F.col("_best.ni")).cast("long").alias("rep_doc_id"),
+            F.col("_best.nc").cast("long").alias("rep_n_chars"),
+            "sources",
+            "langs",
+            "total_chars",
+        )
+        .orderBy("entity_id")
+    )
+
+
+Q173_SQL = f"""
+WITH RECURSIVE {_CAPPED_PAIRS_CTES},
+cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+shd AS (
+    SELECT doc_id, unnest(list_distinct({_shingle_sql()})) AS shingle
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+),
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shd GROUP BY doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+    FROM cand c
+    JOIN shd a ON a.doc_id = c.id_a
+    JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * {_Q173_T_DEN}
+          >= (sa.n_sh + sb.n_sh - i.n_inter) * {_Q173_T_NUM}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION
+    SELECT id_b, id_a FROM verified
+),
+reach(v, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+),
+lbl AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+mem AS (
+    SELECT l.cluster_id, d.doc_id, d.source, d.lang, d.n_chars
+    FROM lbl l JOIN documents d ON d.doc_id = l.v
+),
+rep AS (
+    SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars
+    FROM (
+        SELECT cluster_id, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM mem
+    ) t WHERE rn = 1
+)
+SELECT CAST(min(m.doc_id) AS BIGINT) AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(r.rep_doc_id AS BIGINT) AS rep_doc_id,
+       CAST(r.rep_n_chars AS BIGINT) AS rep_n_chars,
+       array_to_string(list_sort(list(DISTINCT m.source)), ',') AS sources,
+       array_to_string(list_sort(list(DISTINCT m.lang)), ',') AS langs,
+       CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+FROM mem m JOIN rep r USING (cluster_id)
+GROUP BY m.cluster_id, r.rep_doc_id, r.rep_n_chars
+ORDER BY entity_id
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
@@ -2278,5 +2434,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q170_incremental_packing", q170_incremental_packing, Q170_SQL,
           survey="ext:sequence-packing,ext:incremental-stats,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q173_golden_records", q173_golden_records, Q173_SQL,
+          survey="ext:entity-resolution,ext:golden-record,ext:minhash-lsh,"
+                 "ext:jaccard-neardup,ext:dup-clustering",
           tags=("bench",)),
 ]

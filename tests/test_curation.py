@@ -321,3 +321,48 @@ def test_write_shuffle_shards_readback_order(spark, tmp_path):
     }
     got = {(r.doc_id, r.shard_id) for r in back.select("doc_id", "shard_id").collect()}
     assert got == expect
+
+
+def test_golden_records_survivorship_on_engineered_corpus(spark, tmp_path):
+    """q173 golden-record contract on a hand-built corpus: three
+    near-identical docs (one longer) + two unrelated docs → exactly one
+    multi-member entity; representative = the LONGEST member (min
+    doc_id tiebreak), entity_id = min member id, sources/langs merged
+    sorted, total_chars = sum over members."""
+    from bbc_news_data_pipeline_spark.plans.curation_plans import q173_golden_records
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base, "en", "srcB", len(base)),
+        (11, base + " lambda", "en", "srcA", len(base) + 7),
+        (12, base, "de", "srcB", len(base)),
+        (90, "one two three four five six seven eight nine ten", "en", "srcC", 49),
+        (91, "red green blue cyan magenta yellow black white gray pink", "fr", "srcD", 56),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q173_golden_records(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.entity_id == 10
+    assert g.n_members == 3
+    assert g.rep_doc_id == 11 and g.rep_n_chars == len(base) + 7
+    assert g.sources == "srcA,srcB"
+    assert g.langs == "de,en"
+    assert g.total_chars == 2 * len(base) + len(base) + 7
+
+
+def test_golden_records_output_invariants(spark, sf_dir):
+    """q173 on real testdata: entities are disjoint multi-member
+    clusters; representative stats are internally consistent."""
+    from bbc_news_data_pipeline_spark.plans.curation_plans import q173_golden_records
+
+    rows = q173_golden_records(spark, sf_dir).collect()
+    assert rows, "expected engineered near-dups in the synthetic corpus"
+    ids = [r.entity_id for r in rows]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.entity_id <= r.rep_doc_id
+        assert 0 < r.rep_n_chars <= r.total_chars
+        assert r.sources and r.langs
