@@ -2519,6 +2519,167 @@ ORDER BY plan
 
 
 # ---------------------------------------------------------------------------
+# q174 — STREAMING Misra–Gries heavy hitters as bounded keyed state
+# (ext): completes the sketch-as-stream-state family (HLL q124, KMV
+# q135, grid digest q140, priority sample q150) with the deterministic
+# counter summary of q152. Per-source state = the ≤K-counter MG summary
+# + the cumulative deficit bound Σλ; each micro-batch folds ORDER-FREE:
+# exact batch counts merge into the state by token-sum, then the
+# (K+1)-th largest merged counter λ is subtracted from everything and
+# non-positives drop (Agarwal et al., "Mergeable Summaries", PODS'12 —
+# the same reduction q152 applies shard-wise). Every value is an exact
+# integer, so given the batch boundaries the state is bit-reproducible;
+# the availableNow drain is one batch, which the oracle mirrors as a
+# single reduction (multi-batch accumulation + python-twin replay is
+# pinned in tests/test_sketches.py).
+# Scale: state is ≤K counters + 2 longs per key — CONSTANT in stream
+# length; emissions are ≤K rows per key per batch; the truth join is
+# test-scale certification only. This is the bounded-state contract
+# 100 TB streaming profiling needs: no per-token state, no replay.
+# ---------------------------------------------------------------------------
+_Q174_K = 10
+
+_Q174_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("w", StringType()),
+        StructField("est", LongType()),
+        StructField("lam_sum", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+_Q174_STATE_SCHEMA = StructType(
+    [
+        StructField("ws", ArrayType(StringType())),
+        StructField("cs", ArrayType(LongType())),
+        StructField("lam_sum", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _mg_state_group(key, pdfs, state):
+    """Order-free MG merge-reduce for one source's micro-batch."""
+    import pandas as pd
+
+    (source,) = key
+    counts: dict[str, int] = {}
+    n_batch = 0
+    for pdf in pdfs:
+        for w in pdf["w"]:
+            counts[w] = counts.get(w, 0) + 1
+            n_batch += 1
+    if state.exists:
+        ws, cs, lam_sum, n_seen = state.get
+        for w, c in zip(ws, cs):
+            counts[w] = counts.get(w, 0) + int(c)
+    else:
+        lam_sum, n_seen = 0, 0
+    if not counts:
+        return
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    lam = ranked[_Q174_K][1] if len(ranked) > _Q174_K else 0
+    surv = [(w, c - lam) for w, c in ranked if c > lam]
+    lam_sum = int(lam_sum) + lam
+    n_seen = int(n_seen) + n_batch
+    state.update(
+        ([w for w, _ in surv], [c for _, c in surv], lam_sum, n_seen)
+    )
+    if surv:
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(surv),
+                "w": [w for w, _ in surv],
+                "est": [c for _, c in surv],
+                "lam_sum": [lam_sum] * len(surv),
+                "n_seen": [n_seen] * len(surv),
+            }
+        )
+
+
+def q174_stream_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .streaming_plans import _drain_to_memory
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+
+    def transform(st):
+        return (
+            st.select(
+                "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+            )
+            .groupBy("source")
+            .applyInPandasWithState(
+                _mg_state_group,
+                outputStructType=_Q174_OUT_SCHEMA,
+                stateStructType=_Q174_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    drained = _drain_to_memory(docs, transform, "q174_mg", output_mode="append")
+    latest = drained.join(
+        drained.groupBy("source").agg(F.max("n_seen").alias("n_seen")),
+        ["source", "n_seen"],
+    )
+    truth = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    return (
+        truth.join(latest, ["source", "w"])
+        .withColumn(
+            "within_bound",
+            (F.col("est") <= F.col("true_count"))
+            & (F.col("true_count") - F.col("est") <= F.col("lam_sum")),
+        )
+        .select(
+            "source",
+            "w",
+            F.col("est").cast("long").alias("mg_estimate"),
+            "true_count",
+            F.col("lam_sum").cast("long").alias("err_bound"),
+            "within_bound",
+        )
+        .orderBy("source", F.desc("mg_estimate"), "w")
+    )
+
+
+Q174_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest(str_split(lower(text), ' ')) AS w FROM documents
+),
+cnts AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+ranked AS (
+    SELECT source, w, cnt,
+           row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rn
+    FROM cnts
+),
+lam AS (
+    SELECT source,
+           coalesce(max(CASE WHEN rn = {_Q174_K + 1} THEN cnt END), 0) AS lam
+    FROM ranked GROUP BY source
+),
+surv AS (
+    SELECT r.source, r.w, r.cnt - l.lam AS est, l.lam
+    FROM ranked r JOIN lam l USING (source)
+    WHERE r.cnt > l.lam
+)
+SELECT s.source, s.w,
+       CAST(s.est AS BIGINT) AS mg_estimate,
+       CAST(c.cnt AS BIGINT) AS true_count,
+       CAST(s.lam AS BIGINT) AS err_bound,
+       (s.est <= c.cnt AND c.cnt - s.est <= s.lam) AS within_bound
+FROM surv s JOIN cnts c ON c.source = s.source AND c.w = s.w
+ORDER BY s.source, mg_estimate DESC, s.w
+"""
+
+
+# ---------------------------------------------------------------------------
 # q172 — HyperBall neighborhood function (ext): per-node HLL registers
 # propagated K rounds over a HIGH-DIAMETER graph (Boldi & Vigna,
 # "In-Core Computation of Geometric Centralities with HyperBall", 2013;
@@ -2715,5 +2876,8 @@ QUERIES = [
     Query("q172_neighborhood_function", q172_neighborhood_function, Q172_SQL,
           survey="ext:neighborhood-function,ext:hll-cardinality,"
                  "ext:iterate-to-convergence",
+          tags=("bench",)),
+    Query("q174_stream_misra_gries", q174_stream_misra_gries, Q174_SQL,
+          survey="ext:heavy-hitters,ext:incremental-stats,ST6,ST1",
           tags=("bench",)),
 ]

@@ -817,3 +817,81 @@ def test_hyperball_tracks_exact_balls_and_is_monotone(spark, sf_dir):
         exact.append(tot)
     for e, x in zip(est, exact):
         assert abs(e - x) / x < 0.05, (e, x)
+
+
+def test_mg_stream_state_accumulates_across_microbatches(spark, tmp_path):
+    """q174's contract at the seam the single-batch drain hides: with
+    maxFilesPerTrigger=1 the MG state folds the corpus over TWO
+    micro-batches, and the final state must equal a python twin that
+    replays the same merge-reduce over the same batch boundaries
+    (counts-sum then subtract the (K+1)-th largest, drop non-positives).
+    Also pins the one-sided error contract: est <= true <= est + sum(lam)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q174_K,
+        _Q174_OUT_SCHEMA,
+        _Q174_STATE_SCHEMA,
+        _mg_state_group,
+    )
+
+    b1 = [("s", w) for w in "a a a b b c d e f g h i j k l m".split()]
+    b2 = [("s", w) for w in "a b b b c c n o p q r s t u v w".split()]
+    df1 = spark.createDataFrame(b1, "source string, w string")
+    df2 = spark.createDataFrame(b2, "source string, w string")
+    src = str(tmp_path / "src")
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.groupBy("source")
+        .applyInPandasWithState(
+            _mg_state_group,
+            outputStructType=_Q174_OUT_SCHEMA,
+            stateStructType=_Q174_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("mg_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("mg_mb").collect()
+    spark.catalog.dropTempView("mg_mb")
+    assert drained
+    last_seen = max(r.n_seen for r in drained)
+    final = {r.w: (r.est, r.lam_sum) for r in drained if r.n_seen == last_seen}
+
+    # python twin over the SAME two batch boundaries (file order = write order)
+    def reduce_batch(counts, state, lam_sum):
+        for w, c in state.items():
+            counts[w] = counts.get(w, 0) + c
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        lam = ranked[_Q174_K][1] if len(ranked) > _Q174_K else 0
+        return {w: c - lam for w, c in ranked if c > lam}, lam_sum + lam
+
+    c1 = {}
+    for _, w in b1:
+        c1[w] = c1.get(w, 0) + 1
+    s1, ls1 = reduce_batch(c1, {}, 0)
+    c2 = {}
+    for _, w in b2:
+        c2[w] = c2.get(w, 0) + 1
+    s2, ls2 = reduce_batch(c2, s1, ls1)
+    assert final == {w: (c, ls2) for w, c in s2.items()}
+    assert last_seen == len(b1) + len(b2)
+
+    # one-sided error vs the true counts over both batches
+    true = {}
+    for _, w in b1 + b2:
+        true[w] = true.get(w, 0) + 1
+    for w, (est, lam_sum) in final.items():
+        assert est <= true[w] <= est + lam_sum
