@@ -657,6 +657,174 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q175 — PHRASE search over a positional inverted index (ext): the
+# retrieval primitive BM25 (q80) cannot answer — "these words ADJACENT,
+# in this order" — via position-arithmetic postings intersection
+# (the classic positional-index phrase algorithm, Manning/Raghavan/
+# Schütze ch.2). Queries are derived from the data (top-3 corpus
+# bigrams, tie-broken lexicographically) so the whole thing is
+# deterministic. Two independent paths, cross-certified in-query:
+# (1) INDEX path: postings are built ONLY for the query terms — the
+#     token stream semi-joins a BROADCAST ≤2·|phrases| term table
+#     before any shuffle — then adjacency is an EQUI-join on
+#     (phrase, doc_id, pos+1) (Catalyst hash-joins arithmetic key
+#     expressions; no inequality/range join anywhere);
+# (2) TRUTH path: row-local bigram-array filter per doc, zero shuffle
+#     before the final per-source aggregation.
+# Output carries both counts + a `matches` flag, and the DuckDB oracle
+# recomputes both paths from scratch.
+# Scale: at 100 TB the positional index is a persisted table; this
+# certifies the position algebra and the query-side shape — term-first
+# filtering means posting volume is O(df(query terms)), never O(corpus),
+# and the adjacency join shuffles only those postings, hash-partitioned
+# on (phrase, doc_id).
+# ---------------------------------------------------------------------------
+_Q175_TOP = 3
+
+
+def q175_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_from_tokens
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.split(F.lower("text"), " ").alias("_toks")
+        )
+        .filter(F.size("_toks") >= 2)
+        .localCheckpoint(eager=False)  # feeds bigrams AND postings
+    )
+    bi = docs.select(
+        "doc_id", "source", shingles_from_tokens("_toks", 2).alias("_bi")
+    ).localCheckpoint(eager=False)  # feeds phrase selection AND truth
+    phrases = (
+        bi.select(F.explode("_bi").alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "phrase")
+        .limit(_Q175_TOP)
+        .select(
+            "phrase",
+            F.split("phrase", " ").getItem(0).alias("t1"),
+            F.split("phrase", " ").getItem(1).alias("t2"),
+        )
+        .localCheckpoint(eager=False)  # tiny; broadcast into both postings
+    )
+    tok = docs.select(
+        "doc_id", "source", F.posexplode("_toks").alias("pos", "word")
+    )
+    p1 = tok.join(
+        F.broadcast(phrases.select("phrase", F.col("t1").alias("word"))), "word"
+    ).select("phrase", "doc_id", "source", "pos")
+    p2 = tok.join(
+        F.broadcast(phrases.select("phrase", F.col("t2").alias("word"))), "word"
+    ).select(
+        F.col("phrase").alias("phrase2"),
+        F.col("doc_id").alias("doc2"),
+        F.col("pos").alias("pos2"),
+    )
+    occ = p1.join(
+        p2,
+        (F.col("phrase2") == F.col("phrase"))
+        & (F.col("doc2") == F.col("doc_id"))
+        & (F.col("pos2") == F.col("pos") + 1),
+    )
+    idx = occ.groupBy("phrase", "source").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    truth = (
+        bi.crossJoin(F.broadcast(phrases.select("phrase")))
+        .select(
+            "source",
+            "phrase",
+            F.size(F.filter("_bi", lambda b: b == F.col("phrase"))).alias("_c"),
+        )
+        .groupBy("phrase", "source")
+        .agg(
+            F.sum("_c").cast("long").alias("truth_occurrences"),
+            F.sum(F.when(F.col("_c") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("truth_docs"),
+        )
+        .filter(F.col("truth_occurrences") > 0)
+    )
+    return (
+        idx.join(truth, ["phrase", "source"])
+        .withColumn(
+            "matches",
+            (F.col("n_occurrences") == F.col("truth_occurrences"))
+            & (F.col("n_docs") == F.col("truth_docs")),
+        )
+        .select(
+            "phrase", "source", "n_occurrences", "n_docs",
+            "truth_occurrences", "truth_docs", "matches",
+        )
+        .orderBy("phrase", "source")
+    )
+
+
+Q175_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source, str_split(lower(text), ' ') AS l
+    FROM documents
+    WHERE len(str_split(lower(text), ' ')) >= 2
+),
+bi AS (
+    SELECT doc_id, source,
+           list_transform(generate_series(1, len(l) - 1),
+                          i -> l[i] || ' ' || l[i + 1]) AS bg
+    FROM base
+),
+phr AS (
+    SELECT phrase FROM (
+        SELECT unnest(bg) AS phrase FROM bi
+    ) g GROUP BY phrase ORDER BY count(*) DESC, phrase LIMIT {_Q175_TOP}
+),
+tok0 AS (
+    SELECT doc_id, source, unnest(generate_series(1, len(l))) AS pos, l
+    FROM base
+),
+tok AS (SELECT doc_id, source, pos, l[pos] AS word FROM tok0),
+p1 AS (
+    SELECT p.phrase, t.doc_id, t.source, t.pos
+    FROM tok t JOIN phr p ON t.word = str_split(p.phrase, ' ')[1]
+),
+p2 AS (
+    SELECT p.phrase, t.doc_id, t.pos
+    FROM tok t JOIN phr p ON t.word = str_split(p.phrase, ' ')[2]
+),
+occ AS (
+    SELECT a.phrase, a.source, a.doc_id
+    FROM p1 a JOIN p2 b
+      ON b.phrase = a.phrase AND b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+idx AS (
+    SELECT phrase, source,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM occ GROUP BY 1, 2
+),
+tr0 AS (
+    SELECT b.source, p.phrase,
+           len(list_filter(b.bg, x -> x = p.phrase)) AS c
+    FROM bi b CROSS JOIN phr p
+),
+truth AS (
+    SELECT phrase, source,
+           CAST(sum(c) AS BIGINT) AS truth_occurrences,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS truth_docs
+    FROM tr0 GROUP BY 1, 2 HAVING sum(c) > 0
+)
+SELECT i.phrase, i.source, i.n_occurrences, i.n_docs,
+       t.truth_occurrences, t.truth_docs,
+       (i.n_occurrences = t.truth_occurrences
+        AND i.n_docs = t.truth_docs) AS matches
+FROM idx i JOIN truth t ON t.phrase = i.phrase AND t.source = i.source
+ORDER BY i.phrase, i.source
+"""
+
+
 QUERIES = [
     Query("q79_decontamination", q79_decontamination, Q79_SQL,
           survey="ext:decontamination,J1,E2", tags=("bench",)),
@@ -672,4 +840,7 @@ QUERIES = [
           survey="ext:hybrid-search-rrf,T1"),
     Query("q100_semantic_decon", q100_semantic_decon, Q100_SQL,
           survey="ext:semantic-decontamination,ext:decontamination"),
+    Query("q175_phrase_search", q175_phrase_search, Q175_SQL,
+          survey="ext:phrase-search,ext:bm25-search,T1",
+          tags=("bench",)),
 ]

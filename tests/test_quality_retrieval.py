@@ -278,3 +278,37 @@ def test_q131_zero_variance_group_is_null_not_nan(spark, tmp_path):
     assert out["aa"].std_chars == 0.0
     assert out["aa"].skewness is None and out["aa"].excess_kurtosis is None
     assert out["bb"].skewness is not None
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark, tmp_path):
+    """q175 position algebra on an engineered corpus: 'x x x x' contains
+    the bigram 'x x' THREE times (overlapping positions count — the
+    positional-index contract), phrase selection picks the top-3 corpus
+    bigrams deterministically, and the index path must agree with the
+    row-local truth path on every (phrase, source)."""
+    from bbc_news_data_pipeline_spark.plans.retrieval_plans import q175_phrase_search
+
+    rows = [
+        (1, "x x x x", "en", "sA", 7),
+        (2, "x x y z", "en", "sA", 7),
+        (3, "p q p q p", "en", "sB", 9),
+        (4, "y z y z", "en", "sB", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {(r.phrase, r.source): r for r in q175_phrase_search(spark, str(tmp_path)).collect()}
+    # corpus bigram counts: 'x x'=4, 'p q'=2, 'q p'=2, 'y z'=3, 'z y'=1
+    # top-3 by (count desc, phrase asc): 'x x', 'y z', 'p q'
+    assert {p for p, _ in out} == {"x x", "y z", "p q"}
+    assert out[("x x", "sA")].n_occurrences == 4  # 3 overlapping + 1
+    assert out[("x x", "sA")].n_docs == 2
+    assert out[("y z", "sA")].n_occurrences == 1
+    assert out[("y z", "sB")].n_occurrences == 2
+    assert out[("p q", "sB")].n_occurrences == 2
+    assert all(r.matches for r in out.values())
+    assert all(
+        r.n_occurrences == r.truth_occurrences and r.n_docs == r.truth_docs
+        for r in out.values()
+    )
