@@ -1848,6 +1848,163 @@ ORDER BY k, valid_from
 """
 
 
+# ---------------------------------------------------------------------------
+# q176 — key-range COMPACTION planning via interval merging (ext): the
+# table-maintenance decision an LSM / lakehouse OPTIMIZE makes nightly
+# (RocksDB leveled compaction; Iceberg/Delta bin-packing with sort
+# orders): given a file manifest with per-file key ranges, group every
+# set of TRANSITIVELY OVERLAPPING ranges into one merge task — files
+# whose ranges don't overlap any other can be skipped (their key spans
+# are already disjoint; rewriting them buys nothing). Completes the
+# maintenance family (q143 HRW re-shard, q148 Z-order layout, q116/q170
+# packing).
+# The manifest is simulated from the data, two generations on purpose:
+# gen0 = 4 contiguous quartile files per source (ntile — adjacent but
+# DISJOINT, so gen0 alone yields 4 singleton tasks), gen1 = small
+# "recent ingest" files over a hash-sampled, stride-restricted doc
+# subset whose ranges straddle SOME quartile boundaries — exactly the
+# overlap structure fresh writes create on top of a compacted level.
+# Algorithm: the classic sweep — order files by (min_key, …), running
+# prefix-MAX of max_key over PRECEDING rows, a file starts a new group
+# iff its min exceeds that running max, group id = prefix-SUM of the
+# start flags. All integer window algebra, partitioned by source
+# (bounded by files-per-partition — manifests are metadata-scale, ~1e5
+# files per partition at 100 TB, not data-scale), mirrored exactly by
+# the oracle.
+# ---------------------------------------------------------------------------
+_Q176_GEN0_FILES = 4
+_Q176_GEN1_DOCS = 8  # docs per gen1 file
+_Q176_SAMPLE_MOD = 4
+_Q176_STRIDE = 100  # gen1 covers even (doc_id div 100) stretches only
+
+
+def q176_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).localCheckpoint(eager=False)  # feeds both manifest generations
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    gen0 = (
+        docs.withColumn("idx", F.ntile(_Q176_GEN0_FILES).over(w_src))
+        .groupBy("source", "idx")
+        .agg(
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+            F.sum("n_chars").cast("long").alias("bytes"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .withColumn("gen", F.lit(0))
+    )
+    gen1 = (
+        docs.filter(
+            (sample_key_expr("doc_id", salt="cmpct") % _Q176_SAMPLE_MOD == 0)
+            & (F.expr(f"(doc_id div {_Q176_STRIDE}) % 2") == 0)
+        )
+        .withColumn("rn", F.row_number().over(w_src))
+        .withColumn("idx", F.expr(f"(rn - 1) div {_Q176_GEN1_DOCS}") + 1)
+        .groupBy("source", "idx")
+        .agg(
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+            F.sum("n_chars").cast("long").alias("bytes"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .withColumn("gen", F.lit(1))
+    )
+    manifest = gen0.unionByName(gen1)
+    w_sweep = Window.partitionBy("source").orderBy(
+        "min_key", "max_key", "gen", "idx"
+    )
+    prev_max = F.max("max_key").over(
+        w_sweep.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = manifest.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("min_key") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "group_id",
+        F.sum("_new").over(
+            w_sweep.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return (
+        swept.groupBy("source", "group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.sum("n_docs").cast("long").alias("total_docs"),
+            F.min("min_key").cast("long").alias("key_lo"),
+            F.max("max_key").cast("long").alias("key_hi"),
+        )
+        .withColumn("needs_compaction", F.col("n_files") > 1)
+        .orderBy("source", "group_id")
+    )
+
+
+_Q176_SAMPLE_KEY = _hex2int_sql("md5('cmpct:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q176_SQL = f"""
+WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+gen0 AS (
+    SELECT source, idx,
+           min(doc_id) AS min_key, max(doc_id) AS max_key,
+           CAST(sum(n_chars) AS BIGINT) AS bytes,
+           CAST(count(*) AS BIGINT) AS n_docs, 0 AS gen
+    FROM (
+        SELECT *, ntile({_Q176_GEN0_FILES})
+                      OVER (PARTITION BY source ORDER BY doc_id) AS idx
+        FROM docs
+    ) t GROUP BY source, idx
+),
+gen1 AS (
+    SELECT source, idx,
+           min(doc_id) AS min_key, max(doc_id) AS max_key,
+           CAST(sum(n_chars) AS BIGINT) AS bytes,
+           CAST(count(*) AS BIGINT) AS n_docs, 1 AS gen
+    FROM (
+        SELECT *, (row_number()
+                       OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                  // {_Q176_GEN1_DOCS} + 1 AS idx
+        FROM docs
+        WHERE ({_Q176_SAMPLE_KEY}) % {_Q176_SAMPLE_MOD} = 0
+          AND (doc_id // {_Q176_STRIDE}) % 2 = 0
+    ) t GROUP BY source, idx
+),
+manifest AS (SELECT * FROM gen0 UNION ALL SELECT * FROM gen1),
+swept AS (
+    SELECT *,
+           CASE WHEN max(max_key) OVER (
+                    PARTITION BY source ORDER BY min_key, max_key, gen, idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR min_key > max(max_key) OVER (
+                    PARTITION BY source ORDER BY min_key, max_key, gen, idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                )
+           THEN 1 ELSE 0 END AS is_new
+    FROM manifest
+),
+grouped AS (
+    SELECT *, CAST(sum(is_new) OVER (
+                  PARTITION BY source ORDER BY min_key, max_key, gen, idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS group_id
+    FROM swept
+)
+SELECT source, group_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_docs) AS BIGINT) AS total_docs,
+       CAST(min(min_key) AS BIGINT) AS key_lo,
+       CAST(max(max_key) AS BIGINT) AS key_hi,
+       count(*) > 1 AS needs_compaction
+FROM grouped
+GROUP BY source, group_id
+ORDER BY source, group_id
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -1891,5 +2048,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q169_stream_scd2_apply", q169_stream_scd2_apply, Q169_SQL,
           survey="ext:scd2-history,ext:snapshot-diff,ST5,ST6,J3",
+          tags=("bench",)),
+    Query("q176_compaction_plan", q176_compaction_plan, Q176_SQL,
+          survey="ext:compaction-planning,ext:range-join,"
+                 "ext:incremental-stats",
           tags=("bench",)),
 ]

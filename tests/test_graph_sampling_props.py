@@ -963,3 +963,83 @@ def test_random_walk_is_deterministic_and_on_graph(edges, seed):
     assert p1 == p2
     for a, b in zip(p1, p1[1:]):
         assert frozenset((a, b)) in eset
+
+
+# --- q176: interval-merge compaction planning ------------------------------
+def test_compaction_plan_matches_python_sweep_twin(spark, sf_dir):
+    """q176 vs a from-scratch python twin: rebuild both manifest
+    generations (ntile quartiles + hash-sampled stride-restricted gen1
+    files) and re-run the interval sweep in plain python, then compare
+    the full task table. Also pins the planner's soundness contract:
+    tasks within a source cover disjoint, ordered key ranges, and
+    singleton tasks are flagged pass-through."""
+    import hashlib
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q176_GEN0_FILES,
+        _Q176_GEN1_DOCS,
+        _Q176_SAMPLE_MOD,
+        _Q176_STRIDE,
+        q176_compaction_plan,
+    )
+
+    got = [
+        (r.source, r.group_id, r.n_files, r.total_bytes, r.total_docs,
+         r.key_lo, r.key_hi, r.needs_compaction)
+        for r in q176_compaction_plan(spark, sf_dir).collect()
+    ]
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars").collect()
+    )
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append((r.doc_id, r.n_chars))
+    expected = []
+    for src in sorted(by_src):
+        docs = sorted(by_src[src])
+        files = []
+        # gen0: ntile(4) — first (n % 4) buckets get the extra row
+        n = len(docs)
+        q, rem = divmod(n, _Q176_GEN0_FILES)
+        start = 0
+        for i in range(_Q176_GEN0_FILES):
+            size = q + (1 if i < rem else 0)
+            part = docs[start:start + size]
+            start += size
+            if part:
+                files.append((part[0][0], part[-1][0], sum(c for _, c in part),
+                              len(part), 0, i + 1))
+        sampled = [
+            (d, c) for d, c in docs
+            if int(hashlib.md5(f"cmpct:{d}".encode()).hexdigest()[:8], 16)
+               % _Q176_SAMPLE_MOD == 0 and (d // _Q176_STRIDE) % 2 == 0
+        ]
+        for i in range(0, len(sampled), _Q176_GEN1_DOCS):
+            part = sampled[i:i + _Q176_GEN1_DOCS]
+            files.append((part[0][0], part[-1][0], sum(c for _, c in part),
+                          len(part), 1, i // _Q176_GEN1_DOCS + 1))
+        files.sort(key=lambda f: (f[0], f[1], f[4], f[5]))
+        gid, run_max = 0, None
+        groups = defaultdict(list)
+        for f in files:
+            if run_max is None or f[0] > run_max:
+                gid += 1
+            run_max = f[1] if run_max is None else max(run_max, f[1])
+            groups[gid].append(f)
+        for g in sorted(groups):
+            fs = groups[g]
+            expected.append((src, g, len(fs), sum(f[2] for f in fs),
+                             sum(f[3] for f in fs), min(f[0] for f in fs),
+                             max(f[1] for f in fs), len(fs) > 1))
+    assert got == expected
+
+    # soundness: disjoint ordered ranges per source
+    prev = {}
+    for src, gid, n_files, _b, _d, lo, hi, needs in got:
+        assert lo <= hi and (n_files > 1) == needs
+        if src in prev:
+            assert lo > prev[src]
+        prev[src] = hi
