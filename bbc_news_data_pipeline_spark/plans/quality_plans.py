@@ -2005,6 +2005,156 @@ ORDER BY source, group_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q177 — cross-source QUANTILE NORMALIZATION (ext): calibrate
+# heterogeneous per-source score distributions onto the pooled corpus
+# distribution (the microarray-style quantile-normalization map, and
+# the score-calibration step a mixed-source quality gate needs before
+# one global threshold is meaningful — a "0.8" from source A must mean
+# the same thing as a "0.8" from source B). Each source value at
+# source-relative rank r/n is replaced by the GLOBAL quantile at the
+# same relative rank; the map is certified at the percentile grid
+# {25,50,75,90,99}: per (source, pct) emit the source's EXACT
+# percentile value (per-source histogram + cumulative window — the
+# q164 selection) next to its normalized value (global rank
+# ceil(N·r_s/n), read from the MERGEABLE equi-width grid digest with
+# q138's integer rank + within-bucket interpolation) and the shift
+# between them.
+# Scale: no global sort anywhere — per-source ranks are windows
+# partitioned by source; the global distribution is the O(domain/W)
+# digest (mergeable across shards, broadcastable); lookups join the
+# tiny cum table at 100 grid points. Integer rank algebra end-to-end;
+# the only float is the final 4dp interpolation, identical both
+# engines.
+# ---------------------------------------------------------------------------
+_Q177_W = 16
+_Q177_PCTS = (25, 50, 75, 90, 99)
+
+
+def q177_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import grid_digest
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    ).localCheckpoint(eager=False)  # feeds digest, per-source hist, counts
+    dig = grid_digest(vals, "v", _Q177_W)
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dig.withColumn("cum", F.sum("cnt").over(wcum)).localCheckpoint(
+        eager=False
+    )  # <= domain/W rows; joined twice
+    n_glob = vals.agg(F.count("*").cast("long").alias("n_tot"))
+    tgt = (
+        vals.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(F.broadcast(n_glob))
+        .select(
+            "source",
+            "n",
+            "n_tot",
+            F.explode(F.array(*[F.lit(p) for p in _Q177_PCTS])).alias("pct"),
+        )
+        .withColumn("r_s", F.expr("(n * pct + 99) div 100"))
+        .withColumn("r_g", F.expr("(n_tot * r_s + n - 1) div n"))
+    )
+    sel = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("r_g"))
+        .groupBy("source", "pct", "n", "r_s", "r_g")
+        .agg(F.min("bucket").alias("bucket"))
+        .join(F.broadcast(cum), "bucket")
+    )
+    norm = sel.withColumn(
+        "normalized_value",
+        F.round(
+            F.lit(float(_Q177_W))
+            * (
+                F.col("bucket")
+                + (F.col("r_g") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+            ),
+            4,
+        ),
+    )
+    hist = vals.groupBy("source", "v").agg(F.count("*").alias("c1"))
+    whist = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hcum = hist.withColumn("cum1", F.sum("c1").over(whist))
+    src_val = (
+        tgt.join(hcum, "source")
+        .filter(F.col("cum1") >= F.col("r_s"))
+        .groupBy("source", "pct")
+        .agg(F.min("v").cast("long").alias("source_value"))
+    )
+    return (
+        norm.join(src_val, ["source", "pct"])
+        .select(
+            "source",
+            F.col("pct").cast("int").alias("pct"),
+            "n",
+            "source_value",
+            "normalized_value",
+            F.round(
+                F.col("normalized_value") - F.col("source_value"), 4
+            ).alias("shift"),
+        )
+        .orderBy("source", "pct")
+    )
+
+
+Q177_SQL = f"""
+WITH vals AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+grid AS (
+    SELECT v // {_Q177_W} AS bucket, count(*) AS cnt FROM vals GROUP BY 1
+),
+cum AS (
+    SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM grid
+),
+nglob AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM vals),
+tgt AS (
+    SELECT source, n, n_tot, pct,
+           (n * pct + 99) // 100 AS r_s,
+           (n_tot * ((n * pct + 99) // 100) + n - 1) // n AS r_g
+    FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY source) s
+    CROSS JOIN nglob
+    CROSS JOIN unnest([{", ".join(str(p) for p in _Q177_PCTS)}]) AS t(pct)
+),
+sel AS (
+    SELECT t.source, t.pct, t.n, t.r_s, t.r_g, min(c.bucket) AS bucket
+    FROM tgt t JOIN cum c ON c.cum >= t.r_g
+    GROUP BY 1, 2, 3, 4, 5
+),
+norm AS (
+    SELECT s.*,
+           round(CAST({_Q177_W} AS DOUBLE)
+                 * (s.bucket + (s.r_g - (c.cum - c.cnt))
+                    / CAST(c.cnt AS DOUBLE)), 4) AS normalized_value
+    FROM sel s JOIN cum c ON c.bucket = s.bucket
+),
+hist AS (SELECT source, v, count(*) AS c1 FROM vals GROUP BY 1, 2),
+hcum AS (
+    SELECT source, v, sum(c1) OVER (PARTITION BY source ORDER BY v) AS cum1
+    FROM hist
+),
+srcval AS (
+    SELECT t.source, t.pct, CAST(min(h.v) AS BIGINT) AS source_value
+    FROM tgt t JOIN hcum h ON h.source = t.source AND h.cum1 >= t.r_s
+    GROUP BY 1, 2
+)
+SELECT n.source,
+       CAST(n.pct AS INTEGER) AS pct,
+       n.n,
+       s.source_value,
+       n.normalized_value,
+       round(n.normalized_value - s.source_value, 4) AS shift
+FROM norm n JOIN srcval s ON s.source = n.source AND s.pct = n.pct
+ORDER BY n.source, n.pct
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -2052,5 +2202,9 @@ QUERIES = [
     Query("q176_compaction_plan", q176_compaction_plan, Q176_SQL,
           survey="ext:compaction-planning,ext:range-join,"
                  "ext:incremental-stats",
+          tags=("bench",)),
+    Query("q177_quantile_normalize", q177_quantile_normalize, Q177_SQL,
+          survey="ext:quantile-normalization,ext:quantile-digest,"
+                 "ext:percentiles,ext:feature-scaling",
           tags=("bench",)),
 ]

@@ -80,6 +80,13 @@ def test_corpus_broadcast_hint_sites_pinned():
         # skyline prefix-scan survivors: <= one representative row per
         # score bucket (B buckets) after the monotone-min filter
         "q161_pareto_frontier": 1,
+        # phrase table: LIMIT-3 top-bigram frame (the lazy checkpoint
+        # hides the limit from the static walker), broadcast into both
+        # postings sides + the truth crossJoin
+        "q175_phrase_search": 3,
+        # global digest cumulative table: <= value_domain / GRID_W rows
+        # by construction, joined at 100 grid points
+        "q177_quantile_normalize": 2,
     }
     assert got == reviewed, (
         f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"
@@ -101,8 +108,10 @@ def test_unpartitioned_window_sites_pinned():
     pkg = Path(__file__).parent.parent / "bbc_news_data_pipeline_spark"
     # site → occurrence count; every input bounded by CONSTRUCTION:
     expected = {
-        "plans/quality_plans.py": 2,    # q73 PSI totals (5 event types);
-                                        # q159 ECE rollup (<=10 bin rows)
+        "plans/quality_plans.py": 3,    # q73 PSI totals (5 event types);
+                                        # q159 ECE rollup (<=10 bin rows);
+                                        # q177 global digest cumulative
+                                        # (value-DOMAIN-bounded)
         "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
         "plans/curation_plans.py": 2,   # q120 rep ring (B=64 bucket reps)
         "plans/sketch_plans.py": 2,     # q138 grid + value-hist cumulatives

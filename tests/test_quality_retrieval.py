@@ -312,3 +312,43 @@ def test_phrase_search_counts_overlapping_occurrences(spark, tmp_path):
         r.n_occurrences == r.truth_occurrences and r.n_docs == r.truth_docs
         for r in out.values()
     )
+
+
+def test_quantile_normalize_maps_sources_onto_pooled_distribution(spark, tmp_path):
+    """q177 contract on an engineered two-source corpus with disjoint
+    value ranges: quantile normalization maps BOTH sources' percentile
+    points onto the same pooled quantile (within one digest bucket
+    width), the map is monotone in pct, and shifts pull the low source
+    up and the high source down."""
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q177_W,
+        q177_quantile_normalize,
+    )
+
+    rows = [(i, "w", "en", "lo", i) for i in range(100)] + [
+        (100 + i, "w", "en", "hi", 1000 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {(r.source, r.pct): r for r in q177_quantile_normalize(spark, str(tmp_path)).collect()}
+    pooled = sorted([v for *_, v in rows])
+    for pct in (25, 50, 75, 90, 99):
+        lo, hi = out[("lo", pct)], out[("hi", pct)]
+        # both sources normalize to the same pooled quantile point
+        assert abs(lo.normalized_value - hi.normalized_value) < 1e-9
+        # tracks the exact pooled quantile within one bucket width
+        r = (200 * pct + 99) // 100
+        assert abs(lo.normalized_value - pooled[r - 1]) <= _Q177_W
+        # normalization can only pull the low source UP and the high
+        # source DOWN (modulo one bucket width of interpolation slack)
+        assert lo.shift >= -_Q177_W
+        assert hi.shift <= _Q177_W
+        # shift is exactly the normalized-vs-own-value gap
+        assert abs(lo.shift - (lo.normalized_value - lo.source_value)) < 1e-9
+    lo_vals = [out[("lo", p)].normalized_value for p in (25, 50, 75, 90, 99)]
+    assert lo_vals == sorted(lo_vals)
+    # the upper half of lo's points cross into the high source's range:
+    # the whole point of cross-source calibration
+    assert out[("lo", 75)].shift > 800 and out[("hi", 25)].shift < -800
