@@ -2519,6 +2519,126 @@ ORDER BY plan
 
 
 # ---------------------------------------------------------------------------
+# q178 — trailing-window DISTINCT counting via hourly HLL register
+# merge (ext): "unique users in the trailing 24 h, reported hourly" —
+# the sliding-window cardinality question every event pipeline asks,
+# where exact distinct-per-window costs W× the stream in dedup state.
+# The sketch answer: build ONE register table per hour (≤ m rows/hour,
+# q122's algebra via operators/sketches helpers), then for each report
+# hour merge the trailing W=24 hourly registers by bucket-wise max —
+# registers are mergeable, so the merge is a W-way explode + groupBy
+# over METADATA-scale rows (hours × m), never the event stream. The
+# exact trailing distinct rides alongside for certification (explode
+# over events is test-scale only; at 100 TB you'd keep just the sketch
+# path — that asymmetry is the point of the operator).
+# Oracle independence: associativity — max over per-hour maxes equals
+# max over the window's raw (hour, user) pairs, so the oracle builds
+# each window's registers in ONE stage from the exploded pairs; the
+# Spark side's two-stage merge must land on identical registers.
+# Output anchors to data-derived hours only (no wall clock).
+# ---------------------------------------------------------------------------
+_Q178_W_HOURS = 24
+
+
+def q178_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .localCheckpoint(eager=False)  # feeds registers AND the exact twin
+    )
+    hours = ev.select("h").distinct().localCheckpoint(eager=False)
+    regs = hll_registers(ev, "user_id", ["h"])
+    span = F.expr(
+        f"sequence(h, h + interval {_Q178_W_HOURS - 1} hours, interval 1 hour)"
+    )
+    merged = (
+        regs.withColumn("h2", F.explode(span))
+        .join(hours.withColumnRenamed("h", "h2"), "h2")  # report hours only
+        .groupBy("h2", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    agg = hll_harmonic_agg(merged, ["h2"])
+    _raw, corrected = hll_estimate_cols()
+    est = agg.select("h2", corrected.alias("_e"))
+    n_hours = (
+        hours.withColumn("h2", F.explode(span))
+        .join(hours.withColumnRenamed("h", "h2"), "h2")
+        .groupBy("h2")
+        .agg(F.count("*").cast("long").alias("n_hours"))
+    )
+    exact = (
+        ev.withColumn("h2", F.explode(span))
+        .join(hours.withColumnRenamed("h", "h2"), "h2")
+        .select("h2", "user_id")
+        .distinct()
+        .groupBy("h2")
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+    )
+    return (
+        exact.join(est, "h2")
+        .join(n_hours, "h2")
+        .select(
+            F.col("h2").alias("window_end_hour"),
+            "n_hours",
+            "exact_distinct",
+            F.round("_e", 2).alias("hll_estimate"),
+            F.round(
+                (F.col("_e") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * 100,
+                2,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("window_end_hour")
+    )
+
+
+Q178_SQL = f"""
+WITH ev AS (
+    SELECT date_trunc('hour', ts) AS h, user_id FROM events
+),
+hours AS (SELECT DISTINCT h FROM ev),
+pairs0 AS (
+    SELECT unnest(generate_series(
+               h, h + INTERVAL {_Q178_W_HOURS - 1} HOUR, INTERVAL 1 HOUR
+           )) AS h2,
+           CAST(user_id AS VARCHAR) AS w
+    FROM ev
+),
+tok AS (
+    SELECT p.h2, p.w FROM pairs0 p JOIN hours x ON x.h = p.h2
+),
+{_hll_regs_ctes('h2')},
+{_hll_agg_sql('h2')},
+{_hll_est_sql('h2')},
+nh0 AS (
+    SELECT unnest(generate_series(
+               h, h + INTERVAL {_Q178_W_HOURS - 1} HOUR, INTERVAL 1 HOUR
+           )) AS h2
+    FROM hours
+),
+nh AS (
+    SELECT n.h2, CAST(count(*) AS BIGINT) AS n_hours
+    FROM nh0 n JOIN hours x ON x.h = n.h2 GROUP BY n.h2
+),
+exact AS (
+    SELECT h2, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+    FROM tok GROUP BY h2
+)
+SELECT e.h2 AS window_end_hour,
+       nh.n_hours,
+       e.exact_distinct,
+       round(est.e, 2) AS hll_estimate,
+       round((est.e - e.exact_distinct) / e.exact_distinct * 100, 2)
+           AS rel_err_pct
+FROM exact e
+JOIN est ON est.h2 = e.h2
+JOIN nh ON nh.h2 = e.h2
+ORDER BY window_end_hour
+"""
+
+
+# ---------------------------------------------------------------------------
 # q174 — STREAMING Misra–Gries heavy hitters as bounded keyed state
 # (ext): completes the sketch-as-stream-state family (HLL q124, KMV
 # q135, grid digest q140, priority sample q150) with the deterministic
@@ -2879,5 +2999,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q174_stream_misra_gries", q174_stream_misra_gries, Q174_SQL,
           survey="ext:heavy-hitters,ext:incremental-stats,ST6,ST1",
+          tags=("bench",)),
+    Query("q178_trailing_distinct", q178_trailing_distinct, Q178_SQL,
+          survey="ext:hll-cardinality,ext:sliding-window-distinct,"
+                 "ext:incremental-stats,ST4",
           tags=("bench",)),
 ]

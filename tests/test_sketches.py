@@ -895,3 +895,53 @@ def test_mg_stream_state_accumulates_across_microbatches(spark, tmp_path):
         true[w] = true.get(w, 0) + 1
     for w, (est, lam_sum) in final.items():
         assert est <= true[w] <= est + lam_sum
+
+
+def test_trailing_distinct_window_algebra_and_accuracy(spark, sf_dir, tmp_path):
+    """q178: (a) on an engineered event log the exact trailing-24h
+    distinct counts and window sizes match a hand-computed twin, and the
+    HLL estimate sits within linear-counting accuracy of tiny truths;
+    (b) on real testdata every window estimate lands within 15% of its
+    exact count (m=256 registers vs <= 1.5k users)."""
+    from datetime import datetime
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q178_W_HOURS,
+        q178_trailing_distinct,
+    )
+
+    def ts(d, h):
+        return datetime(2024, 3, d, h, 30, 0)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, ts(1, 0), 10, "c", 1.0, "{}"),
+        (2, ts(1, 0), 11, "c", 1.0, "{}"),
+        (3, ts(1, 5), 10, "c", 1.0, "{}"),
+        (4, ts(1, 5), 12, "c", 1.0, "{}"),
+        (5, ts(2, 1), 13, "c", 1.0, "{}"),  # >24h after day-1 00:xx
+        (6, ts(2, 1), 10, "c", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.window_end_hour: r for r in q178_trailing_distinct(spark, str(tmp_path)).collect()}
+    # report hours = hours with events: d1h0, d1h5, d2h1
+    assert set(out) == {ts(1, 0).replace(minute=0), ts(1, 5).replace(minute=0),
+                       ts(2, 1).replace(minute=0)}
+    h0, h5, h25 = (out[k] for k in sorted(out))
+    assert (h0.exact_distinct, h0.n_hours) == (2, 1)   # {10,11}
+    assert (h5.exact_distinct, h5.n_hours) == (3, 2)   # {10,11,12}
+    # d2h1 window covers [d1h2 .. d2h1]: d1h5 {10,12} + d2h1 {13,10}
+    assert (h25.exact_distinct, h25.n_hours) == (3, 2)  # {10,12,13}
+    for r in out.values():
+        assert abs(r.hll_estimate - r.exact_distinct) <= 1.0
+
+    got = q178_trailing_distinct(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        assert 1 <= r.n_hours <= _Q178_W_HOURS
+        assert abs(r.rel_err_pct) < 15.0
