@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
+from .dedup_plans import _hex2int_sql
 from .registry import Query
 
 
@@ -1154,6 +1155,169 @@ LIMIT {_Q157_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# q179 — BLOOM semi-join reduction (runtime-filter join pruning, ext):
+# the single most important 100 TB join optimization — when the dim side
+# of a fact⋈dim join is selectively filtered, build a constant-size
+# Bloom filter over the surviving dim keys and prune the FACT stream
+# BEFORE its shuffle (Spark's own runtime row-level filtering does this
+# under AQE; here the filter is built relationally so the oracle can
+# rebuild it bit-for-bit — operators/dedup.py:bloom_build/bloom_probe,
+# the q105 machinery pointed at join pruning instead of dedup).
+# Certification is in-query and two-sided:
+#   * per-priority revenue computed THROUGH the pruned fact must equal
+#     the direct unpruned join (no-false-negatives ⇒ lossless pruning);
+#   * global stats quantify the filter: distinct fact keys, keys passing
+#     the bloom, true matches, false-positive rate among true negatives,
+#     and the fraction of fact keys pruned before the join shuffle.
+# Scale: the filter is ≤WORDS rows at ANY dim cardinality (broadcast by
+# construction); probing is a broadcast join on the word index — the
+# fact stream is never shuffled until after pruning. FP rate only costs
+# wasted shuffle rows, never correctness.
+# ---------------------------------------------------------------------------
+_Q179_PRICE = 450000.0
+_Q179_WORDS = 2048
+_Q179_K = 4
+
+
+def q179_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import bloom_build, bloom_probe
+
+    def keyed(df, col):
+        return df.withColumn(
+            "kh", F.md5(F.concat(F.lit("bjp:"), F.col(col).cast("string")))
+        )
+
+    dim = keyed(
+        load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _Q179_PRICE),
+        "o_orderkey",
+    ).localCheckpoint(eager=False)  # feeds bloom build AND both joins
+    fact = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).localCheckpoint(eager=False)
+    bloom = bloom_build(dim.select("kh"), "kh", words=_Q179_WORDS, k=_Q179_K)
+    fkeys = keyed(
+        fact.select("l_orderkey").distinct(), "l_orderkey"
+    ).localCheckpoint(eager=False)
+    probed = bloom_probe(
+        fkeys, bloom, "l_orderkey", "kh", words=_Q179_WORDS, k=_Q179_K
+    ).localCheckpoint(eager=False)  # feeds stats AND the pruned join
+    pass_keys = probed.filter(F.col("bloom_hit") == 1).select("l_orderkey")
+    pruned_rev = (
+        fact.join(pass_keys, "l_orderkey")
+        .join(dim, fact["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue_pruned"))
+    )
+    direct_rev = (
+        fact.join(dim, fact["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue_direct"))
+    )
+    truth = fkeys.join(
+        dim.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    stats = (
+        probed.agg(
+            F.count("*").cast("long").alias("n_fact_keys"),
+            F.sum("bloom_hit").cast("long").alias("n_pass"),
+        )
+        .crossJoin(
+            F.broadcast(truth.agg(F.count("*").cast("long").alias("n_true")))
+        )
+        .select(
+            "n_fact_keys",
+            "n_pass",
+            "n_true",
+            F.round(
+                (F.col("n_pass") - F.col("n_true"))
+                / (F.col("n_fact_keys") - F.col("n_true")),
+                4,
+            ).alias("fp_rate"),
+            F.round(1 - F.col("n_pass") / F.col("n_fact_keys"), 4).alias(
+                "pruned_frac"
+            ),
+        )
+    )
+    return (
+        pruned_rev.join(direct_rev, "o_orderpriority")
+        .withColumn(
+            "lossless", F.col("revenue_pruned") == F.col("revenue_direct")
+        )
+        .crossJoin(F.broadcast(stats))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q179_KH = "md5('bjp:' || CAST({col} AS VARCHAR))"
+_Q179_POS = ", ".join(
+    f"({_hex2int_sql('kh', 1, 8)} + {j} * {_hex2int_sql('kh', 9, 8)}) "
+    f"% {_Q179_WORDS * 32}"
+    for j in range(_Q179_K)
+)
+
+Q179_SQL = f"""
+WITH dim AS (
+    SELECT o_orderkey, o_orderpriority,
+           {_Q179_KH.format(col='o_orderkey')} AS kh
+    FROM orders WHERE o_totalprice > {_Q179_PRICE!r}
+),
+fact AS (SELECT l_orderkey, l_extendedprice FROM lineitem),
+bloom AS (
+    SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+    FROM (SELECT unnest([{_Q179_POS}]) AS p FROM dim)
+    GROUP BY 1
+),
+fkeys AS (
+    SELECT l_orderkey, {_Q179_KH.format(col='l_orderkey')} AS kh
+    FROM (SELECT DISTINCT l_orderkey FROM fact) t
+),
+probes AS (SELECT l_orderkey, unnest([{_Q179_POS}]) AS p FROM fkeys),
+probed AS (
+    SELECT pr.l_orderkey,
+           CAST(count(*) FILTER (
+               WHERE (b.mask >> CAST(pr.p % 32 AS INT)) % 2 = 1
+           ) = {_Q179_K} AS INTEGER) AS bloom_hit
+    FROM probes pr LEFT JOIN bloom b ON b.word = pr.p // 32
+    GROUP BY pr.l_orderkey
+),
+pruned_rev AS (
+    SELECT d.o_orderpriority,
+           round(sum(f.l_extendedprice), 2) AS revenue_pruned
+    FROM fact f
+    JOIN probed p ON p.l_orderkey = f.l_orderkey AND p.bloom_hit = 1
+    JOIN dim d ON d.o_orderkey = f.l_orderkey
+    GROUP BY 1
+),
+direct_rev AS (
+    SELECT d.o_orderpriority,
+           round(sum(f.l_extendedprice), 2) AS revenue_direct
+    FROM fact f JOIN dim d ON d.o_orderkey = f.l_orderkey
+    GROUP BY 1
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_fact_keys,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_pass,
+           CAST(count(*) FILTER (
+               WHERE l_orderkey IN (SELECT o_orderkey FROM dim)
+           ) AS BIGINT) AS n_true
+    FROM probed
+)
+SELECT p.o_orderpriority,
+       p.revenue_pruned,
+       d.revenue_direct,
+       p.revenue_pruned = d.revenue_direct AS lossless,
+       s.n_fact_keys, s.n_pass, s.n_true,
+       round((s.n_pass - s.n_true)
+             / CAST(s.n_fact_keys - s.n_true AS DOUBLE), 4) AS fp_rate,
+       round(1 - s.n_pass / CAST(s.n_fact_keys AS DOUBLE), 4) AS pruned_frac
+FROM pruned_rev p
+JOIN direct_rev d USING (o_orderpriority)
+CROSS JOIN stats s
+ORDER BY p.o_orderpriority
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
@@ -1192,4 +1356,8 @@ QUERIES = [
           tags=("bench",)),
     Query("q161_pareto_frontier", q161_pareto_frontier, Q161_SQL,
           survey="ext:skyline-pareto,A3,T1", tags=("bench",)),
+    Query("q179_bloom_join_pruning", q179_bloom_join_pruning, Q179_SQL,
+          survey="ext:bloom-prefilter,ext:join-size-estimation,J1,"
+                 "ext:star-join",
+          tags=("bench",)),
 ]

@@ -567,3 +567,27 @@ def test_q115_mad_outliers_match_numpy(spark, tmp_path):
             did += 1
     assert out[4].is_outlier == 1  # the 400-token doc
     assert sum(r.is_outlier for r in out.values()) == 1
+
+
+def test_bloom_join_pruning_lossless_and_fp_tracks_theory(spark, sf_dir):
+    """q179: pruning must be lossless on every group (no false
+    negatives - the Bloom contract), must actually prune, and the
+    measured false-positive rate must track the (1-e^{-kn/m})^k theory
+    for the filter's true fill."""
+    import math
+
+    from bbc_news_data_pipeline_spark.plans.relational import (
+        _Q179_K,
+        _Q179_WORDS,
+        q179_bloom_join_pruning,
+    )
+
+    rows = q179_bloom_join_pruning(spark, sf_dir).collect()
+    assert rows
+    assert all(r.lossless for r in rows)
+    r = rows[0]
+    assert 0 < r.n_true <= r.n_pass <= r.n_fact_keys
+    assert r.pruned_frac > 0.2  # the filter earns its keep
+    m = _Q179_WORDS * 32
+    theory = (1.0 - math.exp(-_Q179_K * r.n_true / m)) ** _Q179_K
+    assert abs(r.fp_rate - theory) < 0.5 * theory + 0.02, (r.fp_rate, theory)
