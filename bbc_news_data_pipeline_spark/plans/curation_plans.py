@@ -2226,6 +2226,100 @@ ORDER BY shard_id
 
 
 # ---------------------------------------------------------------------------
+# q180 — INCREMENTAL connected components (ext): merge a BATCH of new
+# edges into a stored component labeling without re-touching the base
+# edge set — the every-ingest graph operation (new dup pairs, new link
+# discoveries) where full CC recompute over 100 TB of accumulated edges
+# per batch is quadratic over time. Correctness rests on star
+# equivalence: the stored labeling L, re-expressed as star edges
+# (v → label(v)), is connectivity-EQUIVALENT to the base edge set, so
+# CC(star(L) ∪ E_batch) = CC(E_base ∪ E_batch) — and star(L) is one
+# edge per base node with depth-1 structure, so the incremental
+# contraction converges in O(1)-ish rounds regardless of how deep the
+# base graph was (the q166 path graphs need ~9 contraction rounds from
+# scratch; their stars need ~2).
+# The oracle never sees the base/batch seam at all: it recomputes the
+# transitive closure over the FULL edge set with a recursive CTE —
+# parity IS the incremental-equals-recompute proof.
+# Graph: q166's adversarial per-source path+skip shape under an
+# independent salt; the batch = edges whose source endpoint hash-selects
+# at 1/5 (deterministic, mirrored only in the CONSTRUCTION, not the
+# oracle's clustering).
+# Scale: incremental cost is O(|nodes| + |batch|) edges into
+# cc_two_phase, not O(|E_base|); the labeling is exactly the state a
+# 100 TB pipeline persists between ingests.
+# ---------------------------------------------------------------------------
+_Q180_SKIP_MOD = 5
+_Q180_BATCH_MOD = 5
+
+
+def q180_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    ).localCheckpoint(eager=False)  # feeds both edge sets
+    path_e = d.filter(F.col("n1").isNotNull()).select(
+        F.col("doc_id").alias("a"), F.col("n1").alias("b")
+    )
+    skip_e = d.filter(
+        F.col("n2").isNotNull()
+        & (sample_key_expr("doc_id", salt="ccinc") % _Q180_SKIP_MOD == 0)
+    ).select(F.col("doc_id").alias("a"), F.col("n2").alias("b"))
+    edges = path_e.unionByName(skip_e).localCheckpoint(eager=False)
+    is_batch = sample_key_expr("a", salt="ccbatch") % _Q180_BATCH_MOD == 0
+    base_e = edges.filter(~is_batch)
+    batch_e = edges.filter(is_batch).localCheckpoint(eager=False)
+    base_labels, _ = cc_two_phase(base_e, "a", "b")
+    star = base_labels.filter(F.col("v") != F.col("cluster_id")).select(
+        F.col("v").alias("a"), F.col("cluster_id").alias("b")
+    )
+    labels, _rounds = cc_two_phase(star.unionByName(batch_e), "a", "b")
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("v").cast("long").alias("sum_ids"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_Q180_SKIP_KEY = _hex2int_sql("md5('ccinc:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q180_SQL = f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id,
+           lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS n1,
+           lead(doc_id, 2) OVER (PARTITION BY source ORDER BY doc_id) AS n2
+    FROM documents
+),
+edges0 AS (
+    SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+    UNION ALL
+    SELECT doc_id AS a, n2 AS b FROM d
+    WHERE n2 IS NOT NULL AND ({_Q180_SKIP_KEY}) % {_Q180_SKIP_MOD} = 0
+),
+edges AS (
+    SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+),
+reach(v, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+),
+lbl AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(v) AS BIGINT) AS sum_ids
+FROM lbl
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q173 — entity resolution with GOLDEN-RECORD survivorship (ext): the
 # master-data-management composition a 100 TB corpus runs to collapse
 # near-identical records into one canonical entity (Fellegi–Sunter-style
@@ -2434,6 +2528,11 @@ QUERIES = [
           tags=("bench",)),
     Query("q170_incremental_packing", q170_incremental_packing, Q170_SQL,
           survey="ext:sequence-packing,ext:incremental-stats,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q180_incremental_components", q180_incremental_components,
+          Q180_SQL,
+          survey="ext:dup-clustering,ext:incremental-dedup,"
+                 "ext:iterate-to-convergence",
           tags=("bench",)),
     Query("q173_golden_records", q173_golden_records, Q173_SQL,
           survey="ext:entity-resolution,ext:golden-record,ext:minhash-lsh,"

@@ -366,3 +366,31 @@ def test_golden_records_output_invariants(spark, sf_dir):
         assert r.entity_id <= r.rep_doc_id
         assert 0 < r.rep_n_chars <= r.total_chars
         assert r.sources and r.langs
+
+
+def test_incremental_cc_star_equivalence_and_round_advantage(spark):
+    """q180's algebra in isolation: on a 64-node path graph, (a) merging
+    a batch of edges into the stored labeling via star edges yields
+    exactly the labels a from-scratch CC over the full edge set gives,
+    and (b) the incremental contraction converges in strictly fewer
+    rounds than scratch (the star is depth-1; the path is depth-n)."""
+    from bbc_news_data_pipeline_spark.operators.curation import cc_two_phase
+
+    n = 64
+    full = [(i, i + 1) for i in range(n - 1)]
+    batch = [e for e in full if e[0] % 5 == 0]
+    base = [e for e in full if e[0] % 5 != 0]
+    df = lambda es: spark.createDataFrame(es, "a long, b long")
+
+    scratch_labels, scratch_rounds = cc_two_phase(df(full), "a", "b")
+    base_labels, _ = cc_two_phase(df(base), "a", "b")
+    star = base_labels.filter("v != cluster_id").selectExpr(
+        "v AS a", "cluster_id AS b"
+    )
+    inc_labels, inc_rounds = cc_two_phase(star.unionByName(df(batch)), "a", "b")
+
+    got = sorted((r.v, r.cluster_id) for r in inc_labels.collect())
+    want = sorted((r.v, r.cluster_id) for r in scratch_labels.collect())
+    assert got == want
+    assert {c for _, c in got} == {0}  # one component rooted at min
+    assert len(inc_rounds) < len(scratch_rounds)
