@@ -2519,6 +2519,141 @@ ORDER BY plan
 
 
 # ---------------------------------------------------------------------------
+# q181 — WEIGHTED quantile digest (ext): percentiles under a weight
+# measure — "the token-count value below which 99% of the corpus BYTES
+# sit", the question capacity planning and batch sizing actually ask
+# (an unweighted p99 over docs misrepresents a corpus where a few long
+# docs carry most of the bytes). Same mergeable equi-width grid as
+# q138/q164 with ONE algebraic change: buckets accumulate SUM(weight)
+# instead of COUNT, ranks walk the cumulative weight, and interpolation
+# divides by the bucket's weight mass. Mergeability is proven BY THE
+# QUERY: the Spark side builds per-hash-shard partial digests and merges
+# them by bucket-sum (the manifest path a 100 TB pipeline ships), while
+# the oracle builds the digest in ONE pass over the whole input —
+# parity = merge≡whole. The exact weighted percentile (value histogram
+# + cumulative weight) rides alongside with a within-width certificate.
+# Scale: digest is domain/W rows regardless of corpus size; the only
+# corpus-wide ops are two groupBys (shard partials, value histogram).
+# ---------------------------------------------------------------------------
+_Q181_W = 16
+_Q181_PCTS = (50, 90, 99)
+_Q181_SHARDS = 8
+
+
+def q181_weighted_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("v"),
+        F.col("n_chars").cast("long").alias("w"),
+        F.pmod(sample_key_expr("doc_id", salt="wqd"), F.lit(_Q181_SHARDS)).alias(
+            "shard"
+        ),
+    ).localCheckpoint(eager=False)  # feeds partials, totals, exact histogram
+    partials = (
+        vals.withColumn("bucket", F.expr(f"v div {_Q181_W}"))
+        .groupBy("shard", "bucket")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    dig = partials.groupBy("bucket").agg(F.sum("wsum").alias("wsum"))  # merge
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dig.withColumn("cum", F.sum("wsum").over(wcum))
+    tot = vals.agg(F.sum("w").cast("long").alias("tw"))
+    tgt = (
+        tot.select(
+            "tw",
+            F.explode(F.array(*[F.lit(p) for p in _Q181_PCTS])).alias("pct"),
+        )
+        .withColumn("r", F.expr("(tw * pct + 99) div 100"))
+    )
+    sel = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("pct", "tw", "r")
+        .agg(F.min("bucket").alias("bucket"))
+        .join(F.broadcast(cum), "bucket")
+    )
+    est = F.round(
+        F.lit(float(_Q181_W))
+        * (
+            F.col("bucket")
+            + (F.col("r") - (F.col("cum") - F.col("wsum"))) / F.col("wsum")
+        ),
+        4,
+    )
+    hist = vals.groupBy("v").agg(F.sum("w").alias("hw"))
+    whist = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    hcum = hist.withColumn("cum1", F.sum("hw").over(whist))
+    ex = (
+        tgt.join(hcum, F.col("cum1") >= F.col("r"))
+        .groupBy("pct")
+        .agg(F.min("v").cast("long").alias("exact"))
+    )
+    return (
+        sel.withColumn("est", est)
+        .join(ex, ["pct"])
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("tw").alias("total_weight"),
+            "est",
+            "exact",
+            (F.abs(F.col("est") - F.col("exact")) < _Q181_W).alias(
+                "within_width"
+            ),
+        )
+        .orderBy("pct")
+    )
+
+
+Q181_SQL = f"""
+WITH vals AS (
+    SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS v,
+           CAST(n_chars AS BIGINT) AS w
+    FROM documents
+),
+grid AS (
+    SELECT v // {_Q181_W} AS bucket, sum(w) AS wsum FROM vals GROUP BY 1
+),
+cum AS (
+    SELECT bucket, wsum, sum(wsum) OVER (ORDER BY bucket) AS cum FROM grid
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM vals),
+tgt AS (
+    SELECT tw, pct, (tw * pct + 99) // 100 AS r
+    FROM tot, unnest([{", ".join(str(p) for p in _Q181_PCTS)}]) AS t(pct)
+),
+sel AS (
+    SELECT t.pct, t.tw, t.r, min(c.bucket) AS bucket
+    FROM tgt t JOIN cum c ON c.cum >= t.r
+    GROUP BY 1, 2, 3
+),
+selc AS (
+    SELECT s.*, c.wsum, c.cum
+    FROM sel s JOIN cum c ON c.bucket = s.bucket
+),
+hist AS (SELECT v, sum(w) AS hw FROM vals GROUP BY v),
+hcum AS (SELECT v, sum(hw) OVER (ORDER BY v) AS cum1 FROM hist),
+ex AS (
+    SELECT t.pct, CAST(min(h.v) AS BIGINT) AS exact
+    FROM tgt t JOIN hcum h ON h.cum1 >= t.r
+    GROUP BY 1
+)
+SELECT CAST(s.pct AS INTEGER) AS pct,
+       s.tw AS total_weight,
+       round(CAST({_Q181_W} AS DOUBLE)
+             * (s.bucket + (s.r - (s.cum - s.wsum))
+                / CAST(s.wsum AS DOUBLE)), 4) AS est,
+       e.exact,
+       abs(round(CAST({_Q181_W} AS DOUBLE)
+                 * (s.bucket + (s.r - (s.cum - s.wsum))
+                    / CAST(s.wsum AS DOUBLE)), 4) - e.exact) < {_Q181_W}
+           AS within_width
+FROM selc s JOIN ex e ON e.pct = s.pct
+ORDER BY pct
+"""
+
+
+# ---------------------------------------------------------------------------
 # q178 — trailing-window DISTINCT counting via hourly HLL register
 # merge (ext): "unique users in the trailing 24 h, reported hourly" —
 # the sliding-window cardinality question every event pipeline asks,
@@ -2999,6 +3134,11 @@ QUERIES = [
           tags=("bench",)),
     Query("q174_stream_misra_gries", q174_stream_misra_gries, Q174_SQL,
           survey="ext:heavy-hitters,ext:incremental-stats,ST6,ST1",
+          tags=("bench",)),
+    Query("q181_weighted_quantile_digest", q181_weighted_quantile_digest,
+          Q181_SQL,
+          survey="ext:quantile-digest,ext:percentiles,ext:weighted-sampling,"
+                 "ext:incremental-stats",
           tags=("bench",)),
     Query("q178_trailing_distinct", q178_trailing_distinct, Q178_SQL,
           survey="ext:hll-cardinality,ext:sliding-window-distinct,"

@@ -114,8 +114,9 @@ def test_unpartitioned_window_sites_pinned():
                                         # (value-DOMAIN-bounded)
         "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
         "plans/curation_plans.py": 2,   # q120 rep ring (B=64 bucket reps)
-        "plans/sketch_plans.py": 2,     # q138 grid + value-hist cumulatives
-                                        # (value-DOMAIN-bounded, not corpus)
+        "plans/sketch_plans.py": 4,     # q138 + q181 grid / value-hist
+                                        # cumulatives (value-DOMAIN-bounded,
+                                        # not corpus)
     }
     pat = re.compile(r"Window\.orderBy|Window\.partitionBy\(\)")
     got = {}

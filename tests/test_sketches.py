@@ -945,3 +945,31 @@ def test_trailing_distinct_window_algebra_and_accuracy(spark, sf_dir, tmp_path):
     for r in got:
         assert 1 <= r.n_hours <= _Q178_W_HOURS
         assert abs(r.rel_err_pct) < 15.0
+
+
+def test_weighted_quantile_digest_weighted_semantics(spark, tmp_path, sf_dir):
+    """q181: on an engineered corpus where ONE long doc carries ~90% of
+    the bytes, the byte-weighted median must sit at that doc's token
+    count (far above the unweighted median), within one bucket width;
+    real-testdata run stays within_width at every pct."""
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q181_W,
+        q181_weighted_quantile_digest,
+    )
+
+    rows = [(i, "a b c d", "en", "s", 10) for i in range(50)]  # 4 tokens, w=10
+    rows.append((99, " ".join(["t"] * 400), "en", "s", 4500))  # 400 tokens, 90% of bytes
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.pct: r for r in q181_weighted_quantile_digest(spark, str(tmp_path)).collect()}
+    assert out[50].total_weight == 50 * 10 + 4500
+    # weighted median = the long doc's 400 tokens (it owns ranks > 500)
+    assert out[50].exact == 400
+    assert abs(out[50].est - 400) < _Q181_W
+    for r in out.values():
+        assert r.within_width
+
+    real = q181_weighted_quantile_digest(spark, sf_dir).collect()
+    assert real and all(r.within_width for r in real)
