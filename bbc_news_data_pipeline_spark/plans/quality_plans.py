@@ -2006,6 +2006,72 @@ ORDER BY source, group_id
 
 
 # ---------------------------------------------------------------------------
+# q182 — SALTED two-phase aggregation, certified (ext): the manual
+# skew-mitigation shape for hot keys (operators/skew.py — the
+# aggregation counterpart of AQE's skew-join splitting, which cannot
+# fix a skewed groupBy). events.event_type has 5 values over the whole
+# stream: a zipfian nightmare shape where one reducer would take ~20%
+# of a 100 TB shuffle. Salting splits each key into n_salts sub-keys
+# for a partial aggregate (uniform shuffle #1), then merges ≤ n_salts
+# partials per key (tiny shuffle #2). Correct ONLY for algebraic
+# aggregates — and that algebra is exactly what this query certifies:
+# the salted count and salted double-sum must equal the direct
+# single-shuffle aggregation, key for key, with the equality flags IN
+# the output. The salt values themselves are irrelevant to the result
+# (sum of partials ≡ total for ANY row→salt assignment), which is why
+# the oracle — plain GROUP BY, no salting visible — must still match:
+# salting that leaks into results is a broken rewrite.
+# ---------------------------------------------------------------------------
+_Q182_SALTS = 16
+
+
+def q182_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count, salted_sum
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).localCheckpoint(eager=False)  # feeds salted AND direct paths
+    s_cnt = salted_count(ev, ["event_type"], _Q182_SALTS).withColumnRenamed(
+        "n", "n_salted"
+    )
+    s_sum = salted_sum(ev, ["event_type"], "value", _Q182_SALTS).select(
+        "event_type", F.round("total", 2).alias("sum_salted")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_direct"),
+        F.round(F.sum("value"), 2).alias("sum_direct"),
+    )
+    return (
+        s_cnt.join(s_sum, "event_type")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            F.col("n_salted").cast("long").alias("n_salted"),
+            "n_direct",
+            (F.col("n_salted") == F.col("n_direct")).alias("count_equal"),
+            "sum_salted",
+            "sum_direct",
+            (F.col("sum_salted") == F.col("sum_direct")).alias("sum_equal"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q182_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_salted,
+       CAST(count(*) AS BIGINT) AS n_direct,
+       TRUE AS count_equal,
+       round(sum(value), 2) AS sum_salted,
+       round(sum(value), 2) AS sum_direct,
+       TRUE AS sum_equal
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q177 — cross-source QUANTILE NORMALIZATION (ext): calibrate
 # heterogeneous per-source score distributions onto the pooled corpus
 # distribution (the microarray-style quantile-normalization map, and
@@ -2202,6 +2268,9 @@ QUERIES = [
     Query("q176_compaction_plan", q176_compaction_plan, Q176_SQL,
           survey="ext:compaction-planning,ext:range-join,"
                  "ext:incremental-stats",
+          tags=("bench",)),
+    Query("q182_salted_aggregation", q182_salted_aggregation, Q182_SQL,
+          survey="ext:salted-aggregation,ext:global-shuffle,A2,A3",
           tags=("bench",)),
     Query("q177_quantile_normalize", q177_quantile_normalize, Q177_SQL,
           survey="ext:quantile-normalization,ext:quantile-digest,"

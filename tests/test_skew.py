@@ -254,3 +254,22 @@ def test_transition_pairs_null_event_type_at_day_boundary(spark):
             for r in q77_transition_matrix(spark, tmp).collect()
         }
     assert got == want
+
+
+def test_q182_equality_flags_hold_on_real_data(spark, sf_dir):
+    """q182's in-output certification: every equality flag must be True
+    on real testdata (the salted rewrite is invisible in results), and
+    the physical plan of the salted path must carry the two-phase shape
+    (a (key, salt) partial exchange before the per-key merge)."""
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q182_salted_aggregation,
+    )
+    from bbc_news_data_pipeline_spark.operators.skew import salted_count
+
+    rows = q182_salted_aggregation(spark, sf_dir).collect()
+    assert rows and all(r.count_equal and r.sum_equal for r in rows)
+    assert all(r.n_salted == r.n_direct for r in rows)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type")
+    plan = salted_count(ev, ["event_type"])._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # partial phase genuinely keys on (key, salt)
