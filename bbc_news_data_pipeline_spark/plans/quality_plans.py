@@ -2006,6 +2006,119 @@ ORDER BY source, group_id
 
 
 # ---------------------------------------------------------------------------
+# q183 — PAIRWISE correlation matrix + OLS slopes in ONE pass (ext):
+# the multivariate step of data profiling (q72 is univariate) — Pearson
+# r and the regression slope for every pair of lineitem's numeric
+# measures, from a single scan accumulating 15 sufficient statistics
+# (n, Σx, Σx², Σxy per pair). Cross-engine float determinism is solved
+# the q82/q107 way: values are quantized to int64 at 1e6, every moment
+# accumulates EXACTLY (DECIMAL(38,0) on Spark, HUGEINT in DuckDB —
+# order-independent by exactness), and the r/slope formulas then run in
+# doubles on identical inputs (IEEE mul/sub/div/sqrt are correctly
+# rounded, so both engines produce the same double), rounded at 6dp.
+# Quantization cancels in r (scale-invariant) and in slope (numerator
+# and denominator both carry the 1e12 factor).
+# Scale: ONE corpus scan, one 1-row aggregate, 6 output rows computed
+# driver-free from that row — the cheapest possible multivariate
+# profile; no per-pair rescans, no shuffle beyond the partial-agg tree.
+# ---------------------------------------------------------------------------
+_Q183_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_Q183_SCALE = 1_000_000
+
+
+def q183_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = {
+        c: F.floor(F.col(c) * _Q183_SCALE + F.lit(0.5)).cast("long").alias(f"q_{c}")
+        for c in _Q183_COLS
+    }
+    vals = li.select(*q.values())
+    dec = lambda c: F.col(f"q_{c}").cast("decimal(38,0)")
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in _Q183_COLS:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * F.col(f"q_{c}")).alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_Q183_COLS)
+        for b in _Q183_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec(a) * F.col(f"q_{b}")).alias(f"sp_{a}_{b}"))
+    stats = vals.agg(*aggs)
+
+    def pair_struct(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        cov_n = n * sab - sa * sb
+        var_a = n * ssa - sa * sa
+        var_b = n * ssb - sb * sb
+        return F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("n").alias("n"),
+            F.round(cov_n / F.sqrt(var_a * var_b), 6).alias("pearson_r"),
+            F.round(cov_n / var_a, 6).alias("slope_b_on_a"),
+        )
+
+    return (
+        stats.select(
+            F.explode(F.array(*[pair_struct(a, b) for a, b in pairs])).alias("p")
+        )
+        .select("p.*")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _q183_sql() -> str:
+    qcols = ",\n           ".join(
+        f"CAST(floor({c} * {_Q183_SCALE} + 0.5) AS BIGINT) AS q_{c}"
+        for c in _Q183_COLS
+    )
+    sums = []
+    for c in _Q183_COLS:
+        sums.append(f"sum(CAST(q_{c} AS HUGEINT)) AS s_{c}")
+        sums.append(f"sum(CAST(q_{c} AS HUGEINT) * q_{c}) AS ss_{c}")
+    pairs = [
+        (a, b) for i, a in enumerate(_Q183_COLS) for b in _Q183_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(f"sum(CAST(q_{a} AS HUGEINT) * q_{b}) AS sp_{a}_{b}")
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+           round((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
+                 / sqrt((CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a})
+                        * (CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b})),
+                 6) AS pearson_r,
+           round((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
+                 / (CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a}),
+                 6) AS slope_b_on_a
+    FROM stats"""
+        for a, b in pairs
+    )
+    return f"""
+WITH vals AS (
+    SELECT {qcols}
+    FROM lineitem
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {", ".join(sums)}
+    FROM vals
+)
+SELECT * FROM (
+{rows}
+)
+ORDER BY col_a, col_b
+"""
+
+
+Q183_SQL = _q183_sql()
+
+
+# ---------------------------------------------------------------------------
 # q182 — SALTED two-phase aggregation, certified (ext): the manual
 # skew-mitigation shape for hot keys (operators/skew.py — the
 # aggregation counterpart of AQE's skew-join splitting, which cannot
@@ -2271,6 +2384,10 @@ QUERIES = [
           tags=("bench",)),
     Query("q182_salted_aggregation", q182_salted_aggregation, Q182_SQL,
           survey="ext:salted-aggregation,ext:global-shuffle,A2,A3",
+          tags=("bench",)),
+    Query("q183_correlation_matrix", q183_correlation_matrix, Q183_SQL,
+          survey="ext:correlation-matrix,ext:data-profiling,"
+                 "ext:trend-regression,ext:incremental-stats",
           tags=("bench",)),
     Query("q177_quantile_normalize", q177_quantile_normalize, Q177_SQL,
           survey="ext:quantile-normalization,ext:quantile-digest,"

