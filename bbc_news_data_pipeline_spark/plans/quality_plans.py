@@ -2006,6 +2006,176 @@ ORDER BY source, group_id
 
 
 # ---------------------------------------------------------------------------
+# q185 — A/B experiment readout with CUPED variance reduction (ext):
+# the experimentation operator (Deng et al., WSDM'13 — "Improving the
+# Sensitivity of Online Controlled Experiments by Utilizing Pre-
+# Experiment Data") a 100 TB event pipeline runs for every launch:
+# users hash-split into control/treatment (deterministic md5 arm, the
+# q55 sampling key under an independent salt), the experiment metric is
+# each user's POST-period value sum, and the pre-period sum is the
+# CUPED covariate: θ = cov(X,Y)/var(X) pooled, Y_adj = Y − θ·(X − X̄),
+# which provably shrinks metric variance by the squared X-Y correlation
+# while leaving the treatment-effect estimate unbiased (assignment is
+# independent of X). Output: per arm, the raw and adjusted means and
+# variances plus the pooled θ and the achieved variance-reduction
+# percentage — the numbers a ship/no-ship decision reads.
+# Determinism: per-user sums quantize to int64 at 1e4; every moment
+# accumulates exactly (DECIMAL(38,0) / HUGEINT — q183's algebra);
+# θ/means/variances then run in doubles on identical inputs, rounded.
+# Scale: one user-rollup groupBy, one per-arm moment aggregate (3 rows),
+# one broadcast 1-row pooled frame. Nothing wide after the rollup.
+# ---------------------------------------------------------------------------
+_Q185_SPLIT = "2024-01-16"
+_Q185_SCALE = 10_000
+
+
+def q185_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_Q185_SPLIT).cast("timestamp")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.floor(
+                F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0))
+                * _Q185_SCALE
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("y"),
+            F.floor(
+                F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0))
+                * _Q185_SCALE
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .withColumn("arm", (sample_key_expr("user_id", salt="ab") % 2).cast("int"))
+        .localCheckpoint(eager=False)  # feeds pooled AND per-arm moments
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    pooled = per_user.agg(
+        F.count("*").cast("long").alias("pn"),
+        F.sum(dx).alias("psx"),
+        F.sum(dy).alias("psy"),
+        F.sum(dx * F.col("x")).alias("psxx"),
+        F.sum(dx * F.col("y")).alias("psxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    d = lambda c: F.col(c).cast("double")
+    theta = (d("pn") * d("psxy") - d("psx") * d("psy")) / (
+        d("pn") * d("psxx") - d("psx") * d("psx")
+    )
+    xbar_p = d("psx") / d("pn") / _Q185_SCALE
+    n = d("n_users")
+    mean_y = d("sy") / n / _Q185_SCALE
+    mean_x = d("sx") / n / _Q185_SCALE
+    var_y = (d("syy") / n - (d("sy") / n) * (d("sy") / n)) / (
+        _Q185_SCALE * _Q185_SCALE
+    )
+    var_x = (d("sxx") / n - (d("sx") / n) * (d("sx") / n)) / (
+        _Q185_SCALE * _Q185_SCALE
+    )
+    cov = (d("sxy") / n - (d("sx") / n) * (d("sy") / n)) / (
+        _Q185_SCALE * _Q185_SCALE
+    )
+    var_adj = var_y - 2 * theta * cov + theta * theta * var_x
+    return (
+        j.select(
+            "arm",
+            "n_users",
+            F.round(theta, 6).alias("theta"),
+            F.round(mean_y, 4).alias("mean_y"),
+            F.round(mean_y - theta * (mean_x - xbar_p), 4).alias("mean_y_adj"),
+            F.round(var_y, 4).alias("var_y"),
+            F.round(var_adj, 4).alias("var_y_adj"),
+            F.round((1 - var_adj / var_y) * 100, 2).alias("var_reduction_pct"),
+        )
+        .orderBy("arm")
+    )
+
+
+_Q185_ARM = _hex2int_sql("md5('ab:' || CAST(user_id AS VARCHAR))", 1, 8)
+
+Q185_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(floor(sum(CASE WHEN ts >= TIMESTAMP '{_Q185_SPLIT}'
+                               THEN value ELSE 0.0 END) * {_Q185_SCALE} + 0.5)
+                AS BIGINT) AS y,
+           CAST(floor(sum(CASE WHEN ts < TIMESTAMP '{_Q185_SPLIT}'
+                               THEN value ELSE 0.0 END) * {_Q185_SCALE} + 0.5)
+                AS BIGINT) AS x,
+           CAST(({_Q185_ARM}) % 2 AS INTEGER) AS arm
+    FROM events GROUP BY user_id
+),
+pooled AS (
+    SELECT CAST(count(*) AS BIGINT) AS pn,
+           sum(CAST(x AS HUGEINT)) AS psx,
+           sum(CAST(y AS HUGEINT)) AS psy,
+           sum(CAST(x AS HUGEINT) * x) AS psxx,
+           sum(CAST(x AS HUGEINT) * y) AS psxy
+    FROM per_user
+),
+arms AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy
+    FROM per_user GROUP BY arm
+),
+calc AS (
+    SELECT a.arm, a.n_users,
+           (CAST(p.pn AS DOUBLE) * CAST(p.psxy AS DOUBLE)
+            - CAST(p.psx AS DOUBLE) * CAST(p.psy AS DOUBLE))
+           / (CAST(p.pn AS DOUBLE) * CAST(p.psxx AS DOUBLE)
+              - CAST(p.psx AS DOUBLE) * CAST(p.psx AS DOUBLE)) AS theta,
+           CAST(p.psx AS DOUBLE) / CAST(p.pn AS DOUBLE) / {_Q185_SCALE}
+               AS xbar_p,
+           CAST(a.sy AS DOUBLE) / a.n_users / {_Q185_SCALE} AS mean_y,
+           CAST(a.sx AS DOUBLE) / a.n_users / {_Q185_SCALE} AS mean_x,
+           (CAST(a.syy AS DOUBLE) / a.n_users
+            - (CAST(a.sy AS DOUBLE) / a.n_users)
+              * (CAST(a.sy AS DOUBLE) / a.n_users))
+           / ({_Q185_SCALE} * {_Q185_SCALE}) AS var_y,
+           (CAST(a.sxx AS DOUBLE) / a.n_users
+            - (CAST(a.sx AS DOUBLE) / a.n_users)
+              * (CAST(a.sx AS DOUBLE) / a.n_users))
+           / ({_Q185_SCALE} * {_Q185_SCALE}) AS var_x,
+           (CAST(a.sxy AS DOUBLE) / a.n_users
+            - (CAST(a.sx AS DOUBLE) / a.n_users)
+              * (CAST(a.sy AS DOUBLE) / a.n_users))
+           / ({_Q185_SCALE} * {_Q185_SCALE}) AS cov
+    FROM arms a CROSS JOIN pooled p
+)
+SELECT arm, n_users,
+       round(theta, 6) AS theta,
+       round(mean_y, 4) AS mean_y,
+       round(mean_y - theta * (mean_x - xbar_p), 4) AS mean_y_adj,
+       round(var_y, 4) AS var_y,
+       round(var_y - 2 * theta * cov + theta * theta * var_x, 4)
+           AS var_y_adj,
+       round((1 - (var_y - 2 * theta * cov + theta * theta * var_x)
+                  / var_y) * 100, 2) AS var_reduction_pct
+FROM calc
+ORDER BY arm
+"""
+
+
+# ---------------------------------------------------------------------------
 # q183 — PAIRWISE correlation matrix + OLS slopes in ONE pass (ext):
 # the multivariate step of data profiling (q72 is univariate) — Pearson
 # r and the regression slope for every pair of lineitem's numeric
@@ -2384,6 +2554,10 @@ QUERIES = [
           tags=("bench",)),
     Query("q182_salted_aggregation", q182_salted_aggregation, Q182_SQL,
           survey="ext:salted-aggregation,ext:global-shuffle,A2,A3",
+          tags=("bench",)),
+    Query("q185_cuped_ab_test", q185_cuped_ab_test, Q185_SQL,
+          survey="ext:ab-testing,ext:cuped-variance-reduction,"
+                 "ext:hash-sampling,ext:incremental-stats",
           tags=("bench",)),
     Query("q183_correlation_matrix", q183_correlation_matrix, Q183_SQL,
           survey="ext:correlation-matrix,ext:data-profiling,"

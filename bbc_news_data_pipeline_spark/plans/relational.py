@@ -1156,6 +1156,90 @@ LIMIT {_Q157_TOPN}
 
 
 # ---------------------------------------------------------------------------
+# q184 — cardinality-CAPPED group-by: top-K per group + OTHER rollup
+# (ext): the reporting contract every BI/dashboard layer imposes on a
+# 100 TB fact table — per group emit at most K member rows plus ONE
+# "OTHER" row folding the tail (count + how many members folded), so
+# result size is bounded by groups × (K+1) REGARDLESS of member
+# cardinality. An uncapped per-group breakdown is an unbounded result
+# set; a global top-K silently drops whole groups — this is the shape
+# that does neither. Rank is a per-group window with a deterministic
+# (count DESC, member ASC) tiebreak; shares are computed against the
+# group total so the OTHER row closes the distribution to 1.
+# Scale: one groupBy for counts, one bounded window over the (group,
+# member) AGGREGATE (cardinality = distinct members per group, never
+# rows), one groupBy for the fold. No global sort.
+# ---------------------------------------------------------------------------
+_Q184_K = 2
+
+
+def q184_topk_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # feeds rank, fold, and totals
+    )
+    wr = W.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    ranked = counts.withColumn("rk", F.row_number().over(wr))
+    top = ranked.filter(F.col("rk") <= _Q184_K).select(
+        "source",
+        F.col("lang").alias("member"),
+        "n",
+        F.lit(0).cast("long").alias("n_folded"),
+    )
+    other = (
+        ranked.filter(F.col("rk") > _Q184_K)
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n"),
+            F.count("*").cast("long").alias("n_folded"),
+        )
+        .select("source", F.lit("OTHER").alias("member"), "n", "n_folded")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    return (
+        top.unionByName(other)
+        .join(totals, "source")
+        .select(
+            "source",
+            "member",
+            F.col("n").cast("long").alias("n_docs"),
+            "n_folded",
+            F.round(F.col("n") / F.col("tot"), 4).alias("share"),
+        )
+        .orderBy("source", F.desc("n_docs"), "member")
+    )
+
+
+Q184_SQL = f"""
+WITH counts AS (
+    SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY n DESC, lang
+    ) AS rk
+    FROM counts
+),
+capped AS (
+    SELECT source, lang AS member, n, CAST(0 AS BIGINT) AS n_folded
+    FROM ranked WHERE rk <= {_Q184_K}
+    UNION ALL
+    SELECT source, 'OTHER', sum(n), CAST(count(*) AS BIGINT)
+    FROM ranked WHERE rk > {_Q184_K} GROUP BY source
+),
+totals AS (SELECT source, sum(n) AS tot FROM counts GROUP BY source)
+SELECT c.source, c.member,
+       CAST(c.n AS BIGINT) AS n_docs,
+       c.n_folded,
+       round(c.n / CAST(t.tot AS DOUBLE), 4) AS share
+FROM capped c JOIN totals t USING (source)
+ORDER BY c.source, n_docs DESC, c.member
+"""
+
+
+# ---------------------------------------------------------------------------
 # q179 — BLOOM semi-join reduction (runtime-filter join pruning, ext):
 # the single most important 100 TB join optimization — when the dim side
 # of a fact⋈dim join is selectively filtered, build a constant-size
@@ -1356,6 +1440,8 @@ QUERIES = [
           tags=("bench",)),
     Query("q161_pareto_frontier", q161_pareto_frontier, Q161_SQL,
           survey="ext:skyline-pareto,A3,T1", tags=("bench",)),
+    Query("q184_topk_other_rollup", q184_topk_other_rollup, Q184_SQL,
+          survey="ext:topk-other-rollup,W3,T4,A2"),
     Query("q179_bloom_join_pruning", q179_bloom_join_pruning, Q179_SQL,
           survey="ext:bloom-prefilter,ext:join-size-estimation,J1,"
                  "ext:star-join",
