@@ -791,7 +791,135 @@ ORDER BY cluster_id, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# q186 — PRODUCT-QUANTIZATION codebook training step + code assignment
+# + distortion accounting (ext): the PQ compression step (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011) that
+# makes billion-vector ANN feasible — split D=64 dims into M=4
+# independent 16-dim subspaces, train a small codebook per subspace
+# (one Lloyd assignment step from deterministic seed vectors — q83's
+# machinery applied per subspace), and code every vector as M bytes
+# instead of D floats. Output: per (subspace, code) the member count,
+# the per-member average quantization error, and the code's total
+# distortion — the numbers that drive codebook-size / recall tradeoffs.
+# Determinism is q83's: quantized int64 components, EXACT int64 squared
+# distances (argmin needs no epsilon; ties → lowest code id), error
+# sums exact integers scaled back only at the output edge. At 100 TB
+# the error sums would accumulate in DECIMAL(38,0); int64 here holds to
+# ~10^5 vectors per code at these magnitudes (documented bound).
+# Scale: subspace explode is ×M row-local; assignment is one broadcast
+# of (M·k) seed sub-vectors scored per (vector, subspace) — no shuffle
+# until the (m, code) rollup, which is k·M rows.
+# ---------------------------------------------------------------------------
+_Q186_M = 4
+_Q186_SUB = 16
+_Q186_SEED_MOD = 64
+
+
+def q186_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                _qint(
+                    F.slice("embedding", m * _Q186_SUB + 1, _Q186_SUB)
+                ).alias("qv"),
+            )
+            for m in range(_Q186_M)
+        ]
+    )
+    seeds = (
+        emb.filter(F.col("vec_id") % _Q186_SEED_MOD == 0)
+        .select(F.col("vec_id").alias("code"), F.explode(sub_structs).alias("s"))
+        .select("code", F.col("s.m").alias("m"), F.col("s.qv").alias("seed_qv"))
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % _Q186_SEED_MOD != 0)
+        .select("vec_id", F.explode(sub_structs).alias("s"))
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.qv").alias("qv"))
+    )
+    best = (
+        corpus.join(F.broadcast(seeds), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                sq_l2_q(F.col("qv"), F.col("seed_qv")).alias("d"),
+                F.col("code").alias("code"),
+            ).alias("ds"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("ds").alias("b"))
+    )
+    scale2 = 1_000_000_000_000.0  # QUANT_SCALE^2
+    return (
+        best.groupBy(F.col("m").alias("subspace"), F.col("b.code").alias("code"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("b.d").alias("_sqerr"),
+        )
+        .select(
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+            "n_members",
+            F.expr(
+                f"floor(CAST(_sqerr AS DOUBLE) / ({scale2!r} * n_members)"
+                " * 10000 + 0.5) / 10000"
+            ).alias("avg_sqerr"),
+            F.expr(
+                f"floor(CAST(_sqerr AS DOUBLE) / {scale2!r} * 10000 + 0.5)"
+                " / 10000"
+            ).alias("total_sqerr"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+_Q186_SUBD = (
+    f"list_sum(list_transform(generate_series(t.m * {_Q186_SUB} + 1, "
+    f"t.m * {_Q186_SUB} + {_Q186_SUB}), "
+    f"i -> ({_Q.format(x='c.embedding[i]')} - {_Q.format(x='s.embedding[i]')}) "
+    f"* ({_Q.format(x='c.embedding[i]')} - {_Q.format(x='s.embedding[i]')})))"
+)
+
+Q186_SQL = f"""
+WITH seeds AS (
+    SELECT vec_id AS code, embedding FROM embeddings
+    WHERE vec_id % {_Q186_SEED_MOD} = 0
+),
+scored AS (
+    SELECT c.vec_id, t.m, s.code, {_Q186_SUBD} AS d
+    FROM embeddings c, unnest([{", ".join(str(m) for m in range(_Q186_M))}])
+         AS t(m), seeds s
+    WHERE c.vec_id % {_Q186_SEED_MOD} <> 0
+),
+best AS (
+    SELECT vec_id, m, code, d,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM scored
+)
+SELECT CAST(m AS INTEGER) AS subspace,
+       CAST(code AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_members,
+       floor(CAST(sum(d) AS DOUBLE)
+             / (1000000000000.0 * count(*)) * 10000 + 0.5) / 10000
+           AS avg_sqerr,
+       floor(CAST(sum(d) AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000
+           AS total_sqerr
+FROM best
+WHERE rn = 1
+GROUP BY m, code
+ORDER BY subspace, code
+"""
+
+
 QUERIES = [
+    Query("q186_pq_codebook", q186_pq_codebook, Q186_SQL,
+          survey="ext:ann-pq,ext:ann-ivf,ext:kmeans-step,ext:feature-scaling",
+          tags=("bench",)),
     Query("q40_cosine_top10", q40_cosine_top10, Q40_SQL, survey="ext:ann-bruteforce", tags=("bench",)),
     Query("q41_nearest_probe", q41_nearest_probe, Q41_SQL, survey="ext:ann-assign"),
     Query("q44_lsh_ann_pairs", q44_lsh_ann_pairs, Q44_SQL, survey="ext:ann-lsh",

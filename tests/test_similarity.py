@@ -237,3 +237,44 @@ def test_kmeans_two_steps_matches_numpy_twin(spark):
     for k in want:
         assert got[k][1] == want[k][1], k
         assert abs(got[k][0] - want[k][0]) < 1e-12, k
+
+
+def test_pq_codebook_dominates_full_vector_vq(spark, sf_dir):
+    """q186's product structure: per-subspace independent argmin can
+    never lose to assigning the WHOLE vector to its single nearest seed
+    (the additive distortion decomposes and each term is minimized
+    separately) — pq_total <= vq_total. Also: every (vector, subspace)
+    is coded exactly once (member counts per subspace = corpus size)."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.similarity import _qint, sq_l2_q
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q186_M,
+        _Q186_SEED_MOD,
+        q186_pq_codebook,
+    )
+
+    rows = q186_pq_codebook(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_corpus = emb.filter(F.col("vec_id") % _Q186_SEED_MOD != 0).count()
+    per_sub = {}
+    for r in rows:
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_members
+    assert per_sub == {m: n_corpus for m in range(_Q186_M)}
+    pq_total = sum(r.total_sqerr for r in rows)
+
+    seeds = emb.filter(F.col("vec_id") % _Q186_SEED_MOD == 0).select(
+        F.col("vec_id").alias("code"), _qint("embedding").alias("seed_qv")
+    )
+    vq_total = (
+        emb.filter(F.col("vec_id") % _Q186_SEED_MOD != 0)
+        .select("vec_id", _qint("embedding").alias("qv"))
+        .crossJoin(F.broadcast(seeds))
+        .select("vec_id", sq_l2_q(F.col("qv"), F.col("seed_qv")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("dm"))
+        .agg(F.sum("dm"))
+        .collect()[0][0]
+    ) / 1e12
+    assert pq_total <= vq_total + 1e-6
+    assert pq_total > 0
