@@ -2226,6 +2226,137 @@ ORDER BY shard_id
 
 
 # ---------------------------------------------------------------------------
+# q189 — WATER-FILLING quota allocation (ext): the corpus-budgeting
+# decision dataset mixing actually starts from — given a total document
+# budget B, cap the hot sources and redistribute to the small ones:
+# quota_j = min(n_j, T) with the water level T chosen so Σ quota = B
+# (the classic water-filling solution to max-min fair allocation; same
+# problem shape as §5.3 of the mT5 mixing discussion, solved exactly
+# instead of by temperature heuristic — q103's complement). Exact
+# integer algebra: sources sorted ascending by size, prefix sums locate
+# the threshold segment (first i with P_{i-1} + n_i·R_i ≥ B), integer
+# division splits the remaining budget, and the first `rem` capped
+# sources get the +1 — no floats anywhere, Σ quota ≡ B emitted in the
+# output as the certificate. All windows run over the SOURCE-domain
+# aggregate (≤ #sources rows — metadata-scale), never the corpus; the
+# corpus is touched by exactly one groupBy.
+# ---------------------------------------------------------------------------
+_Q189_BUD_NUM, _Q189_BUD_DEN = 2, 5  # budget = 40% of the corpus
+
+
+def q189_waterfill_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("n", "source")
+    ranked = sizes.withColumn("i", F.row_number().over(w)).withColumn(
+        "p", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = sizes.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_sources"),
+    ).select(
+        "n_total",
+        "n_sources",
+        F.least(
+            F.expr(f"(n_total * {_Q189_BUD_NUM} + {_Q189_BUD_DEN} - 1) "
+                   f"div {_Q189_BUD_DEN}"),
+            F.col("n_total"),
+        ).alias("budget"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    seg = (
+        j.filter(
+            (F.col("p") - F.col("n"))
+            + F.col("n") * (F.col("n_sources") - F.col("i") + 1)
+            >= F.col("budget")
+        )
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("i").alias("istar"),
+                    (F.col("p") - F.col("n")).alias("pstar"),
+                    (F.col("n_sources") - F.col("i") + 1).alias("rstar"),
+                )
+            ).alias("s")
+        )
+        .select("s.istar", "s.pstar", "s.rstar")
+    )
+    out = (
+        j.crossJoin(F.broadcast(seg))
+        .withColumn("_base", F.expr("(budget - pstar) div rstar"))
+        .withColumn("_rem", F.expr("(budget - pstar) % rstar"))
+        .withColumn(
+            "quota",
+            F.when(F.col("i") < F.col("istar"), F.col("n")).otherwise(
+                F.col("_base")
+                + F.when(F.col("i") - F.col("istar") < F.col("_rem"), 1)
+                .otherwise(0)
+            ).cast("long"),
+        )
+        .withColumn("capped", F.col("quota") < F.col("n"))
+    )
+    alloc = out.agg(F.sum("quota").cast("long").alias("total_allocated"))
+    return (
+        out.crossJoin(F.broadcast(alloc))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "quota",
+            "capped",
+            "budget",
+            "total_allocated",
+        )
+        .orderBy("source")
+    )
+
+
+Q189_SQL = f"""
+WITH sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+ranked AS (
+    SELECT source, n,
+           row_number() OVER (ORDER BY n, source) AS i,
+           sum(n) OVER (ORDER BY n, source) AS p
+    FROM sizes
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           least((sum(n) * {_Q189_BUD_NUM} + {_Q189_BUD_DEN} - 1)
+                 // {_Q189_BUD_DEN}, sum(n)) AS budget
+    FROM sizes
+),
+seg AS (
+    SELECT min(i) AS istar,
+           min_by(p - n, i) AS pstar,
+           min_by(n_sources - i + 1, i) AS rstar
+    FROM ranked CROSS JOIN tot
+    WHERE (p - n) + n * (n_sources - i + 1) >= budget
+),
+out AS (
+    SELECT r.source, r.n,
+           CASE WHEN r.i < s.istar THEN r.n
+                ELSE (t.budget - s.pstar) // s.rstar
+                     + CASE WHEN r.i - s.istar
+                                 < (t.budget - s.pstar) % s.rstar
+                            THEN 1 ELSE 0 END
+           END AS quota,
+           t.budget
+    FROM ranked r CROSS JOIN seg s CROSS JOIN tot t
+)
+SELECT source,
+       n AS n_docs,
+       CAST(quota AS BIGINT) AS quota,
+       quota < n AS capped,
+       CAST(budget AS BIGINT) AS budget,
+       CAST(sum(quota) OVER () AS BIGINT) AS total_allocated
+FROM out
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # q180 — INCREMENTAL connected components (ext): merge a BATCH of new
 # edges into a stored component labeling without re-touching the base
 # edge set — the every-ingest graph operation (new dup pairs, new link
@@ -2528,6 +2659,10 @@ QUERIES = [
           tags=("bench",)),
     Query("q170_incremental_packing", q170_incremental_packing, Q170_SQL,
           survey="ext:sequence-packing,ext:incremental-stats,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q189_waterfill_quota", q189_waterfill_quota, Q189_SQL,
+          survey="ext:waterfill-quota,ext:dataset-mixing,"
+                 "ext:stratified-sampling",
           tags=("bench",)),
     Query("q180_incremental_components", q180_incremental_components,
           Q180_SQL,

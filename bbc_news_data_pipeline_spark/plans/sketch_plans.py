@@ -2519,6 +2519,154 @@ ORDER BY plan
 
 
 # ---------------------------------------------------------------------------
+# q188 — digest-driven balanced RANGE PARTITIONER (ext): the write-side
+# answer to "I need a globally ordered layout" — Spark's
+# repartitionByRange samples at runtime; a 100 TB pipeline instead
+# derives S−1 boundary values from the MERGEABLE grid digest it already
+# maintains (q138), assigns shards ROW-LOCALLY (v compared against the
+# broadcast boundary list — zero shuffle for the assignment itself),
+# and sorts within shards — total order without a global sort. This
+# query certifies the two properties that make that layout usable:
+#   * ORDER: shard value ranges are strictly disjoint and ascending
+#     (order_ok per shard, proven from per-shard min/max — duplicates
+#     of one value can never straddle a boundary because assignment is
+#     a pure function of v);
+#   * BALANCE: per-shard row share vs the 1/S target (the digest's
+#     interpolation error and heavy duplicate values show up HERE, as
+#     reported imbalance — not as a correctness failure).
+# Scale: digest is domain/W rows; boundaries are S−1 doubles broadcast
+# in-plan; the audit aggregates per shard (S rows) + one lag window
+# over those S rows.
+# ---------------------------------------------------------------------------
+_Q188_SHARDS = 8
+
+
+def q188_range_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import grid_digest
+
+    W_ = 16
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").cast("long").alias("v")).localCheckpoint(
+        eager=False
+    )  # feeds digest, total, and the audited assignment
+    dig = grid_digest(vals, "v", W_)
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dig.withColumn("cum", F.sum("cnt").over(wcum)).localCheckpoint(
+        eager=False
+    )
+    tot = vals.agg(F.count("*").cast("long").alias("n_tot"))
+    tgt = (
+        tot.select(
+            "n_tot",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(1, _Q188_SHARDS)])
+            ).alias("s"),
+        )
+        .withColumn("r", F.expr(f"(n_tot * s + {_Q188_SHARDS} - 1) div {_Q188_SHARDS}"))
+    )
+    bnd = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("s", "r")
+        .agg(F.min("bucket").alias("bucket"))
+        .join(F.broadcast(cum), "bucket")
+        .select(
+            "s",
+            F.round(
+                F.lit(float(W_))
+                * (
+                    F.col("bucket")
+                    + (F.col("r") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                ),
+                4,
+            ).alias("b"),
+        )
+    )
+    per_v = vals.groupBy("v").agg(F.count("*").alias("nv"))
+    assigned = per_v.crossJoin(F.broadcast(bnd)).groupBy("v", "nv").agg(
+        F.sum(F.when(F.col("v") > F.col("b"), 1).otherwise(0))
+        .cast("int")
+        .alias("shard")
+    )
+    shards = (
+        assigned.groupBy("shard")
+        .agg(
+            F.sum("nv").cast("long").alias("n_rows"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+    )
+    wlag = Window.orderBy("shard")
+    return (
+        shards.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "order_ok",
+            F.coalesce(
+                F.col("min_v") > F.lag("max_v").over(wlag), F.lit(True)
+            ),
+        )
+        .select(
+            "shard",
+            "n_rows",
+            "min_v",
+            "max_v",
+            "order_ok",
+            F.round(
+                F.col("n_rows") * _Q188_SHARDS / F.col("n_tot"), 4
+            ).alias("balance_x"),
+        )
+        .orderBy("shard")
+    )
+
+
+Q188_SQL = f"""
+WITH vals AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+grid AS (SELECT v // 16 AS bucket, count(*) AS cnt FROM vals GROUP BY 1),
+cum AS (
+    SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM grid
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM vals),
+tgt AS (
+    SELECT n_tot, s,
+           (n_tot * s + {_Q188_SHARDS} - 1) // {_Q188_SHARDS} AS r
+    FROM tot, unnest([{", ".join(str(s) for s in range(1, _Q188_SHARDS))}])
+         AS t(s)
+),
+sel AS (
+    SELECT t.s, t.r, min(c.bucket) AS bucket
+    FROM tgt t JOIN cum c ON c.cum >= t.r
+    GROUP BY 1, 2
+),
+bnd AS (
+    SELECT s.s,
+           round(16.0 * (s.bucket + (s.r - (c.cum - c.cnt))
+                         / CAST(c.cnt AS DOUBLE)), 4) AS b
+    FROM sel s JOIN cum c ON c.bucket = s.bucket
+),
+assigned AS (
+    SELECT v.v, CAST(sum(CASE WHEN v.v > b.b THEN 1 ELSE 0 END) AS INTEGER)
+               AS shard
+    FROM (SELECT DISTINCT v FROM vals) v CROSS JOIN bnd b
+    GROUP BY v.v
+),
+per_v AS (SELECT v, count(*) AS nv FROM vals GROUP BY v),
+shards AS (
+    SELECT a.shard,
+           CAST(sum(p.nv) AS BIGINT) AS n_rows,
+           CAST(min(p.v) AS BIGINT) AS min_v,
+           CAST(max(p.v) AS BIGINT) AS max_v
+    FROM per_v p JOIN assigned a ON a.v = p.v
+    GROUP BY a.shard
+)
+SELECT shard, n_rows, min_v, max_v,
+       coalesce(min_v > lag(max_v) OVER (ORDER BY shard), TRUE) AS order_ok,
+       round(n_rows * {_Q188_SHARDS} / CAST(t.n_tot AS DOUBLE), 4)
+           AS balance_x
+FROM shards CROSS JOIN tot t
+ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # q181 — WEIGHTED quantile digest (ext): percentiles under a weight
 # measure — "the token-count value below which 99% of the corpus BYTES
 # sit", the question capacity planning and batch sizing actually ask
@@ -3134,6 +3282,10 @@ QUERIES = [
           tags=("bench",)),
     Query("q174_stream_misra_gries", q174_stream_misra_gries, Q174_SQL,
           survey="ext:heavy-hitters,ext:incremental-stats,ST6,ST1",
+          tags=("bench",)),
+    Query("q188_range_partitioner", q188_range_partitioner, Q188_SQL,
+          survey="ext:range-partitioner,ext:quantile-digest,"
+                 "ext:zorder-layout,ext:equidepth-histogram",
           tags=("bench",)),
     Query("q181_weighted_quantile_digest", q181_weighted_quantile_digest,
           Q181_SQL,

@@ -394,3 +394,26 @@ def test_incremental_cc_star_equivalence_and_round_advantage(spark):
     assert got == want
     assert {c for _, c in got} == {0}  # one component rooted at min
     assert len(inc_rounds) < len(scratch_rounds)
+
+
+def test_waterfill_quota_on_skewed_sources(spark, tmp_path):
+    """q189 segment algebra on an engineered skew ladder [5,10,100,200,
+    1000] with budget 40% of 1315 = 526: water level lands in the last
+    segment, small sources are taken whole, only the hot source is
+    capped (at 211), and the allocation closes exactly to the budget."""
+    from bbc_news_data_pipeline_spark.plans.curation_plans import q189_waterfill_quota
+
+    rows, did = [], 0
+    for src, n in (("a", 5), ("b", 10), ("c", 100), ("d", 200), ("e", 1000)):
+        for _ in range(n):
+            rows.append((did, "w x", "en", src, 3)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in q189_waterfill_quota(spark, str(tmp_path)).collect()}
+    assert {s: r.quota for s, r in out.items()} == {
+        "a": 5, "b": 10, "c": 100, "d": 200, "e": 211
+    }
+    assert {s for s, r in out.items() if r.capped} == {"e"}
+    assert all(r.budget == 526 and r.total_allocated == 526 for r in out.values())

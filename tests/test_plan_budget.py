@@ -87,6 +87,9 @@ def test_corpus_broadcast_hint_sites_pinned():
         # global digest cumulative table: <= value_domain / GRID_W rows
         # by construction, joined at 100 grid points
         "q177_quantile_normalize": 2,
+        # digest cum behind a lazy checkpoint (domain-bounded) / S-1
+        # boundary rows from a literal explode
+        "q188_range_partitioner": 1,
     }
     assert got == reviewed, (
         f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"
@@ -113,10 +116,13 @@ def test_unpartitioned_window_sites_pinned():
                                         # q177 global digest cumulative
                                         # (value-DOMAIN-bounded)
         "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
-        "plans/curation_plans.py": 2,   # q120 rep ring (B=64 bucket reps)
-        "plans/sketch_plans.py": 4,     # q138 + q181 grid / value-hist
+        "plans/curation_plans.py": 3,   # q120 rep ring (B=64 bucket reps);
+                                        # q189 source-size ladder
+                                        # (<= #sources rows)
+        "plans/sketch_plans.py": 6,     # q138 + q181 grid / value-hist
                                         # cumulatives (value-DOMAIN-bounded,
-                                        # not corpus)
+                                        # not corpus); q188 digest cum +
+                                        # S-row shard-audit lag
     }
     pat = re.compile(r"Window\.orderBy|Window\.partitionBy\(\)")
     got = {}

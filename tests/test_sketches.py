@@ -973,3 +973,22 @@ def test_weighted_quantile_digest_weighted_semantics(spark, tmp_path, sf_dir):
 
     real = q181_weighted_quantile_digest(spark, sf_dir).collect()
     assert real and all(r.within_width for r in real)
+
+
+def test_range_partitioner_order_balance_conservation(spark, sf_dir):
+    """q188: shard ranges strictly ascending (order_ok everywhere), row
+    counts conserve the corpus exactly, and digest-driven boundaries
+    land every shard within 15% of the 1/S target on real testdata."""
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q188_SHARDS,
+        q188_range_partitioner,
+    )
+
+    rows = q188_range_partitioner(spark, sf_dir).collect()
+    assert [r.shard for r in rows] == list(range(_Q188_SHARDS))
+    assert all(r.order_ok for r in rows)
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_rows for r in rows) == n_corpus
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_v < cur.min_v
+    assert all(abs(r.balance_x - 1.0) < 0.15 for r in rows)
