@@ -2519,6 +2519,175 @@ ORDER BY plan
 
 
 # ---------------------------------------------------------------------------
+# q190 — CERTIFIED trending-term detection from sketch bounds (ext):
+# the decision layer on top of the heavy-hitter sketches — compare two
+# epochs and report ONLY terms whose frequency increase is PROVEN by
+# the summaries' one-sided error bounds, never by point estimates:
+# MG guarantees est ≤ true ≤ est + λ per epoch, so
+#     lower_after = est_a  >  upper_before = coalesce(est_b, 0) + λ_b
+# implies true_after > true_before with certainty — a detector with
+# ZERO false positives by construction (the `certified` column
+# re-checks against the exact counts in-query and must be all-true;
+# terms genuinely trending but not provably so are deliberately
+# dropped — that asymmetry is the operator's contract, and at 100 TB
+# the summaries are the ONLY thing two epochs ever exchange: ≤K
+# counters + λ per epoch, not vocabularies).
+# Epochs are hash-split 1:3; the synthetic corpus's 31-word vocabulary
+# is deliberately near-UNIFORM (nothing truly trends), so — exactly the
+# q54 precedent (deterministic augmentation derived identically on both
+# sides; the operator logic is what is under test) — after-epoch docs
+# append two marker tokens: 'spike' ×4 per doc (count clears the proof
+# bar) and 'blip' ×1 (genuinely trending but NOT provable inside the
+# bounds — it must be dropped; that asymmetry is the contract). Every
+# base word stays uncertifiable. Each epoch reduces ORDER-FREE exactly
+# as q152/q174 (subtract the (K+1)-th largest, drop non-positives).
+# ---------------------------------------------------------------------------
+_Q190_K = 20
+_Q190_EPOCH_MOD = 4  # key % 4 == 0 → 'before' (1:3 split)
+_Q190_AUG = " spike spike spike spike blip"
+
+
+def q190_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    docs = load(spark, sf_dir, "documents")
+    k1 = _Q190_K + 1
+    is_before = (
+        sample_key_expr("doc_id", salt="trend") % _Q190_EPOCH_MOD == 0
+    )
+    cnts = (
+        docs.select(
+            F.when(is_before, F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("epoch"),
+            F.explode(
+                F.split(
+                    F.when(is_before, F.lower("text")).otherwise(
+                        F.concat(F.lower("text"), F.lit(_Q190_AUG))
+                    ),
+                    " ",
+                )
+            ).alias("w"),
+        )
+        .groupBy("epoch", "w")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds both summaries AND the truths
+    )
+    win = Window.partitionBy("epoch").orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = cnts.withColumn("rn", F.row_number().over(win))
+    lam = ranked.filter(F.col("rn") == k1).select(
+        "epoch", F.col("cnt").alias("lam")
+    )
+    surv = (
+        ranked.join(F.broadcast(lam), "epoch", "left")
+        .withColumn("est", F.col("cnt") - F.coalesce("lam", F.lit(0)))
+        .filter(F.col("est") > 0)
+        .select("epoch", "w", "est")
+    )
+    aft = surv.filter(F.col("epoch") == "after").select(
+        "w", F.col("est").alias("est_after")
+    )
+    bef = surv.filter(F.col("epoch") == "before").select(
+        "w", F.col("est").alias("est_before")
+    )
+    lam_b = lam.filter(F.col("epoch") == "before").select(
+        F.col("lam").alias("lam_before")
+    )
+    lam_a = lam.filter(F.col("epoch") == "after").select(
+        F.col("lam").alias("lam_after")
+    )
+    cand = (
+        aft.join(bef, "w", "left")
+        .crossJoin(F.broadcast(lam_b))
+        .crossJoin(F.broadcast(lam_a))
+        .withColumn(
+            "upper_before",
+            F.coalesce("est_before", F.lit(0)) + F.col("lam_before"),
+        )
+        .filter(F.col("est_after") > F.col("upper_before"))
+    )
+    truth = (
+        cnts.groupBy("w")
+        .pivot("epoch", ["before", "after"])
+        .agg(F.sum("cnt"))
+        .select(
+            "w",
+            F.coalesce("before", F.lit(0)).cast("long").alias("true_before"),
+            F.coalesce("after", F.lit(0)).cast("long").alias("true_after"),
+        )
+    )
+    return (
+        cand.join(truth, "w")
+        .select(
+            "w",
+            F.col("est_after").cast("long").alias("lower_after"),
+            F.col("upper_before").cast("long").alias("upper_before"),
+            "true_before",
+            "true_after",
+            (F.col("true_after") > F.col("true_before")).alias("certified"),
+        )
+        .orderBy(F.desc("lower_after"), "w")
+    )
+
+
+_Q190_KEY = _hex2int_sql("md5('trend:' || CAST(doc_id AS VARCHAR))", 1, 8)
+_Q190_EPOCH = (
+    f"CASE WHEN ({_Q190_KEY}) % {_Q190_EPOCH_MOD} = 0"
+    " THEN 'before' ELSE 'after' END"
+)
+
+Q190_SQL = f"""
+WITH cnts AS (
+    SELECT epoch, w, count(*) AS cnt
+    FROM (
+        SELECT {_Q190_EPOCH} AS epoch,
+               unnest(str_split(
+                   CASE WHEN ({_Q190_KEY}) % {_Q190_EPOCH_MOD} = 0
+                        THEN lower(text)
+                        ELSE lower(text) || '{_Q190_AUG}' END, ' ')) AS w
+        FROM documents
+    )
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT epoch, w, cnt,
+           row_number() OVER (PARTITION BY epoch ORDER BY cnt DESC, w) AS rn
+    FROM cnts
+),
+lam AS (SELECT epoch, cnt AS lam FROM ranked WHERE rn = {_Q190_K + 1}),
+surv AS (
+    SELECT r.epoch, r.w, r.cnt - COALESCE(l.lam, 0) AS est
+    FROM ranked r LEFT JOIN lam l ON l.epoch = r.epoch
+    WHERE r.cnt - COALESCE(l.lam, 0) > 0
+),
+lam_b AS (SELECT COALESCE(max(lam), 0) AS lam_before FROM lam WHERE epoch = 'before'),
+cand AS (
+    SELECT a.w, a.est AS est_after,
+           COALESCE(b.est, 0) + lb.lam_before AS upper_before
+    FROM (SELECT w, est FROM surv WHERE epoch = 'after') a
+    LEFT JOIN (SELECT w, est FROM surv WHERE epoch = 'before') b ON b.w = a.w
+    CROSS JOIN lam_b lb
+    WHERE a.est > COALESCE(b.est, 0) + lb.lam_before
+),
+truth AS (
+    SELECT w,
+           CAST(COALESCE(sum(CASE WHEN epoch = 'before' THEN cnt END), 0)
+                AS BIGINT) AS true_before,
+           CAST(COALESCE(sum(CASE WHEN epoch = 'after' THEN cnt END), 0)
+                AS BIGINT) AS true_after
+    FROM cnts GROUP BY w
+)
+SELECT c.w,
+       CAST(c.est_after AS BIGINT) AS lower_after,
+       CAST(c.upper_before AS BIGINT) AS upper_before,
+       t.true_before, t.true_after,
+       t.true_after > t.true_before AS certified
+FROM cand c JOIN truth t ON t.w = c.w
+ORDER BY lower_after DESC, c.w
+"""
+
+
+# ---------------------------------------------------------------------------
 # q188 — digest-driven balanced RANGE PARTITIONER (ext): the write-side
 # answer to "I need a globally ordered layout" — Spark's
 # repartitionByRange samples at runtime; a 100 TB pipeline instead
@@ -3282,6 +3451,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q174_stream_misra_gries", q174_stream_misra_gries, Q174_SQL,
           survey="ext:heavy-hitters,ext:incremental-stats,ST6,ST1",
+          tags=("bench",)),
+    Query("q190_trending_terms", q190_trending_terms, Q190_SQL,
+          survey="ext:heavy-hitters,ext:trend-detection,ext:drift-psi",
           tags=("bench",)),
     Query("q188_range_partitioner", q188_range_partitioner, Q188_SQL,
           survey="ext:range-partitioner,ext:quantile-digest,"

@@ -992,3 +992,22 @@ def test_range_partitioner_order_balance_conservation(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert prev.max_v < cur.min_v
     assert all(abs(r.balance_x - 1.0) < 0.15 for r in rows)
+
+
+def test_trending_terms_zero_false_positives_and_proof_asymmetry(spark, sf_dir):
+    """q190's contract: every reported term is CERTIFIED (true increase
+    — zero false positives by the MG bound algebra), the engineered
+    'spike' marker is reported, and the engineered 'blip' marker —
+    genuinely trending but below the proof bar — is deliberately
+    absent, as is every near-uniform base word."""
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import q190_trending_terms
+
+    rows = q190_trending_terms(spark, sf_dir).collect()
+    assert rows, "the engineered spike must be provable"
+    assert all(r.certified for r in rows)
+    assert all(r.true_after > r.true_before for r in rows)
+    assert all(r.lower_after > r.upper_before for r in rows)
+    words = {r.w for r in rows}
+    assert "spike" in words
+    assert "blip" not in words
+    assert not words & {"join", "hash", "row", "the", "a"}
