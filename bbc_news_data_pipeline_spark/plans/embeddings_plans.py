@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import cosine, cosine_topk, lsh_bucket_ann
 from ..sources.tables import load
+from .dedup_plans import _hex2int_sql
 from .registry import Query
 
 # DuckDB list-algebra twins of operators/similarity.py:dot/norm —
@@ -792,6 +793,143 @@ ORDER BY cluster_id, dim
 
 
 # ---------------------------------------------------------------------------
+# q193 — embedding CENTROID DRIFT monitor (ext): the model-ops check a
+# pipeline runs when the embedding model (or the corpus) shifts — per
+# label, compare the mean vector of two epochs by cosine and L2. The
+# whole computation stays EXACT until the last step: cosine of means
+# needs only the raw component SUMS (the 1/n factors cancel:
+# cos = Σ sa·sb / (‖sa‖·‖sb‖)), accumulated in DECIMAL(38,0)/HUGEINT;
+# the L2 shift clears denominators with the cross-multiplied integer
+# numerator (sa_d·n_b − sb_d·n_a), so the only floats are one sqrt and
+# one division per label on identical exact inputs. No per-dim double
+# sums anywhere — the q107/q183 order-independence discipline.
+# Scale: one posexplode + one (label, epoch, dim) groupBy (map-side
+# combinable); everything after runs on labels × dims aggregate rows.
+# ---------------------------------------------------------------------------
+_Q193_EPOCH_MOD = 2
+
+
+def q193_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "epoch",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("edrift:"), F.col("vec_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _Q193_EPOCH_MOD
+            == 0,
+            F.lit("before"),
+        ).otherwise(F.lit("after")),
+    )
+    sums = (
+        emb.select(
+            "label", "epoch", F.posexplode(_qint(F.col("embedding"))).alias("dim", "q")
+        )
+        .groupBy("label", "epoch", "dim")
+        .agg(F.sum("q").alias("s"))
+    )
+    ns = emb.groupBy("label", "epoch").agg(F.count("*").cast("long").alias("n"))
+    a = sums.filter(F.col("epoch") == "before").select(
+        "label", "dim", F.col("s").alias("sa")
+    )
+    b = sums.filter(F.col("epoch") == "after").select(
+        "label", "dim", F.col("s").alias("sb")
+    )
+    na = ns.filter(F.col("epoch") == "before").select(
+        "label", F.col("n").alias("na")
+    )
+    nb = ns.filter(F.col("epoch") == "after").select(
+        "label", F.col("n").alias("nb")
+    )
+    j = a.join(b, ["label", "dim"]).join(na, "label").join(nb, "label")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    numer = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    per_label = (
+        j.withColumn("_numer", numer)
+        .groupBy("label", "na", "nb")
+        .agg(
+            F.sum(dec("sa") * F.col("sb")).alias("sab"),
+            F.sum(dec("sa") * F.col("sa")).alias("saa"),
+            F.sum(dec("sb") * F.col("sb")).alias("sbb"),
+            F.sum(dec("_numer") * F.col("_numer")).alias("sdd"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")
+    return per_label.select(
+        F.col("label").cast("int").alias("label"),
+        "na",
+        "nb",
+        F.round(
+            d("sab") / (F.sqrt(d("saa")) * F.sqrt(d("sbb"))), 6
+        ).alias("cosine"),
+        F.round(
+            F.sqrt(d("sdd"))
+            / (F.col("na") * F.col("nb") * F.lit(1_000_000.0)),
+            4,
+        ).alias("l2_shift"),
+    ).orderBy("label")
+
+
+_Q193_KEY = _hex2int_sql("md5('edrift:' || CAST(vec_id AS VARCHAR))", 1, 8)
+_Q193_EPOCH = (
+    f"CASE WHEN ({_Q193_KEY}) % {_Q193_EPOCH_MOD} = 0"
+    " THEN 'before' ELSE 'after' END"
+)
+
+Q193_SQL = f"""
+WITH emb AS (
+    SELECT label, vec_id, embedding, {_Q193_EPOCH} AS epoch
+    FROM embeddings
+),
+sums AS (
+    SELECT label, epoch, i AS dim,
+           sum({_Q.format(x='embedding[i]')}) AS s
+    FROM emb, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY 1, 2, 3
+),
+ns AS (
+    SELECT label, epoch, CAST(count(*) AS BIGINT) AS n
+    FROM emb GROUP BY 1, 2
+),
+j AS (
+    SELECT a.label, a.dim, a.s AS sa, b.s AS sb, x.n AS na, y.n AS nb
+    FROM (SELECT * FROM sums WHERE epoch = 'before') a
+    JOIN (SELECT * FROM sums WHERE epoch = 'after') b
+      ON b.label = a.label AND b.dim = a.dim
+    JOIN (SELECT label, n FROM ns WHERE epoch = 'before') x
+      ON x.label = a.label
+    JOIN (SELECT label, n FROM ns WHERE epoch = 'after') y
+      ON y.label = a.label
+),
+per_label AS (
+    SELECT label, na, nb,
+           sum(CAST(sa AS HUGEINT) * sb) AS sab,
+           sum(CAST(sa AS HUGEINT) * sa) AS saa,
+           sum(CAST(sb AS HUGEINT) * sb) AS sbb,
+           sum(CAST(sa * nb - sb * na AS HUGEINT)
+               * (sa * nb - sb * na)) AS sdd
+    FROM j GROUP BY 1, 2, 3
+)
+SELECT CAST(label AS INTEGER) AS label, na, nb,
+       round(CAST(sab AS DOUBLE)
+             / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 6)
+           AS cosine,
+       round(sqrt(CAST(sdd AS DOUBLE)) / (na * nb * 1000000.0), 4)
+           AS l2_shift
+FROM per_label
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # q186 — PRODUCT-QUANTIZATION codebook training step + code assignment
 # + distortion accounting (ext): the PQ compression step (Jégou et al.,
 # "Product Quantization for Nearest Neighbor Search", TPAMI 2011) that
@@ -917,6 +1055,9 @@ ORDER BY subspace, code
 
 
 QUERIES = [
+    Query("q193_centroid_drift", q193_centroid_drift, Q193_SQL,
+          survey="ext:embedding-drift,ext:drift-psi,ext:kmeans-step",
+          tags=("bench",)),
     Query("q186_pq_codebook", q186_pq_codebook, Q186_SQL,
           survey="ext:ann-pq,ext:ann-ivf,ext:kmeans-step,ext:feature-scaling",
           tags=("bench",)),

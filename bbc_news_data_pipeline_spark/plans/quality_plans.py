@@ -2006,6 +2006,95 @@ ORDER BY source, group_id
 
 
 # ---------------------------------------------------------------------------
+# q191 — referential-integrity AUDIT across the star schema (ext): the
+# data-quality gate every warehouse load runs before trusting joins —
+# for each foreign-key relation, count child rows/keys that reference
+# no parent (orphans) and NULL keys, and emit an ok flag per relation.
+# At 100 TB each relation is ONE left-anti join on the key (the parent
+# side deduplicates to its key domain first, so the anti-join build
+# side is the dimension's key set, broadcastable for real dims);
+# no row ever carries more than the key column.
+# The five relations cover the full TPC-H-ish FK graph:
+# lineitem→orders→customer→nation←supplier, nation→region.
+# ---------------------------------------------------------------------------
+_Q191_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q191_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for child, fk, parent, pk in _Q191_RELATIONS:
+        c = load(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        nn = c.filter(F.col("k").isNotNull())
+        orphans = nn.join(p, "k", "left_anti")
+        stats = (
+            c.agg(
+                F.count("*").cast("long").alias("n_child_rows"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_keys"),
+                F.countDistinct("k").cast("long").alias("n_distinct_keys"),
+            )
+            .crossJoin(
+                orphans.agg(
+                    F.count("*").cast("long").alias("n_orphan_rows"),
+                    F.countDistinct("k").cast("long").alias("n_orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relation"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_distinct_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                (
+                    (F.col("n_orphan_rows") == 0) & (F.col("n_null_keys") == 0)
+                ).alias("ok"),
+            )
+        )
+        frames.append(stats)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("relation")
+
+
+def _q191_rel_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{child}.{fk} -> {parent}.{pk}' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}
+            WHERE {fk} IS NULL) AS n_null_keys,
+           (SELECT CAST(count(DISTINCT {fk}) AS BIGINT) FROM {child})
+               AS n_distinct_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+            WHERE c.{fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{fk})) AS n_orphan_rows,
+           (SELECT CAST(count(DISTINCT c.{fk}) AS BIGINT) FROM {child} c
+            WHERE c.{fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{fk})) AS n_orphan_keys"""
+
+
+Q191_SQL = f"""
+SELECT *,
+       (n_orphan_rows = 0 AND n_null_keys = 0) AS ok
+FROM (
+{" UNION ALL ".join(_q191_rel_sql(*r) for r in _Q191_RELATIONS)}
+)
+ORDER BY relation
+"""
+
+
+# ---------------------------------------------------------------------------
 # q187 — rolling-origin BACKTEST folds (ext): the time-series
 # evaluation protocol (expanding-window cross-validation) every
 # forecasting / ranking pipeline needs where random K-fold would leak
@@ -2667,6 +2756,9 @@ QUERIES = [
     Query("q182_salted_aggregation", q182_salted_aggregation, Q182_SQL,
           survey="ext:salted-aggregation,ext:global-shuffle,A2,A3",
           tags=("bench",)),
+    Query("q191_referential_integrity", q191_referential_integrity,
+          Q191_SQL,
+          survey="ext:referential-integrity,ext:data-profiling,J2,P11"),
     Query("q187_backtest_folds", q187_backtest_folds, Q187_SQL,
           survey="ext:backtest-folds,ext:leakage-safe-split,P9,A13"),
     Query("q185_cuped_ab_test", q185_cuped_ab_test, Q185_SQL,

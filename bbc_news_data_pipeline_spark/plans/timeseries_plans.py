@@ -811,7 +811,104 @@ FROM pairs GROUP BY inc_id ORDER BY inc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q192 — seasonal-naive forecast BACKTEST with MASE (ext): the
+# forecasting-evaluation primitive (Hyndman & Koehler 2006, "Another
+# look at measures of forecast accuracy") a metrics pipeline runs to
+# decide whether a model beats the no-model baseline: per event_type,
+# the last 7 days are forecast by the value 7 days earlier (seasonal
+# naive, m=7), the error is scaled by the TRAINING period's in-sample
+# seasonal MAE — MASE < 1 means beating the naive baseline is even
+# possible to measure. Everything derives from integer daily counts
+# (exact), the origin anchors to max(day) in the DATA (no wall clock),
+# and the only floats are the two final ratios at 4dp.
+# Scale: one groupBy to daily grain (the only corpus-wide op), then a
+# lag window over ≤ n_days rows per type — bounded partitions; at
+# 100 TB the daily table is the stored rollup (q60), not a rescan.
+# ---------------------------------------------------------------------------
+_Q192_SEASON = 7
+
+
+def q192_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds lag window AND the anchor
+    )
+    mx = daily.agg(F.max("day").alias("mx"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (
+        daily.withColumn("base", F.lag("n", _Q192_SEASON).over(w))
+        .filter(F.col("base").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "is_test",
+            F.col("day") > F.col("mx") - F.expr(f"interval {_Q192_SEASON} days"),
+        )
+        .withColumn("ae", F.abs(F.col("n") - F.col("base")))
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_test"), F.col("ae"))).alias("s_fc"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("c_fc"),
+        F.sum(F.when(~F.col("is_test"), F.col("ae"))).alias("s_in"),
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).alias("c_in"),
+    )
+    mae_fc = F.col("s_fc").cast("double") / F.col("c_fc")
+    mae_in = F.col("s_in").cast("double") / F.col("c_in")
+    return agg.select(
+        "event_type",
+        F.col("c_fc").cast("long").alias("n_test_days"),
+        F.col("c_in").cast("long").alias("n_train_days"),
+        F.round(mae_fc, 4).alias("mae_forecast"),
+        F.round(mae_in, 4).alias("mae_insample"),
+        F.round(mae_fc / mae_in, 4).alias("mase"),
+    ).orderBy("event_type")
+
+
+Q192_SQL = f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+mx AS (SELECT max(day) AS mx FROM daily),
+lagged AS (
+    SELECT d.event_type, d.day, d.n,
+           lag(d.n, {_Q192_SEASON}) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+           ) AS base,
+           d.day > m.mx - INTERVAL {_Q192_SEASON} DAY AS is_test
+    FROM daily d CROSS JOIN mx m
+),
+agg AS (
+    SELECT event_type,
+           sum(CASE WHEN is_test THEN abs(n - base) END) AS s_fc,
+           sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS c_fc,
+           sum(CASE WHEN NOT is_test THEN abs(n - base) END) AS s_in,
+           sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS c_in
+    FROM lagged WHERE base IS NOT NULL
+    GROUP BY event_type
+)
+SELECT event_type,
+       CAST(c_fc AS BIGINT) AS n_test_days,
+       CAST(c_in AS BIGINT) AS n_train_days,
+       round(CAST(s_fc AS DOUBLE) / c_fc, 4) AS mae_forecast,
+       round(CAST(s_in AS DOUBLE) / c_in, 4) AS mae_insample,
+       round((CAST(s_fc AS DOUBLE) / c_fc)
+             / (CAST(s_in AS DOUBLE) / c_in), 4) AS mase
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES = [
+    Query("q192_seasonal_mase", q192_seasonal_mase, Q192_SQL,
+          survey="ext:forecast-backtest,ext:trend-regression,"
+                 "ext:hypertable-rollup",
+          tags=("bench",)),
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
     Query("q61_value_percentiles", q61_value_percentiles, Q61_SQL,

@@ -754,3 +754,97 @@ def test_backtest_folds_boundary_and_expanding_window(spark, sf_dir):
         want_train = ev.filter(F.col("ts") < F.lit(s)).count()
         assert rows[f].train_rows == want_train
         assert rows[f].test_users >= rows[f].cold_start_users >= 0
+
+
+def test_referential_integrity_clean_and_engineered_orphans(spark, sf_dir, tmp_path):
+    """q191: the synthetic star schema must audit clean (all ok); an
+    engineered mini-star with one dangling order FK and one NULL key
+    must flag exactly the broken relation with the right counts."""
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q191_referential_integrity,
+    )
+
+    clean = q191_referential_integrity(spark, sf_dir).collect()
+    assert len(clean) == 5 and all(r.ok for r in clean)
+    assert all(r.n_orphan_rows == 0 and r.n_null_keys == 0 for r in clean)
+
+    # engineered: orders 900 references no customer; one NULL custkey
+    spark.createDataFrame([(0, "r0")], "r_regionkey long, r_name string") \
+        .write.parquet(str(tmp_path / "region.parquet"))
+    spark.createDataFrame([(0, 0, "n0")], "n_nationkey long, n_regionkey long, n_name string") \
+        .write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame([(1, 0), (2, 0)], "c_custkey long, c_nationkey long") \
+        .write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame([(1, 0)], "s_suppkey long, s_nationkey long") \
+        .write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 900), (12, None)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame([(10, 1.0), (11, 2.0)], "l_orderkey long, l_extendedprice double") \
+        .write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.relation: r for r in q191_referential_integrity(spark, str(tmp_path)).collect()}
+    bad = out["orders.o_custkey -> customer.c_custkey"]
+    assert not bad.ok and bad.n_orphan_rows == 1 and bad.n_orphan_keys == 1
+    assert bad.n_null_keys == 1
+    assert out["lineitem.l_orderkey -> orders.o_orderkey"].ok
+
+
+def test_seasonal_mase_matches_pandas_twin(spark, sf_dir):
+    """q192 vs pandas: rebuild daily counts, lag-7 seasonal naive, and
+    the MASE ratio per event_type; every float must agree at the 4dp
+    the query rounds at, and test/train day counts must partition the
+    lagged days."""
+    import pandas as pd
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q192_SEASON,
+        q192_seasonal_mase,
+    )
+
+    rows = {r.event_type: r for r in q192_seasonal_mase(spark, sf_dir).collect()}
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts"
+    ).toPandas()
+    pdf["day"] = pdf.ts.dt.floor("D")
+    daily = pdf.groupby(["event_type", "day"]).size().reset_index(name="n")
+    mx = daily.day.max()
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        g["base"] = g.n.shift(_Q192_SEASON)
+        g = g.dropna(subset=["base"])
+        test = g[g.day > mx - pd.Timedelta(days=_Q192_SEASON)]
+        train = g[g.day <= mx - pd.Timedelta(days=_Q192_SEASON)]
+        r = rows[et]
+        assert (r.n_test_days, r.n_train_days) == (len(test), len(train))
+        mae_fc = (test.n - test.base).abs().mean()
+        mae_in = (train.n - train.base).abs().mean()
+        assert abs(r.mae_forecast - mae_fc) < 1e-3
+        assert abs(r.mase - mae_fc / mae_in) < 1e-3
+
+
+def test_centroid_drift_identical_epochs_and_bounds(spark, sf_dir, tmp_path):
+    """q193: constant per-label vectors → both epoch centroids coincide
+    (cosine 1, shift 0) regardless of the hash split; on real testdata
+    every cosine is in [-1, 1] and both epochs are populated."""
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        q193_centroid_drift,
+    )
+
+    rows = [
+        (i, [float(lbl + 1)] * 8, lbl) for lbl in range(3) for i in range(lbl * 40, lbl * 40 + 40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = q193_centroid_drift(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.na > 0 and r.nb > 0
+        assert abs(r.cosine - 1.0) < 1e-9
+        assert r.l2_shift == 0.0
+
+    real = q193_centroid_drift(spark, sf_dir).collect()
+    assert real
+    for r in real:
+        assert -1.0 <= r.cosine <= 1.0 and r.l2_shift >= 0
+        assert r.na > 0 and r.nb > 0
