@@ -2519,6 +2519,214 @@ ORDER BY plan
 
 
 # ---------------------------------------------------------------------------
+# q194 — join-cardinality estimator BAKE-OFF: histogram vs KMV vs truth
+# (ext): the two statistics a cost-based optimizer actually keeps, run
+# head-to-head on the same filtered fact⋈dim join. (1) EQUI-WIDTH
+# HISTOGRAM (System-R lineage): per key bucket, row count + exact
+# distinct count per side; the per-bucket contribution n_a·n_b /
+# max(d_a, d_b) assumes within-bucket uniformity + containment — the
+# textbook estimate. Per-bucket terms are rounded at 6dp and summed in
+# DECIMAL(28,6) so the cross-bucket sum is order-independent (q172's
+# discipline). (2) KMV (q147's algebra, independent salt): k bottom
+# hashes per side, intersection share × estimated distincts ×
+# multiplicity corrections. Output: one row per estimator with the
+# estimate, the shared exact truth, and the signed relative error —
+# the calibration table that decides which statistic a planner trusts
+# at which selectivity.
+# Scale: the histogram is O(domain/W) rows per side (distincts exact
+# per bucket — at 100 TB swap for approx_count_distinct, same shape);
+# KMV is O(k) manifests; only the truth columns run the real join.
+# ---------------------------------------------------------------------------
+_Q194_QTY = 30.0
+_Q194_PRICE = 300000.0
+_Q194_W = 64  # key-bucket width
+
+
+def q194_cardinality_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _Q194_QTY)
+        .select(F.col("l_orderkey").cast("long").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _Q194_PRICE)
+        .select(F.col("o_orderkey").cast("long").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+
+    def hist(df):
+        return df.groupBy(F.expr(f"k div {_Q194_W}").alias("b")).agg(
+            F.count("*").alias("n"), F.countDistinct("k").alias("d")
+        )
+    ha = hist(li).select("b", F.col("n").alias("na"), F.col("d").alias("da"))
+    hb = hist(orders).select("b", F.col("n").alias("nb"), F.col("d").alias("db"))
+    est_hist = (
+        ha.join(hb, "b")
+        .select(
+            F.round(
+                F.col("na") * F.col("nb")
+                / F.greatest(F.col("da"), F.col("db")).cast("double"),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("t")
+        )
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("double").alias("est"))
+        .select(F.lit("histogram").alias("estimator"), F.round("est", 2).alias("est"))
+    )
+
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bake:"), F.col("k").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    da = li.distinct().select("k", hv.alias("hv")).localCheckpoint(eager=False)
+    db = orders.distinct().select("k", hv.alias("hv")).localCheckpoint(eager=False)
+    man_a = da.select("hv").orderBy("hv").limit(_Q147_K).localCheckpoint(eager=False)
+    man_b = db.select("hv").orderBy("hv").limit(_Q147_K).localCheckpoint(eager=False)
+    sk_a = man_a.agg(F.max("hv").alias("kth_a"), F.count("*").alias("n_man_a"))
+    sk_b = man_b.agg(F.max("hv").alias("kth_b"), F.count("*").alias("n_man_b"))
+    u = (
+        man_a.select("hv", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(man_b.select("hv", F.lit(0).alias("ia"), F.lit(1).alias("ib")))
+        .groupBy("hv")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    sk = (
+        u.orderBy("hv")
+        .limit(_Q147_K)
+        .agg(
+            F.max("hv").alias("kth"),
+            F.count("*").alias("n_man"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+        )
+    )
+    n_a = li.agg(F.count("*").alias("n_rows_a"))
+    n_b = orders.agg(F.count("*").alias("n_rows_b"))
+
+    def nd(n_man_col, kth_col):
+        return F.when(
+            F.col(n_man_col) >= F.lit(_Q147_K),
+            F.lit(_Q147_NUMER) / F.col(kth_col),
+        ).otherwise(F.col(n_man_col).cast("double"))
+
+    kmv_est = (
+        (F.col("n_both") / F.col("n_man"))
+        * nd("n_man", "kth")
+        * (F.col("n_rows_a") / nd("n_man_a", "kth_a"))
+        * (F.col("n_rows_b") / nd("n_man_b", "kth_b"))
+    )
+    est_kmv = (
+        sk.crossJoin(F.broadcast(sk_a))
+        .crossJoin(F.broadcast(sk_b))
+        .crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            F.lit("kmv").alias("estimator"), F.round(kmv_est, 2).alias("est")
+        )
+    )
+    truth = (
+        li.groupBy("k")
+        .agg(F.count("*").alias("ca"))
+        .join(orders.groupBy("k").agg(F.count("*").alias("cb")), "k")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("truth"))
+    )
+    return (
+        est_hist.unionByName(est_kmv)
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "estimator",
+            F.col("est").alias("estimate"),
+            F.col("truth").cast("long").alias("true_rows"),
+            F.round(
+                (F.col("est") - F.col("truth")) / F.col("truth") * 100, 2
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("estimator")
+    )
+
+
+_Q194_HV = _hex2int_sql("md5('bake:' || CAST(k AS VARCHAR))", 1, 15)
+
+Q194_SQL = f"""
+WITH li AS (
+    SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+    WHERE l_quantity >= {_Q194_QTY!r}
+),
+orders_f AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+    WHERE o_totalprice > {_Q194_PRICE!r}
+),
+ha AS (
+    SELECT k // {_Q194_W} AS b, count(*) AS na, count(DISTINCT k) AS da
+    FROM li GROUP BY 1
+),
+hb AS (
+    SELECT k // {_Q194_W} AS b, count(*) AS nb, count(DISTINCT k) AS db
+    FROM orders_f GROUP BY 1
+),
+hist AS (
+    SELECT 'histogram' AS estimator,
+           round(CAST(coalesce(sum(CAST(round(
+               na * nb / CAST(greatest(da, db) AS DOUBLE), 6)
+               AS DECIMAL(28,6))), 0) AS DOUBLE), 2) AS est
+    FROM ha JOIN hb USING (b)
+),
+da AS (SELECT k, {_Q194_HV} AS hv FROM (SELECT DISTINCT k FROM li) t),
+db AS (SELECT k, {_Q194_HV} AS hv FROM (SELECT DISTINCT k FROM orders_f) t),
+man_a AS (SELECT hv FROM da ORDER BY hv LIMIT {_Q147_K}),
+man_b AS (SELECT hv FROM db ORDER BY hv LIMIT {_Q147_K}),
+sk_a AS (SELECT max(hv) AS kth_a, count(*) AS n_man_a FROM man_a),
+sk_b AS (SELECT max(hv) AS kth_b, count(*) AS n_man_b FROM man_b),
+u AS (
+    SELECT hv, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT hv, 1 AS ia, 0 AS ib FROM man_a
+        UNION ALL
+        SELECT hv, 0, 1 FROM man_b
+    ) e GROUP BY hv
+),
+sk AS (
+    SELECT max(hv) AS kth, count(*) AS n_man, sum(ia * ib) AS n_both
+    FROM (SELECT * FROM u ORDER BY hv LIMIT {_Q147_K}) t
+),
+n_a AS (SELECT count(*) AS n_rows_a FROM li),
+n_b AS (SELECT count(*) AS n_rows_b FROM orders_f),
+kmv AS (
+    SELECT 'kmv' AS estimator,
+           round(
+               (CAST(n_both AS DOUBLE) / n_man)
+               * (CASE WHEN n_man >= {_Q147_K} THEN {_Q147_NUMER!r} / kth
+                       ELSE CAST(n_man AS DOUBLE) END)
+               * (n_rows_a / (CASE WHEN n_man_a >= {_Q147_K}
+                                   THEN {_Q147_NUMER!r} / kth_a
+                                   ELSE CAST(n_man_a AS DOUBLE) END))
+               * (n_rows_b / (CASE WHEN n_man_b >= {_Q147_K}
+                                   THEN {_Q147_NUMER!r} / kth_b
+                                   ELSE CAST(n_man_b AS DOUBLE) END)), 2)
+               AS est
+    FROM sk, sk_a, sk_b, n_a, n_b
+),
+truth AS (
+    SELECT coalesce(sum(ca * cb), 0) AS truth
+    FROM (SELECT k, count(*) AS ca FROM li GROUP BY k) x
+    JOIN (SELECT k, count(*) AS cb FROM orders_f GROUP BY k) y USING (k)
+)
+SELECT e.estimator,
+       e.est AS estimate,
+       CAST(t.truth AS BIGINT) AS true_rows,
+       round((e.est - t.truth) / CAST(t.truth AS DOUBLE) * 100, 2)
+           AS rel_err_pct
+FROM (SELECT * FROM hist UNION ALL SELECT * FROM kmv) e
+CROSS JOIN truth t
+ORDER BY e.estimator
+"""
+
+
+# ---------------------------------------------------------------------------
 # q190 — CERTIFIED trending-term detection from sketch bounds (ext):
 # the decision layer on top of the heavy-hitter sketches — compare two
 # epochs and report ONLY terms whose frequency increase is PROVEN by
@@ -3451,6 +3659,10 @@ QUERIES = [
           tags=("bench",)),
     Query("q174_stream_misra_gries", q174_stream_misra_gries, Q174_SQL,
           survey="ext:heavy-hitters,ext:incremental-stats,ST6,ST1",
+          tags=("bench",)),
+    Query("q194_cardinality_bakeoff", q194_cardinality_bakeoff, Q194_SQL,
+          survey="ext:join-size-estimation,ext:kmv-sketch,"
+                 "ext:equidepth-histogram",
           tags=("bench",)),
     Query("q190_trending_terms", q190_trending_terms, Q190_SQL,
           survey="ext:heavy-hitters,ext:trend-detection,ext:drift-psi",

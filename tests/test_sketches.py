@@ -1011,3 +1011,21 @@ def test_trending_terms_zero_false_positives_and_proof_asymmetry(spark, sf_dir):
     assert "spike" in words
     assert "blip" not in words
     assert not words & {"join", "hash", "row", "the", "a"}
+
+
+def test_cardinality_bakeoff_estimators_sane(spark, sf_dir):
+    """q194: both estimators produce the same truth, stay within a sane
+    band on the uniform-key testdata (|err| < 50%), and at least one of
+    the two lands within 25% — the property that makes the bake-off
+    table usable for planner calibration."""
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        q194_cardinality_bakeoff,
+    )
+
+    rows = {r.estimator: r for r in q194_cardinality_bakeoff(spark, sf_dir).collect()}
+    assert set(rows) == {"histogram", "kmv"}
+    truths = {r.true_rows for r in rows.values()}
+    assert len(truths) == 1 and truths.pop() > 0
+    for r in rows.values():
+        assert abs(r.rel_err_pct) < 50.0
+    assert min(abs(r.rel_err_pct) for r in rows.values()) < 25.0
