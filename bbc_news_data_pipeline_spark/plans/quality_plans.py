@@ -2705,11 +2705,312 @@ ORDER BY n.source, n.pct
 """
 
 
+# ---------------------------------------------------------------------------
+# q196 — binned two-sample Kolmogorov–Smirnov drift statistic (ext):
+# for every event_type, the max vertical gap between its value ECDF and
+# the ECDF of ALL OTHER types, evaluated on a fixed-width bucket grid
+# (the same mergeable-bin shape as the grid digests, q138) — the
+# distribution-shift test a refresh pipeline runs before accepting a new
+# drop, complementing PSI (q73) with a sup-norm statistic. Everything up
+# to the final ratio is exact integer arithmetic: the KS numerator
+# |cum_t·n_rest − cum_rest·n_t| is maximized as an integer, with the
+# tying bucket resolved to the SMALLEST via a packed (gap, ~bucket) key,
+# so both engines pick the identical argmax. Floats appear only in the
+# one final division, rounded at 6dp.
+# Scale: ONE corpus-wide groupBy to (type, bucket) cells; every
+# downstream frame is |types|×|buckets| (bounded by value-range/width,
+# not by corpus size); the cumulative window is partitioned by type over
+# that bounded grid — no unpartitioned corpus window, no second scan.
+# ---------------------------------------------------------------------------
+_Q196_W = 5.0       # bucket width over events.value
+_Q196_B = 1 << 20   # bucket-id packing radix for the deterministic argmax
+
+
+def q196_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.floor(F.col("value") / F.lit(_Q196_W)).cast("long").alias("bucket"),
+        )
+        .groupBy("t", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds dense grid, totals
+    )
+    dense = (
+        cells.select("t").distinct()
+        .crossJoin(cells.select("bucket").distinct())
+        .join(cells, ["t", "bucket"], "left")
+        .fillna(0, subset=["c"])
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.withColumn("cum_t", F.sum("c").over(w))
+    cum_all = cum.groupBy("bucket").agg(F.sum("cum_t").alias("cum_all"))
+    n_t = cells.groupBy("t").agg(F.sum("c").alias("n_type"))
+    gaps = (
+        cum.join(cum_all, "bucket")
+        .join(n_t, "t")
+        .crossJoin(
+            F.broadcast(cells.agg(F.sum("c").alias("n_all")))
+        )
+        .select(
+            "t",
+            "n_type",
+            (F.col("n_all") - F.col("n_type")).alias("n_rest"),
+            (
+                F.abs(
+                    F.col("cum_t") * (F.col("n_all") - F.col("n_type"))
+                    - (F.col("cum_all") - F.col("cum_t")) * F.col("n_type")
+                )
+                * F.lit(_Q196_B)
+                + (F.lit(_Q196_B - 1) - F.col("bucket"))
+            ).alias("key"),
+        )
+    )
+    best = gaps.groupBy("t", "n_type", "n_rest").agg(F.max("key").alias("key"))
+    return best.select(
+        F.col("t").alias("event_type"),
+        F.col("n_type").cast("long").alias("n_type"),
+        F.col("n_rest").cast("long").alias("n_rest"),
+        F.round(
+            (F.col("key") / F.lit(_Q196_B)).cast("long").cast("double")
+            / (F.col("n_type") * F.col("n_rest")).cast("double"),
+            6,
+        ).alias("ks_stat"),
+        (F.lit(_Q196_B - 1) - F.pmod("key", F.lit(_Q196_B)))
+        .cast("long")
+        .alias("at_bucket"),
+    ).orderBy("event_type")
+
+
+Q196_SQL = f"""
+WITH cells AS (
+    SELECT event_type AS t,
+           CAST(floor(value / {_Q196_W}) AS BIGINT) AS bucket,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+dense AS (
+    SELECT ty.t, bk.bucket, coalesce(c.c, 0) AS c
+    FROM (SELECT DISTINCT t FROM cells) ty
+    CROSS JOIN (SELECT DISTINCT bucket FROM cells) bk
+    LEFT JOIN cells c ON c.t = ty.t AND c.bucket = bk.bucket
+),
+cum AS (
+    SELECT t, bucket, c,
+           sum(c) OVER (PARTITION BY t ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum_t
+    FROM dense
+),
+cum_all AS (
+    SELECT bucket, sum(cum_t) AS cum_all FROM cum GROUP BY 1
+),
+n_t AS (SELECT t, sum(c) AS n_type FROM cells GROUP BY 1),
+n_all AS (SELECT sum(c) AS n_all FROM cells),
+gaps AS (
+    SELECT cum.t, n_t.n_type, n_all.n_all - n_t.n_type AS n_rest,
+           abs(cum.cum_t * (n_all.n_all - n_t.n_type)
+               - (ca.cum_all - cum.cum_t) * n_t.n_type) * {_Q196_B}
+           + ({_Q196_B - 1} - cum.bucket) AS key
+    FROM cum
+    JOIN cum_all ca ON ca.bucket = cum.bucket
+    JOIN n_t ON n_t.t = cum.t
+    CROSS JOIN n_all
+),
+best AS (
+    SELECT t, n_type, n_rest, max(key) AS key
+    FROM gaps GROUP BY 1, 2, 3
+)
+SELECT t AS event_type,
+       CAST(n_type AS BIGINT) AS n_type,
+       CAST(n_rest AS BIGINT) AS n_rest,
+       round(CAST(key // {_Q196_B} AS DOUBLE)
+             / (CAST(n_type AS DOUBLE) * n_rest), 6) AS ks_stat,
+       CAST({_Q196_B - 1} - key % {_Q196_B} AS BIGINT) AS at_bucket
+FROM best
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q197 — chi-squared independence audit + Cramér's V (ext): is order
+# priority independent of the customer's market segment? The categorical
+# association test a feature-engineering / experimentation platform runs
+# over every (dimension, dimension) pair before trusting a segmentation.
+# Output is the DENSE contingency table (empty cells included — they
+# carry expected-count mass) with each cell's expected count and chi²
+# contribution, plus the table-level chi² and Cramér's V replicated on
+# every row. Cross-engine determinism is all-integer: each contribution
+# is floor((o·n − r·c)²·10⁶ / (n·r·c)) in exact 128-bit arithmetic
+# (DECIMAL(38,0) on Spark, HUGEINT in DuckDB), so the cell sum is an
+# exact integer — no float accumulation order anywhere; the only doubles
+# are final per-row divisions of identical integers, rounded at 4–6dp.
+# Scale: two dimension-key groupBys (orders⋈customer is hint-free —
+# customer grows with the corpus, so AQE chooses broadcast vs shuffle
+# from observed sizes, the q153 lesson); the
+# contingency frame is |segments|×|priorities| — constant-size, so the
+# cross joins and window-free total rollups never touch corpus-scale
+# rows again.
+# ---------------------------------------------------------------------------
+_Q197_SCALE = 1_000_000
+
+
+def q197_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    obs = (
+        # no broadcast hint: customer grows with the corpus — AQE picks
+        # broadcast from observed sizes when the dim side is small
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)  # feeds dense grid + 3 marginal rollups
+    )
+    dense = (
+        obs.select("seg").distinct()
+        .crossJoin(obs.select("prio").distinct())
+        .join(obs, ["seg", "prio"], "left")
+        .fillna(0, subset=["o"])
+    )
+    rt = obs.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("prio").agg(F.sum("o").alias("c"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("seg").alias("n_segs"),
+        F.count_distinct("prio").alias("n_prios"),
+    )
+    cells = (
+        dense.join(rt, "seg")
+        .join(ct, "prio")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "contrib_scaled",
+            F.expr(
+                f"CAST((CAST(o * n - r * c AS DECIMAL(38,0))"
+                f" * CAST(o * n - r * c AS DECIMAL(38,0))"
+                f" * {_Q197_SCALE}) div (n * r * c) AS BIGINT)"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds per-cell rows + chi² total
+    )
+    # grouping-free on purpose: n/n_segs/n_prios are constant across the
+    # cells frame, and a groupless Aggregate is provably 1 row to the
+    # plan-audit boundedness tripwire (the broadcast below is then safe
+    # by construction, not by reviewer fiat)
+    chi = cells.agg(
+        F.max("n").alias("n"),
+        F.max("n_segs").alias("n_segs"),
+        F.max("n_prios").alias("n_prios"),
+        F.sum("contrib_scaled").alias("chi_scaled"),
+    )
+    chi2 = F.col("chi_scaled").cast("double") / F.lit(float(_Q197_SCALE))
+    vden = (
+        F.col("n").cast("double")
+        * (F.least("n_segs", "n_prios").cast("double") - F.lit(1.0))
+    )
+    chi_row = chi.select(
+        "n",
+        ((F.col("n_segs") - 1) * (F.col("n_prios") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(F.sqrt(chi2 / vden), 4).alias("cramers_v"),
+    )
+    return (
+        cells.select(
+            "seg",
+            "prio",
+            F.col("o").cast("long").alias("n_cell"),
+            F.round(
+                (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double"),
+                4,
+            ).alias("expected"),
+            F.round(
+                F.col("contrib_scaled").cast("double") / F.lit(float(_Q197_SCALE)),
+                6,
+            ).alias("contrib"),
+        )
+        .crossJoin(F.broadcast(chi_row))
+        .select(
+            "seg", "prio", "n_cell", "expected", "contrib",
+            F.col("n").cast("long").alias("n_total"),
+            "dof", "chi2", "cramers_v",
+        )
+        .orderBy("seg", "prio")
+    )
+
+
+Q197_SQL = f"""
+WITH obs AS (
+    SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+           count(*) AS o
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+dense AS (
+    SELECT s.seg, p.prio, coalesce(obs.o, 0) AS o
+    FROM (SELECT DISTINCT seg FROM obs) s
+    CROSS JOIN (SELECT DISTINCT prio FROM obs) p
+    LEFT JOIN obs ON obs.seg = s.seg AND obs.prio = p.prio
+),
+rt AS (SELECT seg, sum(o) AS r FROM obs GROUP BY 1),
+ct AS (SELECT prio, sum(o) AS c FROM obs GROUP BY 1),
+tot AS (
+    SELECT sum(o) AS n,
+           count(DISTINCT seg) AS n_segs,
+           count(DISTINCT prio) AS n_prios
+    FROM obs
+),
+cells AS (
+    SELECT d.seg, d.prio, d.o, rt.r, ct.c, tot.n, tot.n_segs, tot.n_prios,
+           CAST((CAST(d.o * tot.n - rt.r * ct.c AS HUGEINT)
+                 * CAST(d.o * tot.n - rt.r * ct.c AS HUGEINT)
+                 * {_Q197_SCALE}) // (tot.n * rt.r * ct.c) AS BIGINT)
+               AS contrib_scaled
+    FROM dense d
+    JOIN rt ON rt.seg = d.seg
+    JOIN ct ON ct.prio = d.prio
+    CROSS JOIN tot
+),
+chi AS (
+    SELECT n, n_segs, n_prios,
+           sum(contrib_scaled) AS chi_scaled
+    FROM cells GROUP BY 1, 2, 3
+)
+SELECT cells.seg, cells.prio,
+       CAST(cells.o AS BIGINT) AS n_cell,
+       round(CAST(cells.r AS DOUBLE) * cells.c / cells.n, 4) AS expected,
+       round(CAST(cells.contrib_scaled AS DOUBLE) / {_Q197_SCALE}, 6)
+           AS contrib,
+       CAST(cells.n AS BIGINT) AS n_total,
+       CAST((chi.n_segs - 1) * (chi.n_prios - 1) AS BIGINT) AS dof,
+       round(CAST(chi.chi_scaled AS DOUBLE) / {_Q197_SCALE}, 4) AS chi2,
+       round(sqrt((CAST(chi.chi_scaled AS DOUBLE) / {_Q197_SCALE})
+                  / (CAST(chi.n AS DOUBLE)
+                     * (least(chi.n_segs, chi.n_prios) - 1))), 4)
+           AS cramers_v
+FROM cells CROSS JOIN chi
+ORDER BY cells.seg, cells.prio
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
     Query("q73_event_type_drift", q73_event_type_drift, Q73_SQL,
           survey="ext:drift-psi,A2,W2"),
+    Query("q196_ks_drift", q196_ks_drift, Q196_SQL,
+          survey="ext:ks-drift,ext:drift-psi,ext:quantile-digest,A7"),
+    Query("q197_chisq_independence", q197_chisq_independence, Q197_SQL,
+          survey="ext:chisq-independence,ext:data-profiling,J1,A4"),
     Query("q74_snapshot_diff", q74_snapshot_diff, Q74_SQL,
           survey="ext:snapshot-diff,J4,S9"),
     Query("q75_hourly_locf", q75_hourly_locf, Q75_SQL,

@@ -904,11 +904,81 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q195 — activity streaks via gaps-and-islands (ext): the consecutive-
+# active-day detection every engagement/retention pipeline runs (and the
+# classic SQL island pattern Spark expresses natively): a user's purchase
+# days form an island when day_number − row_number() is constant. Output
+# is the streak-length distribution (how many runs of exactly k
+# consecutive purchase days exist, across how many users) — the compact,
+# order-free rollup a 100 TB engagement job would actually persist.
+# All-integer arithmetic; the anchor date is a fixed literal (calendar
+# epoch for day numbering), not wall-clock.
+# Scale: the DISTINCT (user, day) rollup is the only corpus-wide op (one
+# shuffle, partial-agg collapses map-side); the row_number window is
+# partitioned by user over ≤ n_days rows per user — bounded partitions,
+# never a global sort.
+# ---------------------------------------------------------------------------
+_Q195_TYPE = "purchase"
+
+
+def q195_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("event_type") == _Q195_TYPE)
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("streak_len")
+        .agg(
+            F.count("*").cast("long").alias("n_streaks"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("streak_len")
+    )
+
+
+Q195_SQL = f"""
+WITH days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = '{_Q195_TYPE}'
+),
+isl AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, island, count(*) AS streak_len
+    FROM isl GROUP BY 1, 2
+)
+SELECT streak_len,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM streaks
+GROUP BY 1
+ORDER BY streak_len
+"""
+
+
 QUERIES = [
     Query("q192_seasonal_mase", q192_seasonal_mase, Q192_SQL,
           survey="ext:forecast-backtest,ext:trend-regression,"
                  "ext:hypertable-rollup",
           tags=("bench",)),
+    Query("q195_activity_streaks", q195_activity_streaks, Q195_SQL,
+          survey="ext:gaps-and-islands,ext:retention,W3,F19"),
     Query("q60_multi_grain_rollup", q60_multi_grain_rollup, Q60_SQL,
           survey="ext:hypertable-rollup,A4,F19", tags=("bench",)),
     Query("q61_value_percentiles", q61_value_percentiles, Q61_SQL,

@@ -848,3 +848,149 @@ def test_centroid_drift_identical_epochs_and_bounds(spark, sf_dir, tmp_path):
     for r in real:
         assert -1.0 <= r.cosine <= 1.0 and r.l2_shift >= 0
         assert r.na > 0 and r.nb > 0
+
+
+def test_activity_streaks_engineered_islands(spark, tmp_path):
+    """q195 on an engineered corpus: user 1 purchases on days 1,2,3 and 5
+    (streaks 3 and 1, with a same-day duplicate that must collapse);
+    user 2 on days 1,2 (streak 2) plus a non-purchase day 3 that must
+    not extend it."""
+    from datetime import datetime
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        q195_activity_streaks,
+    )
+
+    def ev(i, u, d, t="purchase"):
+        return (i, datetime(2024, 1, d, 12, 0, 0), u, t, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3), ev(4, 1, 5),
+        ev(5, 1, 5),              # same-day duplicate collapses
+        ev(6, 2, 1), ev(7, 2, 2),
+        ev(8, 2, 3, t="view"),    # wrong type: must not extend streak
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.streak_len: r for r in q195_activity_streaks(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_streaks, out[1].n_users) == (1, 1)
+    assert (out[2].n_streaks, out[2].n_users) == (1, 1)
+    assert (out[3].n_streaks, out[3].n_users) == (1, 1)
+
+
+def test_activity_streaks_mass_conservation(spark, sf_dir):
+    """q195 property on real data: streak lengths weighted by streak
+    count must add up to the distinct (user, purchase-day) mass."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q195_TYPE,
+        q195_activity_streaks,
+    )
+
+    out = q195_activity_streaks(spark, sf_dir).collect()
+    total = sum(r.streak_len * r.n_streaks for r in out)
+    expect = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == _Q195_TYPE)
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert total == expect
+
+
+def test_ks_drift_engineered_separation_and_bounds(spark, sf_dir, tmp_path):
+    """q196: two fully separated value distributions → KS = 1 with the
+    max gap at the last bucket of the low distribution; on real data
+    every statistic is a valid KS value and the split masses add up."""
+    from datetime import datetime
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q196_ks_drift
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 28), i, "lo", 1.0 + i % 3, "{}")
+        for i in range(40)
+    ] + [
+        (100 + i, datetime(2024, 1, 1 + i % 28), i, "hi", 100.0 + i % 7, "{}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in q196_ks_drift(spark, str(tmp_path)).collect()}
+    assert out["lo"].ks_stat == 1.0 and out["hi"].ks_stat == 1.0
+    # the sup gap is first attained at the low distribution's last bucket
+    assert out["lo"].at_bucket == 0  # all lo values in bucket 0 (1..3 / 5)
+    assert out["hi"].at_bucket == 0  # rest(=lo) reaches 1.0 vs hi still 0
+
+    real = {r.event_type: r for r in q196_ks_drift(spark, sf_dir).collect()}
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for r in real.values():
+        assert 0.0 <= r.ks_stat <= 1.0
+        assert r.n_type + r.n_rest == n
+
+
+def test_chisq_independence_matches_numpy_and_zero_case(spark, sf_dir, tmp_path):
+    """q197 vs a numpy twin on real data (agreement at the 1e-4 the
+    floor-scaled integer sum guarantees for a 25-cell table), and an
+    engineered perfectly-independent table → chi² = 0."""
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q197_chisq_independence,
+    )
+
+    out = q197_chisq_independence(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    ct = j.pivot_table(
+        index="c_mktsegment", columns="o_orderpriority", aggfunc="size",
+        fill_value=0,
+    ).to_numpy().astype(float)
+    n = ct.sum()
+    exp = ct.sum(1, keepdims=True) @ ct.sum(0, keepdims=True) / n
+    chi2 = float(((ct - exp) ** 2 / exp).sum())
+    v = float(np.sqrt(chi2 / (n * (min(ct.shape) - 1))))
+    r0 = out[0]
+    assert abs(r0.chi2 - chi2) < 1e-3
+    assert abs(r0.cramers_v - v) < 1e-3
+    assert r0.dof == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert len(out) == ct.shape[0] * ct.shape[1]
+    assert sum(r.n_cell for r in out) == int(n)
+
+    # perfectly proportional cells → every contribution exactly 0
+    co, oo = [], []
+    k = 0
+    for si, seg in enumerate(["A", "B"]):
+        for ci in range(2 if seg == "A" else 1):  # segment sizes 2 and 1
+            co.append((1000 + len(co), f"c{len(co)}", 0, 0.0, seg))
+    for ci, (ck, *_rest) in enumerate(co):
+        for pi, prio in enumerate(["P1", "P1", "P2"]):  # 2:1 priority split
+            oo.append((k, ck, "O", 1.0, datetime_ := None, prio))
+            k += 1
+    import datetime as _dt
+
+    oo = [
+        (i, ck, st, tp, _dt.datetime(2024, 1, 1), pr)
+        for (i, ck, st, tp, _x, pr) in oo
+    ]
+    spark.createDataFrame(
+        co,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        oo,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    zero = q197_chisq_independence(spark, str(tmp_path)).collect()
+    assert all(r.chi2 == 0.0 and r.cramers_v == 0.0 and r.contrib == 0.0 for r in zero)
