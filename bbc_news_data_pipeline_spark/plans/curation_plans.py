@@ -2606,9 +2606,321 @@ ORDER BY entity_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q200 — synchronous label-propagation communities, K=3 rounds (ext):
+# the cheap community-detection pass (Raghavan et al. 2007) a curation
+# pipeline runs over the near-dup candidate graph to find topical/dup
+# neighborhoods BELOW the connected-component grain (CC merges through
+# weak bridges; LPA's per-round neighbor-majority vote does not). Same
+# shared capped LSH banding graph as q57/q139/q144/q151; labels start as
+# node ids and each round every node adopts its neighbors' MAJORITY
+# label (count desc, tie → smallest label — fully deterministic, no
+# random tie-break). The full label trajectory (lbl1..lbl3) ships per
+# node, q139-style, so convergence is auditable; final community sizes
+# join from the round-3 rollup.
+# Scale: one banding pass feeds everything (lineage-pinned lazily); each
+# round is one edges⋈labels shuffle + two bounded groupBys (per-node
+# neighbor-label counts collapse map-side). K is fixed — for
+# diameter-unbounded convergence the q166 large/small-star machinery is
+# the tool; LPA at K rounds is the documented curation trade.
+# ---------------------------------------------------------------------------
+_Q200_K = 3
+
+
+def q200_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash_candidates(
+            docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+            max_group=_MAX_GROUP,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=False)  # K round-joins reference this
+    )
+    lab = edges.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    rounds: list[DataFrame] = []
+    for _ in range(_Q200_K):
+        nb = edges.join(
+            lab.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        cnt = nb.groupBy("v", "lbl").agg(F.count("*").alias("c"))
+        lab = (
+            cnt.select(
+                "v",
+                F.struct(F.col("c"), (-F.col("lbl")).alias("nl")).alias("s"),
+            )
+            .groupBy("v")
+            .agg(F.max("s").alias("b"))
+            .select("v", (-F.col("b.nl")).alias("lbl"))
+            .localCheckpoint(eager=False)  # feeds next round + output
+        )
+        rounds.append(lab)
+    l1, l2, l3 = rounds
+    comm = l3.groupBy("lbl").agg(F.count("*").alias("comm_size"))
+    return (
+        l1.select("v", F.col("lbl").alias("lbl1"))
+        .join(l2.select("v", F.col("lbl").alias("lbl2")), "v")
+        .join(l3.select("v", F.col("lbl").alias("lbl3")), "v")
+        .join(comm.select(F.col("lbl").alias("lbl3"), "comm_size"), "lbl3")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("lbl1").cast("long").alias("lbl1"),
+            F.col("lbl2").cast("long").alias("lbl2"),
+            F.col("lbl3").cast("long").alias("lbl3"),
+            F.col("comm_size").cast("long").alias("comm_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q200_round_sql(i: int) -> str:
+    return f"""nb{i} AS (
+    SELECT e.v, l.lbl, count(*) AS c
+    FROM edges e JOIN lab{i - 1} l ON l.v = e.u
+    GROUP BY 1, 2
+),
+lab{i} AS (
+    SELECT v, lbl FROM (
+        SELECT v, lbl,
+               row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        FROM nb{i}
+    ) t WHERE rn = 1
+)"""
+
+
+Q200_SQL = (
+    f"""
+WITH {_CAPPED_PAIRS_CTES},
+dp AS (SELECT DISTINCT id_a, id_b FROM pairs),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM dp
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM dp
+),
+lab0 AS (SELECT DISTINCT u AS v, u AS lbl FROM edges),
+"""
+    + ",\n".join(_q200_round_sql(i) for i in range(1, _Q200_K + 1))
+    + f""",
+comm AS (SELECT lbl, count(*) AS comm_size FROM lab{_Q200_K} GROUP BY 1)
+SELECT l1.v AS doc_id,
+       CAST(l1.lbl AS BIGINT) AS lbl1,
+       CAST(l2.lbl AS BIGINT) AS lbl2,
+       CAST(l3.lbl AS BIGINT) AS lbl3,
+       CAST(c.comm_size AS BIGINT) AS comm_size
+FROM lab1 l1
+JOIN lab2 l2 ON l2.v = l1.v
+JOIN lab3 l3 ON l3.v = l1.v
+JOIN comm c ON c.lbl = l3.lbl
+ORDER BY doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q198 — leakage-safe K-fold target encoding (ext): the categorical
+# feature-engineering workhorse — encode p_brand by the mean
+# l_extendedprice of OTHER folds' rows only (out-of-fold), so the
+# encoding a model trains on never saw the row's own target (the q145
+# leakage discipline applied to features). Ships the ENCODING TABLE
+# (brand × fold, the model artifact), not corpus-sized encoded rows.
+# Includes the m-smoothed variant (shrink small brands toward the
+# out-of-fold GLOBAL mean) computed as one exact rational:
+# (s_oof·n_gof + m·s_gof) / ((n_oof+m)·n_gof) in 128-bit integers.
+# Determinism: folds are md5-derived (never hash()); the target is
+# quantized to cents and summed in DECIMAL(38,0)/HUGEINT (order-free);
+# doubles appear only in the final divisions of identical integers, 4dp.
+# Scale: one corpus-wide join (lineitem⋈part on partkey — hint-free, AQE
+# sizes it) and ONE groupBy to the (brand, fold) grid; everything after
+# is |brands|×K rows. The dense grid keeps brands that miss a fold
+# (their encoding falls back to the out-of-fold global mean).
+# ---------------------------------------------------------------------------
+_Q198_K = 4       # folds
+_Q198_M = 20      # smoothing pseudo-count (rows of global prior)
+
+
+def q198_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rows = (
+        li.join(part.select("p_partkey", "p_brand"),
+                li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.pmod(
+                sample_key_expr(
+                    F.concat_ws("#", "l_orderkey", "l_linenumber"), salt="tenc"
+                ),
+                F.lit(_Q198_K),
+            ).alias("fold"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    cells = (
+        rows.groupBy("brand", "fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        )
+        .localCheckpoint(eager=False)  # feeds dense grid + 3 rollups
+    )
+    dense = (
+        cells.select("brand").distinct()
+        .crossJoin(cells.select("fold").distinct())
+        .join(cells, ["brand", "fold"], "left")
+        .fillna(0, subset=["n"])
+        .withColumn("s", F.coalesce("s", F.lit(0).cast("decimal(38,0)")))
+    )
+    per_brand = cells.groupBy("brand").agg(
+        F.sum("n").alias("nb"), F.sum("s").cast("decimal(38,0)").alias("sb")
+    )
+    per_fold = cells.groupBy("fold").agg(
+        F.sum("n").alias("nf"), F.sum("s").cast("decimal(38,0)").alias("sf")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nt"), F.sum("s").cast("decimal(38,0)").alias("st")
+    )
+    oof = (
+        dense.join(per_brand, "brand")
+        .join(per_fold, "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "fold",
+            F.col("n").cast("long").alias("n_in_fold"),
+            (F.col("nb") - F.col("n")).cast("long").alias("n_oof"),
+            (F.col("sb") - F.col("s")).alias("s_oof"),
+            (F.col("nt") - F.col("nf")).cast("long").alias("n_gof"),
+            (F.col("st") - F.col("sf")).alias("s_gof"),
+        )
+    )
+    # 4dp half-up rounding in EXACT integer arithmetic — r4(num/den) =
+    # (num·20000 + den) div (2·den) — so no engine ever rounds a double
+    # at a tie (the q183 exactness discipline extended through rounding).
+    withnd = oof.select(
+        "brand",
+        "fold",
+        "n_in_fold",
+        "n_oof",
+        F.when(F.col("n_oof") == 0, F.col("s_gof"))
+        .otherwise(F.col("s_oof"))
+        .cast("decimal(38,0)")
+        .alias("e_num"),
+        (
+            F.when(F.col("n_oof") == 0, F.col("n_gof")).otherwise(F.col("n_oof"))
+            * F.lit(100)
+        )
+        .cast("decimal(38,0)")
+        .alias("e_den"),
+        (F.col("s_oof") * F.col("n_gof") + F.lit(_Q198_M) * F.col("s_gof"))
+        .cast("decimal(38,0)")
+        .alias("s_num"),
+        (
+            (F.col("n_oof") + F.lit(_Q198_M)).cast("decimal(38,0)")
+            * F.col("n_gof")
+            * F.lit(100)
+        )
+        .cast("decimal(38,0)")
+        .alias("s_den"),
+    )
+    return withnd.select(
+        "brand",
+        "fold",
+        "n_in_fold",
+        "n_oof",
+        (
+            F.expr(
+                "CAST((e_num * 20000 + e_den) div (2 * e_den) AS BIGINT)"
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("enc_oof"),
+        (
+            F.expr(
+                "CAST((s_num * 20000 + s_den) div (2 * s_den) AS BIGINT)"
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("enc_smooth"),
+    ).orderBy("brand", "fold")
+
+
+def _q198_fold_sql() -> str:
+    md5 = (
+        "md5('tenc:' || CAST(l_orderkey AS VARCHAR) || '#'"
+        " || CAST(l_linenumber AS VARCHAR))"
+    )
+    return f"(({_hex2int_sql(md5, 1, 8)}) % {_Q198_K})"
+
+
+Q198_SQL = f"""
+WITH rows_ AS (
+    SELECT p.p_brand AS brand,
+           {_q198_fold_sql()} AS fold,
+           CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+cells AS (
+    SELECT brand, fold, count(*) AS n, sum(CAST(cents AS HUGEINT)) AS s
+    FROM rows_ GROUP BY 1, 2
+),
+dense AS (
+    SELECT b.brand, f.fold,
+           coalesce(c.n, 0) AS n,
+           coalesce(c.s, CAST(0 AS HUGEINT)) AS s
+    FROM (SELECT DISTINCT brand FROM cells) b
+    CROSS JOIN (SELECT DISTINCT fold FROM cells) f
+    LEFT JOIN cells c ON c.brand = b.brand AND c.fold = f.fold
+),
+per_brand AS (SELECT brand, sum(n) AS nb, sum(s) AS sb FROM cells GROUP BY 1),
+per_fold AS (SELECT fold, sum(n) AS nf, sum(s) AS sf FROM cells GROUP BY 1),
+tot AS (SELECT sum(n) AS nt, sum(s) AS st FROM cells),
+oof AS (
+    SELECT d.brand, d.fold,
+           CAST(d.n AS BIGINT) AS n_in_fold,
+           CAST(pb.nb - d.n AS BIGINT) AS n_oof,
+           pb.sb - d.s AS s_oof,
+           CAST(t.nt - pf.nf AS BIGINT) AS n_gof,
+           t.st - pf.sf AS s_gof
+    FROM dense d
+    JOIN per_brand pb ON pb.brand = d.brand
+    JOIN per_fold pf ON pf.fold = d.fold
+    CROSS JOIN tot t
+),
+nd AS (
+    SELECT brand, fold, n_in_fold, n_oof,
+           CAST(CASE WHEN n_oof = 0 THEN s_gof ELSE s_oof END AS HUGEINT)
+               AS e_num,
+           CAST(CASE WHEN n_oof = 0 THEN n_gof ELSE n_oof END AS HUGEINT)
+               * 100 AS e_den,
+           s_oof * n_gof + {_Q198_M} * s_gof AS s_num,
+           CAST(n_oof + {_Q198_M} AS HUGEINT) * n_gof * 100 AS s_den
+    FROM oof
+)
+SELECT brand, CAST(fold AS BIGINT) AS fold, n_in_fold, n_oof,
+       CAST(CAST((e_num * 20000 + e_den) // (2 * e_den) AS BIGINT) AS DOUBLE)
+           / 10000.0 AS enc_oof,
+       CAST(CAST((s_num * 20000 + s_den) // (2 * s_den) AS BIGINT) AS DOUBLE)
+           / 10000.0 AS enc_smooth
+FROM nd
+ORDER BY brand, fold
+"""
+
+
 QUERIES = [
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
+    Query("q198_target_encoding", q198_target_encoding, Q198_SQL,
+          survey="ext:target-encoding,ext:leakage-safe-split,ext:hash-sampling,A3"),
+    Query("q200_label_propagation", q200_label_propagation, Q200_SQL,
+          survey="ext:label-propagation,ext:dup-clustering,ext:minhash-lsh",
+          tags=("bench",)),
     Query("q56_dataset_mix", q56_dataset_mix, Q56_SQL, survey="ext:dataset-mixing"),
     Query("q57_dup_clusters", q57_dup_clusters, Q57_SQL, survey="ext:dup-clustering",
           tags=("bench",)),

@@ -1054,9 +1054,251 @@ ORDER BY subspace, code
 """
 
 
+# ---------------------------------------------------------------------------
+# q199 — full IVF-PQ ADC search (ext): the modern billion-scale ANN
+# serving path (Jégou et al. 2011, §IV) composed end-to-end from parts
+# this repo already certifies — IVF coarse cells (q53) + PQ codebook
+# assignment (q186) + the ASYMMETRIC DISTANCE COMPUTATION trick: the
+# query is NOT quantized; instead a (M×k) lookup table of
+# query-subvector→codeword distances is built once, and every candidate
+# scores as the sum of M table lookups — no vector math per candidate.
+# The exact brute-force top-k runs alongside and each ADC hit is marked
+# in/out of it, with recall@k replicated per row: the quality/efficiency
+# readout an ANN deployment monitors. (Simplification vs the paper:
+# codes are built on raw subvectors, not cell residuals — documented,
+# identical on both sides.)
+# Determinism: q83/q186 arithmetic — int64-quantized components, EXACT
+# int64 squared distances, argmin/top-k ties to the lowest id; the only
+# doubles are the two final unit rescalings (floor-based 4dp).
+# Scale: centroids (8) / seeds (corpus div 64) / probe list (2) / LUT
+# (M·k rows) are all broadcast-bounded by literal filters; the corpus
+# is touched by ONE assignment pass and ONE code-assignment pass (×M
+# row-local explode, k·M-row broadcast join, partial-agg argmin); ADC
+# scoring shuffles only the PROBED subset on vec_id; both top-k's are
+# TakeOrdered — no global sort anywhere.
+# ---------------------------------------------------------------------------
+_Q199_K = 10
+_Q199_NPROBE = 2
+_Q199_QID = 100
+_Q199_NCELL = 8
+
+
+def q199_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint("embedding").alias("qv"))
+    cents = qe.filter(F.col("vec_id") < _Q199_NCELL).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cvec")
+    )
+    corpus = qe.filter(F.col("vec_id") >= _Q199_NCELL).localCheckpoint(
+        eager=False
+    )  # feeds assignment, codes, exact baseline
+    query = qe.filter(F.col("vec_id") == _Q199_QID).select(
+        F.col("qv").alias("quvec")
+    )
+
+    # IVF: assign every corpus vector to its nearest cell (exact argmin)
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                sq_l2_q(F.col("qv"), F.col("cvec")).alias("d"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", F.col("b.cell").alias("cell"))
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(query))
+        .select("cell", sq_l2_q(F.col("cvec"), F.col("quvec")).alias("d"))
+        .orderBy("d", "cell")
+        .limit(_Q199_NPROBE)
+        .select("cell")
+    )
+
+    # PQ: M subspace codebooks from deterministic seeds; corpus → codes
+    sub = lambda c, m: F.slice(c, m * _Q186_SUB + 1, _Q186_SUB)
+    subrows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("m"), sub(F.col("qv"), m).alias("sv"))
+                for m in range(_Q186_M)
+            ]
+        )
+    ).alias("s")
+    seeds = (
+        qe.filter(F.col("vec_id") % _Q186_SEED_MOD == 0)
+        .select(F.col("vec_id").alias("code"), subrows)
+        .select("code", "s.m", F.col("s.sv").alias("seed_sv"))
+    )
+    codes = (
+        corpus.select("vec_id", subrows)
+        .select("vec_id", "s.m", F.col("s.sv").alias("sv"))
+        .join(F.broadcast(seeds), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                sq_l2_q(F.col("sv"), F.col("seed_sv")).alias("d"),
+                F.col("code").alias("code"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+
+    # ADC lookup table: query subvector vs every codeword — M·k rows
+    lut = (
+        qe.filter(F.col("vec_id") == _Q199_QID)
+        .select(subrows)
+        .select("s.m", F.col("s.sv").alias("q_sv"))
+        .join(seeds, "m")
+        .select("m", "code", sq_l2_q(F.col("q_sv"), F.col("seed_sv")).alias("d_mc"))
+    )
+    adc = (
+        codes.join(assign, "vec_id")
+        .join(F.broadcast(probed), "cell", "left_semi")
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d_mc").alias("adc_d"))
+        .orderBy("adc_d", "vec_id")
+        .limit(_Q199_K)
+    )
+    exact = (
+        corpus.crossJoin(F.broadcast(query))
+        .select("vec_id", sq_l2_q(F.col("qv"), F.col("quvec")).alias("ex_d"))
+    )
+    exact_topk = exact.orderBy("ex_d", "vec_id").limit(_Q199_K)
+    hits = adc.join(
+        exact_topk.select("vec_id", F.lit(1).alias("in_exact")), "vec_id", "left"
+    )
+    recall = hits.agg(
+        (F.sum(F.coalesce("in_exact", F.lit(0))) / F.lit(float(_Q199_K))).alias(
+            "recall_at_k"
+        )
+    )
+    scale2 = 1_000_000_000_000.0  # QUANT_SCALE^2
+    r4 = lambda c: F.floor(c / F.lit(scale2) * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        hits.join(exact.select("vec_id", "ex_d"), "vec_id")
+        .join(assign, "vec_id")
+        .crossJoin(F.broadcast(recall))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            r4(F.col("adc_d").cast("double")).alias("adc_sqdist"),
+            r4(F.col("ex_d").cast("double")).alias("exact_sqdist"),
+            F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact_topk"),
+            F.round("recall_at_k", 4).alias("recall_at_k"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q199_SQI = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+_Q199_SUBI = (
+    f"list_sum(list_transform(generate_series(1, {_Q186_SUB}), "
+    f"i -> ({{a}}[{{m}} * {_Q186_SUB} + i] - {{b}}[{{m}} * {_Q186_SUB} + i]) "
+    f"* ({{a}}[{{m}} * {_Q186_SUB} + i] - {{b}}[{{m}} * {_Q186_SUB} + i])))"
+)
+
+Q199_SQL = f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, qv AS cvec FROM qe WHERE vec_id < {_Q199_NCELL}),
+corpus AS (SELECT vec_id, qv FROM qe WHERE vec_id >= {_Q199_NCELL}),
+q AS (SELECT qv AS quvec FROM qe WHERE vec_id = {_Q199_QID}),
+assigned AS (
+    SELECT c.vec_id, t.cell,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY t.d, t.cell) AS rn
+    FROM corpus c, LATERAL (
+        SELECT cell, {_Q199_SQI.format(a="c.qv", b="cvec")} AS d FROM cents
+    ) t
+),
+assign AS (SELECT vec_id, cell FROM assigned WHERE rn = 1),
+probed AS (
+    SELECT cell FROM cents CROSS JOIN q
+    ORDER BY {_Q199_SQI.format(a="cvec", b="quvec")}, cell
+    LIMIT {_Q199_NPROBE}
+),
+ms AS (SELECT unnest(range({_Q186_M})) AS m),
+seeds AS (
+    SELECT vec_id AS code, qv FROM qe WHERE vec_id % {_Q186_SEED_MOD} = 0
+),
+coded AS (
+    SELECT c.vec_id, ms.m, s.code,
+           row_number() OVER (
+               PARTITION BY c.vec_id, ms.m
+               ORDER BY {_Q199_SUBI.format(a="c.qv", b="s.qv", m="ms.m")}, s.code
+           ) AS rn
+    FROM corpus c CROSS JOIN ms CROSS JOIN seeds s
+),
+codes AS (SELECT vec_id, m, code FROM coded WHERE rn = 1),
+lut AS (
+    SELECT ms.m, s.code,
+           {_Q199_SUBI.format(a="q.quvec", b="s.qv", m="ms.m")} AS d_mc
+    FROM ms CROSS JOIN seeds s CROSS JOIN q
+),
+adc AS (
+    SELECT cd.vec_id, sum(l.d_mc) AS adc_d
+    FROM codes cd
+    JOIN assign a ON a.vec_id = cd.vec_id
+    JOIN probed p ON p.cell = a.cell
+    JOIN lut l ON l.m = cd.m AND l.code = cd.code
+    GROUP BY cd.vec_id
+    ORDER BY adc_d, cd.vec_id
+    LIMIT {_Q199_K}
+),
+exact AS (
+    SELECT c.vec_id, {_Q199_SQI.format(a="c.qv", b="quvec")} AS ex_d
+    FROM corpus c CROSS JOIN q
+),
+exact_topk AS (
+    SELECT vec_id FROM exact ORDER BY ex_d, vec_id LIMIT {_Q199_K}
+),
+hits AS (
+    SELECT adc.vec_id, adc.adc_d,
+           CASE WHEN et.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact
+    FROM adc LEFT JOIN exact_topk et ON et.vec_id = adc.vec_id
+),
+recall AS (
+    SELECT CAST(sum(in_exact) AS DOUBLE) / {_Q199_K} AS recall_at_k FROM hits
+)
+SELECT h.vec_id,
+       CAST(a.cell AS BIGINT) AS cell,
+       floor(CAST(h.adc_d AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000
+           AS adc_sqdist,
+       floor(CAST(e.ex_d AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000
+           AS exact_sqdist,
+       CAST(h.in_exact AS INTEGER) AS in_exact_topk,
+       round(r.recall_at_k, 4) AS recall_at_k
+FROM hits h
+JOIN exact e ON e.vec_id = h.vec_id
+JOIN assign a ON a.vec_id = h.vec_id
+CROSS JOIN recall r
+ORDER BY h.vec_id
+"""
+
+
 QUERIES = [
     Query("q193_centroid_drift", q193_centroid_drift, Q193_SQL,
           survey="ext:embedding-drift,ext:drift-psi,ext:kmeans-step",
+          tags=("bench",)),
+    Query("q199_ivfpq_search", q199_ivfpq_search, Q199_SQL,
+          survey="ext:ann-ivf,ext:ann-pq,ext:ann-adc,ext:ann-recall",
           tags=("bench",)),
     Query("q186_pq_codebook", q186_pq_codebook, Q186_SQL,
           survey="ext:ann-pq,ext:ann-ivf,ext:kmeans-step,ext:feature-scaling",

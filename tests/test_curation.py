@@ -417,3 +417,100 @@ def test_waterfill_quota_on_skewed_sources(spark, tmp_path):
     }
     assert {s for s, r in out.items() if r.capped} == {"e"}
     assert all(r.budget == 526 and r.total_allocated == 526 for r in out.values())
+
+
+def test_target_encoding_python_twin_and_leakage(spark, sf_dir):
+    """q198 vs a hashlib/pandas twin: rebuild the md5 folds, the exact
+    cent-quantized out-of-fold means, and the m-smoothed shrinkage;
+    every encoding must agree at the 4dp the query emits, and no fold's
+    own rows may enter its encoding (leakage check is the twin itself:
+    it sums brand totals minus the fold cell)."""
+    import hashlib
+
+    from bbc_news_data_pipeline_spark.plans.curation_plans import (
+        _Q198_K,
+        _Q198_M,
+        q198_target_encoding,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").toPandas()
+    df = li.merge(part[["p_partkey", "p_brand"]], left_on="l_partkey",
+                  right_on="p_partkey")
+
+    def fold(ok, ln):
+        h = hashlib.md5(f"tenc:{ok}#{ln}".encode()).hexdigest()
+        return int(h[:8], 16) % _Q198_K
+
+    df["fold"] = [fold(o, l) for o, l in zip(df.l_orderkey, df.l_linenumber)]
+    df["cents"] = (df.l_extendedprice * 100 + 0.5).apply(int)  # floor(x+.5)>0
+    cells = df.groupby(["p_brand", "fold"]).cents.agg(["sum", "size"])
+    nb = df.groupby("p_brand").cents.agg(["sum", "size"])
+    nf = df.groupby("fold").cents.agg(["sum", "size"])
+    nt, st = len(df), int(df.cents.sum())
+
+    def r4(num, den):
+        return ((num * 20000 + den) // (2 * den)) / 10000.0
+
+    out = q198_target_encoding(spark, sf_dir).collect()
+    assert len(out) == df.p_brand.nunique() * _Q198_K
+    for r in out:
+        s = int(cells["sum"].get((r.brand, r.fold), 0))
+        n = int(cells["size"].get((r.brand, r.fold), 0))
+        sb, nbb = int(nb["sum"][r.brand]), int(nb["size"][r.brand])
+        sf_, nff = int(nf["sum"][r.fold]), int(nf["size"][r.fold])
+        s_oof, n_oof = sb - s, nbb - n
+        s_gof, n_gof = st - sf_, nt - nff
+        assert r.n_in_fold == n and r.n_oof == n_oof
+        if n_oof:
+            assert r.enc_oof == r4(s_oof, n_oof * 100)
+        else:
+            assert r.enc_oof == r4(s_gof, n_gof * 100)
+        assert r.enc_smooth == r4(
+            s_oof * n_gof + _Q198_M * s_gof, (n_oof + _Q198_M) * n_gof * 100
+        )
+
+
+def test_label_propagation_python_twin(spark, sf_dir):
+    """q200 vs a pure-python LPA twin over the SAME candidate pairs:
+    three synchronous rounds of neighbor-majority (count desc, min label
+    tie-break) must reproduce every per-node label trajectory and the
+    final community sizes."""
+    from collections import Counter, defaultdict
+
+    from bbc_news_data_pipeline_spark.operators.dedup import minhash_candidates
+    from bbc_news_data_pipeline_spark.plans.curation_plans import (
+        _MAX_GROUP,
+        _Q200_K,
+        q200_label_propagation,
+    )
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import SHINGLE_K
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = (
+        minhash_candidates(docs, "doc_id", "text", n_hashes=8, bands=4,
+                           k=SHINGLE_K, max_group=_MAX_GROUP)
+        .select("id_a", "id_b").distinct().collect()
+    )
+    adj = defaultdict(set)
+    for p in pairs:
+        adj[p.id_a].add(p.id_b)
+        adj[p.id_b].add(p.id_a)
+    lab = {v: v for v in adj}
+    traj = []
+    for _ in range(_Q200_K):
+        new = {}
+        for v, nbrs in adj.items():
+            c = Counter(lab[u] for u in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+        traj.append(dict(lab))
+    sizes = Counter(traj[-1].values())
+    out = q200_label_propagation(spark, sf_dir).collect()
+    assert len(out) == len(adj)
+    for r in out:
+        assert (r.lbl1, r.lbl2, r.lbl3) == (
+            traj[0][r.doc_id], traj[1][r.doc_id], traj[2][r.doc_id]
+        )
+        assert r.comm_size == sizes[r.lbl3]

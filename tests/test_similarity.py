@@ -278,3 +278,73 @@ def test_pq_codebook_dominates_full_vector_vq(spark, sf_dir):
     ) / 1e12
     assert pq_total <= vq_total + 1e-6
     assert pq_total > 0
+
+
+def test_ivfpq_adc_numpy_twin(spark, sf_dir):
+    """q199 vs numpy: rebuild the quantized vectors, the IVF probe list,
+    the PQ codes, the ADC table, and the exact top-k; the returned rows
+    must be the ADC top-k restricted to probed cells, every distance
+    must match the int64 arithmetic, and recall@k must equal the
+    actual overlap with the exact top-k."""
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q186_M,
+        _Q186_SEED_MOD,
+        _Q186_SUB,
+        _Q199_K,
+        _Q199_NCELL,
+        _Q199_NPROBE,
+        _Q199_QID,
+        q199_ivfpq_search,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    mat = np.floor(
+        np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    byid = {int(i): mat[k] for k, i in enumerate(ids)}
+    cents = {i: v for i, v in byid.items() if i < _Q199_NCELL}
+    corpus = {i: v for i, v in byid.items() if i >= _Q199_NCELL}
+    q = byid[_Q199_QID]
+
+    def sq(a, b):
+        d = a - b
+        return int(d @ d)
+
+    assign = {
+        i: min(cents, key=lambda c: (sq(v, cents[c]), c))
+        for i, v in corpus.items()
+    }
+    probed = sorted(cents, key=lambda c: (sq(cents[c], q), c))[:_Q199_NPROBE]
+    seeds = {i: v for i, v in byid.items() if i % _Q186_SEED_MOD == 0}
+
+    def sub(v, m):
+        return v[m * _Q186_SUB:(m + 1) * _Q186_SUB]
+
+    codes = {
+        (i, m): min(seeds, key=lambda s: (sq(sub(v, m), sub(seeds[s], m)), s))
+        for i, v in corpus.items() for m in range(_Q186_M)
+    }
+    lut = {
+        (m, s): sq(sub(q, m), sub(v, m))
+        for s, v in seeds.items() for m in range(_Q186_M)
+    }
+    adc = {
+        i: sum(lut[(m, codes[(i, m)])] for m in range(_Q186_M))
+        for i in corpus if assign[i] in probed
+    }
+    top_adc = sorted(adc, key=lambda i: (adc[i], i))[:_Q199_K]
+    exact = {i: sq(v, q) for i, v in corpus.items()}
+    top_exact = set(sorted(exact, key=lambda i: (exact[i], i))[:_Q199_K])
+
+    out = {r.vec_id: r for r in q199_ivfpq_search(spark, sf_dir).collect()}
+    assert set(out) == set(top_adc)
+    hits = sum(1 for i in top_adc if i in top_exact)
+    for i, r in out.items():
+        assert r.cell == assign[i] and r.cell in probed
+        assert r.adc_sqdist == np.floor(adc[i] / 1e12 * 1e4 + 0.5) / 1e4
+        assert r.exact_sqdist == np.floor(exact[i] / 1e12 * 1e4 + 0.5) / 1e4
+        assert r.in_exact_topk == (1 if i in top_exact else 0)
+        assert r.recall_at_k == round(hits / _Q199_K, 4)
