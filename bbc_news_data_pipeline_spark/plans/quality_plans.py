@@ -2837,6 +2837,311 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q202 — join-key skew profiler (ext): the pre-join diagnostic a 100 TB
+# planner runs before shuffling on a key — per-key multiplicities rolled
+# into a log2 frequency-of-frequencies histogram (≤ 64 rows by
+# construction, however hot the keys), with the table-level skew
+# readouts every row replicates: total/distinct counts, the hottest key
+# and its share, and the SALT FACTOR a skew-mitigating repartition
+# would need (ceil(c_max·P / n_total) for P=32 target partitions — the
+# q182 salting operator's input, derived instead of guessed).
+# All-integer: log2 via length(bin(c))-1 (no float log), the argmax key
+# ties to the smallest id, share is one floor-rounded division, salt is
+# exact ceiling division.
+# Scale: ONE corpus groupBy to per-key counts, ONE bounded re-aggregate
+# to ≤ 64 log2 cells + two groupless (1-row, broadcast-safe) rollups —
+# the profile never materializes corpus-scale output.
+# ---------------------------------------------------------------------------
+_Q202_P = 32  # target partition count the salt recommendation assumes
+
+
+def q202_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_key = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds histogram + both rollups
+    )
+    hist = (
+        per_key.withColumn("bucket", F.expr("length(bin(c)) - 1").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+    )
+    tops = per_key.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max(
+            F.struct(F.col("c").alias("c"), (-F.col("k")).alias("nk"))
+        ).alias("b"),
+    ).select(
+        "n_total",
+        "n_distinct",
+        F.col("b.c").alias("c_max"),
+        (-F.col("b.nk")).cast("long").alias("top_key"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tops))
+        .select(
+            "bucket",
+            "n_keys",
+            "n_rows",
+            "n_total",
+            "n_distinct",
+            "c_max",
+            "top_key",
+            (
+                F.floor(
+                    F.col("c_max").cast("double")
+                    / F.col("n_total")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("top1_share"),
+            F.expr(
+                f"(c_max * {_Q202_P} + n_total - 1) div n_total"
+            ).alias("salt_factor"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q202_SQL = f"""
+WITH per_key AS (
+    SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1
+),
+hist AS (
+    SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM per_key GROUP BY 1
+),
+tops AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           max(struct_pack(c := c, nk := -k)) AS b
+    FROM per_key
+)
+SELECT h.bucket, h.n_keys, h.n_rows,
+       t.n_total, t.n_distinct,
+       CAST(t.b.c AS BIGINT) AS c_max,
+       CAST(-t.b.nk AS BIGINT) AS top_key,
+       floor(CAST(t.b.c AS DOUBLE) / t.n_total * 1000000 + 0.5) / 1000000.0
+           AS top1_share,
+       CAST((t.b.c * {_Q202_P} + t.n_total - 1) // t.n_total AS BIGINT)
+           AS salt_factor
+FROM hist h CROSS JOIN tops t
+ORDER BY h.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q201 — exact sign test + Benjamini–Hochberg FDR, all-integer (ext):
+# the multiple-testing control an experimentation/monitoring platform
+# needs when it screens MANY metrics at once — for every event_type,
+# an exact one-sided binomial sign test on week-over-week daily-count
+# increases (k increases out of n non-tied lag-7 pairs, p = P[Bin(n,½)
+# ≥ k] = Σ C(n,i)/2ⁿ), then the BH step-up procedure across the m
+# types at q = 1/20. NOTHING is floating point until the display
+# columns: binomial coefficients build by exact stepwise products
+# (every prefix product is itself a binomial, so each division is
+# exact), p-values compare across different n via tails scaled to the
+# common denominator 2^n_max (shiftleft), and the BH inequality
+# p_(j) ≤ j·q/m is tested as tail·m·q_den ≤ j·q_num·2^n_max in int64.
+# Bound: n ≤ 33 pairs per series keeps every term < 2^53-exact (30-day
+# testdata gives n ≤ 23); longer windows would move tails to
+# DECIMAL(38,0) — documented, not needed here.
+# Scale: ONE corpus groupBy to daily grain; every later frame is
+# |event_type| ≤ 5 rows (the lag window is partitioned by type over
+# ≤ n_days rows). The BH rank is a crossJoin of that 5-row frame with
+# itself — domain-bounded, no unpartitioned window, no corpus rescans.
+# ---------------------------------------------------------------------------
+_Q201_LAG = 7
+_Q201_QNUM, _Q201_QDEN = 1, 20  # BH target FDR q = 0.05, exact rational
+
+
+def q201_signtest_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("t").orderBy("day")
+    paired = (
+        daily.withColumn("base", F.lag("n", _Q201_LAG).over(w))
+        .filter(F.col("base").isNotNull() & (F.col("n") != F.col("base")))
+    )
+    stats = paired.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("n") > F.col("base"), 1).otherwise(0))
+        .cast("long")
+        .alias("k_pos"),
+    )
+    # exact upper binomial tail: fold j = 1..n keeping C(n,j) and the
+    # running Σ_{i≥k} C(n,i); each division is exact by construction
+    # (C(n,j-1)·(n-j+1) is divisible by j), and every term < 2^53 so the
+    # double-division round-trip is exact
+    tail = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_pairs")),
+        F.struct(
+            F.lit(1).cast("long").alias("c"),
+            F.when(F.col("k_pos") <= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("s"),
+        ),
+        lambda acc, j: F.struct(
+            (acc["c"] * (F.col("n_pairs") - j + 1) / j).cast("long").alias("c"),
+            (
+                acc["s"]
+                + F.when(
+                    j >= F.col("k_pos"),
+                    (acc["c"] * (F.col("n_pairs") - j + 1) / j).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    tested = stats.withColumn("tail", tail).localCheckpoint(
+        eager=False
+    )  # ≤ |event_type| rows; feeds rank self-join + totals
+    tot = tested.agg(
+        F.count("*").cast("long").alias("m"),
+        F.max("n_pairs").cast("int").alias("n_max"),
+    )
+    scaled = tested.crossJoin(F.broadcast(tot)).withColumn(
+        "p_scaled",
+        F.expr("shiftleft(tail, n_max - CAST(n_pairs AS INT))"),
+    )
+    other = scaled.select(
+        F.col("t").alias("t2"),
+        F.col("p_scaled").alias("p2"),
+    )
+    ranked = (
+        scaled.crossJoin(other)
+        .groupBy("t", "n_pairs", "k_pos", "tail", "m", "n_max", "p_scaled")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("p2") < F.col("p_scaled"))
+                        | (
+                            (F.col("p2") == F.col("p_scaled"))
+                            & (F.col("t2") < F.col("t"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("rank")
+        )
+        .withColumn(
+            "bh_ok",
+            F.col("tail") * F.col("m") * F.lit(_Q201_QDEN)
+            <= F.col("rank")
+            * F.lit(_Q201_QNUM)
+            * F.expr("shiftleft(1L, n_max)"),
+        )
+        .localCheckpoint(eager=False)  # feeds j* rollup + output
+    )
+    jstar = ranked.agg(
+        F.max(F.when(F.col("bh_ok"), F.col("rank")).otherwise(0)).alias("j_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(jstar))
+        .select(
+            F.col("t").alias("event_type"),
+            "n_pairs",
+            "k_pos",
+            F.col("tail").alias("p_num"),
+            (
+                F.col("tail").cast("double")
+                / F.expr("shiftleft(1L, CAST(n_pairs AS INT))")
+            ).alias("_p"),
+            "rank",
+            (F.col("rank") <= F.col("j_star")).cast("int").alias("reject"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            "k_pos",
+            "p_num",
+            (F.floor(F.col("_p") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "p_value"
+            ),
+            "rank",
+            "reject",
+        )
+        .orderBy("rank")
+    )
+
+
+Q201_SQL = f"""
+WITH daily AS (
+    SELECT event_type AS t, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+paired AS (
+    SELECT t, n,
+           lag(n, {_Q201_LAG}) OVER (PARTITION BY t ORDER BY day) AS base
+    FROM daily
+),
+stats AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN n > base THEN 1 ELSE 0 END) AS BIGINT) AS k_pos
+    FROM paired WHERE base IS NOT NULL AND n <> base
+    GROUP BY t
+),
+tested AS (
+    SELECT t, n_pairs, k_pos,
+           CAST(list_sum(list_transform(generate_series(k_pos, n_pairs),
+               i -> CAST(factorial(CAST(n_pairs AS INTEGER))
+                    // (factorial(CAST(i AS INTEGER))
+                        * factorial(CAST(n_pairs - i AS INTEGER))) AS BIGINT)))
+               AS BIGINT) AS tail
+    FROM stats
+),
+tot AS (SELECT count(*) AS m, CAST(max(n_pairs) AS INTEGER) AS n_max FROM tested),
+scaled AS (
+    SELECT te.*, tot.m, tot.n_max,
+           te.tail << (tot.n_max - CAST(te.n_pairs AS INTEGER)) AS p_scaled
+    FROM tested te CROSS JOIN tot
+),
+ranked AS (
+    SELECT a.*,
+           1 + (SELECT count(*) FROM scaled b
+                WHERE b.p_scaled < a.p_scaled
+                   OR (b.p_scaled = a.p_scaled AND b.t < a.t)) AS rank,
+           a.tail * a.m * {_Q201_QDEN}
+               <= (1 + (SELECT count(*) FROM scaled b
+                        WHERE b.p_scaled < a.p_scaled
+                           OR (b.p_scaled = a.p_scaled AND b.t < a.t)))
+                  * {_Q201_QNUM} * (CAST(1 AS BIGINT) << a.n_max) AS bh_ok
+    FROM scaled a
+),
+jstar AS (
+    SELECT max(CASE WHEN bh_ok THEN rank ELSE 0 END) AS j_star FROM ranked
+)
+SELECT r.t AS event_type,
+       r.n_pairs,
+       r.k_pos,
+       r.tail AS p_num,
+       floor(CAST(r.tail AS DOUBLE)
+             / (CAST(1 AS BIGINT) << CAST(r.n_pairs AS INTEGER))
+             * 1000000 + 0.5) / 1000000.0 AS p_value,
+       CAST(r.rank AS BIGINT) AS rank,
+       CAST(CASE WHEN r.rank <= j.j_star THEN 1 ELSE 0 END AS INTEGER)
+           AS reject
+FROM ranked r CROSS JOIN jstar j
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # q197 — chi-squared independence audit + Cramér's V (ext): is order
 # priority independent of the customer's market segment? The categorical
 # association test a feature-engineering / experimentation platform runs
@@ -3011,6 +3316,10 @@ QUERIES = [
           survey="ext:ks-drift,ext:drift-psi,ext:quantile-digest,A7"),
     Query("q197_chisq_independence", q197_chisq_independence, Q197_SQL,
           survey="ext:chisq-independence,ext:data-profiling,J1,A4"),
+    Query("q201_signtest_bh", q201_signtest_bh, Q201_SQL,
+          survey="ext:signtest-bh-fdr,ext:forecast-backtest,ext:drift-psi"),
+    Query("q202_skew_profiler", q202_skew_profiler, Q202_SQL,
+          survey="ext:skew-profiler,ext:salted-aggregation,ext:data-profiling,A2"),
     Query("q74_snapshot_diff", q74_snapshot_diff, Q74_SQL,
           survey="ext:snapshot-diff,J4,S9"),
     Query("q75_hourly_locf", q75_hourly_locf, Q75_SQL,

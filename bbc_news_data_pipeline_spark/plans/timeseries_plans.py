@@ -972,7 +972,135 @@ ORDER BY streak_len
 """
 
 
+# ---------------------------------------------------------------------------
+# q203 — funnel time-to-convert percentiles via mergeable grid digest
+# (ext): q70 answers WHO converts; this answers HOW FAST — per user the
+# first signup→first subsequent purchase latency, rolled into the q138
+# fixed-grid digest (hour-wide buckets) and read back at p50/p90/p99
+# with the exact integer rank rule r = ⌈n·pct/100⌉. The digest shape is
+# the point: per-shard hourly histograms MERGE by addition, so at
+# 100 TB the latency profile accumulates incrementally instead of
+# re-sorting every conversion ever seen. Latency is exact integer
+# microseconds (unix_micros/epoch_us on both engines) floored to
+# seconds — no float time math; conversion rate is one floor-rounded
+# division.
+# Scale: two type-filtered corpus groupBys on user_id + one join on
+# user_id (the funnel's natural key), then a ≤ (max-latency/3600)-row
+# digest; the cumulative window is over that value-domain-bounded frame
+# (pinned in tests/test_plan_budget.py), percentile probes are a 3-row
+# literal frame joined against it.
+# ---------------------------------------------------------------------------
+_Q203_W = 3600                 # digest bucket width, seconds
+_Q203_PCTS = (50, 90, 99)
+
+
+def q203_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+        .localCheckpoint(eager=False)  # feeds conversion join + n_signups
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(s, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("first_p"), F.min("s_us").alias("s_us"))
+        .select(
+            F.expr(f"((first_p - s_us) div 1000000) div {_Q203_W}").alias(
+                "bucket"
+            )
+        )
+    )
+    digest = conv.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = digest.withColumn("cum", F.sum("cnt").over(wcum))
+    counts = (
+        s.agg(F.count("*").alias("n_signups"))
+        .crossJoin(digest.agg(F.sum("cnt").cast("long").alias("n_converted")))
+    )
+    tgt = (
+        counts.select(
+            "n_signups",
+            "n_converted",
+            F.explode(
+                F.array(*[F.lit(p) for p in _Q203_PCTS])
+            ).alias("pct"),
+        )
+        .withColumn("r", F.expr("(n_converted * pct + 99) div 100"))
+    )
+    return (
+        tgt.join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("pct", "n_signups", "n_converted")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("n_signups").cast("long").alias("n_signups"),
+            "n_converted",
+            (
+                F.floor(
+                    F.col("n_converted").cast("double")
+                    / F.col("n_signups")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("conv_rate"),
+            (F.col("b") * _Q203_W).cast("long").alias("sec_lo"),
+            ((F.col("b") + 1) * _Q203_W).cast("long").alias("sec_hi"),
+        )
+        .orderBy("pct")
+    )
+
+
+Q203_SQL = f"""
+WITH s AS (
+    SELECT user_id, min(epoch_us(ts)) AS s_us
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+conv AS (
+    SELECT ((min(p.p_us) - min(s.s_us)) // 1000000) // {_Q203_W} AS bucket
+    FROM (SELECT user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase') p
+    JOIN s ON s.user_id = p.user_id
+    WHERE p.p_us >= s.s_us
+    GROUP BY p.user_id
+),
+digest AS (SELECT bucket, count(*) AS cnt FROM conv GROUP BY 1),
+cum AS (
+    SELECT bucket, sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS cum
+    FROM digest
+),
+counts AS (
+    SELECT (SELECT count(*) FROM s) AS n_signups,
+           (SELECT CAST(sum(cnt) AS BIGINT) FROM digest) AS n_converted
+),
+tgt AS (
+    SELECT n_signups, n_converted, t.pct,
+           (n_converted * t.pct + 99) // 100 AS r
+    FROM counts, unnest([{", ".join(str(p) for p in _Q203_PCTS)}]) AS t(pct)
+)
+SELECT CAST(t.pct AS INTEGER) AS pct,
+       CAST(t.n_signups AS BIGINT) AS n_signups,
+       t.n_converted,
+       floor(CAST(t.n_converted AS DOUBLE) / t.n_signups * 1000000 + 0.5)
+           / 1000000.0 AS conv_rate,
+       CAST(min(c.bucket) * {_Q203_W} AS BIGINT) AS sec_lo,
+       CAST((min(c.bucket) + 1) * {_Q203_W} AS BIGINT) AS sec_hi
+FROM tgt t JOIN cum c ON c.cum >= t.r
+GROUP BY t.pct, t.n_signups, t.n_converted
+ORDER BY pct
+"""
+
+
 QUERIES = [
+    Query("q203_funnel_latency", q203_funnel_latency, Q203_SQL,
+          survey="ext:funnel,ext:quantile-digest,ext:percentiles,ST4",
+          tags=("bench",)),
     Query("q192_seasonal_mase", q192_seasonal_mase, Q192_SQL,
           survey="ext:forecast-backtest,ext:trend-regression,"
                  "ext:hypertable-rollup",

@@ -123,6 +123,9 @@ def test_unpartitioned_window_sites_pinned():
                                         # cumulatives (value-DOMAIN-bounded,
                                         # not corpus); q188 digest cum +
                                         # S-row shard-audit lag
+        "plans/timeseries_plans.py": 1, # q203 latency-digest cumulative
+                                        # (≤ max-latency/3600 bucket rows,
+                                        # value-DOMAIN-bounded)
     }
     pat = re.compile(r"Window\.orderBy|Window\.partitionBy\(\)")
     got = {}

@@ -352,3 +352,99 @@ def test_quantile_normalize_maps_sources_onto_pooled_distribution(spark, tmp_pat
     # the upper half of lo's points cross into the high source's range:
     # the whole point of cross-source calibration
     assert out[("lo", 75)].shift > 800 and out[("hi", 25)].shift < -800
+
+
+def test_signtest_bh_python_twin(spark, sf_dir):
+    """q201 vs math.comb: exact binomial tails, rank order, and the BH
+    step-up rejection set must all reproduce."""
+    from math import comb
+
+    import pandas as pd
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q201_LAG,
+        _Q201_QDEN,
+        _Q201_QNUM,
+        q201_signtest_bh,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts"
+    ).toPandas()
+    pdf["day"] = pdf.ts.dt.floor("D")
+    daily = pdf.groupby(["event_type", "day"]).size().reset_index(name="n")
+    stats = {}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        g["base"] = g.n.shift(_Q201_LAG)
+        g = g.dropna(subset=["base"])
+        g = g[g.n != g.base]
+        if len(g):
+            stats[et] = (len(g), int((g.n > g.base).sum()))
+    tails = {
+        et: sum(comb(n, i) for i in range(k, n + 1)) for et, (n, k) in stats.items()
+    }
+    m = len(stats)
+    nmax = max(n for n, _ in stats.values())
+    order = sorted(stats, key=lambda et: (tails[et] << (nmax - stats[et][0]), et))
+    ranks = {et: j + 1 for j, et in enumerate(order)}
+    flags = {
+        et: tails[et] * m * _Q201_QDEN
+        <= ranks[et] * _Q201_QNUM * (1 << nmax)
+        for et in stats
+    }
+    jstar = max((ranks[et] for et in stats if flags[et]), default=0)
+
+    out = {r.event_type: r for r in q201_signtest_bh(spark, sf_dir).collect()}
+    assert set(out) == set(stats)
+    for et, r in out.items():
+        n, k = stats[et]
+        assert (r.n_pairs, r.k_pos, r.p_num) == (n, k, tails[et])
+        assert r.rank == ranks[et]
+        assert r.reject == (1 if ranks[et] <= jstar else 0)
+        import math
+        assert r.p_value == math.floor(tails[et] / 2**n * 1e6 + 0.5) / 1e6
+
+
+def test_skew_profiler_python_twin_and_engineered_hot_key(spark, sf_dir, tmp_path):
+    """q202 vs a Counter twin on real data; then an engineered 90%-hot
+    key must dominate top1_share and drive the salt factor to ~P."""
+    from collections import Counter
+    from datetime import datetime
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q202_P,
+        q202_skew_profiler,
+    )
+
+    users = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id"
+    ).toPandas().user_id
+    c = Counter(users)
+    n_total, n_distinct = len(users), len(c)
+    c_max = max(c.values())
+    top_key = min(k for k, v in c.items() if v == c_max)
+    hist = Counter(v.bit_length() - 1 for v in c.values())
+    out = q202_skew_profiler(spark, sf_dir).collect()
+    assert {r.bucket: r.n_keys for r in out} == dict(hist)
+    for r in out:
+        assert (r.n_total, r.n_distinct, r.c_max, r.top_key) == (
+            n_total, n_distinct, c_max, top_key
+        )
+        assert r.top1_share == floor(c_max / n_total * 1e6 + 0.5) / 1e6
+        assert r.salt_factor == -((-c_max * _Q202_P) // n_total)
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 28), 7 if i < 90 else i, "view", 1.0, "{}")
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    hot = q202_skew_profiler(spark, str(tmp_path)).collect()
+    r0 = hot[0]
+    assert r0.top_key == 7 and r0.c_max == 90 and r0.top1_share == 0.9
+    assert r0.salt_factor == -((-90 * _Q202_P) // 100)  # ceil(28.8) = 29

@@ -150,3 +150,62 @@ def test_selection_median_matches_python_twin(spark):
         assert row.n == len(vals)
         assert row.median_value == vals[k - 1]
         assert row.n_bucket_rows < max(8, len(vals) // 4)
+
+
+def test_funnel_latency_python_twin_and_engineered(spark, sf_dir, tmp_path):
+    """q203 vs a python twin (first signup → first subsequent purchase,
+    hour buckets, exact ceil-rank percentile rule); then an engineered
+    corpus with hand-computable latencies of 0h/1h/10h across three
+    converting users (p50 → 1h bucket, p99 → 10h bucket) and one
+    never-converting signup."""
+    from datetime import datetime, timedelta
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q203_PCTS,
+        _Q203_W,
+        q203_funnel_latency,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    s = pdf[pdf.event_type == "signup"].groupby("user_id").ts.min()
+    p = pdf[pdf.event_type == "purchase"].merge(
+        s.rename("s_ts"), left_on="user_id", right_index=True
+    )
+    p = p[p.ts >= p.s_ts]
+    first = p.groupby("user_id").agg(p_ts=("ts", "min"), s_ts=("s_ts", "min"))
+    lat = [
+        ((pt.value // 1000) - (st.value // 1000)) // 1_000_000 // _Q203_W
+        for pt, st in zip(first.p_ts, first.s_ts)
+    ]  # pandas .value is ns; → us → sec → bucket
+    lat.sort()
+    n_conv, n_sign = len(lat), len(s)
+    out = {r.pct: r for r in q203_funnel_latency(spark, sf_dir).collect()}
+    assert set(out) == set(_Q203_PCTS)
+    for pct, r in out.items():
+        rk = -((-n_conv * pct) // 100)  # ceil
+        b = lat[rk - 1]
+        assert (r.n_signups, r.n_converted) == (n_sign, n_conv)
+        assert (r.sec_lo, r.sec_hi) == (b * _Q203_W, (b + 1) * _Q203_W)
+        assert r.conv_rate == floor(n_conv / n_sign * 1e6 + 0.5) / 1e6
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "signup", 1.0, "{}"),
+        (2, t0 + timedelta(minutes=30), 1, "purchase", 1.0, "{}"),   # 0h
+        (3, t0, 2, "signup", 1.0, "{}"),
+        (4, t0 + timedelta(hours=1, minutes=5), 2, "purchase", 1.0, "{}"),  # 1h
+        (5, t0, 3, "signup", 1.0, "{}"),
+        (6, t0 - timedelta(hours=2), 3, "purchase", 1.0, "{}"),  # before signup
+        (7, t0 + timedelta(hours=10, minutes=1), 3, "purchase", 1.0, "{}"),  # 10h
+        (8, t0, 4, "signup", 1.0, "{}"),  # never converts
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    eng = {r.pct: r for r in q203_funnel_latency(spark, str(tmp_path)).collect()}
+    assert all(r.n_signups == 4 and r.n_converted == 3 for r in eng.values())
+    assert eng[50].sec_lo == 1 * 3600 and eng[99].sec_lo == 10 * 3600
+    assert eng[50].conv_rate == 0.75
