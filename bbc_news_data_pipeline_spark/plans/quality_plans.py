@@ -2837,6 +2837,224 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q204 — split conformal prediction intervals with coverage audit (ext):
+# the distribution-free uncertainty wrapper (Vovk; Lei et al. 2018) a
+# model-scoring pipeline puts around ANY point predictor — train a
+# through-origin regression (predict n_chars from n_words) on fold 0,
+# take the k = ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual on
+# calibration fold 1 as q̂, and audit empirical coverage of ŷ ± q̂ on
+# held-out fold 2 (≈ 1−α by the exchangeability guarantee).
+# Exactness: x and y are integers, so the slope is the exact rational
+# sxy/sxx and every residual is compared in sxx-SCALED integer units
+# (|y·sxx − sxy·x|, DECIMAL(38,0)/HUGEINT) — q̂ is a VALUE picked from
+# the data, no float arithmetic until the display divisions.
+# Scale: q̂ is found by TWO-level distributed selection (the q130
+# histogram recursion made real): 64 equi-width bins, cum over 64 rows
+# locates the bucket; 64 sub-bins refine to n/4096; only that slice is
+# rank-windowed (unpartitioned, pinned — expected n_cal/4096 rows).
+# The corpus is scanned once per fold role; no global sort anywhere.
+# ---------------------------------------------------------------------------
+_Q204_ALPHA_NUM, _Q204_ALPHA_DEN = 1, 10  # α = 0.1 → target coverage 0.9
+_Q204_B = 64
+
+
+def q204_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.pmod(sample_key_expr("doc_id", salt="conf"), F.lit(3)).alias("fold"),
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    ).localCheckpoint(eager=False)  # feeds train moments + cal + test scans
+    mom = base.filter(F.col("fold") == 0).agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    score = F.abs(
+        F.col("y").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sxy") * F.col("x")
+    )
+    cal = (
+        base.filter(F.col("fold") == 1)
+        .crossJoin(F.broadcast(mom))
+        .select(score.alias("s"), "sxx", "sxy", "n_train")
+        .localCheckpoint(eager=False)  # histogram passes rescan this
+    )
+    st = cal.agg(
+        F.count("*").alias("n_cal"),
+        F.min("s").alias("mn"),
+        F.max("s").alias("mx"),
+        F.max("sxx").alias("sxx"),
+        F.max("sxy").alias("sxy"),
+        F.max("n_train").alias("n_train"),
+    ).withColumn(
+        "k",
+        F.expr(
+            f"(({_Q204_ALPHA_DEN - _Q204_ALPHA_NUM} * (n_cal + 1))"
+            f" + {_Q204_ALPHA_DEN - 1}) div {_Q204_ALPHA_DEN}"
+        ),
+    )
+
+    def refine(rows, kframe):
+        """One 64-bin selection level (the q130 histogram pass, groupless):
+        bin `rows.s` equi-width on its own [mn, mx], locate the bucket
+        holding the k-th smallest (k from the 1-row `kframe`), and
+        return (that bucket's rows, a 1-row frame with the remaining
+        offset k2). Exactness: the slice IS the set binned to the target
+        bucket id — no reconstructed value bounds, so no edge leakage."""
+        stats = rows.agg(
+            F.min("s").alias("mn"), F.max("s").alias("mx")
+        )
+        step = (F.col("mx") - F.col("mn")).cast("double") / F.lit(
+            float(_Q204_B)
+        )
+        binned = (
+            rows.crossJoin(F.broadcast(stats))
+            .withColumn(
+                "b",
+                F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                    F.least(
+                        F.lit(_Q204_B - 1),
+                        F.floor(
+                            (F.col("s") - F.col("mn")).cast("double") / step
+                        ).cast("int"),
+                    )
+                ),
+            )
+            .select("s", "b")
+            .localCheckpoint(eager=False)  # feeds histogram + slice
+        )
+        hist = binned.groupBy("b").agg(F.count("*").alias("c"))
+        wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        cum = hist.withColumn(
+            "before", F.coalesce(F.sum("c").over(wc), F.lit(0))
+        )
+        tgt = (
+            cum.crossJoin(F.broadcast(kframe))
+            .filter(
+                (F.col("before") < F.col("kk"))
+                & (F.col("before") + F.col("c") >= F.col("kk"))
+            )
+            .select(
+                F.col("b").alias("tb"),
+                (F.col("kk") - F.col("before")).alias("kk"),
+            )
+        )
+        slice_ = (
+            binned.crossJoin(F.broadcast(tgt))
+            .filter(F.col("b") == F.col("tb"))
+            .select("s")
+        )
+        return slice_, tgt.select("kk")
+
+    k0 = st.select(F.col("k").alias("kk"))
+    s1, k1 = refine(cal.select("s"), k0)
+    s2, k2 = refine(s1, k1)
+    wv = Window.orderBy("s")  # expected n_cal/4096 rows — pinned
+    qhat = (
+        s2.crossJoin(F.broadcast(k2))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == F.col("kk"))
+        .select(F.col("s").alias("qhat_scaled"))
+        # exactly one row matches rn == kk; the limit is a no-op that
+        # makes the 1-row bound STRUCTURAL, so the broadcast below is
+        # provably safe to the plan-audit walker (not reviewer fiat)
+        .limit(1)
+    )
+    test = (
+        base.filter(F.col("fold") == 2)
+        .crossJoin(F.broadcast(mom))
+        .select(score.alias("s"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.when(F.col("s") <= F.col("qhat_scaled"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.max("qhat_scaled").alias("qhat_scaled"),
+        )
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        test.crossJoin(F.broadcast(st))
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("k").cast("long").alias("k_rank"),
+            r6(F.col("sxy").cast("double") / F.col("sxx").cast("double")).alias(
+                "slope"
+            ),
+            (
+                F.floor(
+                    F.col("qhat_scaled").cast("double")
+                    / F.col("sxx").cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("qhat_y"),
+            "n_covered",
+            r6(F.col("n_covered").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+Q204_SQL = f"""
+WITH base AS (
+    SELECT ({_hex2int_sql("md5('conf:' || CAST(doc_id AS VARCHAR))", 1, 8)}) % 3
+               AS fold,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS x,
+           CAST(n_chars AS BIGINT) AS y
+    FROM documents
+),
+mom AS (
+    SELECT count(*) AS n_train,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(x AS HUGEINT) * y) AS sxy
+    FROM base WHERE fold = 0
+),
+cal AS (
+    SELECT abs(CAST(y AS HUGEINT) * m.sxx - m.sxy * x) AS s
+    FROM base, mom m WHERE fold = 1
+),
+st AS (
+    SELECT count(*) AS n_cal,
+           (({_Q204_ALPHA_DEN - _Q204_ALPHA_NUM} * (count(*) + 1))
+            + {_Q204_ALPHA_DEN - 1}) // {_Q204_ALPHA_DEN} AS k
+    FROM cal
+),
+qhat AS (
+    SELECT s AS qhat_scaled FROM (
+        SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal
+    ) t JOIN st ON t.rn = st.k
+),
+test AS (
+    SELECT count(*) AS n_test,
+           sum(CASE WHEN abs(CAST(y AS HUGEINT) * m.sxx - m.sxy * x)
+                         <= q.qhat_scaled THEN 1 ELSE 0 END) AS n_covered
+    FROM base, mom m, qhat q WHERE fold = 2
+)
+SELECT CAST(m.n_train AS BIGINT) AS n_train,
+       CAST(st.n_cal AS BIGINT) AS n_cal,
+       CAST(t.n_test AS BIGINT) AS n_test,
+       CAST(st.k AS BIGINT) AS k_rank,
+       floor(CAST(m.sxy AS DOUBLE) / CAST(m.sxx AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS slope,
+       floor(CAST(q.qhat_scaled AS DOUBLE) / CAST(m.sxx AS DOUBLE) * 10000
+             + 0.5) / 10000.0 AS qhat_y,
+       CAST(t.n_covered AS BIGINT) AS n_covered,
+       floor(CAST(t.n_covered AS DOUBLE) / t.n_test * 1000000 + 0.5)
+           / 1000000.0 AS coverage
+FROM mom m, st, qhat q, test t
+"""
+
+
+# ---------------------------------------------------------------------------
 # q202 — join-key skew profiler (ext): the pre-join diagnostic a 100 TB
 # planner runs before shuffling on a key — per-key multiplicities rolled
 # into a log2 frequency-of-frequencies histogram (≤ 64 rows by
@@ -3320,6 +3538,9 @@ QUERIES = [
           survey="ext:signtest-bh-fdr,ext:forecast-backtest,ext:drift-psi"),
     Query("q202_skew_profiler", q202_skew_profiler, Q202_SQL,
           survey="ext:skew-profiler,ext:salted-aggregation,ext:data-profiling,A2"),
+    Query("q204_conformal_intervals", q204_conformal_intervals, Q204_SQL,
+          survey="ext:conformal-intervals,ext:calibration-ece,"
+                 "ext:selection-quantile,ext:leakage-safe-split"),
     Query("q74_snapshot_diff", q74_snapshot_diff, Q74_SQL,
           survey="ext:snapshot-diff,J4,S9"),
     Query("q75_hourly_locf", q75_hourly_locf, Q75_SQL,

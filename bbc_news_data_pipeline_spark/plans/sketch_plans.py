@@ -3602,7 +3602,206 @@ ORDER BY t
 """
 
 
+# ---------------------------------------------------------------------------
+# q205 — three-way HLL Venn decomposition (ext): dataset-lineage at the
+# region grain — q126 estimates pairwise overlap; a 3-source ingest
+# needs all SEVEN exclusive Venn regions ("how much is ONLY in A",
+# "shared by exactly A and B", …) to decide what a new source actually
+# adds. Registers for the top-3 sources (by doc count, name tie-break)
+# merge bucket-wise-MAX into the 7 subset unions; every region then
+# falls out by inclusion–exclusion over the union estimates (e.g.
+# only-A = E(A∪B∪C) − E(B∪C)) — the sketch-algebra trick that needs NO
+# re-scan per region. The exact region counts (one 3-source membership-
+# bitmask rollup) ship alongside, so the estimate error is a verified
+# column; estimate differences may legitimately go negative at sketch
+# precision — that is the readout, not a bug.
+# Scale: ONE token pass builds ≤ 3·m register rows; the 7 unions, the
+# harmonic sums and the region algebra are all register-table-sized.
+# The exact audit is the only corpus-distinct rollup and exists to
+# certify the sketch — at 100 TB it drops and the algebra stands alone.
+# ---------------------------------------------------------------------------
+_Q205_SUBSETS = {1: "A", 2: "B", 3: "AB", 4: "C", 5: "AC", 6: "BC", 7: "ABC"}
+_Q205_REGIONS: dict[str, dict[int, int]] = {
+    # region → {subset-union id: coefficient}; ids are letter bitmasks
+    "A": {7: 1, 6: -1},
+    "B": {7: 1, 5: -1},
+    "C": {7: 1, 3: -1},
+    "AB": {5: 1, 6: 1, 7: -1, 4: -1},
+    "AC": {3: 1, 6: 1, 7: -1, 2: -1},
+    "BC": {3: 1, 5: 1, 7: -1, 1: -1},
+    "ABC": {1: 1, 2: 1, 4: 1, 3: -1, 5: -1, 6: -1, 7: 1},
+}
+
+
+def q205_hll_venn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cnts = docs.groupBy("source").agg(F.count("*").alias("nd"))
+    other = cnts.select(F.col("source").alias("s2"), F.col("nd").alias("nd2"))
+    letters = (
+        cnts.crossJoin(other)
+        .groupBy("source", "nd")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("nd2") > F.col("nd"))
+                        | ((F.col("nd2") == F.col("nd")) & (F.col("s2") < F.col("source"))),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            ).alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source",
+            F.when(F.col("rk") == 1, "A")
+            .when(F.col("rk") == 2, "B")
+            .otherwise("C")
+            .alias("L"),
+            F.expr("shiftleft(1, CAST(rk - 1 AS INT))").alias("bit"),
+        )
+    )
+    tok = (
+        docs.join(letters, "source")
+        .select("L", "bit", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .localCheckpoint(eager=False)  # feeds registers + exact audit
+    )
+    regs = hll_registers(tok, "w", ["L"])
+    sub_letters = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(sid).alias("sid"), F.lit(letter).alias("L"))
+                for sid, name in _Q205_SUBSETS.items()
+                for letter in name
+            ]
+        )
+    ).alias("sl")
+    expand = (
+        spark.range(1)
+        .select(sub_letters)
+        .select("sl.sid", "sl.L")
+        .join(regs, "L")
+    )
+    uregs = expand.groupBy("sid", "bucket").agg(F.max("r").alias("r"))
+    merged = hll_harmonic_agg(uregs, ["sid"])
+    _, corrected = hll_estimate_cols()
+    esub = merged.select("sid", corrected.alias("est"))
+    wide = esub.agg(
+        *[
+            F.max(F.when(F.col("sid") == sid, F.col("est"))).alias(f"e{sid}")
+            for sid in _Q205_SUBSETS
+        ]
+    )
+    region_structs = [
+        F.struct(
+            F.lit(name).alias("region"),
+            F.lit(
+                sum(1 << (ord(ch) - ord("A")) for ch in name)
+            ).alias("mask"),
+            sum(
+                (F.col(f"e{sid}") * F.lit(float(coef)))
+                for sid, coef in coefs.items()
+            ).alias("est"),
+        )
+        for name, coefs in _Q205_REGIONS.items()
+    ]
+    ests = wide.select(
+        F.explode(F.array(*region_structs)).alias("r")
+    ).select("r.region", "r.mask", "r.est")
+    exact = (
+        tok.select("w", "bit")
+        .distinct()
+        .groupBy("w")
+        .agg(F.sum("bit").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").cast("long").alias("exact_words"))
+    )
+    return (
+        ests.join(exact, "mask", "left")
+        .fillna(0, subset=["exact_words"])
+        .select(
+            "region",
+            F.col("mask").cast("int").alias("mask"),
+            F.round("est", 2).alias("est_words"),
+            "exact_words",
+        )
+        .orderBy("mask")
+    )
+
+
+def _q205_region_select() -> str:
+    rows = []
+    for name, coefs in _Q205_REGIONS.items():
+        mask = sum(1 << (ord(ch) - ord("A")) for ch in name)
+        expr = " + ".join(
+            f"({coef}) * e{sid}" for sid, coef in coefs.items()
+        )
+        rows.append(f"SELECT '{name}' AS region, {mask} AS mask, {expr} AS est FROM wide")
+    return "\nUNION ALL\n".join(rows)
+
+
+Q205_SQL = f"""
+WITH cnts AS (SELECT source, count(*) AS nd FROM documents GROUP BY 1),
+letters AS (
+    SELECT source,
+           CASE rk WHEN 1 THEN 'A' WHEN 2 THEN 'B' ELSE 'C' END AS L,
+           (1 << CAST(rk - 1 AS INTEGER)) AS bit
+    FROM (
+        SELECT a.source,
+               1 + (SELECT count(*) FROM cnts b
+                    WHERE b.nd > a.nd
+                       OR (b.nd = a.nd AND b.source < a.source)) AS rk
+        FROM cnts a
+    ) t WHERE rk <= 3
+),
+tok AS (
+    SELECT l.L, l.bit, unnest(str_split(lower(d.text), ' ')) AS w
+    FROM documents d JOIN letters l ON l.source = d.source
+),
+{_hll_regs_ctes('L')},
+subs AS (
+    SELECT * FROM (VALUES {", ".join(
+        f"({sid}, '{letter}')"
+        for sid, name in _Q205_SUBSETS.items() for letter in name
+    )}) AS v(sid, L)
+),
+uregs AS (
+    SELECT s.sid, r.bucket, max(r.r) AS r
+    FROM subs s JOIN regs r ON r.L = s.L
+    GROUP BY 1, 2
+),
+{_hll_agg_sql('sid', src='uregs')},
+{_hll_est_sql('sid')},
+wide AS (
+    SELECT {", ".join(
+        f"max(CASE WHEN sid = {sid} THEN e END) AS e{sid}"
+        for sid in _Q205_SUBSETS
+    )}
+    FROM est
+),
+ests AS (
+{_q205_region_select()}
+),
+exact AS (
+    SELECT mask, CAST(count(*) AS BIGINT) AS exact_words FROM (
+        SELECT w, sum(bit) AS mask FROM (SELECT DISTINCT L, bit, w FROM tok) t
+        GROUP BY w
+    ) g GROUP BY mask
+)
+SELECT e.region,
+       CAST(e.mask AS INTEGER) AS mask,
+       round(e.est, 2) AS est_words,
+       coalesce(x.exact_words, 0) AS exact_words
+FROM ests e LEFT JOIN exact x ON x.mask = e.mask
+ORDER BY mask
+"""
+
+
 QUERIES = [
+    Query("q205_hll_venn3", q205_hll_venn3, Q205_SQL,
+          survey="ext:hll-cardinality,ext:dataset-lineage,ext:venn-regions",
+          tags=("bench",)),
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),
     Query("q122_hll_vocab", q122_hll_vocab, Q122_SQL,

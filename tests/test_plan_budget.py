@@ -111,10 +111,12 @@ def test_unpartitioned_window_sites_pinned():
     pkg = Path(__file__).parent.parent / "bbc_news_data_pipeline_spark"
     # site → occurrence count; every input bounded by CONSTRUCTION:
     expected = {
-        "plans/quality_plans.py": 3,    # q73 PSI totals (5 event types);
+        "plans/quality_plans.py": 5,    # q73 PSI totals (5 event types);
                                         # q159 ECE rollup (<=10 bin rows);
                                         # q177 global digest cumulative
-                                        # (value-DOMAIN-bounded)
+                                        # (value-DOMAIN-bounded);
+                                        # q204 selection cum (64 hist rows)
+                                        # + final rank (n_cal/4096 slice)
         "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
         "plans/curation_plans.py": 3,   # q120 rep ring (B=64 bucket reps);
                                         # q189 source-size ladder

@@ -448,3 +448,75 @@ def test_skew_profiler_python_twin_and_engineered_hot_key(spark, sf_dir, tmp_pat
     r0 = hot[0]
     assert r0.top_key == 7 and r0.c_max == 90 and r0.top1_share == 0.9
     assert r0.salt_factor == -((-90 * _Q202_P) // 100)  # ceil(28.8) = 29
+
+
+def test_conformal_intervals_python_twin(spark, sf_dir):
+    """q204 vs a hashlib/python twin: same folds, exact scaled residuals,
+    the ⌈(n+1)(1−α)⌉-th smallest as q̂, and the held-out coverage."""
+    import hashlib
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q204_ALPHA_DEN,
+        _Q204_ALPHA_NUM,
+        q204_conformal_intervals,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+
+    def fold(i):
+        return int(hashlib.md5(f"conf:{i}".encode()).hexdigest()[:8], 16) % 3
+
+    pdf["fold"] = pdf.doc_id.map(fold)
+    pdf["x"] = pdf.text.str.split(" ").str.len()
+    tr = pdf[pdf.fold == 0]
+    sxx = int((tr.x.astype(object) * tr.x).sum())
+    sxy = int((tr.x.astype(object) * tr.n_chars).sum())
+    cal = pdf[pdf.fold == 1]
+    scores = sorted(
+        abs(int(y) * sxx - sxy * int(x)) for x, y in zip(cal.x, cal.n_chars)
+    )
+    n_cal = len(scores)
+    keep = _Q204_ALPHA_DEN - _Q204_ALPHA_NUM
+    k = (keep * (n_cal + 1) + _Q204_ALPHA_DEN - 1) // _Q204_ALPHA_DEN
+    qhat = scores[k - 1]
+    te = pdf[pdf.fold == 2]
+    cov = sum(
+        1
+        for x, y in zip(te.x, te.n_chars)
+        if abs(int(y) * sxx - sxy * int(x)) <= qhat
+    )
+    r = q204_conformal_intervals(spark, sf_dir).collect()[0]
+    assert (r.n_train, r.n_cal, r.n_test) == (len(tr), n_cal, len(te))
+    assert r.k_rank == k and r.n_covered == cov
+    assert r.slope == floor(sxy / sxx * 1e6 + 0.5) / 1e6
+    assert r.qhat_y == floor(qhat / sxx * 1e4 + 0.5) / 1e4
+    assert r.coverage == floor(cov / len(te) * 1e6 + 0.5) / 1e6
+    assert 0.0 <= r.coverage <= 1.0
+
+
+def test_hll_venn3_exact_masks_and_sketch_consistency(spark, sf_dir):
+    """q205: the exact region counts must match a python bitmask twin
+    over the top-3 sources' vocabularies; all 7 regions are present; and
+    the sketch estimate tracks the exact count on the largest region."""
+    from collections import Counter, defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import q205_hll_venn3
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    top3 = sorted(
+        Counter(pdf.source).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:3]
+    bits = {s: 1 << i for i, (s, _) in enumerate(top3)}
+    masks = defaultdict(int)
+    for src, txt in zip(pdf.source, pdf.text):
+        if src in bits:
+            for w in txt.lower().split(" "):
+                masks[w] |= bits[src]
+    exact = Counter(masks.values())
+    out = {r.mask: r for r in q205_hll_venn3(spark, sf_dir).collect()}
+    assert set(out) == set(range(1, 8))
+    for m, r in out.items():
+        assert r.exact_words == exact.get(m, 0)
+    big = max(out.values(), key=lambda r: r.exact_words)
+    assert abs(big.est_words - big.exact_words) / big.exact_words < 0.3
