@@ -1402,7 +1402,171 @@ ORDER BY p.o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# q208 — RFM customer segmentation with data-derived quintile ladders
+# (ext): the classic warehouse scoring pass — per customer Recency
+# (days since last order, anchored at max(o_orderdate) in the DATA, no
+# wall clock), Frequency (order count), Monetary (cent-quantized spend)
+# — each scored 1..5 against quintile thresholds read from per-dimension
+# bucket digests with the exact ceil-rank rule (q138); R is inverted so
+# 5 = most recent. Output is the segment rollup (code, population, avg
+# spend), the table a CRM/curation pipeline actually persists.
+# Exactness: cents sum in DECIMAL(38,0)/HUGEINT; thresholds are VALUES
+# picked from data; scores are integer comparisons; avg spend uses the
+# exact half-up integer rounding (q198's r-trick). Determinism needs no
+# float anywhere.
+# Scale: ONE orders scan to the per-customer rollup (natural key), three
+# bounded digests (days / order-count / $1000-bucket domains), each
+# cumulated over its own domain (pinned windows), thresholds collected
+# into a 1-row array frame (4 values per dim) broadcast back — scoring
+# is a row-local array filter, never a re-shuffle.
+# ---------------------------------------------------------------------------
+_Q208_MBUCKET = 100_000  # monetary digest bucket: $1000 in cents
+_Q208_QS = (20, 40, 60, 80)
+
+
+def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last"),
+            F.count("*").cast("long").alias("f"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last")).cast("long").alias("r_days"),
+            "f",
+            "m_cents",
+            F.expr(f"CAST(m_cents div {_Q208_MBUCKET} AS BIGINT)").alias("m_b"),
+        )
+        .localCheckpoint(eager=False)  # feeds 3 digests + scoring scan
+    )
+
+    def thresholds(col: str) -> DataFrame:
+        """4 quintile threshold values of `col` as ONE sorted-array row,
+        via digest + exact ceil-rank (value-domain-bounded cum window)."""
+        dig = cust.groupBy(F.col(col).alias("b")).agg(F.count("*").alias("c"))
+        wc = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+        cum = dig.withColumn("cum", F.sum("c").over(wc))
+        tot = dig.agg(F.sum("c").alias("n"))
+        tgt = tot.select(
+            "n",
+            F.explode(F.array(*[F.lit(q) for q in _Q208_QS])).alias("pct"),
+        ).withColumn("r", F.expr("(n * pct + 99) div 100"))
+        return (
+            tgt.join(cum, F.col("cum") >= F.col("r"))
+            .groupBy("pct")
+            .agg(F.min("b").alias("thr"))
+            .agg(F.array_sort(F.collect_list("thr")).alias(f"{col}_thr"))
+        )
+
+    thr = (
+        thresholds("r_days")
+        .crossJoin(thresholds("f"))
+        .crossJoin(thresholds("m_b"))
+    )
+    nabove = lambda c, a: F.size(
+        F.filter(F.col(a), lambda t: F.col(c) > t)
+    )
+    scored = cust.crossJoin(F.broadcast(thr)).select(
+        "m_cents",
+        (F.lit(5) - nabove("r_days", "r_days_thr")).alias("r_score"),
+        (F.lit(1) + nabove("f", "f_thr")).alias("f_score"),
+        (F.lit(1) + nabove("m_b", "m_b_thr")).alias("m_score"),
+    )
+    seg = scored.groupBy(
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment")
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("m_cents").alias("s_cents"),
+    )
+    return seg.select(
+        "segment",
+        "n_customers",
+        (
+            F.expr(
+                "CAST((s_cents * 200 + n_customers * 100)"
+                " div (2 * n_customers * 100) AS BIGINT)"
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("avg_spend"),
+    ).orderBy("segment")
+
+
+def _q208_thr_sql(col: str) -> str:
+    return f"""dig_{col} AS (
+    SELECT {col} AS b, count(*) AS c FROM cust GROUP BY 1
+),
+cum_{col} AS (
+    SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+    FROM dig_{col}
+),
+thr_{col} AS (
+    SELECT list_sort(list(thr)) AS {col}_thr FROM (
+        SELECT t.pct, min(c.b) AS thr
+        FROM (SELECT n, p.pct, (n * p.pct + 99) // 100 AS r
+              FROM (SELECT sum(c) AS n FROM dig_{col}) tt,
+                   unnest([{", ".join(str(q) for q in _Q208_QS)}]) AS p(pct)) t
+        JOIN cum_{col} c ON c.cum >= t.r
+        GROUP BY t.pct
+    ) q
+)"""
+
+
+Q208_SQL = f"""
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+cust AS (
+    SELECT o.o_custkey,
+           CAST(date_diff('day', max(o.o_orderdate), a.mx) AS BIGINT)
+               AS r_days,
+           CAST(count(*) AS BIGINT) AS f,
+           sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS HUGEINT)) AS m_cents,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS HUGEINT))
+                // {_Q208_MBUCKET} AS BIGINT) AS m_b
+    FROM orders o CROSS JOIN anchor a
+    GROUP BY o.o_custkey, a.mx
+),
+{_q208_thr_sql("r_days")},
+{_q208_thr_sql("f")},
+{_q208_thr_sql("m_b")},
+scored AS (
+    SELECT c.m_cents,
+           5 - len(list_filter(t1.r_days_thr, t -> c.r_days > t)) AS r_score,
+           1 + len(list_filter(t2.f_thr, t -> c.f > t)) AS f_score,
+           1 + len(list_filter(t3.m_b_thr, t -> c.m_b > t)) AS m_score
+    FROM cust c
+    CROSS JOIN thr_r_days t1 CROSS JOIN thr_f t2 CROSS JOIN thr_m_b t3
+),
+seg AS (
+    SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           sum(m_cents) AS s_cents
+    FROM scored GROUP BY 1
+)
+SELECT segment, n_customers,
+       CAST(CAST((s_cents * 200 + n_customers * 100)
+                 // (2 * CAST(n_customers AS HUGEINT) * 100) AS BIGINT)
+            AS DOUBLE) / 100.0 AS avg_spend
+FROM seg
+ORDER BY segment
+"""
+
+
 QUERIES = [
+    Query("q208_rfm_segments", q208_rfm_segments, Q208_SQL,
+          survey="ext:rfm-segmentation,ext:quantile-digest,ext:percentiles,A3,F19",
+          tags=("bench",)),
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
     Query("q03_topk_recent_orders", q03_topk_recent_orders, Q03_SQL, survey="S5,T1,T2"),

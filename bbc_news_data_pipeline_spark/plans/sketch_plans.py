@@ -3603,6 +3603,146 @@ ORDER BY t
 
 
 # ---------------------------------------------------------------------------
+# q207 — RETRACTABLE grid digest: incremental maintenance under deletes
+# (ext): q138 proves digests merge under INSERTS (counts add); real
+# pipelines also delete (GDPR erasure, late retractions, compaction).
+# Because the grid digest is a linear sketch, a delete feed maintains
+# it by merging NEGATED bucket counts, then compacting zero buckets —
+# no rebuild, no re-scan of the surviving corpus. The query runs BOTH
+# paths over the same simulated retraction feed (md5-keyed 25% of
+# events — deterministic, not sampled) and ships them side by side:
+# cnt_maintained ≡ cnt_rebuilt on every bucket is the IVM correctness
+# proof AS DATA (the q160 delta-join discipline applied to sketches),
+# capped with a p50/p90 readout from the maintained digest to show the
+# retracted sketch still answers quantile queries.
+# Scale: base and delete digests are each ONE map-side-combinable
+# groupBy; the merge and compaction touch only bucket-domain rows. The
+# rebuild path exists to certify the algebra — at 100 TB it is the
+# thing you no longer have to run.
+# ---------------------------------------------------------------------------
+_Q207_W = 8.0   # bucket width over events.value
+_Q207_MOD = 4   # 1/4 of events are retracted
+
+
+def q207_retractable_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") / F.lit(_Q207_W)).cast("long").alias("bucket"),
+        (F.pmod(sample_key_expr("event_id", salt="del"), F.lit(_Q207_MOD)) == 0)
+        .alias("is_del"),
+    ).localCheckpoint(eager=False)  # feeds base, delete, and rebuild scans
+    base = ev.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    dels = (
+        ev.filter("is_del")
+        .groupBy("bucket")
+        .agg((-F.count("*")).alias("cnt"))
+    )
+    maintained = (
+        base.unionByName(dels)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt_maintained"))
+        .filter(F.col("cnt_maintained") != 0)  # retraction compaction
+    )
+    rebuilt = (
+        ev.filter(~F.col("is_del"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt_rebuilt"))
+    )
+    side = maintained.join(rebuilt, "bucket", "full").select(
+        "bucket",
+        F.coalesce("cnt_maintained", F.lit(0)).alias("cnt_maintained"),
+        F.coalesce("cnt_rebuilt", F.lit(0)).alias("cnt_rebuilt"),
+    ).localCheckpoint(eager=False)  # feeds rows + quantile readout
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = side.withColumn("cum", F.sum("cnt_maintained").over(wcum))
+    tot = side.agg(F.sum("cnt_maintained").alias("n_kept"))
+    qtl = (
+        tot.select(
+            "n_kept",
+            F.explode(F.array(F.lit(50), F.lit(90))).alias("pct"),
+        )
+        .withColumn("r", F.expr("(n_kept * pct + 99) div 100"))
+        .join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("pct")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    qrow = qtl.groupBy().pivot("pct", [50, 90]).agg(F.min("qb")).select(
+        F.col("50").alias("p50_bucket"), F.col("90").alias("p90_bucket")
+    )
+    return (
+        side.crossJoin(F.broadcast(qrow))
+        .select(
+            "bucket",
+            "cnt_maintained",
+            "cnt_rebuilt",
+            (F.col("cnt_maintained") == F.col("cnt_rebuilt"))
+            .cast("int")
+            .alias("match"),
+            F.col("p50_bucket").cast("long").alias("p50_bucket"),
+            F.col("p90_bucket").cast("long").alias("p90_bucket"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q207_SQL = f"""
+WITH ev AS (
+    SELECT event_id,
+           CAST(floor(value / {_Q207_W}) AS BIGINT) AS bucket,
+           ({_hex2int_sql("md5('del:' || CAST(event_id AS VARCHAR))", 1, 8)})
+               % {_Q207_MOD} = 0 AS is_del
+    FROM events
+),
+base AS (SELECT bucket, count(*) AS cnt FROM ev GROUP BY 1),
+dels AS (SELECT bucket, -count(*) AS cnt FROM ev WHERE is_del GROUP BY 1),
+maintained AS (
+    SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt_maintained
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM dels) u
+    GROUP BY 1
+    HAVING sum(cnt) <> 0
+),
+rebuilt AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_rebuilt
+    FROM ev WHERE NOT is_del GROUP BY 1
+),
+side AS (
+    SELECT coalesce(m.bucket, r.bucket) AS bucket,
+           coalesce(m.cnt_maintained, 0) AS cnt_maintained,
+           coalesce(r.cnt_rebuilt, 0) AS cnt_rebuilt
+    FROM maintained m FULL JOIN rebuilt r ON r.bucket = m.bucket
+),
+cum AS (
+    SELECT bucket,
+           sum(cnt_maintained) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS cum
+    FROM side
+),
+tot AS (SELECT sum(cnt_maintained) AS n_kept FROM side),
+qtl AS (
+    SELECT t.pct, min(c.bucket) AS qb
+    FROM (SELECT n_kept, p.pct, (n_kept * p.pct + 99) // 100 AS r
+          FROM tot, unnest([50, 90]) AS p(pct)) t
+    JOIN cum c ON c.cum >= t.r
+    GROUP BY t.pct
+),
+qrow AS (
+    SELECT max(CASE WHEN pct = 50 THEN qb END) AS p50_bucket,
+           max(CASE WHEN pct = 90 THEN qb END) AS p90_bucket
+    FROM qtl
+)
+SELECT s.bucket, s.cnt_maintained, s.cnt_rebuilt,
+       CAST(CASE WHEN s.cnt_maintained = s.cnt_rebuilt THEN 1 ELSE 0 END
+            AS INTEGER) AS match,
+       CAST(q.p50_bucket AS BIGINT) AS p50_bucket,
+       CAST(q.p90_bucket AS BIGINT) AS p90_bucket
+FROM side s CROSS JOIN qrow q
+ORDER BY s.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # q205 — three-way HLL Venn decomposition (ext): dataset-lineage at the
 # region grain — q126 estimates pairwise overlap; a 3-source ingest
 # needs all SEVEN exclusive Venn regions ("how much is ONLY in A",
@@ -3801,6 +3941,10 @@ ORDER BY mask
 QUERIES = [
     Query("q205_hll_venn3", q205_hll_venn3, Q205_SQL,
           survey="ext:hll-cardinality,ext:dataset-lineage,ext:venn-regions",
+          tags=("bench",)),
+    Query("q207_retractable_digest", q207_retractable_digest, Q207_SQL,
+          survey="ext:quantile-digest,ext:incremental-view-maintenance,"
+                 "ext:incremental-stats,ext:hash-sampling",
           tags=("bench",)),
     Query("q121_countmin_heavy", q121_countmin_heavy, Q121_SQL,
           survey="ext:countmin-sketch,A11", tags=("bench",)),

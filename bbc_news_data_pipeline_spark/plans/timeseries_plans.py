@@ -973,6 +973,124 @@ ORDER BY streak_len
 
 
 # ---------------------------------------------------------------------------
+# q206 — session path mining (ext): the top navigation paths a product
+# analytics pipeline extracts from raw events — q21's sessionization
+# rule (30-min inactivity gap, (ts, event_id) total order) followed by
+# each session's first-5 event-type sequence, rolled up to the top-10
+# paths with their session share. The collect step is ordering-proof:
+# (rank, type) structs are array_sort-ed before joining, so the path
+# string never depends on aggregation order (the Spark twin of
+# string_agg ... ORDER BY).
+# Scale: sessionization is per-user windows (the key the data is
+# naturally about); the path rollup is one groupBy over one row per
+# session; top-10 is TakeOrdered with a path tie-break. Nothing
+# re-scans the corpus.
+# ---------------------------------------------------------------------------
+_Q206_GAP_S = 1800
+_Q206_PLEN = 5
+_Q206_TOPK = 10
+
+
+def q206_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn(
+            "is_new",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > _Q206_GAP_S * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    paths = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _Q206_PLEN)
+        .groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    tot = counts.agg(F.sum("n_sessions").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_Q206_TOPK)
+        .select(
+            "path",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            (
+                F.floor(
+                    F.col("n_sessions").cast("double") / F.col("n_total")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("share"),
+        )
+    )
+
+
+Q206_SQL = f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {_Q206_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM marked
+),
+numbered AS (
+    SELECT user_id, sess, event_type,
+           row_number() OVER (PARTITION BY user_id, sess
+                              ORDER BY ts, event_id) AS rn
+    FROM sess
+),
+paths AS (
+    SELECT user_id, sess,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM numbered WHERE rn <= {_Q206_PLEN}
+    GROUP BY user_id, sess
+),
+counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1),
+tot AS (SELECT sum(n_sessions) AS n_total FROM counts)
+SELECT c.path,
+       CAST(c.n_sessions AS BIGINT) AS n_sessions,
+       floor(CAST(c.n_sessions AS DOUBLE) / t.n_total * 1000000 + 0.5)
+           / 1000000.0 AS share
+FROM counts c CROSS JOIN tot t
+ORDER BY c.n_sessions DESC, c.path
+LIMIT {_Q206_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q203 — funnel time-to-convert percentiles via mergeable grid digest
 # (ext): q70 answers WHO converts; this answers HOW FAST — per user the
 # first signup→first subsequent purchase latency, rolled into the q138
@@ -1100,6 +1218,9 @@ ORDER BY pct
 QUERIES = [
     Query("q203_funnel_latency", q203_funnel_latency, Q203_SQL,
           survey="ext:funnel,ext:quantile-digest,ext:percentiles,ST4",
+          tags=("bench",)),
+    Query("q206_session_paths", q206_session_paths, Q206_SQL,
+          survey="ext:session-paths,ext:sessionization,ext:transition-matrix,W3",
           tags=("bench",)),
     Query("q192_seasonal_mase", q192_seasonal_mase, Q192_SQL,
           survey="ext:forecast-backtest,ext:trend-regression,"

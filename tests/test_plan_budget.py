@@ -111,6 +111,16 @@ def test_unpartitioned_window_sites_pinned():
     pkg = Path(__file__).parent.parent / "bbc_news_data_pipeline_spark"
     # site → occurrence count; every input bounded by CONSTRUCTION:
     expected = {
+        "plans/relational.py": 2,       # q161 bucket prefix-min (<=64
+                                        # score buckets); q208 quintile
+                                        # digest cum (value-DOMAIN-bounded)
+        "plans/embeddings_plans.py": 1, # q107 component-norm fold over the
+                                        # 64-row (dim-bounded) table
+        "plans/curation_plans.py": 4,   # q120 rep ring (B=64 bucket reps);
+                                        # q189 source-size ladder
+                                        # (<= #sources rows); q103
+                                        # temperature rates over O(#langs)
+                                        # strata counts
         "plans/quality_plans.py": 5,    # q73 PSI totals (5 event types);
                                         # q159 ECE rollup (<=10 bin rows);
                                         # q177 global digest cumulative
@@ -118,18 +128,20 @@ def test_unpartitioned_window_sites_pinned():
                                         # q204 selection cum (64 hist rows)
                                         # + final rank (n_cal/4096 slice)
         "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
-        "plans/curation_plans.py": 3,   # q120 rep ring (B=64 bucket reps);
-                                        # q189 source-size ladder
-                                        # (<= #sources rows)
-        "plans/sketch_plans.py": 6,     # q138 + q181 grid / value-hist
+        "plans/sketch_plans.py": 7,     # q138 + q181 grid / value-hist
                                         # cumulatives (value-DOMAIN-bounded,
                                         # not corpus); q188 digest cum +
-                                        # S-row shard-audit lag
+                                        # S-row shard-audit lag; q207
+                                        # maintained-digest cum (same
+                                        # bucket-domain bound)
         "plans/timeseries_plans.py": 1, # q203 latency-digest cumulative
                                         # (≤ max-latency/3600 bucket rows,
                                         # value-DOMAIN-bounded)
     }
-    pat = re.compile(r"Window\.orderBy|Window\.partitionBy\(\)")
+    # matches BOTH the plain name and the `Window as W` alias — the
+    # alias spelling silently escaped this inventory until round 7
+    # (relational q161, embeddings q107, curation q103 were uncounted)
+    pat = re.compile(r"(?:Window|\bW)\.orderBy|(?:Window|\bW)\.partitionBy\(\)")
     got = {}
     for py in pkg.rglob("*.py"):
         n = len(pat.findall(py.read_text()))

@@ -994,3 +994,62 @@ def test_chisq_independence_matches_numpy_and_zero_case(spark, sf_dir, tmp_path)
     ).write.parquet(str(tmp_path / "orders.parquet"))
     zero = q197_chisq_independence(spark, str(tmp_path)).collect()
     assert all(r.chi2 == 0.0 and r.cramers_v == 0.0 and r.contrib == 0.0 for r in zero)
+
+
+def test_rfm_segments_python_twin(spark, sf_dir):
+    """q208 vs a python twin: per-customer R/F/M rollup, quintile
+    thresholds by the exact ceil-rank rule on each dimension's bucket
+    digest, 1..5 scores (R inverted), segment populations, and the
+    half-up average spend."""
+    from collections import Counter, defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.relational import (
+        _Q208_MBUCKET,
+        _Q208_QS,
+        q208_rfm_segments,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    anchor = pdf.o_orderdate.max()
+    by_c = defaultdict(lambda: [None, 0, 0])
+    for r in pdf.itertuples():
+        st = by_c[r.o_custkey]
+        st[0] = r.o_orderdate if st[0] is None else max(st[0], r.o_orderdate)
+        st[1] += 1
+        st[2] += int(r.o_totalprice * 100 + 0.5)
+    rows = [
+        ((anchor - last).days, f, m, m // _Q208_MBUCKET)
+        for last, f, m in by_c.values()
+    ]
+
+    def thresholds(vals):
+        dig = Counter(vals)
+        n = len(vals)
+        out = []
+        for q in _Q208_QS:
+            r_rank = (n * q + 99) // 100
+            cum = 0
+            for b in sorted(dig):
+                cum += dig[b]
+                if cum >= r_rank:
+                    out.append(b)
+                    break
+        return sorted(out)
+
+    r_thr = thresholds([r[0] for r in rows])
+    f_thr = thresholds([r[1] for r in rows])
+    m_thr = thresholds([r[3] for r in rows])
+    segs = defaultdict(lambda: [0, 0])
+    for rd, f, m, mb in rows:
+        rs = 5 - sum(1 for t in r_thr if rd > t)
+        fs = 1 + sum(1 for t in f_thr if f > t)
+        ms = 1 + sum(1 for t in m_thr if mb > t)
+        seg = f"{rs}{fs}{ms}"
+        segs[seg][0] += 1
+        segs[seg][1] += m
+    out = {r.segment: r for r in q208_rfm_segments(spark, sf_dir).collect()}
+    assert set(out) == set(segs)
+    for seg, (n, s) in segs.items():
+        r = out[seg]
+        assert r.n_customers == n
+        assert r.avg_spend == ((s * 200 + n * 100) // (2 * n * 100)) / 100.0

@@ -1029,3 +1029,43 @@ def test_cardinality_bakeoff_estimators_sane(spark, sf_dir):
     for r in rows.values():
         assert abs(r.rel_err_pct) < 50.0
     assert min(abs(r.rel_err_pct) for r in rows.values()) < 25.0
+
+
+def test_retractable_digest_ivm_equivalence(spark, sf_dir):
+    """q207: maintained (base ⊎ negated deletes, zero-compacted) must
+    equal the rebuild on EVERY bucket (match=1 everywhere), reproduce a
+    hashlib twin's bucket counts, and the p50/p90 readout must follow
+    the exact ceil-rank rule on the maintained digest."""
+    import hashlib
+    from collections import Counter
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q207_MOD,
+        _Q207_W,
+        q207_retractable_digest,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+
+    def is_del(eid):
+        return int(hashlib.md5(f"del:{eid}".encode()).hexdigest()[:8], 16) % _Q207_MOD == 0
+
+    kept = Counter(
+        int(floor(v / _Q207_W))
+        for eid, v in zip(pdf.event_id, pdf.value)
+        if not is_del(eid)
+    )
+    out = q207_retractable_digest(spark, sf_dir).collect()
+    assert all(r.match == 1 for r in out)
+    assert {r.bucket: r.cnt_maintained for r in out} == dict(kept)
+    n = sum(kept.values())
+    buckets = sorted(kept)
+    for pct, col in ((50, "p50_bucket"), (90, "p90_bucket")):
+        r_rank = -((-n * pct) // 100)
+        cum = 0
+        for b in buckets:
+            cum += kept[b]
+            if cum >= r_rank:
+                assert all(getattr(row, col) == b for row in out)
+                break

@@ -209,3 +209,41 @@ def test_funnel_latency_python_twin_and_engineered(spark, sf_dir, tmp_path):
     assert all(r.n_signups == 4 and r.n_converted == 3 for r in eng.values())
     assert eng[50].sec_lo == 1 * 3600 and eng[99].sec_lo == 10 * 3600
     assert eng[50].conv_rate == 0.75
+
+
+def test_session_paths_python_twin(spark, sf_dir):
+    """q206 vs a python sessionizer twin: same 30-min gap rule, same
+    (ts, event_id) total order, first-5 path strings, top-10 by
+    (count desc, path asc)."""
+    from collections import Counter, defaultdict
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q206_GAP_S,
+        _Q206_PLEN,
+        _Q206_TOPK,
+        q206_session_paths,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    by_user = defaultdict(list)
+    for r in pdf.itertuples():
+        by_user[r.user_id].append((r.ts.value // 1000, r.event_id, r.event_type))
+    paths = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        cur, last_us = [], None
+        for us, _eid, et in evs:
+            if last_us is not None and us - last_us > _Q206_GAP_S * 1_000_000:
+                paths[">".join(cur[:_Q206_PLEN])] += 1
+                cur = []
+            cur.append(et)
+            last_us = us
+        if cur:
+            paths[">".join(cur[:_Q206_PLEN])] += 1
+    total = sum(paths.values())
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q206_TOPK]
+    out = q206_session_paths(spark, sf_dir).collect()
+    assert [(r.path, r.n_sessions) for r in out] == top
+    for r in out:
+        assert r.share == floor(r.n_sessions / total * 1e6 + 0.5) / 1e6
