@@ -2735,8 +2735,16 @@ def q196_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("t", "bucket")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)  # feeds dense grid, totals
     )
+    return _ks_from_cells(cells)
+
+
+def _ks_from_cells(cells: DataFrame) -> DataFrame:
+    """KS sup-gap readout over a (t, bucket, c) cell table — shared by the
+    batch build (q196) and the streaming-state drain (q209), so
+    incremental ≡ batch is an identity of the cell table, not of two
+    KS implementations."""
+    cells = cells.localCheckpoint(eager=False)  # feeds dense grid, totals
     dense = (
         cells.select("t").distinct()
         .crossJoin(cells.select("bucket").distinct())
@@ -3360,6 +3368,41 @@ ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# q209 — STREAMING KS drift via bounded keyed state (ST6 twin of q196):
+# the (event_type, bucket) cell table is exactly the state a streaming
+# drift monitor keeps — |types| × |value-domain/W| counters, bounded
+# regardless of stream length (the HLL/KMV/grid bounded-state contract,
+# applied to the drift family). A REAL availableNow Structured Streaming
+# drain (complete-mode groupBy state, fresh checkpoint) builds the
+# cells; the SAME _ks_from_cells readout as q196 then runs on the
+# drained state, so parity against the batch oracle proves
+# incremental ≡ batch as a cell-table identity.
+# ---------------------------------------------------------------------------
+def q209_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming_plans import _drain_to_memory
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+
+    def cells_stream(st):
+        return (
+            st.select(
+                F.col("event_type").alias("t"),
+                F.floor(F.col("value") / F.lit(_Q196_W))
+                .cast("long")
+                .alias("bucket"),
+            )
+            .groupBy("t", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    cells = _drain_to_memory(ev, cells_stream, "q209_ks", output_mode="complete")
+    return _ks_from_cells(cells)
+
+
+Q209_SQL = Q196_SQL  # the streaming state must reproduce the batch cells
+
+
+# ---------------------------------------------------------------------------
 # q197 — chi-squared independence audit + Cramér's V (ext): is order
 # priority independent of the customer's market segment? The categorical
 # association test a feature-engineering / experimentation platform runs
@@ -3532,6 +3575,8 @@ QUERIES = [
           survey="ext:drift-psi,A2,W2"),
     Query("q196_ks_drift", q196_ks_drift, Q196_SQL,
           survey="ext:ks-drift,ext:drift-psi,ext:quantile-digest,A7"),
+    Query("q209_stream_ks_drift", q209_stream_ks_drift, Q209_SQL,
+          survey="ext:ks-drift,ext:drift-psi,ST6,ST1", tags=("bench",)),
     Query("q197_chisq_independence", q197_chisq_independence, Q197_SQL,
           survey="ext:chisq-independence,ext:data-profiling,J1,A4"),
     Query("q201_signtest_bh", q201_signtest_bh, Q201_SQL,

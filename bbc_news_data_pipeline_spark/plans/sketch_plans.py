@@ -3603,6 +3603,139 @@ ORDER BY t
 
 
 # ---------------------------------------------------------------------------
+# q210 — grid-digest width/accuracy bake-off (ext): the q194 calibration
+# discipline applied to the quantile digest itself — the SAME value
+# stream is digested at four bucket widths in ONE scan (row-local ×4
+# explode), p50/p90/p99 read back from each by the exact ceil-rank rule
+# (bucket-midpoint estimate), and every estimate ships beside the TRUE
+# exact-interpolation percentile with its signed error. This is the
+# table that picks a digest width: error is bounded by W/2 by
+# construction, and the output shows where the bound is loose. The
+# exact column is the certification baseline (q61's proven
+# Spark percentile ↔ DuckDB quantile_cont pair) — at 100 TB it drops
+# and the digest stands alone.
+# Scale: one corpus scan (×|widths| row-local), |widths| value-domain-
+# bounded digests, cum windows PARTITIONED by width; the exact
+# percentile is the only sort-bearing step and exists to certify.
+# ---------------------------------------------------------------------------
+_Q210_WIDTHS = (2, 8, 32, 128)
+_Q210_PCTS = (50, 90, 99)
+
+
+def q210_digest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("value")
+    wrows = ev.select(
+        "value",
+        F.explode(
+            F.array(*[F.lit(w) for w in _Q210_WIDTHS])
+        ).alias("width"),
+    )
+    dig = (
+        wrows.select(
+            "width",
+            F.floor(F.col("value") / F.col("width")).cast("long").alias("bucket"),
+        )
+        .groupBy("width", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds cum + totals
+    )
+    wcum = (
+        Window.partitionBy("width")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dig.withColumn("cum", F.sum("c").over(wcum))
+    tot = dig.groupBy("width").agg(F.sum("c").alias("n"))
+    tgt = (
+        tot.select(
+            "width",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in _Q210_PCTS])).alias("pct"),
+        )
+        .withColumn("r", F.expr("(n * pct + 99) div 100"))
+    )
+    est = (
+        tgt.join(cum, ["width"])
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("width", "pct", "n")
+        .agg(F.min("bucket").alias("b"))
+        .withColumn(
+            "est_value", (F.col("b") + F.lit(0.5)) * F.col("width")
+        )
+    )
+    exact = ev.agg(
+        F.expr(
+            "percentile(value, array("
+            + ", ".join(str(p / 100.0) for p in _Q210_PCTS)
+            + "))"
+        ).alias("ex")
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in _Q210_PCTS]).alias("pct"),
+                F.col("ex").alias("exact_value"),
+            )
+        ).alias("z")
+    ).select(F.col("z.pct").alias("pct"), F.col("z.exact_value").alias("exv"))
+    return (
+        est.join(F.broadcast(exact), "pct")
+        .select(
+            F.col("width").cast("int").alias("width"),
+            F.col("pct").cast("int").alias("pct"),
+            F.col("n").cast("long").alias("n"),
+            F.round("est_value", 4).alias("est_value"),
+            F.round("exv", 4).alias("exact_value"),
+            F.round(F.col("est_value") - F.col("exv"), 4).alias("signed_err"),
+        )
+        .orderBy("width", "pct")
+    )
+
+
+Q210_SQL = f"""
+WITH wrows AS (
+    SELECT e.value, w.width
+    FROM events e, unnest([{", ".join(str(w) for w in _Q210_WIDTHS)}])
+         AS w(width)
+),
+dig AS (
+    SELECT width, CAST(floor(value / width) AS BIGINT) AS bucket,
+           count(*) AS c
+    FROM wrows GROUP BY 1, 2
+),
+cum AS (
+    SELECT width, bucket, c,
+           sum(c) OVER (PARTITION BY width ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM dig
+),
+tot AS (SELECT width, sum(c) AS n FROM dig GROUP BY 1),
+tgt AS (
+    SELECT t.width, t.n, p.pct, (t.n * p.pct + 99) // 100 AS r
+    FROM tot t, unnest([{", ".join(str(p) for p in _Q210_PCTS)}]) AS p(pct)
+),
+est AS (
+    SELECT t.width, t.pct, t.n, min(c.bucket) AS b
+    FROM tgt t JOIN cum c ON c.width = t.width AND c.cum >= t.r
+    GROUP BY 1, 2, 3
+),
+exact AS (
+    {" UNION ALL ".join(
+        f"SELECT {p} AS pct, quantile_cont(value, {p / 100.0}) AS exv FROM events"
+        for p in _Q210_PCTS
+    )}
+)
+SELECT CAST(e.width AS INTEGER) AS width,
+       CAST(e.pct AS INTEGER) AS pct,
+       CAST(e.n AS BIGINT) AS n,
+       round((e.b + 0.5) * e.width, 4) AS est_value,
+       round(x.exv, 4) AS exact_value,
+       round((e.b + 0.5) * e.width - x.exv, 4) AS signed_err
+FROM est e JOIN exact x ON x.pct = e.pct
+ORDER BY width, pct
+"""
+
+
+# ---------------------------------------------------------------------------
 # q207 — RETRACTABLE grid digest: incremental maintenance under deletes
 # (ext): q138 proves digests merge under INSERTS (counts add); real
 # pipelines also delete (GDPR erasure, late retractions, compaction).
@@ -3941,6 +4074,10 @@ ORDER BY mask
 QUERIES = [
     Query("q205_hll_venn3", q205_hll_venn3, Q205_SQL,
           survey="ext:hll-cardinality,ext:dataset-lineage,ext:venn-regions",
+          tags=("bench",)),
+    Query("q210_digest_accuracy", q210_digest_accuracy, Q210_SQL,
+          survey="ext:quantile-digest,ext:aqp-quantiles,ext:percentiles,"
+                 "ext:equidepth-histogram",
           tags=("bench",)),
     Query("q207_retractable_digest", q207_retractable_digest, Q207_SQL,
           survey="ext:quantile-digest,ext:incremental-view-maintenance,"

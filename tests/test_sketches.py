@@ -1069,3 +1069,49 @@ def test_retractable_digest_ivm_equivalence(spark, sf_dir):
             if cum >= r_rank:
                 assert all(getattr(row, col) == b for row in out)
                 break
+
+
+def test_stream_ks_drift_equals_batch(spark, sf_dir):
+    """q209: the drained streaming cell state must reproduce q196's
+    batch KS table EXACTLY (incremental ≡ batch as a cell identity)."""
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q196_ks_drift,
+        q209_stream_ks_drift,
+    )
+
+    batch = sorted(map(tuple, q196_ks_drift(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, q209_stream_ks_drift(spark, sf_dir).collect()))
+    assert stream == batch
+
+
+def test_digest_accuracy_python_twin_and_bounds(spark, sf_dir):
+    """q210 vs a Counter twin: every width's ceil-rank bucket must match,
+    and the midpoint estimate must sit within one bucket width of the
+    true percentile (W/2 midpoint slack + ≤1 rank-vs-interpolation
+    position)."""
+    from collections import Counter
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q210_PCTS,
+        _Q210_WIDTHS,
+        q210_digest_accuracy,
+    )
+
+    vals = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas().value
+    out = {(r.width, r.pct): r for r in q210_digest_accuracy(spark, sf_dir).collect()}
+    assert set(out) == {(w, p) for w in _Q210_WIDTHS for p in _Q210_PCTS}
+    n = len(vals)
+    for w in _Q210_WIDTHS:
+        dig = Counter(int(floor(v / w)) for v in vals)
+        for p in _Q210_PCTS:
+            rk = (n * p + 99) // 100
+            cum = 0
+            for b in sorted(dig):
+                cum += dig[b]
+                if cum >= rk:
+                    break
+            r = out[(w, p)]
+            assert r.n == n
+            assert r.est_value == round((b + 0.5) * w, 4)
+            assert abs(r.signed_err) <= w + 1e-9
