@@ -1307,7 +1307,264 @@ SELECT * FROM typo UNION ALL SELECT * FROM exact0 ORDER BY dist
 """
 
 
+# ---------------------------------------------------------------------------
+# q211 — sorted-neighborhood dedup WITHOUT a global sort (ext): the
+# classic SNM blocking (Hernández & Stolfo 1995) — sort on a key, pair
+# every record with its ≤W nearest neighbors — rebuilt for a cluster:
+# the total order is realized as q188's digest-driven RANGE PARTITIONING
+# (prefix-code buckets → ceil-rank boundaries → row-local shard
+# assignment) + per-shard local sorts, and the windows that straddle
+# shard seams are recovered exactly from each shard's first/last W rows
+# (i + j ≤ W rank algebra), so the pair set equals the single-machine
+# sliding window's — provable, because the ORACLE builds it with one
+# global row_number. Every candidate pair is verified in-row by exact
+# word-3-gram Jaccard (distinct shingle strings, integer cross-mult
+# threshold); cross-seam pairs carry a flag so the seam handling is
+# visible in the output, not just in prose.
+# Scale: one scan builds (key, prefix-code); the boundary digest is
+# ≤ 2^16 bucket rows by construction (4-byte code div 2^16); local rank
+# windows are partitioned by shard (the point); seam frames are ≤ W
+# rows per shard. No corpus-wide window, no all-pairs join anywhere.
+# ---------------------------------------------------------------------------
+_Q211_SHARDS = 8
+_Q211_WIN = 2          # pair with neighbors at global-rank distance ≤ 2
+_Q211_KEYLEN = 24      # sort key: lowercased text prefix
+_Q211_JK = 3           # word-shingle size for the verify
+_Q211_TAU_NUM, _Q211_TAU_DEN = 1, 4  # verified ⇔ jaccard ≥ 0.25
+_Q211_BW = 1 << 16     # boundary-digest bucket width over the 4-byte code
+
+
+def q211_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    key = F.lower(F.substring("text", 1, _Q211_KEYLEN))
+    pad4 = F.rpad(key, 4, " ")
+    num = sum(
+        (
+            F.ascii(F.substring(pad4, i + 1, 1)).cast("long")
+            * F.lit(256 ** (3 - i))
+        )
+        for i in range(4)
+    )
+    # stage tokens through a select BEFORE the higher-order functions —
+    # an inlined split would re-tokenize per element_at (O(len²); see
+    # operators/dedup.py:shingles_from_tokens)
+    toked = docs.select(
+        "doc_id", key.alias("k"), num.alias("num"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    gram = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size("toks") - _Q211_JK, F.lit(0)),
+        ),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("toks"), i + j + 1) for j in range(_Q211_JK)],
+        ),
+    )
+    rows = toked.select(
+        "doc_id",
+        "k",
+        "num",
+        F.array_distinct(
+            # keep only exactly-K-word grams (short docs yield stubs)
+            F.filter(gram, lambda s: F.size(F.split(s, " ")) == _Q211_JK)
+        ).alias("sh"),
+    ).localCheckpoint(eager=False)  # feeds digest, ranks, seam frames
+    dig = rows.groupBy(
+        F.expr(f"num div {_Q211_BW}").alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dig.withColumn("cum", F.sum("c").over(wc))
+    tot = dig.agg(F.sum("c").alias("n"))
+    bnd = (
+        tot.select(
+            "n",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(1, _Q211_SHARDS)])
+            ).alias("s"),
+        )
+        .withColumn("r", F.expr(f"(n * s + {_Q211_SHARDS} - 1) div {_Q211_SHARDS}"))
+        .join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("s")
+        .agg(F.min("bucket").alias("b"))
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("b"))).alias("bs")
+        )
+    )
+    sharded = rows.crossJoin(F.broadcast(bnd)).select(
+        "doc_id",
+        "k",
+        "sh",
+        F.size(
+            F.filter(F.col("bs"), lambda t: F.expr(f"num div {_Q211_BW}") > t)
+        ).alias("shard"),
+    )
+    wr = Window.partitionBy("shard").orderBy("k", "doc_id")
+    ranked = sharded.withColumn("rn", F.row_number().over(wr)).localCheckpoint(
+        eager=False
+    )  # feeds local pairs + both seam frames
+    nmax = ranked.groupBy("shard").agg(F.max("rn").alias("mx"))
+    offs = F.explode(F.array(*[F.lit(o) for o in range(1, _Q211_WIN + 1)]))
+    left = ranked.select(
+        F.col("shard"),
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("rn"),
+        offs.alias("off"),
+    ).withColumn("rn2", F.col("rn") + F.col("off"))
+    local = left.join(
+        ranked.select(
+            F.col("shard"),
+            F.col("rn").alias("rn2"),
+            F.col("doc_id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+        ),
+        ["shard", "rn2"],
+    ).select("id_a", "id_b", "sh_a", "sh_b", F.lit(0).alias("cross_seam"))
+    ends = (
+        ranked.join(nmax, "shard")
+        .filter(F.col("rn") > F.col("mx") - _Q211_WIN)
+        .select(
+            "shard",
+            F.col("doc_id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            (F.col("mx") - F.col("rn")).alias("i"),
+        )
+    )
+    starts = ranked.filter(F.col("rn") <= _Q211_WIN).select(
+        (F.col("shard") - 1).alias("shard"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("rn").alias("j"),
+    )
+    seam = (
+        ends.join(starts, "shard")
+        .filter(F.col("i") + F.col("j") <= _Q211_WIN)
+        .select("id_a", "id_b", "sh_a", "sh_b", F.lit(1).alias("cross_seam"))
+    )
+    pairs = local.unionByName(seam)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select(
+            F.least("id_a", "id_b").alias("id_lo"),
+            F.greatest("id_a", "id_b").alias("id_hi"),
+            "cross_seam",
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .select(
+            "id_lo",
+            "id_hi",
+            F.col("cross_seam").cast("int").alias("cross_seam"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_union").cast("long").alias("n_union"),
+            (
+                F.floor(
+                    F.col("n_inter").cast("double") / F.col("n_union")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("jaccard"),
+            (
+                F.col("n_inter") * _Q211_TAU_DEN
+                >= F.col("n_union") * _Q211_TAU_NUM
+            )
+            .cast("int")
+            .alias("verified"),
+        )
+        .orderBy("id_lo", "id_hi")
+    )
+
+
+_Q211_SH_SQL = f"""list_distinct(list_filter(
+    list_transform(
+        generate_series(1, greatest(len(str_split(lower(text), ' ')) - {_Q211_JK - 1}, 1)),
+        i -> array_to_string(str_split(lower(text), ' ')[i : i + {_Q211_JK - 1}], ' ')
+    ), s -> len(str_split(s, ' ')) = {_Q211_JK}))"""
+
+Q211_SQL = f"""
+WITH rows_ AS (
+    SELECT doc_id,
+           lower(substring(text, 1, {_Q211_KEYLEN})) AS k,
+           CAST(ascii(substring(rpad(lower(substring(text, 1, {_Q211_KEYLEN})), 4, ' '), 1, 1)) AS BIGINT) * 16777216
+           + ascii(substring(rpad(lower(substring(text, 1, {_Q211_KEYLEN})), 4, ' '), 2, 1)) * 65536
+           + ascii(substring(rpad(lower(substring(text, 1, {_Q211_KEYLEN})), 4, ' '), 3, 1)) * 256
+           + ascii(substring(rpad(lower(substring(text, 1, {_Q211_KEYLEN})), 4, ' '), 4, 1)) AS num,
+           {_Q211_SH_SQL} AS sh
+    FROM documents
+),
+dig AS (SELECT num // {_Q211_BW} AS bucket, count(*) AS c FROM rows_ GROUP BY 1),
+cum AS (
+    SELECT bucket, sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+    FROM dig
+),
+tot AS (SELECT sum(c) AS n FROM dig),
+bnd AS (
+    SELECT list_sort(list_distinct(list(b))) AS bs FROM (
+        SELECT s.s, min(c.bucket) AS b
+        FROM (SELECT n, u.s, (n * u.s + {_Q211_SHARDS} - 1) // {_Q211_SHARDS} AS r
+              FROM tot, unnest(range(1, {_Q211_SHARDS})) AS u(s)) s
+        JOIN cum c ON c.cum >= s.r
+        GROUP BY s.s
+    ) q
+),
+sharded AS (
+    SELECT r.doc_id, r.k, r.sh,
+           len(list_filter(b.bs, t -> r.num // {_Q211_BW} > t)) AS shard
+    FROM rows_ r CROSS JOIN bnd b
+),
+ranked AS (
+    SELECT doc_id, k, sh, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rn
+    FROM sharded
+),
+nmax AS (SELECT shard, max(rn) AS mx FROM ranked GROUP BY 1),
+local_p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+           0 AS cross_seam
+    FROM ranked a
+    JOIN ranked b ON b.shard = a.shard
+                 AND b.rn BETWEEN a.rn + 1 AND a.rn + {_Q211_WIN}
+),
+seam_p AS (
+    SELECT e.doc_id AS id_a, s.doc_id AS id_b, e.sh AS sh_a, s.sh AS sh_b,
+           1 AS cross_seam
+    FROM (SELECT r.*, m.mx - r.rn AS i FROM ranked r
+          JOIN nmax m ON m.shard = r.shard
+          WHERE r.rn > m.mx - {_Q211_WIN}) e
+    JOIN (SELECT *, rn AS j FROM ranked WHERE rn <= {_Q211_WIN}) s
+      ON s.shard = e.shard + 1
+    WHERE e.i + s.j <= {_Q211_WIN}
+),
+pairs_ AS (SELECT * FROM local_p UNION ALL SELECT * FROM seam_p),
+scored AS (
+    SELECT least(id_a, id_b) AS id_lo, greatest(id_a, id_b) AS id_hi,
+           cross_seam,
+           CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS n_inter,
+           CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))
+                AS BIGINT) AS n_union
+    FROM pairs_
+)
+SELECT id_lo, id_hi,
+       CAST(cross_seam AS INTEGER) AS cross_seam,
+       n_inter, n_union,
+       floor(CAST(n_inter AS DOUBLE) / n_union * 10000 + 0.5) / 10000.0
+           AS jaccard,
+       CAST(CASE WHEN n_inter * {_Q211_TAU_DEN} >= n_union * {_Q211_TAU_NUM}
+                 THEN 1 ELSE 0 END AS INTEGER) AS verified
+FROM scored
+ORDER BY id_lo, id_hi
+"""
+
+
 QUERIES = [
+    Query("q211_sorted_neighborhood", q211_sorted_neighborhood, Q211_SQL,
+          survey="ext:sorted-neighborhood,ext:range-partitioner,"
+                 "ext:jaccard-neardup,ext:quantile-digest",
+          tags=("bench",)),
     Query("q42_exact_dedup_survivors", q42_exact_dedup_survivors, Q42_SQL,
           survey="A1,W1,S9,ext:exact-dedup"),
     Query("q43_simhash_pairs", q43_simhash_pairs, Q43_SQL, survey="ext:simhash", tags=("bench",)),

@@ -439,3 +439,45 @@ def test_q139_matches_python_integer_recurrence(spark, sf_dir):
         for r in q139_pagerank_iterations(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_sorted_neighborhood_equals_global_sliding_window(spark, sf_dir):
+    """q211's sharded pair set must EQUAL the single-machine definition:
+    sort all docs by (key, doc_id), pair each with its W nearest
+    followers — including pairs that straddle shard seams. Jaccard
+    spot-checked against python on the 5 highest-overlap pairs."""
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        _Q211_KEYLEN,
+        _Q211_JK,
+        _Q211_WIN,
+        q211_sorted_neighborhood,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    order = sorted(
+        (t[:_Q211_KEYLEN].lower(), i) for i, t in zip(pdf.doc_id, pdf.text)
+    )
+    ids = [i for _, i in order]
+    expect = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, min(a + _Q211_WIN + 1, len(ids))):
+            expect.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+    out = q211_sorted_neighborhood(spark, sf_dir).collect()
+    got = {(r.id_lo, r.id_hi) for r in out}
+    assert got == expect
+    assert len(out) == len(expect)  # no duplicate pair rows
+    assert any(r.cross_seam == 1 for r in out)  # seams actually exercised
+
+    text = {i: t for i, t in zip(pdf.doc_id, pdf.text)}
+
+    def sh(t):
+        toks = t.lower().split(" ")
+        return {
+            " ".join(toks[i:i + _Q211_JK])
+            for i in range(max(len(toks) - _Q211_JK + 1, 1))
+            if len(toks[i:i + _Q211_JK]) == _Q211_JK
+        }
+
+    for r in sorted(out, key=lambda r: -r.n_inter)[:5]:
+        a, b = sh(text[r.id_lo]), sh(text[r.id_hi])
+        assert r.n_inter == len(a & b) and r.n_union == len(a | b)

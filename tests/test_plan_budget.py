@@ -137,6 +137,9 @@ def test_unpartitioned_window_sites_pinned():
         "plans/timeseries_plans.py": 1, # q203 latency-digest cumulative
                                         # (≤ max-latency/3600 bucket rows,
                                         # value-DOMAIN-bounded)
+        "plans/dedup_plans.py": 1,      # q211 boundary-digest cumulative
+                                        # (≤ 2^16 prefix-code buckets by
+                                        # construction)
     }
     # matches BOTH the plain name and the `Window as W` alias — the
     # alias spelling silently escaped this inventory until round 7
