@@ -136,6 +136,66 @@ def exclusive_prefix_sum(
     )
 
 
+def exclusive_prefix_max(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    block_size: int = 256,
+    out_col: str = "_pmax",
+    levels: int = 2,
+) -> DataFrame:
+    """Exclusive running MAX of ``value_col`` per ``part_col`` in
+    ``order_col`` order — :func:`exclusive_prefix_sum`'s twin for the
+    other classic scan monoid (max is associative, so the same
+    block/offset/in-block decomposition applies verbatim; see that
+    function for the scale rationale). The exclusive max of a
+    partition's FIRST row is NULL (no predecessor) — callers decide the
+    identity (disorder profiling treats it as "on time")."""
+    from pyspark.sql import Window as W
+
+    reserved = {"_blk", "_pm", "_bmax"}
+    if out_col in reserved:
+        raise ValueError(f"out_col must not be one of the internal names {reserved}")
+    staged = df.withColumn("_blk", F.floor(F.col(order_col) / F.lit(block_size)))
+    totals = staged.groupBy(part_col, "_blk").agg(F.max(value_col).alias("_bmax"))
+    if levels > 1:
+        inner = totals.select(
+            part_col,
+            F.col("_blk").alias("_ord_up"),
+            F.col("_bmax").alias("_val_up"),
+        )
+        offsets = exclusive_prefix_max(
+            inner, part_col, "_ord_up", "_val_up",
+            block_size=block_size, out_col="_off_up", levels=levels - 1,
+        ).select(part_col, F.col("_ord_up").alias("_blk"), F.col("_off_up").alias("_pm"))
+    else:
+        wb = (
+            W.partitionBy(part_col)
+            .orderBy("_blk")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offsets = totals.withColumn("_pm", F.max("_bmax").over(wb)).select(
+            part_col, "_blk", "_pm"
+        )
+    wi = (
+        W.partitionBy(part_col, "_blk")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        staged.join(offsets, [part_col, "_blk"])
+        .withColumn(
+            out_col,
+            # greatest() skips NULLs, so a missing carry (first block) or
+            # an empty in-block prefix (first row of a block) falls back
+            # to the other side; both NULL → NULL (true first row)
+            F.greatest(F.col("_pm"), F.max(value_col).over(wi)),
+        )
+        .drop("_blk", "_pm")
+    )
+
+
 def salted_broadcast_join(
     big: DataFrame,
     small: DataFrame,

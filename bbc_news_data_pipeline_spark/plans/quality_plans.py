@@ -2845,6 +2845,121 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q213 — Welch two-sample t readout (ext): the unequal-variance t-test
+# an experimentation platform runs when arms differ in size/variance —
+# complements q185 (CUPED adjustment) and q201 (nonparametric sign
+# test + FDR). Arms are md5-hash-split on user_id (deterministic, the
+# q185 discipline); sufficient statistics are the q183 quantized exact
+# moments (n, Σq, Σq² per arm in DECIMAL(38,0)/HUGEINT, q = value·10⁶
+# int64), so mean/variance/t/dof are IEEE functions of identical
+# integers on both engines, floor-rounded at 4dp. The
+# Welch–Satterthwaite dof ships alongside, plus a |t| > 1.96 flag (the
+# readout, not a claim of row-level independence — documented).
+# Scale: ONE corpus scan, one 2-row aggregate; everything after is
+# driver-free arithmetic on that frame.
+# ---------------------------------------------------------------------------
+def q213_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    ev = load(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    arms = ev.select(
+        F.pmod(sample_key_expr("user_id", salt="welch"), F.lit(2)).alias("arm"),
+        q.alias("q"),
+    ).groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("ss"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    S = 1e6
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na / F.lit(S)
+    mb = F.col("sb").cast("double") / nb / F.lit(S)
+    va = (
+        (na * F.col("ssa").cast("double")
+         - F.col("sa").cast("double") * F.col("sa").cast("double"))
+        / (na * (na - 1))
+        / F.lit(S * S)
+    )
+    vb = (
+        (nb * F.col("ssb").cast("double")
+         - F.col("sb").cast("double") * F.col("sb").cast("double"))
+        / (nb * (nb - 1))
+        / F.lit(S * S)
+    )
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        r4(ma).alias("mean_a"),
+        r4(mb).alias("mean_b"),
+        r4(va).alias("var_a"),
+        r4(vb).alias("var_b"),
+        r4(t).alias("t_stat"),
+        r4(dof).alias("dof"),
+        (F.abs(t) > 1.96).cast("int").alias("significant_95"),
+    )
+
+
+_Q213_KEY = _hex2int_sql("md5('welch:' || CAST(user_id AS VARCHAR))", 1, 8)
+
+Q213_SQL = f"""
+WITH arms AS (
+    SELECT ({_Q213_KEY}) % 2 AS arm,
+           count(*) AS n,
+           sum(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS HUGEINT))
+               AS s,
+           sum(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS HUGEINT)
+               * CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS ss
+    FROM events GROUP BY 1
+),
+j AS (
+    SELECT a.n AS na, a.s AS sa, a.ss AS ssa,
+           b.n AS nb, b.s AS sb, b.ss AS ssb
+    FROM (SELECT * FROM arms WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+),
+c AS (
+    SELECT na, nb,
+           CAST(sa AS DOUBLE) / na / 1000000.0 AS ma,
+           CAST(sb AS DOUBLE) / nb / 1000000.0 AS mb,
+           (na * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+               / (na * (na - 1.0)) / 1e12 AS va,
+           (nb * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+               / (nb * (nb - 1.0)) / 1e12 AS vb
+    FROM j
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       floor(ma * 10000 + 0.5) / 10000.0 AS mean_a,
+       floor(mb * 10000 + 0.5) / 10000.0 AS mean_b,
+       floor(va * 10000 + 0.5) / 10000.0 AS var_a,
+       floor(vb * 10000 + 0.5) / 10000.0 AS var_b,
+       floor((ma - mb) / sqrt(va / na + vb / nb) * 10000 + 0.5) / 10000.0
+           AS t_stat,
+       floor((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1.0)
+                + (vb / nb) * (vb / nb) / (nb - 1.0)) * 10000 + 0.5)
+           / 10000.0 AS dof,
+       CAST(CASE WHEN abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96
+                 THEN 1 ELSE 0 END AS INTEGER) AS significant_95
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # q204 — split conformal prediction intervals with coverage audit (ext):
 # the distribution-free uncertainty wrapper (Vovk; Lei et al. 2018) a
 # model-scoring pipeline puts around ANY point predictor — train a
@@ -3583,6 +3698,8 @@ QUERIES = [
           survey="ext:signtest-bh-fdr,ext:forecast-backtest,ext:drift-psi"),
     Query("q202_skew_profiler", q202_skew_profiler, Q202_SQL,
           survey="ext:skew-profiler,ext:salted-aggregation,ext:data-profiling,A2"),
+    Query("q213_welch_ttest", q213_welch_ttest, Q213_SQL,
+          survey="ext:welch-ttest,ext:ab-experiment,ext:incremental-stats"),
     Query("q204_conformal_intervals", q204_conformal_intervals, Q204_SQL,
           survey="ext:conformal-intervals,ext:calibration-ece,"
                  "ext:selection-quantile,ext:leakage-safe-split"),

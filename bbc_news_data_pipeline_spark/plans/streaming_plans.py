@@ -317,7 +317,63 @@ def _q137_sql() -> str:
 Q137_SQL = _q137_sql()
 
 
+# ---------------------------------------------------------------------------
+# q212 — NATIVE streaming exact dedup with TTL state (ST5/ST-ext): the
+# one dedup this repo had only re-derived, never exercised as the
+# built-in — Spark's `dropDuplicatesWithinWatermark` keeps an id in
+# state ONLY until the watermark passes it (the bounded-state TTL
+# contract a 100 TB at-least-once ingest needs against redelivery).
+# The feed is the events table DOUBLED (every row redelivered once —
+# deterministic, payloads identical, so the surviving row is
+# byte-identical whichever copy wins); the drained output must
+# collapse to exactly one row per event_id, certified by compact exact
+# aggregates (counts, id/cent sums in DECIMAL, ts extrema) against the
+# plain-distinct oracle. Real availableNow drain, append mode, fresh
+# checkpoint — the ST6 discipline.
+# ---------------------------------------------------------------------------
+def q212_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+
+    def dedup_stream(st):
+        return st.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    out = _drain_to_memory(doubled, dedup_stream, "q212_dedup",
+                           output_mode="append")
+    return out.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("event_id").cast("long").alias("n_ids"),
+        F.sum(F.col("event_id").cast("decimal(38,0)")).cast("double").alias(
+            "sum_ids"
+        ),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("sum_cents"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+Q212_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(sum(CAST(event_id AS HUGEINT)) AS DOUBLE) AS sum_ids,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE)
+           AS sum_cents,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM events
+"""
+
+
 QUERIES = [
+    Query("q212_stream_dedup_ttl", q212_stream_dedup_ttl, Q212_SQL,
+          survey="ST5,ST6,ext:exact-dedup,ext:stream-dedup-ttl",
+          tags=("bench",)),
     Query("q50_hourly_windows", q50_hourly_windows, Q50_SQL, survey="ST4,A2"),
     Query("q51_sliding_windows", q51_sliding_windows, Q51_SQL, survey="ST4"),
     Query("q52_stream_sessions", q52_stream_sessions, Q52_SQL, survey="ST-ext:stateful-sessions", tags=("bench",)),

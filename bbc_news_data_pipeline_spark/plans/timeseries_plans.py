@@ -973,6 +973,118 @@ ORDER BY streak_len
 
 
 # ---------------------------------------------------------------------------
+# q214 — event-time disorder profile (ext): the measurement that SETS a
+# streaming watermark instead of guessing it — for every event, its
+# lateness relative to the max event-time already seen in arrival order
+# (event_id is the arrival proxy in this synthetic feed; a real ingest
+# would use the log offset), i.e. an exclusive running MAX over the
+# whole corpus. The scan that makes this scale is the point:
+# `exclusive_prefix_max` (operators/skew.py) — per-block maxima, a
+# recursive carry over block maxima, in-block prefixes — so NO
+# corpus-wide window sort ever runs (the q116 parallel-scan discipline
+# applied to the max monoid). Lateness lands in minute buckets
+# (time-range-bounded domain) read back at p50/p95/p99 by the exact
+# ceil-rank rule, with the on-time share alongside — the row a platform
+# turns into `withWatermark(ts, <p99>)`.
+# All-integer: microsecond arithmetic, floor division to seconds and
+# minute buckets, one floor-rounded share.
+# ---------------------------------------------------------------------------
+_Q214_PCTS = (50, 95, 99)
+
+
+def q214_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import exclusive_prefix_max
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    ).withColumn("_g", F.lit(0))
+    pm = exclusive_prefix_max(ev, "_g", "event_id", "ts_us")
+    late = pm.select(
+        (
+            F.expr("greatest(coalesce(_pmax - ts_us, 0), 0) div 1000000")
+        ).alias("late_s")
+    )
+    digest = late.groupBy(
+        F.expr("late_s div 60").alias("bucket")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("late_s") == 0, 1).otherwise(0)).alias("c_ontime"),
+    ).localCheckpoint(eager=False)  # feeds cum + totals
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = digest.withColumn("cum", F.sum("c").over(wcum))
+    tot = digest.agg(
+        F.sum("c").alias("n_events"), F.sum("c_ontime").alias("n_ontime")
+    )
+    tgt = tot.select(
+        "n_events",
+        "n_ontime",
+        F.explode(F.array(*[F.lit(p) for p in _Q214_PCTS])).alias("pct"),
+    ).withColumn("r", F.expr("(n_events * pct + 99) div 100"))
+    return (
+        tgt.join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("pct", "n_events", "n_ontime")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            (F.col("b") * 60).cast("long").alias("late_sec_lo"),
+            ((F.col("b") + 1) * 60).cast("long").alias("late_sec_hi"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_ontime").cast("long").alias("n_ontime"),
+            (
+                F.floor(
+                    F.col("n_ontime").cast("double") / F.col("n_events")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("share_ontime"),
+        )
+        .orderBy("pct")
+    )
+
+
+Q214_SQL = f"""
+WITH pm AS (
+    SELECT epoch_us(ts) AS ts_us,
+           max(epoch_us(ts)) OVER (ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pmax
+    FROM events
+),
+late AS (
+    SELECT greatest(coalesce(pmax - ts_us, 0), 0) // 1000000 AS late_s
+    FROM pm
+),
+digest AS (
+    SELECT late_s // 60 AS bucket, count(*) AS c,
+           sum(CASE WHEN late_s = 0 THEN 1 ELSE 0 END) AS c_ontime
+    FROM late GROUP BY 1
+),
+cum AS (
+    SELECT bucket, sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS cum
+    FROM digest
+),
+tot AS (SELECT sum(c) AS n_events, sum(c_ontime) AS n_ontime FROM digest),
+tgt AS (
+    SELECT n_events, n_ontime, p.pct,
+           (n_events * p.pct + 99) // 100 AS r
+    FROM tot, unnest([{", ".join(str(p) for p in _Q214_PCTS)}]) AS p(pct)
+)
+SELECT CAST(t.pct AS INTEGER) AS pct,
+       CAST(min(c.bucket) * 60 AS BIGINT) AS late_sec_lo,
+       CAST((min(c.bucket) + 1) * 60 AS BIGINT) AS late_sec_hi,
+       CAST(t.n_events AS BIGINT) AS n_events,
+       CAST(t.n_ontime AS BIGINT) AS n_ontime,
+       floor(CAST(t.n_ontime AS DOUBLE) / t.n_events * 1000000 + 0.5)
+           / 1000000.0 AS share_ontime
+FROM tgt t JOIN cum c ON c.cum >= t.r
+GROUP BY t.pct, t.n_events, t.n_ontime
+ORDER BY pct
+"""
+
+
+# ---------------------------------------------------------------------------
 # q206 — session path mining (ext): the top navigation paths a product
 # analytics pipeline extracts from raw events — q21's sessionization
 # rule (30-min inactivity gap, (ts, event_id) total order) followed by
@@ -1221,6 +1333,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q206_session_paths", q206_session_paths, Q206_SQL,
           survey="ext:session-paths,ext:sessionization,ext:transition-matrix,W3",
+          tags=("bench",)),
+    Query("q214_disorder_profile", q214_disorder_profile, Q214_SQL,
+          survey="ext:disorder-profile,ext:prefix-scan,ext:quantile-digest,ST5",
           tags=("bench",)),
     Query("q192_seasonal_mase", q192_seasonal_mase, Q192_SQL,
           survey="ext:forecast-backtest,ext:trend-regression,"

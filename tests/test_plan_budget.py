@@ -134,9 +134,11 @@ def test_unpartitioned_window_sites_pinned():
                                         # S-row shard-audit lag; q207
                                         # maintained-digest cum (same
                                         # bucket-domain bound)
-        "plans/timeseries_plans.py": 1, # q203 latency-digest cumulative
-                                        # (≤ max-latency/3600 bucket rows,
-                                        # value-DOMAIN-bounded)
+        "plans/timeseries_plans.py": 2, # q203 latency-digest cumulative
+                                        # (≤ max-latency/3600 bucket rows)
+                                        # + q214 lateness-digest cumulative
+                                        # (≤ time-range/60 bucket rows) —
+                                        # both value-DOMAIN-bounded
         "plans/dedup_plans.py": 1,      # q211 boundary-digest cumulative
                                         # (≤ 2^16 prefix-code buckets by
                                         # construction)

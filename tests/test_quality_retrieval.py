@@ -520,3 +520,39 @@ def test_hll_venn3_exact_masks_and_sketch_consistency(spark, sf_dir):
         assert r.exact_words == exact.get(m, 0)
     big = max(out.values(), key=lambda r: r.exact_words)
     assert abs(big.est_words - big.exact_words) / big.exact_words < 0.3
+
+
+def test_welch_ttest_python_twin(spark, sf_dir):
+    """q213 vs a python twin: md5 arms, quantized exact moments, Welch t
+    and Satterthwaite dof at the query's 4dp."""
+    import hashlib
+    from math import floor, sqrt
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q213_welch_ttest
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+
+    def arm(u):
+        return int(hashlib.md5(f"welch:{u}".encode()).hexdigest()[:8], 16) % 2
+
+    qs = {0: [], 1: []}
+    for u, v in zip(pdf.user_id, pdf.value):
+        qs[arm(u)].append(int(floor(v * 1_000_000 + 0.5)))
+    st = {}
+    for a, vals in qs.items():
+        n = len(vals)
+        s, ss = sum(vals), sum(x * x for x in vals)
+        m = float(s) / n / 1e6
+        var = (n * float(ss) - float(s) * float(s)) / (n * (n - 1.0)) / 1e12
+        st[a] = (n, m, var)
+    (na, ma, va), (nb, mb, vb) = st[0], st[1]
+    se2 = va / na + vb / nb
+    t = (ma - mb) / sqrt(se2)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    r = q213_welch_ttest(spark, sf_dir).collect()[0]
+    r4 = lambda x: floor(x * 1e4 + 0.5) / 1e4
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert (r.mean_a, r.mean_b) == (r4(ma), r4(mb))
+    assert abs(r.var_a - r4(va)) <= 1e-4 and abs(r.var_b - r4(vb)) <= 1e-4
+    assert abs(r.t_stat - r4(t)) <= 1e-4 and abs(r.dof - r4(dof)) <= 1.0
+    assert r.significant_95 == (1 if abs(t) > 1.96 else 0)

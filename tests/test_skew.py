@@ -273,3 +273,44 @@ def test_q182_equality_flags_hold_on_real_data(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type")
     plan = salted_count(ev, ["event_type"])._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan  # partial phase genuinely keys on (key, salt)
+
+
+def test_exclusive_prefix_max_equals_naive_window(spark):
+    """exclusive_prefix_max must equal the naive running-max window at
+    every recursion depth — same adversarial layout as the sum twin
+    (hot partition, sparse ids, sub-block partition), plus NULL
+    semantics: the first row of each partition has no predecessor."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.skew import exclusive_prefix_max
+
+    rng = random.Random(17)
+    rows = []
+    next_id = 0
+    for _ in range(2000):
+        next_id += rng.randint(1, 7)
+        rows.append(("en", next_id, rng.randint(0, 10_000)))
+    for part, n in (("fr", 150), ("de", 40), ("xx", 3)):
+        for _ in range(n):
+            next_id += rng.randint(1, 9)
+            rows.append((part, next_id, rng.randint(0, 10_000)))
+    df = spark.createDataFrame(rows, "lang string, doc_id long, v long")
+
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    naive = df.select("lang", "doc_id", F.max("v").over(w).alias("want"))
+    for levels, blk in ((1, 64), (2, 64), (3, 8)):
+        got = exclusive_prefix_max(
+            df, "lang", "doc_id", "v", block_size=blk, levels=levels
+        )
+        joined = got.join(naive, ["lang", "doc_id"])
+        assert joined.count() == len(rows), (levels, blk)
+        bad = joined.filter(
+            ~(
+                (F.col("_pmax") == F.col("want"))
+                | (F.col("_pmax").isNull() & F.col("want").isNull())
+            )
+        ).count()
+        assert bad == 0, (levels, blk, bad)

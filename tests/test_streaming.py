@@ -112,3 +112,30 @@ def test_bounded_watermark_dedup(spark, tmp_path):
     assert got.count() == 2
     assert {r.url for r in got.collect()} == {"u1", "u2"}
     assert set(got.columns) == {"url", "lastmod"}
+
+
+def test_stream_dedup_ttl_collapses_redelivery(spark, sf_dir):
+    """q212: a doubled feed must collapse to exactly one surviving row
+    per event_id through the NATIVE dropDuplicatesWithinWatermark drain
+    — counts, exact id/cent sums, and ts extrema equal the plain
+    distinct table's."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.plans.streaming_plans import (
+        q212_stream_dedup_ttl,
+    )
+
+    r = q212_stream_dedup_ttl(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = ev.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("event_id").cast("decimal(38,0)")).cast("double").alias("si"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double").alias("sc"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]
+    assert r.n_rows == r.n_ids == want.n
+    assert r.sum_ids == want.si and r.sum_cents == want.sc
+    assert (r.min_ts, r.max_ts) == (want.mn, want.mx)

@@ -247,3 +247,41 @@ def test_session_paths_python_twin(spark, sf_dir):
     assert [(r.path, r.n_sessions) for r in out] == top
     for r in out:
         assert r.share == floor(r.n_sessions / total * 1e6 + 0.5) / 1e6
+
+
+def test_disorder_profile_python_twin(spark, sf_dir):
+    """q214 vs python: arrival-order prefix max, minute buckets,
+    ceil-rank percentiles, on-time share."""
+    from collections import Counter
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q214_PCTS,
+        q214_disorder_profile,
+    )
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    mx, lates = None, []
+    for ts in pdf.ts:
+        us = ts.value // 1000
+        lates.append(max(mx - us, 0) // 1_000_000 if mx is not None else 0)
+        mx = us if mx is None else max(mx, us)
+    dig = Counter(s // 60 for s in lates)
+    n = len(lates)
+    n_ontime = sum(1 for s in lates if s == 0)
+    out = {r.pct: r for r in q214_disorder_profile(spark, sf_dir).collect()}
+    assert set(out) == set(_Q214_PCTS)
+    for p, r in out.items():
+        rk = (n * p + 99) // 100
+        cum = 0
+        for b in sorted(dig):
+            cum += dig[b]
+            if cum >= rk:
+                break
+        assert (r.late_sec_lo, r.late_sec_hi) == (b * 60, (b + 1) * 60)
+        assert (r.n_events, r.n_ontime) == (n, n_ontime)
+        assert r.share_ontime == floor(n_ontime / n * 1e6 + 0.5) / 1e6
