@@ -1055,6 +1055,120 @@ ORDER BY subspace, code
 
 
 # ---------------------------------------------------------------------------
+# q216 — dimension-truncation recall bake-off (ext): the Matryoshka-
+# style question every embedding deployment asks — how much recall do
+# the first D dims buy? — answered the q210/q194 calibration way: exact
+# int64 top-k search at D ∈ {8,16,32,64} prefix dims over the SAME
+# corpus, each truncated result set scored for recall@k against the
+# full-dimension baseline, plus each D's top-1 and the baseline hit
+# overlap. Everything is quantized-exact integer arithmetic with
+# lowest-id tie-breaks; recall is an exact fraction of k.
+# Scale: each D is ONE broadcast-query scan + TakeOrdered top-k (no
+# corpus window, no explode ×D blowup — the loop unions 4 independent
+# TakeOrderedAndProject plans); prefix distances reuse the same staged
+# quantized vectors.
+# ---------------------------------------------------------------------------
+_Q216_DIMS = (8, 16, 32, 64)
+_Q216_K = 10
+_Q216_QID = 100
+
+
+def q216_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint("embedding").alias("qv")).localCheckpoint(
+        eager=False
+    )  # one staging for all 4 truncations
+    query = qe.filter(F.col("vec_id") == _Q216_QID).select(
+        F.col("qv").alias("quvec")
+    )
+    corpus = qe.filter(F.col("vec_id") != _Q216_QID)
+    topks = {}
+    for d in _Q216_DIMS:
+        topks[d] = (
+            corpus.crossJoin(F.broadcast(query))
+            .select(
+                "vec_id",
+                sq_l2_q(
+                    F.slice("qv", 1, d), F.slice("quvec", 1, d)
+                ).alias("dist"),
+            )
+            .orderBy("dist", "vec_id")
+            .limit(_Q216_K)
+            .localCheckpoint(eager=False)  # baseline joined by every D
+        )
+    base = topks[_Q216_DIMS[-1]].select("vec_id")
+    out = None
+    for d in _Q216_DIMS:
+        hits = topks[d].join(base, "vec_id", "left_semi")
+        top1 = (
+            topks[d]
+            .orderBy("dist", "vec_id")
+            .limit(1)
+            .select(F.col("vec_id").alias("top1_id"))
+        )
+        row = (
+            hits.agg(F.count("*").cast("long").alias("n_hits"))
+            .crossJoin(F.broadcast(top1))
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.lit(float(_Q216_K))).alias(
+                    "recall_at_k"
+                ),
+                F.col("top1_id").cast("long").alias("top1_id"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")
+
+
+def _q216_topk_cte(d: int) -> str:
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> (c.qv[i] - q.quvec[i]) * (c.qv[i] - q.quvec[i])))"
+    )
+    return f"""top{d} AS (
+    SELECT vec_id, dist FROM (
+        SELECT c.vec_id, {dist} AS dist,
+               row_number() OVER (ORDER BY {dist}, c.vec_id) AS rn
+        FROM corpus c CROSS JOIN q
+    ) t WHERE rn <= {_Q216_K}
+)"""
+
+
+Q216_SQL = (
+    f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+q AS (SELECT qv AS quvec FROM qe WHERE vec_id = {_Q216_QID}),
+corpus AS (SELECT vec_id, qv FROM qe WHERE vec_id <> {_Q216_QID}),
+"""
+    + ",\n".join(_q216_topk_cte(d) for d in _Q216_DIMS)
+    + f""",
+base AS (SELECT vec_id FROM top{_Q216_DIMS[-1]})
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS INTEGER) AS dim,
+       CAST((SELECT count(*) FROM top{d} t JOIN base b ON b.vec_id = t.vec_id)
+            AS BIGINT) AS n_hits,
+       CAST((SELECT count(*) FROM top{d} t JOIN base b ON b.vec_id = t.vec_id)
+            AS DOUBLE) / {_Q216_K} AS recall_at_k,
+       (SELECT vec_id FROM top{d} ORDER BY dist, vec_id LIMIT 1) AS top1_id
+"""
+        for d in _Q216_DIMS
+    )
+    + "\nORDER BY dim"
+)
+
+
+# ---------------------------------------------------------------------------
 # q199 — full IVF-PQ ADC search (ext): the modern billion-scale ANN
 # serving path (Jégou et al. 2011, §IV) composed end-to-end from parts
 # this repo already certifies — IVF coarse cells (q53) + PQ codebook
@@ -1300,6 +1414,8 @@ QUERIES = [
     Query("q199_ivfpq_search", q199_ivfpq_search, Q199_SQL,
           survey="ext:ann-ivf,ext:ann-pq,ext:ann-adc,ext:ann-recall",
           tags=("bench",)),
+    Query("q216_dim_truncation", q216_dim_truncation, Q216_SQL,
+          survey="ext:ann-recall,ext:embedding-drift,ext:dim-truncation"),
     Query("q186_pq_codebook", q186_pq_codebook, Q186_SQL,
           survey="ext:ann-pq,ext:ann-ivf,ext:kmeans-step,ext:feature-scaling",
           tags=("bench",)),

@@ -3603,6 +3603,196 @@ ORDER BY t
 
 
 # ---------------------------------------------------------------------------
+# q215 — trailing-window heavy hitters via hourly Misra–Gries merges
+# (ext): q178's sliding-window trick applied to FREQUENCIES — each hour
+# keeps one ≤K-counter MG summary (+ its deficit λ), and every report
+# hour merges the 6 summaries in its trailing window with the PODS'12
+# order-free reduce (sum per key, subtract the (K+1)-th largest,
+# drop ≤0), carrying the one-sided bound est ≤ true ≤ est + Σλ + λ'.
+# This is how "who is hot in the last N hours" runs at 100 TB: per-hour
+# state is K counters, the trailing merge touches 6·(K+1) summary rows
+# per report hour — never the raw stream. Top-3 per hour ships with the
+# exact trailing truth and an in-query bound check (the q152/q190
+# certification discipline).
+# Scale: ONE corpus groupBy to (hour, user) counts; MG reduction is a
+# per-hour top-(K+1) rank; the window expansion is a 6-literal explode
+# over summary rows (metadata-scale). The exact-truth rollup exists to
+# certify and drops at scale.
+# ---------------------------------------------------------------------------
+_Q215_K = 8
+_Q215_WIN = 6   # trailing hours per report hour
+_Q215_TOP = 3
+
+
+def q215_trailing_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k1 = _Q215_K + 1
+    hcnt = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("user_id").alias("u"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds MG summaries + exact truth
+    )
+    win = Window.partitionBy("h").orderBy(F.desc("cnt"), F.asc("u"))
+    ranked = hcnt.withColumn("rn", F.row_number().over(win))
+    lam = ranked.filter(F.col("rn") == k1).select("h", F.col("cnt").alias("lam"))
+    surv = (
+        ranked.filter(F.col("rn") <= _Q215_K)
+        .join(lam, "h", "left")
+        .select(
+            "h", "u",
+            (F.col("cnt") - F.coalesce("lam", F.lit(0))).alias("est"),
+        )
+        .filter(F.col("est") > 0)
+    )
+    offs = F.explode(F.array(*[F.lit(o) for o in range(_Q215_WIN)]))
+    expand = lambda df: df.select(
+        *df.columns, offs.alias("off")
+    ).select(
+        (F.col("h") + F.expr("make_interval(0, 0, 0, 0, off)")).alias("rh"),
+        *[c for c in df.columns if c != "h"],
+    )
+    merged = (
+        expand(surv)
+        .groupBy("rh", "u")
+        .agg(F.sum("est").alias("m"))
+        .localCheckpoint(eager=False)  # feeds λ' rank + final estimates
+    )
+    wl = Window.partitionBy("rh").orderBy(F.desc("m"), F.asc("u"))
+    lamp = (
+        merged.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == k1)
+        .select("rh", F.col("m").alias("lamp"))
+    )
+    lamw = expand(lam).groupBy("rh").agg(
+        F.sum("lam").cast("long").alias("lam_sum")
+    )
+    hits = (
+        merged.join(lamp, "rh", "left")
+        .join(lamw, "rh", "left")
+        .select(
+            "rh", "u",
+            (F.col("m") - F.coalesce("lamp", F.lit(0))).alias("mg_estimate"),
+            (
+                F.coalesce("lam_sum", F.lit(0)) + F.coalesce("lamp", F.lit(0))
+            ).cast("long").alias("err_bound"),
+        )
+        .filter(F.col("mg_estimate") > 0)
+    )
+    wt = Window.partitionBy("rh").orderBy(F.desc("mg_estimate"), F.asc("u"))
+    top = hits.withColumn("rk", F.row_number().over(wt)).filter(
+        F.col("rk") <= _Q215_TOP
+    )
+    truth = (
+        expand(hcnt)
+        .groupBy("rh", "u")
+        .agg(F.sum("cnt").cast("long").alias("true_count"))
+    )
+    # report hours limited to those with a full trailing history AND real
+    # traffic: report hours materialize from data hours via the shift, so
+    # the first WIN-1 hours carry partial windows — keep them (the bound
+    # still holds); hours past max(h) (shift artifacts) are dropped.
+    mx = hcnt.agg(F.max("h").alias("mxh"))
+    return (
+        top.join(truth, ["rh", "u"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("rh") <= F.col("mxh"))
+        .select(
+            F.col("rh").alias("report_hour"),
+            F.col("u").cast("long").alias("user_id"),
+            F.col("rk").cast("int").alias("rank"),
+            F.col("mg_estimate").cast("long").alias("mg_estimate"),
+            "true_count",
+            "err_bound",
+            (
+                (F.col("mg_estimate") <= F.col("true_count"))
+                & (
+                    F.col("true_count") - F.col("mg_estimate")
+                    <= F.col("err_bound")
+                )
+            ).cast("int").alias("within_bound"),
+        )
+        .orderBy("report_hour", "rank")
+    )
+
+
+Q215_SQL = f"""
+WITH hcnt AS (
+    SELECT date_trunc('hour', ts) AS h, user_id AS u, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT h, u, cnt,
+           row_number() OVER (PARTITION BY h ORDER BY cnt DESC, u) AS rn
+    FROM hcnt
+),
+lam AS (SELECT h, cnt AS lam FROM ranked WHERE rn = {_Q215_K + 1}),
+surv AS (
+    SELECT r.h, r.u, r.cnt - coalesce(l.lam, 0) AS est
+    FROM ranked r LEFT JOIN lam l ON l.h = r.h
+    WHERE r.rn <= {_Q215_K} AND r.cnt - coalesce(l.lam, 0) > 0
+),
+offs AS (SELECT unnest(range({_Q215_WIN})) AS off),
+merged AS (
+    SELECT s.h + to_hours(CAST(o.off AS BIGINT)) AS rh, s.u, sum(s.est) AS m
+    FROM surv s CROSS JOIN offs o
+    GROUP BY 1, 2
+),
+lamp AS (
+    SELECT rh, m AS lamp FROM (
+        SELECT rh, m, u,
+               row_number() OVER (PARTITION BY rh ORDER BY m DESC, u) AS rn
+        FROM merged
+    ) t WHERE rn = {_Q215_K + 1}
+),
+lamw AS (
+    SELECT l.h + to_hours(CAST(o.off AS BIGINT)) AS rh,
+           CAST(sum(l.lam) AS BIGINT) AS lam_sum
+    FROM lam l CROSS JOIN offs o
+    GROUP BY 1
+),
+hits AS (
+    SELECT m.rh, m.u,
+           m.m - coalesce(p.lamp, 0) AS mg_estimate,
+           CAST(coalesce(w.lam_sum, 0) + coalesce(p.lamp, 0) AS BIGINT)
+               AS err_bound
+    FROM merged m
+    LEFT JOIN lamp p ON p.rh = m.rh
+    LEFT JOIN lamw w ON w.rh = m.rh
+    WHERE m.m - coalesce(p.lamp, 0) > 0
+),
+top AS (
+    SELECT *, row_number() OVER (PARTITION BY rh
+                                 ORDER BY mg_estimate DESC, u) AS rk
+    FROM hits
+),
+truth AS (
+    SELECT c.h + to_hours(CAST(o.off AS BIGINT)) AS rh, c.u,
+           CAST(sum(c.cnt) AS BIGINT) AS true_count
+    FROM hcnt c CROSS JOIN offs o
+    GROUP BY 1, 2
+),
+mx AS (SELECT max(h) AS mxh FROM hcnt)
+SELECT t.rh AS report_hour,
+       CAST(t.u AS BIGINT) AS user_id,
+       CAST(t.rk AS INTEGER) AS rank,
+       CAST(t.mg_estimate AS BIGINT) AS mg_estimate,
+       tr.true_count,
+       t.err_bound,
+       CAST(CASE WHEN t.mg_estimate <= tr.true_count
+                  AND tr.true_count - t.mg_estimate <= t.err_bound
+                 THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+FROM top t
+JOIN truth tr ON tr.rh = t.rh AND tr.u = t.u
+CROSS JOIN mx
+WHERE t.rk <= {_Q215_TOP} AND t.rh <= mx.mxh
+ORDER BY report_hour, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # q210 — grid-digest width/accuracy bake-off (ext): the q194 calibration
 # discipline applied to the quantile digest itself — the SAME value
 # stream is digested at four bucket widths in ONE scan (row-local ×4
@@ -4074,6 +4264,10 @@ ORDER BY mask
 QUERIES = [
     Query("q205_hll_venn3", q205_hll_venn3, Q205_SQL,
           survey="ext:hll-cardinality,ext:dataset-lineage,ext:venn-regions",
+          tags=("bench",)),
+    Query("q215_trailing_heavy_hitters", q215_trailing_heavy_hitters, Q215_SQL,
+          survey="ext:heavy-hitters,ext:sliding-window-distinct,"
+                 "ext:trend-detection,ST4",
           tags=("bench",)),
     Query("q210_digest_accuracy", q210_digest_accuracy, Q210_SQL,
           survey="ext:quantile-digest,ext:aqp-quantiles,ext:percentiles,"

@@ -348,3 +348,40 @@ def test_ivfpq_adc_numpy_twin(spark, sf_dir):
         assert r.exact_sqdist == np.floor(exact[i] / 1e12 * 1e4 + 0.5) / 1e4
         assert r.in_exact_topk == (1 if i in top_exact else 0)
         assert r.recall_at_k == round(hits / _Q199_K, 4)
+
+
+def test_dim_truncation_numpy_twin(spark, sf_dir):
+    """q216 vs numpy: per-prefix-dimension exact top-k, recall vs the
+    full-dim baseline, top-1 ids; full-dim recall must be 1.0."""
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q216_DIMS,
+        _Q216_K,
+        _Q216_QID,
+        q216_dim_truncation,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    mat = np.floor(
+        np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    byid = {int(i): mat[k] for k, i in enumerate(ids)}
+    q = byid[_Q216_QID]
+    corpus = {i: v for i, v in byid.items() if i != _Q216_QID}
+
+    def topk(d):
+        dist = {i: int(((v[:d] - q[:d]) ** 2).sum()) for i, v in corpus.items()}
+        return sorted(dist, key=lambda i: (dist[i], i))[:_Q216_K]
+
+    base = set(topk(_Q216_DIMS[-1]))
+    out = {r.dim: r for r in q216_dim_truncation(spark, sf_dir).collect()}
+    assert set(out) == set(_Q216_DIMS)
+    for d in _Q216_DIMS:
+        t = topk(d)
+        r = out[d]
+        assert r.n_hits == len(set(t) & base)
+        assert r.recall_at_k == len(set(t) & base) / _Q216_K
+        assert r.top1_id == t[0]
+    assert out[_Q216_DIMS[-1]].recall_at_k == 1.0

@@ -1115,3 +1115,53 @@ def test_digest_accuracy_python_twin_and_bounds(spark, sf_dir):
             assert r.n == n
             assert r.est_value == round((b + 0.5) * w, 4)
             assert abs(r.signed_err) <= w + 1e-9
+
+
+def test_trailing_heavy_hitters_bound_holds(spark, sf_dir):
+    """q215: the merged MG one-sided bound must hold on EVERY emitted
+    row (est ≤ true ≤ est + Σλ + λ'), ranks are 1..3 per report hour,
+    and a python twin reproduces one mid-series report hour end-to-end
+    (per-hour MG summaries → PODS'12 merge → top-3)."""
+    from collections import Counter, defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q215_K,
+        _Q215_TOP,
+        _Q215_WIN,
+        q215_trailing_heavy_hitters,
+    )
+
+    out = q215_trailing_heavy_hitters(spark, sf_dir).collect()
+    assert out and all(r.within_bound == 1 for r in out)
+    byhour = defaultdict(list)
+    for r in out:
+        byhour[r.report_hour].append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= _Q215_TOP
+               for v in byhour.values())
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["h"] = pdf.ts.dt.floor("h")
+    hours = sorted(pdf.h.unique())
+    rh = hours[len(hours) // 2]
+    window = [h for h in hours if 0 <= (rh - h).total_seconds() // 3600 < _Q215_WIN]
+    summaries, lams = {}, {}
+    for h in window:
+        cnt = Counter(pdf[pdf.h == h].user_id)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        lam = ranked[_Q215_K][1] if len(ranked) > _Q215_K else 0
+        summaries[h] = {u: c - lam for u, c in ranked[:_Q215_K] if c - lam > 0}
+        lams[h] = lam
+    m = Counter()
+    for s in summaries.values():
+        m.update(s)
+    ranked = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))
+    lamp = ranked[_Q215_K][1] if len(ranked) > _Q215_K else 0
+    est = {u: v - lamp for u, v in ranked if v - lamp > 0}
+    top = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q215_TOP]
+    got = sorted(
+        ((r.user_id, r.mg_estimate) for r in out if r.report_hour == rh),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == top
+    bound = sum(lams.values()) + lamp
+    assert all(r.err_bound == bound for r in out if r.report_hour == rh)
