@@ -973,6 +973,251 @@ ORDER BY streak_len
 
 
 # ---------------------------------------------------------------------------
+# q218 — time-weighted average over irregular samples (ext): the
+# hypertable aggregate plain AVG gets WRONG on unevenly-sampled series
+# (TimescaleDB's time_weight, LOCF semantics): each observation holds
+# its value until the next one, so its weight is the gap to the next
+# sample — the last sample runs to the corpus-wide horizon max(ts)
+# (data-derived, no wall clock). twa = Σ(value_cents · gap_µs) /
+# Σ(gap_µs), both sums exact in DECIMAL(38,0)/HUGEINT (cents × µs
+# products reach ~10²³ at sf0.1 — far past int64, exactly why the
+# 128-bit lane exists). The plain mean ships alongside so the
+# irregular-sampling bias is a visible column.
+# Scale: one lead() window per user (the series' natural key, bounded
+# partitions), one corpus-wide 1-row horizon agg broadcast back.
+# ---------------------------------------------------------------------------
+def q218_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.unix_micros("ts")).alias("h_us"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .withColumn("nxt", F.lead("t_us").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .withColumn("gap", F.coalesce("nxt", "h_us") - F.col("t_us"))
+    )
+    agg = obs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("gap")).alias("swv"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("sw"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sc"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return agg.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_obs",
+        F.col("sw").cast("double").alias("span_us"),
+        r4(
+            F.col("swv").cast("double") / F.col("sw").cast("double") / F.lit(100.0)
+        ).alias("time_weighted_avg"),
+        r4(
+            F.col("sc").cast("double") / F.col("n_obs") / F.lit(100.0)
+        ).alias("plain_avg"),
+    ).orderBy("user_id")
+
+
+Q218_SQL = """
+WITH horizon AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+obs AS (
+    SELECT user_id,
+           epoch_us(ts) AS t_us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+agg AS (
+    SELECT o.user_id,
+           count(*) AS n_obs,
+           sum(CAST(o.cents AS HUGEINT) * (coalesce(o.nxt, h.h_us) - o.t_us))
+               AS swv,
+           sum(CAST(coalesce(o.nxt, h.h_us) - o.t_us AS HUGEINT)) AS sw,
+           sum(CAST(o.cents AS HUGEINT)) AS sc
+    FROM obs o CROSS JOIN horizon h
+    GROUP BY o.user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(sw AS DOUBLE) AS span_us,
+       floor(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 * 10000 + 0.5)
+           / 10000.0 AS time_weighted_avg,
+       floor(CAST(sc AS DOUBLE) / n_obs / 100.0 * 10000 + 0.5) / 10000.0
+           AS plain_avg
+FROM agg
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q217 — as-of join MODE bake-off: backward / forward / nearest with
+# tolerance (ext): q59 certifies the backward as-of; real time-series
+# stores (and pandas merge_asof) expose direction and tolerance as
+# knobs. One ±tolerance candidate build (the q62 bin trick, extended to
+# THREE bins so both directions land in one equi-join — never a range
+# scan), then each mode is a deterministic argmin over the same
+# candidates: backward = min (gap, click_id) among gap ≥ 0; forward =
+# min (−gap, click_id) among gap ≤ 0; nearest = min (|gap|,
+# backward-preference, click_id). Output is the per-mode audit row
+# (match counts/rate, exact Σ|gap| in ms, and a matched-click-id
+# checksum that pins the exact assignment), not corpus-sized pairs.
+# All-integer microseconds; ties break on event ids.
+# Scale: one exploded equi-join on (user, bin) — candidates bounded by
+# ±1 bin; three map-side-combinable argmin aggregations; no windows.
+# ---------------------------------------------------------------------------
+_Q217_TOL_S = 600  # ± tolerance, seconds
+
+
+def q217_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_us = _Q217_TOL_S * 1_000_000
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("clk_id"),
+        F.unix_micros("ts").alias("c_us"),
+    ).withColumn("_bin", F.expr(f"c_us div {w_us}"))
+    e3 = err.withColumn("_eb", F.expr(f"e_us div {w_us}")).withColumn(
+        "_bin",
+        F.explode(F.array(F.col("_eb") - 1, F.col("_eb"), F.col("_eb") + 1)),
+    ).drop("_eb")
+    cands = (
+        e3.join(clk, ["user_id", "_bin"])
+        .withColumn("gap", F.col("e_us") - F.col("c_us"))
+        .filter(F.abs("gap") <= w_us)
+        .select("err_id", "clk_id", "gap")
+        .localCheckpoint(eager=False)  # three mode argmins rescan this
+    )
+    n_err = err.agg(F.count("*").alias("n_errors"))
+
+    def mode_row(name: str, picked: DataFrame) -> DataFrame:
+        return (
+            picked.agg(
+                F.count("*").cast("long").alias("n_matched"),
+                F.sum(F.expr("abs(gap) div 1000"))
+                .cast("long")
+                .alias("sum_abs_gap_ms"),
+                F.sum(F.col("clk_id").cast("decimal(38,0)"))
+                .cast("double")
+                .alias("clk_id_checksum"),
+            )
+            .crossJoin(F.broadcast(n_err))
+            .select(
+                F.lit(name).alias("mode"),
+                F.col("n_errors").cast("long").alias("n_errors"),
+                "n_matched",
+                (
+                    F.floor(
+                        F.col("n_matched").cast("double") / F.col("n_errors")
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1000000.0)
+                ).alias("match_rate"),
+                "sum_abs_gap_ms",
+                "clk_id_checksum",
+            )
+        )
+
+    def argmin(df: DataFrame, key) -> DataFrame:
+        return (
+            df.select("err_id", key.alias("ky"), "gap", "clk_id")
+            .groupBy("err_id")
+            .agg(F.min(F.struct("ky", "gap", "clk_id")).alias("b"))
+            .select("err_id", F.col("b.gap").alias("gap"), F.col("b.clk_id").alias("clk_id"))
+        )
+
+    back = argmin(
+        cands.filter(F.col("gap") >= 0), F.struct(F.col("gap"), F.col("clk_id"))
+    )
+    fwd = argmin(
+        cands.filter(F.col("gap") <= 0),
+        F.struct((-F.col("gap")).alias("ng"), F.col("clk_id")),
+    )
+    near = argmin(
+        cands,
+        F.struct(
+            F.abs("gap").alias("ag"),
+            F.when(F.col("gap") >= 0, 0).otherwise(1).alias("pref"),
+            F.col("clk_id"),
+        ),
+    )
+    return (
+        mode_row("backward", back)
+        .unionByName(mode_row("forward", fwd))
+        .unionByName(mode_row("nearest", near))
+        .orderBy("mode")
+    )
+
+
+Q217_SQL = f"""
+WITH err AS (
+    SELECT user_id, event_id AS err_id, epoch_us(ts) AS e_us
+    FROM events WHERE event_type = 'error'
+),
+clk AS (
+    SELECT user_id, event_id AS clk_id, epoch_us(ts) AS c_us
+    FROM events WHERE event_type = 'click'
+),
+cands AS (
+    SELECT e.err_id, c.clk_id, e.e_us - c.c_us AS gap
+    FROM err e JOIN clk c
+      ON c.user_id = e.user_id
+     AND abs(e.e_us - c.c_us) <= {_Q217_TOL_S * 1_000_000}
+),
+n_err AS (SELECT count(*) AS n_errors FROM err),
+back AS (
+    SELECT err_id, gap, clk_id FROM (
+        SELECT err_id, gap, clk_id,
+               row_number() OVER (PARTITION BY err_id
+                                  ORDER BY gap, clk_id) AS rn
+        FROM cands WHERE gap >= 0
+    ) t WHERE rn = 1
+),
+fwd AS (
+    SELECT err_id, gap, clk_id FROM (
+        SELECT err_id, gap, clk_id,
+               row_number() OVER (PARTITION BY err_id
+                                  ORDER BY -gap, clk_id) AS rn
+        FROM cands WHERE gap <= 0
+    ) t WHERE rn = 1
+),
+near AS (
+    SELECT err_id, gap, clk_id FROM (
+        SELECT err_id, gap, clk_id,
+               row_number() OVER (PARTITION BY err_id
+                                  ORDER BY abs(gap),
+                                           CASE WHEN gap >= 0 THEN 0 ELSE 1 END,
+                                           clk_id) AS rn
+        FROM cands
+    ) t WHERE rn = 1
+)
+{" UNION ALL ".join(
+    f'''SELECT '{m}' AS mode,
+       CAST(n.n_errors AS BIGINT) AS n_errors,
+       CAST(count(p.err_id) AS BIGINT) AS n_matched,
+       floor(CAST(count(p.err_id) AS DOUBLE) / n.n_errors * 1000000 + 0.5)
+           / 1000000.0 AS match_rate,
+       CAST(sum(abs(p.gap) // 1000) AS BIGINT) AS sum_abs_gap_ms,
+       CAST(sum(CAST(p.clk_id AS HUGEINT)) AS DOUBLE) AS clk_id_checksum
+FROM {cte} p CROSS JOIN n_err n
+GROUP BY n.n_errors'''
+    for m, cte in (("backward", "back"), ("forward", "fwd"), ("nearest", "near"))
+)}
+ORDER BY mode
+"""
+
+
+# ---------------------------------------------------------------------------
 # q214 — event-time disorder profile (ext): the measurement that SETS a
 # streaming watermark instead of guessing it — for every event, its
 # lateness relative to the max event-time already seen in arrival order
@@ -1337,6 +1582,11 @@ QUERIES = [
     Query("q214_disorder_profile", q214_disorder_profile, Q214_SQL,
           survey="ext:disorder-profile,ext:prefix-scan,ext:quantile-digest,ST5",
           tags=("bench",)),
+    Query("q217_asof_modes", q217_asof_modes, Q217_SQL,
+          survey="ext:asof-join,ext:range-join,ext:asof-directions",
+          tags=("bench",)),
+    Query("q218_time_weighted_avg", q218_time_weighted_avg, Q218_SQL,
+          survey="ext:time-weighted-avg,ext:gap-fill-locf,ext:hypertable-rollup"),
     Query("q192_seasonal_mase", q192_seasonal_mase, Q192_SQL,
           survey="ext:forecast-backtest,ext:trend-regression,"
                  "ext:hypertable-rollup",

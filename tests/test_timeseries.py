@@ -285,3 +285,108 @@ def test_disorder_profile_python_twin(spark, sf_dir):
         assert (r.late_sec_lo, r.late_sec_hi) == (b * 60, (b + 1) * 60)
         assert (r.n_events, r.n_ontime) == (n, n_ontime)
         assert r.share_ontime == floor(n_ontime / n * 1e6 + 0.5) / 1e6
+
+
+def test_asof_modes_python_twin_and_engineered(spark, sf_dir, tmp_path):
+    """q217 vs a python twin on real data (per-mode match counts, exact
+    gap sums, click-id checksums), plus an engineered layout where the
+    three modes provably pick DIFFERENT clicks (backward 3 min before,
+    forward 2 min after → nearest = forward)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q217_TOL_S,
+        q217_asof_modes,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    err = pdf[pdf.event_type == "error"]
+    clk = pdf[pdf.event_type == "click"]
+    by_user = defaultdict(list)
+    for r in clk.itertuples():
+        by_user[r.user_id].append((r.ts.value // 1000, r.event_id))
+    tol = _Q217_TOL_S * 1_000_000
+    picks = {"backward": [], "forward": [], "nearest": []}
+    for r in err.itertuples():
+        e = r.ts.value // 1000
+        cands = [(e - c, cid) for c, cid in by_user.get(r.user_id, [])
+                 if abs(e - c) <= tol]
+        back = sorted([(g, cid) for g, cid in cands if g >= 0])
+        fwd = sorted([(-g, cid) for g, cid in cands if g <= 0])
+        near = sorted([(abs(g), 0 if g >= 0 else 1, cid, g) for g, cid in cands])
+        if back:
+            picks["backward"].append((back[0][0], back[0][1]))
+        if fwd:
+            picks["forward"].append((fwd[0][0], fwd[0][1]))
+        if near:
+            picks["nearest"].append((near[0][0], near[0][2]))
+    out = {r.mode: r for r in q217_asof_modes(spark, sf_dir).collect()}
+    for mode, sel in picks.items():
+        r = out[mode]
+        assert r.n_errors == len(err)
+        assert r.n_matched == len(sel)
+        assert r.sum_abs_gap_ms == sum(g // 1000 for g, _ in sel)
+        assert r.clk_id_checksum == float(sum(cid for _, cid in sel))
+        assert r.match_rate == floor(len(sel) / len(err) * 1e6 + 0.5) / 1e6
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, t0 - timedelta(minutes=3), 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(minutes=2), 1, "click", 1.0, "{}"),
+        (3, t0, 1, "error", 1.0, "{}"),
+        (4, t0 - timedelta(hours=5), 2, "click", 1.0, "{}"),  # out of tolerance
+        (5, t0, 2, "error", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    eng = {r.mode: r for r in q217_asof_modes(spark, str(tmp_path)).collect()}
+    assert eng["backward"].clk_id_checksum == 1.0   # 3 min before
+    assert eng["forward"].clk_id_checksum == 2.0    # 2 min after
+    assert eng["nearest"].clk_id_checksum == 2.0    # forward is closer
+    assert all(r.n_matched == 1 and r.n_errors == 2 for r in eng.values())
+
+
+def test_time_weighted_avg_python_twin_and_bias_case(spark, sf_dir, tmp_path):
+    """q218 vs an exact python twin on real data; engineered series
+    (value 100 held 9 min, value 0 held 1 min) → twa 90.0 vs plain 50.0."""
+    from datetime import datetime, timedelta
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        q218_time_weighted_avg,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    h = max(t.value // 1000 for t in pdf.ts)
+    out = {r.user_id: r for r in q218_time_weighted_avg(spark, sf_dir).collect()}
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = [t.value // 1000 for t in g.ts]
+        cents = [int(floor(v * 100 + 0.5)) for v in g.value]
+        gaps = [ts[i + 1] - ts[i] for i in range(len(ts) - 1)] + [h - ts[-1]]
+        swv = sum(c * w for c, w in zip(cents, gaps))
+        sw = sum(gaps)
+        r = out[uid]
+        assert r.n_obs == len(ts) and r.span_us == float(sw)
+        assert r.time_weighted_avg == floor(swv / sw / 100 * 1e4 + 0.5) / 1e4
+        assert r.plain_avg == floor(sum(cents) / len(cents) / 100 * 1e4 + 0.5) / 1e4
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 9, "view", 100.0, "{}"),
+        (2, t0 + timedelta(minutes=9), 9, "view", 0.0, "{}"),
+        (3, t0 + timedelta(minutes=10), 9, "view", 0.0, "{}"),  # horizon anchor
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    eng = q218_time_weighted_avg(spark, str(tmp_path)).collect()[0]
+    assert eng.time_weighted_avg == 90.0
+    assert round(eng.plain_avg, 4) == round(100.0 / 3, 4)
