@@ -1403,6 +1403,284 @@ ORDER BY p.o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# q220 — hierarchical share-of-parent rollup (ext): the classic OLAP
+# drill path — revenue per nation with its share of the region, the
+# region subtotal with its share of the grand total, all in one result
+# (the percent-of-parent column every BI layer recomputes). Revenue
+# sums are exact cents in DECIMAL(38,0)/HUGEINT; every share is one
+# floor-rounded division of exact integers; money renders as one IEEE
+# division of the exact cent sum — no float touches an accumulator.
+# Scale: orders⋈customer is the only corpus join (hint-free; AQE sizes
+# the dim side); nation/region are fixed 25/5-row tables (broadcast by
+# the _DIM_TABLES rule); the share joins run on the 25-row rollup.
+# ---------------------------------------------------------------------------
+def q220_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    nat = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).alias("nc"), F.count("*").alias("n_orders"))
+        .localCheckpoint(eager=False)  # feeds region + total rollups
+    )
+    reg = nat.groupBy("r_name").agg(F.sum("nc").cast("decimal(38,0)").alias("rc"))
+    tot = nat.agg(F.sum("nc").cast("decimal(38,0)").alias("tc"))
+    # cents are exact integers; dollars = cents/100.0 is one IEEE division
+    money = lambda c: F.col(c).cast("double") / F.lit(100.0)
+    share = lambda num, den: (
+        F.floor(
+            F.col(num).cast("double") / F.col(den).cast("double") * 1000000
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        nat.join(reg, "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            money("nc").alias("nation_revenue"),
+            share("nc", "rc").alias("share_of_region"),
+            money("rc").alias("region_revenue"),
+            share("rc", "tc").alias("share_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+Q220_SQL = """
+WITH nat AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_orders,
+           sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS HUGEINT)) AS nc
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+),
+reg AS (SELECT region, sum(nc) AS rc FROM nat GROUP BY 1),
+tot AS (SELECT sum(nc) AS tc FROM nat)
+SELECT n.region, n.nation,
+       CAST(n.n_orders AS BIGINT) AS n_orders,
+       CAST(n.nc AS DOUBLE) / 100.0 AS nation_revenue,
+       floor(CAST(n.nc AS DOUBLE) / CAST(r.rc AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS share_of_region,
+       CAST(r.rc AS DOUBLE) / 100.0 AS region_revenue,
+       floor(CAST(r.rc AS DOUBLE) / CAST(t.tc AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS share_of_total
+FROM nat n JOIN reg r USING (region) CROSS JOIN tot t
+ORDER BY region, nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# q219 — Apriori level-3 frequent itemsets (ext): q157 stops at pairs;
+# the level-wise Apriori step is the scale story — size-3 CANDIDATES
+# are generated only from frequent pairs sharing a prefix item
+# (P2(a,b) ⋈ P2(a,c), b < c) and pruned by the third sub-pair BEFORE
+# any counting, so the count pass streams per-order triples against a
+# broadcast candidate set (filter-early semi-join). Triple expansion
+# per order is bounded by the basket size (≤ C(7,3) = 35 for TPC-H-ish
+# ≤7-line orders), never by the item domain. On THIS uniform synthetic
+# basket mix every pair clears any triple-keeping minsup (so P2 passes
+# all pairs — the prune is structural here; on skewed real baskets it
+# bites); minsup is a 0.4% rate so all SFs emit. Supports, 3-way lift
+# (supp·n² / (sa·sb·sc)) and the minsup line ship per surviving triple.
+# All-integer until the two display ratios.
+# ---------------------------------------------------------------------------
+_Q219_MINSUP_NUM, _Q219_MINSUP_DEN = 4, 1000  # minsup = ⌈n·0.4%⌉
+_Q219_TOPN = 20
+
+
+def q219_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds totals, F1, P2, triple stream
+    )
+    tot = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.expr(
+            f"(count(DISTINCT l_orderkey) * {_Q219_MINSUP_NUM}"
+            f" + {_Q219_MINSUP_DEN - 1}) div {_Q219_MINSUP_DEN}"
+        ).alias("minsup"),
+    )
+    item = (
+        baskets.groupBy("p_brand")
+        .agg(F.count("*").alias("supp_i"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("supp_i") >= F.col("minsup"))
+        .select("p_brand", "supp_i")
+        .localCheckpoint(eager=False)  # F1: ≤ |brands| rows
+    )
+    # hint-free joins below: item/p2/c3 are brand-domain-bounded but sit
+    # behind lazy checkpoints (opaque to the static walker) — AQE picks
+    # broadcast from their observed few-hundred-byte sizes at runtime
+    fb = baskets.join(item.select("p_brand"), "p_brand", "left_semi")
+    x = fb.select("l_orderkey", F.col("p_brand").alias("b1"))
+    y = fb.select("l_orderkey", F.col("p_brand").alias("b2"))
+    z = fb.select("l_orderkey", F.col("p_brand").alias("b3"))
+    p2 = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("supp_p"))
+        .crossJoin(F.broadcast(tot.select("minsup")))
+        .filter(F.col("supp_p") >= F.col("minsup"))
+        .select("b1", "b2")
+        .localCheckpoint(eager=False)  # P2: ≤ C(|F1|, 2) rows
+    )
+    c3 = (
+        p2.alias("u")
+        .join(
+            p2.select(F.col("b1").alias("b1"), F.col("b2").alias("b3")).alias("v"),
+            "b1",
+        )
+        .filter(F.col("b2") < F.col("b3"))
+        # full Apriori prune: the third sub-pair (b2, b3) must be frequent
+        .join(
+            p2.select(F.col("b1").alias("b2"), F.col("b2").alias("b3")),
+            ["b2", "b3"],
+            "left_semi",
+        )
+        .select("b1", "b2", "b3")
+    )
+    triples = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("b1") < F.col("b2"))
+        .join(z, "l_orderkey")
+        .filter(F.col("b2") < F.col("b3"))
+        .join(c3, ["b1", "b2", "b3"], "left_semi")
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count("*").alias("supp_abc"))
+    )
+    si = lambda n: item.select(
+        F.col("p_brand").alias(n), F.col("supp_i").alias(f"s_{n}")
+    )
+    out = (
+        triples.join(si("b1"), "b1")
+        .join(si("b2"), "b2")
+        .join(si("b3"), "b3")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("supp_abc") >= F.col("minsup"))
+        .select(
+            "b1", "b2", "b3",
+            F.col("supp_abc").cast("long").alias("supp_abc"),
+            F.col("minsup").cast("long").alias("minsup"),
+            (
+                F.floor(
+                    F.col("supp_abc").cast("double") / F.col("n_orders")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("support"),
+            (
+                F.floor(
+                    F.col("supp_abc").cast("double")
+                    * F.col("n_orders").cast("double")
+                    * F.col("n_orders").cast("double")
+                    / (
+                        F.col("s_b1").cast("double")
+                        * F.col("s_b2").cast("double")
+                        * F.col("s_b3").cast("double")
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("lift3"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift3"), F.desc("supp_abc"), "b1", "b2", "b3"
+    ).limit(_Q219_TOPN)
+
+
+Q219_SQL = f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+tot AS (
+    SELECT count(DISTINCT l_orderkey) AS n_orders,
+           (count(DISTINCT l_orderkey) * {_Q219_MINSUP_NUM}
+            + {_Q219_MINSUP_DEN - 1}) // {_Q219_MINSUP_DEN} AS minsup
+    FROM baskets
+),
+item AS (
+    SELECT b.p_brand, count(*) AS supp_i
+    FROM baskets b GROUP BY 1
+    HAVING count(*) >= (SELECT minsup FROM tot)
+),
+fb AS (
+    SELECT b.* FROM baskets b JOIN item i ON i.p_brand = b.p_brand
+),
+p2 AS (
+    SELECT a.p_brand AS b1, b.p_brand AS b2
+    FROM fb a JOIN fb b ON b.l_orderkey = a.l_orderkey
+                        AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING count(*) >= (SELECT minsup FROM tot)
+),
+c3 AS (
+    SELECT u.b1, u.b2, v.b2 AS b3
+    FROM p2 u
+    JOIN p2 v ON v.b1 = u.b1 AND u.b2 < v.b2
+    WHERE EXISTS (SELECT 1 FROM p2 w WHERE w.b1 = u.b2 AND w.b2 = v.b2)
+),
+triples AS (
+    SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+           count(*) AS supp_abc
+    FROM fb a
+    JOIN fb b ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+    JOIN fb c ON c.l_orderkey = a.l_orderkey AND b.p_brand < c.p_brand
+    JOIN c3 ON c3.b1 = a.p_brand AND c3.b2 = b.p_brand AND c3.b3 = c.p_brand
+    GROUP BY 1, 2, 3
+)
+SELECT t.b1, t.b2, t.b3,
+       CAST(t.supp_abc AS BIGINT) AS supp_abc,
+       CAST(tt.minsup AS BIGINT) AS minsup,
+       floor(CAST(t.supp_abc AS DOUBLE) / tt.n_orders * 1000000 + 0.5)
+           / 1000000.0 AS support,
+       floor(CAST(t.supp_abc AS DOUBLE)
+             * tt.n_orders * tt.n_orders
+             / (i1.supp_i * CAST(i2.supp_i AS DOUBLE) * i3.supp_i)
+             * 1000000 + 0.5) / 1000000.0 AS lift3
+FROM triples t
+JOIN item i1 ON i1.p_brand = t.b1
+JOIN item i2 ON i2.p_brand = t.b2
+JOIN item i3 ON i3.p_brand = t.b3
+CROSS JOIN tot tt
+WHERE t.supp_abc >= tt.minsup
+ORDER BY lift3 DESC, supp_abc DESC, b1, b2, b3
+LIMIT {_Q219_TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q208 — RFM customer segmentation with data-derived quintile ladders
 # (ext): the classic warehouse scoring pass — per customer Recency
 # (days since last order, anchored at max(o_orderdate) in the DATA, no
@@ -1567,6 +1845,11 @@ QUERIES = [
     Query("q208_rfm_segments", q208_rfm_segments, Q208_SQL,
           survey="ext:rfm-segmentation,ext:quantile-digest,ext:percentiles,A3,F19",
           tags=("bench",)),
+    Query("q219_apriori_triples", q219_apriori_triples, Q219_SQL,
+          survey="ext:association-rules,ext:apriori-levelwise,A1",
+          tags=("bench",)),
+    Query("q220_share_of_parent", q220_share_of_parent, Q220_SQL,
+          survey="ext:share-of-parent,A4,J1,W2"),
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
     Query("q03_topk_recent_orders", q03_topk_recent_orders, Q03_SQL, survey="S5,T1,T2"),

@@ -1053,3 +1053,81 @@ def test_rfm_segments_python_twin(spark, sf_dir):
         r = out[seg]
         assert r.n_customers == n
         assert r.avg_spend == ((s * 200 + n * 100) // (2 * n * 100)) / 100.0
+
+
+def test_apriori_triples_python_twin(spark, sf_dir):
+    """q219 vs a python Apriori twin: same minsup ladder, candidate
+    generation with full sub-pair pruning, triple supports, lifts, and
+    the top-20 ordering."""
+    from collections import Counter, defaultdict
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.relational import (
+        _Q219_MINSUP_DEN,
+        _Q219_MINSUP_NUM,
+        _Q219_TOPN,
+        q219_apriori_triples,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").toPandas()
+    bmap = dict(zip(part.p_partkey, part.p_brand))
+    baskets = defaultdict(set)
+    for ok, pk in zip(li.l_orderkey, li.l_partkey):
+        baskets[ok].add(bmap[pk])
+    n = len(baskets)
+    minsup = (n * _Q219_MINSUP_NUM + _Q219_MINSUP_DEN - 1) // _Q219_MINSUP_DEN
+    item = Counter()
+    for bs in baskets.values():
+        item.update(bs)
+    f1 = {b for b, c in item.items() if c >= minsup}
+    pair = Counter()
+    tri = Counter()
+    for bs in baskets.values():
+        fs = sorted(b for b in bs if b in f1)
+        for i in range(len(fs)):
+            for j in range(i + 1, len(fs)):
+                pair[(fs[i], fs[j])] += 1
+                for k in range(j + 1, len(fs)):
+                    tri[(fs[i], fs[j], fs[k])] += 1
+    p2 = {p for p, c in pair.items() if c >= minsup}
+    want = []
+    for (a, b, c), s in tri.items():
+        if s < minsup:
+            continue
+        if (a, b) in p2 and (a, c) in p2 and (b, c) in p2:
+            lift = floor(
+                s * n * n / (item[a] * item[b] * item[c]) * 1e6 + 0.5
+            ) / 1e6
+            want.append((-lift, -s, a, b, c,
+                         floor(s / n * 1e6 + 0.5) / 1e6, lift))
+    want.sort()
+    want = want[:_Q219_TOPN]
+    out = q219_apriori_triples(spark, sf_dir).collect()
+    assert len(out) == len(want)
+    for r, w in zip(out, want):
+        assert (r.b1, r.b2, r.b3, r.supp_abc) == (w[2], w[3], w[4], -w[1])
+        assert (r.support, r.lift3) == (w[5], w[6])
+        assert r.minsup == minsup
+
+
+def test_share_of_parent_closes_to_one(spark, sf_dir):
+    """q220: nation shares within each region sum to 1 (±rounding),
+    region shares over the total sum to 1, and nation revenues add up
+    to their region's subtotal exactly at cent grain."""
+    from collections import defaultdict
+
+    out = None
+    from bbc_news_data_pipeline_spark.plans.relational import q220_share_of_parent
+
+    out = q220_share_of_parent(spark, sf_dir).collect()
+    by_region = defaultdict(list)
+    for r in out:
+        by_region[r.region].append(r)
+    regs = {}
+    for reg, rows in by_region.items():
+        assert abs(sum(r.share_of_region for r in rows) - 1.0) < 1e-4
+        cents = round(sum(round(r.nation_revenue * 100) for r in rows))
+        assert cents == round(rows[0].region_revenue * 100)
+        regs[reg] = rows[0].share_of_total
+    assert abs(sum(regs.values()) - 1.0) < 1e-4
