@@ -1403,6 +1403,62 @@ ORDER BY p.o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# q221 — three-dimension GROUPING SETS with grouping_id (ext): q18/q23
+# cover rollup/cube at two dims; the BI layer's actual contract is an
+# arbitrary grouping-sets lattice with a grouping_id that downstream
+# code switches on. Four sets in one pass — (seg, prio, status),
+# (seg, prio), (seg), () — exact cent sums, NULL-filled grouping keys
+# disambiguated by the id (the reason grouping_id exists: a real NULL
+# key vs a rolled-up one are different rows).
+# Scale: ONE scan, one Expand×4 shuffle with map-side partial agg —
+# the same plan shape Spark gives CUBE, pruned to the sets asked for.
+# ---------------------------------------------------------------------------
+def q221_grouping_sets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    j.createOrReplaceTempView("q221_base")
+    return spark.sql(
+        """
+        SELECT seg, prio, status,
+               CAST(grouping_id(seg, prio, status) AS INTEGER) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+        FROM q221_base
+        GROUP BY GROUPING SETS ((seg, prio, status), (seg, prio), (seg), ())
+        ORDER BY gid, seg, prio, status
+        """
+    )
+
+
+Q221_SQL = """
+SELECT seg, prio, status,
+       CAST(grouping(seg) * 4 + grouping(prio) * 2 + grouping(status)
+            AS INTEGER) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+FROM (
+    SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+           o.o_orderstatus AS status,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS HUGEINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+GROUP BY GROUPING SETS ((seg, prio, status), (seg, prio), (seg), ())
+ORDER BY gid, seg, prio, status
+"""
+
+
+# ---------------------------------------------------------------------------
 # q220 — hierarchical share-of-parent rollup (ext): the classic OLAP
 # drill path — revenue per nation with its share of the region, the
 # region subtotal with its share of the grand total, all in one result
@@ -1850,6 +1906,8 @@ QUERIES = [
           tags=("bench",)),
     Query("q220_share_of_parent", q220_share_of_parent, Q220_SQL,
           survey="ext:share-of-parent,A4,J1,W2"),
+    Query("q221_grouping_sets3", q221_grouping_sets3, Q221_SQL,
+          survey="ext:grouping-sets,A4,A6,F22"),
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL, survey="A2,A3,P6,P9,F22", tags=("flagship", "bench")),
     Query("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, survey="J1,A2,T1", tags=("bench",)),
     Query("q03_topk_recent_orders", q03_topk_recent_orders, Q03_SQL, survey="S5,T1,T2"),

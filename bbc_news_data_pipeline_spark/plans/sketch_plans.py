@@ -3603,6 +3603,100 @@ ORDER BY t
 
 
 # ---------------------------------------------------------------------------
+# q225 — capture–recapture cardinality estimate (ext): the ecology
+# estimator (Lincoln–Petersen, plus Chapman's small-sample correction)
+# as an AQP primitive — two INDEPENDENT md5-keyed word samples play the
+# two "captures"; N̂ = n_a·n_b / n_ab needs only the three sample
+# cardinalities, never the full distinct count. Deterministic samples
+# (q55 machinery under two salts) make the estimate reproducible, and
+# the exact vocabulary ships alongside with the relative error — the
+# q122-HLL certification discipline applied to a sampling-theory
+# estimator (different failure modes: CR is unbiased under
+# independence; HLL under hashing uniformity).
+# Scale: one token pass; each sample membership is a row-local hash
+# test folded into ONE aggregate over the distinct-word rollup.
+# ---------------------------------------------------------------------------
+_Q225_RATE_NUM, _Q225_RATE_DEN = 3, 10  # each capture samples 30% of words
+
+
+def q225_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import SAMPLE_KEY_MOD, sample_key_expr
+
+    docs = load(spark, sf_dir, "documents")
+    thr = SAMPLE_KEY_MOD * _Q225_RATE_NUM // _Q225_RATE_DEN
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            (sample_key_expr("w", salt="cra") < thr).alias("in_a"),
+            (sample_key_expr("w", salt="crb") < thr).alias("in_b"),
+        )
+    )
+    agg = words.agg(
+        F.count("*").cast("long").alias("exact_distinct"),
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("n_a"),
+        F.sum(F.col("in_b").cast("long")).cast("long").alias("n_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_ab"),
+    )
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)
+    lp = F.col("n_a").cast("double") * F.col("n_b") / F.col("n_ab")
+    chap = (
+        (F.col("n_a") + 1).cast("double") * (F.col("n_b") + 1) / (F.col("n_ab") + 1)
+        - F.lit(1.0)
+    )
+    return agg.select(
+        "exact_distinct",
+        "n_a",
+        "n_b",
+        "n_ab",
+        r2(lp).alias("lp_estimate"),
+        r2(chap).alias("chapman_estimate"),
+        r2(
+            (chap - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 100
+        ).alias("chapman_rel_err_pct"),
+    )
+
+
+def _q225_key(salt: str) -> str:
+    return _hex2int_sql(f"md5('{salt}:' || w)", 1, 8)
+
+
+Q225_SQL = f"""
+WITH words AS (
+    SELECT w,
+           ({_q225_key("cra")}) < {(1 << 32) * _Q225_RATE_NUM // _Q225_RATE_DEN}
+               AS in_a,
+           ({_q225_key("crb")}) < {(1 << 32) * _Q225_RATE_NUM // _Q225_RATE_DEN}
+               AS in_b
+    FROM (SELECT DISTINCT unnest(str_split(lower(text), ' ')) AS w
+          FROM documents)
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS exact_distinct,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ab
+    FROM words
+)
+SELECT exact_distinct, n_a, n_b, n_ab,
+       floor(CAST(n_a AS DOUBLE) * n_b / n_ab * 100 + 0.5) / 100.0
+           AS lp_estimate,
+       floor(((n_a + 1) * CAST(n_b + 1 AS DOUBLE) / (n_ab + 1) - 1.0) * 100
+             + 0.5) / 100.0 AS chapman_estimate,
+       floor((((n_a + 1) * CAST(n_b + 1 AS DOUBLE) / (n_ab + 1) - 1.0)
+              - exact_distinct) / exact_distinct * 100 * 100 + 0.5) / 100.0
+           AS chapman_rel_err_pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # q215 — trailing-window heavy hitters via hourly Misra–Gries merges
 # (ext): q178's sliding-window trick applied to FREQUENCIES — each hour
 # keeps one ≤K-counter MG summary (+ its deficit λ), and every report
@@ -4265,6 +4359,8 @@ QUERIES = [
     Query("q205_hll_venn3", q205_hll_venn3, Q205_SQL,
           survey="ext:hll-cardinality,ext:dataset-lineage,ext:venn-regions",
           tags=("bench",)),
+    Query("q225_capture_recapture", q225_capture_recapture, Q225_SQL,
+          survey="ext:capture-recapture,ext:hll-cardinality,ext:hash-sampling"),
     Query("q215_trailing_heavy_hitters", q215_trailing_heavy_hitters, Q215_SQL,
           survey="ext:heavy-hitters,ext:sliding-window-distinct,"
                  "ext:trend-detection,ST4",

@@ -973,6 +973,210 @@ ORDER BY streak_len
 
 
 # ---------------------------------------------------------------------------
+# q222 — daily-periodicity score via lag-24h autocorrelation (ext): the
+# temporal-pattern probe a behavioral pipeline runs per entity — does
+# this user's hourly activity repeat on a 24h cycle? Scored as the raw
+# (uncentered) autocorrelation Σ c_t·c_{t−24} / Σ c_t² over the user's
+# hourly counts: exact integer dot products (a per-user self-join on
+# hour+24h, both sides from ONE hourly rollup), one floor-rounded
+# division at the end. Emits n_hours/n_lag_pairs so sparse users are
+# interpretable; users with zero 24h-aligned pairs score 0 by
+# definition (LEFT join keeps them — absence of evidence is a row, not
+# a dropped entity).
+# Scale: one corpus groupBy to (user, hour); the lag join is per-user
+# on an equi-key (user, hour) — no window, no corpus re-scan.
+# ---------------------------------------------------------------------------
+_Q222_LAG_H = 24
+
+
+def q222_periodicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("user_id").alias("u"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds both sides of the lag join
+    )
+    base = hourly.groupBy("u").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    lagged = hourly.select(
+        "u",
+        (F.col("h") + F.expr(f"make_interval(0, 0, 0, 0, {_Q222_LAG_H})")).alias(
+            "h"
+        ),
+        F.col("c").alias("c_prev"),
+    )
+    cross = (
+        hourly.join(lagged, ["u", "h"])
+        .groupBy("u")
+        .agg(
+            F.count("*").cast("long").alias("n_lag_pairs"),
+            F.sum(F.col("c") * F.col("c_prev")).cast("long").alias("sp"),
+        )
+    )
+    return (
+        base.join(cross, "u", "left")
+        .select(
+            F.col("u").cast("long").alias("user_id"),
+            "n_hours",
+            F.coalesce("n_lag_pairs", F.lit(0)).cast("long").alias("n_lag_pairs"),
+            (
+                F.floor(
+                    F.coalesce("sp", F.lit(0)).cast("double")
+                    / F.col("ss")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("periodicity"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q222_SQL = f"""
+WITH hourly AS (
+    SELECT user_id AS u, date_trunc('hour', ts) AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+base AS (
+    SELECT u, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(c * c) AS BIGINT) AS ss
+    FROM hourly GROUP BY 1
+),
+crossed AS (
+    SELECT a.u, CAST(count(*) AS BIGINT) AS n_lag_pairs,
+           CAST(sum(a.c * b.c) AS BIGINT) AS sp
+    FROM hourly a
+    JOIN hourly b ON b.u = a.u
+                 AND b.h + INTERVAL {_Q222_LAG_H} HOUR = a.h
+    GROUP BY 1
+)
+SELECT CAST(base.u AS BIGINT) AS user_id,
+       base.n_hours,
+       coalesce(c.n_lag_pairs, 0) AS n_lag_pairs,
+       floor(CAST(coalesce(c.sp, 0) AS DOUBLE) / base.ss * 1000000 + 0.5)
+           / 1000000.0 AS periodicity
+FROM base LEFT JOIN crossed c ON c.u = base.u
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q223 — cohort LTV curves (ext): q71 counts retention; revenue teams
+# need the MONEY version — per signup cohort (first-activity week),
+# cumulative purchase value by cohort age in weeks, per-user LTV, and
+# the completeness caveat a real dashboard carries (younger cohorts
+# have fewer observable weeks — emitted as max_age so no one reads a
+# short curve as churn). Cent-exact DECIMAL/HUGEINT sums; the
+# cumulative runs over ≤ n_weeks rows per cohort (bounded partitions).
+# Scale: one corpus groupBy to (cohort, age) cells after a per-user
+# min-ts rollup + join on user — the funnel-family shuffle shape.
+# ---------------------------------------------------------------------------
+def q223_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort")) / 7
+            )
+            .cast("long")
+            .alias("age_w"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("decimal(38,0)")
+            .alias("cents"),
+        )
+        .groupBy("cohort", "age_w")
+        .agg(F.sum("cents").alias("wc"), F.count("*").alias("n_purchases"))
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cum_cents", F.sum("wc").over(wcum)).withColumn(
+        "max_age", F.max("age_w").over(Window.partitionBy("cohort"))
+    )
+    return (
+        cum.join(sizes, "cohort")
+        .select(
+            "cohort",
+            F.col("age_w").cast("long").alias("age_w"),
+            F.col("max_age").cast("long").alias("max_age"),
+            "cohort_users",
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            (F.col("cum_cents").cast("double") / F.lit(100.0)).alias(
+                "cum_revenue"
+            ),
+            (
+                F.floor(
+                    F.col("cum_cents").cast("double")
+                    / F.col("cohort_users")
+                    / F.lit(100.0)
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age_w")
+    )
+
+
+Q223_SQL = """
+WITH first_ AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort
+    FROM events GROUP BY 1
+),
+cells AS (
+    SELECT f.cohort,
+           CAST(floor(date_diff('day', f.cohort,
+                                date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+               AS age_w,
+           sum(CAST(floor(e.value * 100 + 0.5) AS HUGEINT)) AS wc,
+           count(*) AS n_purchases
+    FROM events e JOIN first_ f ON f.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM first_ GROUP BY 1
+),
+cum AS (
+    SELECT cohort, age_w, n_purchases,
+           sum(wc) OVER (PARTITION BY cohort ORDER BY age_w
+                         ROWS UNBOUNDED PRECEDING) AS cum_cents,
+           max(age_w) OVER (PARTITION BY cohort) AS max_age
+    FROM cells
+)
+SELECT c.cohort,
+       c.age_w,
+       CAST(c.max_age AS BIGINT) AS max_age,
+       s.cohort_users,
+       CAST(c.n_purchases AS BIGINT) AS n_purchases,
+       CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+       floor(CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0 * 10000
+             + 0.5) / 10000.0 AS ltv_per_user
+FROM cum c JOIN sizes s USING (cohort)
+ORDER BY cohort, age_w
+"""
+
+
+# ---------------------------------------------------------------------------
 # q218 — time-weighted average over irregular samples (ext): the
 # hypertable aggregate plain AVG gets WRONG on unevenly-sampled series
 # (TimescaleDB's time_weight, LOCF semantics): each observation holds
@@ -1587,6 +1791,10 @@ QUERIES = [
           tags=("bench",)),
     Query("q218_time_weighted_avg", q218_time_weighted_avg, Q218_SQL,
           survey="ext:time-weighted-avg,ext:gap-fill-locf,ext:hypertable-rollup"),
+    Query("q222_periodicity_score", q222_periodicity_score, Q222_SQL,
+          survey="ext:periodicity-score,ext:timeseries-similarity,ext:hypertable-rollup"),
+    Query("q223_cohort_ltv", q223_cohort_ltv, Q223_SQL,
+          survey="ext:cohort-ltv,ext:retention,F19,W2", tags=("bench",)),
     Query("q192_seasonal_mase", q192_seasonal_mase, Q192_SQL,
           survey="ext:forecast-backtest,ext:trend-regression,"
                  "ext:hypertable-rollup",

@@ -1131,3 +1131,77 @@ def test_share_of_parent_closes_to_one(spark, sf_dir):
         assert cents == round(rows[0].region_revenue * 100)
         regs[reg] = rows[0].share_of_total
     assert abs(sum(regs.values()) - 1.0) < 1e-4
+
+
+def test_grouping_sets3_lattice_consistency(spark, sf_dir):
+    """q221: every grouping level must re-aggregate exactly from the
+    finest level (revenue and counts), gid encodes the NULLed-out key
+    set, and the () row equals the grand total."""
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.relational import q221_grouping_sets3
+
+    out = q221_grouping_sets3(spark, sf_dir).collect()
+    fine = [r for r in out if r.gid == 0]
+    by_sp = defaultdict(lambda: [0, 0.0])
+    by_s = defaultdict(lambda: [0, 0.0])
+    tot = [0, 0.0]
+    for r in fine:
+        for acc, key in ((by_sp, (r.seg, r.prio)), (by_s, r.seg)):
+            acc[key][0] += r.n_orders
+            acc[key][1] += r.revenue
+        tot[0] += r.n_orders
+        tot[1] += r.revenue
+    for r in out:
+        if r.gid == 1:
+            want = by_sp[(r.seg, r.prio)]
+            assert r.status is None
+        elif r.gid == 3:
+            want = by_s[r.seg]
+            assert r.prio is None and r.status is None
+        elif r.gid == 7:
+            want = tot
+            assert r.seg is None
+        else:
+            continue
+        assert r.n_orders == want[0]
+        assert abs(r.revenue - want[1]) < 1e-6
+
+
+def test_capture_recapture_python_twin(spark, sf_dir):
+    """q225 vs hashlib: sample memberships, LP and Chapman estimates;
+    Chapman must land within 15% of the exact vocabulary at 30%
+    capture rates on this corpus."""
+    import hashlib
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q225_RATE_DEN,
+        _Q225_RATE_NUM,
+        q225_capture_recapture,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    vocab = set()
+    for t in pdf.text:
+        vocab.update(t.lower().split(" "))
+    thr = (1 << 32) * _Q225_RATE_NUM // _Q225_RATE_DEN
+
+    def key(salt, w):
+        return int(hashlib.md5(f"{salt}:{w}".encode()).hexdigest()[:8], 16)
+
+    na = sum(1 for w in vocab if key("cra", w) < thr)
+    nb = sum(1 for w in vocab if key("crb", w) < thr)
+    nab = sum(1 for w in vocab if key("cra", w) < thr and key("crb", w) < thr)
+    r = q225_capture_recapture(spark, sf_dir).collect()[0]
+    assert (r.exact_distinct, r.n_a, r.n_b, r.n_ab) == (len(vocab), na, nb, nab)
+    assert r.lp_estimate == floor(na * nb / nab * 100 + 0.5) / 100
+    chap = (na + 1) * (nb + 1) / (nab + 1) - 1
+    assert r.chapman_estimate == floor(chap * 100 + 0.5) / 100
+    # accuracy band only where the estimator's variance allows it: the
+    # sf0.001 vocabulary is ~31 words, where CR is exact-arithmetic
+    # verified above but statistically noisy by design
+    if len(vocab) >= 500:
+        assert abs(chap - len(vocab)) / len(vocab) < 0.15
+    else:
+        assert chap > 0

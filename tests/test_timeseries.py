@@ -390,3 +390,54 @@ def test_time_weighted_avg_python_twin_and_bias_case(spark, sf_dir, tmp_path):
     eng = q218_time_weighted_avg(spark, str(tmp_path)).collect()[0]
     assert eng.time_weighted_avg == 90.0
     assert round(eng.plain_avg, 4) == round(100.0 / 3, 4)
+
+
+def test_periodicity_and_cohort_ltv_twins(spark, sf_dir):
+    """q222 and q223 vs python twins: exact lag-24h dot products and
+    cent-exact cumulative cohort revenue."""
+    from collections import Counter, defaultdict
+    from math import floor
+
+    import pandas as pd
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q222_LAG_H,
+        q222_periodicity_score,
+        q223_cohort_ltv,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["h"] = pdf.ts.dt.floor("h")
+    out = {r.user_id: r for r in q222_periodicity_score(spark, sf_dir).collect()}
+    for uid, g in pdf.groupby("user_id"):
+        c = Counter(g.h)
+        ss = sum(v * v for v in c.values())
+        sp = sum(
+            c[h] * c[h - pd.Timedelta(hours=_Q222_LAG_H)]
+            for h in c
+            if h - pd.Timedelta(hours=_Q222_LAG_H) in c
+        )
+        n_pairs = sum(
+            1 for h in c if h - pd.Timedelta(hours=_Q222_LAG_H) in c
+        )
+        r = out[uid]
+        assert (r.n_hours, r.n_lag_pairs) == (len(c), n_pairs)
+        assert r.periodicity == floor(sp / ss * 1e6 + 0.5) / 1e6
+
+    first = pdf.groupby("user_id").ts.min().dt.to_period("W").dt.start_time
+    pur = pdf[pdf.event_type == "purchase"].copy()
+    pur["cohort"] = pur.user_id.map(first)
+    pur["age_w"] = (
+        (pur.ts.dt.to_period("W").dt.start_time - pur.cohort).dt.days // 7
+    )
+    pur["cents"] = (pur.value * 100 + 0.5).apply(int)
+    sizes = Counter(first)
+    cells = pur.groupby(["cohort", "age_w"]).cents.sum()
+    got = {(r.cohort, r.age_w): r for r in q223_cohort_ltv(spark, sf_dir).collect()}
+    cum = defaultdict(int)
+    for (coh, age), s in sorted(cells.items()):
+        cum[coh] += int(s)
+        r = got[(coh.to_pydatetime(), age)]
+        assert r.cohort_users == sizes[coh]
+        assert round(r.cum_revenue * 100) == cum[coh]
+        assert r.ltv_per_user == floor(cum[coh] / sizes[coh] / 100 * 1e4 + 0.5) / 1e4
