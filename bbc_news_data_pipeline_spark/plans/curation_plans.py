@@ -2607,6 +2607,140 @@ ORDER BY entity_id
 
 
 # ---------------------------------------------------------------------------
+# q224 — raking / iterative proportional fitting, K=2 unrolled rounds
+# (ext): the survey-statistics weight calibration a corpus-balancing
+# pipeline runs when TWO marginals must hold at once (q103 temperature
+# mixing is the 1-D case) — start every (source, lang) cell at weight 1,
+# scale cells so SOURCE marginals hit uniform 1/S, then so LANG
+# marginals hit uniform 1/L (which disturbs the source fit — that
+# residual is the readout), with the full trajectory exact: weights are
+# 10⁶-scaled integers, each multiplicative update is one floor division
+# of DECIMAL(38,0)/HUGEINT products (w·M / (S·M_s)), and the
+# after-round marginal errors ship as columns so convergence is data,
+# not prose.
+# Scale: ONE corpus groupBy to the (source, lang) cell table — every
+# iteration is arithmetic over |S|·|L| rows; nothing rescans the corpus.
+# ---------------------------------------------------------------------------
+_Q224_SCALE = 1_000_000
+
+
+def q224_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn("w", F.lit(_Q224_SCALE).cast("decimal(38,0)"))
+        .localCheckpoint(eager=False)
+    )
+
+    def rake(df: DataFrame, dim: str) -> DataFrame:
+        """One IPF round: scale each dim-group's mass to the uniform share."""
+        mass = df.groupBy(dim).agg(
+            F.sum(F.col("w") * F.col("n")).alias("m_d")
+        )
+        tot = mass.agg(
+            F.sum("m_d").cast("decimal(38,0)").alias("m"),
+            F.count("*").alias("k"),
+        )
+        return (
+            df.join(mass, dim)
+            .crossJoin(F.broadcast(tot))
+            .withColumn(
+                "w",
+                F.expr("CAST((w * m) div (k * m_d) AS DECIMAL(38,0))"),
+            )
+            .drop("m_d", "m", "k")
+        )
+
+    raked = rake(rake(cells, "source"), "lang").localCheckpoint(
+        eager=False
+    )  # feeds output + both marginal audits
+
+    def max_err(df: DataFrame, dim: str):
+        mass = df.groupBy(dim).agg(F.sum(F.col("w") * F.col("n")).alias("m_d"))
+        return (
+            mass.agg(
+                F.sum("m_d").cast("double").alias("m"),
+                F.count("*").cast("double").alias("k"),
+                F.max("m_d").cast("double").alias("mx"),
+                F.min("m_d").cast("double").alias("mn"),
+            )
+            .select(
+                F.greatest(
+                    F.col("mx") / F.col("m") - 1.0 / F.col("k"),
+                    1.0 / F.col("k") - F.col("mn") / F.col("m"),
+                ).alias(f"max_{dim}_err")
+            )
+        )
+
+    errs = max_err(raked, "source").crossJoin(F.broadcast(max_err(raked, "lang")))
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        raked.crossJoin(F.broadcast(errs))
+        .select(
+            "source",
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            (F.col("w").cast("double") / F.lit(float(_Q224_SCALE))).alias(
+                "weight"
+            ),
+            r6(F.col("max_source_err")).alias("max_source_err"),
+            r6(F.col("max_lang_err")).alias("max_lang_err"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+Q224_SQL = f"""
+WITH cells AS (
+    SELECT source, lang, count(*) AS n,
+           CAST({_Q224_SCALE} AS HUGEINT) AS w
+    FROM documents GROUP BY 1, 2
+),
+m1 AS (SELECT source, sum(w * n) AS m_d FROM cells GROUP BY 1),
+t1 AS (SELECT sum(m_d) AS m, count(*) AS k FROM m1),
+r1 AS (
+    SELECT c.source, c.lang, c.n,
+           (c.w * t1.m) // (t1.k * m1.m_d) AS w
+    FROM cells c JOIN m1 USING (source) CROSS JOIN t1
+),
+m2 AS (SELECT lang, sum(w * n) AS m_d FROM r1 GROUP BY 1),
+t2 AS (SELECT sum(m_d) AS m, count(*) AS k FROM m2),
+r2 AS (
+    SELECT r1.source, r1.lang, r1.n,
+           (r1.w * t2.m) // (t2.k * m2.m_d) AS w
+    FROM r1 JOIN m2 USING (lang) CROSS JOIN t2
+),
+ms AS (SELECT source, sum(w * n) AS m_d FROM r2 GROUP BY 1),
+ml AS (SELECT lang, sum(w * n) AS m_d FROM r2 GROUP BY 1),
+es2 AS (
+    SELECT greatest(CAST(max(m_d) AS DOUBLE) / (SELECT sum(m_d) FROM ms)
+                        - 1.0 / count(*),
+                    1.0 / count(*)
+                        - CAST(min(m_d) AS DOUBLE) / (SELECT sum(m_d) FROM ms))
+               AS max_source_err
+    FROM ms
+),
+el AS (
+    SELECT greatest(CAST(max(m_d) AS DOUBLE) / (SELECT sum(m_d) FROM ml)
+                        - 1.0 / count(*),
+                    1.0 / count(*)
+                        - CAST(min(m_d) AS DOUBLE) / (SELECT sum(m_d) FROM ml))
+               AS max_lang_err
+    FROM ml
+)
+SELECT r2.source, r2.lang,
+       CAST(r2.n AS BIGINT) AS n_docs,
+       CAST(r2.w AS DOUBLE) / {_Q224_SCALE} AS weight,
+       floor(es2.max_source_err * 1000000 + 0.5) / 1000000.0
+           AS max_source_err,
+       floor(el.max_lang_err * 1000000 + 0.5) / 1000000.0 AS max_lang_err
+FROM r2 CROSS JOIN es2 CROSS JOIN el
+ORDER BY r2.source, r2.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # q200 — synchronous label-propagation communities, K=3 rounds (ext):
 # the cheap community-detection pass (Raghavan et al. 2007) a curation
 # pipeline runs over the near-dup candidate graph to find topical/dup
@@ -2918,6 +3052,8 @@ QUERIES = [
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
     Query("q198_target_encoding", q198_target_encoding, Q198_SQL,
           survey="ext:target-encoding,ext:leakage-safe-split,ext:hash-sampling,A3"),
+    Query("q224_raking_weights", q224_raking_weights, Q224_SQL,
+          survey="ext:raking-ipf,ext:dataset-mixing,ext:stratified-sampling"),
     Query("q200_label_propagation", q200_label_propagation, Q200_SQL,
           survey="ext:label-propagation,ext:dup-clustering,ext:minhash-lsh",
           tags=("bench",)),

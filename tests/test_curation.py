@@ -514,3 +514,53 @@ def test_label_propagation_python_twin(spark, sf_dir):
             traj[0][r.doc_id], traj[1][r.doc_id], traj[2][r.doc_id]
         )
         assert r.comm_size == sizes[r.lbl3]
+
+
+def test_raking_weights_python_twin_and_lang_marginal_exact(spark, sf_dir):
+    """q224 vs an integer-exact python IPF twin; after the final lang
+    round the lang marginals are uniform up to integer-floor residue
+    (max_lang_err ≈ 0), and the source residual matches the twin."""
+    from collections import defaultdict
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.curation_plans import (
+        _Q224_SCALE,
+        q224_raking_weights,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    cells = defaultdict(int)
+    for s, l in zip(pdf.source, pdf.lang):
+        cells[(s, l)] += 1
+    w = {k: _Q224_SCALE for k in cells}
+
+    def rake(dim_idx):
+        mass = defaultdict(int)
+        for k, n in cells.items():
+            mass[k[dim_idx]] += w[k] * n
+        m = sum(mass.values())
+        kk = len(mass)
+        for k in w:
+            w[k] = (w[k] * m) // (kk * mass[k[dim_idx]])
+
+    rake(0)
+    rake(1)
+
+    def max_err(dim_idx):
+        mass = defaultdict(int)
+        for k, n in cells.items():
+            mass[k[dim_idx]] += w[k] * n
+        m = sum(mass.values())
+        kk = len(mass)
+        return max(max(mass.values()) / m - 1 / kk,
+                   1 / kk - min(mass.values()) / m)
+
+    es, el = max_err(0), max_err(1)
+    out = {(r.source, r.lang): r for r in q224_raking_weights(spark, sf_dir).collect()}
+    assert set(out) == set(cells)
+    for k, r in out.items():
+        assert r.n_docs == cells[k]
+        assert r.weight == w[k] / _Q224_SCALE
+        assert r.max_source_err == floor(es * 1e6 + 0.5) / 1e6
+        assert r.max_lang_err == floor(el * 1e6 + 0.5) / 1e6
+    assert el < 1e-3  # final round fits its own marginal to floor residue
