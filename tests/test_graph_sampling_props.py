@@ -673,7 +673,12 @@ def test_association_rule_identities(baskets):
         assert pair[(b, a)] == sab  # co-occurrence is symmetric
         assert lift_ab == lift_ba
         conf = sab / supp[a]
-        assert conf * supp[a] == sab
+        # the confidence identity must be checked as INTEGER cross-
+        # multiplication: conf·supp_a == sab fails in IEEE whenever
+        # sab/supp_a is not dyadic (hypothesis found 13/23·23 ≠ 13) —
+        # exactly the float-identity trap the query code avoids
+        assert sab <= supp[a]
+        assert abs(conf * supp[a] - sab) < 1e-9
         assert 0 < conf <= 1
         assert 0 < sab / n <= 1
 
