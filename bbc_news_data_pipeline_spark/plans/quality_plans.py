@@ -2845,6 +2845,100 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q227 — l-diversity audit (ext): k-anonymity (q158) bounds RE-
+# IDENTIFICATION; l-diversity bounds ATTRIBUTE disclosure — a class of
+# k identical quasi-identifiers still leaks if everyone shares the
+# sensitive value. Per (nation, segment) equivalence class over
+# customers: class size, DISTINCT sensitive values (the $1000 balance
+# band), the distinct-l-diversity flag at l=3, and the most-common-
+# value share (the recursive-(c,l) diagnostic numerator) — with the
+# table-level summary (classes below l, min diversity) replicated per
+# row. All-integer; the one share is a floor-rounded division.
+# Scale: one groupBy to (class, sensitive) cells, one to classes —
+# both bounded by the quasi-identifier domain, never corpus-wide
+# output.
+# ---------------------------------------------------------------------------
+_Q227_L = 3
+
+
+def q227_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        cust.select(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("sens"),
+        )
+        .groupBy("nat", "seg", "sens")
+        .agg(F.count("*").alias("n"))
+    )
+    classes = cells.groupBy("nat", "seg").agg(
+        F.sum("n").cast("long").alias("class_size"),
+        F.count("*").cast("long").alias("n_sensitive"),
+        F.max("n").cast("long").alias("top_sens_n"),
+    )
+    summ = classes.agg(
+        F.sum(F.when(F.col("n_sensitive") < _Q227_L, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_l"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+    )
+    return (
+        classes.crossJoin(F.broadcast(summ))
+        .select(
+            F.col("nat").cast("long").alias("nat"),
+            "seg",
+            "class_size",
+            "n_sensitive",
+            (F.col("n_sensitive") >= _Q227_L).cast("int").alias("ldiv_ok"),
+            (
+                F.floor(
+                    F.col("top_sens_n").cast("double") / F.col("class_size")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("top_value_share"),
+            "n_classes_below_l",
+            "min_diversity",
+        )
+        .orderBy("nat", "seg")
+    )
+
+
+Q227_SQL = f"""
+WITH cells AS (
+    SELECT c_nationkey AS nat, c_mktsegment AS seg,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens,
+           count(*) AS n
+    FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+    SELECT nat, seg,
+           CAST(sum(n) AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_sensitive,
+           CAST(max(n) AS BIGINT) AS top_sens_n
+    FROM cells GROUP BY 1, 2
+),
+summ AS (
+    SELECT CAST(sum(CASE WHEN n_sensitive < {_Q227_L} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_classes_below_l,
+           CAST(min(n_sensitive) AS BIGINT) AS min_diversity
+    FROM classes
+)
+SELECT CAST(c.nat AS BIGINT) AS nat, c.seg, c.class_size, c.n_sensitive,
+       CAST(CASE WHEN c.n_sensitive >= {_Q227_L} THEN 1 ELSE 0 END
+            AS INTEGER) AS ldiv_ok,
+       floor(CAST(c.top_sens_n AS DOUBLE) / c.class_size * 1000000 + 0.5)
+           / 1000000.0 AS top_value_share,
+       s.n_classes_below_l,
+       s.min_diversity
+FROM classes c CROSS JOIN summ s
+ORDER BY nat, seg
+"""
+
+
+# ---------------------------------------------------------------------------
 # q213 — Welch two-sample t readout (ext): the unequal-variance t-test
 # an experimentation platform runs when arms differ in size/variance —
 # complements q185 (CUPED adjustment) and q201 (nonparametric sign
@@ -3700,6 +3794,8 @@ QUERIES = [
           survey="ext:skew-profiler,ext:salted-aggregation,ext:data-profiling,A2"),
     Query("q213_welch_ttest", q213_welch_ttest, Q213_SQL,
           survey="ext:welch-ttest,ext:ab-experiment,ext:incremental-stats"),
+    Query("q227_ldiversity_audit", q227_ldiversity_audit, Q227_SQL,
+          survey="ext:ldiversity-audit,ext:kanonymity-audit,ext:pii-redaction"),
     Query("q204_conformal_intervals", q204_conformal_intervals, Q204_SQL,
           survey="ext:conformal-intervals,ext:calibration-ece,"
                  "ext:selection-quantile,ext:leakage-safe-split"),

@@ -973,6 +973,235 @@ ORDER BY streak_len
 
 
 # ---------------------------------------------------------------------------
+# q226 — single changepoint detection via binary segmentation (ext):
+# for every event_type's daily-count series, the split t that maximizes
+# the between-segment SSE reduction (the first step of binary
+# segmentation / CUSUM-style monitoring — "did this metric's level
+# shift, and when?"). The argmax is DETERMINISTIC: the objective
+# SL²/nL + SR²/nR is evaluated as floor((SL²·nR + SR²·nL)·10¹² /
+# (nL·nR)) in DECIMAL(38,0)/HUGEINT — identical integers on both
+# engines — with earlier-day tie-break; only the display columns
+# (segment means, SSE reduction) are floor-rounded doubles of exact
+# integer sums.
+# Scale: one corpus groupBy to daily grain; prefix sums are per-type
+# windows over ≤ n_days rows; the candidate scan is the same bounded
+# frame. Nothing rescans the corpus.
+# ---------------------------------------------------------------------------
+_Q226_SCALE = 10**12
+
+
+def q226_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("t")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = daily.select(
+        "t",
+        "day",
+        F.sum("n").over(w).alias("sl"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ql"),
+        F.row_number().over(Window.partitionBy("t").orderBy("day")).alias("rn"),
+    )
+    tot = daily.groupBy("t").agg(
+        F.count("*").alias("d"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    cand = (
+        pre.join(tot, "t")
+        .filter(F.col("rn") < F.col("d"))
+        .withColumn("nl", F.col("rn"))
+        .withColumn("nr", F.col("d") - F.col("rn"))
+        .withColumn("sr", F.col("s") - F.col("sl"))
+        .withColumn(
+            "h",
+            F.expr(
+                f"(CAST(sl AS DECIMAL(38,0)) * sl * nr"
+                f" + CAST(sr AS DECIMAL(38,0)) * sr * nl)"
+                f" * {_Q226_SCALE} div (nl * nr)"
+            ),
+        )
+    )
+    best = (
+        cand.select(
+            "t",
+            "d",
+            "s",
+            "q",
+            F.struct(
+                F.col("h").alias("h"),
+                (-F.unix_micros(F.col("day"))).alias("nd"),
+                F.col("day").alias("day"),
+                F.col("nl").alias("nl"),
+                F.col("nr").alias("nr"),
+                F.col("sl").alias("sl"),
+                F.col("sr").alias("sr"),
+                F.col("ql").alias("ql"),
+            ).alias("c"),
+        )
+        .groupBy("t", "d", "s", "q")
+        .agg(F.max("c").alias("b"))
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    sse_tot = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ) / F.col("d")
+    sse_split = (
+        F.col("q").cast("double")
+        - F.col("b.sl").cast("double") * F.col("b.sl") / F.col("b.nl")
+        - F.col("b.sr").cast("double") * F.col("b.sr") / F.col("b.nr")
+    )
+    return best.select(
+        F.col("t").alias("event_type"),
+        F.col("b.day").alias("split_after_day"),
+        F.col("b.nl").cast("long").alias("n_days_left"),
+        F.col("b.nr").cast("long").alias("n_days_right"),
+        r4(F.col("b.sl").cast("double") / F.col("b.nl")).alias("mean_left"),
+        r4(F.col("b.sr").cast("double") / F.col("b.nr")).alias("mean_right"),
+        (F.floor((sse_tot - sse_split) * 100 + F.lit(0.5)) / F.lit(100.0)).alias(
+            "sse_reduction"
+        ),
+    ).orderBy("event_type")
+
+
+Q226_SQL = f"""
+WITH daily AS (
+    SELECT event_type AS t, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+pre AS (
+    SELECT t, day,
+           sum(n) OVER (PARTITION BY t ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS sl,
+           sum(n * n) OVER (PARTITION BY t ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS ql,
+           row_number() OVER (PARTITION BY t ORDER BY day) AS rn
+    FROM daily
+),
+tot AS (SELECT t, count(*) AS d, sum(n) AS s, sum(n * n) AS q
+        FROM daily GROUP BY 1),
+cand AS (
+    SELECT p.t, p.day, p.sl, p.ql, p.rn AS nl, tot.d - p.rn AS nr,
+           tot.s - p.sl AS sr, tot.d, tot.s, tot.q,
+           (CAST(p.sl AS HUGEINT) * p.sl * (tot.d - p.rn)
+            + CAST(tot.s - p.sl AS HUGEINT) * (tot.s - p.sl) * p.rn)
+           * {_Q226_SCALE} // (p.rn * (tot.d - p.rn)) AS h
+    FROM pre p JOIN tot ON tot.t = p.t
+    WHERE p.rn < tot.d
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY t ORDER BY h DESC, day)
+                      AS brk
+        FROM cand
+    ) x WHERE brk = 1
+)
+SELECT t AS event_type,
+       day AS split_after_day,
+       CAST(nl AS BIGINT) AS n_days_left,
+       CAST(nr AS BIGINT) AS n_days_right,
+       floor(CAST(sl AS DOUBLE) / nl * 10000 + 0.5) / 10000.0 AS mean_left,
+       floor(CAST(sr AS DOUBLE) / nr * 10000 + 0.5) / 10000.0 AS mean_right,
+       floor(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / d)
+              - (CAST(q AS DOUBLE)
+                 - CAST(sl AS DOUBLE) * sl / nl
+                 - CAST(sr AS DOUBLE) * sr / nr)) * 100 + 0.5) / 100.0
+           AS sse_reduction
+FROM best
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q228 — partition backfill planner (ext): the coverage audit an ingest
+# operator actually pages on — which (event_type, hour) partitions are
+# MISSING between the corpus's first and last hour, collapsed into
+# contiguous backfill ranges (gaps-and-islands on the expected grid:
+# generated hour sequence × types, anti-joined against presence, island
+# key = hour# − row_number). Emits per-range rows (start/end/width) —
+# the exact arguments a backfill job takes.
+# Scale: presence is one corpus groupBy; the grid is |types|×|hours|
+# (generated, bounded by the time span); islands windows run per type
+# over ≤ |hours| rows.
+# ---------------------------------------------------------------------------
+def q228_backfill_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    present = ev.select(
+        F.col("event_type").alias("t"), F.date_trunc("hour", "ts").alias("h")
+    ).distinct().localCheckpoint(eager=False)  # feeds span + anti-join
+    span = present.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        present.select("t").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "t",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    missing = grid.join(present, ["t", "h"], "left_anti")
+    w = Window.partitionBy("t").orderBy("h")
+    isl = missing.withColumn(
+        "island",
+        F.expr("unix_micros(h) div 3600000000") - F.row_number().over(w),
+    )
+    return (
+        isl.groupBy("t", "island")
+        .agg(
+            F.min("h").alias("gap_start"),
+            F.max("h").alias("gap_end"),
+            F.count("*").cast("long").alias("n_missing_hours"),
+        )
+        .select(
+            F.col("t").alias("event_type"),
+            "gap_start",
+            "gap_end",
+            "n_missing_hours",
+        )
+        .orderBy("event_type", "gap_start")
+    )
+
+
+Q228_SQL = """
+WITH present AS (
+    SELECT DISTINCT event_type AS t, date_trunc('hour', ts) AS h FROM events
+),
+span AS (SELECT min(h) AS lo, max(h) AS hi FROM present),
+grid AS (
+    SELECT ty.t, g.h
+    FROM (SELECT DISTINCT t FROM present) ty
+    CROSS JOIN span
+    CROSS JOIN LATERAL unnest(generate_series(span.lo, span.hi,
+                                              INTERVAL 1 HOUR)) AS g(h)
+),
+missing AS (
+    SELECT g.t, g.h FROM grid g
+    ANTI JOIN present p ON p.t = g.t AND p.h = g.h
+),
+isl AS (
+    SELECT t, h,
+           epoch_us(h) // 3600000000
+           - row_number() OVER (PARTITION BY t ORDER BY h) AS island
+    FROM missing
+)
+SELECT t AS event_type,
+       min(h) AS gap_start,
+       max(h) AS gap_end,
+       CAST(count(*) AS BIGINT) AS n_missing_hours
+FROM isl
+GROUP BY t, island
+ORDER BY event_type, gap_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # q222 — daily-periodicity score via lag-24h autocorrelation (ext): the
 # temporal-pattern probe a behavioral pipeline runs per entity — does
 # this user's hourly activity repeat on a 24h cycle? Scored as the raw
@@ -1793,6 +2022,10 @@ QUERIES = [
           survey="ext:time-weighted-avg,ext:gap-fill-locf,ext:hypertable-rollup"),
     Query("q222_periodicity_score", q222_periodicity_score, Q222_SQL,
           survey="ext:periodicity-score,ext:timeseries-similarity,ext:hypertable-rollup"),
+    Query("q226_changepoint", q226_changepoint, Q226_SQL,
+          survey="ext:changepoint,ext:trend-detection,ext:rolling-anomaly"),
+    Query("q228_backfill_ranges", q228_backfill_ranges, Q228_SQL,
+          survey="ext:backfill-planner,ext:gaps-and-islands,ext:data-profiling"),
     Query("q223_cohort_ltv", q223_cohort_ltv, Q223_SQL,
           survey="ext:cohort-ltv,ext:retention,F19,W2", tags=("bench",)),
     Query("q192_seasonal_mase", q192_seasonal_mase, Q192_SQL,

@@ -556,3 +556,37 @@ def test_welch_ttest_python_twin(spark, sf_dir):
     assert abs(r.var_a - r4(va)) <= 1e-4 and abs(r.var_b - r4(vb)) <= 1e-4
     assert abs(r.t_stat - r4(t)) <= 1e-4 and abs(r.dof - r4(dof)) <= 1.0
     assert r.significant_95 == (1 if abs(t) > 1.96 else 0)
+
+
+def test_ldiversity_python_twin(spark, sf_dir):
+    """q227 vs a Counter twin: class sizes, distinct sensitive values,
+    top-value share, and the table-level summary."""
+    from collections import Counter, defaultdict
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q227_L,
+        q227_ldiversity_audit,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    cells = Counter(
+        (n, s, int(floor(b / 1000)))
+        for n, s, b in zip(pdf.c_nationkey, pdf.c_mktsegment, pdf.c_acctbal)
+    )
+    classes = defaultdict(Counter)
+    for (n, s, v), c in cells.items():
+        classes[(n, s)][v] = c
+    out = {(r.nat, r.seg): r for r in q227_ldiversity_audit(spark, sf_dir).collect()}
+    assert set(out) == set(classes)
+    below = sum(1 for c in classes.values() if len(c) < _Q227_L)
+    mind = min(len(c) for c in classes.values())
+    for k, c in classes.items():
+        r = out[k]
+        assert r.class_size == sum(c.values())
+        assert r.n_sensitive == len(c)
+        assert r.ldiv_ok == (1 if len(c) >= _Q227_L else 0)
+        assert r.top_value_share == floor(
+            max(c.values()) / sum(c.values()) * 1e6 + 0.5
+        ) / 1e6
+        assert (r.n_classes_below_l, r.min_diversity) == (below, mind)

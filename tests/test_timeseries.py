@@ -441,3 +441,87 @@ def test_periodicity_and_cohort_ltv_twins(spark, sf_dir):
         assert r.cohort_users == sizes[coh]
         assert round(r.cum_revenue * 100) == cum[coh]
         assert r.ltv_per_user == floor(cum[coh] / sizes[coh] / 100 * 1e4 + 0.5) / 1e4
+
+
+def test_changepoint_python_twin_and_engineered_shift(spark, sf_dir, tmp_path):
+    """q226 vs a python twin on real data, plus an engineered level
+    shift (10/day for 10 days → 100/day for 5 days) that must split
+    exactly at the shift boundary with means 10 and 100."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q226_SCALE,
+        q226_changepoint,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["day"] = pdf.ts.dt.floor("D")
+    out = {r.event_type: r for r in q226_changepoint(spark, sf_dir).collect()}
+    for et, g in pdf.groupby("event_type"):
+        days = sorted(Counter(g.day).items())
+        ns = [n for _, n in days]
+        d, s = len(ns), sum(ns)
+        best = None
+        for t in range(1, d):
+            sl, sr = sum(ns[:t]), s - sum(ns[:t])
+            h = (sl * sl * (d - t) + sr * sr * t) * _Q226_SCALE // (t * (d - t))
+            key = (-h, days[t - 1][0])
+            if best is None or key < best[0]:
+                best = (key, t, sl, sr)
+        _, t, sl, sr = best
+        r = out[et]
+        assert r.split_after_day == days[t - 1][0].to_pydatetime()
+        assert (r.n_days_left, r.n_days_right) == (t, d - t)
+        assert r.mean_left == floor(sl / t * 1e4 + 0.5) / 1e4
+        assert r.mean_right == floor(sr / (d - t) * 1e4 + 0.5) / 1e4
+
+    rows, eid = [], 0
+    for day in range(15):
+        per = 10 if day < 10 else 100
+        for k in range(per):
+            rows.append(
+                (eid, datetime(2024, 3, 1 + day, 1 + k % 20), 1, "view",
+                 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    eng = q226_changepoint(spark, str(tmp_path)).collect()[0]
+    assert eng.split_after_day == datetime(2024, 3, 10)
+    assert (eng.mean_left, eng.mean_right) == (10.0, 100.0)
+    assert (eng.n_days_left, eng.n_days_right) == (10, 5)
+
+
+def test_backfill_ranges_cover_exactly_the_missing_hours(spark, sf_dir):
+    """q228: ranges are disjoint per type, cover exactly the grid hours
+    with no events, and never touch a present hour."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        q228_backfill_ranges,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["h"] = pdf.ts.dt.floor("h")
+    present = defaultdict(set)
+    for t, h in zip(pdf.event_type, pdf.h):
+        present[t].add(h)
+    lo, hi = pdf.h.min(), pdf.h.max()
+    grid = pd.date_range(lo, hi, freq="h")
+    out = q228_backfill_ranges(spark, sf_dir).collect()
+    covered = defaultdict(set)
+    for r in out:
+        hrs = pd.date_range(r.gap_start, r.gap_end, freq="h")
+        assert len(hrs) == r.n_missing_hours
+        assert not (set(hrs) & present[r.event_type])  # never a present hour
+        assert not (set(hrs) & covered[r.event_type])  # disjoint ranges
+        covered[r.event_type].update(hrs)
+    for t, hs in present.items():
+        assert covered[t] == set(grid) - hs
