@@ -973,6 +973,264 @@ ORDER BY streak_len
 
 
 # ---------------------------------------------------------------------------
+# q230 — cross-correlation lag finder (ext): "does the error series
+# LEAD the click series, and by how many hours?" — the causal-direction
+# probe q222 (autocorrelation) can't answer. For every ordered type
+# pair and every lag in ±3 h, the raw cross-product Σ a_t·b_{t+lag} is
+# an exact integer (hourly-count equi-join per lag, all lags in one
+# exploded pass), normalized by the exact energies √(Σa²·Σb²); the
+# best lag is the floor-scaled-integer argmax (q226's determinism
+# trick) with the smallest-|lag|, then negative-first tie-break.
+# Scale: one corpus groupBy to (type, hour); the lag join is
+# |lags|×hourly-rollup rows — time-domain-bounded, never corpus-wide.
+# ---------------------------------------------------------------------------
+_Q230_MAXLAG = 3
+_Q230_SCALE = 10**12
+
+
+def q230_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type").alias("t"), F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds energies + both join sides
+    )
+    energy = hourly.groupBy("t").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("e")
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(-_Q230_MAXLAG, _Q230_MAXLAG + 1)])
+    )
+    a = hourly.select(
+        F.col("t").alias("ta"), F.col("h").alias("h"), F.col("c").alias("ca")
+    ).select("ta", "h", "ca", lags.alias("lag"))
+    b = hourly.select(
+        F.col("t").alias("tb"),
+        F.col("h").alias("hb"),
+        F.col("c").alias("cb"),
+    )
+    prods = (
+        a.join(
+            b,
+            (F.col("hb") == F.expr("h + make_interval(0, 0, 0, 0, lag)"))
+            & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb", "lag")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sp"),
+            F.count("*").cast("long").alias("n_overlap"),
+        )
+    )
+    ea = energy.select(F.col("t").alias("ta"), F.col("e").alias("e_a"))
+    eb = energy.select(F.col("t").alias("tb"), F.col("e").alias("e_b"))
+    scored = (
+        prods.join(ea, "ta")
+        .join(eb, "tb")
+        .withColumn(
+            "key",
+            F.expr(
+                f"(CAST(sp AS DECIMAL(38,0)) * sp * {_Q230_SCALE})"
+                " div (CAST(e_a AS DECIMAL(38,0)) * e_b)"
+            ).cast("decimal(38,0)"),
+        )
+    )
+    best = (
+        scored.select(
+            "ta",
+            "tb",
+            F.struct(
+                F.col("key"),
+                (-F.abs("lag")).alias("nal"),
+                (-F.col("lag")).alias("nl"),
+                F.col("lag").alias("lag"),
+                F.col("sp").alias("sp"),
+                F.col("n_overlap").alias("n_overlap"),
+                F.col("e_a").alias("e_a"),
+                F.col("e_b").alias("e_b"),
+            ).alias("s"),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.max("s").alias("b"))
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return best.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("b.lag").cast("int").alias("best_lag_h"),
+        F.col("b.n_overlap").alias("n_overlap_hours"),
+        F.col("b.sp").alias("cross_product"),
+        r6(
+            F.col("b.sp").cast("double")
+            / F.sqrt(F.col("b.e_a").cast("double") * F.col("b.e_b").cast("double"))
+        ).alias("xcorr"),
+    ).orderBy("type_a", "type_b")
+
+
+Q230_SQL = f"""
+WITH hourly AS (
+    SELECT event_type AS t, date_trunc('hour', ts) AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+energy AS (SELECT t, CAST(sum(c * c) AS BIGINT) AS e FROM hourly GROUP BY 1),
+prods AS (
+    SELECT a.t AS ta, b.t AS tb, l.lag,
+           CAST(sum(a.c * b.c) AS BIGINT) AS sp,
+           CAST(count(*) AS BIGINT) AS n_overlap
+    FROM hourly a
+    CROSS JOIN unnest(range(-{_Q230_MAXLAG}, {_Q230_MAXLAG + 1})) AS l(lag)
+    JOIN hourly b ON b.h = a.h + to_hours(l.lag) AND a.t < b.t
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT p.*, ea.e AS e_a, eb.e AS e_b,
+           (CAST(p.sp AS HUGEINT) * p.sp * {_Q230_SCALE})
+               // (CAST(ea.e AS HUGEINT) * eb.e) AS key
+    FROM prods p
+    JOIN energy ea ON ea.t = p.ta
+    JOIN energy eb ON eb.t = p.tb
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+                      PARTITION BY ta, tb
+                      ORDER BY key DESC, abs(lag), -lag DESC, lag
+                  ) AS rn
+        FROM scored
+    ) x WHERE rn = 1
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(lag AS INTEGER) AS best_lag_h,
+       n_overlap AS n_overlap_hours,
+       sp AS cross_product,
+       floor(CAST(sp AS DOUBLE) / sqrt(CAST(e_a AS DOUBLE) * e_b)
+             * 1000000 + 0.5) / 1000000.0 AS xcorr
+FROM best
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q229 — concurrent-sessions gauge (ext): the capacity question every
+# serving/ops dashboard asks — how many sessions were OPEN at once, per
+# hour — answered with the classic ±1 boundary sweep made distributed:
+# q21's sessions become (start, +1) / (end+gap, −1) boundary events,
+# the running concurrency at every boundary is an EXCLUSIVE PREFIX SUM
+# over global time order (the q116/q214 parallel-scan machinery — time-
+# range blocks, recursive carry, NO corpus-wide window sort), and each
+# hour reports its peak. Boundary ties break (ts, +1 before −1, sid) so
+# a session ending exactly when another starts counts both — the
+# convention is pinned in the oracle too.
+# All-integer: µs timestamps, ±1 deltas, exact session ids.
+# Scale: sessionization is per-user windows; the sweep's blocks are
+# time ranges (row count per block bounded by arrival rate); the
+# per-hour peak is one bounded groupBy.
+# ---------------------------------------------------------------------------
+_Q229_GAP_S = 1800
+
+
+def q229_concurrency_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import exclusive_prefix_sum
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("t_us", F.unix_micros("ts"))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.lag("t_us").over(w).isNull()
+                | (F.col("t_us") - F.lag("t_us").over(w) > _Q229_GAP_S * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sessions = marked.groupBy("user_id", "sess").agg(
+        F.min("t_us").alias("s_us"),
+        (F.max("t_us") + F.lit(_Q229_GAP_S * 1_000_000)).alias("e_us"),
+    )
+    # boundary stream: one +1 at start, one −1 at session end (+gap).
+    # Order key packs (µs, start-before-end, session) into one integer
+    # so the scan's order column is numeric and globally unique:
+    # key = t_us·4 + (0 start | 1 end), tie-broken inside a block by
+    # the window's (key, sid) order via a composite fractional id.
+    bounds = sessions.select(
+        F.col("s_us").alias("t_us"),
+        F.lit(1).alias("delta"),
+        (F.col("s_us") * 2).alias("ok"),
+    ).unionByName(
+        sessions.select(
+            F.col("e_us").alias("t_us"),
+            F.lit(-1).alias("delta"),
+            (F.col("e_us") * 2 + 1).alias("ok"),
+        )
+    ).withColumn("_g", F.lit(0))
+    pre = exclusive_prefix_sum(
+        bounds, "_g", "ok", "delta", block_size=1 << 22
+    )
+    running = pre.withColumn("conc", F.col("_prefix") + F.col("delta"))
+    return (
+        running.filter(F.col("delta") == 1)
+        .groupBy(
+            F.expr("timestamp_micros(CAST(t_us div 3600000000 AS BIGINT)"
+                   " * 3600000000)").alias("hour")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_session_starts"),
+            F.max("conc").cast("long").alias("peak_concurrency"),
+        )
+        .orderBy("hour")
+    )
+
+
+Q229_SQL = f"""
+WITH marked AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t_us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                        > {_Q229_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, t_us,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM marked
+),
+sessions AS (
+    SELECT user_id, sess, min(t_us) AS s_us,
+           max(t_us) + {_Q229_GAP_S} * 1000000 AS e_us
+    FROM sess GROUP BY 1, 2
+),
+bounds AS (
+    SELECT s_us AS t_us, 1 AS delta, s_us * 2 AS ok FROM sessions
+    UNION ALL
+    SELECT e_us, -1, e_us * 2 + 1 FROM sessions
+),
+running AS (
+    SELECT t_us, delta,
+           sum(delta) OVER (ORDER BY ok ROWS UNBOUNDED PRECEDING) AS conc
+    FROM bounds
+)
+SELECT make_timestamp((t_us // 3600000000) * 3600000000) AS hour,
+       CAST(count(*) AS BIGINT) AS n_session_starts,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM running
+WHERE delta = 1
+GROUP BY 1
+ORDER BY hour
+"""
+
+
+# ---------------------------------------------------------------------------
 # q226 — single changepoint detection via binary segmentation (ext):
 # for every event_type's daily-count series, the split t that maximizes
 # the between-segment SSE reduction (the first step of binary
@@ -2024,6 +2282,11 @@ QUERIES = [
           survey="ext:periodicity-score,ext:timeseries-similarity,ext:hypertable-rollup"),
     Query("q226_changepoint", q226_changepoint, Q226_SQL,
           survey="ext:changepoint,ext:trend-detection,ext:rolling-anomaly"),
+    Query("q229_concurrency_gauge", q229_concurrency_gauge, Q229_SQL,
+          survey="ext:concurrency-gauge,ext:prefix-scan,ext:sessionization",
+          tags=("bench",)),
+    Query("q230_xcorr_lag", q230_xcorr_lag, Q230_SQL,
+          survey="ext:xcorr-lag,ext:periodicity-score,ext:timeseries-similarity"),
     Query("q228_backfill_ranges", q228_backfill_ranges, Q228_SQL,
           survey="ext:backfill-planner,ext:gaps-and-islands,ext:data-profiling"),
     Query("q223_cohort_ltv", q223_cohort_ltv, Q223_SQL,

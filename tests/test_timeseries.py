@@ -525,3 +525,108 @@ def test_backfill_ranges_cover_exactly_the_missing_hours(spark, sf_dir):
         covered[r.event_type].update(hrs)
     for t, hs in present.items():
         assert covered[t] == set(grid) - hs
+
+
+def test_concurrency_gauge_python_twin(spark, sf_dir):
+    """q229 vs a single-machine ±1 sweep twin: identical per-hour peaks
+    and session-start counts."""
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q229_GAP_S,
+        q229_concurrency_gauge,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    by_user = defaultdict(list)
+    for r in pdf.itertuples():
+        by_user[r.user_id].append((r.ts.value // 1000, r.event_id))
+    gap = _Q229_GAP_S * 1_000_000
+    bounds = []
+    for evs in by_user.values():
+        evs.sort()
+        s = e = None
+        for us, _ in evs:
+            if s is None:
+                s, e = us, us
+            elif us - e > gap:
+                bounds.append((s * 2, 1))
+                bounds.append(((e + gap) * 2 + 1, -1))
+                s, e = us, us
+            else:
+                e = us
+        bounds.append((s * 2, 1))
+        bounds.append(((e + gap) * 2 + 1, -1))
+    bounds.sort()
+    conc = 0
+    peaks = defaultdict(lambda: [0, 0])
+    for ok, d in bounds:
+        conc += d
+        if d == 1:
+            t_us = ok // 2
+            hour = (t_us // 3_600_000_000) * 3_600_000_000
+            peaks[hour][0] += 1
+            peaks[hour][1] = max(peaks[hour][1], conc)
+    out = q229_concurrency_gauge(spark, sf_dir).collect()
+    assert len(out) == len(peaks)
+    for r in out:
+        hour_us = int(r.hour.timestamp() * 1_000_000)
+        n, p = peaks[hour_us]
+        assert (r.n_session_starts, r.peak_concurrency) == (n, p)
+
+
+def test_xcorr_lag_python_twin_and_engineered_lead(spark, sf_dir, tmp_path):
+    """q230 vs a Counter twin on real data; then an engineered pair
+    where type 'aa' strictly leads type 'bb' by 2 hours → best lag +2
+    with xcorr 1.0."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+    from math import floor, sqrt
+
+    import pandas as pd
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q230_MAXLAG,
+        _Q230_SCALE,
+        q230_xcorr_lag,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["h"] = pdf.ts.dt.floor("h")
+    series = {
+        t: Counter(g.h) for t, g in pdf.groupby("event_type")
+    }
+    out = {(r.type_a, r.type_b): r for r in q230_xcorr_lag(spark, sf_dir).collect()}
+    types = sorted(series)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            ea = sum(v * v for v in series[ta].values())
+            eb = sum(v * v for v in series[tb].values())
+            best = None
+            for lag in range(-_Q230_MAXLAG, _Q230_MAXLAG + 1):
+                sp = sum(
+                    ca * series[tb].get(h + pd.Timedelta(hours=lag), 0)
+                    for h, ca in series[ta].items()
+                )
+                key = (sp * sp * _Q230_SCALE) // (ea * eb)
+                cand = (-key, abs(lag), lag, sp)
+                if best is None or cand < best:
+                    best = cand
+            r = out[(ta, tb)]
+            assert r.best_lag_h == best[2] and r.cross_product == best[3]
+            assert r.xcorr == floor(best[3] / sqrt(ea * eb) * 1e6 + 0.5) / 1e6
+
+    t0 = datetime(2024, 5, 1)
+    rows, eid = [], 0
+    for k in range(48):
+        for _ in range(1 + k % 3):
+            rows.append((eid, t0 + timedelta(hours=k), 1, "aa", 1.0, "{}")); eid += 1
+            rows.append((eid, t0 + timedelta(hours=k + 2), 1, "bb", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    eng = q230_xcorr_lag(spark, str(tmp_path)).collect()[0]
+    assert (eng.type_a, eng.type_b) == ("aa", "bb")
+    assert eng.best_lag_h == 2 and eng.xcorr > 0.95
