@@ -1055,6 +1055,180 @@ ORDER BY subspace, code
 
 
 # ---------------------------------------------------------------------------
+# q231 — scalar-quantization (SQ8) recall bake-off (ext): the third leg
+# of the ANN compression trilogy — PQ codes (q186/q199) and prefix dims
+# (q216) trade structure; SQ8 trades PRECISION: each dimension is
+# affinely mapped to 0..255 using corpus-wide per-dim min/max (the q82
+# stats), vectors become 64 bytes, and search runs on the int codes.
+# Exactness: codes are floor((x−mn)·255/(mx−mn)) evaluated in already-
+# quantized int64 space (numerator products in DECIMAL — no float in
+# the codec), code distances are exact int64, and the exact top-k runs
+# alongside with recall@k and the mean code distortion per returned
+# row.
+# Scale: one stats pass (64-row per-dim frame, broadcast back), one
+# row-local coding pass, TakeOrdered top-k on code distance; the exact
+# baseline certifies and drops at scale.
+# ---------------------------------------------------------------------------
+_Q231_QID = 100
+_Q231_K = 10
+_Q231_LEVELS = 255
+
+
+def q231_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint("embedding").alias("qv")).localCheckpoint(
+        eager=False
+    )  # feeds stats + coding + exact baseline
+    dims = qe.select(
+        F.posexplode("qv").alias("dim", "x")
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    srow = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mn", "mx"))
+        ).alias("st")
+    )
+    # Spark [] array indexing is 0-based and the lambda index i is
+    # 0-based; st is sorted by its 0-based dim, so st[i] is dim i
+    code = lambda col: F.expr(
+        f"""transform({col}, (x, i) ->
+            CAST(IF(st[i].mx = st[i].mn, 0,
+                    CAST((CAST(x AS DECIMAL(38,0)) - st[i].mn)
+                         * {_Q231_LEVELS}
+                         div (st[i].mx - st[i].mn) AS BIGINT))
+                 AS BIGINT))"""
+    )
+    coded = (
+        qe.crossJoin(F.broadcast(srow))
+        .select("vec_id", "qv", code("qv").alias("cv"))
+        .localCheckpoint(eager=False)  # feeds query row + corpus scans
+    )
+    qrow = coded.filter(F.col("vec_id") == _Q231_QID).select(
+        F.col("cv").alias("qcv"), F.col("qv").alias("quvec")
+    )
+    corpus = coded.filter(F.col("vec_id") != _Q231_QID)
+    top_sq = (
+        corpus.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            sq_l2_q(F.col("cv"), F.col("qcv")).alias("cdist"),
+            sq_l2_q(F.col("qv"), F.col("quvec")).alias("edist"),
+        )
+        .orderBy("cdist", "vec_id")
+        .limit(_Q231_K)
+        .localCheckpoint(eager=False)
+    )
+    exact_topk = (
+        corpus.crossJoin(F.broadcast(qrow))
+        .select("vec_id", sq_l2_q(F.col("qv"), F.col("quvec")).alias("ed"))
+        .orderBy("ed", "vec_id")
+        .limit(_Q231_K)
+        .select("vec_id", F.lit(1).alias("in_exact"))
+    )
+    hits = top_sq.join(exact_topk, "vec_id", "left")
+    recall = hits.agg(
+        (F.sum(F.coalesce("in_exact", F.lit(0))) / F.lit(float(_Q231_K))).alias(
+            "recall_at_k"
+        )
+    )
+    scale2 = 1_000_000_000_000.0
+    r4 = lambda c: F.floor(c / F.lit(scale2) * 10000 + F.lit(0.5)) / F.lit(
+        10000.0
+    )
+    return (
+        hits.crossJoin(F.broadcast(recall))
+        .select(
+            "vec_id",
+            F.col("cdist").cast("long").alias("code_sqdist"),
+            r4(F.col("edist").cast("double")).alias("exact_sqdist"),
+            F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact_topk"),
+            F.round("recall_at_k", 4).alias("recall_at_k"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q231_SQI = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+Q231_SQL = f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, (SELECT len(qv) FROM qe LIMIT 1)))
+             AS dim),
+stats AS (
+    SELECT d.dim, min(q.qv[d.dim]) AS mn, max(q.qv[d.dim]) AS mx
+    FROM qe q CROSS JOIN dims d
+    GROUP BY d.dim
+),
+srow AS (
+    SELECT list_sort(list(struct_pack(dim := dim, mn := mn, mx := mx)))
+               AS st
+    FROM stats
+),
+coded AS (
+    SELECT q.vec_id, q.qv,
+           list_transform(generate_series(1, len(q.qv)),
+               i -> CASE WHEN s.st[i].mx = s.st[i].mn THEN 0
+                         ELSE CAST((CAST(q.qv[i] AS HUGEINT) - s.st[i].mn)
+                                   * {_Q231_LEVELS}
+                                   // (s.st[i].mx - s.st[i].mn) AS BIGINT)
+                    END) AS cv
+    FROM qe q CROSS JOIN srow s
+),
+qrow AS (SELECT cv AS qcv, qv AS quvec FROM coded WHERE vec_id = {_Q231_QID}),
+corpus AS (SELECT * FROM coded WHERE vec_id <> {_Q231_QID}),
+top_sq AS (
+    SELECT vec_id, cdist, edist FROM (
+        SELECT c.vec_id,
+               {_Q231_SQI.format(a="c.cv", b="q.qcv")} AS cdist,
+               {_Q231_SQI.format(a="c.qv", b="q.quvec")} AS edist,
+               row_number() OVER (
+                   ORDER BY {_Q231_SQI.format(a="c.cv", b="q.qcv")}, c.vec_id
+               ) AS rn
+        FROM corpus c CROSS JOIN qrow q
+    ) t WHERE rn <= {_Q231_K}
+),
+exact_topk AS (
+    SELECT vec_id FROM (
+        SELECT c.vec_id,
+               row_number() OVER (
+                   ORDER BY {_Q231_SQI.format(a="c.qv", b="q.quvec")}, c.vec_id
+               ) AS rn
+        FROM corpus c CROSS JOIN qrow q
+    ) t WHERE rn <= {_Q231_K}
+),
+hits AS (
+    SELECT s.vec_id, s.cdist, s.edist,
+           CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact
+    FROM top_sq s LEFT JOIN exact_topk e ON e.vec_id = s.vec_id
+),
+recall AS (
+    SELECT CAST(sum(in_exact) AS DOUBLE) / {_Q231_K} AS recall_at_k FROM hits
+)
+SELECT h.vec_id,
+       CAST(h.cdist AS BIGINT) AS code_sqdist,
+       floor(CAST(h.edist AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000
+           AS exact_sqdist,
+       CAST(h.in_exact AS INTEGER) AS in_exact_topk,
+       round(r.recall_at_k, 4) AS recall_at_k
+FROM hits h CROSS JOIN recall r
+ORDER BY h.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q216 — dimension-truncation recall bake-off (ext): the Matryoshka-
 # style question every embedding deployment asks — how much recall do
 # the first D dims buy? — answered the q210/q194 calibration way: exact
@@ -1416,6 +1590,8 @@ QUERIES = [
           tags=("bench",)),
     Query("q216_dim_truncation", q216_dim_truncation, Q216_SQL,
           survey="ext:ann-recall,ext:embedding-drift,ext:dim-truncation"),
+    Query("q231_sq8_recall", q231_sq8_recall, Q231_SQL,
+          survey="ext:ann-recall,ext:ann-sq8,ext:ann-pq"),
     Query("q186_pq_codebook", q186_pq_codebook, Q186_SQL,
           survey="ext:ann-pq,ext:ann-ivf,ext:kmeans-step,ext:feature-scaling",
           tags=("bench",)),

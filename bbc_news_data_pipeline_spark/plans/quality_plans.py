@@ -2845,6 +2845,133 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q232 — retention odds ratios (ext): the insight-mining readout a
+# growth team actually ships — for each event_type, the odds that a
+# week-1-active user who DID the behavior is still active in week 4 vs
+# one who didn't (the 2×2 odds ratio with Haldane–Anscombe +½
+# correction, computed as the exact integer cross product
+# (2a+1)(2d+1) / ((2b+1)(2c+1)) so the correction never touches a
+# float accumulator). Windows anchor to the DATA's first day; the
+# cohort is week-1-active users. Complements q201 (is the change
+# real?) and q185 (what's the adjusted effect?) with WHO-retains.
+# Scale: two bounded per-user rollups (week-1 flags, week-4 presence)
+# joined on the natural user key; output is |event_type| rows.
+# ---------------------------------------------------------------------------
+_Q232_W1_DAYS = 7
+_Q232_W4_LO, _Q232_W4_HI = 21, 28  # [lo, hi) days from anchor
+
+
+def q232_retention_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    based = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.col("d0")).alias("age_d"),
+    ).localCheckpoint(eager=False)  # feeds cohort flags + retention
+    w1 = based.filter(F.col("age_d") < _Q232_W1_DAYS)
+    cohort = w1.select("user_id").distinct()
+    retained = (
+        based.filter(
+            (F.col("age_d") >= _Q232_W4_LO) & (F.col("age_d") < _Q232_W4_HI)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("ret", F.lit(1))
+    )
+    flags = (
+        cohort.join(retained, "user_id", "left")
+        .fillna(0, subset=["ret"])
+        .localCheckpoint(eager=False)  # joined per event_type below
+    )
+    did = w1.select("user_id", F.col("event_type").alias("t")).distinct()
+    types = based.select(F.col("event_type").alias("t")).distinct()
+    cells = (
+        types.crossJoin(flags)
+        .join(did.withColumn("d", F.lit(1)), ["t", "user_id"], "left")
+        .fillna(0, subset=["d"])
+        .groupBy("t")
+        .agg(
+            F.sum(F.expr("IF(d = 1 AND ret = 1, 1, 0)")).alias("a"),
+            F.sum(F.expr("IF(d = 1 AND ret = 0, 1, 0)")).alias("b"),
+            F.sum(F.expr("IF(d = 0 AND ret = 1, 1, 0)")).alias("c"),
+            F.sum(F.expr("IF(d = 0 AND ret = 0, 1, 0)")).alias("dd"),
+        )
+    )
+    r4 = lambda col: F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    orr = (
+        ((2 * F.col("a") + 1) * (2 * F.col("dd") + 1)).cast("double")
+        / ((2 * F.col("b") + 1) * (2 * F.col("c") + 1)).cast("double")
+    )
+    return cells.select(
+        F.col("t").alias("event_type"),
+        (F.col("a") + F.col("b")).cast("long").alias("n_did"),
+        (F.col("c") + F.col("dd")).cast("long").alias("n_not"),
+        r6(
+            F.col("a").cast("double")
+            / F.greatest(F.col("a") + F.col("b"), F.lit(1))
+        ).alias("ret_rate_did"),
+        r6(
+            F.col("c").cast("double")
+            / F.greatest(F.col("c") + F.col("dd"), F.lit(1))
+        ).alias("ret_rate_not"),
+        r4(orr).alias("odds_ratio"),
+        (orr > 1.0).cast("int").alias("positive_signal"),
+    ).orderBy("event_type")
+
+
+Q232_SQL = f"""
+WITH anchor AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+based AS (
+    SELECT e.user_id, e.event_type,
+           date_diff('day', a.d0, date_trunc('day', e.ts)) AS age_d
+    FROM events e CROSS JOIN anchor a
+),
+cohort AS (SELECT DISTINCT user_id FROM based WHERE age_d < {_Q232_W1_DAYS}),
+retained AS (
+    SELECT DISTINCT user_id, 1 AS ret FROM based
+    WHERE age_d >= {_Q232_W4_LO} AND age_d < {_Q232_W4_HI}
+),
+flags AS (
+    SELECT c.user_id, coalesce(r.ret, 0) AS ret
+    FROM cohort c LEFT JOIN retained r USING (user_id)
+),
+did AS (
+    SELECT DISTINCT user_id, event_type AS t FROM based
+    WHERE age_d < {_Q232_W1_DAYS}
+),
+types AS (SELECT DISTINCT event_type AS t FROM based),
+cells AS (
+    SELECT ty.t,
+           sum(CASE WHEN d.user_id IS NOT NULL AND f.ret = 1 THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN d.user_id IS NOT NULL AND f.ret = 0 THEN 1 ELSE 0 END) AS b,
+           sum(CASE WHEN d.user_id IS NULL AND f.ret = 1 THEN 1 ELSE 0 END) AS c,
+           sum(CASE WHEN d.user_id IS NULL AND f.ret = 0 THEN 1 ELSE 0 END) AS dd
+    FROM types ty
+    CROSS JOIN flags f
+    LEFT JOIN did d ON d.t = ty.t AND d.user_id = f.user_id
+    GROUP BY ty.t
+)
+SELECT t AS event_type,
+       CAST(a + b AS BIGINT) AS n_did,
+       CAST(c + dd AS BIGINT) AS n_not,
+       floor(CAST(a AS DOUBLE) / greatest(a + b, 1) * 1000000 + 0.5)
+           / 1000000.0 AS ret_rate_did,
+       floor(CAST(c AS DOUBLE) / greatest(c + dd, 1) * 1000000 + 0.5)
+           / 1000000.0 AS ret_rate_not,
+       floor(CAST((2 * a + 1) * (2 * dd + 1) AS DOUBLE)
+             / ((2 * b + 1) * (2 * c + 1)) * 10000 + 0.5) / 10000.0
+           AS odds_ratio,
+       CAST(CASE WHEN CAST((2 * a + 1) * (2 * dd + 1) AS DOUBLE)
+                      / ((2 * b + 1) * (2 * c + 1)) > 1.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS positive_signal
+FROM cells
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q227 — l-diversity audit (ext): k-anonymity (q158) bounds RE-
 # IDENTIFICATION; l-diversity bounds ATTRIBUTE disclosure — a class of
 # k identical quasi-identifiers still leaks if everyone shares the
@@ -3796,6 +3923,8 @@ QUERIES = [
           survey="ext:welch-ttest,ext:ab-experiment,ext:incremental-stats"),
     Query("q227_ldiversity_audit", q227_ldiversity_audit, Q227_SQL,
           survey="ext:ldiversity-audit,ext:kanonymity-audit,ext:pii-redaction"),
+    Query("q232_retention_odds", q232_retention_odds, Q232_SQL,
+          survey="ext:retention-odds,ext:retention,ext:ab-experiment"),
     Query("q204_conformal_intervals", q204_conformal_intervals, Q204_SQL,
           survey="ext:conformal-intervals,ext:calibration-ece,"
                  "ext:selection-quantile,ext:leakage-safe-split"),

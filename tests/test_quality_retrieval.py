@@ -590,3 +590,38 @@ def test_ldiversity_python_twin(spark, sf_dir):
             max(c.values()) / sum(c.values()) * 1e6 + 0.5
         ) / 1e6
         assert (r.n_classes_below_l, r.min_diversity) == (below, mind)
+
+
+def test_retention_odds_python_twin(spark, sf_dir):
+    """q232 vs a set-algebra twin: cohort, week-4 retention, per-type
+    2x2 cells, Haldane-corrected odds ratios."""
+    from collections import defaultdict
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q232_W1_DAYS,
+        _Q232_W4_HI,
+        _Q232_W4_LO,
+        q232_retention_odds,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    d0 = pdf.ts.dt.floor("D").min()
+    pdf["age"] = (pdf.ts.dt.floor("D") - d0).dt.days
+    w1 = pdf[pdf.age < _Q232_W1_DAYS]
+    cohort = set(w1.user_id)
+    ret = set(pdf[(pdf.age >= _Q232_W4_LO) & (pdf.age < _Q232_W4_HI)].user_id)
+    did = defaultdict(set)
+    for u, t in zip(w1.user_id, w1.event_type):
+        did[t].add(u)
+    out = {r.event_type: r for r in q232_retention_odds(spark, sf_dir).collect()}
+    assert set(out) == set(pdf.event_type.unique())
+    for t, r in out.items():
+        a = sum(1 for u in cohort if u in did[t] and u in ret)
+        b = sum(1 for u in cohort if u in did[t] and u not in ret)
+        c = sum(1 for u in cohort if u not in did[t] and u in ret)
+        d = sum(1 for u in cohort if u not in did[t] and u not in ret)
+        assert (r.n_did, r.n_not) == (a + b, c + d)
+        orr = (2 * a + 1) * (2 * d + 1) / ((2 * b + 1) * (2 * c + 1))
+        assert r.odds_ratio == floor(orr * 1e4 + 0.5) / 1e4
+        assert r.positive_signal == (1 if orr > 1 else 0)

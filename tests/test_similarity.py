@@ -385,3 +385,48 @@ def test_dim_truncation_numpy_twin(spark, sf_dir):
         assert r.recall_at_k == len(set(t) & base) / _Q216_K
         assert r.top1_id == t[0]
     assert out[_Q216_DIMS[-1]].recall_at_k == 1.0
+
+
+def test_sq8_recall_numpy_twin(spark, sf_dir):
+    """q231 vs numpy: per-dim min/max codec, int code distances, exact
+    baseline, recall and flags."""
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q231_K,
+        _Q231_LEVELS,
+        _Q231_QID,
+        q231_sq8_recall,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    mat = np.floor(
+        np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 1_000_000 + 0.5
+    ).astype(object)  # python ints for exact // arithmetic
+    mat = np.vectorize(int)(mat)
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    span = np.where(mx == mn, 1, mx - mn)
+    codes = np.where(
+        mx == mn, 0, (mat - mn) * _Q231_LEVELS // span
+    )
+    byid = {int(i): k for k, i in enumerate(ids)}
+    qi = byid[_Q231_QID]
+    corpus = [int(i) for i in ids if i != _Q231_QID]
+
+    def sq(u, v):
+        d = u - v
+        return int((d * d).sum())
+
+    cdist = {i: sq(codes[byid[i]], codes[qi]) for i in corpus}
+    edist = {i: sq(mat[byid[i]], mat[qi]) for i in corpus}
+    top_sq = sorted(corpus, key=lambda i: (cdist[i], i))[:_Q231_K]
+    top_ex = set(sorted(corpus, key=lambda i: (edist[i], i))[:_Q231_K])
+    out = {r.vec_id: r for r in q231_sq8_recall(spark, sf_dir).collect()}
+    assert set(out) == set(top_sq)
+    hits = sum(1 for i in top_sq if i in top_ex)
+    for i, r in out.items():
+        assert r.code_sqdist == cdist[i]
+        assert r.exact_sqdist == np.floor(edist[i] / 1e12 * 1e4 + 0.5) / 1e4
+        assert r.in_exact_topk == (1 if i in top_ex else 0)
+        assert r.recall_at_k == round(hits / _Q231_K, 4)
