@@ -3047,7 +3047,159 @@ ORDER BY brand, fold
 """
 
 
+# ---------------------------------------------------------------------------
+# q250 — Newman modularity of the LPA communities (ext): q200 FINDS
+# communities; modularity answers "are they real structure or noise?"
+# — the standard partition-quality score Q = Σ_c [ m_c/m − (d_c/2m)² ]
+# over the same capped LSH graph and the same K=3 LPA labels. Exact
+# integer algebra: each community's contribution numerator is
+# 4·m·m_c − d_c² in DECIMAL(38)/HUGEINT (4·m·m_c overflows int64 at
+# corpus edge counts), divided ONCE by 4m² at the end. Per-community
+# rows carry the table-level Q replicated (q227 convention), so the
+# output certifies both the rollup and the total.
+# Scale: the banding pass, the LPA rounds, one edges⋈labels join for
+# degrees, one pairs⋈labels⋈labels join for intra-edges — every
+# shuffle keyed on node/label, nothing corpus-wide collects.
+# ---------------------------------------------------------------------------
+def q250_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash_candidates(
+            docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+            max_group=_MAX_GROUP,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds edges + intra join + m
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=False)  # LPA rounds + degrees reference this
+    )
+    lab = edges.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(_Q200_K):
+        nb = edges.join(
+            lab.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        cnt = nb.groupBy("v", "lbl").agg(F.count("*").alias("c"))
+        lab = (
+            cnt.select(
+                "v",
+                F.struct(F.col("c"), (-F.col("lbl")).alias("nl")).alias("s"),
+            )
+            .groupBy("v")
+            .agg(F.max("s").alias("b"))
+            .select("v", (-F.col("b.nl")).alias("lbl"))
+            .localCheckpoint(eager=False)  # next round + joins below
+        )
+    deg = edges.groupBy(F.col("u").alias("v")).agg(F.count("*").alias("deg"))
+    dsum = (
+        lab.join(deg, "v")
+        .groupBy("lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_c"),
+        )
+    )
+    intra = (
+        pairs.join(lab.select(F.col("v").alias("id_a"), F.col("lbl").alias("la")), "id_a")
+        .join(lab.select(F.col("v").alias("id_b"), F.col("lbl").alias("lb")), "id_b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("m_c"))
+    )
+    m = pairs.agg(F.count("*").cast("long").alias("m"))
+    cells = (
+        dsum.join(intra, "lbl", "left")
+        .fillna(0, subset=["m_c"])
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "contrib_num",
+            F.expr(
+                "4 * CAST(m AS DECIMAL(38,0)) * m_c"
+                " - CAST(d_c AS DECIMAL(38,0)) * d_c"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds rows + the Q total
+    )
+    tot = cells.agg(
+        F.sum("contrib_num").alias("q_num"), F.max("m").alias("m_")
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    qd = F.col("q_num").cast("double") / (
+        F.lit(4.0) * F.col("m_").cast("double") * F.col("m_").cast("double")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot.select("q_num", "m_")))
+        .select(
+            F.col("lbl").cast("long").alias("community"),
+            "n_nodes",
+            "m_c",
+            "d_c",
+            F.col("contrib_num").cast("double").alias("contrib_num"),
+            r6(qd).alias("modularity_q"),
+        )
+        .orderBy("community")
+    )
+
+
+Q250_SQL = (
+    f"""
+WITH {_CAPPED_PAIRS_CTES},
+dp AS (SELECT DISTINCT id_a, id_b FROM pairs),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM dp
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM dp
+),
+lab0 AS (SELECT DISTINCT u AS v, u AS lbl FROM edges),
+"""
+    + ",\n".join(_q200_round_sql(i) for i in range(1, _Q200_K + 1))
+    + f""",
+deg AS (SELECT u AS v, count(*) AS deg FROM edges GROUP BY 1),
+dsum AS (
+    SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d.deg) AS BIGINT) AS d_c
+    FROM lab{_Q200_K} l JOIN deg d ON d.v = l.v
+    GROUP BY 1
+),
+intra AS (
+    SELECT la.lbl, CAST(count(*) AS BIGINT) AS m_c
+    FROM dp
+    JOIN lab{_Q200_K} la ON la.v = dp.id_a
+    JOIN lab{_Q200_K} lb ON lb.v = dp.id_b
+    WHERE la.lbl = lb.lbl
+    GROUP BY 1
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM dp),
+cells AS (
+    SELECT ds.lbl, ds.n_nodes, coalesce(i.m_c, 0) AS m_c, ds.d_c, mm.m,
+           4 * CAST(mm.m AS HUGEINT) * coalesce(i.m_c, 0)
+           - CAST(ds.d_c AS HUGEINT) * ds.d_c AS contrib_num
+    FROM dsum ds LEFT JOIN intra i ON i.lbl = ds.lbl CROSS JOIN mm
+),
+tot AS (SELECT sum(contrib_num) AS q_num, max(m) AS m_ FROM cells)
+SELECT CAST(c.lbl AS BIGINT) AS community,
+       c.n_nodes,
+       CAST(c.m_c AS BIGINT) AS m_c,
+       c.d_c,
+       CAST(c.contrib_num AS DOUBLE) AS contrib_num,
+       floor(CAST(t.q_num AS DOUBLE)
+             / (4.0 * CAST(t.m_ AS DOUBLE) * CAST(t.m_ AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS modularity_q
+FROM cells c CROSS JOIN tot t
+ORDER BY community
+"""
+)
+
+
 QUERIES = [
+    Query("q250_modularity", q250_modularity, Q250_SQL,
+          survey="ext:modularity,ext:graph-components,ext:lsh-banding",
+          tags=("bench",)),
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
     Query("q198_target_encoding", q198_target_encoding, Q198_SQL,

@@ -1560,7 +1560,109 @@ ORDER BY id_lo, id_hi
 """
 
 
+# ---------------------------------------------------------------------------
+# q244 — multi-source BFS distances, K bounded rounds (ext): the graph
+# primitive the family still lacked — PageRank (q139), components
+# (q57/q166/q180), k-core (q151), triangles (q144), LPA (q200) and
+# random walks (q165) all exist, but none answers "how FAR is every
+# node from a seed set?" — the reachability/contamination-radius
+# question (e.g. how many hops of near-dup edges separate the corpus
+# from a flagged document set). Classic frontier expansion over the one
+# shared capped LSH banding graph: K=3 rounds of
+# frontier ⋈ edges → dedup → anti-join already-labeled; a node's
+# distance is the round that first reached it (min-distance by
+# construction, no min() needed). Unreached nodes report dist = −1.
+# Scale: each round is one equi-join + one distinct + one anti-join —
+# all hash-shuffles on the node key; the frontier is never broadcast
+# by hint (it grows with the reach), and rounds are a FIXED unrolled K
+# (the q139 discipline), not a driver loop over unbounded convergence.
+# Seeds are the N smallest node ids — data-derived, deterministic.
+# ---------------------------------------------------------------------------
+_Q244_K = 3
+_Q244_NSEEDS = 5
+
+
+def q244_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash_candidates(
+            docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K,
+            max_group=_MAX_GROUP,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=False)  # K frontier joins reference this
+    )
+    nodes = edges.select("v").distinct().localCheckpoint(eager=False)
+    seeds = nodes.orderBy("v").limit(_Q244_NSEEDS)  # TakeOrdered: bounded
+    labeled = seeds.select("v", F.lit(0).alias("dist")).localCheckpoint(
+        eager=False
+    )
+    frontier = labeled.select("v")
+    for k in range(1, _Q244_K + 1):
+        reached = (
+            edges.join(frontier.select(F.col("v").alias("u")), "u")
+            .select("v")
+            .distinct()
+        )
+        fresh = reached.join(labeled.select("v"), "v", "left_anti").select(
+            "v", F.lit(k).alias("dist")
+        )
+        labeled = labeled.union(fresh).localCheckpoint(eager=False)
+        frontier = fresh.select("v")
+    return (
+        nodes.join(labeled, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.coalesce("dist", F.lit(-1)).cast("int").alias("dist"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q244_SQL = f"""
+WITH {_CAPPED_PAIRS_CTES},
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM (SELECT DISTINCT id_a, id_b FROM pairs)
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM (SELECT DISTINCT id_a, id_b FROM pairs)
+),
+nodes AS (SELECT DISTINCT v FROM edges),
+d0 AS (SELECT v FROM nodes ORDER BY v LIMIT {_Q244_NSEEDS}),
+d1 AS (
+    SELECT DISTINCT e.v FROM edges e JOIN d0 ON d0.v = e.u
+    WHERE e.v NOT IN (SELECT v FROM d0)
+),
+d2 AS (
+    SELECT DISTINCT e.v FROM edges e JOIN d1 ON d1.v = e.u
+    WHERE e.v NOT IN (SELECT v FROM d0)
+      AND e.v NOT IN (SELECT v FROM d1)
+),
+d3 AS (
+    SELECT DISTINCT e.v FROM edges e JOIN d2 ON d2.v = e.u
+    WHERE e.v NOT IN (SELECT v FROM d0)
+      AND e.v NOT IN (SELECT v FROM d1)
+      AND e.v NOT IN (SELECT v FROM d2)
+)
+SELECT n.v AS doc_id,
+       CAST(CASE WHEN n.v IN (SELECT v FROM d0) THEN 0
+                 WHEN n.v IN (SELECT v FROM d1) THEN 1
+                 WHEN n.v IN (SELECT v FROM d2) THEN 2
+                 WHEN n.v IN (SELECT v FROM d3) THEN 3
+                 ELSE -1 END AS INTEGER) AS dist
+FROM nodes n
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
+    Query("q244_bfs_distances", q244_bfs_distances, Q244_SQL,
+          survey="ext:bfs-distances,ext:graph-components,ext:lsh-banding",
+          tags=("bench",)),
     Query("q211_sorted_neighborhood", q211_sorted_neighborhood, Q211_SQL,
           survey="ext:sorted-neighborhood,ext:range-partitioner,"
                  "ext:jaccard-neardup,ext:quantile-digest",

@@ -1581,7 +1581,128 @@ ORDER BY h.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q248 — greedy k-center coreset selection (ext): the diversity-first
+# data-selection primitive — SemDeDup (q97) REMOVES redundant vectors,
+# k-center picks the K most MUTUALLY DISTANT ones (Gonzalez 1985
+# farthest-point traversal, the standard coreset/active-learning
+# seed picker, 2-approx for the k-center objective). K unrolled
+# rounds: keep a per-vector min-distance-to-selected column; each
+# round the next center is the argmax (exact int64 quantized sq-L2,
+# tie → smallest vec_id), then one 1-row broadcast crossJoin folds the
+# new center into the min column. No driver-side collect — centers
+# flow as 1-row frames. The radius trajectory (each pick's distance =
+# covering radius BEFORE it was added) is the convergence audit,
+# q139-style. Scale: K scans of the corpus with map-side least();
+# the only aggregates are 1-row argmax folds.
+# ---------------------------------------------------------------------------
+_Q248_K = 6
+
+
+def q248_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    cur = emb.select(
+        "vec_id", _qint(F.col("embedding")).alias("_qv")
+    ).localCheckpoint(eager=False)  # K distance scans reference this
+    c0 = cur.orderBy("vec_id").limit(1)
+    mind = cur.crossJoin(
+        F.broadcast(c0.select(F.col("_qv").alias("_cqv")))
+    ).select("vec_id", "_qv", sq_l2_q(F.col("_qv"), F.col("_cqv")).alias("mind"))
+    picks = [c0.select(F.lit(0).alias("round"), "vec_id", F.lit(0).cast("long").alias("radius_q"))]
+    for k in range(1, _Q248_K):
+        best = (
+            mind.agg(
+                F.max(
+                    F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))
+                ).alias("b")
+            )
+            .select(
+                (-F.col("b.nid")).alias("vec_id"), F.col("b.mind").alias("radius_q")
+            )
+        )
+        center = best.join(cur, "vec_id").select(
+            F.col("_qv").alias("_cqv"), "vec_id", "radius_q"
+        )
+        picks.append(
+            center.select(F.lit(k).alias("round"), "vec_id", "radius_q")
+        )
+        mind = (
+            mind.crossJoin(F.broadcast(center.select("_cqv")))
+            .select(
+                "vec_id",
+                "_qv",
+                F.least(
+                    F.col("mind"), sq_l2_q(F.col("_qv"), F.col("_cqv"))
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=False)  # next round folds onto this
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("radius_q").cast("long").alias("radius_q"),
+    ).orderBy("round")
+
+
+def _q248_sqd(left: str, right: str) -> str:
+    qa = _Q.format(x=f"{left}[i]")
+    qb = _Q.format(x=f"{right}[i]")
+    return (
+        f"list_sum(list_transform(generate_series(1, len({left})), "
+        f"i -> ({qa} - {qb}) * ({qa} - {qb})))"
+    )
+
+
+def _q248_sql() -> str:
+    parts = [
+        "c0 AS (SELECT vec_id, embedding FROM embeddings"
+        " ORDER BY vec_id LIMIT 1)",
+        f"""m0 AS (
+    SELECT e.vec_id, e.embedding,
+           {_q248_sqd('e.embedding', 'c.embedding')} AS mind
+    FROM embeddings e CROSS JOIN c0 c
+)""",
+    ]
+    for k in range(1, _Q248_K):
+        parts.append(
+            f"""c{k} AS (
+    SELECT vec_id, embedding, mind FROM m{k - 1}
+    ORDER BY mind DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        if k < _Q248_K - 1:
+            parts.append(
+                f"""m{k} AS (
+    SELECT m.vec_id, m.embedding,
+           least(m.mind, {_q248_sqd('m.embedding', 'c.embedding')}) AS mind
+    FROM m{k - 1} m CROSS JOIN c{k} c
+)"""
+            )
+    selects = ["SELECT 0 AS round, vec_id, CAST(0 AS BIGINT) AS radius_q FROM c0"]
+    for k in range(1, _Q248_K):
+        selects.append(
+            f"SELECT {k}, vec_id, CAST(mind AS BIGINT) FROM c{k}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+Q248_SQL = _q248_sql()
+
+
 QUERIES = [
+    Query("q248_kcenter_coreset", q248_kcenter_coreset, Q248_SQL,
+          survey="ext:kcenter-coreset,ext:diversity-selection,"
+                 "ext:semantic-dedup,ext:kmeans-step",
+          tags=("bench",)),
     Query("q193_centroid_drift", q193_centroid_drift, Q193_SQL,
           survey="ext:embedding-drift,ext:drift-psi,ext:kmeans-step",
           tags=("bench",)),

@@ -3904,6 +3904,877 @@ ORDER BY cells.seg, cells.prio
 """
 
 
+# ---------------------------------------------------------------------------
+# q233 — Mann–Whitney U / rank-sum test + AUC (ext): the NONPARAMETRIC
+# two-sample location test q213 (Welch t) assumes away — does each
+# market segment's order-price DISTRIBUTION stochastically dominate the
+# rest of the book?  U doubles as the ROC AUC (U / n1·n2 is exactly
+# P(X_a > X_b) + ½·P(tie)), so this one operator is also the
+# standard model-eval readout for any score column. Rank statistics at
+# scale WITHOUT a global sort: roll up to distinct price cells, then
+# U_a = Σ_v na(v)·(#B below v) + ½·na(v)·nb(v) needs only an exclusive
+# prefix sum over the VALUE DOMAIN (cents, bounded by the price range,
+# not the corpus) — operators/skew.exclusive_prefix_sum at levels=3, so
+# every window in the hierarchy is ≤256 rows even at a 5·10⁷-cent
+# domain. Tie-corrected normal z; all sums integer until the final
+# division (2·U is exact), so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_Q233_Z_CRIT = 1.959964  # two-sided 5% normal critical value
+
+
+def q233_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import exclusive_prefix_sum
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    obs = (
+        # no broadcast hint: customer grows with the corpus — AQE picks
+        # broadcast from observed sizes when the dim side is small
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        ).select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    seg_cells = obs.groupBy("seg", "cents").agg(F.count("*").alias("na"))
+    tot_cells = (
+        obs.groupBy("cents")
+        .agg(F.count("*").alias("nt"))
+        .localCheckpoint(eager=False)  # feeds prefix scan + tie totals
+    )
+    pseg = exclusive_prefix_sum(
+        seg_cells, "seg", "cents", "na", out_col="cum_a", levels=3
+    )
+    ptot = exclusive_prefix_sum(
+        tot_cells.withColumn("_g", F.lit(0)), "_g", "cents", "nt",
+        out_col="cum_t", levels=3,
+    ).select("cents", "nt", "cum_t")
+    per_seg = (
+        pseg.join(ptot, "cents")
+        .groupBy("seg")
+        .agg(
+            F.sum("na").cast("long").alias("n1"),
+            # 2·U_a: ties contribute ½ each, so keep everything doubled
+            F.sum(
+                F.col("na")
+                * (
+                    2 * (F.col("cum_t") - F.col("cum_a"))
+                    + (F.col("nt") - F.col("na"))
+                )
+            )
+            .cast("long")
+            .alias("u2"),
+        )
+    )
+    tot = tot_cells.agg(
+        F.sum("nt").cast("long").alias("n"),
+        F.sum(F.col("nt") * F.col("nt") * F.col("nt") - F.col("nt"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    var = (n1d * n2d / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("tie3").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    z = (F.col("u2") - F.col("n1") * F.col("n2")).cast("double") / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        per_seg.crossJoin(F.broadcast(tot))
+        .withColumn("n2", (F.col("n") - F.col("n1")).cast("long"))
+        .select(
+            "seg",
+            "n1",
+            "n2",
+            F.col("u2").alias("u2_stat"),
+            r6(
+                F.col("u2").cast("double") / (F.lit(2.0) * n1d * n2d)
+            ).alias("auc"),
+            r4(z).alias("z_score"),
+            (F.abs(z) > F.lit(_Q233_Z_CRIT)).cast("int").alias("significant"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q233_SQL = f"""
+WITH obs AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+seg_cells AS (SELECT seg, cents, count(*) AS na FROM obs GROUP BY 1, 2),
+tot_cells AS (SELECT cents, count(*) AS nt FROM obs GROUP BY 1),
+ps AS (
+    SELECT seg, cents, na,
+           coalesce(sum(na) OVER (PARTITION BY seg ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_a
+    FROM seg_cells
+),
+pt AS (
+    SELECT cents, nt,
+           coalesce(sum(nt) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_t
+    FROM tot_cells
+),
+per_seg AS (
+    SELECT ps.seg,
+           CAST(sum(ps.na) AS BIGINT) AS n1,
+           CAST(sum(ps.na * (2 * (pt.cum_t - ps.cum_a)
+                             + (pt.nt - ps.na))) AS BIGINT) AS u2
+    FROM ps JOIN pt USING (cents)
+    GROUP BY ps.seg
+),
+tot AS (
+    SELECT CAST(sum(nt) AS BIGINT) AS n,
+           CAST(sum(nt * nt * nt - nt) AS BIGINT) AS tie3
+    FROM tot_cells
+),
+scored AS (
+    SELECT s.seg, s.n1, CAST(t.n - s.n1 AS BIGINT) AS n2, s.u2,
+           t.n, t.tie3,
+           CAST(s.u2 - s.n1 * (t.n - s.n1) AS DOUBLE)
+           / (2.0 * sqrt((CAST(s.n1 AS DOUBLE) * CAST(t.n - s.n1 AS DOUBLE)
+                          / 12.0)
+                         * ((CAST(t.n AS DOUBLE) + 1.0)
+                            - CAST(t.tie3 AS DOUBLE)
+                              / (CAST(t.n AS DOUBLE)
+                                 * (CAST(t.n AS DOUBLE) - 1.0))))) AS z
+    FROM per_seg s CROSS JOIN tot t
+)
+SELECT seg, n1, n2, u2 AS u2_stat,
+       floor(CAST(u2 AS DOUBLE)
+             / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS auc,
+       floor(z * 10000 + 0.5) / 10000.0 AS z_score,
+       CAST(CASE WHEN abs(z) > {_Q233_Z_CRIT} THEN 1 ELSE 0 END AS INTEGER)
+           AS significant
+FROM scored
+ORDER BY seg
+"""
+
+
+# ---------------------------------------------------------------------------
+# q235 — t-closeness audit (ext): completes the privacy ladder —
+# k-anonymity (q158) bounds re-identification, l-diversity (q227)
+# bounds "everyone in the class shares the value", t-closeness bounds
+# the subtler leak BOTH miss: a class whose sensitive-value
+# DISTRIBUTION differs sharply from the table's (e.g. a class skewed
+# to the lowest balance band discloses "probably broke" even with l
+# distinct values). Per (nation, segment) class over customers:
+# ordered Earth-Mover's Distance between the class's $1000-balance-band
+# distribution and the global one, EMD = Σ|cumQ−cumP| / (m−1) over the
+# ordered band domain (Li et al., ICDE 2007). Integer-exact via cross-
+# multiplication (|cumQ·N − cumP·n_c| summed, divided once at the end);
+# the t=0.2 violation flag is an exact integer comparison. Scale: the
+# dense grid is |classes|·|bands| — both DOMAIN-bounded (quasi-id
+# cross-product, balance-range/1000) — and the only windows run
+# per-class over ≤|bands| rows; the corpus is touched by two rollups.
+# ---------------------------------------------------------------------------
+_Q235_BAND = 1000.0
+_Q235_T_NUM, _Q235_T_DEN = 1, 5  # t = 0.2
+
+
+def q235_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(_Q235_BAND)).cast("long").alias("band"),
+    )
+    cls_cells = rows.groupBy("nat", "seg", "band").agg(F.count("*").alias("q"))
+    glob = (
+        rows.groupBy("band")
+        .agg(F.count("*").alias("p"))
+        .localCheckpoint(eager=False)  # feeds dense grid + scalar totals
+    )
+    classes = rows.groupBy("nat", "seg").agg(F.count("*").alias("n_class"))
+    dense = (
+        # |classes| x |bands| grid: both factors domain-bounded (q197's
+        # dense pattern) — no hint, AQE broadcasts from observed size
+        classes.crossJoin(glob.select("band", "p"))
+        .join(cls_cells, ["nat", "seg", "band"], "left")
+        .fillna(0, subset=["q"])
+    )
+    tot = glob.agg(
+        F.sum("p").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("m_bands"),
+    )
+    w = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select(
+        "nat",
+        "seg",
+        "n_class",
+        F.sum("q").over(w).alias("cq"),
+        F.sum("p").over(w).alias("cp"),
+    )
+    per_class = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("nat", "seg", "n_class", "n_total", "m_bands")
+        .agg(
+            F.sum(F.abs(F.col("cq") * F.col("n_total") - F.col("cp") * F.col("n_class")))
+            .cast("long")
+            .alias("dev")
+        )
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    den = (
+        F.col("n_class")
+        * F.col("n_total")
+        * F.greatest(F.col("m_bands") - 1, F.lit(1))
+    )
+    return per_class.select(
+        F.col("nat").cast("int").alias("nat"),
+        "seg",
+        F.col("n_class").cast("long").alias("n_class"),
+        r6(F.col("dev").cast("double") / den.cast("double")).alias("emd_t"),
+        (F.col("dev") * _Q235_T_DEN > F.lit(_Q235_T_NUM) * den)
+        .cast("int")
+        .alias("violates_t"),
+    ).orderBy("nat", "seg")
+
+
+Q235_SQL = f"""
+WITH rows_t AS (
+    SELECT c_nationkey AS nat, c_mktsegment AS seg,
+           CAST(floor(c_acctbal / {_Q235_BAND}) AS BIGINT) AS band
+    FROM customer
+),
+cls_cells AS (
+    SELECT nat, seg, band, count(*) AS q FROM rows_t GROUP BY 1, 2, 3
+),
+gb AS (SELECT band, count(*) AS p FROM rows_t GROUP BY 1),
+classes AS (SELECT nat, seg, count(*) AS n_class FROM rows_t GROUP BY 1, 2),
+dense AS (
+    SELECT cl.nat, cl.seg, cl.n_class, g.band, g.p, coalesce(cc.q, 0) AS q
+    FROM classes cl
+    CROSS JOIN gb g
+    LEFT JOIN cls_cells cc
+           ON cc.nat = cl.nat AND cc.seg = cl.seg AND cc.band = g.band
+),
+tot AS (
+    SELECT CAST(sum(p) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS m_bands
+    FROM gb
+),
+cum AS (
+    SELECT nat, seg, n_class,
+           sum(q) OVER (PARTITION BY nat, seg ORDER BY band
+                        ROWS UNBOUNDED PRECEDING) AS cq,
+           sum(p) OVER (PARTITION BY nat, seg ORDER BY band
+                        ROWS UNBOUNDED PRECEDING) AS cp
+    FROM dense
+),
+per_class AS (
+    SELECT nat, seg, n_class, t.n_total, t.m_bands,
+           CAST(sum(abs(cq * t.n_total - cp * n_class)) AS BIGINT) AS dev
+    FROM cum CROSS JOIN tot t
+    GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(nat AS INTEGER) AS nat, seg,
+       CAST(n_class AS BIGINT) AS n_class,
+       floor(CAST(dev AS DOUBLE)
+             / CAST(n_class * n_total * greatest(m_bands - 1, 1) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS emd_t,
+       CAST(CASE WHEN dev * {_Q235_T_DEN}
+                      > {_Q235_T_NUM} * n_class * n_total
+                        * greatest(m_bands - 1, 1)
+                 THEN 1 ELSE 0 END AS INTEGER) AS violates_t
+FROM per_class
+ORDER BY nat, seg
+"""
+
+
+# ---------------------------------------------------------------------------
+# q237 — isotonic regression calibration via PAV (ext): the
+# monotone-calibration op that completes the model-eval family — ECE
+# (q159) MEASURES miscalibration, conformal (q204) wraps intervals,
+# isotonic FIXES the score: the best monotone fit of P(purchase) as a
+# function of the value score. Distributed PAV without the sequential
+# stack: pool-adjacent-violators equals the MINIMAX formula
+# fitted_i = max_{j≤i} min_{k≥i} mean(y over buckets j..k) (Ayer et
+# al. 1955), which is pure join algebra once the corpus collapses to a
+# value-DOMAIN-bounded bucket rollup (B = range/16 ≈ 31 buckets → B³ ≈
+# 30k triple rows, constant w.r.t. corpus size). Means are doubles
+# from EXACT integer prefix sums; min/max are selections (no float
+# accumulation), so both engines agree bit-for-bit. The python twin
+# runs the classic sequential stack PAV and must match exactly.
+# ---------------------------------------------------------------------------
+_Q237_W = 16.0  # value-bucket width
+
+
+def q237_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(F.floor(F.col("value") / F.lit(_Q237_W)).cast("long").alias("b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        )
+        .localCheckpoint(eager=False)  # feeds prefix scan + 3-way self-join
+    )
+    # exclusive/inclusive prefix sums over the DOMAIN-bounded bucket
+    # rollup (≤ value_range/W rows — pinned in tests/test_plan_budget.py)
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = cells.select(
+        "b",
+        "n",
+        "y",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("y").over(wcum).alias("cy"),
+    ).localCheckpoint(eager=False)  # three roles in the triple join
+    j = pre.select(
+        F.col("b").alias("jb"),
+        (F.col("cn") - F.col("n")).alias("cnx"),
+        (F.col("cy") - F.col("y")).alias("cyx"),
+    )
+    k = pre.select(
+        F.col("b").alias("kb"), F.col("cn").alias("cnk"), F.col("cy").alias("cyk")
+    )
+    i = pre.select("b", "n", "y")
+    tri = (
+        i.join(j, F.col("jb") <= F.col("b"))
+        .join(k, F.col("kb") >= F.col("b"))
+        .select(
+            "b",
+            "n",
+            "y",
+            "jb",
+            (
+                (F.col("cyk") - F.col("cyx")).cast("double")
+                / (F.col("cnk") - F.col("cnx")).cast("double")
+            ).alias("avg_jk"),
+        )
+    )
+    fitted = (
+        tri.groupBy("b", "n", "y", "jb")
+        .agg(F.min("avg_jk").alias("m"))
+        .groupBy("b", "n", "y")
+        .agg(F.max("m").alias("iso"))
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return fitted.select(
+        F.col("b").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("y").cast("long").alias("n_pos"),
+        r6(F.col("y").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
+        r6(F.col("iso")).alias("iso_rate"),
+    ).orderBy("bucket")
+
+
+Q237_SQL = f"""
+WITH cells AS (
+    SELECT CAST(floor(value / {_Q237_W}) AS BIGINT) AS b,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY 1
+),
+pre AS (
+    SELECT b, n, y,
+           sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cn,
+           sum(y) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cy
+    FROM cells
+),
+tri AS (
+    SELECT i.b, i.n, i.y, j.b AS jb,
+           CAST(k.cy - (j.cy - j.y) AS DOUBLE)
+           / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+    FROM pre i
+    JOIN pre j ON j.b <= i.b
+    JOIN pre k ON k.b >= i.b
+),
+fitted AS (
+    SELECT b, n, y, max(m) AS iso
+    FROM (
+        SELECT b, n, y, jb, min(avg_jk) AS m
+        FROM tri GROUP BY b, n, y, jb
+    ) GROUP BY b, n, y
+)
+SELECT b AS bucket,
+       CAST(n AS BIGINT) AS n,
+       CAST(y AS BIGINT) AS n_pos,
+       floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS raw_rate,
+       floor(iso * 1000000 + 0.5) / 1000000.0 AS iso_rate
+FROM fitted
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q242 — Benford first-digit conformity audit (ext): the classic
+# fabricated-numbers detector for financial columns — natural
+# multiplicative amounts follow P(d) = log10(1+1/d); synthetic or
+# tampered feeds don't. Determinism care: the first digit comes from
+# the STRING of the exact integer cents (floor(price·100+.5)) — never
+# from log10(value), whose last-ulp is not cross-engine identical at
+# powers of 10 — and the nine Benford probabilities are shared literal
+# doubles, not engine log10 calls. χ² and the Nigrini MAD accumulate
+# per-digit contributions floor-scaled to a 1e9 integer grid (q236
+# pattern; 9-way grouped sums have no deterministic order either).
+# Scale: one groupBy to nine cells; table stats replicate per row
+# (q227 convention).
+# ---------------------------------------------------------------------------
+_Q242_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+_Q242_SCALE = 1_000_000_000
+_Q242_MAD_NIGRINI = 0.015  # "nonconformity" bound for first digits
+
+
+def q242_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cells = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count("*").alias("o"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _Q242_P.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    dense = (
+        digits.join(cells, "digit", "left")
+        .fillna(0, subset=["o"])
+        .crossJoin(F.broadcast(cells.agg(F.sum("o").cast("long").alias("n"))))
+        .withColumn("p", p_expr)
+        .localCheckpoint(eager=False)  # feeds per-digit rows + table stats
+    )
+    nd = F.col("n").cast("double")
+    od = F.col("o").cast("double")
+    scaled = dense.select(
+        "digit",
+        "o",
+        "n",
+        "p",
+        F.floor(
+            (od - nd * F.col("p")) * (od - nd * F.col("p")) / (nd * F.col("p"))
+            * F.lit(float(_Q242_SCALE))
+        ).cast("long").alias("chi_s"),
+        F.floor(
+            F.abs(od / nd - F.col("p")) * F.lit(float(_Q242_SCALE))
+        ).cast("long").alias("mad_s"),
+    )
+    stats = scaled.agg(
+        F.sum("chi_s").alias("chi_sum"),
+        F.sum("mad_s").alias("mad_sum"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    mad = F.col("mad_sum").cast("double") / F.lit(float(_Q242_SCALE)) / F.lit(9.0)
+    return (
+        scaled.crossJoin(F.broadcast(stats))
+        .select(
+            "digit",
+            F.col("o").cast("long").alias("observed"),
+            r4(nd * F.col("p")).alias("expected"),
+            r4(
+                F.col("chi_sum").cast("double") / F.lit(float(_Q242_SCALE))
+            ).alias("chi2"),
+            r6(mad).alias("mad"),
+            (mad <= F.lit(_Q242_MAD_NIGRINI)).cast("int").alias("conforms"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _q242_p_case() -> str:
+    return (
+        "CASE d.digit "
+        + " ".join(f"WHEN {d} THEN {p!r}" for d, p in _Q242_P.items())
+        + " END"
+    )
+
+
+Q242_SQL = f"""
+WITH cells AS (
+    SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit,
+           count(*) AS o
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+dense AS (
+    SELECT d.digit AS digit, coalesce(c.o, 0) AS o, t.n,
+           {_q242_p_case()} AS p
+    FROM (SELECT unnest(generate_series(1, 9)) AS digit) d
+    LEFT JOIN cells c ON c.digit = d.digit
+    CROSS JOIN tot t
+),
+scaled AS (
+    SELECT digit, o, n, p,
+           CAST(floor((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                      * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                      / (CAST(n AS DOUBLE) * p) * {_Q242_SCALE}) AS BIGINT)
+               AS chi_s,
+           CAST(floor(abs(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) - p)
+                      * {_Q242_SCALE}) AS BIGINT) AS mad_s
+    FROM dense
+),
+stats AS (
+    SELECT CAST(sum(chi_s) AS BIGINT) AS chi_sum,
+           CAST(sum(mad_s) AS BIGINT) AS mad_sum
+    FROM scaled
+)
+SELECT s.digit,
+       CAST(s.o AS BIGINT) AS observed,
+       floor(CAST(s.n AS DOUBLE) * s.p * 10000 + 0.5) / 10000.0 AS expected,
+       floor(CAST(st.chi_sum AS DOUBLE) / {_Q242_SCALE} * 10000 + 0.5)
+           / 10000.0 AS chi2,
+       floor(CAST(st.mad_sum AS DOUBLE) / {_Q242_SCALE} / 9.0 * 1000000
+             + 0.5) / 1000000.0 AS mad,
+       CAST(CASE WHEN CAST(st.mad_sum AS DOUBLE) / {_Q242_SCALE} / 9.0
+                      <= {_Q242_MAD_NIGRINI}
+                 THEN 1 ELSE 0 END AS INTEGER) AS conforms
+FROM scaled s CROSS JOIN stats st
+ORDER BY s.digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# q243 — Gini concentration of customer revenue per nation (ext): the
+# inequality readout of a revenue (or token-count, or shard-size)
+# distribution — "how concentrated is nation X's book on its whale
+# customers?" Exact Gini WITHOUT a global sort: collapse to per-value
+# cells over the cents domain, exclusive_prefix_sum (levels=3) gives
+# each distinct value's rank offset, and Σᵢ i·xᵢ over a tie block of
+# count c at offset u is v·(2·c·u + c·(c+1))/2 — pure integer algebra,
+# accumulated in DECIMAL(38,0)/HUGEINT (the q107/q197 exact-sum
+# pattern; Σ v·c·u overflows int64 at corpus scale). G = 2Σi·xᵢ/(n·Σx)
+# − (n+1)/n; the one division happens at the end on exact operands.
+# ---------------------------------------------------------------------------
+def q243_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import exclusive_prefix_sum
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_nationkey").alias("nat"), "v")
+    )
+    cells = rev.groupBy("nat", "v").agg(F.count("*").alias("cnt"))
+    pre = exclusive_prefix_sum(cells, "nat", "v", "cnt", out_col="u", levels=3)
+    per_nat = pre.groupBy("nat").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * cnt")).alias("sx"),
+        F.sum(
+            F.expr(
+                "CAST(v AS DECIMAL(38,0))"
+                " * (2 * CAST(cnt AS DECIMAL(38,0)) * u"
+                "    + CAST(cnt AS DECIMAL(38,0)) * (cnt + 1))"
+            )
+        ).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.col("s2").cast("double") / (nd * F.col("sx").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return per_nat.select(
+        F.col("nat").cast("int").alias("nat"),
+        F.col("n").alias("n_custs"),
+        F.col("sx").cast("long").alias("total_cents"),
+        r6(gini).alias("gini"),
+    ).orderBy("nat")
+
+
+Q243_SQL = """
+WITH rev AS (
+    SELECT c.c_nationkey AS nat,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS v
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey, c.c_nationkey
+),
+cells AS (SELECT nat, v, count(*) AS cnt FROM rev GROUP BY 1, 2),
+pre AS (
+    SELECT nat, v, cnt,
+           coalesce(sum(cnt) OVER (PARTITION BY nat ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS u
+    FROM cells
+),
+per_nat AS (
+    SELECT nat,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           sum(CAST(v AS HUGEINT) * cnt) AS sx,
+           sum(CAST(v AS HUGEINT)
+               * (2 * CAST(cnt AS HUGEINT) * u
+                  + CAST(cnt AS HUGEINT) * (cnt + 1))) AS s2
+    FROM pre GROUP BY 1
+)
+SELECT CAST(nat AS INTEGER) AS nat,
+       n AS n_custs,
+       CAST(sx AS BIGINT) AS total_cents,
+       floor((CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS gini
+FROM per_nat
+ORDER BY nat
+"""
+
+
+# ---------------------------------------------------------------------------
+# q245 — empirical-Bayes beta-binomial shrinkage (ext): the smoothed-
+# rate estimator every large-scale ranking/quality system uses — a part
+# returned 2-of-3 times is NOT worse than one returned 200-of-400; raw
+# rates must shrink toward the prior by evidence volume. Method of
+# moments on the observed return rates of well-supported parts
+# (n ≥ T): mean m and variance s² give α+β = m(1−m)/s² − 1,
+# α = m(α+β); every part's posterior rate is (y+α)/(n+α+β).
+# Determinism: Σr and Σr² over corpus-scale parts are per-part doubles
+# from exact integers floor-scaled to a 1e12 grid and summed as
+# integers (q236 pattern — a raw float Σ is shuffle-order-dependent).
+# Scale: one lineitem rollup to per-part (y, n); the moment pass and
+# the scoring pass share it; output is a top-20 TakeOrdered with a
+# unique-key tiebreak.
+# ---------------------------------------------------------------------------
+_Q245_MIN_N = 10
+_Q245_SCALE = 1_000_000_000_000
+_Q245_TOPK = 20
+
+
+def q245_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    parts = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)  # feeds moment pass + scoring pass
+    )
+    rd = F.col("y").cast("double") / F.col("n").cast("double")
+    mom = (
+        parts.filter(F.col("n") >= _Q245_MIN_N)
+        .select(
+            F.floor(rd * F.lit(float(_Q245_SCALE))).cast("long").alias("r1"),
+            F.floor(rd * rd * F.lit(float(_Q245_SCALE))).cast("long").alias("r2"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("m_parts"),
+            F.sum("r1").alias("s1"),
+            F.sum("r2").alias("s2"),
+        )
+    )
+    md = F.col("m_parts").cast("double")
+    mean = F.col("s1").cast("double") / F.lit(float(_Q245_SCALE)) / md
+    # population variance: E[r²] − (E[r])²
+    var = F.col("s2").cast("double") / F.lit(float(_Q245_SCALE)) / md - mean * mean
+    ab = mean * (F.lit(1.0) - mean) / var - F.lit(1.0)
+    prior = mom.select(
+        "m_parts",
+        (mean * ab).alias("alpha"),
+        ((F.lit(1.0) - mean) * ab).alias("beta"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    shrunk = (
+        F.col("y").cast("double") + F.col("alpha")
+    ) / (F.col("n").cast("double") + F.col("alpha") + F.col("beta"))
+    return (
+        parts.crossJoin(F.broadcast(prior))
+        .select(
+            F.col("pk").alias("partkey"),
+            "n",
+            "y",
+            r6(rd).alias("raw_rate"),
+            r6(shrunk).alias("eb_rate"),
+            r4(F.col("alpha")).alias("alpha"),
+            r4(F.col("beta")).alias("beta"),
+        )
+        .orderBy(F.desc("eb_rate"), F.asc("partkey"))
+        .limit(_Q245_TOPK)
+    )
+
+
+Q245_SQL = f"""
+WITH parts AS (
+    SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM lineitem GROUP BY 1
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS m_parts,
+           CAST(sum(CAST(floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE)
+                                * {_Q245_SCALE}) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(sum(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+                               * {_Q245_SCALE}) AS BIGINT)) AS BIGINT) AS s2
+    FROM parts WHERE n >= {_Q245_MIN_N}
+),
+prior AS (
+    SELECT m_parts,
+           (CAST(s1 AS DOUBLE) / {_Q245_SCALE} / CAST(m_parts AS DOUBLE))
+           * ((CAST(s1 AS DOUBLE) / {_Q245_SCALE} / CAST(m_parts AS DOUBLE))
+              * (1.0 - CAST(s1 AS DOUBLE) / {_Q245_SCALE}
+                       / CAST(m_parts AS DOUBLE))
+              / (CAST(s2 AS DOUBLE) / {_Q245_SCALE} / CAST(m_parts AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / {_Q245_SCALE}
+                    / CAST(m_parts AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / {_Q245_SCALE}
+                      / CAST(m_parts AS DOUBLE)))
+              - 1.0) AS alpha,
+           (1.0 - CAST(s1 AS DOUBLE) / {_Q245_SCALE}
+                  / CAST(m_parts AS DOUBLE))
+           * ((CAST(s1 AS DOUBLE) / {_Q245_SCALE} / CAST(m_parts AS DOUBLE))
+              * (1.0 - CAST(s1 AS DOUBLE) / {_Q245_SCALE}
+                       / CAST(m_parts AS DOUBLE))
+              / (CAST(s2 AS DOUBLE) / {_Q245_SCALE} / CAST(m_parts AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / {_Q245_SCALE}
+                    / CAST(m_parts AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / {_Q245_SCALE}
+                      / CAST(m_parts AS DOUBLE)))
+              - 1.0) AS beta
+    FROM mom
+)
+SELECT p.pk AS partkey, p.n, p.y,
+       floor(CAST(p.y AS DOUBLE) / CAST(p.n AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS raw_rate,
+       floor((CAST(p.y AS DOUBLE) + pr.alpha)
+             / (CAST(p.n AS DOUBLE) + pr.alpha + pr.beta) * 1000000 + 0.5)
+           / 1000000.0 AS eb_rate,
+       floor(pr.alpha * 10000 + 0.5) / 10000.0 AS alpha,
+       floor(pr.beta * 10000 + 0.5) / 10000.0 AS beta
+FROM parts p CROSS JOIN prior pr
+ORDER BY eb_rate DESC, partkey ASC
+LIMIT {_Q245_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q246 — Hill tail-index estimator (ext): the heavy-tail diagnostic for
+# any size/value column — shard-size planning (q188), skew salting
+# (q182) and quota water-filling (q189) all presuppose knowing HOW
+# heavy the tail is; Hill's estimator α̂ = 1/mean(ln(xᵢ/x₍ₖ₊₁₎)) over
+# the top-k order statistics answers it (α ≤ 2 ⇒ infinite variance ⇒
+# mean-based capacity planning is invalid). Selection is a bounded
+# TakeOrderedAndProject (k+1 rows with a unique-key tiebreak — never a
+# global sort); the k log-ratios are per-row doubles from exact cents
+# integers, floor-scaled and integer-summed (q236 pattern).
+# ---------------------------------------------------------------------------
+_Q246_K = 100
+_Q246_SCALE = 1_000_000_000
+
+
+def q246_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    top = (
+        orders.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            "o_orderkey",
+        )
+        .orderBy(F.desc("cents"), F.asc("o_orderkey"))
+        .limit(_Q246_K + 1)
+        .localCheckpoint(eager=False)  # feeds threshold + ratio scan
+    )
+    thr = top.agg(F.min("cents").alias("xk"))
+    terms = (
+        top.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") > F.col("xk"))  # drop the threshold row(s)
+        .select(
+            "xk",
+            F.floor(
+                F.log(F.col("cents").cast("double") / F.col("xk").cast("double"))
+                * F.lit(float(_Q246_SCALE))
+            )
+            .cast("long")
+            .alias("ls"),
+        )
+    )
+    agg = terms.groupBy("xk").agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.sum("ls").alias("lsum"),
+    )
+    h = (
+        F.col("lsum").cast("double")
+        / F.lit(float(_Q246_SCALE))
+        / F.col("k_used").cast("double")
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    alpha = F.lit(1.0) / h
+    return agg.select(
+        F.col("k_used"),
+        F.col("xk").alias("threshold_cents"),
+        r4(alpha).alias("hill_alpha"),
+        (alpha > F.lit(2.0)).cast("int").alias("finite_variance"),
+    )
+
+
+Q246_SQL = f"""
+WITH top AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o_orderkey
+    FROM orders
+    ORDER BY cents DESC, o_orderkey ASC
+    LIMIT {_Q246_K + 1}
+),
+thr AS (SELECT min(cents) AS xk FROM top),
+terms AS (
+    SELECT t.xk,
+           CAST(floor(ln(CAST(tp.cents AS DOUBLE) / CAST(t.xk AS DOUBLE))
+                      * {_Q246_SCALE}) AS BIGINT) AS ls
+    FROM top tp CROSS JOIN thr t
+    WHERE tp.cents > t.xk
+),
+agg AS (
+    SELECT xk, CAST(count(*) AS BIGINT) AS k_used,
+           CAST(sum(ls) AS BIGINT) AS lsum
+    FROM terms GROUP BY xk
+)
+SELECT k_used,
+       xk AS threshold_cents,
+       floor(1.0 / (CAST(lsum AS DOUBLE) / {_Q246_SCALE}
+                    / CAST(k_used AS DOUBLE)) * 10000 + 0.5) / 10000.0
+           AS hill_alpha,
+       CAST(CASE WHEN 1.0 / (CAST(lsum AS DOUBLE) / {_Q246_SCALE}
+                             / CAST(k_used AS DOUBLE)) > 2.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS finite_variance
+FROM agg
+"""
+
+
 QUERIES = [
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
@@ -3921,6 +4792,26 @@ QUERIES = [
           survey="ext:skew-profiler,ext:salted-aggregation,ext:data-profiling,A2"),
     Query("q213_welch_ttest", q213_welch_ttest, Q213_SQL,
           survey="ext:welch-ttest,ext:ab-experiment,ext:incremental-stats"),
+    Query("q233_mannwhitney_auc", q233_mannwhitney_auc, Q233_SQL,
+          survey="ext:mannwhitney-auc,ext:ab-experiment,ext:prefix-scan,"
+                 "ext:model-eval", tags=("bench",)),
+    Query("q235_tcloseness_audit", q235_tcloseness_audit, Q235_SQL,
+          survey="ext:tcloseness-audit,ext:ldiversity-audit,"
+                 "ext:kanonymity-audit,ext:pii-redaction"),
+    Query("q237_isotonic_calibration", q237_isotonic_calibration, Q237_SQL,
+          survey="ext:isotonic-calibration,ext:calibration-ece,"
+                 "ext:model-eval,ext:prefix-scan"),
+    Query("q242_benford_audit", q242_benford_audit, Q242_SQL,
+          survey="ext:benford-audit,ext:data-profiling,ext:chisq-independence"),
+    Query("q245_eb_shrinkage", q245_eb_shrinkage, Q245_SQL,
+          survey="ext:eb-shrinkage,ext:quality-classifier,ext:model-eval,"
+                 "ext:incremental-stats",
+          tags=("bench",)),
+    Query("q246_hill_tail_index", q246_hill_tail_index, Q246_SQL,
+          survey="ext:hill-tail-index,ext:skew-profiler,ext:data-profiling"),
+    Query("q243_gini_concentration", q243_gini_concentration, Q243_SQL,
+          survey="ext:gini-concentration,ext:skew-profiler,ext:prefix-scan,"
+                 "ext:data-profiling", tags=("bench",)),
     Query("q227_ldiversity_audit", q227_ldiversity_audit, Q227_SQL,
           survey="ext:ldiversity-audit,ext:kanonymity-audit,ext:pii-redaction"),
     Query("q232_retention_odds", q232_retention_odds, Q232_SQL,

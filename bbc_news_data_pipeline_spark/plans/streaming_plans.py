@@ -370,9 +370,65 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# q247 — STREAMING last-touch attribution (ST-ext): q239's real-time
+# twin — the marketing readout that cannot wait for the nightly batch.
+# One fixed-width state row per user (`streaming/attribution.py`:
+# applyInPandasWithState), one emission per purchase; the drained
+# per-purchase credits roll up per channel. The oracle is the batch
+# LOCF formulation (last non-purchase event before each purchase in
+# (ts, event_id) order, IGNORE NULLS carry-forward) — streaming state
+# must equal batch recompute, the ST6 discipline. Value sums round to
+# 2dp (revenue float policy).
+# ---------------------------------------------------------------------------
+def q247_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.attribution import attribute_stream
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = _drain_to_memory(ev, attribute_stream, "q247_attr")
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)
+    return (
+        out.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            r2(F.sum("value")).alias("lt_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+Q247_SQL = """
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_ch
+    FROM events
+),
+carried AS (
+    SELECT event_type, value,
+           last_value(touch_ch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_ch
+    FROM seq
+)
+SELECT coalesce(prev_ch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       floor(sum(value) * 100 + 0.5) / 100.0 AS lt_value
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY channel
+"""
+
+
 QUERIES = [
     Query("q212_stream_dedup_ttl", q212_stream_dedup_ttl, Q212_SQL,
           survey="ST5,ST6,ext:exact-dedup,ext:stream-dedup-ttl",
+          tags=("bench",)),
+    Query("q247_stream_attribution", q247_stream_attribution, Q247_SQL,
+          survey="ST-ext:stream-attribution,ext:attribution,ST5,ST6",
           tags=("bench",)),
     Query("q50_hourly_windows", q50_hourly_windows, Q50_SQL, survey="ST4,A2"),
     Query("q51_sliding_windows", q51_sliding_windows, Q51_SQL, survey="ST4"),

@@ -1049,7 +1049,161 @@ def _q163_sql() -> str:
 Q163_SQL = _q163_sql()
 
 
+# ---------------------------------------------------------------------------
+# q236 — Jensen–Shannon token-distribution drift (ext): the
+# mixture-shift detector a 100 TB corpus build runs per ingest source —
+# "does src_k's vocabulary distribution diverge from the rest of the
+# corpus?" JS (symmetric, bounded [0,1] in bits) is the standard
+# corpus-drift metric where PSI (q73) needs binning and KS (q196) needs
+# an ordered domain. Per source s over word w: p = c_sw/N_s vs the
+# complement q = (c_w − c_sw)/(N − N_s);
+# JS = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)), in bits.
+#
+# Determinism at corpus scale: a straight float Σ over a corpus-sized
+# vocab accumulates in engine/shuffle order — NOT reproducible. So each
+# WORD's contribution is computed as a double from EXACT integer counts
+# (identical expression tree both engines), floor-scaled to an integer
+# at 1e12, and summed as integers — order-free, retry-safe, the q226
+# floor-scaled-objective pattern. Ratios go through doubles BEFORE
+# multiplication (a·N_rest overflows int64 at 100 TB token counts).
+# Scale: one (source, word) rollup joined to the word rollup — the
+# corpus never collapses to a driver; output is |sources| rows.
+# ---------------------------------------------------------------------------
+_Q236_SCALE = 1_000_000_000_000  # 1e12: contribution grid
+
+
+def q236_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("a"))
+    wtot = sw.groupBy("w").agg(F.sum("a").alias("cw"))
+    stot = sw.groupBy("source").agg(F.sum("a").alias("ns"))
+    gtot = wtot.agg(F.sum("cw").alias("n"))
+    cells = (
+        sw.join(wtot, "w")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "ns",
+            F.col("a").cast("double").alias("ad"),
+            (F.col("cw") - F.col("a")).cast("double").alias("bd"),
+            F.col("ns").cast("double").alias("nsd"),
+            (F.col("n") - F.col("ns")).cast("double").alias("nrd"),
+        )
+    )
+    p = F.col("ad") / F.col("nsd")
+    q = F.col("bd") / F.col("nrd")
+    # 0·ln0 := 0 on both branches; a>0 always holds here (cells exist
+    # only where the source saw the word), b can be 0
+    term = (
+        F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q))
+        + F.when(
+            F.col("bd") > 0,
+            F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q)),
+        ).otherwise(F.lit(0.0))
+    )
+    scaled = cells.select(
+        "source",
+        "ns",
+        F.floor(term * F.lit(float(_Q236_SCALE))).cast("long").alias("ts"),
+    )
+    # words the source NEVER saw contribute ½·q·ln2 each; their total is
+    # ½·ln2·(missing mass) = ½·ln2·(N−Ns−Σ_seen b)/(N−Ns) — closed form,
+    # no dense grid needed
+    seen_b = (
+        cells.groupBy("source", "ns", "nrd")
+        .agg(F.sum("bd").alias("sb"))
+        .select(
+            "source",
+            F.floor(
+                F.lit(0.5)
+                * ((F.col("nrd") - F.col("sb")) / F.col("nrd"))
+                * F.log(F.lit(2.0))
+                * F.lit(float(_Q236_SCALE))
+            )
+            .cast("long")
+            .alias("miss_ts"),
+        )
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        scaled.groupBy("source", "ns")
+        .agg(F.sum("ts").alias("sum_ts"), F.count("*").alias("n_types"))
+        .join(seen_b, "source")
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            r6(
+                (F.col("sum_ts") + F.col("miss_ts")).cast("double")
+                / F.lit(float(_Q236_SCALE))
+                / F.log(F.lit(2.0))
+            ).alias("js_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+Q236_SQL = f"""
+WITH toks AS (
+    SELECT source, unnest(str_split(lower(text), ' ')) AS w FROM documents
+),
+sw AS (
+    SELECT source, w, count(*) AS a FROM toks WHERE length(w) >= 1
+    GROUP BY 1, 2
+),
+wtot AS (SELECT w, sum(a) AS cw FROM sw GROUP BY 1),
+stot AS (SELECT source, sum(a) AS ns FROM sw GROUP BY 1),
+gtot AS (SELECT sum(cw) AS n FROM wtot),
+cells AS (
+    SELECT sw.source, stot.ns,
+           CAST(sw.a AS DOUBLE) AS ad,
+           CAST(wtot.cw - sw.a AS DOUBLE) AS bd,
+           CAST(stot.ns AS DOUBLE) AS nsd,
+           CAST(gtot.n - stot.ns AS DOUBLE) AS nrd
+    FROM sw
+    JOIN wtot USING (w)
+    JOIN stot USING (source)
+    CROSS JOIN gtot
+),
+scaled AS (
+    SELECT source, ns,
+           CAST(floor((0.5 * (ad / nsd)
+                       * ln(2.0 * (ad / nsd) / (ad / nsd + bd / nrd))
+                       + CASE WHEN bd > 0
+                              THEN 0.5 * (bd / nrd)
+                                   * ln(2.0 * (bd / nrd)
+                                        / (ad / nsd + bd / nrd))
+                              ELSE 0.0 END) * {_Q236_SCALE}) AS BIGINT)
+               AS ts,
+           bd, nrd
+    FROM cells
+),
+miss AS (
+    SELECT source,
+           CAST(floor(0.5 * ((any_value(nrd) - sum(bd)) / any_value(nrd))
+                      * ln(2.0) * {_Q236_SCALE}) AS BIGINT) AS miss_ts
+    FROM scaled GROUP BY source
+)
+SELECT s.source,
+       CAST(any_value(s.ns) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       floor(CAST(sum(s.ts) + any_value(m.miss_ts) AS DOUBLE)
+             / {_Q236_SCALE} / ln(2.0) * 1000000 + 0.5) / 1000000.0
+           AS js_bits
+FROM scaled s JOIN miss m USING (source)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
 QUERIES = [
+    Query("q236_js_divergence", q236_js_divergence, Q236_SQL,
+          survey="ext:js-divergence,ext:drift-psi,ext:data-profiling,A11",
+          tags=("bench",)),
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
     Query("q32_word_freq_top20", q32_word_freq_top20, Q32_SQL, survey="A11,F10", tags=("bench",)),

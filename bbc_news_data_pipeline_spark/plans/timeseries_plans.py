@@ -2263,7 +2263,684 @@ ORDER BY pct
 """
 
 
+# ---------------------------------------------------------------------------
+# q234 — Kaplan–Meier survival + Nelson–Aalen hazard (ext): the
+# right-censoring-aware lifetime readout the retention family
+# (q71/q223/q232) approximates away — "what share of customers is
+# still ordering after t days" is BIASED if customers active at the
+# observation edge are counted as churned. Per customer: lifetime t =
+# days between first and last order; customers whose last order falls
+# within the final CENS_DAYS of the data are CENSORED (still alive at
+# cut), not churned. Classic KM:
+# at each distinct lifetime, risk set n_t = N − (churned+censored
+# earlier), S(t) = Π(1 − d/n) over event times ≤ t (censored rows are
+# at risk for same-day deaths, the standard convention), Nelson–Aalen
+# H(t) = Σ d/n. Scale: the corpus collapses to one per-user rollup,
+# then to a lifetime-domain rollup BOUNDED by the observation window's
+# day count — the two ORDER-BY-only windows below run over that
+# domain-bounded frame (pinned in tests/test_plan_budget.py). The
+# Π is exp(Σ ln·) over an ordered frame (deterministic sequential
+# accumulation on both engines, q102's float caveat), with the
+# everyone-dead prefix flagged exactly so ln(0) never evaluates.
+# ---------------------------------------------------------------------------
+_Q234_CENS_DAYS = 365  # last order within the final year => censored
+
+
+def q234_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    span = orders.agg(F.date_trunc("day", F.max("o_orderdate")).alias("dmax"))
+    users = orders.groupBy("o_custkey").agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("d0"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("d1"),
+    )
+    lives = users.crossJoin(F.broadcast(span)).select(
+        F.datediff("d1", "d0").alias("t"),
+        (F.datediff("dmax", "d1") < _Q234_CENS_DAYS).cast("int").alias("cens"),
+    )
+    cells = (
+        lives.groupBy("t")
+        .agg(
+            F.sum(1 - F.col("cens")).cast("long").alias("d"),
+            F.sum("cens").cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=False)  # feeds risk-set scan + totals
+    )
+    tot = cells.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n_users"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risked = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_users")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    scanned = risked.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_incl).alias("dead"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_incl)
+        .alias("s_ln"),
+        F.sum(F.col("d").cast("double") / F.col("n_risk").cast("double"))
+        .over(w_incl)
+        .alias("haz"),
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return scanned.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("d_churned"),
+        F.col("c").alias("c_censored"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(r6(F.exp("s_ln")))
+        .alias("survival"),
+        r6(F.col("haz")).alias("cum_hazard"),
+    ).orderBy("t_days")
+
+
+Q234_SQL = f"""
+WITH span AS (
+    SELECT date_trunc('day', max(o_orderdate)) AS dmax FROM orders
+),
+users AS (
+    SELECT o_custkey, date_trunc('day', min(o_orderdate)) AS d0,
+           date_trunc('day', max(o_orderdate)) AS d1
+    FROM orders GROUP BY 1
+),
+lives AS (
+    SELECT date_diff('day', u.d0, u.d1) AS t,
+           CASE WHEN date_diff('day', u.d1, s.dmax) < {_Q234_CENS_DAYS}
+                THEN 1 ELSE 0 END AS cens
+    FROM users u CROSS JOIN span s
+),
+cells AS (
+    SELECT t, CAST(sum(1 - cens) AS BIGINT) AS d,
+           CAST(sum(cens) AS BIGINT) AS c
+    FROM lives GROUP BY 1
+),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_users FROM cells),
+risked AS (
+    SELECT cells.t, cells.d, cells.c,
+           tot.n_users
+           - coalesce(sum(cells.d + cells.c) OVER (ORDER BY cells.t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+    FROM cells CROSS JOIN tot
+),
+scanned AS (
+    SELECT t, n_risk, d, c,
+           max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+           sum(CASE WHEN d < n_risk
+                    THEN ln(CAST(n_risk - d AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE))
+                    ELSE 0.0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS s_ln,
+           sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS haz
+    FROM risked
+)
+SELECT CAST(t AS INTEGER) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS d_churned,
+       c AS c_censored,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE floor(exp(s_ln) * 1000000 + 0.5) / 1000000.0 END
+           AS survival,
+       floor(haz * 1000000 + 0.5) / 1000000.0 AS cum_hazard
+FROM scanned
+ORDER BY t_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# q238 — Theil–Sen robust slope vs OLS (ext): the robust-regression
+# member the trend family lacks — q87's daily trend and q183's OLS
+# slopes are L2 (one outlier day drags the fit); Theil–Sen (median of
+# all pairwise slopes) has a 29% breakdown point and is the standard
+# robust daily-trend readout. Scale shape: the corpus collapses to a
+# per-(type, day) rollup FIRST — the all-pairs step runs on ≤
+# observation-window-days rows per type (≤465 pairs for a month),
+# bounded by construction, never on raw events. Slopes are exact
+# count/day-delta ratios (each engine computes the identical double
+# set); the median is Spark's exact `percentile` ↔ DuckDB's
+# `quantile_cont` (selection + one interpolation, no accumulation).
+# OLS slope ships alongside from exact integer sums — the robust-vs-L2
+# gap IS the readout.
+# ---------------------------------------------------------------------------
+def q238_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(F.date_trunc("day", "ts"), F.col("d0")).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+        .localCheckpoint(eager=False)  # feeds pair join + OLS moments
+    )
+    pairs = daily.alias("a").join(
+        daily.alias("b"),
+        (F.col("a.t") == F.col("b.t")) & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.t").alias("t"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    ts = pairs.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+    )
+    ols = daily.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        ts.join(ols, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "n_days",
+            "n_pairs",
+            r6(F.col("ts_slope")).alias("ts_slope"),
+            r6(
+                (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            ).alias("ols_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q238_SQL = """
+WITH anchor AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+daily AS (
+    SELECT e.event_type AS t,
+           date_diff('day', a.d0, date_trunc('day', e.ts)) AS x,
+           count(*) AS y
+    FROM events e CROSS JOIN anchor a
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.t,
+           CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+    FROM daily a JOIN daily b ON b.t = a.t AND b.x > a.x
+),
+ts AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(slope, 0.5) AS ts_slope
+    FROM pairs GROUP BY 1
+),
+ols AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM daily GROUP BY 1
+)
+SELECT ts.t AS event_type,
+       ols.n_days,
+       ts.n_pairs,
+       floor(ts.ts_slope * 1000000 + 0.5) / 1000000.0 AS ts_slope,
+       floor(CAST(ols.n_days * ols.sxy - ols.sx * ols.sy AS DOUBLE)
+             / CAST(ols.n_days * ols.sxx - ols.sx * ols.sx AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS ols_slope
+FROM ts JOIN ols ON ols.t = ts.t
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q239 — multi-touch attribution (ext): the marketing-warehouse
+# workhorse — each purchase's value is credited back to the user's
+# touch channels (prior non-purchase events) within a 7-day lookback,
+# under the three standard models AT ONCE: first-touch, last-touch,
+# linear. Purchases with no prior touch credit a literal 'direct'
+# channel. Shape: one equi-join on user_id with a bounded time
+# predicate (the lookback caps fan-out per conversion; AQE's skew
+# split handles hot users), one per-conversion window for the
+# deterministic first/last pick ((ts, event_id) total order — never
+# arg_min on ties), then a channel rollup. Value sums are rounded to
+# 2dp like every revenue aggregate (registry float policy).
+# ---------------------------------------------------------------------------
+_Q239_LOOKBACK_DAYS = 7
+
+
+def q239_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("value").alias("cv"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("tts") <= F.col("cts"))
+        & (
+            F.col("tts")
+            > F.col("cts") - F.expr(f"INTERVAL {_Q239_LOOKBACK_DAYS} DAYS")
+        ),
+        "left",
+    ).withColumn("channel", F.coalesce("channel", F.lit("direct")))
+    wasc = Window.partitionBy("cid").orderBy("tts", "tid")
+    wdesc = Window.partitionBy("cid").orderBy(F.desc("tts"), F.desc("tid"))
+    marked = joined.select(
+        "cid",
+        "cv",
+        "channel",
+        F.row_number().over(wasc).alias("rf"),
+        F.row_number().over(wdesc).alias("rl"),
+        F.count("*").over(Window.partitionBy("cid")).alias("nt"),
+    )
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)
+    return (
+        marked.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("rf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("ft_convs"),
+            r2(F.sum(F.when(F.col("rf") == 1, F.col("cv")).otherwise(0.0))).alias(
+                "ft_value"
+            ),
+            r2(F.sum(F.when(F.col("rl") == 1, F.col("cv")).otherwise(0.0))).alias(
+                "lt_value"
+            ),
+            r2(F.sum(F.col("cv") / F.col("nt"))).alias("lin_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+Q239_SQL = f"""
+WITH conv AS (
+    SELECT event_id AS cid, user_id AS cu, ts AS cts, value AS cv
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id AS tu, ts AS tts, event_id AS tid, event_type AS channel
+    FROM events WHERE event_type <> 'purchase'
+),
+joined AS (
+    SELECT c.cid, c.cv, coalesce(t.channel, 'direct') AS channel,
+           t.tts, t.tid
+    FROM conv c
+    LEFT JOIN touch t
+           ON t.tu = c.cu
+          AND t.tts <= c.cts
+          AND t.tts > c.cts - INTERVAL {_Q239_LOOKBACK_DAYS} DAYS
+),
+marked AS (
+    SELECT cid, cv, channel,
+           row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rf,
+           row_number() OVER (PARTITION BY cid
+                              ORDER BY tts DESC, tid DESC) AS rl,
+           count(*) OVER (PARTITION BY cid) AS nt
+    FROM joined
+)
+SELECT channel,
+       CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ft_convs,
+       floor(sum(CASE WHEN rf = 1 THEN cv ELSE 0.0 END) * 100 + 0.5) / 100.0
+           AS ft_value,
+       floor(sum(CASE WHEN rl = 1 THEN cv ELSE 0.0 END) * 100 + 0.5) / 100.0
+           AS lt_value,
+       floor(sum(cv / nt) * 100 + 0.5) / 100.0 AS lin_value
+FROM marked
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# q240 — log-rank test between survival cohorts (ext): q234 DRAWS the
+# lifetime curve; the log-rank test answers the question a curve can't
+# — "do BUILDING-segment customers churn on a different schedule than
+# the rest?" with censoring handled correctly (a t-test on lifetimes
+# would treat censored customers as churned). Standard Mantel–Cox: at
+# each pooled distinct lifetime t, expected group-1 deaths under H0
+# are E₁ₜ = dₜ·n₁ₜ/nₜ and the hypergeometric variance is
+# Vₜ = dₜ·(n₁ₜ/nₜ)·(n₂ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1);
+# χ² = (ΣO₁−ΣE₁)²/ΣV. Scale: same two-rollup collapse as q234, then a
+# DENSE (lifetime × group) grid over the DOMAIN-bounded lifetime axis;
+# per-group risk sets via a window PARTITIONED by group. ΣE and ΣV are
+# per-term doubles from exact integers, floor-scaled to a 1e9 integer
+# grid before the (order-free) sum — the q236 determinism pattern.
+# ---------------------------------------------------------------------------
+_Q240_SEG = "BUILDING"
+_Q240_SCALE = 1_000_000_000
+
+
+def q240_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    span = orders.agg(F.date_trunc("day", F.max("o_orderdate")).alias("dmax"))
+    users = orders.groupBy("o_custkey").agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("d0"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("d1"),
+    )
+    lives = (
+        users.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            users.o_custkey == F.col("c_custkey"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.datediff("d1", "d0").alias("t"),
+            (F.col("c_mktsegment") == _Q240_SEG).cast("int").alias("g"),
+            (F.datediff("dmax", "d1") < _Q234_CENS_DAYS).cast("int").alias("cens"),
+        )
+    )
+    cells = lives.groupBy("t", "g").agg(
+        F.sum(1 - F.col("cens")).cast("long").alias("d"),
+        F.sum("cens").cast("long").alias("c"),
+    ).localCheckpoint(eager=False)  # feeds dense grid + totals
+    dense = (
+        cells.select("t").distinct()
+        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("g")))
+        .join(cells, ["t", "g"], "left")
+        .fillna(0, subset=["d", "c"])
+    )
+    ntot = cells.groupBy("g").agg(F.sum(F.col("d") + F.col("c")).alias("ng"))
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        dense.join(ntot, "g")
+        .withColumn(
+            "nr",
+            F.col("ng") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wg), F.lit(0)),
+        )
+    )
+    pooled = risk.groupBy("t").agg(
+        F.sum("d").alias("dt"),
+        F.sum("nr").alias("nt"),
+        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 1, F.col("nr")).otherwise(0)).alias("n1"),
+    ).filter(F.col("dt") > 0)
+    terms = pooled.select(
+        "d1",
+        F.floor(
+            F.col("dt").cast("double")
+            * F.col("n1").cast("double")
+            / F.col("nt").cast("double")
+            * F.lit(float(_Q240_SCALE))
+        )
+        .cast("long")
+        .alias("e1s"),
+        F.floor(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt").cast("double")
+                * (F.col("n1").cast("double") / F.col("nt").cast("double"))
+                * ((F.col("nt") - F.col("n1")).cast("double") / F.col("nt").cast("double"))
+                * ((F.col("nt") - F.col("dt")).cast("double")
+                   / (F.col("nt") - 1).cast("double")),
+            ).otherwise(F.lit(0.0))
+            * F.lit(float(_Q240_SCALE))
+        )
+        .cast("long")
+        .alias("vs"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1s").alias("e1s"),
+        F.sum("vs").alias("vs"),
+    )
+    counts = ntot.agg(
+        F.sum(F.when(F.col("g") == 1, F.col("ng")).otherwise(0)).cast("long").alias("n_seg"),
+        F.sum(F.when(F.col("g") == 0, F.col("ng")).otherwise(0)).cast("long").alias("n_rest"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    e1 = F.col("e1s").cast("double") / F.lit(float(_Q240_SCALE))
+    v = F.col("vs").cast("double") / F.lit(float(_Q240_SCALE))
+    chi = (F.col("o1").cast("double") - e1) * (F.col("o1").cast("double") - e1) / v
+    return (
+        agg.crossJoin(F.broadcast(counts))
+        .select(
+            "n_seg",
+            "n_rest",
+            F.col("o1").alias("observed_seg"),
+            r4(e1).alias("expected_seg"),
+            r4(chi).alias("chi2"),
+            (chi > F.lit(3.841459)).cast("int").alias("reject_5pct"),
+        )
+    )
+
+
+Q240_SQL = f"""
+WITH span AS (
+    SELECT date_trunc('day', max(o_orderdate)) AS dmax FROM orders
+),
+users AS (
+    SELECT o_custkey, date_trunc('day', min(o_orderdate)) AS d0,
+           date_trunc('day', max(o_orderdate)) AS d1
+    FROM orders GROUP BY 1
+),
+lives AS (
+    SELECT date_diff('day', u.d0, u.d1) AS t,
+           CASE WHEN c.c_mktsegment = '{_Q240_SEG}' THEN 1 ELSE 0 END AS g,
+           CASE WHEN date_diff('day', u.d1, s.dmax) < {_Q234_CENS_DAYS}
+                THEN 1 ELSE 0 END AS cens
+    FROM users u
+    JOIN customer c ON c.c_custkey = u.o_custkey
+    CROSS JOIN span s
+),
+cells AS (
+    SELECT t, g, CAST(sum(1 - cens) AS BIGINT) AS d,
+           CAST(sum(cens) AS BIGINT) AS c
+    FROM lives GROUP BY 1, 2
+),
+dense AS (
+    SELECT ts.t, gs.g, coalesce(ce.d, 0) AS d, coalesce(ce.c, 0) AS c
+    FROM (SELECT DISTINCT t FROM cells) ts
+    CROSS JOIN (SELECT unnest([0, 1]) AS g) gs
+    LEFT JOIN cells ce ON ce.t = ts.t AND ce.g = gs.g
+),
+ntot AS (SELECT g, sum(d + c) AS ng FROM cells GROUP BY 1),
+risk AS (
+    SELECT de.t, de.g, de.d,
+           nt.ng - coalesce(sum(de.d + de.c) OVER (PARTITION BY de.g
+               ORDER BY de.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+    FROM dense de JOIN ntot nt ON nt.g = de.g
+),
+pooled AS (
+    SELECT t, sum(d) AS dt, sum(nr) AS nt,
+           sum(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+           sum(CASE WHEN g = 1 THEN nr ELSE 0 END) AS n1
+    FROM risk GROUP BY 1
+    HAVING sum(d) > 0
+),
+terms AS (
+    SELECT d1,
+           CAST(floor(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      / CAST(nt AS DOUBLE) * {_Q240_SCALE}) AS BIGINT) AS e1s,
+           CAST(floor(CASE WHEN nt > 1
+                THEN CAST(dt AS DOUBLE)
+                     * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                     * (CAST(nt - n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                     * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE))
+                ELSE 0.0 END * {_Q240_SCALE}) AS BIGINT) AS vs
+    FROM pooled
+),
+agg AS (
+    SELECT CAST(sum(d1) AS BIGINT) AS o1,
+           CAST(sum(e1s) AS BIGINT) AS e1s,
+           CAST(sum(vs) AS BIGINT) AS vs
+    FROM terms
+),
+counts AS (
+    SELECT CAST(sum(CASE WHEN g = 1 THEN ng ELSE 0 END) AS BIGINT) AS n_seg,
+           CAST(sum(CASE WHEN g = 0 THEN ng ELSE 0 END) AS BIGINT) AS n_rest
+    FROM ntot
+)
+SELECT c.n_seg, c.n_rest,
+       a.o1 AS observed_seg,
+       floor(CAST(a.e1s AS DOUBLE) / {_Q240_SCALE} * 10000 + 0.5) / 10000.0
+           AS expected_seg,
+       floor((CAST(a.o1 AS DOUBLE) - CAST(a.e1s AS DOUBLE) / {_Q240_SCALE})
+             * (CAST(a.o1 AS DOUBLE) - CAST(a.e1s AS DOUBLE) / {_Q240_SCALE})
+             / (CAST(a.vs AS DOUBLE) / {_Q240_SCALE}) * 10000 + 0.5)
+           / 10000.0 AS chi2,
+       CAST(CASE WHEN (CAST(a.o1 AS DOUBLE)
+                       - CAST(a.e1s AS DOUBLE) / {_Q240_SCALE})
+                      * (CAST(a.o1 AS DOUBLE)
+                         - CAST(a.e1s AS DOUBLE) / {_Q240_SCALE})
+                      / (CAST(a.vs AS DOUBLE) / {_Q240_SCALE}) > 3.841459
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_5pct
+FROM agg a CROSS JOIN counts c
+"""
+
+
+# ---------------------------------------------------------------------------
+# q241 — Mann–Kendall trend test (ext): Theil–Sen (q238) gives the
+# robust slope MAGNITUDE; Mann–Kendall decides whether a monotone
+# trend exists AT ALL — the standard nonparametric pair: S = Σ
+# sign(y_j − y_i) over day pairs, tie-corrected variance
+# Var = [n(n−1)(2n+5) − Σ tₖ(tₖ−1)(2tₖ+5)]/18, continuity-corrected
+# z = (S∓1)/√Var. EVERYTHING here is exact integer algebra until the
+# final division — no float-scale grid needed at all. Scale: identical
+# per-(type, day) collapse as q238; the pair join runs on the
+# observation-window-bounded rollup.
+# ---------------------------------------------------------------------------
+def q241_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(F.date_trunc("day", "ts"), F.col("d0")).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+        .localCheckpoint(eager=False)  # feeds pair join + tie rollup
+    )
+    s = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            (F.col("a.t") == F.col("b.t")) & (F.col("b.x") > F.col("a.x")),
+        )
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(
+            F.sum(F.signum((F.col("b.y") - F.col("a.y")).cast("double")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("t", "y")
+        .agg(F.count("*").alias("tk"))
+        .groupBy("t")
+        .agg(
+            F.sum("tk").cast("long").alias("n"),
+            F.sum(F.col("tk") * (F.col("tk") - 1) * (2 * F.col("tk") + 5))
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    nd = F.col("n")
+    var18 = nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")  # 18·Var, exact
+    zc = F.when(F.col("s") > 0, F.col("s") - 1).otherwise(
+        F.when(F.col("s") < 0, F.col("s") + 1).otherwise(F.lit(0))
+    )
+    z = zc.cast("double") / F.sqrt(var18.cast("double") / F.lit(18.0))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        s.join(ties, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            var18.cast("long").alias("var18"),
+            r4(z).alias("z_score"),
+            (F.abs(z) > F.lit(1.959964)).cast("int").alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q241_SQL = """
+WITH anchor AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+daily AS (
+    SELECT e.event_type AS t,
+           date_diff('day', a.d0, date_trunc('day', e.ts)) AS x,
+           count(*) AS y
+    FROM events e CROSS JOIN anchor a
+    GROUP BY 1, 2
+),
+s AS (
+    SELECT a.t,
+           CAST(sum(CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+    FROM daily a JOIN daily b ON b.t = a.t AND b.x > a.x
+    GROUP BY 1
+),
+ties AS (
+    SELECT t, CAST(sum(tk) AS BIGINT) AS n,
+           CAST(sum(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT) AS tie_term
+    FROM (SELECT t, y, count(*) AS tk FROM daily GROUP BY 1, 2)
+    GROUP BY 1
+),
+scored AS (
+    SELECT s.t, ties.n, s.s,
+           ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie_term AS var18,
+           CAST(CASE WHEN s.s > 0 THEN s.s - 1
+                     WHEN s.s < 0 THEN s.s + 1 ELSE 0 END AS DOUBLE)
+           / sqrt((ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie_term)
+                  / 18.0) AS z
+    FROM s JOIN ties ON ties.t = s.t
+)
+SELECT t AS event_type,
+       n AS n_days,
+       s AS s_stat,
+       CAST(var18 AS BIGINT) AS var18,
+       floor(z * 10000 + 0.5) / 10000.0 AS z_score,
+       CAST(CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END AS INTEGER)
+           AS significant
+FROM scored
+ORDER BY event_type
+"""
+
+
 QUERIES = [
+    Query("q234_kaplan_meier", q234_kaplan_meier, Q234_SQL,
+          survey="ext:kaplan-meier,ext:retention,ext:prefix-scan,F19",
+          tags=("bench",)),
+    Query("q238_theilsen_slope", q238_theilsen_slope, Q238_SQL,
+          survey="ext:theilsen-slope,ext:trend-regression,ext:robust-outlier-qa"),
+    Query("q239_attribution", q239_attribution, Q239_SQL,
+          survey="ext:attribution,ext:funnel,ext:range-join,W3",
+          tags=("bench",)),
+    Query("q240_logrank_test", q240_logrank_test, Q240_SQL,
+          survey="ext:logrank-test,ext:kaplan-meier,ext:ab-experiment"),
+    Query("q241_mann_kendall", q241_mann_kendall, Q241_SQL,
+          survey="ext:mann-kendall,ext:theilsen-slope,ext:trend-regression"),
     Query("q203_funnel_latency", q203_funnel_latency, Q203_SQL,
           survey="ext:funnel,ext:quantile-digest,ext:percentiles,ST4",
           tags=("bench",)),

@@ -481,3 +481,89 @@ def test_sorted_neighborhood_equals_global_sliding_window(spark, sf_dir):
     for r in sorted(out, key=lambda r: -r.n_inter)[:5]:
         a, b = sh(text[r.id_lo]), sh(text[r.id_hi])
         assert r.n_inter == len(a & b) and r.n_union == len(a | b)
+
+
+def test_bfs_distances_python_twin(spark, sf_dir):
+    """q244 vs a pure-python BFS over the SAME capped LSH candidate
+    graph (materialized via q46): distances agree exactly, seeds are
+    the N smallest nodes, unreached report -1."""
+    from collections import deque
+
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        _Q244_K,
+        _Q244_NSEEDS,
+        q244_bfs_distances,
+    )
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        q46_minhash_band_candidates,
+    )
+
+    pairs = q46_minhash_band_candidates(spark, sf_dir).collect()
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r.id_a, set()).add(r.id_b)
+        adj.setdefault(r.id_b, set()).add(r.id_a)
+    nodes = sorted(adj)
+    seeds = nodes[:_Q244_NSEEDS]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= _Q244_K:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {r.doc_id: r.dist for r in q244_bfs_distances(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == dist.get(v, -1), (v, got[v], dist.get(v))
+    assert sorted(v for v, d in got.items() if d == 0) == seeds
+
+
+def test_modularity_python_twin(spark, sf_dir):
+    """q250 vs python modularity computed from the oracle-verified q46
+    pair list and q200's (oracle-verified) round-3 labels — the exact
+    integer numerators and the replicated total must agree."""
+    from collections import Counter
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.curation_plans import (
+        q200_label_propagation,
+        q250_modularity,
+    )
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        q46_minhash_band_candidates,
+    )
+
+    pairs = [(r.id_a, r.id_b)
+             for r in q46_minhash_band_candidates(spark, sf_dir).collect()]
+    lbl = {r.doc_id: r.lbl3
+           for r in q200_label_propagation(spark, sf_dir).collect()}
+    m = len(pairs)
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    d_c, n_nodes, m_c = Counter(), Counter(), Counter()
+    for v, l in lbl.items():
+        d_c[l] += deg[v]
+        n_nodes[l] += 1
+    for a, b in pairs:
+        if lbl[a] == lbl[b]:
+            m_c[lbl[a]] += 1
+    rows = {r.community: r for r in q250_modularity(spark, sf_dir).collect()}
+    assert set(rows) == set(n_nodes)
+    q_num = 0
+    for l in n_nodes:
+        contrib = 4 * m * m_c.get(l, 0) - d_c[l] * d_c[l]
+        r = rows[l]
+        assert (r.n_nodes, r.m_c, r.d_c) == (n_nodes[l], m_c.get(l, 0), d_c[l])
+        assert r.contrib_num == float(contrib)
+        q_num += contrib
+    want_q = floor(q_num / (4 * m * m) * 1e6 + 0.5) / 1e6
+    for r in rows.values():
+        assert r.modularity_q == want_q
+    # communities from LPA on a near-dup graph must beat the null model
+    assert want_q > 0

@@ -121,12 +121,14 @@ def test_unpartitioned_window_sites_pinned():
                                         # (<= #sources rows); q103
                                         # temperature rates over O(#langs)
                                         # strata counts
-        "plans/quality_plans.py": 5,    # q73 PSI totals (5 event types);
+        "plans/quality_plans.py": 6,    # q73 PSI totals (5 event types);
                                         # q159 ECE rollup (<=10 bin rows);
                                         # q177 global digest cumulative
                                         # (value-DOMAIN-bounded);
                                         # q204 selection cum (64 hist rows)
-                                        # + final rank (n_cal/4096 slice)
+                                        # + final rank (n_cal/4096 slice);
+                                        # q237 PAV bucket prefix
+                                        # (≤ value_range/16 bucket rows)
         "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
         "plans/sketch_plans.py": 7,     # q138 + q181 grid / value-hist
                                         # cumulatives (value-DOMAIN-bounded,
@@ -134,11 +136,14 @@ def test_unpartitioned_window_sites_pinned():
                                         # S-row shard-audit lag; q207
                                         # maintained-digest cum (same
                                         # bucket-domain bound)
-        "plans/timeseries_plans.py": 2, # q203 latency-digest cumulative
+        "plans/timeseries_plans.py": 4, # q203 latency-digest cumulative
                                         # (≤ max-latency/3600 bucket rows)
                                         # + q214 lateness-digest cumulative
-                                        # (≤ time-range/60 bucket rows) —
-                                        # both value-DOMAIN-bounded
+                                        # (≤ time-range/60 bucket rows)
+                                        # + q234 KM risk-set / survival
+                                        # scans (≤ observation-window-days
+                                        # lifetime rows) —
+                                        # all value-DOMAIN-bounded
         "plans/dedup_plans.py": 1,      # q211 boundary-digest cumulative
                                         # (≤ 2^16 prefix-code buckets by
                                         # construction)

@@ -1205,3 +1205,113 @@ def test_capture_recapture_python_twin(spark, sf_dir):
         assert abs(chap - len(vocab)) / len(vocab) < 0.15
     else:
         assert chap > 0
+
+
+def test_q236_js_divergence_python_twin(spark, tmp_path, sf_dir):
+    """JS drift vs a Counter twin with the identical floor-scaled grid
+    (authored corpus: one source wildly divergent, one near-uniform),
+    then bounds + symmetry sanity on real testdata."""
+    import math
+    from collections import Counter
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.text_plans import (
+        _Q236_SCALE,
+        q236_js_divergence,
+    )
+
+    texts = [
+        (0, "aa aa aa bb", "en", "srcA", None),
+        (1, "aa bb bb cc", "en", "srcA", None),
+        (2, "zz zz yy yy", "en", "srcB", None),  # disjoint vocabulary
+        (3, "aa bb cc dd", "en", "srcC", None),
+    ]
+    out = {
+        r.source: r
+        for r in q236_js_divergence(spark, _write_docs(tmp_path, texts)).collect()
+    }
+    per_src = {}
+    for _, t, _, s, _ in texts:
+        per_src.setdefault(s, Counter()).update(t.lower().split(" "))
+    glob = Counter()
+    for c in per_src.values():
+        glob.update(c)
+    n = sum(glob.values())
+    for s, cnt in per_src.items():
+        ns = sum(cnt.values())
+        nr = n - ns
+        tot = 0
+        for w, a in cnt.items():
+            b = glob[w] - a
+            p, q = a / ns, b / nr
+            term = 0.5 * p * math.log(2 * p / (p + q))
+            if b > 0:
+                term += 0.5 * q * math.log(2 * q / (p + q))
+            tot += floor(term * _Q236_SCALE)
+        sb = sum(glob[w] - a for w, a in cnt.items())
+        tot += floor(0.5 * ((nr - sb) / nr) * math.log(2.0) * _Q236_SCALE)
+        want = floor(tot / _Q236_SCALE / math.log(2.0) * 1e6 + 0.5) / 1e6
+        r = out[s]
+        assert (r.n_tokens, r.n_types) == (ns, len(cnt))
+        assert r.js_bits == want, (s, r.js_bits, want)
+    # disjoint-vocab source must be the most divergent, and all in [0,1]
+    assert out["srcB"].js_bits == max(v.js_bits for v in out.values())
+    for r in q236_js_divergence(spark, sf_dir).collect():
+        assert 0.0 <= r.js_bits <= 1.0
+
+
+def test_q237_isotonic_pav_stack_twin(spark, sf_dir, tmp_path):
+    """The minimax join formulation must equal the CLASSIC sequential
+    pool-adjacent-violators stack — on real testdata and on an authored
+    table that forces multi-bucket pooling; fitted values are monotone."""
+    from datetime import datetime
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q237_W,
+        q237_isotonic_calibration,
+    )
+
+    def pav(cells):
+        # cells: list of (n, y) in bucket order -> fitted mean per bucket
+        stack = []  # (n, y, width)
+        for n, y in cells:
+            stack.append([n, y, 1])
+            while len(stack) > 1 and (
+                stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+            ):
+                b = stack.pop()
+                stack[-1] = [stack[-1][0] + b[0], stack[-1][1] + b[1],
+                             stack[-1][2] + b[2]]
+            # pool while previous mean >= current mean (exact rationals)
+        out = []
+        for n, y, w in stack:
+            out.extend([y / n] * w)
+        return out
+
+    def check(dir_):
+        rows = q237_isotonic_calibration(spark, dir_).collect()
+        fitted = pav([(r.n, r.n_pos) for r in rows])
+        for r, f in zip(rows, fitted):
+            assert r.iso_rate == floor(f * 1e6 + 0.5) / 1e6, (r, f)
+        iso = [r.iso_rate for r in rows]
+        assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+
+    check(sf_dir)
+
+    # authored: rates 0.8, 0.2, 0.5 -> PAV pools all three into one level
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for b, (npos, ntot) in enumerate([(8, 10), (2, 10), (5, 10)]):
+        for i in range(ntot):
+            et = "purchase" if i < npos else "view"
+            rows.append((eid, t0, 7, et, b * _Q237_W + 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "ev" / "events.parquet"))
+    got = q237_isotonic_calibration(spark, str(tmp_path / "ev")).collect()
+    assert [r.raw_rate for r in got] == [0.8, 0.2, 0.5]
+    assert [r.iso_rate for r in got] == [0.5, 0.5, 0.5]

@@ -625,3 +625,211 @@ def test_retention_odds_python_twin(spark, sf_dir):
         orr = (2 * a + 1) * (2 * d + 1) / ((2 * b + 1) * (2 * c + 1))
         assert r.odds_ratio == floor(orr * 1e4 + 0.5) / 1e4
         assert r.positive_signal == (1 if orr > 1 else 0)
+
+
+def test_mannwhitney_auc_python_twin(spark, sf_dir):
+    """q233 vs a rank-based twin: average-rank U statistic, tie-corrected
+    variance, AUC = U / (n1*n2) — the classic formulation, against the
+    engine's prefix-sum formulation."""
+    from math import floor, sqrt
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q233_mannwhitney_auc,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df["cents"] = (df.o_totalprice * 100 + 0.5).apply(floor).astype(int)
+    df["rank"] = df.cents.rank(method="average")
+    n = len(df)
+    from collections import Counter
+
+    tie3 = sum(t**3 - t for t in Counter(df.cents).values())
+    out = {r.seg: r for r in q233_mannwhitney_auc(spark, sf_dir).collect()}
+    assert set(out) == set(df.c_mktsegment.unique())
+    for seg, r in out.items():
+        a = df[df.c_mktsegment == seg]
+        n1 = len(a)
+        n2 = n - n1
+        u = a["rank"].sum() - n1 * (n1 + 1) / 2
+        assert (r.n1, r.n2) == (n1, n2)
+        assert r.u2_stat == round(2 * u)
+        assert r.auc == floor(u / (n1 * n2) * 1e6 + 0.5) / 1e6
+        var = n1 * n2 / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+        z = (u - n1 * n2 / 2) / sqrt(var)
+        assert abs(r.z_score - z) < 1e-3
+        assert r.significant == (1 if abs(z) > 1.959964 else 0)
+
+
+def test_tcloseness_python_twin(spark, sf_dir):
+    """q235 vs a direct ordered-EMD twin over normalized distributions."""
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q235_BAND,
+        q235_tcloseness_audit,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    c["band"] = (c.c_acctbal / _Q235_BAND).apply(floor).astype(int)
+    bands = sorted(c.band.unique())
+    m = len(bands)
+    n_total = len(c)
+    glob = c.band.value_counts().to_dict()
+    out = {
+        (r.nat, r.seg): r for r in q235_tcloseness_audit(spark, sf_dir).collect()
+    }
+    groups = c.groupby(["c_nationkey", "c_mktsegment"])
+    assert len(out) == len(groups)
+    for (nat, seg), grp in groups:
+        r = out[(nat, seg)]
+        nc = len(grp)
+        cls = grp.band.value_counts().to_dict()
+        cq = cp = 0
+        dev = 0
+        for b in bands:
+            cq += cls.get(b, 0)
+            cp += glob.get(b, 0)
+            dev += abs(cq * n_total - cp * nc)  # exact integers, engine's algebra
+        den = nc * n_total * (m - 1)
+        assert r.n_class == nc
+        assert r.emd_t == floor(dev / den * 1e6 + 0.5) / 1e6
+        assert r.violates_t == (1 if dev * 5 > den else 0)
+
+
+def test_benford_python_twin(spark, sf_dir):
+    """q242 vs a Counter twin with the identical cents-string digit
+    extraction and floor-scaled chi2/MAD grid."""
+    from collections import Counter
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q242_MAD_NIGRINI,
+        _Q242_P,
+        _Q242_SCALE,
+        q242_benford_audit,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    digits = Counter(
+        int(str(floor(p * 100 + 0.5))[0]) for p in o.o_totalprice
+    )
+    n = sum(digits.values())
+    chi_sum = sum(
+        floor(
+            (digits.get(d, 0) - n * p) ** 2 / (n * p) * _Q242_SCALE
+        )
+        for d, p in _Q242_P.items()
+    )
+    mad_sum = sum(
+        floor(abs(digits.get(d, 0) / n - p) * _Q242_SCALE)
+        for d, p in _Q242_P.items()
+    )
+    rows = q242_benford_audit(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    mad = mad_sum / _Q242_SCALE / 9
+    for r in rows:
+        assert r.observed == digits.get(r.digit, 0)
+        assert r.expected == floor(n * _Q242_P[r.digit] * 1e4 + 0.5) / 1e4
+        assert r.chi2 == floor(chi_sum / _Q242_SCALE * 1e4 + 0.5) / 1e4
+        assert r.mad == floor(mad * 1e6 + 0.5) / 1e6
+        assert r.conforms == (1 if mad <= _Q242_MAD_NIGRINI else 0)
+
+
+def test_gini_python_twin(spark, sf_dir):
+    """q243 vs the textbook sorted-list Gini (2*sum(i*x)/(n*sum(x)) -
+    (n+1)/n) per nation, plus bounds and an all-equal zero check."""
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q243_gini_concentration,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    o["cents"] = (o.o_totalprice * 100 + 0.5).apply(floor).astype(int)
+    rev = o.groupby("o_custkey").cents.sum().reset_index()
+    rev = rev.merge(c[["c_custkey", "c_nationkey"]],
+                    left_on="o_custkey", right_on="c_custkey")
+    out = {r.nat: r for r in q243_gini_concentration(spark, sf_dir).collect()}
+    for nat, grp in rev.groupby("c_nationkey"):
+        xs = sorted(grp.cents)
+        n, sx = len(xs), sum(xs)
+        s2 = 2 * sum((i + 1) * x for i, x in enumerate(xs))
+        g = s2 / (n * sx) - (n + 1) / n
+        r = out[nat]
+        assert (r.n_custs, r.total_cents) == (n, sx)
+        assert r.gini == floor(g * 1e6 + 0.5) / 1e6
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_eb_shrinkage_python_twin(spark, sf_dir):
+    """q245 vs a method-of-moments twin on the identical floor-scaled
+    grid; shrinkage must pull low-evidence rates toward the prior mean
+    harder than high-evidence ones."""
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q245_MIN_N,
+        _Q245_SCALE,
+        _Q245_TOPK,
+        q245_eb_shrinkage,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    g = li.groupby("l_partkey")
+    stats = {
+        pk: (len(grp), int((grp.l_returnflag == "R").sum()))
+        for pk, grp in g
+    }
+    well = [(y / n) for n, y in stats.values() if n >= _Q245_MIN_N]
+    s1 = sum(floor(r * _Q245_SCALE) for r in well)
+    s2 = sum(floor(r * r * _Q245_SCALE) for r in well)
+    m = len(well)
+    mean = s1 / _Q245_SCALE / m
+    var = s2 / _Q245_SCALE / m - mean * mean
+    ab = mean * (1 - mean) / var - 1
+    alpha, beta = mean * ab, (1 - mean) * ab
+    scored = sorted(
+        (
+            (-floor((y + alpha) / (n + alpha + beta) * 1e6 + 0.5) / 1e6, pk, n, y)
+            for pk, (n, y) in stats.items()
+        )
+    )[:_Q245_TOPK]
+    rows = q245_eb_shrinkage(spark, sf_dir).collect()
+    assert len(rows) == _Q245_TOPK
+    for r, (neg_eb, pk, n, y) in zip(rows, scored):
+        assert (r.partkey, r.n, r.y) == (pk, n, y)
+        assert r.eb_rate == -neg_eb
+        assert r.alpha == floor(alpha * 1e4 + 0.5) / 1e4
+        assert r.beta == floor(beta * 1e4 + 0.5) / 1e4
+        # shrinkage property: eb sits between raw and the prior mean
+        prior = alpha / (alpha + beta)
+        lo, hi = min(r.raw_rate, prior), max(r.raw_rate, prior)
+        assert lo - 1e-6 <= r.eb_rate <= hi + 1e-6
+
+
+def test_hill_tail_index_python_twin(spark, sf_dir):
+    """q246 vs a sorted-list Hill twin with identical tiebreaks and
+    floor-scaled log grid."""
+    from math import floor, log
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q246_K,
+        _Q246_SCALE,
+        q246_hill_tail_index,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cents = sorted(
+        (floor(p * 100 + 0.5) for p in o.o_totalprice), reverse=True
+    )[: _Q246_K + 1]
+    xk = cents[-1]
+    ls = sum(floor(log(c / xk) * _Q246_SCALE) for c in cents if c > xk)
+    k_used = sum(1 for c in cents if c > xk)
+    h = ls / _Q246_SCALE / k_used
+    r = q246_hill_tail_index(spark, sf_dir).collect()[0]
+    assert (r.k_used, r.threshold_cents) == (k_used, xk)
+    assert r.hill_alpha == floor(1 / h * 1e4 + 0.5) / 1e4
+    assert r.finite_variance == (1 if 1 / h > 2.0 else 0)

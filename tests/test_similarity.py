@@ -430,3 +430,41 @@ def test_sq8_recall_numpy_twin(spark, sf_dir):
         assert r.exact_sqdist == np.floor(edist[i] / 1e12 * 1e4 + 0.5) / 1e4
         assert r.in_exact_topk == (1 if i in top_ex else 0)
         assert r.recall_at_k == round(hits / _Q231_K, 4)
+
+
+def test_kcenter_python_twin(spark, sf_dir):
+    """q248 vs a pure-python greedy farthest-point traversal with the
+    identical int64 quantization and (distance desc, vec_id asc)
+    tiebreak; radii must be non-increasing (the Gonzalez invariant)."""
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q248_K,
+        q248_kcenter_coreset,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    vecs = {
+        int(r.vec_id): [floor(float(x) * 1e6 + 0.5) for x in r.embedding]
+        for r in pdf.itertuples()
+    }
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    first = min(vecs)
+    centers = [(0, first, 0)]
+    mind = {v: sqd(vecs[v], vecs[first]) for v in vecs}
+    for k in range(1, _Q248_K):
+        best = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))
+        centers.append((k, best[0], best[1]))
+        cv = vecs[best[0]]
+        for v in vecs:
+            d = sqd(vecs[v], cv)
+            if d < mind[v]:
+                mind[v] = d
+    got = [(r.round, r.vec_id, r.radius_q)
+           for r in q248_kcenter_coreset(spark, sf_dir).collect()]
+    assert got == centers
+    radii = [r for _, _, r in centers[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))

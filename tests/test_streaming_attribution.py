@@ -1,0 +1,135 @@
+"""Streaming last-touch attribution (streaming/attribution.py): the
+per-user one-row state must carry the last touch ACROSS micro-batches
+(time-split files, maxFilesPerTrigger=1), the 'direct' fallback must
+fire for touchless purchases, and the drained rollup must equal the
+batch LOCF recompute."""
+
+import glob
+import shutil
+import uuid
+from datetime import datetime, timedelta
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.sources.tables import load
+from bbc_news_data_pipeline_spark.streaming.attribution import attribute_stream
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double"
+)
+
+
+def _write_batch(df, tmp_path, src, name):
+    stage = tmp_path / f"stage_{name}"
+    df.coalesce(1).write.parquet(str(stage))
+    shutil.move(glob.glob(str(stage / "part-*.parquet"))[0], str(src / name))
+
+
+def _drain(spark, src, tmp_path, files_per_trigger=1):
+    sink = f"attr_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(str(src))
+    )
+    q = (
+        attribute_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return rows
+
+
+def _batch_expected(ev):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "touch_ch",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+    ).withColumn("prev_ch", F.last("touch_ch", ignorenulls=True).over(w))
+    return {
+        (r.event_id, r.prev_ch or "direct", r.value)
+        for r in seq.filter(F.col("event_type") == "purchase").collect()
+    }
+
+
+def test_state_carries_across_batches(spark, tmp_path):
+    t0 = datetime(2024, 8, 1)
+    rows = [
+        # user 1: click in batch 1, purchase in batch 2 -> credit 'click'
+        (0, t0, 1, "click", 1.0),
+        (1, t0 + timedelta(days=2), 1, "purchase", 50.0),
+        # user 2: purchase with no prior touch in batch 1 -> 'direct';
+        # then view (b1) overwritten by error (b2) before the purchase
+        (2, t0 + timedelta(hours=1), 2, "purchase", 10.0),
+        (3, t0 + timedelta(hours=2), 2, "view", 1.0),
+        (4, t0 + timedelta(days=2, hours=1), 2, "error", 1.0),
+        (5, t0 + timedelta(days=2, hours=2), 2, "purchase", 20.0),
+    ]
+    ev = spark.createDataFrame(rows, _SCHEMA)
+    src = tmp_path / "src"
+    src.mkdir()
+    cut = t0 + timedelta(days=1)
+    _write_batch(ev.filter(F.col("ts") < F.lit(cut)), tmp_path, src, "b1.parquet")
+    _write_batch(ev.filter(F.col("ts") >= F.lit(cut)), tmp_path, src, "b2.parquet")
+    got = {(r.conv_id, r.channel, r.value) for r in _drain(spark, src, tmp_path).collect()}
+    assert got == {(1, "click", 50.0), (2, "direct", 10.0), (5, "error", 20.0)}
+
+
+def test_same_timestamp_ties_use_event_id_order(spark, tmp_path):
+    t0 = datetime(2024, 8, 5)
+    rows = [
+        (10, t0, 3, "view", 1.0),     # same ts, smaller id -> precedes
+        (11, t0, 3, "purchase", 9.0),
+        (12, t0, 3, "signup", 1.0),   # same ts, larger id -> follows
+    ]
+    ev = spark.createDataFrame(rows, _SCHEMA)
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(ev, tmp_path, src, "b1.parquet")
+    got = {(r.conv_id, r.channel) for r in _drain(spark, src, tmp_path).collect()}
+    assert got == {(11, "view")}
+
+
+def test_stream_equals_batch_on_testdata(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    expect = _batch_expected(ev)
+    src = tmp_path / "src"
+    src.mkdir()
+    # split by TIME so per-user order across files holds (the operator's
+    # in-order-per-key delivery contract)
+    cut = ev.agg(F.date_trunc("day", F.expr("max(ts) - INTERVAL 15 DAYS"))).first()[0]
+    _write_batch(ev.filter(F.col("ts") < F.lit(cut)), tmp_path, src, "b1.parquet")
+    _write_batch(ev.filter(F.col("ts") >= F.lit(cut)), tmp_path, src, "b2.parquet")
+    got = {
+        (r.conv_id, r.channel, r.value)
+        for r in _drain(spark, src, tmp_path).collect()
+    }
+    assert got == expect and len(got) > 0
+    # sanity: at least one credited purchase's touch happened before the cut
+    pre_touch_users = {
+        r.user_id
+        for r in ev.filter(
+            (F.col("ts") < F.lit(cut)) & (F.col("event_type") != "purchase")
+        ).collect()
+    }
+    post_first_purchases = (
+        ev.filter((F.col("ts") >= F.lit(cut)) & (F.col("event_type") == "purchase"))
+        .filter(F.col("user_id").isin(list(pre_touch_users)))
+        .count()
+    )
+    assert post_first_purchases > 0

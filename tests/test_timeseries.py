@@ -630,3 +630,305 @@ def test_xcorr_lag_python_twin_and_engineered_lead(spark, sf_dir, tmp_path):
     eng = q230_xcorr_lag(spark, str(tmp_path)).collect()[0]
     assert (eng.type_a, eng.type_b) == ("aa", "bb")
     assert eng.best_lag_h == 2 and eng.xcorr > 0.95
+
+
+def test_kaplan_meier_python_twin(spark, sf_dir, tmp_path):
+    """q234 vs a from-first-principles KM/Nelson-Aalen twin, plus a
+    hand-built table where the censoring and everyone-dead branches are
+    forced."""
+    from datetime import datetime
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q234_CENS_DAYS,
+        q234_kaplan_meier,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    per = pdf.groupby("o_custkey").o_orderdate.agg(["min", "max"])
+    dmax = pdf.o_orderdate.dt.floor("D").max()
+    lives = [
+        (
+            (row["max"].floor("D") - row["min"].floor("D")).days,
+            int((dmax - row["max"].floor("D")).days < _Q234_CENS_DAYS),
+        )
+        for _, row in per.iterrows()
+    ]
+    n_at_risk = len(lives)
+    out = q234_kaplan_meier(spark, sf_dir).collect()
+    ts = sorted({t for t, _ in lives})
+    assert [r.t_days for r in out] == ts
+    s_ln, haz = 0.0, 0.0
+    dead_seen = False
+    for r, t in zip(out, ts):
+        d = sum(1 for tt, c in lives if tt == t and c == 0)
+        c = sum(1 for tt, c_ in lives if tt == t and c_ == 1)
+        assert (r.n_risk, r.d_churned, r.c_censored) == (n_at_risk, d, c)
+        if d == n_at_risk:
+            dead_seen = True
+        if d < n_at_risk:
+            from math import log
+
+            s_ln += log((n_at_risk - d) / n_at_risk)
+        haz += d / n_at_risk
+        from math import exp
+
+        want_s = 0.0 if dead_seen else floor(exp(s_ln) * 1e6 + 0.5) / 1e6
+        assert r.survival == want_s
+        assert r.cum_hazard == floor(haz * 1e6 + 0.5) / 1e6
+        n_at_risk -= d + c
+    # survival is monotone non-increasing and starts <= 1
+    sv = [r.survival for r in out]
+    assert all(a >= b for a, b in zip(sv, sv[1:])) and sv[0] <= 1.0
+
+    # forced branches: 4 customers — two churn at t=1 (one day apart
+    # pair), one churns at t=3 taking the risk set to zero mid-table
+    # (dead flag), one censored at t=0 on the final day
+    rows = [
+        (1, 10, "O", 1.0, datetime(2020, 1, 1), "x"),
+        (2, 10, "O", 1.0, datetime(2020, 1, 2), "x"),
+        (3, 11, "O", 1.0, datetime(2020, 1, 1), "x"),
+        (4, 11, "O", 1.0, datetime(2020, 1, 2), "x"),
+        (5, 12, "O", 1.0, datetime(2020, 1, 1), "x"),
+        (6, 12, "O", 1.0, datetime(2020, 1, 4), "x"),
+        (7, 13, "O", 1.0, datetime(2022, 1, 1), "x"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r.t_days: r for r in q234_kaplan_meier(spark, str(tmp_path)).collect()}
+    # t=0: customer 13 censored (last order on dmax); risk set 4
+    assert (got[0].n_risk, got[0].d_churned, got[0].c_censored) == (4, 0, 1)
+    # t=1: customers 10, 11 churned out of remaining 3
+    assert (got[1].n_risk, got[1].d_churned) == (3, 2)
+    assert got[1].survival == floor((1 / 3) * 1e6 + 0.5) / 1e6
+    # t=3: customer 12 churns, d == n_risk -> survival exactly 0
+    assert (got[3].n_risk, got[3].d_churned, got[3].survival) == (1, 1, 0.0)
+
+
+def test_theilsen_python_twin(spark, sf_dir, tmp_path):
+    """q238 vs brute-force pairwise slopes + statistics.median (same
+    linear interpolation as quantile_cont), plus an outlier-robustness
+    check on an authored series where OLS is dragged and Theil-Sen holds."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+    from math import floor
+    from statistics import median
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        q238_theilsen_slope,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    d0 = pdf.ts.dt.floor("D").min()
+    pdf["x"] = (pdf.ts.dt.floor("D") - d0).dt.days
+    out = {r.event_type: r for r in q238_theilsen_slope(spark, sf_dir).collect()}
+    for t, grp in pdf.groupby("event_type"):
+        daily = sorted(Counter(grp.x).items())
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(daily)
+            for (x2, y2) in daily[i + 1:]
+        ]
+        n = len(daily)
+        sx = sum(x for x, _ in daily)
+        sy = sum(y for _, y in daily)
+        sxy = sum(x * y for x, y in daily)
+        sxx = sum(x * x for x, y in daily)
+        r = out[t]
+        assert (r.n_days, r.n_pairs) == (n, len(slopes))
+        assert r.ts_slope == floor(median(slopes) * 1e6 + 0.5) / 1e6
+        ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert r.ols_slope == floor(ols * 1e6 + 0.5) / 1e6
+
+    # authored: flat series with one massive outlier day — Theil-Sen
+    # stays ~0, OLS is dragged positive
+    t0 = datetime(2024, 4, 1)
+    rows, eid = [], 0
+    counts = [10, 10, 10, 10, 10, 10, 1000, 10, 10]  # outlier at day 6
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + timedelta(days=d), 1, "aa", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = q238_theilsen_slope(spark, str(tmp_path)).collect()[0]
+    assert r.ts_slope == 0.0
+    assert abs(r.ols_slope) > 1.0
+
+
+def test_attribution_python_twin(spark, sf_dir, tmp_path):
+    """q239 vs a dict twin (first/last/linear credit, direct fallback),
+    plus an authored scenario pinning each model's allocation."""
+    from datetime import datetime, timedelta
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q239_LOOKBACK_DAYS,
+        q239_attribution,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    convs = pdf[pdf.event_type == "purchase"]
+    touches = pdf[pdf.event_type != "purchase"]
+    credit = {}
+
+    def add(ch, ft_c, ft_v, lt_v, lin_v):
+        c = credit.setdefault(ch, [0, 0.0, 0.0, 0.0])
+        c[0] += ft_c
+        c[1] += ft_v
+        c[2] += lt_v
+        c[3] += lin_v
+
+    for _, cv in convs.iterrows():
+        win = touches[
+            (touches.user_id == cv.user_id)
+            & (touches.ts <= cv.ts)
+            & (touches.ts > cv.ts - timedelta(days=_Q239_LOOKBACK_DAYS))
+        ].sort_values(["ts", "event_id"])
+        if len(win) == 0:
+            add("direct", 1, cv.value, cv.value, cv.value)
+            continue
+        first, last = win.iloc[0], win.iloc[-1]
+        add(first.event_type, 1, cv.value, 0.0, 0.0)
+        add(last.event_type, 0, 0.0, cv.value, 0.0)
+        for _, t in win.iterrows():
+            add(t.event_type, 0, 0.0, 0.0, cv.value / len(win))
+    out = {r.channel: r for r in q239_attribution(spark, sf_dir).collect()}
+    assert set(out) == set(credit)
+    for ch, (fc, fv, lv, nv) in credit.items():
+        r = out[ch]
+        assert r.ft_convs == fc
+        assert r.ft_value == floor(fv * 100 + 0.5) / 100
+        assert r.lt_value == floor(lv * 100 + 0.5) / 100
+        assert abs(r.lin_value - nv) < 0.02
+
+    # authored: view -> click -> purchase(90) within lookback; a second
+    # purchase(30) with no touches -> direct
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (0, t0, 5, "view", 1.0, "{}"),
+        (1, t0 + timedelta(hours=1), 5, "click", 1.0, "{}"),
+        (2, t0 + timedelta(hours=2), 5, "purchase", 90.0, "{}"),
+        (3, t0 + timedelta(days=20), 5, "purchase", 30.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "ev2" / "events.parquet"))
+    got = {r.channel: r for r in q239_attribution(spark, str(tmp_path / "ev2")).collect()}
+    assert got["view"].ft_value == 90.0 and got["view"].lt_value == 0.0
+    assert got["click"].lt_value == 90.0 and got["click"].ft_value == 0.0
+    assert got["view"].lin_value == 45.0 and got["click"].lin_value == 45.0
+    assert got["direct"].ft_value == 30.0 and got["direct"].lin_value == 30.0
+
+
+def test_logrank_python_twin(spark, sf_dir):
+    """q240 vs a from-first-principles Mantel-Cox twin over the same
+    lives (pooled event times, per-group risk sets, hypergeometric
+    variance, identical floor-scaled grid)."""
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q234_CENS_DAYS,
+        _Q240_SCALE,
+        _Q240_SEG,
+        q240_logrank_test,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    seg = dict(zip(c.c_custkey, c.c_mktsegment))
+    per = o.groupby("o_custkey").o_orderdate.agg(["min", "max"])
+    dmax = o.o_orderdate.dt.floor("D").max()
+    lives = [
+        (
+            (row["max"].floor("D") - row["min"].floor("D")).days,
+            1 if seg[k] == _Q240_SEG else 0,
+            int((dmax - row["max"].floor("D")).days < _Q234_CENS_DAYS),
+        )
+        for k, row in per.iterrows()
+    ]
+    n = {g: sum(1 for _, gg, _ in lives if gg == g) for g in (0, 1)}
+    nr = dict(n)
+    o1 = e1s = vs = 0
+    for t in sorted({t for t, _, _ in lives}):
+        d = {g: sum(1 for tt, gg, cc in lives if tt == t and gg == g and not cc)
+             for g in (0, 1)}
+        cc = {g: sum(1 for tt, gg, c_ in lives if tt == t and gg == g and c_)
+              for g in (0, 1)}
+        dt, nt = d[0] + d[1], nr[0] + nr[1]
+        if dt > 0:
+            o1 += d[1]
+            e1s += floor(dt * nr[1] / nt * _Q240_SCALE)
+            if nt > 1:
+                vs += floor(
+                    dt * (nr[1] / nt) * ((nt - nr[1]) / nt)
+                    * ((nt - dt) / (nt - 1)) * _Q240_SCALE
+                )
+        for g in (0, 1):
+            nr[g] -= d[g] + cc[g]
+    r = q240_logrank_test(spark, sf_dir).collect()[0]
+    assert (r.n_seg, r.n_rest) == (n[1], n[0])
+    assert r.observed_seg == o1
+    assert r.expected_seg == floor(e1s / _Q240_SCALE * 1e4 + 0.5) / 1e4
+    e1, v = e1s / _Q240_SCALE, vs / _Q240_SCALE
+    chi = (o1 - e1) ** 2 / v
+    assert r.chi2 == floor(chi * 1e4 + 0.5) / 1e4
+    assert r.reject_5pct == (1 if chi > 3.841459 else 0)
+
+
+def test_mann_kendall_python_twin(spark, sf_dir, tmp_path):
+    """q241 vs brute pairwise signs + tie-corrected variance; plus an
+    authored strictly-increasing series that must be significant."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+    from math import floor, sqrt
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        q241_mann_kendall,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    d0 = pdf.ts.dt.floor("D").min()
+    pdf["x"] = (pdf.ts.dt.floor("D") - d0).dt.days
+    out = {r.event_type: r for r in q241_mann_kendall(spark, sf_dir).collect()}
+    for t, grp in pdf.groupby("event_type"):
+        daily = sorted(Counter(grp.x).items())
+        ys = [y for _, y in daily]
+        s = sum(
+            (1 if y2 > y1 else -1 if y2 < y1 else 0)
+            for i, y1 in enumerate(ys)
+            for y2 in ys[i + 1:]
+        )
+        n = len(ys)
+        ties = Counter(ys)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            tk * (tk - 1) * (2 * tk + 5) for tk in ties.values()
+        )
+        r = out[t]
+        assert (r.n_days, r.s_stat, r.var18) == (n, s, var18)
+        zc = s - 1 if s > 0 else s + 1 if s < 0 else 0
+        z = zc / sqrt(var18 / 18)
+        assert r.z_score == floor(z * 1e4 + 0.5) / 1e4
+        assert r.significant == (1 if abs(z) > 1.959964 else 0)
+
+    t0 = datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for d in range(12):
+        for _ in range(5 + 3 * d):  # strictly increasing
+            rows.append((eid, t0 + timedelta(days=d), 1, "up", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = q241_mann_kendall(spark, str(tmp_path)).collect()[0]
+    assert r.s_stat == 12 * 11 // 2 and r.significant == 1
