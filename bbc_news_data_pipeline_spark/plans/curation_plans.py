@@ -3196,10 +3196,92 @@ ORDER BY community
 )
 
 
+# ---------------------------------------------------------------------------
+# q253 — dense surrogate-key assignment / dictionary encoding (ext):
+# the id-compaction primitive every columnar pipeline runs — map a
+# corpus-scale string domain (here the vocabulary) to CONTIGUOUS
+# dense int ids [0, n) with NO global window sort. Shape: md5-bucket
+# the keys (uniform by construction), per-bucket counts →
+# exclusive_prefix_sum over the bucket axis gives each bucket's id
+# offset, a window PARTITIONED by bucket (≤ ~n/B rows each) ranks
+# within, id = offset + rank − 1. The output certifies the bijection
+# arithmetically — n ids, min 0, max n−1, Σid = n(n−1)/2 — and ships
+# the per-word mapping so the oracle (a plain global row_number over
+# the same (bucket, word) total order) checks every id exactly.
+# ---------------------------------------------------------------------------
+_Q253_BUCKETS = 64
+
+
+def q253_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import exclusive_prefix_sum
+
+    from ..operators.dedup import shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    # the key domain is 3-gram shingles (the word vocab is 31 strings at
+    # sf0.001 — shingles give a genuinely corpus-scale dictionary)
+    words = (
+        docs.select(F.split("text", " ").alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select(F.explode(shingles_from_tokens("_toks", 3)).alias("w"))
+        .distinct()
+        .withColumn(
+            "b",
+            (
+                F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+                % _Q253_BUCKETS
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=False)  # feeds counts + within-bucket rank
+    )
+    counts = words.groupBy("b").agg(F.count("*").alias("n"))
+    offsets = exclusive_prefix_sum(
+        counts.withColumn("_g", F.lit(0)), "_g", "b", "n", out_col="off"
+    ).select("b", "off")
+    wb = Window.partitionBy("b").orderBy("w")
+    ids = (
+        words.withColumn("rk", F.row_number().over(wb))
+        .join(offsets, "b")
+        .select("w", (F.col("off") + F.col("rk") - 1).cast("long").alias("id"))
+    )
+    return ids.select("w", "id").orderBy("id")
+
+
+def _q253_shingle_sql() -> str:
+    toks = "str_split(text, ' ')"
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(3))
+    return (
+        f"list_transform(generate_series(1, len({toks}) - 2), i -> {parts})"
+    )
+
+
+Q253_SQL = f"""
+WITH words AS (
+    SELECT DISTINCT w FROM (
+        SELECT unnest({_q253_shingle_sql()}) AS w FROM documents
+        WHERE len(str_split(text, ' ')) >= 3
+    ) t
+),
+keyed AS (
+    SELECT w,
+           CAST(CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+                % {_Q253_BUCKETS} AS BIGINT) AS b
+    FROM words
+)
+SELECT w,
+       CAST(row_number() OVER (ORDER BY b, w) - 1 AS BIGINT) AS id
+FROM keyed
+ORDER BY id
+"""
+
+
 QUERIES = [
     Query("q250_modularity", q250_modularity, Q250_SQL,
           survey="ext:modularity,ext:graph-components,ext:lsh-banding",
           tags=("bench",)),
+    Query("q253_surrogate_keys", q253_surrogate_keys, Q253_SQL,
+          survey="ext:surrogate-keys,ext:dict-encoding,ext:prefix-scan,"
+                 "ext:hash-sampling"),
     Query("q54_pii_redaction", q54_pii_redaction, Q54_SQL, survey="ext:pii-redaction"),
     Query("q55_hash_sample", q55_hash_sample, Q55_SQL, survey="ext:hash-sampling"),
     Query("q198_target_encoding", q198_target_encoding, Q198_SQL,

@@ -3940,7 +3940,11 @@ def q233_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    seg_cells = obs.groupBy("seg", "cents").agg(F.count("*").alias("na"))
+    seg_cells = (
+        obs.groupBy("seg", "cents")
+        .agg(F.count("*").alias("na"))
+        .localCheckpoint(eager=False)  # prefix hierarchy re-references
+    )
     tot_cells = (
         obs.groupBy("cents")
         .agg(F.count("*").alias("nt"))
@@ -4488,7 +4492,12 @@ def q243_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_nationkey").alias("nat"), "v")
     )
-    cells = rev.groupBy("nat", "v").agg(F.count("*").alias("cnt"))
+    cells = (
+        rev.groupBy("nat", "v")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # the 3-level prefix hierarchy
+        # re-references this; unpinned it would rescan orders per level
+    )
     pre = exclusive_prefix_sum(cells, "nat", "v", "cnt", out_col="u", levels=3)
     per_nat = pre.groupBy("nat").agg(
         F.sum("cnt").cast("long").alias("n"),
@@ -4775,7 +4784,328 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# q252 — Spearman rank-correlation matrix (ext): the rank-transform
+# member of the dependence family — Pearson (q183) sees only LINEAR
+# co-movement; Spearman catches any monotone coupling between the
+# daily volumes of two event types and shrugs off the outlier days
+# that drag Pearson (the q238 robustness argument applied to
+# correlation). EXACT integer algebra end-to-end: average ranks over
+# ties are half-integers, so DOUBLED ranks 2r = 2·cum_below + t + 1
+# stay integers; Spearman = Pearson on (doubled) ranks, one √ at the
+# end. Scale: corpus → per-(type, day) rollup → dense day×type grid
+# (both DOMAIN-bounded); rank windows partition by type.
+# ---------------------------------------------------------------------------
+def q252_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    grid = (
+        daily.select("day").distinct()
+        .crossJoin(daily.select("t").distinct())
+        .join(daily, ["t", "day"], "left")
+        .fillna(0, subset=["y"])
+        .localCheckpoint(eager=False)  # feeds tie cells + rank join
+    )
+    cells = grid.groupBy("t", "y").agg(F.count("*").alias("tk"))
+    wt = (
+        Window.partitionBy("t")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "rank2",
+        2 * F.coalesce(F.sum("tk").over(wt), F.lit(0)) + F.col("tk") + 1,
+    )
+    dr = grid.join(ranked.select("t", "y", "rank2"), ["t", "y"]).select(
+        "t", "day", "rank2"
+    )
+    pairs = (
+        dr.select(F.col("t").alias("ta"), "day", F.col("rank2").alias("ra"))
+        .join(
+            dr.select(F.col("t").alias("tb"), "day", F.col("rank2").alias("rb")),
+            "day",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    agg = pairs.groupBy("ta", "tb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("sx"),
+        F.sum("rb").cast("long").alias("sy"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sxy"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return agg.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n").alias("n_days"),
+        r6(num / den).alias("spearman_rho"),
+    ).orderBy("type_a", "type_b")
+
+
+Q252_SQL = """
+WITH daily AS (
+    SELECT event_type AS t, date_trunc('day', ts) AS day, count(*) AS y
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT ty.t, d.day, coalesce(da.y, 0) AS y
+    FROM (SELECT DISTINCT day FROM daily) d
+    CROSS JOIN (SELECT DISTINCT t FROM daily) ty
+    LEFT JOIN daily da ON da.t = ty.t AND da.day = d.day
+),
+cells AS (SELECT t, y, count(*) AS tk FROM grid GROUP BY 1, 2),
+ranked AS (
+    SELECT t, y,
+           2 * coalesce(sum(tk) OVER (PARTITION BY t ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + tk + 1 AS rank2
+    FROM cells
+),
+dr AS (
+    SELECT g.t, g.day, r.rank2
+    FROM grid g JOIN ranked r ON r.t = g.t AND r.y = g.y
+),
+agg AS (
+    SELECT a.t AS ta, b.t AS tb,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.rank2) AS BIGINT) AS sx,
+           CAST(sum(b.rank2) AS BIGINT) AS sy,
+           CAST(sum(a.rank2 * b.rank2) AS BIGINT) AS sxy,
+           CAST(sum(a.rank2 * a.rank2) AS BIGINT) AS sxx,
+           CAST(sum(b.rank2 * b.rank2) AS BIGINT) AS syy
+    FROM dr a JOIN dr b ON b.day = a.day AND a.t < b.t
+    GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, n AS n_days,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS spearman_rho
+FROM agg
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q255 — functional-dependency audit (ext): the schema-contract check
+# data-profiling suites (and every CDC/merge pipeline) run before
+# trusting a key — does LHS determine RHS? Six candidate FDs across
+# four tables, each ONE groupBy(lhs).countDistinct(rhs) rollup
+# collapsed to (groups, violating groups, worst fan-out, holds).
+# Deliberately mixes FDs that hold (the PK-derived ones) with ones
+# that don't — including (l_orderkey, l_linenumber) -> l_partkey,
+# which a TPC-H reader ASSUMES is a key but the synthetic generator
+# violates: exactly the silent contract drift this audit exists to
+# catch. Both verdict branches are exercised. All integers.
+# Scale: each FD is a single map-side-combinable rollup on its own
+# key; no FD ever materializes violating ROWS (counts only).
+# ---------------------------------------------------------------------------
+def q255_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(df, name: str, lhs: list[str], rhs: str) -> DataFrame:
+        g = df.groupBy(*lhs).agg(F.count_distinct(rhs).alias("d"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum((F.col("d") > 1).cast("long")).cast("long").alias("n_violating"),
+            F.max("d").cast("long").alias("max_fanout"),
+        ).select(
+            "fd",
+            "n_groups",
+            "n_violating",
+            "max_fanout",
+            (F.col("n_violating") == 0).cast("int").alias("holds"),
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    frames = [
+        audit(orders, "orders: o_orderkey -> o_custkey", ["o_orderkey"], "o_custkey"),
+        audit(orders, "orders: o_custkey -> o_orderpriority",
+              ["o_custkey"], "o_orderpriority"),
+        audit(cust, "customer: c_custkey -> c_nationkey",
+              ["c_custkey"], "c_nationkey"),
+        audit(li, "lineitem: (l_orderkey,l_linenumber) -> l_partkey",
+              ["l_orderkey", "l_linenumber"], "l_partkey"),
+        audit(li, "lineitem: l_orderkey -> l_suppkey", ["l_orderkey"], "l_suppkey"),
+        audit(ev, "events: user_id -> event_type", ["user_id"], "event_type"),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.union(fr)
+    return out.orderBy("fd")
+
+
+def _q255_fd_sql(table: str, name: str, lhs: list[str], rhs: str) -> str:
+    keys = ", ".join(lhs)
+    return f"""SELECT '{name}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(max(d) AS BIGINT) AS max_fanout,
+       CAST(CASE WHEN sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS holds
+FROM (SELECT {keys}, count(DISTINCT {rhs}) AS d FROM {table} GROUP BY {keys})"""
+
+
+Q255_SQL = (
+    "\nUNION ALL\n".join(
+        [
+            _q255_fd_sql("orders", "orders: o_orderkey -> o_custkey",
+                         ["o_orderkey"], "o_custkey"),
+            _q255_fd_sql("orders", "orders: o_custkey -> o_orderpriority",
+                         ["o_custkey"], "o_orderpriority"),
+            _q255_fd_sql("customer", "customer: c_custkey -> c_nationkey",
+                         ["c_custkey"], "c_nationkey"),
+            _q255_fd_sql(
+                "lineitem",
+                "lineitem: (l_orderkey,l_linenumber) -> l_partkey",
+                ["l_orderkey", "l_linenumber"], "l_partkey"),
+            _q255_fd_sql("lineitem", "lineitem: l_orderkey -> l_suppkey",
+                         ["l_orderkey"], "l_suppkey"),
+            _q255_fd_sql("events", "events: user_id -> event_type",
+                         ["user_id"], "event_type"),
+        ]
+    )
+    + "\nORDER BY fd"
+)
+
+
+# ---------------------------------------------------------------------------
+# q256 — column-entropy encodability profile (ext): the storage-
+# planning readout behind every dictionary/RLE encoding decision
+# (q253 assigns the dictionary; this measures whether one is worth
+# it) — Shannon entropy, distinct count, and top-value share for the
+# low-cardinality columns across four tables. H = −Σ p·ln p over each
+# column's value histogram with per-value terms floor-scaled to exact
+# integers (q236 pattern — groupBy sums have no deterministic float
+# order); normalized entropy H/ln(k) says how far from uniform the
+# column sits (≈1 ⇒ dictionary ids are incompressible; ≪1 ⇒ RLE/
+# dictionary wins). One map-side-combinable rollup per column.
+# ---------------------------------------------------------------------------
+_Q256_SCALE = 1_000_000_000_000
+
+
+def q256_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(df, table: str, col: str) -> DataFrame:
+        cells = df.select(F.col(col).cast("string").alias("v")).groupBy("v").agg(
+            F.count("*").alias("c")
+        )
+        tot = cells.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("k"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+        p = F.col("c").cast("double") / F.col("n").cast("double")
+        scaled = cells.crossJoin(F.broadcast(tot)).select(
+            "n",
+            "k",
+            "top_c",
+            F.floor(-p * F.log(p) * F.lit(float(_Q256_SCALE)))
+            .cast("long")
+            .alias("hs"),
+        )
+        agg = scaled.groupBy("n", "k", "top_c").agg(F.sum("hs").alias("h_sum"))
+        h = F.col("h_sum").cast("double") / F.lit(float(_Q256_SCALE))
+        r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+        return agg.select(
+            F.lit(f"{table}.{col}").alias("column_name"),
+            F.col("n").alias("n_rows"),
+            F.col("k").alias("n_distinct"),
+            r6(F.col("top_c").cast("double") / F.col("n").cast("double")).alias(
+                "top_share"
+            ),
+            r6(h / F.log(F.lit(2.0))).alias("entropy_bits"),
+            F.when(F.col("k") > 1, r6(h / F.log(F.col("k").cast("double"))))
+            .otherwise(F.lit(0.0))
+            .alias("norm_entropy"),
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+    frames = [
+        profile(orders, "orders", "o_orderpriority"),
+        profile(orders, "orders", "o_orderstatus"),
+        profile(cust, "customer", "c_mktsegment"),
+        profile(cust, "customer", "c_nationkey"),
+        profile(li, "lineitem", "l_returnflag"),
+        profile(ev, "events", "event_type"),
+        profile(docs, "documents", "lang"),
+        profile(docs, "documents", "source"),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.union(fr)
+    return out.orderBy("column_name")
+
+
+def _q256_profile_sql(table: str, col: str) -> str:
+    return f"""SELECT '{table}.{col}' AS column_name,
+       any_value(n) AS n_rows,
+       any_value(k) AS n_distinct,
+       floor(CAST(any_value(top_c) AS DOUBLE) / any_value(n) * 1000000 + 0.5)
+           / 1000000.0 AS top_share,
+       floor(CAST(sum(hs) AS DOUBLE) / {_Q256_SCALE} / ln(2.0)
+             * 1000000 + 0.5) / 1000000.0 AS entropy_bits,
+       CASE WHEN any_value(k) > 1
+            THEN floor(CAST(sum(hs) AS DOUBLE) / {_Q256_SCALE}
+                       / ln(CAST(any_value(k) AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000.0
+            ELSE 0.0 END AS norm_entropy
+FROM (
+    SELECT ce.c, t.n, t.k, t.top_c,
+           CAST(floor(-(CAST(ce.c AS DOUBLE) / t.n)
+                      * ln(CAST(ce.c AS DOUBLE) / t.n)
+                      * {_Q256_SCALE}) AS BIGINT) AS hs
+    FROM (SELECT CAST({col} AS VARCHAR) AS v, count(*) AS c
+          FROM {table} GROUP BY 1) ce
+    CROSS JOIN (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(max(c) AS BIGINT) AS top_c
+        FROM (SELECT {col} AS v, count(*) AS c FROM {table} GROUP BY 1)
+    ) t
+)"""
+
+
+Q256_SQL = (
+    "\nUNION ALL\n".join(
+        _q256_profile_sql(t, c)
+        for t, c in [
+            ("orders", "o_orderpriority"),
+            ("orders", "o_orderstatus"),
+            ("customer", "c_mktsegment"),
+            ("customer", "c_nationkey"),
+            ("lineitem", "l_returnflag"),
+            ("events", "event_type"),
+            ("documents", "lang"),
+            ("documents", "source"),
+        ]
+    )
+    + "\nORDER BY column_name"
+)
+
+
 QUERIES = [
+    Query("q256_column_entropy", q256_column_entropy, Q256_SQL,
+          survey="ext:column-entropy,ext:dict-encoding,ext:data-profiling"),
+    Query("q255_fd_audit", q255_fd_audit, Q255_SQL,
+          survey="ext:fd-audit,ext:data-profiling,ext:referential-integrity"),
+    Query("q252_spearman_matrix", q252_spearman_matrix, Q252_SQL,
+          survey="ext:spearman-matrix,ext:correlation-matrix,"
+                 "ext:robust-outlier-qa,ext:data-profiling"),
     Query("q72_profile_documents", q72_profile_documents, Q72_SQL,
           survey="ext:data-profiling,A13,S8"),
     Query("q73_event_type_drift", q73_event_type_drift, Q73_SQL,

@@ -4355,7 +4355,227 @@ ORDER BY mask
 """
 
 
+# ---------------------------------------------------------------------------
+# q249 — V-optimal histogram construction (ext): the SUMMARY the
+# equi-depth (q88) and fixed-grid (q138) families approximate around —
+# the B-bucket partition of the value axis minimizing total
+# within-bucket SSE (Jagadish et al., VLDB 1998), the textbook
+# query-optimizer histogram. Exact dynamic program, distributed:
+# the corpus collapses to a value-DOMAIN-bounded cell rollup (≤
+# range/W rows), prefix sums give every segment's (n, Σx, Σx²) by
+# subtraction, and each DP level dp_k(i) = min_j dp_{k-1}(j−1) +
+# SSE(j..i) is ONE bounded join + one argmin — B−1 unrolled levels,
+# never a sequential driver loop. SSE terms are doubles from EXACT
+# integer sums (Σx² accumulates in DECIMAL(38)/HUGEINT); min/argmin
+# are selections with a (cost, split) tiebreak, so both engines pick
+# identical partitions. Backtracking chains B 1-row joins.
+# ---------------------------------------------------------------------------
+_Q249_CELL_W = 12.0  # pre-cell width over events.value
+_Q249_B = 4          # histogram buckets
+
+
+def q249_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.floor(F.col("value") / F.lit(_Q249_CELL_W)).cast("long").alias("c"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        )
+        .groupBy("c")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        )
+    )
+    # prefix over the DOMAIN-bounded cell rollup (≤ value_range/W rows;
+    # pinned in tests/test_plan_budget.py)
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    pre = cells.select(
+        "c",
+        "n",
+        "sx",
+        "sxx",
+        F.sum(F.lit(1)).over(wcum).alias("r"),
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("sx").over(wcum).alias("csx"),
+        F.sum("sxx").over(wcum).alias("csxx"),
+    ).localCheckpoint(eager=False)  # i-side, j-side, cell lookups
+    jside = pre.select(
+        F.col("r").alias("jr"),
+        (F.col("cn") - F.col("n")).alias("xn"),
+        (F.col("csx") - F.col("sx")).alias("xsx"),
+        (F.col("csxx") - F.col("sxx")).alias("xsxx"),
+    )
+    iside = pre.select(
+        F.col("r").alias("ir"),
+        F.col("cn").alias("inn"),
+        F.col("csx").alias("isx"),
+        F.col("csxx").alias("isxx"),
+    )
+    segs = (
+        iside.join(jside, F.col("jr") <= F.col("ir"))
+        .select(
+            "jr",
+            "ir",
+            (F.col("inn") - F.col("xn")).alias("sn"),
+            (F.col("isx") - F.col("xsx")).alias("ssx"),
+            (F.col("isxx") - F.col("xsxx")).alias("ssxx"),
+        )
+        .withColumn(
+            "sse",
+            F.col("ssxx").cast("double")
+            - F.col("ssx").cast("double")
+            * F.col("ssx").cast("double")
+            / F.col("sn").cast("double"),
+        )
+        .localCheckpoint(eager=False)  # B-1 DP levels + the stats join
+    )
+    dp = segs.filter(F.col("jr") == 1).select(
+        "ir", F.col("sse").alias("cost"), F.lit(1).cast("long").alias("jr_split")
+    )
+    levels = {1: dp}
+    for k in range(2, _Q249_B + 1):
+        cand = segs.join(
+            dp.select((F.col("ir") + 1).alias("jr"), F.col("cost").alias("pc")),
+            "jr",
+        )
+        dp = (
+            cand.select("ir", "jr", (F.col("pc") + F.col("sse")).alias("cost"))
+            .groupBy("ir")
+            .agg(F.min(F.struct(F.col("cost"), F.col("jr"))).alias("b"))
+            .select(
+                "ir",
+                F.col("b.cost").alias("cost"),
+                F.col("b.jr").alias("jr_split"),
+            )
+            .localCheckpoint(eager=False)  # next level + backtrack
+        )
+        levels[k] = dp
+    rmax = pre.agg(F.max("r").alias("hi"))
+    picks = []
+    cur_hi = rmax
+    for k in range(_Q249_B, 0, -1):
+        pk = levels[k].join(cur_hi, F.col("ir") == F.col("hi")).select(
+            F.lit(k).alias("bucket"),
+            F.col("jr_split").alias("lo"),
+            F.col("hi"),
+            F.col("cost"),
+        )
+        picks.append(pk.select("bucket", "lo", "hi"))
+        if k == _Q249_B:
+            total = pk.select(F.col("cost").alias("total_sse"))
+        cur_hi = pk.select((F.col("lo") - 1).alias("hi"))
+    bounds = picks[0]
+    for p in picks[1:]:
+        bounds = bounds.union(p)
+    r2 = lambda col: F.floor(col * 100 + F.lit(0.5)) / F.lit(100.0)
+    lo_c = pre.select(F.col("r").alias("lo"), F.col("c").alias("lo_cell"))
+    hi_c = pre.select(F.col("r").alias("hi"), F.col("c").alias("hi_cell"))
+    return (
+        bounds.join(segs, (F.col("jr") == F.col("lo")) & (F.col("ir") == F.col("hi")))
+        .join(lo_c, "lo")
+        .join(hi_c, "hi")
+        .crossJoin(total)
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "lo_cell",
+            "hi_cell",
+            F.col("sn").cast("long").alias("n"),
+            r2(F.col("sse")).alias("sse"),
+            r2(F.col("total_sse")).alias("total_sse"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q249_sql() -> str:
+    dps = [
+        "dp1 AS (SELECT ir, sse AS cost, CAST(1 AS BIGINT) AS jr_split"
+        " FROM segs WHERE jr = 1)"
+    ]
+    for k in range(2, _Q249_B + 1):
+        dps.append(
+            f"""dp{k} AS (
+    SELECT ir, cost, jr AS jr_split FROM (
+        SELECT s.ir, d.cost + s.sse AS cost, s.jr,
+               row_number() OVER (PARTITION BY s.ir
+                                  ORDER BY d.cost + s.sse, s.jr) AS rn
+        FROM segs s JOIN dp{k - 1} d ON d.ir = s.jr - 1
+    ) t WHERE rn = 1
+)"""
+        )
+    picks = [
+        f"p{_Q249_B} AS (SELECT {_Q249_B} AS bucket, d.jr_split AS lo,"
+        f" r.hi, d.cost FROM dp{_Q249_B} d"
+        " JOIN rmax r ON d.ir = r.hi)"
+    ]
+    for k in range(_Q249_B - 1, 0, -1):
+        picks.append(
+            f"p{k} AS (SELECT {k} AS bucket, d.jr_split AS lo,"
+            f" p{k + 1}.lo - 1 AS hi, d.cost FROM dp{k} d"
+            f" JOIN p{k + 1} ON d.ir = p{k + 1}.lo - 1)"
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT bucket, lo, hi FROM p{k}" for k in range(1, _Q249_B + 1)
+    )
+    return f"""
+WITH cells AS (
+    SELECT CAST(floor(value / {_Q249_CELL_W}) AS BIGINT) AS c,
+           count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sx,
+           sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sxx
+    FROM events GROUP BY 1
+),
+pre AS (
+    SELECT c, n, sx, sxx,
+           row_number() OVER (ORDER BY c) AS r,
+           sum(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cn,
+           sum(sx) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS csx,
+           sum(sxx) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS csxx
+    FROM cells
+),
+segs AS (
+    SELECT j.r AS jr, i.r AS ir,
+           i.cn - (j.cn - j.n) AS sn,
+           i.csx - (j.csx - j.sx) AS ssx,
+           i.csxx - (j.csxx - j.sxx) AS ssxx,
+           CAST(i.csxx - (j.csxx - j.sxx) AS DOUBLE)
+           - CAST(i.csx - (j.csx - j.sx) AS DOUBLE)
+             * CAST(i.csx - (j.csx - j.sx) AS DOUBLE)
+             / CAST(i.cn - (j.cn - j.n) AS DOUBLE) AS sse
+    FROM pre i JOIN pre j ON j.r <= i.r
+),
+{",".join(dps)},
+rmax AS (SELECT max(r) AS hi FROM pre),
+{",".join(picks)},
+bounds AS (
+    {union}
+)
+SELECT CAST(b.bucket AS INTEGER) AS bucket,
+       lc.c AS lo_cell,
+       hc.c AS hi_cell,
+       CAST(s.sn AS BIGINT) AS n,
+       floor(s.sse * 100 + 0.5) / 100.0 AS sse,
+       floor(p{_Q249_B}.cost * 100 + 0.5) / 100.0 AS total_sse
+FROM bounds b
+JOIN segs s ON s.jr = b.lo AND s.ir = b.hi
+JOIN pre lc ON lc.r = b.lo
+JOIN pre hc ON hc.r = b.hi
+CROSS JOIN p{_Q249_B}
+ORDER BY bucket
+"""
+
+
+Q249_SQL = _q249_sql()
+
+
 QUERIES = [
+    Query("q249_voptimal_histogram", q249_voptimal_histogram, Q249_SQL,
+          survey="ext:voptimal-histogram,ext:equidepth-histogram,"
+                 "ext:quantile-digest,ext:data-skipping",
+          tags=("bench",)),
     Query("q205_hll_venn3", q205_hll_venn3, Q205_SQL,
           survey="ext:hll-cardinality,ext:dataset-lineage,ext:venn-regions",
           tags=("bench",)),

@@ -1200,10 +1200,315 @@ ORDER BY s.source
 """
 
 
+# ---------------------------------------------------------------------------
+# q251 — greedy weighted set cover for source selection (ext): the
+# data-ACQUISITION planner — "which K ingest sources buy the most
+# vocabulary coverage?" Classic greedy max-cover (1−1/e approximation,
+# the best any polynomial algorithm achieves): each round picks the
+# source with the largest MARGINAL distinct-word gain over everything
+# covered so far. Distributed rounds: gain = (source, word) rollup
+# anti-joined against the covered-word set (both corpus-scale frames,
+# shuffled on the word key — the covered set is never broadcast by
+# hint and never collected); the pick is a 1-row argmax flowing as a
+# frame; K is fixed and unrolled. Coverage fractions are exact
+# integer ratios.
+# ---------------------------------------------------------------------------
+_Q251_K = 4
+
+
+def q251_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    # cover 3-gram shingles, not words: the synthetic zipfian WORD vocab
+    # saturates from one source (31 words at sf0.001) — shingle space is
+    # the realistic acquisition unit and keeps marginal gains non-trivial
+    toked = docs.select("source", F.split("text", " ").alias("_toks")).filter(
+        F.size("_toks") >= 3
+    )
+    sw = (
+        toked.select(
+            "source", F.explode(shingles_from_tokens("_toks", 3)).alias("w")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # K gain scans reference this
+    )
+    vtot = sw.select("w").distinct().agg(F.count("*").alias("v_total"))
+    covered = None
+    picked = None
+    rows = []
+    for k in range(1, _Q251_K + 1):
+        remaining = sw if covered is None else sw.join(covered, "w", "left_anti")
+        if picked is not None:
+            remaining = remaining.join(picked, "source", "left_anti")
+        gains = remaining.groupBy("source").agg(F.count("*").alias("gain"))
+        # argmax with smallest-source tiebreak: restrict to the max-gain
+        # tie set (1-row join key), then min(source) — string "max then
+        # min" has no single struct-extremum, so two tiny aggs
+        pick = (
+            gains.join(
+                gains.agg(F.max("gain").alias("gain")), "gain"
+            )
+            .groupBy("gain")
+            .agg(F.min("source").alias("source"))
+            .select("source", "gain")
+            .localCheckpoint(eager=False)  # joins below + next round
+        )
+        newly = sw.join(pick.select("source"), "source").select("w").distinct()
+        covered = (
+            newly
+            if covered is None
+            else covered.union(newly).distinct()
+        )
+        covered = covered.localCheckpoint(eager=False)
+        picked = (
+            pick.select("source")
+            if picked is None
+            else picked.union(pick.select("source")).localCheckpoint(eager=False)
+        )
+        ccnt = covered.agg(F.count("*").alias("n_covered"))
+        rows.append(
+            pick.crossJoin(ccnt)
+            .crossJoin(F.broadcast(vtot))
+            .select(
+                F.lit(k).alias("round"),
+                "source",
+                F.col("gain").cast("long").alias("gain_words"),
+                F.col("n_covered").cast("long").alias("cum_covered"),
+                (
+                    F.floor(
+                        F.col("n_covered").cast("double")
+                        / F.col("v_total").cast("double")
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1000000.0)
+                ).alias("coverage_frac"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.orderBy("round")
+
+
+def _q251_sql() -> str:
+    parts = [
+        f"""sw AS (
+    SELECT DISTINCT source, w FROM (
+        SELECT source, unnest({_shingle_sql(3)}) AS w
+        FROM documents
+        WHERE len(str_split(text, ' ')) >= 3
+    ) t
+)""",
+        "vtot AS (SELECT count(DISTINCT w) AS v_total FROM sw)",
+    ]
+    prev_cov = None
+    prev_picked: list[str] = []
+    selects = []
+    for k in range(1, _Q251_K + 1):
+        cov_filter = (
+            f" AND w NOT IN (SELECT w FROM cov{k - 1})" if prev_cov else ""
+        )
+        picked_filter = "".join(
+            f" AND source <> (SELECT source FROM p{i})" for i in prev_picked
+        )
+        parts.append(
+            f"""g{k} AS (
+    SELECT source, count(*) AS gain FROM sw
+    WHERE 1 = 1{cov_filter}{picked_filter}
+    GROUP BY source
+)"""
+        )
+        parts.append(
+            f"p{k} AS (SELECT source, gain FROM g{k}"
+            " ORDER BY gain DESC, source ASC LIMIT 1)"
+        )
+        union_prev = (
+            f"SELECT w FROM cov{k - 1} UNION " if prev_cov else ""
+        )
+        parts.append(
+            f"""cov{k} AS (
+    {union_prev}SELECT DISTINCT w FROM sw
+    WHERE source = (SELECT source FROM p{k})
+)"""
+        )
+        selects.append(
+            f"""SELECT {k} AS round, p{k}.source, CAST(p{k}.gain AS BIGINT) AS gain_words,
+       (SELECT CAST(count(*) AS BIGINT) FROM cov{k}) AS cum_covered,
+       floor((SELECT count(*) FROM cov{k}) * 1.0
+             / (SELECT v_total FROM vtot) * 1000000 + 0.5) / 1000000.0
+           AS coverage_frac
+FROM p{k}"""
+        )
+        prev_cov = f"cov{k}"
+        prev_picked.append(str(k))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+Q251_SQL = _q251_sql()
+
+
+# ---------------------------------------------------------------------------
+# q254 — Zipf power-law head fit (ext): the corpus-shape diagnostic —
+# a natural-language shingle/token frequency spectrum follows
+# f(r) ∝ r^s with s ≈ −1; synthetic, templated, or mode-collapsed
+# corpora bend that line, so the fitted slope + R² is a cheap corpus
+# fingerprint (the distribution-side complement of q246's value-tail
+# Hill index). Fit: OLS on (ln r, ln f) over the TOP-K frequency
+# ranks (the standard head fit; ranks assigned by a bounded
+# TakeOrdered with (freq desc, shingle asc) tiebreak — never a global
+# window). Per-row logs are floor-scaled to exact integers before the
+# sums (q236 pattern); one division + √ at the end.
+# ---------------------------------------------------------------------------
+_Q254_K = 200
+_Q254_SCALE = 1_000_000_000
+
+
+def q254_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.split("text", " ").alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select(F.explode(shingles_from_tokens("_toks", 3)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    top = (
+        freq.orderBy(F.desc("f"), F.asc("w"))
+        .limit(_Q254_K)
+        .select("f")
+        .localCheckpoint(eager=False)  # rank assignment + the fit
+    )
+    # rank over ≤K rows (bounded by the LIMIT above — pinned in
+    # tests/test_plan_budget.py); ties carry identical f, so any tied
+    # permutation yields the same (r, f) multiset
+    ranked = top.select(
+        F.row_number().over(W.orderBy(F.desc("f"))).alias("r"), "f"
+    )
+    terms = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * F.lit(float(_Q254_SCALE)))
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("f").cast("double")) * F.lit(float(_Q254_SCALE)))
+        .cast("long")
+        .alias("ly"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * ly")).alias("sxy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * lx")).alias("sxx"),
+        F.sum(F.expr("CAST(ly AS DECIMAL(38,0)) * ly")).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    sc = F.lit(float(_Q254_SCALE))
+    sx = F.col("sx").cast("double") / sc
+    sy = F.col("sy").cast("double") / sc
+    sxy = F.col("sxy").cast("double") / (sc * sc)
+    sxx = F.col("sxx").cast("double") / (sc * sc)
+    syy = F.col("syy").cast("double") / (sc * sc)
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    r2n = (kd * sxy - sx * sy) * (kd * sxy - sx * sy)
+    r2d = (kd * sxx - sx * sx) * (kd * syy - sy * sy)
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return agg.select(
+        F.col("k"),
+        r4(slope).alias("zipf_slope"),
+        r4((sy - slope * sx) / kd).alias("intercept"),
+        r4(r2n / r2d).alias("r_squared"),
+    )
+
+
+def _q254_shingle_sql() -> str:
+    toks = "str_split(text, ' ')"
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(3))
+    return f"list_transform(generate_series(1, len({toks}) - 2), i -> {parts})"
+
+
+Q254_SQL = f"""
+WITH freq AS (
+    SELECT w, count(*) AS f FROM (
+        SELECT unnest({_q254_shingle_sql()}) AS w FROM documents
+        WHERE len(str_split(text, ' ')) >= 3
+    ) t GROUP BY w
+),
+top AS (SELECT f FROM freq ORDER BY f DESC, w ASC LIMIT {_Q254_K}),
+ranked AS (SELECT row_number() OVER (ORDER BY f DESC) AS r, f FROM top),
+terms AS (
+    SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * {_Q254_SCALE}) AS BIGINT) AS lx,
+           CAST(floor(ln(CAST(f AS DOUBLE)) * {_Q254_SCALE}) AS BIGINT) AS ly
+    FROM ranked
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+           sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+           sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+           sum(CAST(ly AS HUGEINT) * ly) AS syy
+    FROM terms
+)
+SELECT k,
+       floor((CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE)
+                                   / ({float(_Q254_SCALE) * _Q254_SCALE!r}))
+              - (CAST(sx AS DOUBLE) / {_Q254_SCALE})
+                * (CAST(sy AS DOUBLE) / {_Q254_SCALE}))
+             / (CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE)
+                                     / ({float(_Q254_SCALE) * _Q254_SCALE!r}))
+                - (CAST(sx AS DOUBLE) / {_Q254_SCALE})
+                  * (CAST(sx AS DOUBLE) / {_Q254_SCALE}))
+             * 10000 + 0.5) / 10000.0 AS zipf_slope,
+       floor(((CAST(sy AS DOUBLE) / {_Q254_SCALE})
+              - (CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE)
+                                      / ({float(_Q254_SCALE) * _Q254_SCALE!r}))
+                 - (CAST(sx AS DOUBLE) / {_Q254_SCALE})
+                   * (CAST(sy AS DOUBLE) / {_Q254_SCALE}))
+                / (CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE)
+                                        / ({float(_Q254_SCALE) * _Q254_SCALE!r}))
+                   - (CAST(sx AS DOUBLE) / {_Q254_SCALE})
+                     * (CAST(sx AS DOUBLE) / {_Q254_SCALE}))
+                * (CAST(sx AS DOUBLE) / {_Q254_SCALE}))
+             / CAST(k AS DOUBLE) * 10000 + 0.5) / 10000.0 AS intercept,
+       floor((CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE)
+                                   / ({float(_Q254_SCALE) * _Q254_SCALE!r}))
+              - (CAST(sx AS DOUBLE) / {_Q254_SCALE})
+                * (CAST(sy AS DOUBLE) / {_Q254_SCALE}))
+             * (CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE)
+                                     / ({float(_Q254_SCALE) * _Q254_SCALE!r}))
+                - (CAST(sx AS DOUBLE) / {_Q254_SCALE})
+                  * (CAST(sy AS DOUBLE) / {_Q254_SCALE}))
+             / ((CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE)
+                                      / ({float(_Q254_SCALE) * _Q254_SCALE!r}))
+                 - (CAST(sx AS DOUBLE) / {_Q254_SCALE})
+                   * (CAST(sx AS DOUBLE) / {_Q254_SCALE}))
+                * (CAST(k AS DOUBLE) * (CAST(syy AS DOUBLE)
+                                        / ({float(_Q254_SCALE) * _Q254_SCALE!r}))
+                   - (CAST(sy AS DOUBLE) / {_Q254_SCALE})
+                     * (CAST(sy AS DOUBLE) / {_Q254_SCALE})))
+             * 10000 + 0.5) / 10000.0 AS r_squared
+FROM agg
+"""
+
+
 QUERIES = [
     Query("q236_js_divergence", q236_js_divergence, Q236_SQL,
           survey="ext:js-divergence,ext:drift-psi,ext:data-profiling,A11",
           tags=("bench",)),
+    Query("q251_greedy_set_cover", q251_greedy_set_cover, Q251_SQL,
+          survey="ext:set-cover,ext:dataset-mixing,ext:data-acquisition,"
+                 "ext:dataset-lineage",
+          tags=("bench",)),
+    Query("q254_zipf_fit", q254_zipf_fit, Q254_SQL,
+          survey="ext:zipf-fit,ext:data-profiling,ext:hill-tail-index"),
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
     Query("q32_word_freq_top20", q32_word_freq_top20, Q32_SQL, survey="A11,F10", tags=("bench",)),

@@ -2928,6 +2928,103 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q257 — robust day-of-week seasonal decomposition (ext): the
+# seasonal-adjustment step q192's seasonal-naive backtest presumes and
+# q78's rolling z-scores ignore — volumes have a weekly shape, so an
+# unadjusted anomaly detector fires every weekend. Median-based
+# (STL-flavored, robust to the q238 outlier argument): per
+# (event_type, dow) the MEDIAN daily count is the seasonal component;
+# seasonal index = med_dow / med_all; residual = count − med_dow; a
+# day is anomalous when |residual| > 3·MAD(residuals of its type).
+# Medians/MAD are exact `percentile` ↔ `quantile_cont` selections on
+# DOMAIN-bounded daily rollups (the q61 determinism precedent); no
+# float accumulates. Output: one row per (type, dow) with the index
+# and that slice's anomaly count.
+# ---------------------------------------------------------------------------
+def q257_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(F.count("*").alias("y"))
+        .withColumn("dow", F.dayofweek("day").cast("int"))
+        .localCheckpoint(eager=False)  # feeds 3 median rollups + residuals
+    )
+    med_dow = daily.groupBy("t", "dow").agg(
+        F.expr("percentile(y, 0.5)").alias("med_dow"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    med_all = daily.groupBy("t").agg(F.expr("percentile(y, 0.5)").alias("med_all"))
+    resid = daily.join(med_dow, ["t", "dow"]).select(
+        "t", "dow", (F.col("y") - F.col("med_dow")).alias("r")
+    )
+    mad = resid.groupBy("t").agg(F.expr("percentile(abs(r), 0.5)").alias("mad"))
+    anom = (
+        resid.join(mad, "t")
+        .groupBy("t", "dow")
+        .agg(
+            F.sum(
+                (F.abs(F.col("r")) > 3 * F.col("mad")).cast("long")
+            ).alias("n_anom")
+        )
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        med_dow.join(med_all, "t")
+        .join(anom, ["t", "dow"])
+        .select(
+            F.col("t").alias("event_type"),
+            "dow",
+            "n_days",
+            r6(F.col("med_dow")).alias("med_dow"),
+            r6(F.col("med_all")).alias("med_all"),
+            r6(F.col("med_dow") / F.col("med_all")).alias("seasonal_idx"),
+            F.col("n_anom").cast("long").alias("n_anom"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+Q257_SQL = """
+WITH daily AS (
+    SELECT event_type AS t, date_trunc('day', ts) AS day, count(*) AS y,
+           CAST(dayofweek(date_trunc('day', ts)) + 1 AS INTEGER) AS dow
+    FROM events GROUP BY 1, 2
+),
+med_dow AS (
+    SELECT t, dow, quantile_cont(y, 0.5) AS med_dow,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1, 2
+),
+med_all AS (SELECT t, quantile_cont(y, 0.5) AS med_all FROM daily GROUP BY 1),
+resid AS (
+    SELECT d.t, d.dow, d.y - m.med_dow AS r
+    FROM daily d JOIN med_dow m ON m.t = d.t AND m.dow = d.dow
+),
+mad AS (SELECT t, quantile_cont(abs(r), 0.5) AS mad FROM resid GROUP BY 1),
+anom AS (
+    SELECT r.t, r.dow,
+           CAST(sum(CASE WHEN abs(r.r) > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anom
+    FROM resid r JOIN mad m ON m.t = r.t
+    GROUP BY 1, 2
+)
+SELECT md.t AS event_type, md.dow AS dow, md.n_days,
+       floor(md.med_dow * 1000000 + 0.5) / 1000000.0 AS med_dow,
+       floor(ma.med_all * 1000000 + 0.5) / 1000000.0 AS med_all,
+       floor(md.med_dow / ma.med_all * 1000000 + 0.5) / 1000000.0
+           AS seasonal_idx,
+       an.n_anom
+FROM med_dow md
+JOIN med_all ma ON ma.t = md.t
+JOIN anom an ON an.t = md.t AND an.dow = md.dow
+ORDER BY event_type, md.dow
+"""
+
+
 QUERIES = [
     Query("q234_kaplan_meier", q234_kaplan_meier, Q234_SQL,
           survey="ext:kaplan-meier,ext:retention,ext:prefix-scan,F19",
@@ -2941,6 +3038,9 @@ QUERIES = [
           survey="ext:logrank-test,ext:kaplan-meier,ext:ab-experiment"),
     Query("q241_mann_kendall", q241_mann_kendall, Q241_SQL,
           survey="ext:mann-kendall,ext:theilsen-slope,ext:trend-regression"),
+    Query("q257_seasonal_decompose", q257_seasonal_decompose, Q257_SQL,
+          survey="ext:seasonal-decompose,ext:periodicity-score,"
+                 "ext:robust-outlier-qa,ext:forecast-backtest"),
     Query("q203_funnel_latency", q203_funnel_latency, Q203_SQL,
           survey="ext:funnel,ext:quantile-digest,ext:percentiles,ST4",
           tags=("bench",)),

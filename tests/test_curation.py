@@ -564,3 +564,32 @@ def test_raking_weights_python_twin_and_lang_marginal_exact(spark, sf_dir):
         assert r.max_source_err == floor(es * 1e6 + 0.5) / 1e6
         assert r.max_lang_err == floor(el * 1e6 + 0.5) / 1e6
     assert el < 1e-3  # final round fits its own marginal to floor residue
+
+
+def test_surrogate_keys_python_twin(spark, sf_dir):
+    """q253 vs an enumerate() over the same (md5-bucket, shingle) total
+    order, plus the arithmetic bijection certificate (n ids, min 0,
+    max n-1, sum n(n-1)/2)."""
+    import hashlib
+
+    from bbc_news_data_pipeline_spark.plans.curation_plans import (
+        _Q253_BUCKETS,
+        q253_surrogate_keys,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    shingles = set()
+    for t in pdf.text:
+        toks = t.split(" ")
+        for i in range(len(toks) - 2):
+            shingles.add(" ".join(toks[i : i + 3]))
+    keyed = sorted(
+        (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % _Q253_BUCKETS, w)
+        for w in shingles
+    )
+    want = {w: i for i, (_, w) in enumerate(keyed)}
+    got = {r.w: r.id for r in q253_surrogate_keys(spark, sf_dir).collect()}
+    assert got == want
+    n = len(got)
+    ids = list(got.values())
+    assert (min(ids), max(ids), sum(ids)) == (0, n - 1, n * (n - 1) // 2)

@@ -130,12 +130,14 @@ def test_unpartitioned_window_sites_pinned():
                                         # q237 PAV bucket prefix
                                         # (≤ value_range/16 bucket rows)
         "plans/retrieval_plans.py": 2,  # q84 RRF ranks (top-100 pools)
-        "plans/sketch_plans.py": 7,     # q138 + q181 grid / value-hist
+        "plans/sketch_plans.py": 8,     # q138 + q181 grid / value-hist
                                         # cumulatives (value-DOMAIN-bounded,
                                         # not corpus); q188 digest cum +
                                         # S-row shard-audit lag; q207
                                         # maintained-digest cum (same
-                                        # bucket-domain bound)
+                                        # bucket-domain bound); q249
+                                        # V-optimal DP prefix
+                                        # (≤ value_range/12 cell rows)
         "plans/timeseries_plans.py": 4, # q203 latency-digest cumulative
                                         # (≤ max-latency/3600 bucket rows)
                                         # + q214 lateness-digest cumulative
@@ -147,6 +149,8 @@ def test_unpartitioned_window_sites_pinned():
         "plans/dedup_plans.py": 1,      # q211 boundary-digest cumulative
                                         # (≤ 2^16 prefix-code buckets by
                                         # construction)
+        "plans/text_plans.py": 1,       # q254 Zipf head rank over the
+                                        # top-K LIMIT frame (≤ 200 rows)
     }
     # matches BOTH the plain name and the `Window as W` alias — the
     # alias spelling silently escaped this inventory until round 7

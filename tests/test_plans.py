@@ -1315,3 +1315,85 @@ def test_q237_isotonic_pav_stack_twin(spark, sf_dir, tmp_path):
     got = q237_isotonic_calibration(spark, str(tmp_path / "ev")).collect()
     assert [r.raw_rate for r in got] == [0.8, 0.2, 0.5]
     assert [r.iso_rate for r in got] == [0.5, 0.5, 0.5]
+
+
+def test_greedy_set_cover_python_twin(spark, sf_dir):
+    """q251 vs a python greedy max-cover over the same 3-gram shingle
+    sets (gain-desc, source-asc tiebreak); marginal gains must be
+    non-increasing and coverage strictly increasing."""
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.text_plans import (
+        _Q251_K,
+        q251_greedy_set_cover,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    per_src = {}
+    for r in pdf.itertuples():
+        toks = r.text.split(" ")
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        per_src.setdefault(r.source, set()).update(sh)
+    v_total = len(set().union(*per_src.values()))
+    covered: set = set()
+    picked = []
+    for k in range(1, _Q251_K + 1):
+        gains = {
+            s: len(sh - covered)
+            for s, sh in per_src.items()
+            if s not in {p[0] for p in picked}
+        }
+        s = min(gains, key=lambda s: (-gains[s], s))
+        picked.append((s, gains[s]))
+        covered |= per_src[s]
+        picked[-1] = (s, gains[s], len(covered))
+    rows = q251_greedy_set_cover(spark, sf_dir).collect()
+    assert len(rows) == _Q251_K
+    for r, (s, g, cum) in zip(rows, picked):
+        assert (r.source, r.gain_words, r.cum_covered) == (s, g, cum)
+        assert r.coverage_frac == floor(cum / v_total * 1e6 + 0.5) / 1e6
+    gains_seq = [r.gain_words for r in rows]
+    assert all(a >= b for a, b in zip(gains_seq, gains_seq[1:]))
+    covs = [r.cum_covered for r in rows]
+    assert all(a < b for a, b in zip(covs, covs[1:]))
+
+
+def test_zipf_fit_python_twin(spark, sf_dir):
+    """q254 vs a python log-log OLS on the identical floor-scaled grid;
+    the fitted slope on a zipfian shingle spectrum must be negative
+    with a strong fit."""
+    from collections import Counter
+    from math import floor, log
+
+    from bbc_news_data_pipeline_spark.plans.text_plans import (
+        _Q254_K,
+        _Q254_SCALE,
+        q254_zipf_fit,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    freq = Counter()
+    for t in pdf.text:
+        toks = t.split(" ")
+        for i in range(len(toks) - 2):
+            freq[" ".join(toks[i : i + 3])] += 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q254_K]
+    lx = [floor(log(r + 1) * _Q254_SCALE) for r in range(len(top))]
+    ly = [floor(log(f) * _Q254_SCALE) for _, f in top]
+    k = len(top)
+    sc = float(_Q254_SCALE)
+    sx, sy = sum(lx) / sc, sum(ly) / sc
+    sxy = sum(a * b for a, b in zip(lx, ly)) / (sc * sc)
+    sxx = sum(a * a for a in lx) / (sc * sc)
+    syy = sum(b * b for b in ly) / (sc * sc)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    icpt = (sy - slope * sx) / k
+    r2 = (k * sxy - sx * sy) ** 2 / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+    r = q254_zipf_fit(spark, sf_dir).collect()[0]
+    assert r.k == k
+    assert r.zipf_slope == floor(slope * 1e4 + 0.5) / 1e4
+    assert r.intercept == floor(icpt * 1e4 + 0.5) / 1e4
+    assert r.r_squared == floor(r2 * 1e4 + 0.5) / 1e4
+    assert r.zipf_slope < 0 and r.r_squared > 0.5

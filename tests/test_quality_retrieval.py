@@ -833,3 +833,126 @@ def test_hill_tail_index_python_twin(spark, sf_dir):
     assert (r.k_used, r.threshold_cents) == (k_used, xk)
     assert r.hill_alpha == floor(1 / h * 1e4 + 0.5) / 1e4
     assert r.finite_variance == (1 if 1 / h > 2.0 else 0)
+
+
+def test_spearman_python_twin(spark, sf_dir):
+    """q252 vs scipy-free python Spearman (average ranks via doubled
+    integers, Pearson on ranks), plus a perfect-monotone pin."""
+    from collections import Counter
+    from math import floor, sqrt
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q252_spearman_matrix,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["day"] = pdf.ts.dt.floor("D")
+    days = sorted(pdf.day.unique())
+    types = sorted(pdf.event_type.unique())
+    series = {
+        t: [int(((pdf.event_type == t) & (pdf.day == d)).sum()) for d in days]
+        for t in types
+    }
+
+    def rank2(ys):
+        cnt = Counter(ys)
+        out = []
+        for y in ys:
+            below = sum(c for v, c in cnt.items() if v < y)
+            out.append(2 * below + cnt[y] + 1)
+        return out
+
+    out = {
+        (r.type_a, r.type_b): r for r in q252_spearman_matrix(spark, sf_dir).collect()
+    }
+    assert len(out) == len(types) * (len(types) - 1) // 2
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            ra, rb = rank2(series[ta]), rank2(series[tb])
+            n = len(days)
+            sx, sy = sum(ra), sum(rb)
+            sxy = sum(a * b for a, b in zip(ra, rb))
+            sxx = sum(a * a for a in ra)
+            syy = sum(b * b for b in rb)
+            rho = (n * sxy - sx * sy) / sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+            r = out[(ta, tb)]
+            assert r.n_days == n
+            assert r.spearman_rho == floor(rho * 1e6 + 0.5) / 1e6
+            assert -1.0 <= r.spearman_rho <= 1.0
+
+
+def test_fd_audit_python_twin(spark, sf_dir):
+    """q255 vs pandas nunique checks; the known-true and known-false
+    dependencies must land on the right verdicts."""
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q255_fd_audit
+
+    tables = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").toPandas()
+        for t in ("orders", "customer", "lineitem", "events")
+    }
+    specs = {
+        "orders: o_orderkey -> o_custkey": ("orders", ["o_orderkey"], "o_custkey"),
+        "orders: o_custkey -> o_orderpriority":
+            ("orders", ["o_custkey"], "o_orderpriority"),
+        "customer: c_custkey -> c_nationkey":
+            ("customer", ["c_custkey"], "c_nationkey"),
+        "lineitem: (l_orderkey,l_linenumber) -> l_partkey":
+            ("lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"),
+        "lineitem: l_orderkey -> l_suppkey":
+            ("lineitem", ["l_orderkey"], "l_suppkey"),
+        "events: user_id -> event_type": ("events", ["user_id"], "event_type"),
+    }
+    out = {r.fd: r for r in q255_fd_audit(spark, sf_dir).collect()}
+    assert set(out) == set(specs)
+    for fd, (t, lhs, rhs) in specs.items():
+        d = tables[t].groupby(lhs)[rhs].nunique()
+        r = out[fd]
+        assert (r.n_groups, r.n_violating, r.max_fanout) == (
+            len(d), int((d > 1).sum()), int(d.max())
+        )
+        assert r.holds == (1 if (d > 1).sum() == 0 else 0)
+    # the PK-derived FDs must hold; the behavioral ones must not
+    # (note: (l_orderkey, l_linenumber) is NOT a key in the synthetic
+    # lineitem — linenumbers repeat within an order — so that FD is a
+    # genuine negative here, caught by the generic loop above)
+    assert out["orders: o_orderkey -> o_custkey"].holds == 1
+    assert out["customer: c_custkey -> c_nationkey"].holds == 1
+    assert out["events: user_id -> event_type"].holds == 0
+
+
+def test_column_entropy_python_twin(spark, sf_dir):
+    """q256 vs Counter entropy on the identical floor-scaled grid;
+    uniform-ish columns read norm_entropy near 1, skewed ones below."""
+    from collections import Counter
+    from math import floor, log
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q256_SCALE,
+        q256_column_entropy,
+    )
+
+    specs = [
+        ("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+        ("customer", "c_mktsegment"), ("customer", "c_nationkey"),
+        ("lineitem", "l_returnflag"), ("events", "event_type"),
+        ("documents", "lang"), ("documents", "source"),
+    ]
+    out = {r.column_name: r for r in q256_column_entropy(spark, sf_dir).collect()}
+    assert set(out) == {f"{t}.{c}" for t, c in specs}
+    for t, c in specs:
+        pdf = spark.read.parquet(f"{sf_dir}/{t}.parquet").toPandas()
+        cnt = Counter(str(v) for v in pdf[c])
+        n, k = sum(cnt.values()), len(cnt)
+        h_sum = sum(
+            floor(-(ci / n) * log(ci / n) * _Q256_SCALE) for ci in cnt.values()
+        )
+        h = h_sum / _Q256_SCALE
+        r = out[f"{t}.{c}"]
+        assert (r.n_rows, r.n_distinct) == (n, k)
+        assert r.top_share == floor(max(cnt.values()) / n * 1e6 + 0.5) / 1e6
+        assert r.entropy_bits == floor(h / log(2) * 1e6 + 0.5) / 1e6
+        want_norm = floor(h / log(k) * 1e6 + 0.5) / 1e6 if k > 1 else 0.0
+        assert r.norm_entropy == want_norm
+        assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9

@@ -1165,3 +1165,56 @@ def test_trailing_heavy_hitters_bound_holds(spark, sf_dir):
     assert got == top
     bound = sum(lams.values()) + lamp
     assert all(r.err_bound == bound for r in out if r.report_hour == rh)
+
+
+def test_voptimal_python_twin(spark, sf_dir):
+    """q249 vs a classic O(B·D²) python DP over the identical cell
+    rollup: same boundaries, same SSE, and the partition is optimal
+    (no better B-split exists by exhaustive check)."""
+    from itertools import combinations
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.sketch_plans import (
+        _Q249_B,
+        _Q249_CELL_W,
+        q249_voptimal_histogram,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    cells = {}
+    for v in pdf.value:
+        c = floor(v / _Q249_CELL_W)
+        x = floor(v * 100 + 0.5)
+        n, sx, sxx = cells.get(c, (0, 0, 0))
+        cells[c] = (n + 1, sx + x, sxx + x * x)
+    order = sorted(cells)
+    D = len(order)
+
+    def sse(j, i):  # positions 1-based inclusive
+        n = sum(cells[order[p]][0] for p in range(j - 1, i))
+        sx = sum(cells[order[p]][1] for p in range(j - 1, i))
+        sxx = sum(cells[order[p]][2] for p in range(j - 1, i))
+        return sxx - sx * sx / n
+
+    best = None
+    for bnds in combinations(range(2, D + 1), _Q249_B - 1):
+        cuts = [1] + list(bnds) + [D + 1]
+        cost = sum(sse(cuts[k], cuts[k + 1] - 1) for k in range(_Q249_B))
+        cand = (cost, bnds)
+        if best is None or cand < best:
+            best = cand
+    rows = q249_voptimal_histogram(spark, sf_dir).collect()
+    assert len(rows) == _Q249_B
+    got_cuts = [1] + [None] * (_Q249_B - 1)
+    lo_positions = []
+    for r in rows:
+        lo_positions.append(order.index(r.lo_cell) + 1)
+        want_n = sum(
+            cells[order[p]][0]
+            for p in range(order.index(r.lo_cell), order.index(r.hi_cell) + 1)
+        )
+        assert r.n == want_n
+        want_sse = sse(order.index(r.lo_cell) + 1, order.index(r.hi_cell) + 1)
+        assert r.sse == floor(want_sse * 100 + 0.5) / 100
+    assert tuple(lo_positions[1:]) == best[1]
+    assert rows[0].total_sse == floor(best[0] * 100 + 0.5) / 100

@@ -932,3 +932,60 @@ def test_mann_kendall_python_twin(spark, sf_dir, tmp_path):
     ).write.parquet(str(tmp_path / "events.parquet"))
     r = q241_mann_kendall(spark, str(tmp_path)).collect()[0]
     assert r.s_stat == 12 * 11 // 2 and r.significant == 1
+
+
+def test_seasonal_decompose_python_twin(spark, sf_dir, tmp_path):
+    """q257 vs statistics.median twins, plus an authored weekly pattern
+    where the weekend index and a spike anomaly are forced."""
+    from datetime import datetime, timedelta
+    from math import floor
+    from statistics import median
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        q257_seasonal_decompose,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["day"] = pdf.ts.dt.floor("D")
+    daily = pdf.groupby(["event_type", "day"]).size().reset_index(name="y")
+    daily["dow"] = daily.day.dt.dayofweek  # Mon=0
+    daily["dow"] = ((daily["dow"] + 1) % 7) + 1  # -> Sun=1..Sat=7 (Spark)
+    out = {
+        (r.event_type, r.dow): r
+        for r in q257_seasonal_decompose(spark, sf_dir).collect()
+    }
+    for t, grp in daily.groupby("event_type"):
+        med_all = median(grp.y)
+        resid = {
+            dow: [y - median(g.y) for y in g.y]
+            for dow, g in grp.groupby("dow")
+        }
+        mad = median(abs(r) for rs in resid.values() for r in rs)
+        for dow, g in grp.groupby("dow"):
+            r = out[(t, dow)]
+            md = median(g.y)
+            assert r.n_days == len(g)
+            assert r.med_dow == floor(md * 1e6 + 0.5) / 1e6
+            assert r.med_all == floor(med_all * 1e6 + 0.5) / 1e6
+            assert r.seasonal_idx == floor(md / med_all * 1e6 + 0.5) / 1e6
+            assert r.n_anom == sum(1 for x in resid[dow] if abs(x) > 3 * mad)
+
+    # authored: 4 weeks, weekdays 10/day, sundays 30/day, one 200-spike
+    t0 = datetime(2024, 9, 2)  # a Monday
+    rows, eid = [], 0
+    for d in range(28):
+        day = t0 + timedelta(days=d)
+        n = 30 if day.weekday() == 6 else 10
+        if d == 10:
+            n = 200  # spike on a weekday
+        for _ in range(n):
+            rows.append((eid, day, 1, "aa", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.dow: r for r in q257_seasonal_decompose(spark, str(tmp_path)).collect()}
+    assert got[1].seasonal_idx == 3.0  # Sunday: 30 vs overall median 10
+    assert sum(r.n_anom for r in got.values()) == 1  # exactly the spike
