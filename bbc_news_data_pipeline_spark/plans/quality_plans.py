@@ -5098,7 +5098,181 @@ Q256_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# q258 — quantile treatment effects (ext): the A/B family's
+# distribution-level readout — Welch (q213) compares MEANS, CUPED
+# (q185) adjusts them, Mann–Whitney (q233) tests dominance; QTE shows
+# WHERE in the distribution the arms differ (a lift confined to the
+# p90 tail is invisible in the mean). Per percentile p ∈ {10,25,50,
+# 75,90}: the type-1 (lower) quantile of order price per arm, its gap
+# and relative gap. Quantiles come from the CENTS-DOMAIN rollup + the
+# cum ≥ ⌈p·n⌉ join (q214's selection pattern) — never an exact
+# percentile over a corpus-scale group (that agg buffers the whole
+# group; an OOM at 100 TB). All integers until the output ratios.
+# ---------------------------------------------------------------------------
+_Q258_SEG = "BUILDING"
+_Q258_PCTS = (10, 25, 50, 75, 90)
+
+
+def q258_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import exclusive_prefix_sum
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    obs = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        (F.col("c_mktsegment") == _Q258_SEG).cast("int").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cells = obs.groupBy("g", "cents").agg(F.count("*").alias("c"))
+    pre = exclusive_prefix_sum(cells, "g", "cents", "c", out_col="cumx", levels=3)
+    cum = pre.select(
+        "g", "cents", (F.col("cumx") + F.col("c")).alias("cum")
+    ).localCheckpoint(eager=False)  # joined at |PCTS| rank targets
+    ntot = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    tgt = ntot.select(
+        "g",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _Q258_PCTS])).alias("pct"),
+    ).withColumn("r", F.expr("CAST((n * pct + 99) div 100 AS BIGINT)"))
+    quants = (
+        tgt.join(cum, "g")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("g", "pct")
+        .agg(F.min("cents").alias("q"))
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    a = quants.filter(F.col("g") == 1).select("pct", F.col("q").alias("q_seg"))
+    b = quants.filter(F.col("g") == 0).select("pct", F.col("q").alias("q_rest"))
+    return (
+        a.join(b, "pct")
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("q_seg").cast("long").alias("q_seg_cents"),
+            F.col("q_rest").cast("long").alias("q_rest_cents"),
+            (F.col("q_seg") - F.col("q_rest")).cast("long").alias("diff_cents"),
+            r6(
+                (F.col("q_seg") - F.col("q_rest")).cast("double")
+                / F.col("q_rest").cast("double")
+            ).alias("rel_gap"),
+        )
+        .orderBy("pct")
+    )
+
+
+Q258_SQL = f"""
+WITH obs AS (
+    SELECT CASE WHEN c.c_mktsegment = '{_Q258_SEG}' THEN 1 ELSE 0 END AS g,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cells AS (SELECT g, cents, count(*) AS c FROM obs GROUP BY 1, 2),
+cum AS (
+    SELECT g, cents,
+           sum(c) OVER (PARTITION BY g ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM cells
+),
+ntot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+tgt AS (
+    SELECT g, n, pct, CAST((n * pct + 99) // 100 AS BIGINT) AS r
+    FROM ntot, unnest([{", ".join(str(p) for p in _Q258_PCTS)}]) AS t(pct)
+),
+quants AS (
+    SELECT t.g, t.pct, min(c.cents) AS q
+    FROM tgt t JOIN cum c ON c.g = t.g AND c.cum >= t.r
+    GROUP BY 1, 2
+)
+SELECT CAST(a.pct AS INTEGER) AS pct,
+       a.q AS q_seg_cents,
+       b.q AS q_rest_cents,
+       CAST(a.q - b.q AS BIGINT) AS diff_cents,
+       floor(CAST(a.q - b.q AS DOUBLE) / CAST(b.q AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS rel_gap
+FROM quants a JOIN quants b ON b.pct = a.pct AND b.g = 0
+WHERE a.g = 1
+ORDER BY pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# q259 — overdispersion / burstiness index (ext): is each event
+# stream Poisson-steady or bursty? The variance-to-mean dispersion
+# index D = s²/ȳ (D≈1 ⇒ Poisson; D≫1 ⇒ clumped arrivals) decides
+# whether rate-based capacity models apply — the arrival-process
+# complement of q246's value-tail Hill index. D and the χ² = D·(n−1)
+# statistic are EXACT rationals from integer daily-count sums
+# ((n·S₂−S₁²)/((n−1)·S₁)); the Poisson-rejection flag at the χ²
+# 95th percentile is an exact cross-multiplied comparison.
+# ---------------------------------------------------------------------------
+def q259_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    agg = daily.groupBy("t").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    d_num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    disp = d_num / ((nd - F.lit(1.0)) * F.col("s1").cast("double"))
+    chi = disp * (nd - F.lit(1.0))
+    # normal-approximation 97.5% bound for chi2(n-1): (n-1) + 2*sqrt(2(n-1))
+    bound = (nd - F.lit(1.0)) + F.lit(2.0) * F.sqrt(F.lit(2.0) * (nd - F.lit(1.0)))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return agg.select(
+        F.col("t").alias("event_type"),
+        F.col("n").alias("n_days"),
+        F.col("s1").alias("total_events"),
+        r4(disp).alias("dispersion"),
+        r4(chi).alias("chi2"),
+        (chi > bound).cast("int").alias("bursty"),
+    ).orderBy("event_type")
+
+
+Q259_SQL = """
+WITH daily AS (
+    SELECT event_type AS t, date_trunc('day', ts) AS day, count(*) AS y
+    FROM events GROUP BY 1, 2
+),
+agg AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS s1,
+           CAST(sum(y * y) AS BIGINT) AS s2
+    FROM daily GROUP BY 1
+)
+SELECT t AS event_type,
+       n AS n_days,
+       s1 AS total_events,
+       floor(CAST(n * s2 - s1 * s1 AS DOUBLE)
+             / ((CAST(n AS DOUBLE) - 1.0) * CAST(s1 AS DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS dispersion,
+       floor(CAST(n * s2 - s1 * s1 AS DOUBLE)
+             / ((CAST(n AS DOUBLE) - 1.0) * CAST(s1 AS DOUBLE))
+             * (CAST(n AS DOUBLE) - 1.0) * 10000 + 0.5) / 10000.0 AS chi2,
+       CAST(CASE WHEN CAST(n * s2 - s1 * s1 AS DOUBLE)
+                      / ((CAST(n AS DOUBLE) - 1.0) * CAST(s1 AS DOUBLE))
+                      * (CAST(n AS DOUBLE) - 1.0)
+                      > (CAST(n AS DOUBLE) - 1.0)
+                        + 2.0 * sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0))
+                 THEN 1 ELSE 0 END AS INTEGER) AS bursty
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES = [
+    Query("q258_quantile_effects", q258_quantile_effects, Q258_SQL,
+          survey="ext:quantile-effects,ext:ab-experiment,ext:percentiles,"
+                 "ext:prefix-scan"),
+    Query("q259_dispersion_index", q259_dispersion_index, Q259_SQL,
+          survey="ext:dispersion-index,ext:data-profiling,"
+                 "ext:rolling-anomaly"),
     Query("q256_column_entropy", q256_column_entropy, Q256_SQL,
           survey="ext:column-entropy,ext:dict-encoding,ext:data-profiling"),
     Query("q255_fd_audit", q255_fd_audit, Q255_SQL,

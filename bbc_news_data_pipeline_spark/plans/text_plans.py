@@ -1435,6 +1435,162 @@ def _q254_shingle_sql() -> str:
     return f"list_transform(generate_series(1, len({toks}) - 2), i -> {parts})"
 
 
+# ---------------------------------------------------------------------------
+# q260 — Heaps-law vocabulary growth (ext): q254 fingerprints the
+# frequency SPECTRUM; Heaps' V(D) ∝ D^β fingerprints vocabulary
+# GROWTH — the curve that budgets tokenizer/dictionary size as a
+# corpus scales (β ≈ 0.5 for natural text; β → 1 flags synthetic
+# or id-riddled feeds where the dictionary never saturates). Exact
+# growth curve without any sequential pass: each shingle's
+# first_seen = min(doc_id) (one rollup), checkpoints at deciles of
+# the doc-id range (data-anchored), V_k = Σ shingles with
+# first_seen ≤ c_k via ONE bounded checkpoint⋈rollup join. The β fit
+# is the q254 floor-scaled log-log OLS over the 10 (D_k, V_k) points,
+# replicated per row (q227 convention).
+# ---------------------------------------------------------------------------
+_Q260_STEPS = 10
+_Q260_SCALE = 1_000_000_000
+
+
+def q260_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    first = (
+        docs.select("doc_id", F.split("text", " ").alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select("doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fs"))
+        .localCheckpoint(eager=False)  # joined at |STEPS| checkpoints
+    )
+    span = docs.agg(F.max("doc_id").alias("dmax"))
+    # ONE pass each: bucket b(x) = ceil(10x/dmax) satisfies b(x) ≤ k ⟺
+    # x ≤ c_k = (dmax·k) div 10 exactly (10x ≤ k·dmax on integers), so
+    # the decile membership never fans the corpus out 10×; the
+    # cumulative over ≤10 bucket rows is a bounded self-join
+    def deciled(df, col):
+        return (
+            df.crossJoin(F.broadcast(span))
+            .select(
+                F.expr(
+                    f"CAST(({col} * {_Q260_STEPS} + dmax - 1) div dmax AS INT)"
+                ).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+    ks = spark.range(1, _Q260_STEPS + 1).select(F.col("id").cast("int").alias("k"))
+    dcnt = (
+        ks.join(deciled(docs.select("doc_id"), "doc_id"), F.col("b") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("d_k"))
+    )
+    vcnt = (
+        ks.join(deciled(first.select("fs"), "fs"), F.col("b") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("v_k"))
+    )
+    pts = dcnt.join(vcnt, "k").localCheckpoint(eager=False)  # rows + fit
+    terms = pts.select(
+        F.floor(F.log(F.col("d_k").cast("double")) * F.lit(float(_Q260_SCALE)))
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("v_k").cast("double")) * F.lit(float(_Q260_SCALE)))
+        .cast("long")
+        .alias("ly"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * ly")).alias("sxy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * lx")).alias("sxx"),
+    )
+    sc = F.lit(float(_Q260_SCALE))
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double") / sc
+    sy = F.col("sy").cast("double") / sc
+    sxy = F.col("sxy").cast("double") / (sc * sc)
+    sxx = F.col("sxx").cast("double") / (sc * sc)
+    beta = (md * sxy - sx * sy) / (md * sxx - sx * sx)
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    fit = agg.select(r4(beta).alias("heaps_beta"))
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").cast("int").alias("decile"),
+            "d_k",
+            "v_k",
+            "heaps_beta",
+        )
+        .orderBy("decile")
+    )
+
+
+def _q260_sql() -> str:
+    sc2 = repr(float(_Q260_SCALE) * _Q260_SCALE)
+    return f"""
+WITH first_seen AS (
+    SELECT w, min(doc_id) AS fs FROM (
+        SELECT doc_id, unnest({_q254_shingle_sql()}) AS w FROM documents
+        WHERE len(str_split(text, ' ')) >= 3
+    ) t GROUP BY w
+),
+span AS (SELECT max(doc_id) AS dmax FROM documents),
+ks AS (SELECT unnest(generate_series(1, {_Q260_STEPS})) AS k),
+db AS (
+    SELECT CAST((d.doc_id * {_Q260_STEPS} + s.dmax - 1) // s.dmax AS INTEGER)
+               AS b, count(*) AS c
+    FROM documents d CROSS JOIN span s GROUP BY 1
+),
+vb AS (
+    SELECT CAST((f.fs * {_Q260_STEPS} + s.dmax - 1) // s.dmax AS INTEGER)
+               AS b, count(*) AS c
+    FROM first_seen f CROSS JOIN span s GROUP BY 1
+),
+dcnt AS (
+    SELECT ks.k, CAST(sum(db.c) AS BIGINT) AS d_k
+    FROM ks JOIN db ON db.b <= ks.k GROUP BY 1
+),
+vcnt AS (
+    SELECT ks.k, CAST(sum(vb.c) AS BIGINT) AS v_k
+    FROM ks JOIN vb ON vb.b <= ks.k GROUP BY 1
+),
+pts AS (SELECT d.k, d.d_k, v.v_k FROM dcnt d JOIN vcnt v ON v.k = d.k),
+terms AS (
+    SELECT CAST(floor(ln(CAST(d_k AS DOUBLE)) * {_Q260_SCALE}) AS BIGINT)
+               AS lx,
+           CAST(floor(ln(CAST(v_k AS DOUBLE)) * {_Q260_SCALE}) AS BIGINT)
+               AS ly
+    FROM pts
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+           sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+           sum(CAST(lx AS HUGEINT) * lx) AS sxx
+    FROM terms
+),
+fit AS (
+    SELECT floor((CAST(m AS DOUBLE) * (CAST(sxy AS DOUBLE) / {sc2})
+                  - (CAST(sx AS DOUBLE) / {_Q260_SCALE})
+                    * (CAST(sy AS DOUBLE) / {_Q260_SCALE}))
+                 / (CAST(m AS DOUBLE) * (CAST(sxx AS DOUBLE) / {sc2})
+                    - (CAST(sx AS DOUBLE) / {_Q260_SCALE})
+                      * (CAST(sx AS DOUBLE) / {_Q260_SCALE}))
+                 * 10000 + 0.5) / 10000.0 AS heaps_beta
+    FROM agg
+)
+SELECT CAST(p.k AS INTEGER) AS decile, p.d_k, p.v_k, f.heaps_beta
+FROM pts p CROSS JOIN fit f
+ORDER BY decile
+"""
+
+
+Q260_SQL = _q260_sql()
+
+
 Q254_SQL = f"""
 WITH freq AS (
     SELECT w, count(*) AS f FROM (
@@ -1509,6 +1665,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q254_zipf_fit", q254_zipf_fit, Q254_SQL,
           survey="ext:zipf-fit,ext:data-profiling,ext:hill-tail-index"),
+    Query("q260_heaps_law", q260_heaps_law, Q260_SQL,
+          survey="ext:heaps-law,ext:zipf-fit,ext:data-profiling,"
+                 "ext:dict-encoding"),
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
     Query("q32_word_freq_top20", q32_word_freq_top20, Q32_SQL, survey="A11,F10", tags=("bench",)),

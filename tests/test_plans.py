@@ -1397,3 +1397,48 @@ def test_zipf_fit_python_twin(spark, sf_dir):
     assert r.intercept == floor(icpt * 1e4 + 0.5) / 1e4
     assert r.r_squared == floor(r2 * 1e4 + 0.5) / 1e4
     assert r.zipf_slope < 0 and r.r_squared > 0.5
+
+
+def test_heaps_law_python_twin(spark, sf_dir):
+    """q260 vs a first-seen dict twin; V(D) must be non-decreasing and
+    concave-ish (beta < 1), and the final decile covers the whole
+    vocabulary."""
+    from math import floor, log
+
+    from bbc_news_data_pipeline_spark.plans.text_plans import (
+        _Q260_SCALE,
+        _Q260_STEPS,
+        q260_heaps_law,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    first = {}
+    for r in pdf.itertuples():
+        toks = r.text.split(" ")
+        for i in range(len(toks) - 2):
+            sh = " ".join(toks[i : i + 3])
+            if sh not in first or r.doc_id < first[sh]:
+                first[sh] = r.doc_id
+    dmax = int(pdf.doc_id.max())
+    rows = q260_heaps_law(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, _Q260_STEPS + 1))
+    lx, ly = [], []
+    for r in rows:
+        ck = dmax * r.decile // _Q260_STEPS
+        d_k = int((pdf.doc_id <= ck).sum())
+        v_k = sum(1 for fs in first.values() if fs <= ck)
+        assert (r.d_k, r.v_k) == (d_k, v_k)
+        lx.append(floor(log(d_k) * _Q260_SCALE))
+        ly.append(floor(log(v_k) * _Q260_SCALE))
+    m = len(lx)
+    sc = float(_Q260_SCALE)
+    sx, sy = sum(lx) / sc, sum(ly) / sc
+    sxy = sum(a * b for a, b in zip(lx, ly)) / (sc * sc)
+    sxx = sum(a * a for a in lx) / (sc * sc)
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    for r in rows:
+        assert r.heaps_beta == floor(beta * 1e4 + 0.5) / 1e4
+    vs = [r.v_k for r in rows]
+    assert all(a <= b for a, b in zip(vs, vs[1:]))
+    assert vs[-1] == len(first)
+    assert 0 < rows[0].heaps_beta < 1.2

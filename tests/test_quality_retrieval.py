@@ -956,3 +956,77 @@ def test_column_entropy_python_twin(spark, sf_dir):
         want_norm = floor(h / log(k) * 1e6 + 0.5) / 1e6 if k > 1 else 0.0
         assert r.norm_entropy == want_norm
         assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9
+
+
+def test_quantile_effects_python_twin(spark, sf_dir):
+    """q258 vs a sorted-list type-1 quantile twin per arm."""
+    from math import ceil, floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q258_PCTS,
+        _Q258_SEG,
+        q258_quantile_effects,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df["cents"] = (df.o_totalprice * 100 + 0.5).apply(floor).astype(int)
+    arms = {
+        1: sorted(df[df.c_mktsegment == _Q258_SEG].cents),
+        0: sorted(df[df.c_mktsegment != _Q258_SEG].cents),
+    }
+    out = {r.pct: r for r in q258_quantile_effects(spark, sf_dir).collect()}
+    assert set(out) == set(_Q258_PCTS)
+    for p in _Q258_PCTS:
+        qs = arms[1][ceil(len(arms[1]) * p / 100) - 1]
+        qr = arms[0][ceil(len(arms[0]) * p / 100) - 1]
+        r = out[p]
+        assert (r.q_seg_cents, r.q_rest_cents, r.diff_cents) == (qs, qr, qs - qr)
+        assert r.rel_gap == floor((qs - qr) / qr * 1e6 + 0.5) / 1e6
+
+
+def test_dispersion_index_python_twin(spark, sf_dir, tmp_path):
+    """q259 vs exact-rational dispersion; a constant-rate authored
+    stream must NOT flag bursty, a clumped one must."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+    from math import floor, sqrt
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q259_dispersion_index,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["day"] = pdf.ts.dt.floor("D")
+    out = {r.event_type: r for r in q259_dispersion_index(spark, sf_dir).collect()}
+    for t, grp in pdf.groupby("event_type"):
+        ys = list(Counter(grp.day).values())
+        n, s1, s2 = len(ys), sum(ys), sum(y * y for y in ys)
+        disp = (n * s2 - s1 * s1) / ((n - 1) * s1)
+        chi = disp * (n - 1)
+        r = out[t]
+        assert (r.n_days, r.total_events) == (n, s1)
+        assert r.dispersion == floor(disp * 1e4 + 0.5) / 1e4
+        assert r.chi2 == floor(chi * 1e4 + 0.5) / 1e4
+        assert r.bursty == (1 if chi > (n - 1) + 2 * sqrt(2 * (n - 1)) else 0)
+
+    t0 = datetime(2024, 10, 1)
+    rows, eid = [], 0
+    for d in range(20):
+        for _ in range(10):  # steady
+            rows.append((eid, t0 + timedelta(days=d), 1, "steady", 1.0, "{}"))
+            eid += 1
+        n = 100 if d % 5 == 0 else 1  # clumped
+        for _ in range(n):
+            rows.append((eid, t0 + timedelta(days=d), 1, "bursty", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r for r in
+           q259_dispersion_index(spark, str(tmp_path)).collect()}
+    assert got["steady"].bursty == 0 and got["steady"].dispersion == 0.0
+    assert got["bursty"].bursty == 1 and got["bursty"].dispersion > 10
