@@ -3275,9 +3275,193 @@ ORDER BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# q261 — multiplicative-weights domain reweighting, DoReMi-style (ext):
+# q103/q56 MIX domains by fixed heuristics; this one OPTIMIZES the
+# mixture — K exponentiated-gradient steps upweight domains whose
+# unigram-LM loss EXCEEDS the current mixture-average loss (the
+# excess-loss signal of DoReMi, arXiv:2305.10429, with the corpus
+# unigram LM standing in for the proxy model — q102's documented
+# substitution). Per round: avg = Σ w·L (a 20-term float sum —
+# floor-scaled to integers so the fold is order-free), u = w·exp(η·
+# (L−avg)), renormalize by the same scaled-integer fold. K=3 unrolled
+# rounds on a |domains|-bounded frame; the full weight trajectory
+# ships per source (q139 convention). Loss terms are per-(source,
+# word) doubles from exact counts, floor-scaled before the corpus-
+# scale sum (q236 pattern).
+# ---------------------------------------------------------------------------
+_Q261_K = 3
+_Q261_ETA = 0.5
+_Q261_SCALE = 1_000_000_000_000
+
+
+def q261_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    vocab = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    gtot = vocab.agg(F.sum("cw").cast("long").alias("t"))
+    per_src = (
+        sw.join(vocab, "w")
+        .select(
+            "source",
+            "c",
+            F.floor(
+                F.col("c").cast("double") * F.log(F.col("cw").cast("double"))
+                * F.lit(float(_Q261_SCALE) / 1_000_000.0)
+            ).cast("long").alias("ls"),
+        )
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("nd"), F.sum("ls").alias("s_ln"))
+    )
+    nsrc = per_src.agg(F.count("*").cast("long").alias("d"))
+    sc = F.lit(float(_Q261_SCALE))
+    base = (
+        per_src.crossJoin(F.broadcast(gtot))
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "d",
+            (
+                (
+                    F.log(F.col("t").cast("double"))
+                    - F.col("s_ln").cast("double")
+                    / F.lit(float(_Q261_SCALE) / 1_000_000.0)
+                    / F.col("nd").cast("double")
+                )
+                / F.log(F.lit(2.0))
+            ).alias("bits"),
+            (F.lit(1.0) / F.col("d").cast("double")).alias("w"),
+        )
+        .localCheckpoint(eager=False)  # K rounds fold over this
+    )
+    cur = base
+    traj = []
+    for k in range(1, _Q261_K + 1):
+        avg = cur.agg(
+            F.sum(F.floor(F.col("w") * F.col("bits") * sc).cast("long")).alias(
+                "avg_s"
+            )
+        )
+        stepped = cur.crossJoin(F.broadcast(avg)).withColumn(
+            "u",
+            F.col("w")
+            * F.exp(
+                F.lit(_Q261_ETA)
+                * (F.col("bits") - F.col("avg_s").cast("double") / sc)
+            ),
+        )
+        z = stepped.agg(
+            F.sum(F.floor(F.col("u") * sc).cast("long")).alias("z_s")
+        )
+        cur = (
+            stepped.crossJoin(F.broadcast(z))
+            .select(
+                "source",
+                "d",
+                "bits",
+                (F.col("u") / (F.col("z_s").cast("double") / sc)).alias("w"),
+            )
+            .localCheckpoint(eager=False)  # next round + trajectory
+        )
+        traj.append(cur.select("source", F.col("w").alias(f"w{k}")))
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    out = base.select("source", r6(F.col("bits")).alias("loss_bits"))
+    for k, t in enumerate(traj, start=1):
+        out = out.join(t.select("source", r6(F.col(f"w{k}")).alias(f"w{k}")), "source")
+    return out.orderBy("source")
+
+
+def _q261_sql() -> str:
+    sc = _Q261_SCALE
+    ls_scale = repr(float(sc) / 1_000_000.0)
+    parts = [
+        """toks AS (
+    SELECT source, w FROM (
+        SELECT source, unnest(str_split(lower(text), ' ')) AS w
+        FROM documents
+    ) t WHERE length(w) >= 1
+)""",
+        "sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2)",
+        "vocab AS (SELECT w, sum(c) AS cw FROM sw GROUP BY 1)",
+        "gtot AS (SELECT CAST(sum(cw) AS BIGINT) AS t FROM vocab)",
+        f"""per_src AS (
+    SELECT sw.source, CAST(sum(sw.c) AS BIGINT) AS nd,
+           CAST(sum(CAST(floor(CAST(sw.c AS DOUBLE)
+                                * ln(CAST(vocab.cw AS DOUBLE))
+                                * {ls_scale}) AS BIGINT)) AS BIGINT) AS s_ln
+    FROM sw JOIN vocab USING (w)
+    GROUP BY 1
+)""",
+        "nsrc AS (SELECT CAST(count(*) AS BIGINT) AS d FROM per_src)",
+        f"""r0 AS (
+    SELECT p.source, n.d,
+           (ln(CAST(g.t AS DOUBLE))
+            - CAST(p.s_ln AS DOUBLE) / {ls_scale} / CAST(p.nd AS DOUBLE))
+           / ln(2.0) AS bits,
+           1.0 / CAST(n.d AS DOUBLE) AS w
+    FROM per_src p CROSS JOIN gtot g CROSS JOIN nsrc n
+)""",
+    ]
+    for k in range(1, _Q261_K + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f"a{k} AS (SELECT CAST(sum(CAST(floor(w * bits * {sc}) AS"
+            f" BIGINT)) AS BIGINT) AS avg_s FROM {prev})"
+        )
+        parts.append(
+            f"""s{k} AS (
+    SELECT p.source, p.d, p.bits,
+           p.w * exp({_Q261_ETA} * (p.bits
+                     - CAST(a.avg_s AS DOUBLE) / {sc})) AS u
+    FROM {prev} p CROSS JOIN a{k} a
+)"""
+        )
+        parts.append(
+            f"z{k} AS (SELECT CAST(sum(CAST(floor(u * {sc}) AS BIGINT))"
+            f" AS BIGINT) AS z_s FROM s{k})"
+        )
+        parts.append(
+            f"""r{k} AS (
+    SELECT s.source, s.d, s.bits,
+           s.u / (CAST(z.z_s AS DOUBLE) / {sc}) AS w
+    FROM s{k} s CROSS JOIN z{k} z
+)"""
+        )
+    w_cols = ",\n       ".join(
+        f"floor(r{k}.w * 1000000 + 0.5) / 1000000.0 AS w{k}"
+        for k in range(1, _Q261_K + 1)
+    )
+    joins = "\n".join(
+        f"JOIN r{k} ON r{k}.source = r0.source"
+        for k in range(1, _Q261_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT r0.source,
+       floor(r0.bits * 1000000 + 0.5) / 1000000.0 AS loss_bits,
+       {w_cols}
+FROM r0
+{joins}
+ORDER BY r0.source
+"""
+    )
+
+
+Q261_SQL = _q261_sql()
+
+
 QUERIES = [
     Query("q250_modularity", q250_modularity, Q250_SQL,
           survey="ext:modularity,ext:graph-components,ext:lsh-banding",
+          tags=("bench",)),
+    Query("q261_doremi_weights", q261_doremi_weights, Q261_SQL,
+          survey="ext:doremi-reweighting,ext:dataset-mixing,"
+                 "ext:quality-classifier,ext:raking-ipf",
           tags=("bench",)),
     Query("q253_surrogate_keys", q253_surrogate_keys, Q253_SQL,
           survey="ext:surrogate-keys,ext:dict-encoding,ext:prefix-scan,"

@@ -5266,7 +5266,148 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q262 — A/A-test calibration (ext): the experimentation platform's
+# own health check — run the q213 Welch machinery over S INDEPENDENT
+# null splits (md5-salted per-order arms of the SAME population) and
+# report each split's t statistic plus the false-positive rate, which
+# must sit near α (a platform whose A/A FP rate is 20% ships lies).
+# One corpus pass, NO S× fan-out: all S seed-arms are computed as
+# expression COLUMNS and folded in a single groupless aggregate
+# (6·S exact DECIMAL sums); every downstream number is pure
+# fixed-shape double algebra on that 1-row frame. Completes the
+# experiment family (q213 Welch → q185 CUPED → q233 MW → q258 QTE →
+# q240 log-rank) with the meta-test that validates them.
+# ---------------------------------------------------------------------------
+_Q262_SEEDS = 20
+_Q262_TCRIT = 1.959964
+
+
+def q262_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr
+
+    orders = load(spark, sf_dir, "orders")
+    q = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cols = []
+    for s in range(_Q262_SEEDS):
+        arm = F.pmod(sample_key_expr("o_orderkey", salt=f"aa{s}"), F.lit(2))
+        qd = F.col("_q").cast("decimal(38,0)")
+        cols += [
+            F.sum(F.when(arm == 1, 1).otherwise(0)).alias(f"n1_{s}"),
+            F.sum(F.when(arm == 1, qd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(f"s1_{s}"),
+            F.sum(F.when(arm == 1, qd * qd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(f"ss1_{s}"),
+            F.sum(F.when(arm == 0, 1).otherwise(0)).alias(f"n0_{s}"),
+            F.sum(F.when(arm == 0, qd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(f"s0_{s}"),
+            F.sum(F.when(arm == 0, qd * qd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(f"ss0_{s}"),
+        ]
+    base = orders.select(F.col("o_orderkey"), q.alias("_q")).agg(*cols)
+    rows = []
+    for s in range(_Q262_SEEDS):
+        n1 = F.col(f"n1_{s}").cast("double")
+        n0 = F.col(f"n0_{s}").cast("double")
+        v1 = (
+            n1 * F.col(f"ss1_{s}").cast("double")
+            - F.col(f"s1_{s}").cast("double") * F.col(f"s1_{s}").cast("double")
+        ) / (n1 * (n1 - F.lit(1.0)))
+        v0 = (
+            n0 * F.col(f"ss0_{s}").cast("double")
+            - F.col(f"s0_{s}").cast("double") * F.col(f"s0_{s}").cast("double")
+        ) / (n0 * (n0 - F.lit(1.0)))
+        t = (
+            F.col(f"s1_{s}").cast("double") / n1
+            - F.col(f"s0_{s}").cast("double") / n0
+        ) / F.sqrt(v1 / n1 + v0 / n0)
+        rows.append(
+            base.select(
+                F.lit(s).alias("seed"),
+                F.col(f"n1_{s}").cast("long").alias("n1"),
+                F.col(f"n0_{s}").cast("long").alias("n0"),
+                t.alias("_t"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    out = out.localCheckpoint(eager=False)  # feeds rows + FP-rate rollup
+    fp = out.agg(
+        F.sum((F.abs(F.col("_t")) > _Q262_TCRIT).cast("long")).alias("n_fp")
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        out.crossJoin(F.broadcast(fp))
+        .select(
+            F.col("seed").cast("int").alias("seed"),
+            "n1",
+            "n0",
+            r4(F.col("_t")).alias("t_stat"),
+            (F.abs(F.col("_t")) > _Q262_TCRIT).cast("int").alias("false_positive"),
+            r4(F.col("n_fp").cast("double") / F.lit(float(_Q262_SEEDS))).alias(
+                "fp_rate"
+            ),
+        )
+        .orderBy("seed")
+    )
+
+
+def _q262_seed_sql(s: int) -> str:
+    arm = (
+        f"CAST(CAST('0x' || substring(md5('aa{s}:' || CAST(o_orderkey AS"
+        f" VARCHAR)), 1, 8) AS BIGINT) % 2 AS INTEGER)"
+    )
+    return f"""SELECT {s} AS seed,
+       CAST(sum(CASE WHEN {arm} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN {arm} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       CAST(sum(CASE WHEN {arm} = 1 THEN q ELSE 0 END) AS HUGEINT) AS s1,
+       CAST(sum(CASE WHEN {arm} = 1 THEN q * q ELSE 0 END) AS HUGEINT) AS ss1,
+       CAST(sum(CASE WHEN {arm} = 0 THEN q ELSE 0 END) AS HUGEINT) AS s0,
+       CAST(sum(CASE WHEN {arm} = 0 THEN q * q ELSE 0 END) AS HUGEINT) AS ss0
+FROM (SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS q
+      FROM orders)"""
+
+
+Q262_SQL = (
+    "WITH per_seed AS (\n"
+    + "\nUNION ALL\n".join(_q262_seed_sql(s) for s in range(_Q262_SEEDS))
+    + f"""
+),
+scored AS (
+    SELECT seed, n1, n0,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / sqrt((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+                  / CAST(n1 AS DOUBLE)
+                  + (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                    / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))
+                    / CAST(n0 AS DOUBLE)) AS t
+    FROM per_seed
+),
+fp AS (
+    SELECT CAST(sum(CASE WHEN abs(t) > {_Q262_TCRIT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fp
+    FROM scored
+)
+SELECT CAST(s.seed AS INTEGER) AS seed,
+       s.n1, s.n0,
+       floor(s.t * 10000 + 0.5) / 10000.0 AS t_stat,
+       CAST(CASE WHEN abs(s.t) > {_Q262_TCRIT} THEN 1 ELSE 0 END
+            AS INTEGER) AS false_positive,
+       floor(CAST(f.n_fp AS DOUBLE) / {float(_Q262_SEEDS)!r} * 10000 + 0.5)
+           / 10000.0 AS fp_rate
+FROM scored s CROSS JOIN fp f
+ORDER BY seed
+"""
+)
+
+
 QUERIES = [
+    Query("q262_aa_calibration", q262_aa_calibration, Q262_SQL,
+          survey="ext:aa-calibration,ext:ab-experiment,ext:hash-sampling,"
+                 "ext:welch-ttest",
+          tags=("bench",)),
     Query("q258_quantile_effects", q258_quantile_effects, Q258_SQL,
           survey="ext:quantile-effects,ext:ab-experiment,ext:percentiles,"
                  "ext:prefix-scan"),

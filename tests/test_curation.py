@@ -593,3 +593,52 @@ def test_surrogate_keys_python_twin(spark, sf_dir):
     n = len(got)
     ids = list(got.values())
     assert (min(ids), max(ids), sum(ids)) == (0, n - 1, n * (n - 1) // 2)
+
+
+def test_doremi_weights_python_twin(spark, sf_dir):
+    """q261 vs a Counter twin replicating the scaled-integer folds;
+    weights stay a distribution and order by excess loss."""
+    from collections import Counter
+    from math import exp, floor, log
+
+    from bbc_news_data_pipeline_spark.plans.curation_plans import (
+        _Q261_ETA,
+        _Q261_K,
+        _Q261_SCALE,
+        q261_doremi_weights,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    sw = {}
+    for r in pdf.itertuples():
+        c = sw.setdefault(r.source, Counter())
+        c.update(w for w in r.text.lower().split(" ") if w)
+    vocab = Counter()
+    for c in sw.values():
+        vocab.update(c)
+    t = sum(vocab.values())
+    ls_scale = _Q261_SCALE / 1_000_000.0
+    bits = {}
+    for s, c in sw.items():
+        s_ln = sum(floor(ci * log(vocab[w]) * ls_scale) for w, ci in c.items())
+        nd = sum(c.values())
+        bits[s] = (log(t) - s_ln / ls_scale / nd) / log(2)
+    d = len(sw)
+    w = {s: 1 / d for s in sw}
+    traj = []
+    for _ in range(_Q261_K):
+        avg = sum(floor(w[s] * bits[s] * _Q261_SCALE) for s in sorted(sw)) / _Q261_SCALE
+        u = {s: w[s] * exp(_Q261_ETA * (bits[s] - avg)) for s in sw}
+        z = sum(floor(u[s] * _Q261_SCALE) for s in sorted(sw)) / _Q261_SCALE
+        w = {s: u[s] / z for s in sw}
+        traj.append(dict(w))
+    out = {r.source: r for r in q261_doremi_weights(spark, sf_dir).collect()}
+    assert set(out) == set(sw)
+    for s, r in out.items():
+        assert r.loss_bits == floor(bits[s] * 1e6 + 0.5) / 1e6
+        for k in range(1, _Q261_K + 1):
+            assert getattr(r, f"w{k}") == floor(traj[k - 1][s] * 1e6 + 0.5) / 1e6
+    # final weights: a distribution, ordered like the losses
+    w3 = sorted((r.w3, r.loss_bits) for r in out.values())
+    assert abs(sum(r.w3 for r in out.values()) - 1.0) < 1e-3
+    assert all(a[1] <= b[1] + 1e-9 for a, b in zip(w3, w3[1:]))

@@ -1030,3 +1030,41 @@ def test_dispersion_index_python_twin(spark, sf_dir, tmp_path):
            q259_dispersion_index(spark, str(tmp_path)).collect()}
     assert got["steady"].bursty == 0 and got["steady"].dispersion == 0.0
     assert got["bursty"].bursty == 1 and got["bursty"].dispersion > 10
+
+
+def test_aa_calibration_python_twin(spark, sf_dir):
+    """q262: recompute two seeds' null splits in python (md5 arms, Welch
+    t); fp_rate must equal n_fp/S and sit well below 50%."""
+    import hashlib
+    from math import floor, sqrt
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q262_SEEDS,
+        _Q262_TCRIT,
+        q262_aa_calibration,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    o["q"] = (o.o_totalprice * 100 + 0.5).apply(floor).astype(int)
+    rows = {r.seed: r for r in q262_aa_calibration(spark, sf_dir).collect()}
+    assert set(rows) == set(range(_Q262_SEEDS))
+    for s in (0, 7):
+        arms = {0: [], 1: []}
+        for k, q in zip(o.o_orderkey, o.q):
+            a = int(hashlib.md5(f"aa{s}:{k}".encode()).hexdigest()[:8], 16) % 2
+            arms[a].append(q)
+        n1, n0 = len(arms[1]), len(arms[0])
+        s1, s0 = sum(arms[1]), sum(arms[0])
+        ss1 = sum(x * x for x in arms[1])
+        ss0 = sum(x * x for x in arms[0])
+        v1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1))
+        v0 = (n0 * ss0 - s0 * s0) / (n0 * (n0 - 1))
+        t = (s1 / n1 - s0 / n0) / sqrt(v1 / n1 + v0 / n0)
+        r = rows[s]
+        assert (r.n1, r.n0) == (n1, n0)
+        assert r.t_stat == floor(t * 1e4 + 0.5) / 1e4
+        assert r.false_positive == (1 if abs(t) > _Q262_TCRIT else 0)
+    n_fp = sum(r.false_positive for r in rows.values())
+    for r in rows.values():
+        assert r.fp_rate == floor(n_fp / _Q262_SEEDS * 1e4 + 0.5) / 1e4
+    assert n_fp <= _Q262_SEEDS // 2  # a sane platform: nowhere near coin-flip
