@@ -5403,7 +5403,143 @@ ORDER BY seed
 )
 
 
+# ---------------------------------------------------------------------------
+# q264 — group-fairness audit (ext): the responsible-deployment
+# readout no eval family is complete without — does a decision rule
+# treat cohorts equally? Rule under audit: "expedite orders with
+# URGENT/HIGH priority" (ŷ); realized outcome: "the order had a
+# returned line item" (y, one semi-join flag). Per market segment:
+# selection rate, TPR, FPR (exact integer ratios), demographic-parity
+# ratio vs the overall selection rate with the EEOC 80%-rule flag,
+# and the equalized-odds gaps (TPR/FPR deltas vs overall). Scale: one
+# orders⋈customer join, one orderkey semi-join for the outcome flag,
+# one groupBy — counts only.
+# ---------------------------------------------------------------------------
+def q264_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    obs = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(returned, "o_orderkey", "left")
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .cast("long")
+            .alias("yh"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    g = obs.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yh").cast("long").alias("sel"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.col("yh") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("yh") * (1 - F.col("y"))).cast("long").alias("fp"),
+    ).localCheckpoint(eager=False)  # rows + overall fold
+    tot = g.agg(
+        F.sum("n").alias("n_t"),
+        F.sum("sel").alias("sel_t"),
+        F.sum("pos").alias("pos_t"),
+        F.sum("tp").alias("tp_t"),
+        F.sum("fp").alias("fp_t"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    sr = F.col("sel").cast("double") / F.col("n").cast("double")
+    sr_t = F.col("sel_t").cast("double") / F.col("n_t").cast("double")
+    tpr = F.col("tp").cast("double") / F.col("pos").cast("double")
+    tpr_t = F.col("tp_t").cast("double") / F.col("pos_t").cast("double")
+    fpr = F.col("fp").cast("double") / (F.col("n") - F.col("pos")).cast("double")
+    fpr_t = F.col("fp_t").cast("double") / (
+        F.col("n_t") - F.col("pos_t")
+    ).cast("double")
+    dp = sr / sr_t
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n",
+            "sel",
+            "pos",
+            r6(sr).alias("sel_rate"),
+            r6(tpr).alias("tpr"),
+            r6(fpr).alias("fpr"),
+            r4(dp).alias("dp_ratio"),
+            (dp < F.lit(0.8)).cast("int").alias("fails_80pct_rule"),
+            r4(tpr - tpr_t).alias("eo_tpr_gap"),
+            r4(fpr - fpr_t).alias("eo_fpr_gap"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q264_SQL = """
+WITH returned AS (
+    SELECT DISTINCT l_orderkey AS o_orderkey, 1 AS y
+    FROM lineitem WHERE l_returnflag = 'R'
+),
+obs AS (
+    SELECT c.c_mktsegment AS seg,
+           CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS yh,
+           coalesce(r.y, 0) AS y
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    LEFT JOIN returned r ON r.o_orderkey = o.o_orderkey
+),
+g AS (
+    SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yh) AS BIGINT) AS sel,
+           CAST(sum(y) AS BIGINT) AS pos,
+           CAST(sum(yh * y) AS BIGINT) AS tp,
+           CAST(sum(yh * (1 - y)) AS BIGINT) AS fp
+    FROM obs GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n_t, CAST(sum(sel) AS BIGINT) AS sel_t,
+           CAST(sum(pos) AS BIGINT) AS pos_t, CAST(sum(tp) AS BIGINT) AS tp_t,
+           CAST(sum(fp) AS BIGINT) AS fp_t
+    FROM g
+)
+SELECT g.seg, g.n, g.sel, g.pos,
+       floor(CAST(g.sel AS DOUBLE) / CAST(g.n AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS sel_rate,
+       floor(CAST(g.tp AS DOUBLE) / CAST(g.pos AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS tpr,
+       floor(CAST(g.fp AS DOUBLE) / CAST(g.n - g.pos AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS fpr,
+       floor((CAST(g.sel AS DOUBLE) / CAST(g.n AS DOUBLE))
+             / (CAST(t.sel_t AS DOUBLE) / CAST(t.n_t AS DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS dp_ratio,
+       CAST(CASE WHEN (CAST(g.sel AS DOUBLE) / CAST(g.n AS DOUBLE))
+                      / (CAST(t.sel_t AS DOUBLE) / CAST(t.n_t AS DOUBLE))
+                      < 0.8
+                 THEN 1 ELSE 0 END AS INTEGER) AS fails_80pct_rule,
+       floor((CAST(g.tp AS DOUBLE) / CAST(g.pos AS DOUBLE)
+              - CAST(t.tp_t AS DOUBLE) / CAST(t.pos_t AS DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS eo_tpr_gap,
+       floor((CAST(g.fp AS DOUBLE) / CAST(g.n - g.pos AS DOUBLE)
+              - CAST(t.fp_t AS DOUBLE) / CAST(t.n_t - t.pos_t AS DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS eo_fpr_gap
+FROM g CROSS JOIN tot t
+ORDER BY g.seg
+"""
+
+
 QUERIES = [
+    Query("q264_fairness_audit", q264_fairness_audit, Q264_SQL,
+          survey="ext:fairness-audit,ext:model-eval,ext:ab-experiment,"
+                 "ext:data-profiling"),
     Query("q262_aa_calibration", q262_aa_calibration, Q262_SQL,
           survey="ext:aa-calibration,ext:ab-experiment,ext:hash-sampling,"
                  "ext:welch-ttest",

@@ -1591,6 +1591,121 @@ ORDER BY decile
 Q260_SQL = _q260_sql()
 
 
+# ---------------------------------------------------------------------------
+# q263 — precision–recall curve + best-F1 threshold (ext): the
+# model-eval member still missing after AUC (q233), ECE (q159),
+# isotonic (q237) and conformal (q204) — the THRESHOLD-PICKING
+# readout. Classifier: the q36 stopword-share language-ID score
+# (real monotone signal for lang='en'); the score domain is the
+# integer percent bucket (st·100) div nt ∈ [0,100], so the curve is
+# a DOMAIN-bounded rollup. Descending cumulative TP/N per threshold
+# via a ≤101-row self-join (no window at all); precision, recall and
+# F1 = 2·ctp/(cn+P) are exact integer ratios; the best-F1 pick is a
+# (double, bucket) selection — identical on both engines.
+# ---------------------------------------------------------------------------
+def q263_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    staged = docs.select(
+        (stop_token_count_expr_from(tokens) * 100).alias("st100"),
+        F.size(tokens).cast("long").alias("nt"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    scored = staged.select(
+        F.expr("st100 div nt").cast("long").alias("b"), "y"
+    )
+    cells = scored.groupBy("b").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    ).localCheckpoint(eager=False)  # self-join + totals reference this
+    tot = cells.agg(F.sum("pos").cast("long").alias("p_tot"))
+    hi = cells.select(F.col("b").alias("bj"), F.col("n").alias("nj"),
+                      F.col("pos").alias("posj"))
+    cum = (
+        cells.join(hi, F.col("bj") >= F.col("b"))
+        .groupBy("b", "n", "pos")
+        .agg(
+            F.sum("nj").cast("long").alias("cn"),
+            F.sum("posj").cast("long").alias("ctp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .localCheckpoint(eager=False)  # rows + the best-F1 fold
+    )
+    f1 = (F.lit(2.0) * F.col("ctp").cast("double")) / (
+        F.col("cn") + F.col("p_tot")
+    ).cast("double")
+    best = cum.agg(
+        F.max(F.struct(f1.alias("f1"), (-F.col("b")).alias("nb"))).alias("s")
+    ).select(
+        (-F.col("s.nb")).cast("long").alias("best_bucket"),
+        F.col("s.f1").alias("best_f1"),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        cum.crossJoin(F.broadcast(best))
+        .select(
+            F.col("b").cast("long").alias("threshold_pct"),
+            F.col("n").cast("long").alias("n_at"),
+            F.col("ctp"),
+            F.col("cn"),
+            r6(F.col("ctp").cast("double") / F.col("cn").cast("double")).alias(
+                "precision"
+            ),
+            r6(
+                F.col("ctp").cast("double") / F.col("p_tot").cast("double")
+            ).alias("recall"),
+            r6(f1).alias("f1"),
+            "best_bucket",
+            r6(F.col("best_f1")).alias("best_f1"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+Q263_SQL = f"""
+WITH scored AS (
+    SELECT CAST(CAST(len(list_filter(str_split(lower(text), ' '),
+                         t -> t IN ({_STOPLIST_SQL}))) AS BIGINT) * 100
+                // CAST(len(str_split(lower(text), ' ')) AS BIGINT)
+                AS BIGINT) AS b,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+cells AS (SELECT b, count(*) AS n, sum(y) AS pos FROM scored GROUP BY 1),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_tot FROM cells),
+cum AS (
+    SELECT c.b, c.n, c.pos,
+           CAST(sum(h.n) AS BIGINT) AS cn,
+           CAST(sum(h.pos) AS BIGINT) AS ctp
+    FROM cells c JOIN cells h ON h.b >= c.b
+    GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT b AS best_bucket,
+           2.0 * CAST(ctp AS DOUBLE) / (CAST(cn AS DOUBLE)
+               + (SELECT p_tot FROM tot)) AS best_f1
+    FROM cum
+    ORDER BY 2.0 * CAST(ctp AS DOUBLE)
+             / (CAST(cn AS DOUBLE) + (SELECT p_tot FROM tot)) DESC,
+             b ASC
+    LIMIT 1
+)
+SELECT CAST(c.b AS BIGINT) AS threshold_pct,
+       CAST(c.n AS BIGINT) AS n_at,
+       c.ctp, c.cn,
+       floor(CAST(c.ctp AS DOUBLE) / CAST(c.cn AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS precision,
+       floor(CAST(c.ctp AS DOUBLE) / CAST(t.p_tot AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS recall,
+       floor(2.0 * CAST(c.ctp AS DOUBLE)
+             / (CAST(c.cn AS DOUBLE) + t.p_tot) * 1000000 + 0.5)
+           / 1000000.0 AS f1,
+       CAST(bs.best_bucket AS BIGINT) AS best_bucket,
+       floor(bs.best_f1 * 1000000 + 0.5) / 1000000.0 AS best_f1
+FROM cum c CROSS JOIN tot t CROSS JOIN best bs
+ORDER BY threshold_pct
+"""
+
+
 Q254_SQL = f"""
 WITH freq AS (
     SELECT w, count(*) AS f FROM (
@@ -1668,6 +1783,9 @@ QUERIES = [
     Query("q260_heaps_law", q260_heaps_law, Q260_SQL,
           survey="ext:heaps-law,ext:zipf-fit,ext:data-profiling,"
                  "ext:dict-encoding"),
+    Query("q263_pr_curve", q263_pr_curve, Q263_SQL,
+          survey="ext:pr-curve,ext:model-eval,ext:langid,"
+                 "ext:calibration-ece"),
     Query("q30_doc_stats", q30_doc_stats, Q30_SQL, survey="P3,U5 + token-count ext"),
     Query("q31_clean_text_chain", q31_clean_text_chain, Q31_SQL, survey="F1-F8,U1", tags=("bench",)),
     Query("q32_word_freq_top20", q32_word_freq_top20, Q32_SQL, survey="A11,F10", tags=("bench",)),

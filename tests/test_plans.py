@@ -1442,3 +1442,74 @@ def test_heaps_law_python_twin(spark, sf_dir):
     assert all(a <= b for a, b in zip(vs, vs[1:]))
     assert vs[-1] == len(first)
     assert 0 < rows[0].heaps_beta < 1.2
+
+
+def test_pr_curve_python_twin(spark, sf_dir):
+    """q263 vs a Counter twin: descending-threshold cumulative TP/N,
+    F1 = 2*ctp/(cn+P); precision/recall monotonicity sanity."""
+    from collections import Counter
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.functions.textstats import (
+        EN_STOPWORDS_CORE,
+    )
+    from bbc_news_data_pipeline_spark.plans.text_plans import q263_pr_curve
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    stops = set(EN_STOPWORDS_CORE)
+    cells_n, cells_p = Counter(), Counter()
+    for r in pdf.itertuples():
+        toks = r.text.lower().split(" ")
+        b = (sum(1 for t in toks if t in stops) * 100) // len(toks)
+        cells_n[b] += 1
+        cells_p[b] += 1 if r.lang == "en" else 0
+    p_tot = sum(cells_p.values())
+    rows = q263_pr_curve(spark, sf_dir).collect()
+    assert {r.threshold_pct for r in rows} == set(cells_n)
+    best = None
+    for b in cells_n:
+        cn = sum(n for bb, n in cells_n.items() if bb >= b)
+        ctp = sum(p for bb, p in cells_p.items() if bb >= b)
+        f1 = 2 * ctp / (cn + p_tot)
+        cand = (-f1, b)
+        if best is None or cand < best:
+            best = cand
+    for r in rows:
+        b = r.threshold_pct
+        cn = sum(n for bb, n in cells_n.items() if bb >= b)
+        ctp = sum(p for bb, p in cells_p.items() if bb >= b)
+        assert (r.cn, r.ctp) == (cn, ctp)
+        assert r.precision == floor(ctp / cn * 1e6 + 0.5) / 1e6
+        assert r.recall == floor(ctp / p_tot * 1e6 + 0.5) / 1e6
+        assert r.f1 == floor(2 * ctp / (cn + p_tot) * 1e6 + 0.5) / 1e6
+        assert r.best_bucket == best[1]
+        assert r.best_f1 == floor(-best[0] * 1e6 + 0.5) / 1e6
+    srt = sorted(rows, key=lambda r: r.threshold_pct)
+    recs = [r.recall for r in srt]
+    assert all(a >= b for a, b in zip(recs, recs[1:]))  # recall falls with cut
+    # bucket 0 IS the keep-everything classifier, so best F1 can never
+    # fall below the base rate (the synthetic corpus carries no real
+    # language signal — documented fixture property — so here the best
+    # threshold degenerates to that baseline)
+    n_tot = sum(cells_n.values())
+    f1_base = 2 * p_tot / (n_tot + p_tot)
+    assert max(r.f1 for r in rows) >= floor(f1_base * 1e6) / 1e6
+
+
+def test_pr_curve_separates_authored_corpus(spark, tmp_path):
+    """On an authored corpus where en docs ARE stopword-dense, the best
+    threshold must sit strictly above zero and reach high F1."""
+    from bbc_news_data_pipeline_spark.plans.text_plans import q263_pr_curve
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "the of and to in a is that it was", "en", "s", None))
+    for i in range(30, 60):
+        rows.append((i, "zz yy xx ww vv uu tt ss rr qq", "de", "s", None))
+    # a few noisy crossovers so the curve has real interior points
+    rows.append((60, "the zz yy xx ww vv uu tt ss rr", "de", "s", None))
+    rows.append((61, "zz of and yy xx ww vv uu tt ss", "en", "s", None))
+    out = q263_pr_curve(spark, _write_docs(tmp_path, rows)).collect()
+    best = out[0]
+    assert best.best_bucket > 0
+    assert best.best_f1 > 0.9

@@ -1068,3 +1068,40 @@ def test_aa_calibration_python_twin(spark, sf_dir):
     for r in rows.values():
         assert r.fp_rate == floor(n_fp / _Q262_SEEDS * 1e4 + 0.5) / 1e4
     assert n_fp <= _Q262_SEEDS // 2  # a sane platform: nowhere near coin-flip
+
+
+def test_fairness_audit_python_twin(spark, sf_dir):
+    """q264 vs a pandas twin of every rate/gap; verdict fields are
+    consistent with the dp_ratio arithmetic."""
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q264_fairness_audit,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    ret = set(li[li.l_returnflag == "R"].l_orderkey)
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df["yh"] = df.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+    df["y"] = df.o_orderkey.isin(ret).astype(int)
+    out = {r.seg: r for r in q264_fairness_audit(spark, sf_dir).collect()}
+    n_t, sel_t = len(df), df.yh.sum()
+    pos_t, tp_t = df.y.sum(), (df.yh * df.y).sum()
+    fp_t = (df.yh * (1 - df.y)).sum()
+    for seg, grp in df.groupby("c_mktsegment"):
+        n, sel, pos = len(grp), grp.yh.sum(), grp.y.sum()
+        tp, fp = (grp.yh * grp.y).sum(), (grp.yh * (1 - grp.y)).sum()
+        r = out[seg]
+        assert (r.n, r.sel, r.pos) == (n, sel, pos)
+        assert r.sel_rate == floor(sel / n * 1e6 + 0.5) / 1e6
+        assert r.tpr == floor(tp / pos * 1e6 + 0.5) / 1e6
+        assert r.fpr == floor(fp / (n - pos) * 1e6 + 0.5) / 1e6
+        dp = (sel / n) / (sel_t / n_t)
+        assert r.dp_ratio == floor(dp * 1e4 + 0.5) / 1e4
+        assert r.fails_80pct_rule == (1 if dp < 0.8 else 0)
+        assert r.eo_tpr_gap == floor((tp / pos - tp_t / pos_t) * 1e4 + 0.5) / 1e4
+        assert r.eo_fpr_gap == floor(
+            (fp / (n - pos) - fp_t / (n_t - pos_t)) * 1e4 + 0.5
+        ) / 1e4
