@@ -576,3 +576,141 @@ def test_resolve_latest_matches_python_max(spark, rows):
         if k not in expected or (v, p) > expected[k]:
             expected[k] = (v, p)
     assert got == expected
+
+
+# --- sixth-wave algebraic formulations: the math each plan relies on ---
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)).map(
+            lambda t: (t[0], min(t[1], t[0]))
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pav_minimax_equals_sequential_stack(cells):
+    """q237's join formulation fitted_i = max_{j<=i} min_{k>=i}
+    mean(y over j..k) must equal classic pool-adjacent-violators on
+    ARBITRARY bucket tables (exact rational comparison)."""
+    from fractions import Fraction
+
+    # minimax
+    D = len(cells)
+    mm = []
+    for i in range(D):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, D):
+                n = sum(c[0] for c in cells[j : k + 1])
+                y = sum(c[1] for c in cells[j : k + 1])
+                v = Fraction(y, n)
+                worst = v if worst is None or v < worst else worst
+            best = worst if best is None or worst > best else best
+        mm.append(best)
+    # sequential PAV stack (pool while prev mean >= cur mean)
+    stack = []
+    for n, y in cells:
+        stack.append([n, y, 1])
+        while len(stack) > 1 and Fraction(stack[-2][1], stack[-2][0]) >= Fraction(
+            stack[-1][1], stack[-1][0]
+        ):
+            b = stack.pop()
+            stack[-1] = [stack[-1][0] + b[0], stack[-1][1] + b[1], stack[-1][2] + b[2]]
+    pav = []
+    for n, y, w in stack:
+        pav.extend([Fraction(y, n)] * w)
+    assert mm == pav
+
+
+@given(
+    st.lists(st.integers(0, 8), min_size=2, max_size=30),
+    st.lists(st.booleans(), min_size=2, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_mannwhitney_prefix_formulation_equals_rank_formula(vals, flags):
+    """q233's cell algebra 2U = sum na*(2*cum_nb_below + nb_here) must
+    equal the textbook rank-sum U on arbitrary tied data."""
+    n = min(len(vals), len(flags))
+    vals, flags = vals[:n], flags[:n]
+    if not any(flags) or all(flags):
+        return
+    # rank formula with average ranks (2*rank to stay integral)
+    svals = sorted(vals)
+    r2 = {}
+    for v in set(vals):
+        below = sum(1 for x in svals if x < v)
+        t = sum(1 for x in svals if x == v)
+        r2[v] = 2 * below + t + 1
+    ra2 = sum(r2[v] for v, f in zip(vals, flags) if f)
+    n1 = sum(flags)
+    u2_rank = ra2 - n1 * (n1 + 1)  # 2*(R1 - n1(n1+1)/2)
+    # q233's prefix-cell algebra
+    cells = {}
+    for v, f in zip(vals, flags):
+        na, nb = cells.get(v, (0, 0))
+        cells[v] = (na + 1, nb) if f else (na, nb + 1)
+    u2_cells = 0
+    for v in cells:
+        na, nb = cells[v]
+        cum_nb = sum(b for w, (_, b) in cells.items() if w < v)
+        u2_cells += na * (2 * cum_nb + nb)
+    assert u2_cells == u2_rank
+
+
+@given(st.lists(st.integers(0, 1000), min_size=2, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_gini_tieblock_formula_equals_sorted_enumerate(xs):
+    """q243's tie-block sum v*(2*c*u + c*(c+1)) must equal
+    2*sum_i i*x_i over the sorted list, for any multiset."""
+    from collections import Counter
+
+    if sum(xs) == 0:
+        return
+    srt = sorted(xs)
+    s2_direct = 2 * sum((i + 1) * x for i, x in enumerate(srt))
+    cnt = Counter(xs)
+    s2_block = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        u = sum(cc for w, cc in cnt.items() if w < v)
+        s2_block += v * (2 * c * u + c * (c + 1))
+    assert s2_block == s2_direct
+
+
+@given(st.integers(1, 10_000), st.integers(1, 10_000), st.integers(1, 10))
+@settings(max_examples=500, deadline=None)
+def test_heaps_decile_bucket_identity(x, dmax, k):
+    """q260's b(x) = ceil(STEPS*x/dmax) satisfies b(x) <= k  <=>
+    x <= (dmax*k) div STEPS for every integer triple."""
+    steps = 10
+    x = x % (dmax + 1)  # x in [0, dmax]
+    b = (x * steps + dmax - 1) // dmax
+    ck = (dmax * k) // steps
+    assert (b <= k) == (x <= ck)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.booleans()), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_km_riskset_recursion_equals_brute(lives):
+    """q234's risk-set recursion n_t = N - cum(prev d+c) must equal the
+    brute 'count of lifetimes >= t' definition for any censoring
+    pattern."""
+    from collections import Counter
+
+    d = Counter(t for t, c in lives if not c)
+    c = Counter(t for t, cc in lives if cc)
+    N = len(lives)
+    cum = 0
+    for t in sorted(set(d) | set(c)):
+        n_risk = N - cum
+        brute = sum(1 for tt, _ in lives if tt >= t)
+        assert n_risk == brute
+        cum += d.get(t, 0) + c.get(t, 0)
