@@ -1698,7 +1698,245 @@ def _q248_sql() -> str:
 Q248_SQL = _q248_sql()
 
 
+# ---------------------------------------------------------------------------
+# q265 — nDCG ranking-quality eval (ext): the GRADED metric the
+# recall bake-offs (q199/q216/q231) cannot express — recall@k treats
+# a hit at rank 1 and rank 10 identically; nDCG@10 weights positions
+# by 1/log2(i+1), so it detects rank-order damage that preserves the
+# hit SET. Relevance = embedding-label match (the corpus's own labels
+# as ground truth, the q40-family convention); arms = exact full-dim
+# search vs the 16-dim Matryoshka truncation. Determinism: rankings
+# order by exact int64 quantized distances with id tiebreaks; the ten
+# discount weights AND the IDCG cumulative table are shared decimal
+# LITERALS (never engine log2 calls); IDCG = C[min(10, |label|−1)].
+# Per-query rows + the two means (floor-scaled order-free sums)
+# replicated, q227 convention. Scale: Q×N score pairs partition-
+# ranked per query — the standard eval-harness shape; Q is a
+# 1-in-25 hash-free id-stride sample.
+# ---------------------------------------------------------------------------
+_Q265_K = 10
+_Q265_QMOD = 25
+_Q265_TRUNC_D = 16
+_Q265_W = [
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163,
+    0.3562071871080222, 0.3333333333333333, 0.31546487678572877,
+    0.3010299956639812, 0.2890648263178879,
+]
+_Q265_C = [
+    1.0, 1.6309297535714575, 2.1309297535714578, 2.5616063116448506,
+    2.9484591188793923, 3.3046663059874146, 3.637999639320748,
+    3.953464516106477, 4.254494511770458, 4.543559338088346,
+]
+_Q265_SCALE = 1_000_000_000
+
+
+def q265_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select(
+        "vec_id", "label", _qint("embedding").alias("qv")
+    ).localCheckpoint(eager=False)  # queries + corpus + label counts
+    queries = qe.filter(F.col("vec_id") % _Q265_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("quvec"),
+    )
+    corpus = qe.select("vec_id", "label", "qv")
+    lc = qe.groupBy("label").agg(F.count("*").alias("n_label"))
+    def w_case(rn):
+        # chained CASE (when-without-otherwise is NULL, and NULL poisons
+        # the sum) — positions beyond K never reach here (rn <= K filter)
+        e = F.lit(0.0)
+        for i, w in enumerate(_Q265_W):
+            e = F.when(rn == i + 1, F.lit(w)).otherwise(e)
+        return e
+    ranked_base = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+        sq_l2_q(F.col("qv"), F.col("quvec")).alias("d_full"),
+        sq_l2_q(
+            F.slice(F.col("qv"), 1, _Q265_TRUNC_D),
+            F.slice(F.col("quvec"), 1, _Q265_TRUNC_D),
+        ).alias("d_tr"),
+    ).localCheckpoint(eager=False)  # both arms rank this frame
+    dcgs = {}
+    for arm, dcol in (("full", "d_full"), ("tr", "d_tr")):
+        wq = W.partitionBy("qid").orderBy(F.col(dcol), F.col("vec_id"))
+        top = (
+            ranked_base.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= _Q265_K)
+            .withColumn("w", w_case(F.col("rn")))
+        )
+        dcgs[arm] = top.groupBy("qid", "qlabel").agg(
+            F.sum(
+                F.floor(
+                    F.col("rel") * F.col("w") * F.lit(float(_Q265_SCALE))
+                ).cast("long")
+            ).alias(f"dcg_s_{arm}")
+        )
+    expr = F.lit(0.0)
+    for r, cv in enumerate(_Q265_C, start=1):
+        expr = F.when(F.col("r_q") == r, F.lit(cv)).otherwise(expr)
+    per_q = (
+        dcgs["full"]
+        .join(dcgs["tr"], ["qid", "qlabel"])
+        .join(lc.select(F.col("label").alias("qlabel"), "n_label"), "qlabel")
+        .withColumn(
+            "r_q",
+            F.least(F.lit(_Q265_K), (F.col("n_label") - 1).cast("int")),
+        )
+        # a query whose label is a singleton has no relevant neighbor —
+        # nDCG is undefined; drop it on BOTH sides
+        .filter(F.col("r_q") >= 1)
+        .withColumn("idcg", expr)
+        .localCheckpoint(eager=False)  # rows + the two mean folds
+    )
+    nd_full = (
+        F.col("dcg_s_full").cast("double")
+        / F.lit(float(_Q265_SCALE))
+        / F.col("idcg")
+    )
+    nd_tr = (
+        F.col("dcg_s_tr").cast("double")
+        / F.lit(float(_Q265_SCALE))
+        / F.col("idcg")
+    )
+    means = per_q.agg(
+        F.count("*").cast("long").alias("n_q"),
+        F.sum(F.floor(nd_full * F.lit(float(_Q265_SCALE))).cast("long")).alias(
+            "mf_s"
+        ),
+        F.sum(F.floor(nd_tr * F.lit(float(_Q265_SCALE))).cast("long")).alias(
+            "mt_s"
+        ),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        per_q.crossJoin(F.broadcast(means))
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("qlabel").cast("int").alias("qlabel"),
+            F.col("r_q").cast("int").alias("r_q"),
+            r6(nd_full).alias("ndcg_full"),
+            r6(nd_tr).alias("ndcg_trunc"),
+            r6(
+                F.col("mf_s").cast("double")
+                / F.lit(float(_Q265_SCALE))
+                / F.col("n_q").cast("double")
+            ).alias("mean_ndcg_full"),
+            r6(
+                F.col("mt_s").cast("double")
+                / F.lit(float(_Q265_SCALE))
+                / F.col("n_q").cast("double")
+            ).alias("mean_ndcg_trunc"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _q265_sql() -> str:
+    dist_full = (
+        "list_sum(list_transform(generate_series(1, len(c.embedding)), "
+        f"i -> ({_Q.format(x='c.embedding[i]')} - {_Q.format(x='q.embedding[i]')})"
+        f" * ({_Q.format(x='c.embedding[i]')} - {_Q.format(x='q.embedding[i]')})))"
+    )
+    dist_tr = (
+        f"list_sum(list_transform(generate_series(1, {_Q265_TRUNC_D}), "
+        f"i -> ({_Q.format(x='c.embedding[i]')} - {_Q.format(x='q.embedding[i]')})"
+        f" * ({_Q.format(x='c.embedding[i]')} - {_Q.format(x='q.embedding[i]')})))"
+    )
+    # CAST every literal to DOUBLE: DuckDB parses decimal literals as
+    # DECIMAL, and DECIMAL(17,17)·1e9 overflows (the q254 lesson)
+    w_case = "CASE rn " + " ".join(
+        f"WHEN {i + 1} THEN CAST({w!r} AS DOUBLE)"
+        for i, w in enumerate(_Q265_W)
+    ) + " END"
+    c_case = "CASE r_q " + " ".join(
+        f"WHEN {r} THEN CAST({cv!r} AS DOUBLE)"
+        for r, cv in enumerate(_Q265_C, start=1)
+    ) + " END"
+    sc = _Q265_SCALE
+    return f"""
+WITH queries AS (
+    SELECT vec_id AS qid, label AS qlabel, embedding
+    FROM embeddings WHERE vec_id % {_Q265_QMOD} = 0
+),
+lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+scored AS (
+    SELECT q.qid, q.qlabel, c.vec_id,
+           CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+           {dist_full} AS d_full,
+           {dist_tr} AS d_tr
+    FROM embeddings c JOIN queries q ON c.vec_id <> q.qid
+),
+rf AS (
+    SELECT qid, qlabel, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY d_full, vec_id)
+               AS rn
+    FROM scored
+),
+rt AS (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY d_tr, vec_id) AS rn
+    FROM scored
+),
+df AS (
+    SELECT qid, qlabel,
+           CAST(sum(CAST(floor(rel * ({w_case}) * {sc}) AS BIGINT))
+                AS BIGINT) AS dcg_s_full
+    FROM rf WHERE rn <= {_Q265_K} GROUP BY 1, 2
+),
+dt AS (
+    SELECT qid,
+           CAST(sum(CAST(floor(rel * ({w_case}) * {sc}) AS BIGINT))
+                AS BIGINT) AS dcg_s_tr
+    FROM rt WHERE rn <= {_Q265_K} GROUP BY 1
+),
+per_q AS (
+    SELECT df.qid, df.qlabel, df.dcg_s_full, dt.dcg_s_tr,
+           least({_Q265_K}, CAST(lc.n_label - 1 AS INTEGER)) AS r_q
+    FROM df JOIN dt ON dt.qid = df.qid
+    JOIN lc ON lc.label = df.qlabel
+    WHERE lc.n_label >= 2
+),
+idcg AS (SELECT *, {c_case} AS idcg FROM per_q),
+means AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_q,
+           CAST(sum(CAST(floor(CAST(dcg_s_full AS DOUBLE) / {sc} / idcg
+                                * {sc}) AS BIGINT)) AS BIGINT) AS mf_s,
+           CAST(sum(CAST(floor(CAST(dcg_s_tr AS DOUBLE) / {sc} / idcg
+                                * {sc}) AS BIGINT)) AS BIGINT) AS mt_s
+    FROM idcg
+)
+SELECT CAST(i.qid AS BIGINT) AS qid,
+       CAST(i.qlabel AS INTEGER) AS qlabel,
+       CAST(i.r_q AS INTEGER) AS r_q,
+       floor(CAST(i.dcg_s_full AS DOUBLE) / {sc} / i.idcg * 1000000 + 0.5)
+           / 1000000.0 AS ndcg_full,
+       floor(CAST(i.dcg_s_tr AS DOUBLE) / {sc} / i.idcg * 1000000 + 0.5)
+           / 1000000.0 AS ndcg_trunc,
+       floor(CAST(m.mf_s AS DOUBLE) / {sc} / CAST(m.n_q AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS mean_ndcg_full,
+       floor(CAST(m.mt_s AS DOUBLE) / {sc} / CAST(m.n_q AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS mean_ndcg_trunc
+FROM idcg i CROSS JOIN means m
+ORDER BY qid
+"""
+
+
+Q265_SQL = _q265_sql()
+
+
 QUERIES = [
+    Query("q265_ndcg_eval", q265_ndcg_eval, Q265_SQL,
+          survey="ext:ndcg-eval,ext:ann-recall,ext:model-eval,"
+                 "ext:dim-truncation",
+          tags=("bench",)),
     Query("q248_kcenter_coreset", q248_kcenter_coreset, Q248_SQL,
           survey="ext:kcenter-coreset,ext:diversity-selection,"
                  "ext:semantic-dedup,ext:kmeans-step",

@@ -5536,7 +5536,163 @@ ORDER BY g.seg
 """
 
 
+# ---------------------------------------------------------------------------
+# q266 — L-moments distribution profile (ext): the order-statistics
+# alternative to classical moments — L-CV, L-skewness and L-kurtosis
+# exist whenever the MEAN exists (q246's heavy tails break classical
+# skew/kurtosis), are bounded in [−1,1], and are the standard
+# regional-frequency-analysis fingerprint. Exact with NO global sort:
+# probability-weighted moments b_r need Σᵢ C(i−1,r)·x₍ᵢ₎, and over a
+# tie block of count c at rank offset u the hockey-stick identity
+# gives Σ C(i−1,r) = C(u+c, r+1) − C(u, r+1) — so per-nation prefix
+# offsets (exclusive_prefix_sum over the cents domain, the q243
+# machinery) turn the whole thing into cell-local DECIMAL(38)
+# binomial algebra (consecutive-integer products keep every `div`
+# exact; C(n,4)·v stays within 38 digits for per-nation n up to
+# ~10⁷ — documented bound). λ's and ratios are doubles at the end.
+# ---------------------------------------------------------------------------
+def q266_lmoments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import exclusive_prefix_sum
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    obs = orders.join(
+        cust.select("c_custkey", "c_nationkey"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    cells = (
+        obs.groupBy("nat", "v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # prefix hierarchy re-references
+    )
+    pre = exclusive_prefix_sum(cells, "nat", "v", "c", out_col="u", levels=3)
+
+    def falling(m, k: int):
+        # falling factorial P(m, k) = m(m-1)...(m-k+1) in DECIMAL(38,0):
+        # NO division (Spark's decimal `div` narrows to LONG and
+        # overflows) — the k! divisor moves into the final double b_r
+        num = "CAST(" + m + " AS DECIMAL(38,0))"
+        for j in range(1, k):
+            num = f"({num} * ({m} - {j}))"
+        return num
+
+    terms = pre.selectExpr(
+        "nat",
+        "CAST(c AS DECIMAL(38,0)) * v AS s0",
+        *[
+            f"({falling('(u + c)', r + 1)} - {falling('u', r + 1)})"
+            f" * v AS s{r}"
+            for r in range(1, 4)
+        ],
+    )
+    agg = terms.groupBy("nat").agg(
+        F.sum("s0").alias("S0"),
+        F.sum("s1").alias("S1"),
+        F.sum("s2").alias("S2"),
+        F.sum("s3").alias("S3"),
+        F.count("*").alias("_cells"),
+    )
+    n_nat = cells.groupBy("nat").agg(F.sum("c").cast("long").alias("n"))
+    j = agg.join(n_nat, "nat")
+    nd = F.col("n").cast("double")
+
+    # b_r = (S_r / (r+1)!) / (n·C(n−1,r)); folding the factorials gives
+    # the flat divisors below (2, 3, 4 — not factorials: (r+1)!/r! ... )
+    b0 = F.col("S0").cast("double") / nd
+    b1 = F.col("S1").cast("double") / (
+        F.lit(2.0) * nd * (nd - F.lit(1.0))
+    )
+    b2 = F.col("S2").cast("double") / (
+        F.lit(3.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0))
+    )
+    b3 = F.col("S3").cast("double") / (
+        F.lit(4.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0))
+        * (nd - F.lit(3.0))
+    )
+    l1 = b0
+    l2 = 2 * b1 - b0
+    l3 = 6 * b2 - 6 * b1 + b0
+    l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    return j.select(
+        F.col("nat").cast("int").alias("nat"),
+        F.col("n"),
+        r4(l1).alias("l1_cents"),
+        r4(l2).alias("l2_cents"),
+        r6(l2 / l1).alias("l_cv"),
+        r6(l3 / l2).alias("l_skew"),
+        r6(l4 / l2).alias("l_kurt"),
+    ).orderBy("nat")
+
+
+def _q266_falling(m: str, k: int) -> str:
+    num = f"CAST({m} AS HUGEINT)"
+    for j in range(1, k):
+        num = f"({num} * ({m} - {j}))"
+    return num
+
+
+Q266_SQL = f"""
+WITH obs AS (
+    SELECT c.c_nationkey AS nat,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cells AS (SELECT nat, v, count(*) AS c FROM obs GROUP BY 1, 2),
+pre AS (
+    SELECT nat, v, c,
+           coalesce(sum(c) OVER (PARTITION BY nat ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS u
+    FROM cells
+),
+agg AS (
+    SELECT nat,
+           sum(CAST(c AS HUGEINT) * v) AS S0,
+           sum(({_q266_falling('(u + c)', 2)} - {_q266_falling('u', 2)}) * v)
+               AS S1,
+           sum(({_q266_falling('(u + c)', 3)} - {_q266_falling('u', 3)}) * v)
+               AS S2,
+           sum(({_q266_falling('(u + c)', 4)} - {_q266_falling('u', 4)}) * v)
+               AS S3,
+           CAST(sum(c) AS BIGINT) AS n
+    FROM pre GROUP BY 1
+),
+lm AS (
+    SELECT nat, n,
+           CAST(S0 AS DOUBLE) / n AS b0,
+           CAST(S1 AS DOUBLE)
+               / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               AS b1,
+           CAST(S2 AS DOUBLE)
+               / (3.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                  * (CAST(n AS DOUBLE) - 2.0)) AS b2,
+           CAST(S3 AS DOUBLE)
+               / (4.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                  * (CAST(n AS DOUBLE) - 2.0)
+                  * (CAST(n AS DOUBLE) - 3.0)) AS b3
+    FROM agg
+)
+SELECT CAST(nat AS INTEGER) AS nat, n,
+       floor(b0 * 10000 + 0.5) / 10000.0 AS l1_cents,
+       floor((2 * b1 - b0) * 10000 + 0.5) / 10000.0 AS l2_cents,
+       floor((2 * b1 - b0) / b0 * 1000000 + 0.5) / 1000000.0 AS l_cv,
+       floor((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0) * 1000000 + 0.5)
+           / 1000000.0 AS l_skew,
+       floor((20 * b3 - 30 * b2 + 12 * b1 - b0) / (2 * b1 - b0)
+             * 1000000 + 0.5) / 1000000.0 AS l_kurt
+FROM lm
+ORDER BY nat
+"""
+
+
 QUERIES = [
+    Query("q266_lmoments", q266_lmoments, Q266_SQL,
+          survey="ext:l-moments,ext:data-profiling,ext:robust-outlier-qa,"
+                 "ext:prefix-scan"),
     Query("q264_fairness_audit", q264_fairness_audit, Q264_SQL,
           survey="ext:fairness-audit,ext:model-eval,ext:ab-experiment,"
                  "ext:data-profiling"),

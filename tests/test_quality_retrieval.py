@@ -1105,3 +1105,38 @@ def test_fairness_audit_python_twin(spark, sf_dir):
         assert r.eo_fpr_gap == floor(
             (fp / (n - pos) - fp_t / (n_t - pos_t)) * 1e4 + 0.5
         ) / 1e4
+
+
+def test_lmoments_python_twin(spark, sf_dir):
+    """q266 vs direct sorted-order-statistics probability-weighted
+    moments (the definition, not the hockey-stick algebra); ratio
+    bounds hold."""
+    from math import comb, floor
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import q266_lmoments
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df["v"] = (df.o_totalprice * 100 + 0.5).apply(floor).astype(int)
+    out = {r.nat: r for r in q266_lmoments(spark, sf_dir).collect()}
+    for nat, grp in df.groupby("c_nationkey"):
+        xs = sorted(grp.v)
+        n = len(xs)
+        b = [
+            sum(comb(i, r) * x for i, x in enumerate(xs)) / (n * comb(n - 1, r))
+            for r in range(4)
+        ]
+        l1 = b[0]
+        l2 = 2 * b[1] - b[0]
+        l3 = 6 * b[2] - 6 * b[1] + b[0]
+        l4 = 20 * b[3] - 30 * b[2] + 12 * b[1] - b[0]
+        r = out[nat]
+        assert r.n == n
+        assert abs(r.l1_cents - l1) < 0.01
+        assert abs(r.l2_cents - l2) < 0.01
+        assert abs(r.l_cv - l2 / l1) < 1e-5
+        assert abs(r.l_skew - l3 / l2) < 1e-5
+        assert abs(r.l_kurt - l4 / l2) < 1e-5
+        # theoretical bounds for any distribution
+        assert 0 < r.l_cv < 1 and abs(r.l_skew) < 1 and -0.25 <= r.l_kurt < 1

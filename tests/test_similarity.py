@@ -468,3 +468,69 @@ def test_kcenter_python_twin(spark, sf_dir):
     assert got == centers
     radii = [r for _, _, r in centers[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_ndcg_eval_python_twin(spark, sf_dir):
+    """q265 vs a python quantized-search + nDCG recompute (identical
+    weights/tiebreaks); truncation can only lose graded quality on
+    average."""
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q265_C,
+        _Q265_K,
+        _Q265_QMOD,
+        _Q265_SCALE,
+        _Q265_TRUNC_D,
+        _Q265_W,
+        q265_ndcg_eval,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    vecs = {
+        int(r.vec_id): (
+            [floor(float(x) * 1e6 + 0.5) for x in r.embedding],
+            int(r.label),
+        )
+        for r in pdf.itertuples()
+    }
+    from collections import Counter
+
+    lc = Counter(l for _, l in vecs.values())
+
+    def sqd(a, b, d=None):
+        if d is not None:
+            a, b = a[:d], b[:d]
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    out = {r.qid: r for r in q265_ndcg_eval(spark, sf_dir).collect()}
+    want_q = {
+        q for q in vecs if q % _Q265_QMOD == 0 and lc[vecs[q][1]] >= 2
+    }
+    assert set(out) == want_q
+    mf_s = mt_s = 0
+    for q in sorted(want_q):
+        qv, ql = vecs[q]
+        nd = {}
+        for d in (None, _Q265_TRUNC_D):
+            scored = sorted(
+                (sqd(v, qv, d), vid)
+                for vid, (v, _) in vecs.items()
+                if vid != q
+            )[:_Q265_K]
+            dcg_s = sum(
+                floor((1 if vecs[vid][1] == ql else 0) * w * _Q265_SCALE)
+                for (_, vid), w in zip(scored, _Q265_W)
+            )
+            r_q = min(_Q265_K, lc[ql] - 1)
+            nd[d] = dcg_s / _Q265_SCALE / _Q265_C[r_q - 1]
+        r = out[q]
+        assert r.ndcg_full == floor(nd[None] * 1e6 + 0.5) / 1e6
+        assert r.ndcg_trunc == floor(nd[_Q265_TRUNC_D] * 1e6 + 0.5) / 1e6
+        mf_s += floor(nd[None] * _Q265_SCALE)
+        mt_s += floor(nd[_Q265_TRUNC_D] * _Q265_SCALE)
+    n_q = len(want_q)
+    any_r = next(iter(out.values()))
+    assert any_r.mean_ndcg_full == floor(mf_s / _Q265_SCALE / n_q * 1e6 + 0.5) / 1e6
+    assert any_r.mean_ndcg_trunc == floor(mt_s / _Q265_SCALE / n_q * 1e6 + 0.5) / 1e6
+    assert 0.0 <= any_r.mean_ndcg_trunc <= any_r.mean_ndcg_full + 0.05
