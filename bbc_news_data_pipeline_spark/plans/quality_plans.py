@@ -4699,7 +4699,11 @@ LIMIT {_Q245_TOPK}
 # mean-based capacity planning is invalid). Selection is a bounded
 # TakeOrderedAndProject (k+1 rows with a unique-key tiebreak — never a
 # global sort); the k log-ratios are per-row doubles from exact cents
-# integers, floor-scaled and integer-summed (q236 pattern).
+# integers, floor-scaled and integer-summed (q236 pattern). Degenerate
+# guard (round-8 ADVICE fix): if every top-(k+1) value ties at the
+# threshold, the estimator is undefined — the query still emits ONE
+# row, with k_used=0 and NULL hill_alpha/finite_variance, instead of
+# silently returning zero rows; lsum<=0 likewise NULL-guards alpha.
 # ---------------------------------------------------------------------------
 _Q246_K = 100
 _Q246_SCALE = 1_000_000_000
@@ -4719,21 +4723,22 @@ def q246_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds threshold + ratio scan
     )
     thr = top.agg(F.min("cents").alias("xk"))
-    terms = (
-        top.crossJoin(F.broadcast(thr))
-        .filter(F.col("cents") > F.col("xk"))  # drop the threshold row(s)
-        .select(
-            "xk",
+    above = F.col("cents") > F.col("xk")  # threshold row(s) carry no term
+    terms = top.crossJoin(F.broadcast(thr)).select(
+        "xk",
+        above.cast("long").alias("is_term"),
+        F.when(
+            above,
             F.floor(
                 F.log(F.col("cents").cast("double") / F.col("xk").cast("double"))
                 * F.lit(float(_Q246_SCALE))
-            )
-            .cast("long")
-            .alias("ls"),
+            ).cast("long"),
         )
+        .otherwise(F.lit(0))
+        .alias("ls"),
     )
     agg = terms.groupBy("xk").agg(
-        F.count("*").cast("long").alias("k_used"),
+        F.sum("is_term").cast("long").alias("k_used"),
         F.sum("ls").alias("lsum"),
     )
     h = (
@@ -4743,11 +4748,12 @@ def q246_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
     alpha = F.lit(1.0) / h
+    defined = (F.col("k_used") > 0) & (F.col("lsum") > 0)
     return agg.select(
         F.col("k_used"),
         F.col("xk").alias("threshold_cents"),
-        r4(alpha).alias("hill_alpha"),
-        (alpha > F.lit(2.0)).cast("int").alias("finite_variance"),
+        F.when(defined, r4(alpha)).alias("hill_alpha"),
+        F.when(defined, (alpha > F.lit(2.0)).cast("int")).alias("finite_variance"),
     )
 
 
@@ -4762,24 +4768,30 @@ WITH top AS (
 thr AS (SELECT min(cents) AS xk FROM top),
 terms AS (
     SELECT t.xk,
-           CAST(floor(ln(CAST(tp.cents AS DOUBLE) / CAST(t.xk AS DOUBLE))
-                      * {_Q246_SCALE}) AS BIGINT) AS ls
+           CASE WHEN tp.cents > t.xk THEN 1 ELSE 0 END AS is_term,
+           CASE WHEN tp.cents > t.xk
+                THEN CAST(floor(ln(CAST(tp.cents AS DOUBLE)
+                                   / CAST(t.xk AS DOUBLE))
+                                * {_Q246_SCALE}) AS BIGINT)
+                ELSE 0 END AS ls
     FROM top tp CROSS JOIN thr t
-    WHERE tp.cents > t.xk
 ),
 agg AS (
-    SELECT xk, CAST(count(*) AS BIGINT) AS k_used,
+    SELECT xk, CAST(sum(is_term) AS BIGINT) AS k_used,
            CAST(sum(ls) AS BIGINT) AS lsum
     FROM terms GROUP BY xk
 )
 SELECT k_used,
        xk AS threshold_cents,
-       floor(1.0 / (CAST(lsum AS DOUBLE) / {_Q246_SCALE}
-                    / CAST(k_used AS DOUBLE)) * 10000 + 0.5) / 10000.0
-           AS hill_alpha,
-       CAST(CASE WHEN 1.0 / (CAST(lsum AS DOUBLE) / {_Q246_SCALE}
-                             / CAST(k_used AS DOUBLE)) > 2.0
-                 THEN 1 ELSE 0 END AS INTEGER) AS finite_variance
+       CASE WHEN k_used > 0 AND lsum > 0
+            THEN floor(1.0 / (CAST(lsum AS DOUBLE) / {_Q246_SCALE}
+                              / CAST(k_used AS DOUBLE)) * 10000 + 0.5) / 10000.0
+            END AS hill_alpha,
+       CASE WHEN k_used > 0 AND lsum > 0
+            THEN CAST(CASE WHEN 1.0 / (CAST(lsum AS DOUBLE) / {_Q246_SCALE}
+                                       / CAST(k_used AS DOUBLE)) > 2.0
+                           THEN 1 ELSE 0 END AS INTEGER)
+            END AS finite_variance
 FROM agg
 """
 

@@ -378,8 +378,10 @@ FROM events
 # per-purchase credits roll up per channel. The oracle is the batch
 # LOCF formulation (last non-purchase event before each purchase in
 # (ts, event_id) order, IGNORE NULLS carry-forward) — streaming state
-# must equal batch recompute, the ST6 discipline. Value sums round to
-# 2dp (revenue float policy).
+# must equal batch recompute, the ST6 discipline. Value sums fold on
+# an exact integer cents grid (per-credit floor(x*100+0.5) summed as
+# BIGINT, the q236/q239 discipline) so shuffle-order double drift can
+# never flip the 2dp result (round-8 ADVICE fix).
 # ---------------------------------------------------------------------------
 def q247_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.attribution import attribute_stream
@@ -388,12 +390,12 @@ def q247_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     out = _drain_to_memory(ev, attribute_stream, "q247_attr")
-    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return (
         out.groupBy("channel")
         .agg(
             F.count("*").cast("long").alias("n_convs"),
-            r2(F.sum("value")).alias("lt_value"),
+            (F.sum(cents) / F.lit(100.0)).alias("lt_value"),
         )
         .orderBy("channel")
     )
@@ -415,7 +417,7 @@ carried AS (
 )
 SELECT coalesce(prev_ch, 'direct') AS channel,
        CAST(count(*) AS BIGINT) AS n_convs,
-       floor(sum(value) * 100 + 0.5) / 100.0 AS lt_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS lt_value
 FROM carried
 WHERE event_type = 'purchase'
 GROUP BY 1

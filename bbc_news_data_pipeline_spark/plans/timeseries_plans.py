@@ -2268,10 +2268,14 @@ ORDER BY pct
 # right-censoring-aware lifetime readout the retention family
 # (q71/q223/q232) approximates away — "what share of customers is
 # still ordering after t days" is BIASED if customers active at the
-# observation edge are counted as churned. Per customer: lifetime t =
-# days between first and last order; customers whose last order falls
-# within the final CENS_DAYS of the data are CENSORED (still alive at
-# cut), not churned. Classic KM:
+# observation edge are counted as churned. Per customer: customers
+# whose last order falls within the final CENS_DAYS of the data are
+# CENSORED (still alive at cut), not churned; a churned customer's
+# lifetime t = days between first and last order, while a censored
+# customer is at risk until the OBSERVATION CUT, t = days between
+# first order and dmax (the textbook right-censoring convention —
+# censoring at last activity would understate time-at-risk and bias
+# the curve low in the tail; round-8 ADVICE fix). Classic KM:
 # at each distinct lifetime, risk set n_t = N − (churned+censored
 # earlier), S(t) = Π(1 − d/n) over event times ≤ t (censored rows are
 # at risk for same-day deaths, the standard convention), Nelson–Aalen
@@ -2293,9 +2297,12 @@ def q234_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.min("o_orderdate")).alias("d0"),
         F.date_trunc("day", F.max("o_orderdate")).alias("d1"),
     )
+    is_cens = F.datediff("dmax", "d1") < _Q234_CENS_DAYS
     lives = users.crossJoin(F.broadcast(span)).select(
-        F.datediff("d1", "d0").alias("t"),
-        (F.datediff("dmax", "d1") < _Q234_CENS_DAYS).cast("int").alias("cens"),
+        F.when(is_cens, F.datediff("dmax", "d0"))
+        .otherwise(F.datediff("d1", "d0"))
+        .alias("t"),
+        is_cens.cast("int").alias("cens"),
     )
     cells = (
         lives.groupBy("t")
@@ -2357,7 +2364,9 @@ users AS (
     FROM orders GROUP BY 1
 ),
 lives AS (
-    SELECT date_diff('day', u.d0, u.d1) AS t,
+    SELECT CASE WHEN date_diff('day', u.d1, s.dmax) < {_Q234_CENS_DAYS}
+                THEN date_diff('day', u.d0, s.dmax)
+                ELSE date_diff('day', u.d0, u.d1) END AS t,
            CASE WHEN date_diff('day', u.d1, s.dmax) < {_Q234_CENS_DAYS}
                 THEN 1 ELSE 0 END AS cens
     FROM users u CROSS JOIN span s
@@ -2516,8 +2525,11 @@ ORDER BY event_type
 # predicate (the lookback caps fan-out per conversion; AQE's skew
 # split handles hot users), one per-conversion window for the
 # deterministic first/last pick ((ts, event_id) total order — never
-# arg_min on ties), then a channel rollup. Value sums are rounded to
-# 2dp like every revenue aggregate (registry float policy).
+# arg_min on ties), then a channel rollup. Value sums fold on an exact
+# integer cents grid (per-credit floor(x*100+0.5) summed as BIGINT —
+# the q236 discipline): the linear model's fractional cv/nt credits
+# would otherwise accumulate raw doubles in shuffle order, where a
+# last-ulp difference can flip the 2dp rounding (round-8 ADVICE fix).
 # ---------------------------------------------------------------------------
 _Q239_LOOKBACK_DAYS = 7
 
@@ -2556,20 +2568,24 @@ def q239_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wdesc).alias("rl"),
         F.count("*").over(Window.partitionBy("cid")).alias("nt"),
     )
-    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")
     return (
         marked.groupBy("channel")
         .agg(
             F.sum(F.when(F.col("rf") == 1, 1).otherwise(0))
             .cast("long")
             .alias("ft_convs"),
-            r2(F.sum(F.when(F.col("rf") == 1, F.col("cv")).otherwise(0.0))).alias(
-                "ft_value"
+            (
+                F.sum(F.when(F.col("rf") == 1, cents(F.col("cv"))).otherwise(0))
+                / F.lit(100.0)
+            ).alias("ft_value"),
+            (
+                F.sum(F.when(F.col("rl") == 1, cents(F.col("cv"))).otherwise(0))
+                / F.lit(100.0)
+            ).alias("lt_value"),
+            (F.sum(cents(F.col("cv") / F.col("nt"))) / F.lit(100.0)).alias(
+                "lin_value"
             ),
-            r2(F.sum(F.when(F.col("rl") == 1, F.col("cv")).otherwise(0.0))).alias(
-                "lt_value"
-            ),
-            r2(F.sum(F.col("cv") / F.col("nt"))).alias("lin_value"),
         )
         .orderBy("channel")
     )
@@ -2603,11 +2619,13 @@ marked AS (
 )
 SELECT channel,
        CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ft_convs,
-       floor(sum(CASE WHEN rf = 1 THEN cv ELSE 0.0 END) * 100 + 0.5) / 100.0
-           AS ft_value,
-       floor(sum(CASE WHEN rl = 1 THEN cv ELSE 0.0 END) * 100 + 0.5) / 100.0
-           AS lt_value,
-       floor(sum(cv / nt) * 100 + 0.5) / 100.0 AS lin_value
+       sum(CASE WHEN rf = 1
+                THEN CAST(floor(cv * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) / 100.0 AS ft_value,
+       sum(CASE WHEN rl = 1
+                THEN CAST(floor(cv * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) / 100.0 AS lt_value,
+       sum(CAST(floor(cv / nt * 100 + 0.5) AS BIGINT)) / 100.0 AS lin_value
 FROM marked
 GROUP BY channel
 ORDER BY channel
@@ -2648,7 +2666,15 @@ def q240_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(span))
         .select(
-            F.datediff("d1", "d0").alias("t"),
+            # Censored customers are at risk until the observation cut
+            # (t = dmax - d0), churned ones until last order — the same
+            # textbook right-censoring convention as q234.
+            F.when(
+                F.datediff("dmax", "d1") < _Q234_CENS_DAYS,
+                F.datediff("dmax", "d0"),
+            )
+            .otherwise(F.datediff("d1", "d0"))
+            .alias("t"),
             (F.col("c_mktsegment") == _Q240_SEG).cast("int").alias("g"),
             (F.datediff("dmax", "d1") < _Q234_CENS_DAYS).cast("int").alias("cens"),
         )
@@ -2742,7 +2768,9 @@ users AS (
     FROM orders GROUP BY 1
 ),
 lives AS (
-    SELECT date_diff('day', u.d0, u.d1) AS t,
+    SELECT CASE WHEN date_diff('day', u.d1, s.dmax) < {_Q234_CENS_DAYS}
+                THEN date_diff('day', u.d0, s.dmax)
+                ELSE date_diff('day', u.d0, u.d1) END AS t,
            CASE WHEN c.c_mktsegment = '{_Q240_SEG}' THEN 1 ELSE 0 END AS g,
            CASE WHEN date_diff('day', u.d1, s.dmax) < {_Q234_CENS_DAYS}
                 THEN 1 ELSE 0 END AS cens

@@ -13,7 +13,14 @@ each (user, micro-batch) group, and micro-batches are assumed
 time-ordered per user (the standard in-order-per-key delivery of a
 partitioned log; the availableNow drains in plans/streaming_plans.py
 re-emit history in file order, and the cross-batch pytest feeds
-time-split files with maxFilesPerTrigger=1).
+time-split files with maxFilesPerTrigger=1). Violations are
+OBSERVABLE, not silent (round-8 ADVICE fix): any row arriving with an
+event time strictly before the state's stored last-touch time is
+counted in a per-user ``ooo_count`` monotonicity counter, and every
+emitted attribution row carries the cumulative count as ``ooo_seen``
+— a downstream consumer (or test) asserting ``ooo_seen == 0`` proves
+the in-order delivery contract held, while a replayed/misordered feed
+shows up as a nonzero count instead of a silently diverged credit.
 
 Scale notes: state is ONE fixed-width row per user ever seen — bounded
 by user cardinality, not stream length, and never grows with event
@@ -41,6 +48,9 @@ ATTR_SCHEMA = StructType(
         StructField("conv_id", LongType()),
         StructField("channel", StringType()),
         StructField("value", DoubleType()),
+        # cumulative count of out-of-order rows seen for this user — 0
+        # whenever the in-order-per-key delivery contract held
+        StructField("ooo_seen", LongType()),
     ]
 )
 
@@ -49,6 +59,7 @@ _STATE_SCHEMA = StructType(
         StructField("last_us", LongType()),
         StructField("last_id", LongType()),
         StructField("channel", StringType()),
+        StructField("ooo_count", LongType()),
     ]
 )
 
@@ -64,9 +75,17 @@ def _attribute_group(
         state.remove()
         return
 
-    last = state.get if state.exists else None  # (last_us, last_id, channel)
+    stored = state.get if state.exists else None
+    last = stored[:3] if stored is not None else None  # (last_us, last_id, channel)
+    ooo = int(stored[3]) if stored is not None and stored[3] is not None else 0
+    floor_us = last[0] if last is not None else None
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch["_us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+    # Monotonicity audit: rows time-stamped BEFORE the state's stored
+    # last touch violate the cross-batch in-order delivery contract —
+    # count them so a misordered replay is observable downstream.
+    if floor_us is not None:
+        ooo += int((batch["_us"] < floor_us).sum())
     batch = batch.sort_values(["_us", "event_id"], kind="mergesort")
 
     out_id, out_ch, out_v = [], [], []
@@ -80,8 +99,15 @@ def _attribute_group(
         else:
             last = (int(_us), int(eid), str(etype))
     if last is not None:
-        state.update(last)
-    yield pd.DataFrame({"conv_id": out_id, "channel": out_ch, "value": out_v})
+        state.update(last + (ooo,))
+    yield pd.DataFrame(
+        {
+            "conv_id": out_id,
+            "channel": out_ch,
+            "value": out_v,
+            "ooo_seen": [ooo] * len(out_id),
+        }
+    )
 
 
 def attribute_stream(events: DataFrame) -> DataFrame:

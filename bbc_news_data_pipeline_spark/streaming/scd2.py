@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from ..operators.scd2 import scd2_apply_table
 
 
+MAX_SNAPSHOTS_PER_BATCH = 1024
+"""Hard cap on distinct snapshot dates applied from one micro-batch.
+
+The per-batch ``collect()`` below is bounded by snapshots-per-batch (a
+handful in steady state), never by rows — but a backfill replay that
+feeds months of daily snapshots in ONE batch would silently turn it
+into a driver-side list of thousands, and each date then costs a full
+MERGE pass. Mirroring merge_upsert's duplicate-key refusal, a batch
+carrying more than this many distinct dates fails loudly with
+re-ingestion guidance (split the replay into bounded batches, e.g.
+maxFilesPerTrigger) instead of degrading the driver.
+"""
+
+
 def apply_snapshot_batch(
     batch_df: DataFrame,
     path: str,
@@ -32,8 +46,23 @@ def apply_snapshot_batch(
     n_buckets: int = 16,
 ) -> list[dict]:
     """Apply every full snapshot in the batch, in date order. The distinct
-    date collect is bounded by snapshots-per-batch (a handful), never rows."""
-    dates = sorted(str(r[0]) for r in batch_df.select(date_col).distinct().collect())
+    date collect itself is LIMIT-bounded to the cap + 1 (the driver never
+    materializes an unbounded list even on a misconfigured replay)."""
+    probe = (
+        batch_df.select(date_col)
+        .distinct()
+        .limit(MAX_SNAPSHOTS_PER_BATCH + 1)
+        .collect()
+    )
+    if len(probe) > MAX_SNAPSHOTS_PER_BATCH:
+        raise ValueError(
+            f"micro-batch carries more than {MAX_SNAPSHOTS_PER_BATCH} distinct "
+            f"'{date_col}' snapshot dates — this looks like an unbatched "
+            "backfill replay; split it into bounded micro-batches (e.g. one "
+            "file per snapshot with maxFilesPerTrigger) instead of applying "
+            "thousands of MERGE passes from one driver-side loop"
+        )
+    dates = sorted(str(r[0]) for r in probe)
     stats = []
     for d in dates:
         snap = batch_df.filter(F.col(date_col) == d).select(key, attr)

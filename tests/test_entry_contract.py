@@ -77,6 +77,37 @@ def test_driver_window_prioritizes_unverified():
         )
 
 
+def test_driver_window_never_attempted_outrank_all_stamped():
+    """Round-7 verdict task #2: a query with NO driver attempt at all
+    (never in any CORRECTNESS file — the late-wave additions) must sort
+    ahead of EVERY stamped query, green or red, unchanged or reworked —
+    so a future registry reorder can never silently starve the
+    never-verified tail out of the 50-slot window. Never-attempted and
+    red/reworked all share priority −1; within that front block the
+    canonical order decides, but no stamped-green-and-unchanged query
+    may precede any never-attempted one."""
+    from types import SimpleNamespace
+
+    qs = [SimpleNamespace(name=n) for n in ("g1", "new1", "g2", "new2", "red1")]
+    history = (
+        {"g1": 5, "g2": 6},  # last_green
+        {"g1": 5, "g2": 6, "red1": 6},  # last_attempt (red1 red at 6)
+    )
+    snapshots = {6: {"g1": "h1", "g2": "h2"}}
+    current = {"g1": "h1", "g2": "h2", "new1": "x", "new2": "y", "red1": "z"}
+    ordered = [
+        q.name
+        for q in E._driver_window_order(
+            qs, history=history, snapshots=snapshots, current=current
+        )
+    ]
+    front = ordered[:3]
+    assert set(front) == {"new1", "new2", "red1"}  # all priority −1
+    assert ordered[3:] == ["g1", "g2"]  # stamped-green sort by stamp age
+    # canonical order breaks the −1 tie
+    assert front == ["new1", "new2", "red1"]
+
+
 def test_driver_window_rework_awareness():
     """A query whose plan source changed AFTER its last green stamp must
     sort to the front (priority −1) exactly like a red one — the round-5

@@ -831,8 +831,33 @@ def test_hill_tail_index_python_twin(spark, sf_dir):
     h = ls / _Q246_SCALE / k_used
     r = q246_hill_tail_index(spark, sf_dir).collect()[0]
     assert (r.k_used, r.threshold_cents) == (k_used, xk)
+    assert k_used >= 1  # pins the non-degenerate assumption on testdata
     assert r.hill_alpha == floor(1 / h * 1e4 + 0.5) / 1e4
     assert r.finite_variance == (1 if 1 / h > 2.0 else 0)
+
+
+def test_hill_all_ties_degenerate_guard(spark, tmp_path):
+    """Every top-(k+1) value tied at the threshold: the estimator is
+    undefined, but the query must still emit ONE row with k_used=0 and
+    NULL alpha/finite_variance rather than silently returning nothing
+    (round-8 ADVICE fix)."""
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        q246_hill_tail_index,
+    )
+
+    spark.range(500).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit(1).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit("2024-01-01").cast("timestamp").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = q246_hill_tail_index(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k_used == 0 and r.threshold_cents == 4200
+    assert r.hill_alpha is None and r.finite_variance is None
 
 
 def test_spearman_python_twin(spark, sf_dir):

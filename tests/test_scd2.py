@@ -207,3 +207,46 @@ def test_null_attr_classifies_with_eqnullsafe(spark):
         (2, None, "2024-02-01", None),
         (2, "X", "2024-01-01", "2024-02-01"),
     ]
+
+
+def test_unbatched_backfill_replay_refused(spark, tmp_path):
+    """A micro-batch carrying thousands of distinct snapshot dates (an
+    unbatched backfill replay) must fail loudly with re-ingestion
+    guidance — the driver-side date list is LIMIT-bounded, so even the
+    probe never materializes the full 10k dates."""
+    from bbc_news_data_pipeline_spark.streaming.scd2 import (
+        MAX_SNAPSHOTS_PER_BATCH,
+        apply_snapshot_batch,
+    )
+
+    big = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.lit("A").alias("attr"),
+        F.date_format(
+            F.date_add(F.lit("2000-01-01").cast("date"), F.col("id").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("snap_date"),
+    )
+    assert big.select("snap_date").distinct().count() > MAX_SNAPSHOTS_PER_BATCH
+    with pytest.raises(ValueError, match="backfill replay"):
+        apply_snapshot_batch(
+            big, str(tmp_path / "scd2"), "k", "attr", "snap_date"
+        )
+
+
+def test_bounded_batch_still_applies(spark, tmp_path):
+    """Below the cap the batch applies normally (two dates, in order)."""
+    from bbc_news_data_pipeline_spark.streaming.scd2 import apply_snapshot_batch
+
+    path = str(tmp_path / "scd2b")
+    scd2_init_table(spark, _snap(spark, [(1, "A")]), path, "k", "attr",
+                    "2024-01-01", n_buckets=2)
+    batch = spark.createDataFrame(
+        [(1, "B", "2024-01-02"), (1, "C", "2024-01-03")],
+        "k long, attr string, snap_date string",
+    )
+    stats = apply_snapshot_batch(batch, path, "k", "attr", "snap_date",
+                                 n_buckets=2)
+    assert len(stats) == 2
+    hist = spark.read.parquet(path)
+    assert hist.filter(F.col("valid_to").isNull()).select("attr").first()[0] == "C"

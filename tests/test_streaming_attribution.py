@@ -103,6 +103,48 @@ def test_same_timestamp_ties_use_event_id_order(spark, tmp_path):
     assert got == {(11, "view")}
 
 
+def test_in_order_feed_reports_zero_ooo(spark, tmp_path):
+    """The monotonicity counter stays 0 when batches arrive time-ordered
+    per user — 'ooo_seen == 0' is the observable proof the delivery
+    contract held."""
+    t0 = datetime(2024, 8, 1)
+    rows = [
+        (0, t0, 1, "click", 1.0),
+        (1, t0 + timedelta(days=2), 1, "purchase", 50.0),
+    ]
+    ev = spark.createDataFrame(rows, _SCHEMA)
+    src = tmp_path / "src"
+    src.mkdir()
+    cut = t0 + timedelta(days=1)
+    _write_batch(ev.filter(F.col("ts") < F.lit(cut)), tmp_path, src, "b1.parquet")
+    _write_batch(ev.filter(F.col("ts") >= F.lit(cut)), tmp_path, src, "b2.parquet")
+    out = _drain(spark, src, tmp_path).collect()
+    assert [(r.conv_id, r.ooo_seen) for r in out] == [(1, 0)]
+
+
+def test_out_of_order_feed_is_observable(spark, tmp_path):
+    """A later batch carrying a touch time-stamped BEFORE the stored last
+    touch is counted: the purchase still credits per arrival order (the
+    stale 'view' displaces the stored 'click', where the batch LOCF
+    oracle would credit 'click'), but ooo_seen > 0 makes that
+    divergence observable instead of silent."""
+    t0 = datetime(2024, 8, 1)
+    b1 = [
+        (0, t0 + timedelta(hours=5), 7, "click", 1.0),
+    ]
+    b2 = [
+        # ts precedes the stored click -> monotonicity violation
+        (1, t0 + timedelta(hours=1), 7, "view", 1.0),
+        (2, t0 + timedelta(hours=6), 7, "purchase", 40.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(spark.createDataFrame(b1, _SCHEMA), tmp_path, src, "b1.parquet")
+    _write_batch(spark.createDataFrame(b2, _SCHEMA), tmp_path, src, "b2.parquet")
+    out = _drain(spark, src, tmp_path).collect()
+    assert [(r.conv_id, r.channel, r.ooo_seen) for r in out] == [(2, "view", 1)]
+
+
 def test_stream_equals_batch_on_testdata(spark, sf_dir, tmp_path):
     ev = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"

@@ -649,7 +649,10 @@ def test_kaplan_meier_python_twin(spark, sf_dir, tmp_path):
     dmax = pdf.o_orderdate.dt.floor("D").max()
     lives = [
         (
-            (row["max"].floor("D") - row["min"].floor("D")).days,
+            # censored customers are at risk until the observation cut
+            (dmax - row["min"].floor("D")).days
+            if (dmax - row["max"].floor("D")).days < _Q234_CENS_DAYS
+            else (row["max"].floor("D") - row["min"].floor("D")).days,
             int((dmax - row["max"].floor("D")).days < _Q234_CENS_DAYS),
         )
         for _, row in per.iterrows()
@@ -778,35 +781,37 @@ def test_attribution_python_twin(spark, sf_dir, tmp_path):
     touches = pdf[pdf.event_type != "purchase"]
     credit = {}
 
-    def add(ch, ft_c, ft_v, lt_v, lin_v):
-        c = credit.setdefault(ch, [0, 0.0, 0.0, 0.0])
+    def add(ch, ft_c, ft_cents, lt_cents, lin_cents):
+        # integer-cents credit grid, mirroring the plan's q236-style fold
+        c = credit.setdefault(ch, [0, 0, 0, 0])
         c[0] += ft_c
-        c[1] += ft_v
-        c[2] += lt_v
-        c[3] += lin_v
+        c[1] += ft_cents
+        c[2] += lt_cents
+        c[3] += lin_cents
 
     for _, cv in convs.iterrows():
+        cv_cents = floor(cv.value * 100 + 0.5)
         win = touches[
             (touches.user_id == cv.user_id)
             & (touches.ts <= cv.ts)
             & (touches.ts > cv.ts - timedelta(days=_Q239_LOOKBACK_DAYS))
         ].sort_values(["ts", "event_id"])
         if len(win) == 0:
-            add("direct", 1, cv.value, cv.value, cv.value)
+            add("direct", 1, cv_cents, cv_cents, cv_cents)
             continue
         first, last = win.iloc[0], win.iloc[-1]
-        add(first.event_type, 1, cv.value, 0.0, 0.0)
-        add(last.event_type, 0, 0.0, cv.value, 0.0)
+        add(first.event_type, 1, cv_cents, 0, 0)
+        add(last.event_type, 0, 0, cv_cents, 0)
         for _, t in win.iterrows():
-            add(t.event_type, 0, 0.0, 0.0, cv.value / len(win))
+            add(t.event_type, 0, 0, 0, floor(cv.value / len(win) * 100 + 0.5))
     out = {r.channel: r for r in q239_attribution(spark, sf_dir).collect()}
     assert set(out) == set(credit)
     for ch, (fc, fv, lv, nv) in credit.items():
         r = out[ch]
         assert r.ft_convs == fc
-        assert r.ft_value == floor(fv * 100 + 0.5) / 100
-        assert r.lt_value == floor(lv * 100 + 0.5) / 100
-        assert abs(r.lin_value - nv) < 0.02
+        assert r.ft_value == fv / 100
+        assert r.lt_value == lv / 100
+        assert r.lin_value == nv / 100
 
     # authored: view -> click -> purchase(90) within lookback; a second
     # purchase(30) with no touches -> direct
@@ -849,7 +854,9 @@ def test_logrank_python_twin(spark, sf_dir):
     dmax = o.o_orderdate.dt.floor("D").max()
     lives = [
         (
-            (row["max"].floor("D") - row["min"].floor("D")).days,
+            (dmax - row["min"].floor("D")).days
+            if (dmax - row["max"].floor("D")).days < _Q234_CENS_DAYS
+            else (row["max"].floor("D") - row["min"].floor("D")).days,
             1 if seg[k] == _Q240_SEG else 0,
             int((dmax - row["max"].floor("D")).days < _Q234_CENS_DAYS),
         )
