@@ -3455,6 +3455,154 @@ ORDER BY r0.source
 Q261_SQL = _q261_sql()
 
 
+# ---------------------------------------------------------------------------
+# q267 — INCREMENTAL nightly corpus build (ext): q167's delta twin, the
+# r7 verdict task #3. q167 proves the FULL rebuild chain (dedup → gate →
+# temperature mix → shard → pack → manifest); the operation a real
+# 100 TB pipeline runs nightly is the DELTA apply: new docs dedup
+# against the STORED fingerprint index (first-epoch-wins — the stored
+# corpus beats any batch doc with the same text, then min-id within the
+# batch), gate row-locally, sample at rates recomputed from the UPDATED
+# post-gate counts while base docs keep their stored epoch's frozen
+# rates (sticky-rate semantics: re-sampling history on every delta
+# would churn shards), pack per shard from the STORED token totals
+# (q170's offset algebra), and merge the manifest additively — a shard
+# no batch doc landed in keeps a BIT-IDENTICAL row (exact integer
+# checksums; pinned by tests/test_curation.py). ORACLE: one full
+# rebuild over the union with the same epoch stamps — incremental must
+# equal recompute, the ST6/IVM contract. The composition lives in
+# operators/curation.delta_corpus_build so tests can drive authored
+# base/batch frames; this query feeds it the deterministic hash split.
+# ---------------------------------------------------------------------------
+_Q267_SHARDS = 8
+_Q267_SEQLEN = 128
+_Q267_BUDGET = 0.5
+
+
+def q267_delta_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import delta_corpus_build
+
+    docs = load(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        (sample_key_expr("doc_id", salt="dcsplit") % 4 == 0).cast("int").alias("e"),
+    )
+    return delta_corpus_build(
+        tagged,
+        n_shards=_Q267_SHARDS,
+        seqlen=_Q267_SEQLEN,
+        budget=_Q267_BUDGET,
+        dup_t=_Q63_DUP_T,
+        bigram_t=_Q63_BIGRAM_T,
+    )
+
+
+_Q267_SPLIT_KEY = _sample_key_sql("dcsplit")
+_Q267_MIX_KEY = _sample_key_sql("dcmix")
+_Q267_SHUF_KEY = _sample_key_sql("dcshuf")
+_Q267_CK_KEY = _sample_key_sql("dcsum")
+
+Q267_SQL = f"""
+WITH tagged AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN ({_Q267_SPLIT_KEY}) % 4 = 0 THEN 1 ELSE 0 END AS e
+    FROM documents
+),
+surv AS (
+    SELECT doc_id, lang, e, text FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(lower(trim(text))) ORDER BY e, doc_id) AS rn
+        FROM tagged) s
+    WHERE rn = 1
+),
+toked AS (
+    SELECT doc_id, lang, e, str_split(text, ' ') AS toks
+    FROM surv WHERE len(str_split(text, ' ')) >= 2
+),
+base AS (
+    SELECT doc_id, lang, e,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+               AS dup_word_ratio,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bi
+    FROM toked
+),
+cnt AS (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bi) AS gram FROM base) g
+    GROUP BY doc_id, gram
+),
+top AS (
+    SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_ratio
+    FROM cnt GROUP BY doc_id
+),
+gated AS (
+    SELECT b.doc_id, b.lang, b.e, b.n_tokens
+    FROM base b JOIN top t USING (doc_id)
+    WHERE b.dup_word_ratio <= {_Q63_DUP_T} AND t.top_bigram_ratio <= {_Q63_BIGRAM_T}
+),
+counts0 AS (SELECT lang, count(*) AS n FROM gated WHERE e = 0 GROUP BY lang),
+den0 AS (SELECT sum(sqrt(n)) AS d, sum(n) AS tot FROM counts0),
+rates0 AS (
+    SELECT lang, least(1.0, round(({_Q267_BUDGET} * tot) * (sqrt(n) / d) / n, 6))
+               AS r0
+    FROM counts0, den0
+),
+countsu AS (SELECT lang, count(*) AS n FROM gated GROUP BY lang),
+denu AS (SELECT sum(sqrt(n)) AS d, sum(n) AS tot FROM countsu),
+ratesu AS (
+    SELECT lang, least(1.0, round(({_Q267_BUDGET} * tot) * (sqrt(n) / d) / n, 6))
+               AS r1
+    FROM countsu, denu
+),
+mixed AS (
+    SELECT g.doc_id, g.e, g.n_tokens
+    FROM gated g
+    LEFT JOIN rates0 r0 USING (lang)
+    JOIN ratesu r1 USING (lang)
+    WHERE (g.e = 0 AND {_Q267_MIX_KEY} < CAST(floor(r0.r0 * 4294967296) AS BIGINT))
+       OR (g.e = 1 AND {_Q267_MIX_KEY} < CAST(floor(r1.r1 * 4294967296) AS BIGINT))
+),
+sharded AS (
+    SELECT doc_id, e, n_tokens,
+           CAST({_Q267_SHUF_KEY} AS BIGINT) AS shuffle_key,
+           CAST(floor(({_Q267_SHUF_KEY} * {_Q267_SHARDS}) / 4294967296.0)
+                AS BIGINT) AS shard_id
+    FROM mixed
+),
+packed AS (
+    SELECT shard_id, e, n_tokens,
+           CAST({_Q267_CK_KEY} AS BIGINT) AS ck,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard_id ORDER BY e, shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS pre
+    FROM sharded
+),
+perdoc AS (
+    SELECT shard_id, e, n_tokens, ck,
+           pre // {_Q267_SEQLEN} AS first_seq,
+           (pre + n_tokens - 1) // {_Q267_SEQLEN} AS last_seq
+    FROM packed
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_spanning,
+       CAST(sum(ck) AS BIGINT) AS checksum,
+       CAST(sum(e) AS BIGINT) AS delta_docs,
+       CAST(CASE WHEN sum(e) > 0 THEN 1 ELSE 0 END AS INTEGER) AS changed
+FROM perdoc
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 QUERIES = [
     Query("q250_modularity", q250_modularity, Q250_SQL,
           survey="ext:modularity,ext:graph-components,ext:lsh-banding",
@@ -3525,6 +3673,12 @@ QUERIES = [
           tags=("bench",)),
     Query("q170_incremental_packing", q170_incremental_packing, Q170_SQL,
           survey="ext:sequence-packing,ext:incremental-stats,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q267_delta_corpus_build", q267_delta_corpus_build, Q267_SQL,
+          survey="ext:incremental-corpus-build,ext:dedup-exact,"
+                 "ext:incremental-dedup,ext:dataset-mixing,"
+                 "ext:sequence-packing,ext:incremental-stats,"
+                 "ext:quality-gates,ext:hash-sampling",
           tags=("bench",)),
     Query("q189_waterfill_quota", q189_waterfill_quota, Q189_SQL,
           survey="ext:waterfill-quota,ext:dataset-mixing,"

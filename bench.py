@@ -35,6 +35,23 @@ from bbc_news_data_pipeline_spark.plans import all_queries
 # exist, or cross-round normalized comparisons silently re-scale.
 CALIBRATION_REF_SEC = 0.182
 
+# Round-8 additions (r7 verdict task #1): the scan probe is deliberately
+# shuffle-free, so it CANNOT see contention that hits shuffle exchanges
+# or streaming-checkpoint I/O — BENCH_r07 (loadavg 7) read 1.70x vs r6
+# on common queries while identical code read 0.69x on a quiet box, and
+# the inflation concentrated exactly in streaming drains and
+# shuffle-heavy plans. Two more fixed probes measure those cost classes
+# directly; per-query family normalization (see _family) divides each
+# query by ITS family's probe so a loaded driver box can no longer
+# misreport a round. References measured on the same quiet-window run
+# that anchors CALIBRATION_REF_SEC's unit (see SCALE.md round-8).
+# Quiet-floor anchors measured round-8 (six repeated samples across load
+# windows; SCALE.md round-8 records the ladder). Like CALIBRATION_REF_SEC,
+# the absolute values are arbitrary unit anchors — never change them once
+# BENCH artifacts carry family-normalized values.
+CALIBRATION_SHUFFLE_REF_SEC = 0.42
+CALIBRATION_DRAIN_REF_SEC = 1.6
+
 
 def _calibration_sec(spark, sf_dir: str) -> float:
     """Fixed machine-speed probe: full lineitem scan + row-local arithmetic
@@ -60,6 +77,86 @@ def _calibration_sec(spark, sf_dir: str) -> float:
     return round(sorted(samples)[2], 3)
 
 
+def _calibration_shuffle_sec(spark, sf_dir: str) -> float:
+    """Fixed shuffle probe: one hash-exchange groupBy over lineitem's
+    highest-cardinality key (l_orderkey — ~150k groups at sf0.1) plus the
+    final single-row reduce. The plan never changes, so its drift is
+    ambient pressure ON THE SHUFFLE PATH (exchange serialization, disk
+    spill contention, co-tenant CPU during the wide stage) — the
+    component the scan probe provably missed in BENCH_r07. Median of 5,
+    same protocol as the scan probe."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (
+            df.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("s"))
+            .agg(F.sum("s"))
+            .collect()
+        )
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[2], 3)
+
+
+def _calibration_drain_sec(spark) -> float:
+    """Fixed streaming-drain probe: a 1 000-row file-source availableNow
+    drain through a stateful groupBy count into a memory sink, FRESH
+    checkpoint per sample. Times the fixed streaming machinery — offset
+    log, commit log, state-store provider, checkpoint-dir fsync — that
+    dominates every qNN_stream_* query at sf0.1 and responds to ambient
+    I/O load the scan probe can't see. Median of 3 (each sample is ~a
+    second of pure fixed overhead; the data volume is trivial on
+    purpose)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="bench_drain_probe_")
+    src = os.path.join(base, "src")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 16).alias("k")
+    ).write.mode("overwrite").parquet(src)
+    samples = []
+    try:
+        for i in range(3):
+            name = f"drain_probe_{uuid.uuid4().hex[:8]}"
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema("id long, k long")
+                .parquet(src)
+                .groupBy("k")
+                .count()
+                .writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(base, f"ckpt_{i}"))
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return round(sorted(samples)[1], 3)
+
+
+def _family(name: str) -> str:
+    """Cost-class of a bench query, for family-matched normalization:
+    'drain' = runs a Structured Streaming availableNow drain (fixed
+    checkpoint/state machinery dominates; every such query carries
+    'stream' in its registry name); 'core' = batch plan (scan + shuffle
+    exchanges; the shuffle probe tracks its contention response). The
+    scan probe stays as the cross-round unit anchor for the legacy
+    queries_norm field."""
+    return "drain" if "stream" in name else "core"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -68,11 +165,20 @@ def main() -> None:
     spark = get_spark("bench", driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
 
     bench_queries = [q for q in all_queries() if "bench" in q.tags]
+    # Local-iteration aid: SPARK_GRAFT_BENCH_ONLY="q01_x,q52_y" restricts
+    # the run (probes still execute). The driver sets nothing, so its
+    # artifacts always cover the full bench-tagged set.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        bench_queries = [q for q in bench_queries if q.name in wanted]
 
     # JVM/codegen warmup on a trivial action so q1 isn't charged for startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     calibration = _calibration_sec(spark, sf_dir)
+    cal_shuffle = _calibration_shuffle_sec(spark, sf_dir)
+    cal_drain = _calibration_drain_sec(spark)
 
     # Three timed runs per query, report the min: run 1 pays one-time JVM
     # codegen/JIT compilation for that plan shape; the min of the rest is
@@ -92,6 +198,20 @@ def main() -> None:
     scale = CALIBRATION_REF_SEC / calibration if calibration > 0 else 1.0
     queries_norm = {k: round(v * scale, 3) for k, v in timings.items()}
     value_norm = round(sum(queries_norm.values()), 3)
+    # Family-matched normalization (r8): drains rescale by the DRAIN
+    # probe (checkpoint/state machinery), batch plans by the SHUFFLE
+    # probe (the exchange path is where contention actually lands; the
+    # scan probe under-corrects both, which is exactly how BENCH_r07
+    # misread 1.70x under loadavg 7). queries_norm keeps the legacy
+    # scan-probe scaling for continuity with r5-r7 artifacts.
+    fam_scale = {
+        "core": CALIBRATION_SHUFFLE_REF_SEC / cal_shuffle if cal_shuffle > 0 else 1.0,
+        "drain": CALIBRATION_DRAIN_REF_SEC / cal_drain if cal_drain > 0 else 1.0,
+    }
+    queries_norm_family = {
+        k: round(v * fam_scale[_family(k)], 3) for k, v in timings.items()
+    }
+    value_norm_family = round(sum(queries_norm_family.values()), 3)
     # Ambient load on the shared host — context for round-over-round
     # comparisons (a loadavg of 2+ from co-tenants inflates every number
     # ~20-40%; per-query times at sf0.1 are dominated by fixed local-mode
@@ -113,8 +233,14 @@ def main() -> None:
                 "loadavg_1m": loadavg,
                 "calibration_sec": calibration,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "calibration_shuffle_sec": cal_shuffle,
+                "calibration_shuffle_ref_sec": CALIBRATION_SHUFFLE_REF_SEC,
+                "calibration_drain_sec": cal_drain,
+                "calibration_drain_ref_sec": CALIBRATION_DRAIN_REF_SEC,
                 "value_norm": value_norm,
                 "queries_norm": queries_norm,
+                "value_norm_family": value_norm_family,
+                "queries_norm_family": queries_norm_family,
             }
         )
     )
@@ -123,7 +249,7 @@ def main() -> None:
     # value_norm, which print before the big per-query dicts) always
     # retains the fields cross-round comparison needs.
     top10 = dict(
-        sorted(queries_norm.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        sorted(queries_norm_family.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
     print(
         json.dumps(
@@ -133,8 +259,13 @@ def main() -> None:
                 "n_queries": len(timings),
                 "value": total,
                 "value_norm": value_norm,
+                "value_norm_family": value_norm_family,
                 "calibration_sec": calibration,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "calibration_shuffle_sec": cal_shuffle,
+                "calibration_shuffle_ref_sec": CALIBRATION_SHUFFLE_REF_SEC,
+                "calibration_drain_sec": cal_drain,
+                "calibration_drain_ref_sec": CALIBRATION_DRAIN_REF_SEC,
                 "loadavg_1m": loadavg,
                 "top10_slowest_norm": top10,
             }
