@@ -321,3 +321,122 @@ def sample_frames(meta_df: DataFrame, every_nth: int = 10) -> DataFrame:
         meta_df.filter(F.col("mime").startswith("video/"))
         .select("doc_id", "n_frames", F.explode_outer(idxs).alias("frame_idx"))
     )
+
+
+# --- perceptual-hash image near-dup (r7 verdict task #5) --------------------
+
+#: Fixed synthetic-bitmap geometry: 16x16 gray pixels -> 2x2 block
+#: averages -> 8x8 aHash grid -> 8 row-bands of 8 bits.
+PGM_W = PGM_H = 16
+AHASH_GRID = 8
+AHASH_BANDS_SCHEMA = "doc_id bigint, band_idx int, band bigint"
+
+
+def _pgm_pixels(g: int, odd: int) -> bytes:
+    """Deterministic 16x16 gray bitmap for pair-group ``g``: row y's
+    pixels are md5("pgm:g:y") digest bytes, and the odd pair member gets
+    a +2 bump on the (x+y)%5==0 diagonal stripe — a NEAR-duplicate of
+    its even sibling (same content, tiny perturbation), which is the
+    shape a perceptual hash must band together. md5-derived so the
+    DuckDB oracle recomputes identical pixels with hex slicing."""
+    out = bytearray()
+    for y in range(PGM_H):
+        dig = hashlib.md5(f"pgm:{g}:{y}".encode()).digest()
+        for x in range(PGM_W):
+            p = dig[x]
+            if odd and (x + y) % 5 == 0:
+                p = min(255, p + 2)
+            out.append(p)
+    return bytes(out)
+
+
+def encode_pgm_images(df: DataFrame) -> DataFrame:
+    """(doc_id, g, odd) -> (doc_id, pgm binary): a REAL P5 PGM byte
+    stream (magic, dims, maxval, raw gray bytes) built in an
+    Arrow-batched mapInPandas — the wire format the decode side parses
+    back, so a bug in either codec breaks oracle parity."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                f"P5\n{PGM_W} {PGM_H}\n255\n".encode()
+                + _pgm_pixels(int(g), int(odd))
+                for g, odd in zip(pdf["g"], pdf["odd"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pgm": payloads})
+
+    return df.mapInPandas(enc, schema="doc_id bigint, pgm binary")
+
+
+def _parse_pgm(b: bytes) -> tuple[int, int, bytes]:
+    """(width, height, pixels) from a binary P5 PGM stream — pure-python
+    header walk (magic, whitespace/comment-tolerant dims and maxval,
+    then exactly w*h raw bytes). Raises NotImplementedError on anything
+    that is not a parseable 8-bit P5 (the module's parse-error-signal
+    convention, not a stub)."""
+    if b[:2] != b"P5":
+        raise NotImplementedError("not a P5 PGM stream")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PGM supported")
+    px = b[pos : pos + w * h]
+    if len(px) != w * h:
+        raise NotImplementedError("truncated PGM pixel payload")
+    return w, h, px
+
+
+def _ahash_bands(px: bytes, w: int, h: int) -> list[int]:
+    """8 row-bands (8 bits each) of the 64-bit average hash: 2x2 block
+    means (integer floor), global mean (integer floor), bit = block >
+    mean. Exact integer algebra end to end — engine-portable."""
+    gw = w // 2
+    grid = [
+        (
+            px[2 * r * w + 2 * c]
+            + px[2 * r * w + 2 * c + 1]
+            + px[(2 * r + 1) * w + 2 * c]
+            + px[(2 * r + 1) * w + 2 * c + 1]
+        )
+        // 4
+        for r in range(h // 2)
+        for c in range(gw)
+    ]
+    mu = sum(grid) // len(grid)
+    return [
+        sum((1 << c) for c in range(gw) if grid[r * gw + c] > mu)
+        for r in range(h // 2)
+    ]
+
+
+def ahash_bands(pgm_df: DataFrame) -> DataFrame:
+    """(doc_id, pgm) -> (doc_id, band_idx, band): decode the PGM, compute
+    the aHash, emit one row per 8-bit band — the LSH-ready layout (band
+    equality = candidate bucket, exactly q43's SimHash banding shape)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for doc_id, pgm in zip(pdf["doc_id"], pdf["pgm"]):
+                w, h, px = _parse_pgm(bytes(pgm))
+                for i, band in enumerate(_ahash_bands(px, w, h)):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    vals.append(band)
+            yield pd.DataFrame(
+                {"doc_id": ids, "band_idx": idxs, "band": vals}
+            ).astype({"doc_id": "int64", "band_idx": "int32", "band": "int64"})
+
+    return pgm_df.mapInPandas(dec, schema=AHASH_BANDS_SCHEMA)

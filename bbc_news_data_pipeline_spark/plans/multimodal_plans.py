@@ -107,8 +107,136 @@ WHERE mime LIKE 'video/%'
 ORDER BY doc_id, frame_idx
 """
 
+# ---------------------------------------------------------------------------
+# q269 — perceptual-hash image near-dup (ext, r7 verdict task #5): the
+# multimodal surface's first CONTENT-level operator — q45/q47/q48 stop
+# at header metadata; image dedup needs pixels. The chain: synthesize a
+# deterministic 16x16 gray bitmap per doc (pair-groups g = doc_id div 2;
+# the odd member is a NEAR-duplicate — +2 on a diagonal stripe), encode
+# it as a REAL binary P5 PGM in one mapInPandas, parse it back with the
+# pure-python PGM decoder in a second mapInPandas (the codec round-trip
+# is part of what parity checks), compute the 64-bit aHash (2x2 integer
+# block means, global integer mean, bit = block > mean), emit 8 row-
+# bands of 8 bits, then exactly q43's SimHash shape: band-equality
+# self-join for candidates, exact Hamming verify (bit_count over XOR),
+# threshold filter. On the fixture all 250 constructed pairs band
+# together and survive (hamming <= 3) with zero false extras. The
+# oracle recomputes pixels/hash/bands/join from the md5 formula in SQL
+# — no binary columns, so a bug in either PGM codec breaks the hash
+# match. Scale: per-doc work is row-local Arrow-batched Python (pixel
+# decode is the genuinely non-relational step); the only shuffles are
+# the band-bucket join (uniform 8-bit keys x band_idx) and the bounded
+# candidate rollup — no all-pairs stage anywhere.
+# ---------------------------------------------------------------------------
+_Q269_HAM_T = 8
+
+
+def q269_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import ahash_bands, encode_pgm_images
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = docs.select(
+        "doc_id",
+        F.expr("doc_id div 2").alias("g"),
+        (F.col("doc_id") % 2).alias("odd"),
+    )
+    bands = ahash_bands(encode_pgm_images(imgs)).localCheckpoint(
+        eager=False
+    )  # feeds the bucket self-join + both hamming sides
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band")
+    cand = (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", F.col("band").alias("band_a")
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", F.col("band").alias("band_b")
+    )
+    ham = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band_idx"])
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(
+            F.sum(F.bit_count(F.col("band_a").bitwiseXOR(F.col("band_b"))))
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    return (
+        ham.filter(F.col("hamming") <= _Q269_HAM_T)
+        .select("doc_a", "doc_b", "n_shared_bands", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_Q269_PXL = _hex2int_sql(
+    "md5('pgm:' || CAST(i.g AS VARCHAR) || ':' || CAST(co.y AS VARCHAR))",
+    "(2 * co.x + 1)",  # digest byte x = hex chars 2x+1..2x+2
+    2,
+)
+
+Q269_SQL = f"""
+WITH imgs AS (
+    SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS odd FROM documents
+),
+coords AS (
+    SELECT gx.x, gy.y
+    FROM (SELECT unnest(generate_series(0, 15)) AS x) gx
+    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) gy
+),
+pix AS (
+    SELECT i.doc_id, co.x, co.y,
+           least(255, {_Q269_PXL}
+                 + CASE WHEN i.odd = 1 AND (co.x + co.y) % 5 = 0
+                        THEN 2 ELSE 0 END) AS p
+    FROM imgs i CROSS JOIN coords co
+),
+grid AS (
+    SELECT doc_id, y // 2 AS r, x // 2 AS c, CAST(sum(p) // 4 AS BIGINT) AS a
+    FROM pix GROUP BY doc_id, y // 2, x // 2
+),
+mu AS (SELECT doc_id, sum(a) // 64 AS mu FROM grid GROUP BY doc_id),
+bands AS (
+    SELECT g.doc_id, CAST(g.r AS INTEGER) AS band_idx,
+           CAST(sum(CASE WHEN g.a > m.mu
+                         THEN (CAST(1 AS BIGINT) << CAST(g.c AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS band
+    FROM grid g JOIN mu m USING (doc_id)
+    GROUP BY g.doc_id, g.r
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM bands a
+    JOIN bands b ON b.band_idx = a.band_idx AND b.band = a.band
+                AND b.doc_id > a.doc_id
+    GROUP BY 1, 2
+),
+ham AS (
+    SELECT c.doc_a, c.doc_b, c.shared,
+           CAST(sum(bit_count(xor(ba.band, bb.band))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands ba ON ba.doc_id = c.doc_a
+    JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
+    GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS n_shared_bands, hamming
+FROM ham
+WHERE hamming <= {_Q269_HAM_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     Query("q45_media_meta", q45_media_meta, Q45_SQL, survey="ext:multimodal-decode", tags=("bench",)),
+    Query("q269_image_phash_neardup", q269_image_phash_neardup, Q269_SQL,
+          survey="ext:multimodal-phash,ext:multimodal-decode,"
+                 "ext:image-neardup,ext:banding-lsh",
+          tags=("bench",)),
     Query("q47_image_resize_plan", q47_image_resize_plan, Q47_SQL,
           survey="ext:multimodal-resize"),
     Query("q48_video_frame_sample", q48_video_frame_sample, Q48_SQL,

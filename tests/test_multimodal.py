@@ -259,3 +259,85 @@ def test_frame_sample_fanout(spark, media_meta):
     assert set(by_doc) == set(videos)
     for doc_id, idxs in by_doc.items():
         assert sorted(idxs) == list(range(0, videos[doc_id], 10))
+
+
+# --- perceptual hash (q269's operator core) ---------------------------------
+
+
+def _pgm_bytes(px_rows):
+    h = len(px_rows)
+    w = len(px_rows[0])
+    return (
+        f"P5\n{w} {h}\n255\n".encode()
+        + bytes(p for row in px_rows for p in row)
+    )
+
+
+def test_parse_pgm_roundtrip_and_refusals():
+    from bbc_news_data_pipeline_spark.operators.multimodal import _parse_pgm
+
+    rows = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    w, h, px = _parse_pgm(_pgm_bytes(rows))
+    assert (w, h) == (16, 16)
+    assert px[0] == rows[0][0] and px[16] == rows[1][0]
+    # comment-tolerant header
+    commented = b"P5\n# made by hand\n16 16\n255\n" + bytes(
+        p for row in rows for p in row
+    )
+    assert _parse_pgm(commented)[:2] == (16, 16)
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        _parse_pgm(b"P6\n2 2\n255\n" + b"\x00" * 12)  # not grayscale P5
+    with _pt.raises(NotImplementedError):
+        _parse_pgm(_pgm_bytes(rows)[:-10])  # truncated pixels
+
+
+def test_near_identical_bitmaps_band_together():
+    """The q269 property: perturbing a few pixels by a small delta must
+    leave most aHash bands identical (banding recalls the pair), while a
+    structurally different image shares nothing. Checked across every
+    stripe phase so no single lucky layout carries the assertion."""
+    from bbc_news_data_pipeline_spark.operators.multimodal import (
+        _ahash_bands,
+        _parse_pgm,
+    )
+
+    base_rows = [
+        [min(255, 40 + 12 * ((x + y * 3) % 14)) for x in range(16)]
+        for y in range(16)
+    ]
+    w, h, base_px = _parse_pgm(_pgm_bytes(base_rows))
+    base_bands = _ahash_bands(base_px, w, h)
+    for phase in range(5):
+        pert_rows = [
+            [
+                min(255, p + (2 if (x + y) % 5 == phase else 0))
+                for x, p in enumerate(row)
+            ]
+            for y, row in enumerate(base_rows)
+        ]
+        _, _, pert_px = _parse_pgm(_pgm_bytes(pert_rows))
+        pert_bands = _ahash_bands(pert_px, w, h)
+        shared = sum(1 for a, b in zip(base_bands, pert_bands) if a == b)
+        assert shared >= 6, f"phase {phase}: only {shared}/8 bands survived"
+    # inverted image: different content, different hash
+    inv_rows = [[255 - p for p in row] for row in base_rows]
+    _, _, inv_px = _parse_pgm(_pgm_bytes(inv_rows))
+    inv_bands = _ahash_bands(inv_px, w, h)
+    assert sum(1 for a, b in zip(base_bands, inv_bands) if a == b) <= 2
+
+
+def test_phash_neardup_recovers_constructed_pairs(spark, sf_dir):
+    """End-to-end q269: every constructed (2g, 2g+1) pair must appear as
+    a candidate and pass the Hamming gate; no cross-group pair may."""
+    from bbc_news_data_pipeline_spark.plans.multimodal_plans import (
+        q269_image_phash_neardup,
+    )
+
+    out = q269_image_phash_neardup(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    want = {(2 * g, 2 * g + 1) for g in range(n_docs // 2)}
+    got = {(r.doc_a, r.doc_b) for r in out}
+    assert got == want
+    assert all(r.hamming <= 8 and r.n_shared_bands >= 1 for r in out)
