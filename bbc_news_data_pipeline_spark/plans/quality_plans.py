@@ -730,6 +730,250 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q270 — distributed quality-classifier TRAINING (ext, r7 verdict task
+# #6): closes the train-side gap in the quality loop (q108 rules → q109
+# DSIR → q117 SERVE): K unrolled logistic-regression gradient steps over
+# q117's hashed feature space, as exact DataFrame algebra — the
+# FineWeb-edu-style classifier gate finally has a training-side query.
+# Model: mean-pooled hashed bag-of-words (bucket = md5 'ft:' trick, the
+# identical featurizer q117 serves), label = lexical diversity
+# (2·distinct > n_tokens). Determinism discipline: weights live on an
+# int64 1e-6 lattice; each step's sigmoid output is floor-quantized to
+# an int 1e-6 grid BEFORE any aggregation, so per-(doc,bucket) gradient
+# contributions floor((pq − y·1e6)·c·1e6/n) and the per-bucket sums are
+# EXACT int64 — shuffle order cannot perturb a single bit; the weight
+# update floor(η·G/(1e6·N)) is double-exact (|η·G| < 2^53). The only
+# cross-engine float surface is exp/ln on identical double inputs with
+# outputs immediately floor-quantized on grids ≥1e9 coarser than an
+# ulp. Output: one row per step with the pre-update logloss (strictly
+# decreasing on the fixture — pinned by test) and training accuracy.
+# ORACLE: the same K steps unrolled in SQL — an independent full
+# re-derivation, not a re-serialization (CTE chain generated per step).
+# Scale: per step, ONE broadcast-ish join of the (doc,bucket) feature
+# frame against the ≤D-row weight table, one partial-agg per-doc
+# forward rollup, one partial-agg per-bucket gradient rollup — the
+# standard data-parallel full-batch GD layout; K scans total, no
+# driver-side weight vector (weights stay a DataFrame end to end).
+# ---------------------------------------------------------------------------
+_Q270_ETA = 200.0
+_Q270_K = 8
+
+
+def q270_classifier_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = docs.select(
+        "doc_id",
+        F.explode(toks).alias("t"),
+        F.size(toks).cast("long").alias("n"),
+        (F.size(F.array_distinct(toks)) * 2 > F.size(toks)).cast("int").alias("y"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ft:"), F.col("t"))), 1, 8), 16, 10
+        ).cast("long")
+        % _Q117_D
+    )
+    feat = (
+        base.select("doc_id", bucket.alias("b"), "n", "y")
+        .groupBy("doc_id", "b")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.min("n").alias("n"),
+            F.min("y").alias("y"),
+        )
+        .localCheckpoint()  # EAGER: read 2-3x per step across K+1 steps —
+        # materializing once keeps every per-step plan a LogicalRDD leaf
+    )
+    nn = feat.groupBy().agg(
+        F.count_distinct("doc_id").cast("long").alias("nd")
+    )
+
+    w = None  # step-0 weights: all-zero (absent bucket rows read as 0)
+    out = []
+    for k in range(_Q270_K + 1):
+        if w is None:
+            scored = feat.groupBy("doc_id").agg(
+                F.min("n").alias("n"),
+                F.min("y").alias("y"),
+                F.lit(0).cast("long").alias("s"),
+            )
+        else:
+            scored = (
+                feat.join(w, "b", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.min("n").alias("n"),
+                    F.min("y").alias("y"),
+                    F.sum(F.col("c") * F.coalesce("w", F.lit(0)))
+                    .cast("long")
+                    .alias("s"),
+                )
+            )
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.col("s").cast("double") / (F.lit(1000000.0) * F.col("n"))))
+        )
+        pq = F.greatest(
+            F.lit(1),
+            F.least(F.lit(999999), F.floor(p * 1000000 + F.lit(0.5))),
+        ).cast("long")
+        pr = scored.select("doc_id", "n", "y", pq.alias("pq")).localCheckpoint()
+        # EAGER: pr feeds both the loss rollup and the gradient, and w{k}
+        # references w{k-1} twice — lazy checkpoints would let the K-step
+        # lineage nest doubly-referenced subplans (measured 160s; eager
+        # materialization of the tiny per-step frames bounds every plan)
+        pp = F.col("pq") / F.lit(1000000.0)
+        li = F.floor(
+            -(
+                F.col("y") * F.log(pp)
+                + (F.lit(1) - F.col("y")) * F.log(F.lit(1.0) - pp)
+            )
+            * 1000000000
+        ).cast("long")
+        out.append(
+            pr.agg(
+                F.sum(li).cast("long").alias("lsum"),
+                F.sum(
+                    F.when(
+                        (F.col("pq") > 500000).cast("int") == F.col("y"), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_correct"),
+                F.count("*").cast("long").alias("n_docs"),
+            ).select(
+                F.lit(k).cast("int").alias("step"),
+                F.round(
+                    F.col("lsum").cast("double") / 1e9 / F.col("n_docs"), 6
+                ).alias("logloss"),
+                "n_correct",
+                "n_docs",
+            )
+        )
+        if k == _Q270_K:
+            break
+        grad = (
+            feat.join(pr.select("doc_id", "pq"), "doc_id")
+            .select(
+                "b",
+                F.floor(
+                    ((F.col("pq") - F.col("y") * 1000000) * F.col("c")).cast(
+                        "double"
+                    )
+                    * F.lit(1000000.0)
+                    / F.col("n")
+                )
+                .cast("long")
+                .alias("gi"),
+            )
+            .groupBy("b")
+            .agg(F.sum("gi").cast("long").alias("g"))
+        )
+        joined = (
+            grad.join(w, "b", "left")
+            if w is not None
+            else grad.withColumn("w", F.lit(None).cast("long"))
+        )
+        w = (
+            joined.crossJoin(F.broadcast(nn))
+            .select(
+                "b",
+                (
+                    F.coalesce("w", F.lit(0))
+                    - F.floor(
+                        F.lit(_Q270_ETA)
+                        * F.col("g").cast("double")
+                        / (F.lit(1000000.0) * F.col("nd"))
+                    ).cast("long")
+                ).alias("w"),
+            )
+            .localCheckpoint()  # EAGER — see pr note
+        )
+    return reduce(lambda a, b: a.unionByName(b), out).orderBy("step")
+
+
+def _q270_step_sql(k: int, last: bool) -> str:
+    eta = _Q270_ETA
+    block = f""",
+sc{k} AS (
+    SELECT f.doc_id, min(f.n) AS n, min(f.y) AS y,
+           CAST(sum(f.c * coalesce(w.w, 0)) AS BIGINT) AS s
+    FROM feat f LEFT JOIN w{k - 1} w ON w.b = f.b
+    GROUP BY f.doc_id
+),
+pr{k} AS MATERIALIZED (
+    SELECT doc_id, n, y,
+           greatest(1, least(999999,
+               CAST(floor(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+                                             / (1000000.0 * n))))
+                          * 1000000 + 0.5) AS BIGINT))) AS pq
+    FROM sc{k}
+),
+ls{k} AS (
+    SELECT CAST(sum(CAST(floor(-(y * ln(pq / 1000000.0)
+                                 + (1 - y) * ln(1.0 - pq / 1000000.0))
+                               * 1000000000) AS BIGINT)) AS BIGINT) AS lsum,
+           CAST(sum(CASE WHEN CAST(pq > 500000 AS INTEGER) = y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pr{k}
+)"""
+    if not last:
+        block += f""",
+gr{k} AS (
+    SELECT f.b,
+           CAST(sum(CAST(floor(CAST((p.pq - f.y * 1000000) * f.c AS DOUBLE)
+                               * 1000000.0 / f.n) AS BIGINT)) AS BIGINT) AS g
+    FROM feat f JOIN pr{k} p ON p.doc_id = f.doc_id
+    GROUP BY f.b
+),
+w{k} AS MATERIALIZED (
+    SELECT g.b,
+           CAST(coalesce(w.w, 0)
+                - CAST(floor({eta} * CAST(g.g AS DOUBLE)
+                             / (1000000.0 * nn.nd)) AS BIGINT) AS BIGINT) AS w
+    FROM gr{k} g LEFT JOIN w{k - 1} w ON w.b = g.b CROSS JOIN nn
+)"""
+    return block
+
+
+_Q270_STEPS = "".join(
+    _q270_step_sql(k, last=(k == _Q270_K + 1)) for k in range(1, _Q270_K + 2)
+)
+_Q270_UNION = "\nUNION ALL\n".join(
+    f"SELECT CAST({k - 1} AS INTEGER) AS step,"
+    f" round(CAST(lsum AS DOUBLE) / 1000000000.0 / n_docs, 6) AS logloss,"
+    f" n_correct, n_docs FROM ls{k}"
+    for k in range(1, _Q270_K + 2)
+)
+
+Q270_SQL = f"""
+WITH feat AS MATERIALIZED (
+    SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c, min(n) AS n, min(y) AS y
+    FROM (
+        SELECT doc_id, {_hex2int_sql("md5('ft:' || t)", 1, 8)} % {_Q117_D} AS b,
+               n, y
+        FROM (
+            SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t,
+                   CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n,
+                   CASE WHEN len(list_distinct(str_split(lower(text), ' '))) * 2
+                             > len(str_split(lower(text), ' '))
+                        THEN 1 ELSE 0 END AS y
+            FROM documents) u) v
+    GROUP BY doc_id, b
+),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM feat),
+w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w WHERE 1 = 0)
+{_Q270_STEPS}
+{_Q270_UNION}
+ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
 # q119 — incremental stats-manifest MERGE (ext): a 100 TB pipeline never
 # re-profiles the whole corpus — each ingest batch writes a small
 # "manifest" of ALGEBRAIC partials (count / sum / min / max / sum-of-
@@ -5782,6 +6026,10 @@ QUERIES = [
           survey="ext:quantile-drift,A7,W2"),
     Query("q115_length_outliers", q115_length_outliers, Q115_SQL,
           survey="ext:robust-outlier-qa,A3"),
+    Query("q270_classifier_training", q270_classifier_training, Q270_SQL,
+          survey="ext:classifier-training,ext:quality-classifier,"
+                 "ext:hashing-trick,ext:gradient-descent",
+          tags=("bench",)),
     Query("q117_hashed_classifier", q117_hashed_classifier, Q117_SQL,
           survey="ext:quality-classifier,ext:hash-sampling", tags=("bench",)),
     Query("q119_manifest_merge", q119_manifest_merge, Q119_SQL,

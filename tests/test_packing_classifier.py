@@ -154,3 +154,70 @@ def test_contrastive_triples_invariants(spark, docs_pdf):
     a = out.sort_values(["anchor_id", "positive_id"]).reset_index(drop=True)
     b = again.sort_values(["anchor_id", "positive_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_classifier_training_loss_decreases_and_matches_twin(spark, sf_dir):
+    """q270 (r7 verdict task #6): the K unrolled gradient steps must
+    (a) strictly decrease the training logloss on the fixture and
+    (b) reproduce a from-first-principles python twin of the exact
+    integer-lattice GD bit-for-bit (weights, quantized sigmoids, loss
+    grid, update floors)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q117_D,
+        _Q270_ETA,
+        _Q270_K,
+        q270_classifier_training,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    feats = {}
+    for r in rows:
+        toks = r.text.lower().split(" ")
+        n = len(toks)
+        y = 1 if 2 * len(set(toks)) > n else 0
+        c = defaultdict(int)
+        for t in toks:
+            b = int(hashlib.md5(("ft:" + t).encode()).hexdigest()[:8], 16) % _Q117_D
+            c[b] += 1
+        feats[r.doc_id] = (dict(c), n, y)
+    N = len(feats)
+
+    w = defaultdict(int)
+    twin = []
+    for k in range(_Q270_K + 1):
+        lsum, ncorr, pq = 0, 0, {}
+        for did, (c, n, y) in feats.items():
+            s = sum(cnt * w[b] for b, cnt in c.items())
+            p = 1 / (1 + math.exp(-(s / (1e6 * n))))
+            q = max(1, min(999999, math.floor(p * 1e6 + 0.5)))
+            pq[did] = q
+            pp = q / 1e6
+            lsum += math.floor(-(y * math.log(pp) + (1 - y) * math.log(1 - pp)) * 1e9)
+            ncorr += 1 if (1 if q > 500000 else 0) == y else 0
+        twin.append((k, round(lsum / 1e9 / N, 6), ncorr, N))
+        if k == _Q270_K:
+            break
+        G = defaultdict(int)
+        for did, (c, n, y) in feats.items():
+            rs = pq[did] - y * 1000000
+            for b, cnt in c.items():
+                G[b] += math.floor(float(rs * cnt) * 1e6 / n)
+        for b, g in G.items():
+            w[b] -= math.floor(_Q270_ETA * float(g) / (1e6 * N))
+
+    got = [
+        (r.step, r.logloss, r.n_correct, r.n_docs)
+        for r in q270_classifier_training(spark, sf_dir).collect()
+    ]
+    assert got == twin
+    losses = [l for _, l, _, _ in got]
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+    assert got[0][1] == 0.693147  # ln 2: the all-zero-weights start
