@@ -90,6 +90,13 @@ def test_corpus_broadcast_hint_sites_pinned():
         # digest cum behind a lazy checkpoint (domain-bounded) / S-1
         # boundary rows from a literal explode
         "q188_range_partitioner": 1,
+        # IVF-PQ residual search: every hinted build side is
+        # construction-bounded — the 1-row query and recall frames, the
+        # NPROBE(3)-row probe list, the NCELL(16)-row centroid table and
+        # the M*k(32)-row LUTs/codebooks — but the corpus/withcell lazy
+        # checkpoints make them opaque to the static walker (the q49/
+        # q175 pattern). None derives unboundedly from a corpus scan.
+        "q268_ivfpq_residual_search": 9,
     }
     assert got == reviewed, (
         f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"
