@@ -440,3 +440,132 @@ def ahash_bands(pgm_df: DataFrame) -> DataFrame:
             ).astype({"doc_id": "int64", "band_idx": "int32", "band": "int64"})
 
     return pgm_df.mapInPandas(dec, schema=AHASH_BANDS_SCHEMA)
+
+
+# --- audio energy-fingerprint near-dup (q271) -------------------------------
+
+#: Fixed synthetic-audio geometry: 256 samples of 8-bit mono PCM at
+#: 8 kHz -> 64 frames of 4 samples -> 64 energy bits -> 8 bands of 8.
+WAV_NSAMPLES = 256
+WAV_RATE = 8000
+
+
+def _wav_samples(g: int, odd: int) -> bytes:
+    """Deterministic 256-sample 8-bit PCM clip for pair-group ``g``
+    (md5 blocks, 16 samples each); the odd member gets a +2 bump every
+    5th sample — a near-duplicate of its even sibling. md5-derived so
+    the oracle recomputes identical samples with hex slicing."""
+    out = bytearray()
+    blk = 0
+    while len(out) < WAV_NSAMPLES:
+        out += hashlib.md5(f"wav:{g}:{blk}".encode()).digest()
+        blk += 1
+    s = bytearray(out[:WAV_NSAMPLES])
+    if odd:
+        for i in range(0, WAV_NSAMPLES, 5):
+            s[i] = min(255, s[i] + 2)
+    return bytes(s)
+
+
+def encode_wav_audio(df: DataFrame) -> DataFrame:
+    """(doc_id, g, odd) -> (doc_id, wav binary): a REAL RIFF/WAVE stream
+    (fmt chunk: PCM, mono, 8 kHz, 8-bit; data chunk: raw samples) built
+    in an Arrow-batched mapInPandas — the decode side re-parses it, so
+    either codec breaking shows up as an oracle hash mismatch."""
+
+    def _wav_bytes(g: int, odd: int) -> bytes:
+        pcm = _wav_samples(g, odd)
+        fmt = (
+            b"fmt "
+            + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")  # PCM
+            + (1).to_bytes(2, "little")  # mono
+            + WAV_RATE.to_bytes(4, "little")
+            + WAV_RATE.to_bytes(4, "little")  # byte rate (8-bit mono)
+            + (1).to_bytes(2, "little")  # block align
+            + (8).to_bytes(2, "little")  # bits per sample
+        )
+        data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": [
+                        _wav_bytes(int(g), int(odd))
+                        for g, odd in zip(pdf["g"], pdf["odd"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(enc, schema="doc_id bigint, wav binary")
+
+
+def _parse_wav_pcm(b: bytes) -> tuple[int, bytes]:
+    """(sample_rate, raw samples) from a RIFF/WAVE stream — the
+    full-payload extension of :func:`_parse_wav_rate`: walks chunks,
+    validates the fmt chunk is 8-bit mono PCM, returns the data chunk.
+    Raises NotImplementedError on anything else (parse-error signal)."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE stream")
+    i, rate, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise NotImplementedError("truncated fmt chunk")
+            audio_fmt = int.from_bytes(b[i + 8 : i + 10], "little")
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            if (audio_fmt, channels, bits) != (1, 1, 8):
+                raise NotImplementedError("only 8-bit mono PCM supported")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + clen]
+            if len(data) != clen:
+                raise NotImplementedError("truncated data chunk")
+        i += 8 + clen + (clen % 2)
+    if rate is None or data is None:
+        raise NotImplementedError("missing fmt or data chunk")
+    return rate, data
+
+
+def _energy_bands(samples: bytes) -> list[int]:
+    """8 row-bands of the 64-bit frame-energy fingerprint: 4-sample
+    frame energies sum((s-128)^2), global integer mean, bit = energy >
+    mean. Exact integer algebra — engine-portable, q269's aHash shape
+    transposed to the time axis."""
+    nf = len(samples) // 4
+    en = [
+        sum((s - 128) * (s - 128) for s in samples[4 * f : 4 * f + 4])
+        for f in range(nf)
+    ]
+    mu = sum(en) // nf
+    bits = [1 if e > mu else 0 for e in en]
+    return [
+        sum(bits[8 * b + c] << c for c in range(8)) for b in range(nf // 8)
+    ]
+
+
+def wav_fingerprint_bands(wav_df: DataFrame) -> DataFrame:
+    """(doc_id, wav) -> (doc_id, band_idx, band): decode the WAV, emit
+    the LSH-ready banded energy fingerprint (q269's layout)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                _, pcm = _parse_wav_pcm(bytes(wav))
+                for i, band in enumerate(_energy_bands(pcm)):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    vals.append(band)
+            yield pd.DataFrame(
+                {"doc_id": ids, "band_idx": idxs, "band": vals}
+            ).astype({"doc_id": "int64", "band_idx": "int32", "band": "int64"})
+
+    return wav_df.mapInPandas(dec, schema=AHASH_BANDS_SCHEMA)

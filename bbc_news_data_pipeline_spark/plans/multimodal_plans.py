@@ -131,18 +131,12 @@ ORDER BY doc_id, frame_idx
 _Q269_HAM_T = 8
 
 
-def q269_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import ahash_bands, encode_pgm_images
-
-    docs = load(spark, sf_dir, "documents")
-    imgs = docs.select(
-        "doc_id",
-        F.expr("doc_id div 2").alias("g"),
-        (F.col("doc_id") % 2).alias("odd"),
-    )
-    bands = ahash_bands(encode_pgm_images(imgs)).localCheckpoint(
-        eager=False
-    )  # feeds the bucket self-join + both hamming sides
+def _band_hamming_pairs(bands: DataFrame, ham_t: int) -> DataFrame:
+    """Shared LSH tail for the perceptual fingerprints (q269 image aHash,
+    q271 audio energy hash): band-equality self-join for candidates,
+    exact Hamming verify via bit_count(xor), threshold gate. Input:
+    (doc_id, band_idx, band); the caller localCheckpoints it (three
+    consumers below)."""
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band")
     cand = (
@@ -168,10 +162,25 @@ def q269_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        ham.filter(F.col("hamming") <= _Q269_HAM_T)
+        ham.filter(F.col("hamming") <= ham_t)
         .select("doc_a", "doc_b", "n_shared_bands", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def q269_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import ahash_bands, encode_pgm_images
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = docs.select(
+        "doc_id",
+        F.expr("doc_id div 2").alias("g"),
+        (F.col("doc_id") % 2).alias("odd"),
+    )
+    bands = ahash_bands(encode_pgm_images(imgs)).localCheckpoint(
+        eager=False
+    )  # feeds the bucket self-join + both hamming sides
+    return _band_hamming_pairs(bands, _Q269_HAM_T)
 
 
 _Q269_PXL = _hex2int_sql(
@@ -231,11 +240,103 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q271 — audio energy-fingerprint near-dup (ext): q269's shape
+# transposed to the time axis, completing the content-level multimodal
+# trio (image aHash q269, audio here, video frame plan q48). A REAL
+# RIFF/WAVE round-trip: deterministic 256-sample 8-bit mono PCM clips
+# (pair-groups, +2 bump every 5th sample on the odd member) are encoded
+# with fmt/data chunks in one mapInPandas and re-parsed by the
+# full-payload WAV decoder (validates PCM/mono/8-bit, loud refusal
+# otherwise); the fingerprint is 64 four-sample frame energies
+# sum((s-128)^2) -> bit = energy > integer mean -> 8 row-bands, then
+# the shared _band_hamming_pairs LSH tail. All 250 constructed pairs
+# recovered, zero false extras (prototyped; pinned by test). Oracle
+# recomputes samples/energies/bands from the md5 formula in SQL — the
+# WAV codec is inside the parity loop. Scale: identical to q269 —
+# row-local Arrow decode, uniform band-bucket join, bounded rollup.
+# ---------------------------------------------------------------------------
+_Q271_HAM_T = 8
+
+
+def q271_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import encode_wav_audio, wav_fingerprint_bands
+
+    docs = load(spark, sf_dir, "documents")
+    auds = docs.select(
+        "doc_id",
+        F.expr("doc_id div 2").alias("g"),
+        (F.col("doc_id") % 2).alias("odd"),
+    )
+    bands = wav_fingerprint_bands(encode_wav_audio(auds)).localCheckpoint(
+        eager=False
+    )  # feeds the bucket self-join + both hamming sides
+    return _band_hamming_pairs(bands, _Q271_HAM_T)
+
+
+_Q271_SMP = _hex2int_sql(
+    "md5('wav:' || CAST(a.g AS VARCHAR) || ':' || CAST(ix.i // 16 AS VARCHAR))",
+    "(2 * (ix.i % 16) + 1)",  # digest byte (i mod 16) = hex chars 2k+1..2k+2
+    2,
+)
+
+Q271_SQL = f"""
+WITH auds AS (
+    SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS odd FROM documents
+),
+idx AS (SELECT unnest(generate_series(0, 255)) AS i),
+smp AS (
+    SELECT a.doc_id, ix.i,
+           least(255, {_Q271_SMP}
+                 + CASE WHEN a.odd = 1 AND ix.i % 5 = 0 THEN 2 ELSE 0 END) AS s
+    FROM auds a CROSS JOIN idx ix
+),
+en AS (
+    SELECT doc_id, i // 4 AS f,
+           CAST(sum((s - 128) * (s - 128)) AS BIGINT) AS e
+    FROM smp GROUP BY doc_id, i // 4
+),
+mu AS (SELECT doc_id, sum(e) // 64 AS mu FROM en GROUP BY doc_id),
+bands AS (
+    SELECT e.doc_id, CAST(e.f // 8 AS INTEGER) AS band_idx,
+           CAST(sum(CASE WHEN e.e > m.mu
+                         THEN (CAST(1 AS BIGINT) << CAST(e.f % 8 AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS band
+    FROM en e JOIN mu m USING (doc_id)
+    GROUP BY e.doc_id, e.f // 8
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM bands a
+    JOIN bands b ON b.band_idx = a.band_idx AND b.band = a.band
+                AND b.doc_id > a.doc_id
+    GROUP BY 1, 2
+),
+ham AS (
+    SELECT c.doc_a, c.doc_b, c.shared,
+           CAST(sum(bit_count(xor(ba.band, bb.band))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands ba ON ba.doc_id = c.doc_a
+    JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
+    GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS n_shared_bands, hamming
+FROM ham
+WHERE hamming <= {_Q271_HAM_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     Query("q45_media_meta", q45_media_meta, Q45_SQL, survey="ext:multimodal-decode", tags=("bench",)),
     Query("q269_image_phash_neardup", q269_image_phash_neardup, Q269_SQL,
           survey="ext:multimodal-phash,ext:multimodal-decode,"
                  "ext:image-neardup,ext:banding-lsh",
+          tags=("bench",)),
+    Query("q271_audio_fingerprint_neardup", q271_audio_fingerprint_neardup,
+          Q271_SQL,
+          survey="ext:multimodal-audiohash,ext:multimodal-decode,"
+                 "ext:audio-neardup,ext:banding-lsh",
           tags=("bench",)),
     Query("q47_image_resize_plan", q47_image_resize_plan, Q47_SQL,
           survey="ext:multimodal-resize"),

@@ -341,3 +341,67 @@ def test_phash_neardup_recovers_constructed_pairs(spark, sf_dir):
     got = {(r.doc_a, r.doc_b) for r in out}
     assert got == want
     assert all(r.hamming <= 8 and r.n_shared_bands >= 1 for r in out)
+
+
+def test_parse_wav_pcm_roundtrip_and_refusals():
+    from bbc_news_data_pipeline_spark.operators.multimodal import (
+        _parse_wav_pcm,
+        _wav_samples,
+    )
+
+    pcm = _wav_samples(7, 0)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    rate, got = _parse_wav_pcm(wav)
+    assert rate == 8000 and got == pcm
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        _parse_wav_pcm(b"OggS" + wav[4:])  # not RIFF
+    with _pt.raises(NotImplementedError):
+        _parse_wav_pcm(wav[:-5])  # truncated data chunk
+    stereo = wav.replace(
+        (1).to_bytes(2, "little") + (8000).to_bytes(4, "little"),
+        (2).to_bytes(2, "little") + (8000).to_bytes(4, "little"), 1)
+    with _pt.raises(NotImplementedError):
+        _parse_wav_pcm(stereo)  # only mono supported
+
+
+def test_audio_fingerprint_recovers_constructed_pairs(spark, sf_dir):
+    """End-to-end q271: every constructed (2g, 2g+1) pair must band
+    together and pass the Hamming gate, and no cross-group pair may —
+    the audio twin of the q269 contract."""
+    from bbc_news_data_pipeline_spark.plans.multimodal_plans import (
+        q271_audio_fingerprint_neardup,
+    )
+
+    out = q271_audio_fingerprint_neardup(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    want = {(2 * g, 2 * g + 1) for g in range(n_docs // 2)}
+    assert {(r.doc_a, r.doc_b) for r in out} == want
+    assert all(r.hamming <= 8 and r.n_shared_bands >= 1 for r in out)
+
+
+def test_energy_bands_perturbation_stability():
+    """q271's property twin of the q269 banding-stability check: a small
+    per-sample bump leaves most energy bands identical; reversing the
+    clip (different temporal structure) diverges."""
+    from bbc_news_data_pipeline_spark.operators.multimodal import (
+        _energy_bands,
+        _wav_samples,
+    )
+
+    for g in range(5):
+        base = _wav_samples(g, 0)
+        pert = _wav_samples(g, 1)
+        b0, b1 = _energy_bands(base), _energy_bands(pert)
+        assert sum(1 for a, b in zip(b0, b1) if a == b) >= 6
+        rev = _energy_bands(bytes(reversed(base)))
+        assert b0 != rev
