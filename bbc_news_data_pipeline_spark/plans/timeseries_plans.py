@@ -2633,6 +2633,240 @@ ORDER BY channel
 
 
 # ---------------------------------------------------------------------------
+# q272 — Markov-chain attribution with removal effects (ext): the
+# DATA-DRIVEN attribution model that replaces q239's positional
+# heuristics (first/last/linear are conventions; the removal effect is
+# a causal-ish readout — "how much conversion probability disappears
+# if channel c is deleted from every journey?", Anderl et al. 2014).
+# Chain construction: per user, events in (ts, event_id) order split
+# into journeys at each purchase (journey = count of prior CONVs, a
+# user-PARTITIONED window); states = channels + START/CONV/NULL with
+# absorbing self-loops; transitions counted exactly. Absorption is K=8
+# unrolled propagation steps of a probability vector kept on an exact
+# 1e-9 INTEGER lattice — per-edge mass floor(v·n/ns) (double-exact:
+# v·n < 2^53) summed as BIGINT, so shuffle order can't perturb a bit
+# (the q270 discipline); removals run as ONE extra key column
+# (removed ∈ channels ∪ '__none__'), not a per-channel re-plan.
+# Attribution: conversion cents × normalized removal effects on a 4dp
+# integer grid. Scale: the corpus is touched by exactly two
+# partitioned-window passes and one purchase rollup; everything after
+# the transition groupBy is metadata-sized (|states|² × |channels|).
+# ---------------------------------------------------------------------------
+_Q272_K = 8
+_Q272_SCALE = 1_000_000_000
+
+
+def q272_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    ).withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(F.when(F.col("state") == "CONV", 1).otherwise(0)).over(w_prev),
+            F.lit(0),
+        ),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wj_desc = Window.partitionBy("user_id", "journey").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    stepped = seq.select(
+        "state",
+        F.lag("state", 1, "START").over(wj).alias("prev"),
+        F.row_number().over(wj_desc).alias("rn"),
+    )
+    edges = (
+        stepped.select(F.col("prev").alias("s"), F.col("state").alias("t"))
+        .unionByName(
+            stepped.filter((F.col("rn") == 1) & (F.col("state") != "CONV")).select(
+                F.col("state").alias("s"), F.lit("NULL").alias("t")
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("CONV", "CONV"), ("NULL", "NULL")], "s string, t string"
+            )
+        )
+    )
+    tr = edges.groupBy("s", "t").agg(F.count("*").cast("long").alias("n"))
+    ns = tr.groupBy("s").agg(F.sum("n").alias("ns"))
+    trn = tr.join(ns, "s").localCheckpoint()  # |states|^2 rows; K joins read it
+    rem = (
+        trn.select(F.col("t").alias("removed"))
+        .filter(~F.col("removed").isin("CONV", "NULL", "START"))
+        .distinct()
+        .unionByName(spark.createDataFrame([("__none__",)], "removed string"))
+        .localCheckpoint()
+    )
+    p = rem.select(
+        "removed",
+        F.lit("START").alias("state"),
+        F.lit(_Q272_SCALE).cast("long").alias("v"),
+    )
+    for _ in range(_Q272_K):
+        p = (
+            p.join(trn, F.col("state") == F.col("s"))
+            .filter(F.col("t") != F.col("removed"))
+            .select(
+                "removed",
+                "t",
+                F.floor(F.col("v").cast("double") * F.col("n") / F.col("ns"))
+                .cast("long")
+                .alias("dv"),
+            )
+            .groupBy("removed", "t")
+            .agg(F.sum("dv").cast("long").alias("v"))
+            .withColumnRenamed("t", "state")
+            .localCheckpoint()  # EAGER: metadata-sized; bounds the K-step plan
+        )
+    pconv = p.filter(F.col("state") == "CONV").select("removed", F.col("v").alias("pc"))
+    base = pconv.filter(F.col("removed") == "__none__").select(
+        F.col("pc").alias("bp")
+    )
+    cents = ev.filter(F.col("event_type") == "purchase").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "total_cents"
+        )
+    )
+    re = (
+        pconv.filter(F.col("removed") != "__none__")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "pc",
+            "bp",
+            F.floor(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - F.col("pc").cast("double") / F.col("bp"),
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("re4"),
+        )
+    )
+    rs = re.agg(F.sum("re4").cast("long").alias("re4_sum"))
+    return (
+        re.crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "channel",
+            F.round(F.col("pc") / F.lit(float(_Q272_SCALE)), 6).alias(
+                "pconv_removed"
+            ),
+            (F.col("re4") / F.lit(10000.0)).alias("removal_effect"),
+            F.round(F.col("bp") / F.lit(float(_Q272_SCALE)), 6).alias("base_pconv"),
+            F.when(
+                F.col("re4_sum") > 0,
+                F.floor(
+                    F.col("total_cents").cast("double")
+                    * F.col("re4")
+                    / F.col("re4_sum")
+                )
+                / F.lit(100.0),
+            ).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _q272_step_sql(k: int) -> str:
+    return f""",
+p{k} AS MATERIALIZED (
+    SELECT p.removed, trn.t AS state,
+           CAST(sum(CAST(floor(CAST(p.v AS DOUBLE) * trn.n / trn.ns)
+                         AS BIGINT)) AS BIGINT) AS v
+    FROM p{k - 1} p JOIN trn ON trn.s = p.state
+    WHERE trn.t <> p.removed
+    GROUP BY p.removed, trn.t
+)"""
+
+
+_Q272_STEPS = "".join(_q272_step_sql(k) for k in range(1, _Q272_K + 1))
+
+Q272_SQL = f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 'CONV'
+                ELSE event_type END AS state,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS journey
+    FROM events
+),
+stepped AS (
+    SELECT state,
+           lag(state, 1, 'START') OVER (
+               PARTITION BY user_id, journey ORDER BY ts, event_id) AS prev,
+           row_number() OVER (
+               PARTITION BY user_id, journey
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM seq
+),
+edges AS (
+    SELECT prev AS s, state AS t FROM stepped
+    UNION ALL
+    SELECT state AS s, 'NULL' AS t FROM stepped WHERE rn = 1 AND state <> 'CONV'
+    UNION ALL SELECT 'CONV', 'CONV'
+    UNION ALL SELECT 'NULL', 'NULL'
+),
+tr AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY s, t),
+ns AS (SELECT s, CAST(sum(n) AS BIGINT) AS ns FROM tr GROUP BY s),
+trn AS MATERIALIZED (
+    SELECT tr.s, tr.t, tr.n, ns.ns FROM tr JOIN ns USING (s)
+),
+rem AS MATERIALIZED (
+    SELECT DISTINCT t AS removed FROM trn
+    WHERE t NOT IN ('CONV', 'NULL', 'START')
+    UNION ALL SELECT '__none__'
+),
+p0 AS (
+    SELECT removed, 'START' AS state,
+           CAST({_Q272_SCALE} AS BIGINT) AS v
+    FROM rem
+){_Q272_STEPS},
+pconv AS (SELECT removed, v AS pc FROM p{_Q272_K} WHERE state = 'CONV'),
+base AS (SELECT pc AS bp FROM pconv WHERE removed = '__none__'),
+cents AS (
+    SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events WHERE event_type = 'purchase'
+),
+re AS (
+    SELECT p.removed AS channel, p.pc, b.bp,
+           CAST(floor(greatest(0.0, 1.0 - CAST(p.pc AS DOUBLE) / b.bp)
+                      * 10000 + 0.5) AS BIGINT) AS re4
+    FROM pconv p CROSS JOIN base b
+    WHERE p.removed <> '__none__'
+),
+rs AS (SELECT CAST(sum(re4) AS BIGINT) AS re4_sum FROM re)
+SELECT channel,
+       round(pc / {_Q272_SCALE}.0, 6) AS pconv_removed,
+       re4 / 10000.0 AS removal_effect,
+       round(bp / {_Q272_SCALE}.0, 6) AS base_pconv,
+       CASE WHEN rs.re4_sum > 0
+            THEN floor(CAST(c.total_cents AS DOUBLE) * re4 / rs.re4_sum) / 100.0
+            END AS attributed_value
+FROM re CROSS JOIN rs CROSS JOIN cents c
+ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
 # q240 — log-rank test between survival cohorts (ext): q234 DRAWS the
 # lifetime curve; the log-rank test answers the question a curve can't
 # — "do BUILDING-segment customers churn on a different schedule than
@@ -3061,6 +3295,10 @@ QUERIES = [
           survey="ext:theilsen-slope,ext:trend-regression,ext:robust-outlier-qa"),
     Query("q239_attribution", q239_attribution, Q239_SQL,
           survey="ext:attribution,ext:funnel,ext:range-join,W3",
+          tags=("bench",)),
+    Query("q272_markov_attribution", q272_markov_attribution, Q272_SQL,
+          survey="ext:attribution,ext:markov-attribution,"
+                 "ext:removal-effect,ext:iterate-to-convergence",
           tags=("bench",)),
     Query("q240_logrank_test", q240_logrank_test, Q240_SQL,
           survey="ext:logrank-test,ext:kaplan-meier,ext:ab-experiment"),

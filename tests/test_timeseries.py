@@ -996,3 +996,78 @@ def test_seasonal_decompose_python_twin(spark, sf_dir, tmp_path):
     got = {r.dow: r for r in q257_seasonal_decompose(spark, str(tmp_path)).collect()}
     assert got[1].seasonal_idx == 3.0  # Sunday: 30 vs overall median 10
     assert sum(r.n_anom for r in got.values()) == 1  # exactly the spike
+
+
+def test_markov_attribution_python_twin(spark, sf_dir):
+    """q272 vs a from-first-principles removal-effect twin: journeys
+    split at purchases, exact transition counts with absorbing
+    self-loops, K propagation steps on the 1e-9 integer lattice, 4dp
+    removal effects and cents-grid attribution — bit-for-bit."""
+    import math
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.timeseries_plans import (
+        _Q272_K,
+        _Q272_SCALE,
+        q272_markov_attribution,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type, r.value))
+    trans = defaultdict(int)
+    total_cents = 0
+    for _, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        prev = "START"
+        for _, _, et, v in evs:
+            s = "CONV" if et == "purchase" else et
+            if et == "purchase":
+                total_cents += math.floor(v * 100 + 0.5)
+            trans[(prev, s)] += 1
+            prev = "START" if s == "CONV" else s
+        if prev != "START":
+            trans[(prev, "NULL")] += 1
+    trans[("CONV", "CONV")] += 1
+    trans[("NULL", "NULL")] += 1
+    ns = defaultdict(int)
+    for (s, _), n in trans.items():
+        ns[s] += n
+    channels = sorted(
+        {t for (_, t) in trans if t not in ("CONV", "NULL", "START")}
+    )
+
+    def pconv(removed):
+        p = {"START": _Q272_SCALE}
+        for _ in range(_Q272_K):
+            p2 = defaultdict(int)
+            for (s, t), n in trans.items():
+                if t == removed or s not in p:
+                    continue
+                p2[t] += math.floor(p[s] * n / ns[s])
+            p = dict(p2)
+        return p.get("CONV", 0)
+
+    bp = pconv(None)
+    re4 = {
+        c: math.floor(max(0.0, 1.0 - pconv(c) / bp) * 10000 + 0.5)
+        for c in channels
+    }
+    ssum = sum(re4.values())
+    out = {r.channel: r for r in q272_markov_attribution(spark, sf_dir).collect()}
+    assert sorted(out) == channels
+    for c in channels:
+        r = out[c]
+        assert r.pconv_removed == round(pconv(c) / _Q272_SCALE, 6)
+        assert r.removal_effect == re4[c] / 10000.0
+        assert r.base_pconv == round(bp / _Q272_SCALE, 6)
+        assert r.attributed_value == math.floor(total_cents * re4[c] / ssum) / 100
+    # the removal effects are substantial (every channel gates some
+    # journeys) and the base chain converts most journeys within K steps
+    assert all(out[c].removal_effect > 0 for c in channels)
+    assert 0 < out[channels[0]].base_pconv <= 1
