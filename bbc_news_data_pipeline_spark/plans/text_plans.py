@@ -815,6 +815,134 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q273 — Kneser–Ney smoothed bigram LM (ext): the top rung of the
+# perplexity-filter ladder (q102 unigram → q118 interpolated bigram →
+# KN here) — the smoothing KenLM actually ships (Kneser & Ney 1995;
+# Chen & Goodman 1999 interpolated form):
+#   P_KN(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+#               + d·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(··),   d = 0.75
+# The CONTINUATION distribution N1+(·,w2)/N1+(··) — "in how many
+# distinct contexts does w2 appear" — is what distinguishes KN from
+# q118's frequency interpolation: a token frequent only inside one
+# collocation ("Francisco") gets low continuation mass even though its
+# raw unigram count is high. All model ingredients are exact integer
+# counts (bigram counts, predecessor totals, distinct-successor /
+# distinct-predecessor type counts, total bigram types), assembled
+# into one probability expression per DISTINCT corpus bigram; per-doc
+# bits ride q118's rollup shape and float caveat (per-doc Σ c·ln P,
+# round 4dp). Scale: identical to q118 — row-local bigram zip,
+# map-side (doc,w1,w2) combine, vocab-keyed joins only; the two
+# count-distinct rollups are plain partial-agg groupBys on vocab keys.
+# ---------------------------------------------------------------------------
+_Q273_D = 0.75
+
+
+def q273_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", "u.w1", "u.w2")
+    )
+    db = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
+    bv = db.groupBy("w1", "w2").agg(F.sum("c").alias("bc")).localCheckpoint(
+        eager=False
+    )  # feeds predecessor totals + both type rollups + the prob table
+    pred = bv.groupBy("w1").agg(
+        F.sum("bc").alias("c1"),
+        F.count("*").cast("long").alias("n1_fwd"),  # N1+(w1,·)
+    )
+    cont = bv.groupBy("w2").agg(F.count("*").cast("long").alias("n1_bwd"))
+    ntypes = bv.agg(F.count("*").cast("long").alias("nt"))
+    d = F.lit(_Q273_D)
+    p = (
+        bv.join(pred, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.greatest(F.col("bc") - d, F.lit(0.0)) / F.col("c1")
+                + d
+                * F.col("n1_fwd")
+                / F.col("c1")
+                * (F.col("n1_bwd") / F.col("nt"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = (
+        db.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lp")).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-F.col("s") / F.col("n_bigrams") / F.log(F.lit(2.0)), 4).alias(
+            "kn_bits_per_bigram"
+        ),
+    ).orderBy("doc_id")
+
+
+Q273_SQL = f"""
+WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS ts FROM documents),
+bg AS (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+           i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS u
+    FROM toks WHERE len(ts) >= 2
+),
+db AS (
+    SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS c
+    FROM bg GROUP BY doc_id, u.w1, u.w2
+),
+bv AS MATERIALIZED (
+    SELECT w1, w2, CAST(sum(c) AS BIGINT) AS bc FROM db GROUP BY w1, w2
+),
+pred AS (
+    SELECT w1, CAST(sum(bc) AS BIGINT) AS c1,
+           CAST(count(*) AS BIGINT) AS n1_fwd
+    FROM bv GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd FROM bv GROUP BY w2),
+ntypes AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bv),
+p AS (
+    SELECT bv.w1, bv.w2,
+           ln(greatest(bv.bc - {_Q273_D}, 0.0) / pr.c1
+              + {_Q273_D} * pr.n1_fwd / pr.c1 * (co.n1_bwd / CAST(nt.nt AS DOUBLE)))
+               AS lp
+    FROM bv
+    JOIN pred pr USING (w1)
+    JOIN cont co USING (w2)
+    CROSS JOIN ntypes nt
+),
+per_doc AS (
+    SELECT db.doc_id,
+           CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+           sum(db.c * p.lp) AS s
+    FROM db JOIN p ON p.w1 = db.w1 AND p.w2 = db.w2
+    GROUP BY db.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(-s / n_bigrams / ln(2.0), 4) AS kn_bits_per_bigram
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q106 — BPE tokenizer APPLY step (the encode-side twin of q98's
 # pair-count TRAINING step; Sennrich et al. 2016 §3): apply an ordered,
 # externally-trained merge list to the corpus and report the resulting
@@ -1810,6 +1938,9 @@ QUERIES = [
           survey="ext:bpe-apply,ext:bpe-train-step"),
     Query("q118_bigram_logprob", q118_bigram_logprob, Q118_SQL,
           survey="ext:lm-quality-score,A11", tags=("bench",)),
+    Query("q273_kneser_ney_bigram", q273_kneser_ney_bigram, Q273_SQL,
+          survey="ext:lm-quality-score,ext:kneser-ney,A11",
+          tags=("bench",)),
     Query("q163_bpe_chained_merges", q163_bpe_chained_merges, Q163_SQL,
           survey="ext:bpe-training,ext:iterate-to-convergence,A12",
           tags=("bench",)),
