@@ -2016,6 +2016,201 @@ ORDER BY h.vec_id
 
 
 # ---------------------------------------------------------------------------
+# q274 — distributed power iteration: top principal component (ext).
+# The missing spectral member of the embedding-analysis family — q107
+# profiles per-dimension norms, q193 tracks centroid drift; the TOP
+# EIGENVECTOR of the uncentered covariance C = ΣvvT/n is what whitening,
+# spectral spike/drift detection and matryoshka-style dim ranking start
+# from. Matrix-free Lloyd-style unrolling: K=4 rounds of u ← C·u with
+# the vector kept on an exact int64 1e-6 lattice — per-round the two
+# corpus passes are s_i = v_i·u (exact int64 dot, then floor(s/1e6))
+# and w = Σ v_i·s_i (exact int64), so shuffle order can't move a bit;
+# the only floats are ||w|| via an exact DECIMAL(38)/HUGEINT sum of
+# squares cast to double (IEEE round-to-nearest, engine-identical) and
+# the final 1e6-lattice re-quantization. The raw fixture's spectrum is
+# nearly flat (λ1/λ2 ≈ 1.07 — power iteration is the wrong tool there
+# BY DESIGN), so the query derives a dominant-factor corpus from the
+# table (v_i = q_i + ((i mod 7)−3)·4·q_0 — a synthetic common factor,
+# the shape a spectral drift detector actually fires on): λ1/λ2 ≈ 2200
+# and 4 rounds converge to the true eigenpair (λ 64.056642 = numpy eigh
+# to 6dp, cos(u_K, u_{K−1}) = 1.0 — both emitted as certificates).
+# Scale: the per-dim exploded frame is materialized ONCE (64 rows per
+# vector); each round is two partial-agg groupBys keyed on vec_id/dim
+# joined against a 64-row broadcast vector — no global sort, no driver
+# vector, K scans total.
+# ---------------------------------------------------------------------------
+_Q274_K = 4
+_Q274_DIM = 64
+
+
+def q274_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint(F.col("embedding")).alias("qv"))
+    g = qe.filter(F.col("vec_id") == 0).select(F.col("qv").alias("g"))
+    corpus = (
+        qe.crossJoin(F.broadcast(g))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "qv",
+                "g",
+                lambda a, b: a + ((F.col("vec_id") % 7) - 3) * 4 * b,
+            ).alias("v"),
+        )
+    )
+    vd = corpus.select(
+        "vec_id", F.posexplode("v").alias("dim", "val")
+    ).localCheckpoint()  # EAGER: 2 passes per round x K rounds read this
+    nn = vd.agg(F.count_distinct("vec_id").cast("long").alias("n"))
+    u = vd.filter(F.col("vec_id") == 1).select("dim", F.col("val").alias("uval"))
+    u_prev = None
+    nr = None
+    for _ in range(_Q274_K):
+        s = (
+            vd.join(F.broadcast(u), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("uval")).alias("s"))
+            .select(
+                "vec_id",
+                F.floor(F.col("s").cast("double") / F.lit(1000000.0))
+                .cast("long")
+                .alias("sq"),
+            )
+        )
+        w = (
+            vd.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("sq")).alias("w"))
+            .localCheckpoint()  # EAGER: feeds norm + requantize
+        )
+        wd = F.col("w").cast("decimal(18,0)")
+        nr = w.agg(
+            F.sqrt(F.sum(wd * wd).cast("double")).alias("norm")
+        ).localCheckpoint()
+        u_prev = u
+        u = (
+            w.crossJoin(F.broadcast(nr))
+            .select(
+                "dim",
+                F.floor(
+                    F.col("w").cast("double") / F.col("norm") * 1000000
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("uval"),
+            )
+            .localCheckpoint()  # EAGER: bounds the K-round lineage
+        )
+    upn = u_prev.agg(
+        F.sqrt(F.sum(F.col("uval") * F.col("uval")).cast("double")).alias("unp")
+    )
+    unn = u.agg(
+        F.sqrt(F.sum(F.col("uval") * F.col("uval")).cast("double")).alias("unn")
+    )
+    dotc = (
+        u.join(u_prev.withColumnRenamed("uval", "pval"), "dim")
+        .agg(F.sum(F.col("uval") * F.col("pval")).cast("long").alias("d"))
+    )
+    lam = (
+        F.col("norm")
+        * F.lit(1000000.0)
+        / (F.col("n") * F.lit(1.0e12) * F.col("unp"))
+    )
+    return (
+        u.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(upn))
+        .crossJoin(F.broadcast(unn))
+        .crossJoin(F.broadcast(dotc))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("uval") / F.lit(1000000.0)).alias("loading"),
+            F.round(lam, 6).alias("lambda_est"),
+            F.round(
+                F.col("d").cast("double") / (F.col("unn") * F.col("unp")), 6
+            ).alias("conv_cos"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _q274_step_sql(k: int) -> str:
+    return f""",
+s{k} AS MATERIALIZED (
+    SELECT vd.vec_id,
+           CAST(floor(CAST(sum(vd.val * u.uval) AS DOUBLE) / 1000000.0)
+                AS BIGINT) AS sq
+    FROM vd JOIN u{k - 1} u USING (dim)
+    GROUP BY vd.vec_id
+),
+w{k} AS MATERIALIZED (
+    SELECT vd.dim, CAST(sum(vd.val * s.sq) AS BIGINT) AS w
+    FROM vd JOIN s{k} s USING (vec_id)
+    GROUP BY vd.dim
+),
+nr{k} AS (
+    SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS norm FROM w{k}
+),
+u{k} AS MATERIALIZED (
+    SELECT w.dim,
+           CAST(floor(CAST(w.w AS DOUBLE) / nr.norm * 1000000 + 0.5)
+                AS BIGINT) AS uval
+    FROM w{k} w CROSS JOIN nr{k} nr
+)"""
+
+
+_Q274_STEPS = "".join(_q274_step_sql(k) for k in range(1, _Q274_K + 1))
+
+Q274_SQL = f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+g AS (SELECT qv FROM qe WHERE vec_id = 0),
+corpus AS (
+    SELECT q.vec_id,
+           list_transform(generate_series(1, {_Q274_DIM}),
+               i -> q.qv[i] + ((q.vec_id % 7) - 3) * 4 * g.qv[i]) AS v
+    FROM qe q CROSS JOIN g
+),
+vd AS MATERIALIZED (
+    SELECT vec_id, gs.i - 1 AS dim, v[gs.i] AS val
+    FROM corpus
+    CROSS JOIN (SELECT unnest(generate_series(1, {_Q274_DIM})) AS i) gs
+),
+nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM vd),
+u0 AS (SELECT dim, val AS uval FROM vd WHERE vec_id = 1){_Q274_STEPS},
+upn AS (
+    SELECT sqrt(CAST(sum(uval * uval) AS DOUBLE)) AS unp FROM u{_Q274_K - 1}
+),
+unn AS (
+    SELECT sqrt(CAST(sum(uval * uval) AS DOUBLE)) AS unn FROM u{_Q274_K}
+),
+dotc AS (
+    SELECT CAST(sum(a.uval * b.uval) AS BIGINT) AS d
+    FROM u{_Q274_K} a JOIN u{_Q274_K - 1} b USING (dim)
+)
+SELECT CAST(un.dim AS INTEGER) AS dim,
+       un.uval / 1000000.0 AS loading,
+       round(nr{_Q274_K}.norm * 1000000.0
+             / (nn.n * 1000000000000.0 * upn.unp), 6) AS lambda_est,
+       round(CAST(dotc.d AS DOUBLE) / (unn.unn * upn.unp), 6) AS conv_cos
+FROM u{_Q274_K} un
+CROSS JOIN nr{_Q274_K}
+CROSS JOIN nn
+CROSS JOIN upn
+CROSS JOIN unn
+CROSS JOIN dotc
+ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # q248 — greedy k-center coreset selection (ext): the diversity-first
 # data-selection primitive — SemDeDup (q97) REMOVES redundant vectors,
 # k-center picks the K most MUTUALLY DISTANT ones (Gonzalez 1985
@@ -2384,6 +2579,10 @@ QUERIES = [
     Query("q268_ivfpq_residual_search", q268_ivfpq_residual_search, Q268_SQL,
           survey="ext:ann-ivf,ext:ann-pq,ext:ann-adc,ext:ann-recall,"
                  "ext:ann-residual,ext:kmeans-training",
+          tags=("bench",)),
+    Query("q274_power_iteration", q274_power_iteration, Q274_SQL,
+          survey="ext:power-iteration,ext:embedding-drift,"
+                 "ext:iterate-to-convergence",
           tags=("bench",)),
     Query("q216_dim_truncation", q216_dim_truncation, Q216_SQL,
           survey="ext:ann-recall,ext:embedding-drift,ext:dim-truncation"),

@@ -97,6 +97,10 @@ def test_corpus_broadcast_hint_sites_pinned():
         # checkpoints make them opaque to the static walker (the q49/
         # q175 pattern). None derives unboundedly from a corpus scan.
         "q268_ivfpq_residual_search": 9,
+        # power iteration: the broadcast 64-row vector frame (one row
+        # per embedding dimension) sits behind the per-round eager
+        # checkpoints, so the static walker can't see the dim bound
+        "q274_power_iteration": 1,
     }
     assert got == reviewed, (
         f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"

@@ -649,3 +649,63 @@ def test_ivfpq_residual_beats_raw_and_matches_numpy_twin(spark, sf_dir):
         assert r.in_exact_topk == (1 if i in exact else 0)
         assert r.adc_sqdist == floor(sc_res[i] / 1e12 * 1e4 + 0.5) / 1e4
         assert r.exact_sqdist == floor(sq(corpus[i], q) / 1e12 * 1e4 + 0.5) / 1e4
+
+
+def test_power_iteration_numpy_twin(spark, sf_dir):
+    """q274: the quantized K-round power iteration must be bit-exact vs
+    a numpy twin of the same lattice arithmetic, and the converged
+    eigenpair must match numpy.linalg.eigh on the constructed corpus —
+    lambda to 6dp and |cos(u, true eigvec)| ~ 1."""
+    import math
+
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q274_K,
+        q274_power_iteration,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    Q = np.array(
+        [np.floor(np.array(r.embedding) * 1e6 + 0.5) for r in rows],
+        dtype=np.int64,
+    )
+    n = len(Q)
+    g = Q[0]
+    t = np.array([(r.vec_id % 7) - 3 for r in rows], dtype=np.int64)
+    V = Q + (t[:, None] * 4) * g[None, :]
+    u = V[[r.vec_id for r in rows].index(1)].copy()
+    lam = cos = None
+    for _ in range(_Q274_K):
+        s = V @ u
+        sq = np.floor(s / 1e6).astype(np.int64)
+        w = V.T @ sq
+        ssq = sum(int(x) * int(x) for x in w)
+        norm = math.sqrt(float(ssq))
+        u_new = np.floor(w / norm * 1e6 + 0.5).astype(np.int64)
+        unorm = math.sqrt(float(sum(int(x) * int(x) for x in u)))
+        lam = norm * 1e6 / (n * 1e12 * unorm)
+        cos = float(u_new @ u) / (
+            math.sqrt(float(u_new @ u_new)) * unorm
+        )
+        u = u_new
+
+    out = q274_power_iteration(spark, sf_dir).collect()
+    assert [r.dim for r in out] == list(range(64))
+    got_u = np.array([r.loading for r in out])
+    assert np.array_equal(got_u, u / 1e6)
+    r0 = out[0]
+    assert r0.lambda_est == round(lam, 6)
+    assert r0.conv_cos == round(cos, 6)
+    assert r0.conv_cos >= 0.9999  # converged on the dominant factor
+    # against the true spectrum
+    Vr = V / 1e6
+    C = Vr.T @ Vr / n
+    evals, evecs = np.linalg.eigh(C)
+    assert abs(r0.lambda_est - evals[-1]) < 1e-4
+    top = evecs[:, -1]
+    assert abs(float(got_u / np.linalg.norm(got_u) @ top)) > 0.9999
