@@ -2016,6 +2016,177 @@ ORDER BY h.vec_id
 
 
 # ---------------------------------------------------------------------------
+# q275 — MMR diversified reranking (ext): the retrieval-diversification
+# step between q40's pure-relevance top-k and q248's pure-diversity
+# coreset — maximal marginal relevance (Carbonell & Goldstein 1998)
+# greedily picks the candidate maximizing (diversity − relevance-cost):
+# here score = min_sqdist_to_selected − sqdist_to_query, both EXACT
+# int64 quantized distances (equal weights; no float λ mixing needed).
+# Pool = top-20 by relevance (bounded TakeOrdered with unique-key
+# tiebreak), first pick = most relevant, then K−1 unrolled argmax
+# rounds maintaining a per-candidate min-dist-to-selected column
+# (q248's fold) — picks flow as 1-row broadcast frames, never a driver
+# collect. Ties break to the LOWEST vec_id via max_by on
+# (score, −vec_id). Output: pick rank, relevance and the diversity
+# margin at pick time (the certificate that later picks traded
+# relevance for spread). Scale: ONE corpus pass builds the pool;
+# everything after is 20-row algebra.
+# ---------------------------------------------------------------------------
+_Q275_QID = 100
+_Q275_POOL = 20
+_Q275_K = 5
+
+
+def q275_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint(F.col("embedding")).alias("qv"))
+    query = qe.filter(F.col("vec_id") == _Q275_QID).select(
+        F.col("qv").alias("quvec")
+    )
+    pool = (
+        qe.filter(F.col("vec_id") != _Q275_QID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "qv", sq_l2_q(F.col("qv"), F.col("quvec")).alias("dq"))
+        .orderBy("dq", "vec_id")
+        .limit(_Q275_POOL)
+        .localCheckpoint()  # EAGER: 20 rows feed every round
+    )
+    pick = pool.orderBy("dq", "vec_id").limit(1).localCheckpoint()
+    picks = [
+        pick.select(
+            F.lit(1).cast("int").alias("rank"),
+            "vec_id",
+            "dq",
+            F.lit(None).cast("long").alias("mind"),
+        )
+    ]
+    mind = (
+        pool.join(pick.select(F.col("vec_id").alias("_pid")),
+                  pool.vec_id == F.col("_pid"), "left_anti")
+        .crossJoin(F.broadcast(pick.select(F.col("qv").alias("pk_qv"))))
+        .select(
+            "vec_id", "qv", "dq",
+            sq_l2_q(F.col("qv"), F.col("pk_qv")).alias("mind"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, _Q275_K + 1):
+        score = F.col("mind") - F.col("dq")
+        best = (
+            mind.groupBy()
+            .agg(
+                F.max_by(
+                    F.struct("vec_id", "qv", "dq", "mind"),
+                    F.struct(score.alias("s"), (-F.col("vec_id")).alias("t")),
+                ).alias("b")
+            )
+            .select("b.vec_id", "b.qv", "b.dq", "b.mind")
+            .localCheckpoint()
+        )
+        picks.append(
+            best.select(
+                F.lit(r).cast("int").alias("rank"), "vec_id", "dq", "mind"
+            )
+        )
+        mind = (
+            mind.join(best.select(F.col("vec_id").alias("_pid")),
+                      mind.vec_id == F.col("_pid"), "left_anti")
+            .crossJoin(F.broadcast(best.select(F.col("qv").alias("pk_qv"))))
+            .select(
+                "vec_id", "qv", "dq",
+                F.least(
+                    F.col("mind"), sq_l2_q(F.col("qv"), F.col("pk_qv"))
+                ).alias("mind"),
+            )
+            .localCheckpoint()
+        )
+    from functools import reduce
+
+    scale2 = 1_000_000_000_000.0
+    r4 = lambda c: F.floor(c / F.lit(scale2) * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        reduce(lambda a, b: a.unionByName(b), picks)
+        .select(
+            "rank",
+            "vec_id",
+            r4(F.col("dq").cast("double")).alias("rel_sqdist"),
+            r4(F.col("mind").cast("double")).alias("div_sqdist"),
+        )
+        .orderBy("rank")
+    )
+
+
+_Q275_SQD = (
+    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _q275_step_sql(k: int) -> str:
+    return f""",
+p{k} AS MATERIALIZED (
+    SELECT vec_id, qv, dq, mind FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY mind - dq DESC, vec_id ASC) AS rn
+        FROM m{k - 1}) z
+    WHERE rn = 1
+),
+m{k} AS MATERIALIZED (
+    SELECT m.vec_id, m.qv, m.dq,
+           least(m.mind, {_Q275_SQD.format(a="m.qv", b="p.qv")}) AS mind
+    FROM m{k - 1} m CROSS JOIN p{k} p
+    WHERE m.vec_id <> p.vec_id
+)"""
+
+
+_Q275_STEPS = "".join(_q275_step_sql(k) for k in range(2, _Q275_K + 1))
+
+Q275_SQL = f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+q AS (SELECT qv AS quvec FROM qe WHERE vec_id = {_Q275_QID}),
+pool AS MATERIALIZED (
+    SELECT e.vec_id, e.qv,
+           CAST({_Q275_SQD.format(a="e.qv", b="q.quvec")} AS BIGINT) AS dq
+    FROM qe e CROSS JOIN q
+    WHERE e.vec_id <> {_Q275_QID}
+    ORDER BY dq, e.vec_id
+    LIMIT {_Q275_POOL}
+),
+p1 AS MATERIALIZED (
+    SELECT vec_id, qv, dq FROM pool ORDER BY dq, vec_id LIMIT 1
+),
+m1 AS MATERIALIZED (
+    SELECT po.vec_id, po.qv, po.dq,
+           CAST({_Q275_SQD.format(a="po.qv", b="p.qv")} AS BIGINT) AS mind
+    FROM pool po CROSS JOIN p1 p
+    WHERE po.vec_id <> p.vec_id
+){_Q275_STEPS}
+SELECT rank, vec_id,
+       floor(CAST(dq AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000
+           AS rel_sqdist,
+       floor(CAST(mind AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000
+           AS div_sqdist
+FROM (
+    SELECT CAST(1 AS INTEGER) AS rank, vec_id, dq,
+           CAST(NULL AS BIGINT) AS mind
+    FROM p1
+    {"".join(f'''
+    UNION ALL
+    SELECT CAST({k} AS INTEGER), vec_id, dq, mind FROM p{k}''' for k in range(2, _Q275_K + 1))}
+) u
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # q274 — distributed power iteration: top principal component (ext).
 # The missing spectral member of the embedding-analysis family — q107
 # profiles per-dimension norms, q193 tracks centroid drift; the TOP
@@ -2583,6 +2754,9 @@ QUERIES = [
     Query("q274_power_iteration", q274_power_iteration, Q274_SQL,
           survey="ext:power-iteration,ext:embedding-drift,"
                  "ext:iterate-to-convergence",
+          tags=("bench",)),
+    Query("q275_mmr_rerank", q275_mmr_rerank, Q275_SQL,
+          survey="ext:mmr-rerank,ext:ann-recall,ext:kcenter-coreset",
           tags=("bench",)),
     Query("q216_dim_truncation", q216_dim_truncation, Q216_SQL,
           survey="ext:ann-recall,ext:embedding-drift,ext:dim-truncation"),

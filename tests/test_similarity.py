@@ -709,3 +709,60 @@ def test_power_iteration_numpy_twin(spark, sf_dir):
     assert abs(r0.lambda_est - evals[-1]) < 1e-4
     top = evecs[:, -1]
     assert abs(float(got_u / np.linalg.norm(got_u) @ top)) > 0.9999
+
+
+def test_mmr_rerank_python_twin(spark, sf_dir):
+    """q275 vs a from-first-principles MMR twin (top-20 relevance pool,
+    greedy argmax of min_d_sel - d_q, lowest-id ties), plus the
+    diversification property: the MMR list must diverge from the pure
+    relevance top-K while keeping the most relevant item first."""
+    from math import floor
+
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q275_K,
+        _Q275_POOL,
+        _Q275_QID,
+        q275_mmr_rerank,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = {
+        r.vec_id: np.floor(np.array(r.embedding) * 1e6 + 0.5).astype(np.int64)
+        for r in rows
+    }
+
+    def sq(a, b):
+        d = (a - b).astype(float)
+        return int((d * d).sum())
+
+    q = V[_Q275_QID]
+    pool = sorted(
+        (i for i in V if i != _Q275_QID), key=lambda i: (sq(V[i], q), i)
+    )[:_Q275_POOL]
+    first = pool[0]
+    picks = [(1, first, sq(V[first], q), None)]
+    mind = {i: sq(V[i], V[first]) for i in pool if i != first}
+    for r in range(2, _Q275_K + 1):
+        nxt = max(mind, key=lambda i: (mind[i] - sq(V[i], q), -i))
+        picks.append((r, nxt, sq(V[nxt], q), mind[nxt]))
+        del mind[nxt]
+        for i in mind:
+            mind[i] = min(mind[i], sq(V[i], V[nxt]))
+
+    out = q275_mmr_rerank(spark, sf_dir).collect()
+    assert len(out) == _Q275_K
+    r4 = lambda x: None if x is None else floor(x / 1e12 * 1e4 + 0.5) / 1e4
+    got = [(r.rank, r.vec_id, r.rel_sqdist, r.div_sqdist) for r in out]
+    want = [(rk, vid, r4(dq), r4(md)) for rk, vid, dq, md in picks]
+    assert got == want
+    # diversification: same first pick as pure relevance, different tail
+    assert out[0].vec_id == first
+    assert [r.vec_id for r in out] != pool[:_Q275_K]
+    # later picks keep a positive diversity margin
+    assert all(r.div_sqdist > 0 for r in out[1:])
