@@ -974,6 +974,143 @@ ORDER BY step
 
 
 # ---------------------------------------------------------------------------
+# q276 — mutual-information feature selection (ext): the filter-method
+# companion to q270's trainer — before spending gradient steps, rank
+# the hashed feature buckets by MI(presence; label) and keep the
+# informative ones (the classic text-classification feature-selection
+# recipe, Yang & Pedersen 1997). All four contingency cells are EXACT
+# integer doc counts (n11 via one distinct-(doc,bucket) rollup joined
+# to the per-doc label; the other three by complement arithmetic), so
+# both engines evaluate the identical MI expression on identical
+# integers; the score is floor-scaled to a 1e-9 grid BEFORE ranking so
+# a last-ulp ln() difference can never flip the top-K membership
+# (grid 1e-9 vs ulp-error ~1e-15). Top-20 by (mi desc, bucket) as a
+# bounded TakeOrdered. Scale: one distinct rollup + one groupBy on the
+# bucket key — Zipf/hash-bounded; no windows, no per-doc fan-out
+# beyond tokenization.
+# ---------------------------------------------------------------------------
+_Q276_TOPK = 20
+_Q276_SCALE = 1_000_000_000
+
+
+def q276_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = docs.select(
+        "doc_id",
+        F.explode(toks).alias("t"),
+        (F.size(F.array_distinct(toks)) * 2 > F.size(toks)).cast("int").alias("y"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ft:"), F.col("t"))), 1, 8), 16, 10
+        ).cast("long")
+        % _Q117_D
+    )
+    present = (
+        base.select("doc_id", bucket.alias("b"), "y")
+        .groupBy("doc_id", "b")
+        .agg(F.min("y").alias("y"))
+    )
+    lab = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) * 2 > F.size(toks)).cast("int").alias("y"),
+    )
+    tot = lab.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    cells = present.groupBy("b").agg(
+        F.count("*").cast("long").alias("n1"),
+        F.sum("y").cast("long").alias("n11"),
+    )
+    d = lambda c: c.cast("double")
+
+    def term(nxc, nx, nc, nn):
+        return F.when(
+            nxc > 0,
+            (d(nxc) / d(nn)) * F.log(d(nxc) * d(nn) / (d(nx) * d(nc))),
+        ).otherwise(F.lit(0.0))
+
+    nn, npos = F.col("nn"), F.col("npos")
+    n1, n11 = F.col("n1"), F.col("n11")
+    n10 = n1 - n11
+    n01 = npos - n11
+    n00 = nn - n1 - npos + n11
+    mi = (
+        term(n11, n1, npos, nn)
+        + term(n10, n1, nn - npos, nn)
+        + term(n01, nn - n1, npos, nn)
+        + term(n00, nn - n1, nn - npos, nn)
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("n1").alias("n_docs_with"),
+            (F.floor(n11 / n1 * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "pos_rate_with"
+            ),
+            (
+                F.floor(mi * _Q276_SCALE) / F.lit(float(_Q276_SCALE))
+            ).alias("mi"),
+        )
+        .orderBy(F.desc("mi"), F.asc("bucket"))
+        .limit(_Q276_TOPK)
+    )
+
+
+Q276_SQL = f"""
+WITH lab AS (
+    SELECT doc_id,
+           CASE WHEN len(list_distinct(str_split(lower(text), ' '))) * 2
+                     > len(str_split(lower(text), ' '))
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+present AS (
+    SELECT DISTINCT doc_id, {_hex2int_sql("md5('ft:' || t)", 1, 8)} % {_Q117_D} AS b
+    FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t
+          FROM documents) u
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS npos
+    FROM lab
+),
+cells AS (
+    SELECT p.b, CAST(count(*) AS BIGINT) AS n1, CAST(sum(l.y) AS BIGINT) AS n11
+    FROM present p JOIN lab l USING (doc_id)
+    GROUP BY p.b
+),
+mi AS (
+    SELECT b, n1, n11, nn, npos,
+           (CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE) / nn)
+                * ln(CAST(n11 AS DOUBLE) * nn
+                     / (CAST(n1 AS DOUBLE) * npos)) ELSE 0.0 END)
+         + (CASE WHEN n1 - n11 > 0 THEN (CAST(n1 - n11 AS DOUBLE) / nn)
+                * ln(CAST(n1 - n11 AS DOUBLE) * nn
+                     / (CAST(n1 AS DOUBLE) * (nn - npos))) ELSE 0.0 END)
+         + (CASE WHEN npos - n11 > 0 THEN (CAST(npos - n11 AS DOUBLE) / nn)
+                * ln(CAST(npos - n11 AS DOUBLE) * nn
+                     / (CAST(nn - n1 AS DOUBLE) * npos)) ELSE 0.0 END)
+         + (CASE WHEN nn - n1 - npos + n11 > 0
+                THEN (CAST(nn - n1 - npos + n11 AS DOUBLE) / nn)
+                * ln(CAST(nn - n1 - npos + n11 AS DOUBLE) * nn
+                     / (CAST(nn - n1 AS DOUBLE) * (nn - npos))) ELSE 0.0 END)
+               AS mi_raw
+    FROM cells CROSS JOIN tot
+)
+SELECT b AS bucket,
+       n1 AS n_docs_with,
+       floor(CAST(n11 AS DOUBLE) / n1 * 10000 + 0.5) / 10000.0 AS pos_rate_with,
+       floor(mi_raw * {_Q276_SCALE}) / {_Q276_SCALE}.0 AS mi
+FROM mi
+ORDER BY mi DESC, bucket ASC
+LIMIT {_Q276_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q119 — incremental stats-manifest MERGE (ext): a 100 TB pipeline never
 # re-profiles the whole corpus — each ingest batch writes a small
 # "manifest" of ALGEBRAIC partials (count / sum / min / max / sum-of-
@@ -6029,6 +6166,10 @@ QUERIES = [
     Query("q270_classifier_training", q270_classifier_training, Q270_SQL,
           survey="ext:classifier-training,ext:quality-classifier,"
                  "ext:hashing-trick,ext:gradient-descent",
+          tags=("bench",)),
+    Query("q276_feature_mi", q276_feature_mi, Q276_SQL,
+          survey="ext:feature-selection,ext:mutual-information,"
+                 "ext:hashing-trick,ext:quality-classifier",
           tags=("bench",)),
     Query("q117_hashed_classifier", q117_hashed_classifier, Q117_SQL,
           survey="ext:quality-classifier,ext:hash-sampling", tags=("bench",)),

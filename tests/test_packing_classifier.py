@@ -221,3 +221,67 @@ def test_classifier_training_loss_decreases_and_matches_twin(spark, sf_dir):
     losses = [l for _, l, _, _ in got]
     assert all(a > b for a, b in zip(losses, losses[1:])), losses
     assert got[0][1] == 0.693147  # ln 2: the all-zero-weights start
+
+
+def test_feature_mi_python_twin(spark, sf_dir):
+    """q276 vs a Counter-based MI twin over the same hashed presence
+    space, plus the filter-method sanity property: MI is non-negative
+    and the top bucket's MI >= any non-selected bucket's (spot-checked
+    against the full twin ranking)."""
+    import hashlib
+    from collections import defaultdict
+    from math import floor, log
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q117_D,
+        _Q276_SCALE,
+        _Q276_TOPK,
+        q276_feature_mi,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    labels = {}
+    pres = defaultdict(set)
+    for r in rows:
+        ts = r.text.lower().split(" ")
+        labels[r.doc_id] = 1 if 2 * len(set(ts)) > len(ts) else 0
+        for t in set(ts):
+            b = int(hashlib.md5(("ft:" + t).encode()).hexdigest()[:8], 16) % _Q117_D
+            pres[b].add(r.doc_id)
+    nn = len(labels)
+    npos = sum(labels.values())
+
+    def mi_of(b):
+        n1 = len(pres[b])
+        n11 = sum(labels[d] for d in pres[b])
+        cells = [
+            (n11, n1, npos),
+            (n1 - n11, n1, nn - npos),
+            (npos - n11, nn - n1, npos),
+            (nn - n1 - npos + n11, nn - n1, nn - npos),
+        ]
+        mi = sum(
+            (c / nn) * log(c * nn / (nx * nc))
+            for c, nx, nc in cells
+            if c > 0
+        )
+        return floor(mi * _Q276_SCALE) / _Q276_SCALE
+
+    ranked = sorted(pres, key=lambda b: (-mi_of(b), b))
+    out = q276_feature_mi(spark, sf_dir).collect()
+    assert len(out) == _Q276_TOPK
+    assert [r.bucket for r in out] == ranked[:_Q276_TOPK]
+    for r in out:
+        n1 = len(pres[r.bucket])
+        n11 = sum(labels[d] for d in pres[r.bucket])
+        assert r.n_docs_with == n1
+        assert r.pos_rate_with == floor(n11 / n1 * 1e4 + 0.5) / 1e4
+        assert r.mi == mi_of(r.bucket)
+        assert r.mi >= 0.0
+    # everything outside the top-K scores no higher than the cut
+    cut = out[-1].mi
+    assert all(mi_of(b) <= cut for b in ranked[_Q276_TOPK:])
