@@ -450,6 +450,41 @@ def cc_two_phase(
     )
 
 
+def gate_documents(
+    df: DataFrame,
+    *,
+    dup_t: float = 0.6,
+    bigram_t: float = 0.1,
+    carry: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """q167's row-local quality gate, shared by the batch (q267) and
+    streaming (q277) corpus builds: tokenize, require >= 2 tokens,
+    filter on dup_word_ratio and top_bigram_ratio; returns
+    (doc_id, *carry, n_tokens). Per-doc, so delta-gating ≡
+    rebuild-gating by construction."""
+    from ..functions.textstats import max_run_count_expr
+    from ..operators.dedup import shingles_from_tokens
+
+    toked = df.select(
+        "doc_id", *carry, F.split("text", " ").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    staged = toked.select(
+        "doc_id",
+        *carry,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_toks")) / F.size("_toks"), 4
+        ).alias("dup_word_ratio"),
+        shingles_from_tokens("_toks", 2).alias("_bi"),
+    ).withColumn(
+        "top_bigram_ratio",
+        F.round(max_run_count_expr(F.col("_bi")) / F.size("_bi"), 4),
+    )
+    return staged.filter(
+        (F.col("dup_word_ratio") <= dup_t) & (F.col("top_bigram_ratio") <= bigram_t)
+    ).select("doc_id", *carry, "n_tokens")
+
+
 def delta_corpus_build(
     tagged: DataFrame,
     *,
@@ -499,8 +534,7 @@ def delta_corpus_build(
     """
     from pyspark.sql import Window as W
 
-    from ..functions.textstats import max_run_count_expr
-    from ..operators.dedup import fingerprint, shingles_from_tokens
+    from ..operators.dedup import fingerprint
     from ..operators.skew import exclusive_prefix_sum
 
     w = W.partitionBy(fingerprint("text")).orderBy("e", "doc_id")
@@ -509,29 +543,9 @@ def delta_corpus_build(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    toked = surv.select(
-        "doc_id", "lang", "e", F.split("text", " ").alias("_toks")
-    ).filter(F.size("_toks") >= 2)
-    staged = toked.select(
-        "doc_id",
-        "lang",
-        "e",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct("_toks")) / F.size("_toks"), 4
-        ).alias("dup_word_ratio"),
-        shingles_from_tokens("_toks", 2).alias("_bi"),
-    ).withColumn(
-        "top_bigram_ratio",
-        F.round(max_run_count_expr(F.col("_bi")) / F.size("_bi"), 4),
-    )
-    gated = (
-        staged.filter(
-            (F.col("dup_word_ratio") <= dup_t) & (F.col("top_bigram_ratio") <= bigram_t)
-        )
-        .select("doc_id", "lang", "e", "n_tokens")
-        .localCheckpoint(eager=False)  # feeds rate counts + keyed pass
-    )
+    gated = gate_documents(
+        surv, dup_t=dup_t, bigram_t=bigram_t, carry=("lang", "e")
+    ).localCheckpoint(eager=False)  # feeds rate counts + keyed pass
     # Per-epoch frozen rates. Import here to avoid a circular import at
     # module load (plans.curation_plans imports this module).
     from ..plans.curation_plans import _temperature_rates

@@ -3603,6 +3603,195 @@ ORDER BY shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q277 — STREAMING nightly corpus build (ST-ext): q267's ST6 twin and
+# the round-8 capstone — the delta corpus build running as a real
+# Structured Streaming maintenance job (streaming/corpusbuild.py).
+# Three deterministic document micro-batches (epoch = hash split,
+# maxFilesPerTrigger=1, mtime-pinned file order) fold into three STORED
+# state tables: an append-only fingerprint index (incremental dedup),
+# cumulative post-gate per-lang counts (the temperature denominators),
+# and the per-shard manifest whose token totals double as the next
+# batch's packing offsets. History is never re-deduplicated, re-mixed
+# or repacked. ORACLE: one full rebuild over the union with epoch
+# stamps — dedup window ordered (e, doc_id), per-epoch rates from
+# cumulative gated counts <= e, packing ordered (e, shuffle_key,
+# doc_id) — which must reproduce the drained manifest exactly,
+# checksums included (incremental ≡ recompute, the ST6/IVM contract,
+# now for the whole flagship chain rather than q170's packing leg).
+# Scale: per batch, ONE anti-join against the stored index (the index
+# never shuffles beyond the probe), row-local gate, metadata-sized
+# counts/manifest merges — the 100 TB nightly shape.
+# ---------------------------------------------------------------------------
+_Q277_EPOCHS = 3
+_Q277_SHARDS = 8
+_Q277_SEQLEN = 128
+_Q277_BUDGET = 0.5
+
+
+def q277_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.corpusbuild import run_stream_corpus_build
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (sample_key_expr("doc_id", salt="scb") % _Q277_EPOCHS).alias("e"),
+    )
+    tmp = tempfile.mkdtemp(prefix="q277_")
+    src, ckpt, state = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+    os.makedirs(src)
+    try:
+        base_t = time.time()
+        for ep in range(_Q277_EPOCHS):
+            staged = f"{tmp}/stage_{ep}"
+            docs.filter(F.col("e") == ep).select(
+                "doc_id", "lang", "text"
+            ).coalesce(1).write.mode("overwrite").parquet(staged)
+            part = _glob.glob(f"{staged}/part-*.parquet")[0]
+            dst = f"{src}/epoch_{ep}.parquet"
+            shutil.copy(part, dst)
+            # FileStreamSource orders by modification time: pin strictly
+            # increasing mtimes so the epochs form ordered micro-batches.
+            os.utime(dst, (base_t + ep, base_t + ep))
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_corpus_build(
+            stream, state, ckpt,
+            n_shards=_Q277_SHARDS, seqlen=_Q277_SEQLEN, budget=_Q277_BUDGET,
+            dup_t=_Q63_DUP_T, bigram_t=_Q63_BIGRAM_T,
+        )
+        man = spark.read.parquet(f"{state}/manifest")
+        return (
+            man.select(
+                "shard_id",
+                "n_docs",
+                "n_tokens",
+                F.expr(f"((n_tokens - 1) div {_Q277_SEQLEN}) + 1")
+                .cast("long")
+                .alias("n_seqs"),
+                "n_spanning",
+                "checksum",
+            )
+            .orderBy("shard_id")
+            .localCheckpoint(eager=True)  # detach from tmp before cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q277_SPLIT_KEY = _sample_key_sql("scb")
+_Q277_MIX_KEY = _sample_key_sql("scbmix")
+_Q277_SHUF_KEY = _sample_key_sql("scbshuf")
+_Q277_CK_KEY = _sample_key_sql("scbsum")
+
+_Q277_RATE_BLOCKS = "".join(
+    f""",
+c{ep} AS (SELECT lang, count(*) AS n FROM gated WHERE e <= {ep} GROUP BY lang),
+d{ep} AS (SELECT sum(sqrt(n)) AS d, sum(n) AS tot FROM c{ep}),
+r{ep} AS (
+    SELECT CAST({ep} AS BIGINT) AS e, lang,
+           least(1.0, round(({_Q277_BUDGET} * tot) * (sqrt(n) / d) / n, 6))
+               AS rate
+    FROM c{ep}, d{ep}
+)"""
+    for ep in range(_Q277_EPOCHS)
+)
+_Q277_RATE_UNION = "\n    UNION ALL\n    ".join(
+    f"SELECT e, lang, rate FROM r{ep}" for ep in range(_Q277_EPOCHS)
+)
+
+Q277_SQL = f"""
+WITH tagged AS (
+    SELECT doc_id, lang, text, ({_Q277_SPLIT_KEY}) % {_Q277_EPOCHS} AS e
+    FROM documents
+),
+surv AS (
+    SELECT doc_id, lang, e, text FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(lower(trim(text))) ORDER BY e, doc_id) AS rn
+        FROM tagged) s
+    WHERE rn = 1
+),
+toked AS (
+    SELECT doc_id, lang, e, str_split(text, ' ') AS toks
+    FROM surv WHERE len(str_split(text, ' ')) >= 2
+),
+base AS (
+    SELECT doc_id, lang, e,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+               AS dup_word_ratio,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bi
+    FROM toked
+),
+cnt AS (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bi) AS gram FROM base) g
+    GROUP BY doc_id, gram
+),
+top AS (
+    SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_ratio
+    FROM cnt GROUP BY doc_id
+),
+gated AS MATERIALIZED (
+    SELECT b.doc_id, b.lang, b.e, b.n_tokens
+    FROM base b JOIN top t USING (doc_id)
+    WHERE b.dup_word_ratio <= {_Q63_DUP_T} AND t.top_bigram_ratio <= {_Q63_BIGRAM_T}
+){_Q277_RATE_BLOCKS},
+rates AS (
+    {_Q277_RATE_UNION}
+),
+mixed AS (
+    SELECT g.doc_id, g.e, g.n_tokens
+    FROM gated g JOIN rates r ON r.lang = g.lang AND r.e = g.e
+    WHERE {_Q277_MIX_KEY} < CAST(floor(r.rate * 4294967296) AS BIGINT)
+),
+sharded AS (
+    SELECT doc_id, e, n_tokens,
+           CAST({_Q277_SHUF_KEY} AS BIGINT) AS shuffle_key,
+           CAST(floor(({_Q277_SHUF_KEY} * {_Q277_SHARDS}) / 4294967296.0)
+                AS BIGINT) AS shard_id
+    FROM mixed
+),
+packed AS (
+    SELECT shard_id, n_tokens,
+           CAST({_Q277_CK_KEY} AS BIGINT) AS ck,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard_id ORDER BY e, shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS pre
+    FROM sharded
+),
+perdoc AS (
+    SELECT shard_id, n_tokens, ck,
+           pre // {_Q277_SEQLEN} AS first_seq,
+           (pre + n_tokens - 1) // {_Q277_SEQLEN} AS last_seq
+    FROM packed
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_spanning,
+       CAST(sum(ck) AS BIGINT) AS checksum
+FROM perdoc
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 QUERIES = [
     Query("q250_modularity", q250_modularity, Q250_SQL,
           survey="ext:modularity,ext:graph-components,ext:lsh-banding",
@@ -3673,6 +3862,11 @@ QUERIES = [
           tags=("bench",)),
     Query("q170_incremental_packing", q170_incremental_packing, Q170_SQL,
           survey="ext:sequence-packing,ext:incremental-stats,ext:hash-sampling",
+          tags=("bench",)),
+    Query("q277_stream_corpus_build", q277_stream_corpus_build, Q277_SQL,
+          survey="ST-ext:stream-corpus-build,ext:incremental-corpus-build,"
+                 "ext:incremental-dedup,ext:dataset-mixing,"
+                 "ext:sequence-packing,ext:incremental-stats,ST5,ST6",
           tags=("bench",)),
     Query("q267_delta_corpus_build", q267_delta_corpus_build, Q267_SQL,
           survey="ext:incremental-corpus-build,ext:dedup-exact,"

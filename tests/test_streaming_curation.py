@@ -66,3 +66,62 @@ def test_stream_curation_rerun_is_incremental(spark, sf_dir, tmp_path):
     # exactly-once: union of both drains has no fingerprint collisions
     final = spark.read.parquet(out)
     assert final.count() == final.select("doc_id").distinct().count()
+
+
+# --- streaming corpus build (q277's operator core) ---------------------------
+
+
+def test_stream_corpus_build_equals_batch_delta(spark, sf_dir, tmp_path):
+    """Two micro-batches folded through apply_corpus_batch must leave a
+    manifest BIT-identical to the batch delta build (q267's operator)
+    over the same epoch tagging and salts — the ST6 contract for the
+    whole flagship chain, plus the dedup-probe check: a second-batch doc
+    duplicating a first-batch text never reaches the corpus."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.curation import (
+        delta_corpus_build,
+    )
+    from bbc_news_data_pipeline_spark.streaming.corpusbuild import (
+        apply_corpus_batch,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .withColumn("e", (F.col("doc_id") % 2).cast("int"))
+    )
+    state = str(tmp_path / "state")
+    for ep in (0, 1):
+        apply_corpus_batch(
+            spark,
+            docs.filter(F.col("e") == ep).drop("e"),
+            state,
+            salt_mix="scbmix", salt_shuf="scbshuf", salt_sum="scbsum",
+        )
+    got = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.n_spanning, r.checksum)
+        for r in spark.read.parquet(f"{state}/manifest").collect()
+    }
+    want = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.n_spanning, r.checksum)
+        for r in delta_corpus_build(
+            docs,
+            salt_mix="scbmix", salt_shuf="scbshuf", salt_sum="scbsum",
+        ).collect()
+    }
+    assert got == want
+
+    # dedup probe across batches: replaying batch-0 documents as a third
+    # batch must change NOTHING (all fingerprints already indexed)
+    apply_corpus_batch(
+        spark,
+        docs.filter(F.col("e") == 0).drop("e"),
+        state,
+        salt_mix="scbmix", salt_shuf="scbshuf", salt_sum="scbsum",
+    )
+    after = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.n_spanning, r.checksum)
+        for r in spark.read.parquet(f"{state}/manifest").collect()
+    }
+    assert after == got
