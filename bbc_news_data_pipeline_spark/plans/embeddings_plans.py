@@ -1668,9 +1668,10 @@ def q268_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds LUT + both ADC semis
     )
 
-    def subframe(col):
+    def subframe(col, space):
         return withcell.select(
             "vec_id",
+            F.lit(space).alias("sp"),
             F.explode(
                 F.array(
                     *[
@@ -1682,61 +1683,68 @@ def q268_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 )
             ).alias("s"),
-        ).select("vec_id", "s.m", F.col("s.sv").alias("sv"))
+        ).select("vec_id", "sp", "s.m", F.col("s.sv").alias("sv"))
 
-    def train_and_code(col):
-        """K unrolled Lloyd iterations in one coding space; returns the
-        final (vec_id, m, code) assignment and the trained codebook."""
-        subs = subframe(col).localCheckpoint(eager=False)  # 3 passes read it
-        cb = subs.filter(F.col("vec_id") % _Q186_SEED_MOD == 0).select(
-            "m", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
+    # Both coding spaces ride ONE tagged frame (sp ∈ {raw, res}): the K
+    # Lloyd iterations then cost one pass over 2x the rows instead of
+    # two separate 3-pass chains — identical arithmetic, half the jobs
+    # (measured 9.6s -> the chain is per-iteration fixed-cost-bound).
+    subs = (
+        subframe(F.col("qv"), "raw")
+        .unionByName(subframe(F.col("rv"), "res"))
+        .localCheckpoint(eager=False)  # 3 passes read it
+    )
+    cb = subs.filter(F.col("vec_id") % _Q186_SEED_MOD == 0).select(
+        "sp", "m", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
+    )
+
+    def assign_codes(cb_df):
+        return (
+            subs.join(F.broadcast(cb_df), ["sp", "m"])
+            .select(
+                "vec_id",
+                "sp",
+                "m",
+                F.struct(
+                    sq_l2_q(F.col("sv"), F.col("cw")).alias("d"),
+                    F.col("code").alias("code"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id", "sp", "m")
+            .agg(F.min("dc").alias("b"))
+            .select("vec_id", "sp", "m", F.col("b.code").alias("code"))
         )
 
-        def assign_codes(cb_df):
-            return (
-                subs.join(F.broadcast(cb_df), "m")
-                .select(
-                    "vec_id",
-                    "m",
-                    F.struct(
-                        sq_l2_q(F.col("sv"), F.col("cw")).alias("d"),
-                        F.col("code").alias("code"),
-                    ).alias("dc"),
+    for _ in range(_Q268_ITERS):
+        asg = assign_codes(cb)
+        upd = (
+            subs.join(asg, ["vec_id", "sp", "m"])
+            .select("sp", "m", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sp", "m", "code", "dim")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count("*") + F.lit(0.5)
                 )
-                .groupBy("vec_id", "m")
-                .agg(F.min("dc").alias("b"))
-                .select("vec_id", "m", F.col("b.code").alias("code"))
+                .cast("long")
+                .alias("cwv")
             )
-
-        for _ in range(_Q268_ITERS):
-            asg = assign_codes(cb)
-            upd = (
-                subs.join(asg, ["vec_id", "m"])
-                .select("m", "code", F.posexplode("sv").alias("dim", "val"))
-                .groupBy("m", "code", "dim")
-                .agg(
-                    F.floor(
-                        F.sum("val").cast("double") / F.count("*") + F.lit(0.5)
-                    )
-                    .cast("long")
-                    .alias("cwv")
-                )
-                .groupBy("m", "code")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "cwv"))),
-                        lambda s: s["cwv"],
-                    ).alias("cw")
-                )
+            .groupBy("sp", "m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cwv"))),
+                    lambda s: s["cwv"],
+                ).alias("cw")
             )
-            # empty cluster keeps its previous codeword (mirrors the
-            # oracle's NOT EXISTS union)
-            kept = cb.join(upd.select("m", "code"), ["m", "code"], "left_anti")
-            cb = upd.unionByName(kept).localCheckpoint(eager=False)
-        return assign_codes(cb), cb
-
-    codes_res, cb_res = train_and_code(F.col("rv"))
-    codes_raw, cb_raw = train_and_code(F.col("qv"))
+        )
+        # empty cluster keeps its previous codeword (mirrors the
+        # oracle's NOT EXISTS union)
+        kept = cb.join(upd.select("sp", "m", "code"), ["sp", "m", "code"], "left_anti")
+        cb = upd.unionByName(kept).localCheckpoint(eager=False)
+    codes_all = assign_codes(cb).localCheckpoint(eager=False)
+    codes_raw = codes_all.filter(F.col("sp") == "raw").drop("sp")
+    codes_res = codes_all.filter(F.col("sp") == "res").drop("sp")
+    cb_raw = cb.filter(F.col("sp") == "raw").drop("sp")
+    cb_res = cb.filter(F.col("sp") == "res").drop("sp")
 
     def qsubframe(src, vec, extra):
         return src.select(

@@ -96,7 +96,9 @@ def test_corpus_broadcast_hint_sites_pinned():
         # the M*k(32)-row LUTs/codebooks — but the corpus/withcell lazy
         # checkpoints make them opaque to the static walker (the q49/
         # q175 pattern). None derives unboundedly from a corpus scan.
-        "q268_ivfpq_residual_search": 9,
+        # (9 -> 6 when the two coding spaces merged into one tagged
+        # training chain.)
+        "q268_ivfpq_residual_search": 6,
         # power iteration: the broadcast 64-row vector frame (one row
         # per embedding dimension) sits behind the per-round eager
         # checkpoints, so the static walker can't see the dim bound
