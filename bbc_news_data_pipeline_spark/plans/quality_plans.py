@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
+from .curation_plans import _sample_key_sql
 from .dedup_plans import _hex2int_sql
 from .registry import Query
 
@@ -1107,6 +1108,307 @@ SELECT b AS bucket,
 FROM mi
 ORDER BY mi DESC, bucket ASC
 LIMIT {_Q276_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q278 — k-fold cross-validated classifier evaluation (ext): the EVAL
+# leg that completes the quality-classifier loop (q276 select → q270
+# train → HERE eval → q117 serve) — training accuracy alone (q270's
+# readout) cannot certify a gate; the generalization gap can (and the
+# fold split must be hash-stable, the q145 leakage discipline). Two
+# hash folds; per fold, q270's exact integer-lattice GD runs K=4 steps
+# on the OTHER fold, then both folds are scored under the trained
+# weights: train/val logloss on the 1e-9 integer grid, val accuracy,
+# and the val−train gap on an exact 1e-6 grid (the overfit readout).
+# Same determinism discipline as q270 throughout (floor-quantized
+# sigmoids before any aggregation; exact int64 gradient sums; eager
+# per-step checkpoints; the oracle's doubly-referenced weight chains
+# MATERIALIZED). Scale: 2 folds × K steps of the q270 layout — the
+# feature frame is built and checkpointed ONCE with the fold tag.
+# ---------------------------------------------------------------------------
+_Q278_FOLDS = 2
+_Q278_K = 4
+_Q278_ETA = 200.0
+
+
+def q278_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.curation import sample_key_expr
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = docs.select(
+        "doc_id",
+        F.explode(toks).alias("t"),
+        F.size(toks).cast("long").alias("n"),
+        (F.size(F.array_distinct(toks)) * 2 > F.size(toks)).cast("int").alias("y"),
+        (sample_key_expr("doc_id", salt="cvfold") % _Q278_FOLDS)
+        .cast("int")
+        .alias("fold"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ft:"), F.col("t"))), 1, 8), 16, 10
+        ).cast("long")
+        % _Q117_D
+    )
+    feat = (
+        base.select("doc_id", bucket.alias("b"), "n", "y", "fold")
+        .groupBy("doc_id", "b")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.min("n").alias("n"),
+            F.min("y").alias("y"),
+            F.min("fold").alias("fold"),
+        )
+        .localCheckpoint()  # EAGER: every fold/step/eval reads this
+    )
+
+    def forward(df, w):
+        if w is None:
+            scored = df.groupBy("doc_id").agg(
+                F.min("n").alias("n"),
+                F.min("y").alias("y"),
+                F.lit(0).cast("long").alias("s"),
+            )
+        else:
+            scored = (
+                df.join(w, "b", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.min("n").alias("n"),
+                    F.min("y").alias("y"),
+                    F.sum(F.col("c") * F.coalesce("w", F.lit(0)))
+                    .cast("long")
+                    .alias("s"),
+                )
+            )
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.col("s").cast("double") / (F.lit(1000000.0) * F.col("n"))))
+        )
+        pq = F.greatest(
+            F.lit(1), F.least(F.lit(999999), F.floor(p * 1000000 + F.lit(0.5)))
+        ).cast("long")
+        return scored.select("doc_id", "n", "y", pq.alias("pq"))
+
+    def lossrow(pr):
+        pp = F.col("pq") / F.lit(1000000.0)
+        li = F.floor(
+            -(
+                F.col("y") * F.log(pp)
+                + (F.lit(1) - F.col("y")) * F.log(F.lit(1.0) - pp)
+            )
+            * 1000000000
+        ).cast("long")
+        return pr.agg(
+            F.sum(li).cast("long").alias("lsum"),
+            F.sum(
+                F.when((F.col("pq") > 500000).cast("int") == F.col("y"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+
+    out = []
+    for fold in range(_Q278_FOLDS):
+        train = feat.filter(F.col("fold") != fold)
+        val = feat.filter(F.col("fold") == fold)
+        nn = train.groupBy().agg(
+            F.count_distinct("doc_id").cast("long").alias("nd")
+        )
+        w = None
+        for _ in range(_Q278_K):
+            pr = forward(train, w).localCheckpoint()
+            grad = (
+                train.join(pr.select("doc_id", "pq"), "doc_id")
+                .select(
+                    "b",
+                    F.floor(
+                        ((F.col("pq") - F.col("y") * 1000000) * F.col("c")).cast(
+                            "double"
+                        )
+                        * F.lit(1000000.0)
+                        / F.col("n")
+                    )
+                    .cast("long")
+                    .alias("gi"),
+                )
+                .groupBy("b")
+                .agg(F.sum("gi").cast("long").alias("g"))
+            )
+            joined = (
+                grad.join(w, "b", "left")
+                if w is not None
+                else grad.withColumn("w", F.lit(None).cast("long"))
+            )
+            w = (
+                joined.crossJoin(F.broadcast(nn))
+                .select(
+                    "b",
+                    (
+                        F.coalesce("w", F.lit(0))
+                        - F.floor(
+                            F.lit(_Q278_ETA)
+                            * F.col("g").cast("double")
+                            / (F.lit(1000000.0) * F.col("nd"))
+                        ).cast("long")
+                    ).alias("w"),
+                )
+                .localCheckpoint()  # EAGER — the q270 lineage bound
+            )
+        tr_ls = lossrow(forward(train, w).localCheckpoint())
+        va_ls = lossrow(forward(val, w).localCheckpoint())
+        mloss = lambda: F.round(
+            F.col("lsum").cast("double") / 1e9 / F.col("n_docs"), 6
+        )
+        tr = tr_ls.select(
+            mloss().alias("train_logloss"),
+            F.col("n_docs").alias("n_train"),
+            F.col("lsum").alias("_tl"),
+            F.col("n_docs").alias("_tn"),
+        )
+        va = va_ls.select(
+            mloss().alias("val_logloss"),
+            (F.col("n_correct") / F.col("n_docs")).alias("_vacc"),
+            F.col("n_docs").alias("n_val"),
+            F.col("lsum").alias("_vl"),
+            F.col("n_docs").alias("_vn"),
+        )
+        out.append(
+            tr.crossJoin(F.broadcast(va)).select(
+                F.lit(fold).cast("int").alias("fold"),
+                "n_train",
+                "n_val",
+                "train_logloss",
+                "val_logloss",
+                F.round("_vacc", 6).alias("val_accuracy"),
+                # gap on an exact 1e-6 grid from the integer loss sums
+                (
+                    F.floor(
+                        (
+                            F.col("_vl").cast("double") / 1e9 / F.col("_vn")
+                            - F.col("_tl").cast("double") / 1e9 / F.col("_tn")
+                        )
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1000000.0)
+                ).alias("generalization_gap"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out).orderBy("fold")
+
+
+def _q278_fold_sql(f: int) -> str:
+    eta, K = _Q278_ETA, _Q278_K
+    parts = [
+        f""",
+tr{f} AS MATERIALIZED (SELECT * FROM featcv WHERE fold <> {f}),
+va{f} AS MATERIALIZED (SELECT * FROM featcv WHERE fold = {f}),
+nn{f} AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tr{f}),
+w{f}_0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+           WHERE 1 = 0)"""
+    ]
+    for k in range(1, K + 1):
+        parts.append(
+            f""",
+sc{f}_{k} AS (
+    SELECT t.doc_id, min(t.n) AS n, min(t.y) AS y,
+           CAST(sum(t.c * coalesce(w.w, 0)) AS BIGINT) AS s
+    FROM tr{f} t LEFT JOIN w{f}_{k - 1} w ON w.b = t.b
+    GROUP BY t.doc_id
+),
+pr{f}_{k} AS MATERIALIZED (
+    SELECT doc_id, n, y,
+           greatest(1, least(999999,
+               CAST(floor(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+                                             / (1000000.0 * n))))
+                          * 1000000 + 0.5) AS BIGINT))) AS pq
+    FROM sc{f}_{k}
+),
+gr{f}_{k} AS (
+    SELECT t.b,
+           CAST(sum(CAST(floor(CAST((p.pq - t.y * 1000000) * t.c AS DOUBLE)
+                               * 1000000.0 / t.n) AS BIGINT)) AS BIGINT) AS g
+    FROM tr{f} t JOIN pr{f}_{k} p ON p.doc_id = t.doc_id
+    GROUP BY t.b
+),
+w{f}_{k} AS MATERIALIZED (
+    SELECT g.b,
+           CAST(coalesce(w.w, 0)
+                - CAST(floor({eta} * CAST(g.g AS DOUBLE)
+                             / (1000000.0 * nn.nd)) AS BIGINT) AS BIGINT) AS w
+    FROM gr{f}_{k} g LEFT JOIN w{f}_{k - 1} w ON w.b = g.b
+    CROSS JOIN nn{f} nn
+)"""
+        )
+    for tag, src in (("tr", f"tr{f}"), ("va", f"va{f}")):
+        parts.append(
+            f""",
+ev{f}_{tag} AS (
+    SELECT CAST(sum(CAST(floor(-(y * ln(pq / 1000000.0)
+                                 + (1 - y) * ln(1.0 - pq / 1000000.0))
+                               * 1000000000) AS BIGINT)) AS BIGINT) AS lsum,
+           CAST(sum(CASE WHEN CAST(pq > 500000 AS INTEGER) = y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT z.doc_id, z.n, z.y,
+               greatest(1, least(999999,
+                   CAST(floor(1.0 / (1.0 + exp(-(CAST(z.s AS DOUBLE)
+                                                 / (1000000.0 * z.n))))
+                              * 1000000 + 0.5) AS BIGINT))) AS pq
+        FROM (
+            SELECT t.doc_id, min(t.n) AS n, min(t.y) AS y,
+                   CAST(sum(t.c * coalesce(w.w, 0)) AS BIGINT) AS s
+            FROM {src} t LEFT JOIN w{f}_{K} w ON w.b = t.b
+            GROUP BY t.doc_id) z) q
+)"""
+        )
+    return "".join(parts)
+
+
+_Q278_FOLD_BLOCKS = "".join(_q278_fold_sql(f) for f in range(_Q278_FOLDS))
+_Q278_UNION = "\nUNION ALL\n".join(
+    f"""SELECT CAST({f} AS INTEGER) AS fold,
+       t.n_docs AS n_train, v.n_docs AS n_val,
+       round(CAST(t.lsum AS DOUBLE) / 1000000000.0 / t.n_docs, 6)
+           AS train_logloss,
+       round(CAST(v.lsum AS DOUBLE) / 1000000000.0 / v.n_docs, 6)
+           AS val_logloss,
+       round(CAST(v.n_correct AS DOUBLE) / v.n_docs, 6) AS val_accuracy,
+       floor((CAST(v.lsum AS DOUBLE) / 1000000000.0 / v.n_docs
+              - CAST(t.lsum AS DOUBLE) / 1000000000.0 / t.n_docs)
+             * 1000000 + 0.5) / 1000000.0 AS generalization_gap
+FROM ev{f}_tr t CROSS JOIN ev{f}_va v"""
+    for f in range(_Q278_FOLDS)
+)
+
+Q278_SQL = f"""
+WITH featcv AS MATERIALIZED (
+    SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c, min(n) AS n, min(y) AS y,
+           min(fold) AS fold
+    FROM (
+        SELECT doc_id, {_hex2int_sql("md5('ft:' || t)", 1, 8)} % {_Q117_D} AS b,
+               n, y, fold
+        FROM (
+            SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t,
+                   CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n,
+                   CASE WHEN len(list_distinct(str_split(lower(text), ' '))) * 2
+                             > len(str_split(lower(text), ' '))
+                        THEN 1 ELSE 0 END AS y,
+                   CAST(({_sample_key_sql("cvfold")}) % {_Q278_FOLDS}
+                        AS INTEGER) AS fold
+            FROM documents) u) v
+    GROUP BY doc_id, b
+){_Q278_FOLD_BLOCKS}
+{_Q278_UNION}
+ORDER BY fold
 """
 
 
@@ -6170,6 +6472,10 @@ QUERIES = [
     Query("q276_feature_mi", q276_feature_mi, Q276_SQL,
           survey="ext:feature-selection,ext:mutual-information,"
                  "ext:hashing-trick,ext:quality-classifier",
+          tags=("bench",)),
+    Query("q278_classifier_cv", q278_classifier_cv, Q278_SQL,
+          survey="ext:cross-validation,ext:classifier-training,"
+                 "ext:leakage-safe-split,ext:quality-classifier",
           tags=("bench",)),
     Query("q117_hashed_classifier", q117_hashed_classifier, Q117_SQL,
           survey="ext:quality-classifier,ext:hash-sampling", tags=("bench",)),

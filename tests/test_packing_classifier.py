@@ -285,3 +285,107 @@ def test_feature_mi_python_twin(spark, sf_dir):
     # everything outside the top-K scores no higher than the cut
     cut = out[-1].mi
     assert all(mi_of(b) <= cut for b in ranked[_Q276_TOPK:])
+
+
+def test_classifier_cv_twin_and_gap(spark, sf_dir):
+    """q278: both folds must reproduce a python twin of the exact
+    integer-lattice GD (train on the complement, score both folds under
+    the trained weights), the val metrics must be computed on HELD-OUT
+    docs only, and the generalization gap must equal val − train on the
+    1e-6 grid."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        _Q117_D,
+        _Q278_ETA,
+        _Q278_FOLDS,
+        _Q278_K,
+        q278_classifier_cv,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    feats = {}
+    for r in rows:
+        ts = r.text.lower().split(" ")
+        n = len(ts)
+        y = 1 if 2 * len(set(ts)) > n else 0
+        fold = (
+            int(hashlib.md5(f"cvfold:{r.doc_id}".encode()).hexdigest()[:8], 16)
+            % _Q278_FOLDS
+        )
+        c = defaultdict(int)
+        for t in ts:
+            c[int(hashlib.md5(("ft:" + t).encode()).hexdigest()[:8], 16) % _Q117_D] += 1
+        feats[r.doc_id] = (dict(c), n, y, fold)
+
+    def score(subset, w):
+        lsum = ncorr = 0
+        for did in subset:
+            c, n, y, _ = feats[did]
+            s = sum(cnt * w[b] for b, cnt in c.items())
+            p = 1 / (1 + math.exp(-(s / (1e6 * n))))
+            q = max(1, min(999999, math.floor(p * 1e6 + 0.5)))
+            pp = q / 1e6
+            lsum += math.floor(
+                -(y * math.log(pp) + (1 - y) * math.log(1 - pp)) * 1e9
+            )
+            ncorr += 1 if (1 if q > 500000 else 0) == y else 0
+        return lsum, ncorr, len(subset)
+
+    twin = []
+    for fold in range(_Q278_FOLDS):
+        train = [d for d, (_, _, _, f) in feats.items() if f != fold]
+        val = [d for d, (_, _, _, f) in feats.items() if f == fold]
+        N = len(train)
+        w = defaultdict(int)
+        for _ in range(_Q278_K):
+            pq = {}
+            for did in train:
+                c, n, y, _ = feats[did]
+                s = sum(cnt * w[b] for b, cnt in c.items())
+                p = 1 / (1 + math.exp(-(s / (1e6 * n))))
+                pq[did] = max(1, min(999999, math.floor(p * 1e6 + 0.5)))
+            G = defaultdict(int)
+            for did in train:
+                c, n, y, _ = feats[did]
+                rs = pq[did] - y * 1000000
+                for b, cnt in c.items():
+                    G[b] += math.floor(float(rs * cnt) * 1e6 / n)
+            for b, g in G.items():
+                w[b] -= math.floor(_Q278_ETA * float(g) / (1e6 * N))
+        tl, _, tn = score(train, w)
+        vl, vc, vn = score(val, w)
+        twin.append(
+            (
+                fold,
+                tn,
+                vn,
+                round(tl / 1e9 / tn, 6),
+                round(vl / 1e9 / vn, 6),
+                round(vc / vn, 6),
+                math.floor((vl / 1e9 / vn - tl / 1e9 / tn) * 1e6 + 0.5) / 1e6,
+            )
+        )
+    got = [
+        (
+            r.fold,
+            r.n_train,
+            r.n_val,
+            r.train_logloss,
+            r.val_logloss,
+            r.val_accuracy,
+            r.generalization_gap,
+        )
+        for r in q278_classifier_cv(spark, sf_dir).collect()
+    ]
+    assert got == twin
+    # folds partition the corpus
+    assert got[0][1] + got[0][2] == len(feats)
+    # training reduced loss below the ln2 start on every fold
+    assert all(r[3] < 0.693147 for r in got)
