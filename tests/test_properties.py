@@ -714,3 +714,75 @@ def test_km_riskset_recursion_equals_brute(lives):
         brute = sum(1 for tt, _ in lives if tt >= t)
         assert n_risk == brute
         cum += d.get(t, 0) + c.get(t, 0)
+
+
+# --- round-8 codec round-trips (no Spark session needed) --------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 255), min_size=16, max_size=16),
+        min_size=16,
+        max_size=16,
+    )
+)
+def test_pgm_roundtrip_property(rows):
+    """Any 16x16 byte grid encodes to a P5 stream the parser inverts
+    exactly, and the aHash is invariant under the round trip."""
+    from bbc_news_data_pipeline_spark.operators.multimodal import (
+        _ahash_bands,
+        _parse_pgm,
+    )
+
+    raw = bytes(p for r in rows for p in r)
+    pgm = b"P5\n16 16\n255\n" + raw
+    w, h, px = _parse_pgm(pgm)
+    assert (w, h, px) == (16, 16, raw)
+    assert _ahash_bands(px, w, h) == _ahash_bands(raw, 16, 16)
+    assert all(0 <= b < 256 for b in _ahash_bands(px, w, h))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=256, max_size=256))
+def test_wav_roundtrip_property(pcm):
+    """Any 256-sample 8-bit PCM payload survives the RIFF/WAVE encode →
+    parse round trip, and the energy fingerprint is stable across it."""
+    from bbc_news_data_pipeline_spark.operators.multimodal import (
+        WAV_RATE,
+        _energy_bands,
+        _parse_wav_pcm,
+    )
+
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + WAV_RATE.to_bytes(4, "little") + WAV_RATE.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    rate, got = _parse_wav_pcm(wav)
+    assert rate == WAV_RATE and got == pcm
+    assert _energy_bands(got) == _energy_bands(pcm)
+    assert len(_energy_bands(got)) == 8
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10**6), st.integers(0, 1))
+def test_pgm_generator_matches_md5_formula(g, odd):
+    """The synthetic bitmap generator (the Spark encode side) must agree
+    with the md5 hex formula the DuckDB oracle computes, for any group."""
+    import hashlib
+
+    from bbc_news_data_pipeline_spark.operators.multimodal import _pgm_pixels
+
+    px = _pgm_pixels(g, odd)
+    for y in (0, 7, 15):
+        hexd = hashlib.md5(f"pgm:{g}:{y}".encode()).hexdigest()
+        for x in (0, 5, 15):
+            want = int(hexd[2 * x : 2 * x + 2], 16)
+            if odd and (x + y) % 5 == 0:
+                want = min(255, want + 2)
+            assert px[y * 16 + x] == want
