@@ -2024,6 +2024,179 @@ ORDER BY h.vec_id
 
 
 # ---------------------------------------------------------------------------
+# q279 — rank-biased overlap between exact and truncated rankings (ext):
+# the top-weighted ranking-similarity metric (Webber et al. 2010) that
+# completes the eval family — q216 reads set recall (order-blind), q265
+# reads graded nDCG (needs labels); RBO compares the two RANKINGS
+# themselves with geometric top-weighting and no labels, which is the
+# readout an ANN deployment watches when it swaps index parameters.
+# Prefix form at depth K, persistence p: RBO@K = Σ_{k≤K} (1−p)·p^{k−1}
+# · |S_k ∩ T_k| / k over the exact-distance and 16-dim-truncated
+# top-10. Determinism: both rankings are exact int64-distance
+# TakeOrdereds; ranks are derived by bounded (d,id)-dominance
+# self-joins on the 10-row frames (never a window — no unpartitioned-
+# window site); overlaps are exact ints; the geometric weights are
+# shared decimal literals (the q265 discipline — never engine pow()).
+# Per-depth rows carry the overlap, agreement, and the cumulative RBO
+# prefix via a ≤K² self-join (q263's bounded-triangle shape).
+# ---------------------------------------------------------------------------
+_Q279_QID = 100
+_Q279_K = 10
+_Q279_TRUNC_D = 16
+_Q279_P = 0.9
+_Q279_W = [round((1 - _Q279_P) * _Q279_P ** (k - 1), 17) for k in range(1, _Q279_K + 1)]
+
+
+def q279_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint(F.col("embedding")).alias("qv")).localCheckpoint(
+        eager=False
+    )  # both rankings stage from this
+    query = qe.filter(F.col("vec_id") == _Q279_QID).select(
+        F.col("qv").alias("quvec")
+    )
+    corpus = qe.filter(F.col("vec_id") != _Q279_QID)
+
+    def topk(d: int | None):
+        dist = (
+            sq_l2_q(F.col("qv"), F.col("quvec"))
+            if d is None
+            else sq_l2_q(F.slice("qv", 1, d), F.slice("quvec", 1, d))
+        )
+        return (
+            corpus.crossJoin(F.broadcast(query))
+            .select("vec_id", dist.alias("dist"))
+            .orderBy("dist", "vec_id")
+            .limit(_Q279_K)
+            .localCheckpoint(eager=False)  # rank self-join reads it twice
+        )
+
+    def ranked(df, out):
+        a = df.select(F.col("vec_id").alias("v"), F.col("dist").alias("da"))
+        b = df.select(F.col("vec_id").alias("w"), F.col("dist").alias("db"))
+        return (
+            a.join(
+                b,
+                (F.col("db") < F.col("da"))
+                | ((F.col("db") == F.col("da")) & (F.col("w") < F.col("v"))),
+                "left",
+            )
+            .groupBy("v")
+            .agg((F.count("w") + 1).cast("int").alias(out))
+        )
+
+    s = ranked(topk(None), "rs")
+    t = ranked(topk(_Q279_TRUNC_D), "rt")
+    both = s.join(t, "v").localCheckpoint(eager=False)  # K rows, K probes
+    ks = spark.range(1, _Q279_K + 1).select(F.col("id").cast("int").alias("k"))
+    ov = (
+        ks.join(
+            both,
+            (F.col("rs") <= F.col("k")) & (F.col("rt") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("v").cast("long").alias("overlap"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _Q279_W])
+    terms = ov.select(
+        "k",
+        "overlap",
+        (
+            F.element_at(w_arr, F.col("k"))
+            * F.col("overlap").cast("double")
+            / F.col("k")
+        ).alias("term"),
+    )
+    ta = terms.select(F.col("k").alias("j"), F.col("term").alias("tj"))
+    cum = (
+        terms.join(ta, F.col("j") <= F.col("k"))
+        .groupBy("k", "overlap")
+        .agg(F.sum("tj").alias("rbo_prefix"))
+    )
+    return cum.select(
+        "k",
+        "overlap",
+        (
+            F.floor(F.col("overlap").cast("double") / F.col("k") * 10000 + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("agreement"),
+        F.round("rbo_prefix", 6).alias("rbo_prefix"),
+    ).orderBy("k")
+
+
+_Q279_W_SQL = "[" + ", ".join(repr(w) for w in _Q279_W) + "]"
+_Q279_SQD = (
+    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+Q279_SQL = f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+q AS (SELECT qv AS quvec FROM qe WHERE vec_id = {_Q279_QID}),
+full_top AS (
+    SELECT e.vec_id,
+           CAST({_Q279_SQD.format(a="e.qv", b="q.quvec")} AS BIGINT) AS dist
+    FROM qe e CROSS JOIN q
+    WHERE e.vec_id <> {_Q279_QID}
+    ORDER BY dist, e.vec_id
+    LIMIT {_Q279_K}
+),
+trunc_top AS (
+    SELECT e.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, {_Q279_TRUNC_D}),
+                i -> (e.qv[i] - q.quvec[i]) * (e.qv[i] - q.quvec[i])))
+               AS BIGINT) AS dist
+    FROM qe e CROSS JOIN q
+    WHERE e.vec_id <> {_Q279_QID}
+    ORDER BY dist, e.vec_id
+    LIMIT {_Q279_K}
+),
+rs AS (
+    SELECT a.vec_id AS v, CAST(count(b.vec_id) + 1 AS INTEGER) AS rs
+    FROM full_top a
+    LEFT JOIN full_top b
+           ON b.dist < a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id)
+    GROUP BY a.vec_id
+),
+rt AS (
+    SELECT a.vec_id AS v, CAST(count(b.vec_id) + 1 AS INTEGER) AS rt
+    FROM trunc_top a
+    LEFT JOIN trunc_top b
+           ON b.dist < a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id)
+    GROUP BY a.vec_id
+),
+bth AS (SELECT rs.v, rs.rs, rt.rt FROM rs JOIN rt USING (v)),
+ks AS (SELECT CAST(unnest(generate_series(1, {_Q279_K})) AS INTEGER) AS k),
+ov AS (
+    SELECT ks.k, CAST(count(b.v) AS BIGINT) AS overlap
+    FROM ks LEFT JOIN bth b ON b.rs <= ks.k AND b.rt <= ks.k
+    GROUP BY ks.k
+),
+terms AS (
+    SELECT k, overlap,
+           ({_Q279_W_SQL})[k] * CAST(overlap AS DOUBLE) / k AS term
+    FROM ov
+)
+SELECT t.k, t.overlap,
+       floor(CAST(t.overlap AS DOUBLE) / t.k * 10000 + 0.5) / 10000.0
+           AS agreement,
+       round(sum(j.term), 6) AS rbo_prefix
+FROM terms t JOIN terms j ON j.k <= t.k
+GROUP BY t.k, t.overlap
+ORDER BY t.k
+"""
+
+
+# ---------------------------------------------------------------------------
 # q275 — MMR diversified reranking (ext): the retrieval-diversification
 # step between q40's pure-relevance top-k and q248's pure-diversity
 # coreset — maximal marginal relevance (Carbonell & Goldstein 1998)
@@ -2765,6 +2938,9 @@ QUERIES = [
           tags=("bench",)),
     Query("q275_mmr_rerank", q275_mmr_rerank, Q275_SQL,
           survey="ext:mmr-rerank,ext:ann-recall,ext:kcenter-coreset",
+          tags=("bench",)),
+    Query("q279_rbo_rankings", q279_rbo_rankings, Q279_SQL,
+          survey="ext:rbo-eval,ext:ann-recall,ext:dim-truncation",
           tags=("bench",)),
     Query("q216_dim_truncation", q216_dim_truncation, Q216_SQL,
           survey="ext:ann-recall,ext:embedding-drift,ext:dim-truncation"),

@@ -766,3 +766,62 @@ def test_mmr_rerank_python_twin(spark, sf_dir):
     assert [r.vec_id for r in out] != pool[:_Q275_K]
     # later picks keep a positive diversity margin
     assert all(r.div_sqdist > 0 for r in out[1:])
+
+
+def test_rbo_rankings_python_twin(spark, sf_dir):
+    """q279 vs a from-first-principles RBO twin (exact int distances,
+    prefix overlaps, geometric weights), plus the metric's invariants:
+    rbo_prefix is non-decreasing in k, bounded by the full-agreement
+    prefix sum, and agreement@k matches overlap/k."""
+    from math import floor
+
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q279_K,
+        _Q279_QID,
+        _Q279_TRUNC_D,
+        _Q279_W,
+        q279_rbo_rankings,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = {
+        r.vec_id: np.floor(np.array(r.embedding) * 1e6 + 0.5).astype(np.int64)
+        for r in rows
+    }
+    q = V[_Q279_QID]
+
+    def sq(a, b):
+        d = (a - b).astype(float)
+        return int((d * d).sum())
+
+    ids = [i for i in V if i != _Q279_QID]
+    full = sorted(ids, key=lambda i: (sq(V[i], q), i))[:_Q279_K]
+    trunc = sorted(
+        ids,
+        key=lambda i: (sq(V[i][:_Q279_TRUNC_D], q[:_Q279_TRUNC_D]), i),
+    )[:_Q279_K]
+    want = []
+    acc = 0.0
+    for k in range(1, _Q279_K + 1):
+        ov = len(set(full[:k]) & set(trunc[:k]))
+        acc += _Q279_W[k - 1] * ov / k
+        want.append(
+            (k, ov, floor(ov / k * 1e4 + 0.5) / 1e4, round(acc, 6))
+        )
+    got = [
+        (r.k, r.overlap, r.agreement, r.rbo_prefix)
+        for r in q279_rbo_rankings(spark, sf_dir).collect()
+    ]
+    assert got == want
+    rbos = [r[3] for r in got]
+    assert all(a <= b + 1e-12 for a, b in zip(rbos, rbos[1:]))
+    # perfect-agreement ceiling: rbo_prefix@k <= sum of weights to k
+    for (k, ov, _, rp) in got:
+        assert rp <= round(sum(_Q279_W[:k]), 6) + 1e-9
+        assert 0 <= ov <= k
