@@ -2024,6 +2024,201 @@ ORDER BY h.vec_id
 
 
 # ---------------------------------------------------------------------------
+# q280 — projected Wasserstein-1 embedding drift (ext): the
+# distribution-level drift readout the centroid test can't give — q193
+# tracks the MEAN's movement; W1 between two cohorts' 1-D projections
+# (one slice of sliced-Wasserstein, Rabin et al. 2012 — the production
+# embedding-drift monitor shape) sees shape changes too, with the
+# metric in interpretable projection units. Chain: exact int64 dot of
+# every vector with the fixed slice direction (row 0), cohorts by
+# vec_id parity, projections bucketed to a 1e10 integer grid (~200
+# domain-bounded buckets), CDFs via a bucket-RANGE triangle join (gaps
+# between occupied buckets carry |F_A−F_B| too — the range frame, not
+# the occupied set, is the integration domain; no window anywhere),
+# W1 = Σ|CA·n_b − CB·n_a| · Δ/(n_a·n_b) with an exact-int numerator.
+# Two scenarios in one plan: the NULL parity split (W1 ≈ 0.011) and a
+# CONSTRUCTED drift (odd cohort shifted by (u·u) div 8 ≈ 1σ along the
+# slice — W1 ≈ 0.128, ratio ≈ 11.5×, pinned by test): the metric must
+# fire on real drift and stay quiet on the null. Scale: one corpus
+# pass for the projections, one groupBy to bucket counts; everything
+# after is bucket-domain algebra.
+# ---------------------------------------------------------------------------
+_Q280_BW = 10**10
+_Q280_SHIFT_DIV = 8
+
+
+def q280_projected_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint(F.col("embedding")).alias("qv"))
+    u = qe.filter(F.col("vec_id") == 0).select(F.col("qv").alias("uvec"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    proj = (
+        qe.crossJoin(F.broadcast(u))
+        .select(
+            (F.col("vec_id") % 2).alias("grp"),
+            dot(F.col("qv"), F.col("uvec")).alias("s"),
+        )
+        .localCheckpoint(eager=False)  # both scenarios read it
+    )
+    sh = u.select(
+        F.floor(
+            dot(F.col("uvec"), F.col("uvec")).cast("double")
+            / F.lit(float(_Q280_SHIFT_DIV))
+        )
+        .cast("long")
+        .alias("shv")
+    )
+    bk = lambda c: F.floor(c.cast("double") / F.lit(float(_Q280_BW))).cast("long")
+    cells = (
+        proj.select(F.lit("null").alias("sc"), "grp", bk(F.col("s")).alias("bk"))
+        .unionByName(
+            proj.crossJoin(F.broadcast(sh)).select(
+                F.lit("drift").alias("sc"),
+                "grp",
+                bk(
+                    F.col("s")
+                    + F.when(F.col("grp") == 1, F.col("shv")).otherwise(F.lit(0))
+                ).alias("bk"),
+            )
+        )
+        .groupBy("sc", "grp", "bk")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # range + cum + totals read it
+    )
+    tots = cells.groupBy("sc").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("n"))).cast("long").alias("na"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n"))).cast("long").alias("nb"),
+    )
+    mm = cells.groupBy("sc").agg(F.min("bk").alias("mn"), F.max("bk").alias("mx"))
+    rng = mm.select("sc", F.explode(F.sequence("mn", "mx")).alias("bk"))
+    cum = (
+        rng.alias("r")
+        .join(
+            cells.alias("c"),
+            (F.col("c.sc") == F.col("r.sc")) & (F.col("c.bk") <= F.col("r.bk")),
+            "left",
+        )
+        .groupBy(F.col("r.sc").alias("sc"), F.col("r.bk").alias("bk"))
+        .agg(
+            F.sum(F.when(F.col("c.grp") == 0, F.col("c.n")).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("c.grp") == 1, F.col("c.n")).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = (
+        cum.join(tots, "sc")
+        .groupBy("sc", "na", "nb")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("long")
+            .alias("tot")
+        )
+    )
+    # W1 in projection units: tot * BW / (na*nb) / QUANT_SCALE^2
+    #                       = tot / (na * nb * 100)
+    w1 = F.col("tot").cast("double") / (
+        F.col("na").cast("double") * F.col("nb") * F.lit(100.0)
+    )
+    per = w.select("sc", "na", "nb", w1.alias("w1"), "tot")
+    nul = per.filter(F.col("sc") == "null").select(
+        "na", "nb", F.col("w1").alias("w1n"), F.col("tot").alias("tn")
+    )
+    dri = per.filter(F.col("sc") == "drift").select(
+        F.col("w1").alias("w1d"), F.col("tot").alias("td")
+    )
+    return nul.crossJoin(F.broadcast(dri)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("w1n", 6).alias("w1_null"),
+        F.round("w1d", 6).alias("w1_drift"),
+        F.when(
+            F.col("tn") > 0,
+            F.floor(
+                F.col("td").cast("double") / F.col("tn") * 100 + F.lit(0.5)
+            )
+            / F.lit(100.0),
+        ).alias("drift_ratio"),
+    )
+
+
+_Q280_DOT = (
+    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
+    "i -> {a}[i] * {b}[i]))"
+)
+
+Q280_SQL = f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+u AS (SELECT qv AS uvec FROM qe WHERE vec_id = 0),
+proj AS (
+    SELECT e.vec_id % 2 AS grp,
+           CAST({_Q280_DOT.format(a="e.qv", b="u.uvec")} AS BIGINT) AS s
+    FROM qe e CROSS JOIN u
+),
+sh AS (
+    SELECT CAST(floor(CAST({_Q280_DOT.format(a="u.uvec", b="u.uvec")} AS DOUBLE)
+                      / {_Q280_SHIFT_DIV}) AS BIGINT) AS shv
+    FROM u
+),
+cells AS MATERIALIZED (
+    SELECT sc, grp, bk, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 'null' AS sc, grp,
+               CAST(floor(CAST(s AS DOUBLE) / {_Q280_BW}.0) AS BIGINT) AS bk
+        FROM proj
+        UNION ALL
+        SELECT 'drift', grp,
+               CAST(floor(CAST(s + CASE WHEN grp = 1 THEN sh.shv ELSE 0 END
+                               AS DOUBLE) / {_Q280_BW}.0) AS BIGINT)
+        FROM proj CROSS JOIN sh
+    ) z GROUP BY sc, grp, bk
+),
+tots AS (
+    SELECT sc,
+           CAST(sum(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS nb
+    FROM cells GROUP BY sc
+),
+mm AS (SELECT sc, min(bk) AS mn, max(bk) AS mx FROM cells GROUP BY sc),
+rng AS (SELECT sc, unnest(generate_series(mn, mx)) AS bk FROM mm),
+cum AS (
+    SELECT r.sc, r.bk,
+           CAST(sum(CASE WHEN c.grp = 0 THEN c.n ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN c.grp = 1 THEN c.n ELSE 0 END) AS BIGINT) AS cb
+    FROM rng r LEFT JOIN cells c ON c.sc = r.sc AND c.bk <= r.bk
+    GROUP BY r.sc, r.bk
+),
+w AS (
+    SELECT cum.sc, t.na, t.nb,
+           CAST(sum(abs(cum.ca * t.nb - cum.cb * t.na)) AS BIGINT) AS tot
+    FROM cum JOIN tots t USING (sc)
+    GROUP BY cum.sc, t.na, t.nb
+)
+SELECT wn.na AS n_a, wn.nb AS n_b,
+       round(CAST(wn.tot AS DOUBLE) / (wn.na * wn.nb * 100.0), 6) AS w1_null,
+       round(CAST(wd.tot AS DOUBLE) / (wd.na * wd.nb * 100.0), 6) AS w1_drift,
+       CASE WHEN wn.tot > 0
+            THEN floor(CAST(wd.tot AS DOUBLE) / wn.tot * 100 + 0.5) / 100.0
+            END AS drift_ratio
+FROM (SELECT * FROM w WHERE sc = 'null') wn
+CROSS JOIN (SELECT * FROM w WHERE sc = 'drift') wd
+"""
+
+
+# ---------------------------------------------------------------------------
 # q279 — rank-biased overlap between exact and truncated rankings (ext):
 # the top-weighted ranking-similarity metric (Webber et al. 2010) that
 # completes the eval family — q216 reads set recall (order-blind), q265
@@ -2941,6 +3136,10 @@ QUERIES = [
           tags=("bench",)),
     Query("q279_rbo_rankings", q279_rbo_rankings, Q279_SQL,
           survey="ext:rbo-eval,ext:ann-recall,ext:dim-truncation",
+          tags=("bench",)),
+    Query("q280_projected_w1_drift", q280_projected_w1_drift, Q280_SQL,
+          survey="ext:wasserstein-drift,ext:embedding-drift,"
+                 "ext:distribution-drift",
           tags=("bench",)),
     Query("q216_dim_truncation", q216_dim_truncation, Q216_SQL,
           survey="ext:ann-recall,ext:embedding-drift,ext:dim-truncation"),

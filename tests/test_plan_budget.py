@@ -103,6 +103,10 @@ def test_corpus_broadcast_hint_sites_pinned():
         # per embedding dimension) sits behind the per-round eager
         # checkpoints, so the static walker can't see the dim bound
         "q274_power_iteration": 1,
+        # projected-W1 drift: the broadcast 1-row drift frame derives
+        # from the lazily-checkpointed bucket-cell rollup, hiding its
+        # single-row bound from the walker
+        "q280_projected_w1_drift": 1,
     }
     assert got == reviewed, (
         f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"

@@ -825,3 +825,63 @@ def test_rbo_rankings_python_twin(spark, sf_dir):
     for (k, ov, _, rp) in got:
         assert rp <= round(sum(_Q279_W[:k]), 6) + 1e-9
         assert 0 <= ov <= k
+
+
+def test_projected_w1_drift_python_twin(spark, sf_dir):
+    """q280 vs a Counter-based 1-D Wasserstein twin (exact int
+    projections, full bucket-range CDF walk including gaps), plus the
+    detector contract: the constructed drift reads an order of
+    magnitude above the null split."""
+    from collections import Counter
+    from math import floor
+
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q280_BW,
+        _Q280_SHIFT_DIV,
+        q280_projected_w1_drift,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    Q = {
+        r.vec_id: np.floor(np.array(r.embedding) * 1e6 + 0.5).astype(np.int64)
+        for r in rows
+    }
+    u = Q[0]
+    proj = {
+        i: int(sum(int(a) * int(b) for a, b in zip(v, u))) for i, v in Q.items()
+    }
+    shv = floor(sum(int(x) * int(x) for x in u) / _Q280_SHIFT_DIV)
+
+    def w1(pa, pb):
+        ca, cb = Counter(), Counter()
+        for s in pa:
+            ca[s // _Q280_BW] += 1
+        for s in pb:
+            cb[s // _Q280_BW] += 1
+        ks = set(ca) | set(cb)
+        na, nb = len(pa), len(pb)
+        csa = csb = tot = 0
+        for k in range(min(ks), max(ks) + 1):
+            csa += ca.get(k, 0)
+            csb += cb.get(k, 0)
+            tot += abs(csa * nb - csb * na)
+        return tot, tot / (na * nb * 100.0), na, nb
+
+    A = [proj[i] for i in proj if i % 2 == 0]
+    B = [proj[i] for i in proj if i % 2 == 1]
+    tn, w1n, na, nb = w1(A, B)
+    td, w1d, _, _ = w1(A, [s + shv for s in B])
+    r = q280_projected_w1_drift(spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.w1_null == round(w1n, 6)
+    assert r.w1_drift == round(w1d, 6)
+    assert r.drift_ratio == floor(td / tn * 100 + 0.5) / 100
+    # the detector contract
+    assert r.w1_drift > 5 * r.w1_null
+    assert r.drift_ratio >= 5
