@@ -2230,16 +2230,27 @@ CROSS JOIN (SELECT * FROM w WHERE sc = 'drift') wd
 # top-10. Determinism: both rankings are exact int64-distance
 # TakeOrdereds; ranks are derived by bounded (d,id)-dominance
 # self-joins on the 10-row frames (never a window — no unpartitioned-
-# window site); overlaps are exact ints; the geometric weights are
-# shared decimal literals (the q265 discipline — never engine pow()).
+# window site); overlaps are exact ints. The cumulative prefix is an
+# EXACT INTEGER sum (the q236 discipline — round-8 driver red traced
+# to a distributed double F.sum whose order-dependent last ulp flipped
+# round(·,6) on a .0000005 boundary): with p = 9/10 the weight is the
+# exact rational w_k = 9^(k−1)/10^k, so each term w_k·overlap/k scaled
+# by 2520·10^10 (2520 = lcm(1..10)) is an exact int64 — terms are
+# summed as integers (order-independent) and divided ONCE at the end,
+# with floor(x+0.5) round-half-up shared by both engines.
 # Per-depth rows carry the overlap, agreement, and the cumulative RBO
 # prefix via a ≤K² self-join (q263's bounded-triangle shape).
 # ---------------------------------------------------------------------------
 _Q279_QID = 100
 _Q279_K = 10
 _Q279_TRUNC_D = 16
-_Q279_P = 0.9
-_Q279_W = [round((1 - _Q279_P) * _Q279_P ** (k - 1), 17) for k in range(1, _Q279_K + 1)]
+# w_k = (1-p)·p^(k-1) with p=9/10 → exactly 9^(k-1)/10^k; WNUM = w_k·10^10.
+_Q279_WNUM = [9 ** (k - 1) * 10 ** (10 - k) for k in range(1, _Q279_K + 1)]
+_Q279_KDIV = [2520 // k for k in range(1, _Q279_K + 1)]  # lcm(1..10)/k, exact
+# term_int = WNUM[k]·overlap·(2520/k) = w_k·(overlap/k)·2520·10^10 exactly;
+# max Σ ≈ 4e13 ≪ 2^63. Emit round6 = floor(Σ/25_200_000.0 + 0.5)/1e6 —
+# single correctly-rounded IEEE ops, bit-identical across engines.
+_Q279_DEN6 = 2520 * 10**10 // 10**6  # 25_200_000
 
 
 def q279_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2295,21 +2306,22 @@ def q279_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("v").cast("long").alias("overlap"))
     )
-    w_arr = F.array(*[F.lit(w) for w in _Q279_W])
+    wnum_arr = F.array(*[F.lit(w).cast("long") for w in _Q279_WNUM])
+    kdiv_arr = F.array(*[F.lit(d).cast("long") for d in _Q279_KDIV])
     terms = ov.select(
         "k",
         "overlap",
         (
-            F.element_at(w_arr, F.col("k"))
-            * F.col("overlap").cast("double")
-            / F.col("k")
-        ).alias("term"),
+            F.element_at(wnum_arr, F.col("k"))
+            * F.col("overlap")
+            * F.element_at(kdiv_arr, F.col("k"))
+        ).alias("term_int"),
     )
-    ta = terms.select(F.col("k").alias("j"), F.col("term").alias("tj"))
+    ta = terms.select(F.col("k").alias("j"), F.col("term_int").alias("tj"))
     cum = (
         terms.join(ta, F.col("j") <= F.col("k"))
         .groupBy("k", "overlap")
-        .agg(F.sum("tj").alias("rbo_prefix"))
+        .agg(F.sum("tj").alias("cum_int"))
     )
     return cum.select(
         "k",
@@ -2318,11 +2330,15 @@ def q279_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("overlap").cast("double") / F.col("k") * 10000 + F.lit(0.5))
             / F.lit(10000.0)
         ).alias("agreement"),
-        F.round("rbo_prefix", 6).alias("rbo_prefix"),
+        (
+            F.floor(F.col("cum_int") / F.lit(float(_Q279_DEN6)) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("rbo_prefix"),
     ).orderBy("k")
 
 
-_Q279_W_SQL = "[" + ", ".join(repr(w) for w in _Q279_W) + "]"
+_Q279_WNUM_SQL = "[" + ", ".join(str(w) for w in _Q279_WNUM) + "]"
+_Q279_KDIV_SQL = "[" + ", ".join(str(d) for d in _Q279_KDIV) + "]"
 _Q279_SQD = (
     f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
@@ -2378,13 +2394,15 @@ ov AS (
 ),
 terms AS (
     SELECT k, overlap,
-           ({_Q279_W_SQL})[k] * CAST(overlap AS DOUBLE) / k AS term
+           CAST(({_Q279_WNUM_SQL})[k] AS BIGINT) * overlap
+               * CAST(({_Q279_KDIV_SQL})[k] AS BIGINT) AS term_int
     FROM ov
 )
 SELECT t.k, t.overlap,
        floor(CAST(t.overlap AS DOUBLE) / t.k * 10000 + 0.5) / 10000.0
            AS agreement,
-       round(sum(j.term), 6) AS rbo_prefix
+       floor(CAST(sum(j.term_int) AS DOUBLE) / {float(_Q279_DEN6)} + 0.5)
+           / 1000000.0 AS rbo_prefix
 FROM terms t JOIN terms j ON j.k <= t.k
 GROUP BY t.k, t.overlap
 ORDER BY t.k

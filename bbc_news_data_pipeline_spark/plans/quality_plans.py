@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.detmath import det_exp_small, det_ln_sql as _det_ln_sql
+from ..functions.detmath import det_exp_small_sql as _det_exp_small_sql
 from ..sources.tables import load
 from .curation_plans import _sample_key_sql
 from .dedup_plans import _hex2int_sql
@@ -102,7 +104,12 @@ Q72_SQL = (
 # (day-of-month anchor — data-derived, no wall clock). The drift monitor a
 # pipeline runs between corpus refreshes: PSI < 0.1 stable, > 0.25 shifted.
 # One scan, one shuffle on event_type (5 groups), window totals over the
-# tiny aggregate.
+# tiny aggregate. psi_total determinism (round-9 sweep): the per-term
+# 1e-6 grid values are exact rationals k/1e6, so their DOUBLE window-sum
+# can land exactly on a .00005 round boundary and flip with summation
+# order (the q279 class) — psi_term is therefore carried as the integer
+# tick ti6 = floor(term·1e6+0.5), summed as int64 (order-independent),
+# and psi_total divides once at the end.
 # ---------------------------------------------------------------------------
 def q73_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -114,15 +121,28 @@ def q73_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     p_a = F.col("cnt_a") / F.sum("cnt_a").over(w)
     p_b = F.col("cnt_b") / F.sum("cnt_b").over(w)
-    term = F.round((p_a - p_b) * F.log(p_a / p_b), 6)
+    # PSI terms are ≥ 0 ((p_a−p_b) and ln(p_a/p_b) share a sign), so
+    # floor(x·1e6+0.5) is exactly round-half-up on both engines.
+    ti6 = F.floor((p_a - p_b) * F.log(p_a / p_b) * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
     return (
         per_type.select(
             "event_type",
             F.round(p_a, 4).alias("p_first_half"),
             F.round(p_b, 4).alias("p_second_half"),
-            term.alias("psi_term"),
+            ti6.alias("ti6"),
         )
-        .withColumn("psi_total", F.round(F.sum("psi_term").over(w), 4))
+        .select(
+            "event_type",
+            "p_first_half",
+            "p_second_half",
+            (F.col("ti6") / F.lit(1000000.0)).alias("psi_term"),
+            (
+                F.floor(F.sum("ti6").over(w) / F.lit(100.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("psi_total"),
+        )
         .orderBy("event_type")
     )
 
@@ -138,14 +158,16 @@ terms AS (
     SELECT event_type,
            round(cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE), 4) AS p_first_half,
            round(cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE), 4) AS p_second_half,
-           round((cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE)
+           CAST(floor((cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE)
                   - cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE))
                  * ln((cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE))
-                      / (cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE))), 6) AS psi_term
+                      / (cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) AS ti6
     FROM per_type
 )
-SELECT event_type, p_first_half, p_second_half, psi_term,
-       round(sum(psi_term) OVER (), 4) AS psi_total
+SELECT event_type, p_first_half, p_second_half,
+       ti6 / 1000000.0 AS psi_term,
+       floor(sum(ti6) OVER () / 100.0 + 0.5) / 10000.0 AS psi_total
 FROM terms
 ORDER BY event_type
 """
@@ -539,13 +561,29 @@ def q90_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type")
     p = F.col("n") / F.sum("n").over(w)
     expected = 1.0 / (len(_Q90_DECILES) + 1)
-    term = F.round((p - expected) * F.log(p / expected), 6)
+    # integer-tick PSI terms + int64 window sum — q73's psi_total
+    # boundary-safety rework (grid rationals summed in double can sit
+    # exactly on a .00005 round boundary); terms ≥ 0 so floor(x+0.5)
+    # is round-half-up on both engines.
+    ti6 = F.floor(
+        (p - expected) * F.log(p / expected) * 1000000 + F.lit(0.5)
+    ).cast("long")
     return (
         b_counts.select(
             "event_type", "bin", "n", F.round(p, 4).alias("p_observed"),
-            term.alias("psi_term"),
+            ti6.alias("ti6"),
         )
-        .withColumn("psi_total", F.round(F.sum("psi_term").over(w), 4))
+        .select(
+            "event_type",
+            "bin",
+            "n",
+            "p_observed",
+            (F.col("ti6") / F.lit(1000000.0)).alias("psi_term"),
+            (
+                F.floor(F.sum("ti6").over(w) / F.lit(100.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("psi_total"),
+        )
         .orderBy("event_type", "bin")
     )
 
@@ -578,13 +616,19 @@ terms AS (
     SELECT event_type, bin, n,
            n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
     FROM b_counts
+),
+ticks AS (
+    SELECT event_type, bin, n, p,
+           CAST(floor((p - 1.0 / {_NB}) * ln(p / (1.0 / {_NB}))
+                      * 1000000 + 0.5) AS BIGINT) AS ti6
+    FROM terms
 )
 SELECT event_type, CAST(bin AS INTEGER) AS bin, n,
        round(p, 4) AS p_observed,
-       round((p - 1.0 / {_NB}) * ln(p / (1.0 / {_NB})), 6) AS psi_term,
-       round(sum(round((p - 1.0 / {_NB}) * ln(p / (1.0 / {_NB})), 6))
-             OVER (PARTITION BY event_type), 4) AS psi_total
-FROM terms
+       ti6 / 1000000.0 AS psi_term,
+       floor(sum(ti6) OVER (PARTITION BY event_type) / 100.0 + 0.5)
+           / 10000.0 AS psi_total
+FROM ticks
 ORDER BY event_type, bin
 """
 
@@ -701,12 +745,18 @@ def q117_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0).cast("long"), lambda acc, t: acc + w_int(t)
         ).alias("w_sum"),
     )
+    # |logit| ≤ 0.5 (|w| ≤ 5e4), inside det_exp_small's domain — engine
+    # exp()'s last ulp differs across engines and the score is EMITTED
+    # per-row on a 1e-6 grid, so the sigmoid runs on the deterministic
+    # Taylor surrogate (round-9 sweep; the q276 fix class).
     logit = F.col("w_sum") / (F.lit(100000.0) * F.col("n_tokens"))
     return scored.select(
         "doc_id",
         "n_tokens",
         "w_sum",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + det_exp_small(-logit)), 6).alias(
+            "score"
+        ),
         F.when(F.col("w_sum") >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
     )
 
@@ -721,11 +771,16 @@ WITH scored AS (
            CAST(list_sum(list_transform(str_split(lower(text), ' '),
                 t -> {_Q117_W_SQL})) AS BIGINT) AS w_sum
     FROM documents
+),
+lg AS (
+    SELECT doc_id, n_tokens, w_sum,
+           -(w_sum / (100000.0 * n_tokens)) AS mx
+    FROM scored
 )
 SELECT doc_id, n_tokens, w_sum,
-       round(1.0 / (1.0 + exp(-(w_sum / (100000.0 * n_tokens)))), 6) AS score,
+       round(1.0 / (1.0 + {_det_exp_small_sql("mx")}), 6) AS score,
        CASE WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
-FROM scored
+FROM lg
 ORDER BY doc_id
 """
 
@@ -981,14 +1036,20 @@ ORDER BY step
 # informative ones (the classic text-classification feature-selection
 # recipe, Yang & Pedersen 1997). All four contingency cells are EXACT
 # integer doc counts (n11 via one distinct-(doc,bucket) rollup joined
-# to the per-doc label; the other three by complement arithmetic), so
-# both engines evaluate the identical MI expression on identical
-# integers; the score is floor-scaled to a 1e-9 grid BEFORE ranking so
-# a last-ulp ln() difference can never flip the top-K membership
-# (grid 1e-9 vs ulp-error ~1e-15). Top-20 by (mi desc, bucket) as a
-# bounded TakeOrdered. Scale: one distinct rollup + one groupBy on the
-# bucket key — Zipf/hash-bounded; no windows, no per-doc fan-out
-# beyond tokenization.
+# to the per-doc label; the other three by complement arithmetic), and
+# the log itself is detmath.det_ln — a fixed chain of correctly-rounded
+# IEEE ops (20 sqrts + cubic series) that is bit-identical across JVM
+# and libm, so the whole MI expression is the SAME double in both
+# engines and the 1e-9 floor grid cannot flip. (The round-8 driver red
+# proved the previous engine-ln() version's "grid 1e-9 vs ulp 1e-15
+# can never flip" claim wrong at grid boundaries: when mi·1e9 lands
+# within an ulp of an integer, Math.log vs libm ln floor to different
+# cells. The grid is only as safe as the value feeding it is
+# deterministic.) Ranking uses the floored grid value itself (desc,
+# bucket tiebreak) so top-K membership and emitted values share one
+# deterministic key. Top-20 as a bounded TakeOrdered. Scale: one
+# distinct rollup + one groupBy on the bucket key — Zipf/hash-bounded;
+# no windows, no per-doc fan-out beyond tokenization.
 # ---------------------------------------------------------------------------
 _Q276_TOPK = 20
 _Q276_SCALE = 1_000_000_000
@@ -1025,12 +1086,14 @@ def q276_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n1"),
         F.sum("y").cast("long").alias("n11"),
     )
+    from ..functions.detmath import det_ln
+
     d = lambda c: c.cast("double")
 
     def term(nxc, nx, nc, nn):
         return F.when(
             nxc > 0,
-            (d(nxc) / d(nn)) * F.log(d(nxc) * d(nn) / (d(nx) * d(nc))),
+            (d(nxc) / d(nn)) * det_ln(d(nxc) * d(nn) / (d(nx) * d(nc))),
         ).otherwise(F.lit(0.0))
 
     nn, npos = F.col("nn"), F.col("npos")
@@ -1061,6 +1124,14 @@ def q276_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# det_ln building blocks (functions/detmath.py): one CTE stage binds the
+# 20-deep sqrt chain per ratio, the next applies the cubic series —
+# op-for-op the same IEEE-correctly-rounded sequence Spark runs.
+_Q276_T11, _Q276_S11 = _det_ln_sql("x11", "t11")
+_Q276_T10, _Q276_S10 = _det_ln_sql("x10", "t10")
+_Q276_T01, _Q276_S01 = _det_ln_sql("x01", "t01")
+_Q276_T00, _Q276_S00 = _det_ln_sql("x00", "t00")
+
 Q276_SQL = f"""
 WITH lab AS (
     SELECT doc_id,
@@ -1083,23 +1154,37 @@ cells AS (
     FROM present p JOIN lab l USING (doc_id)
     GROUP BY p.b
 ),
+ratios AS (
+    SELECT b, n1, n11, nn, npos,
+           CAST(n11 AS DOUBLE) * nn
+               / (CAST(n1 AS DOUBLE) * npos) AS x11,
+           CAST(n1 - n11 AS DOUBLE) * nn
+               / (CAST(n1 AS DOUBLE) * (nn - npos)) AS x10,
+           CAST(npos - n11 AS DOUBLE) * nn
+               / (CAST(nn - n1 AS DOUBLE) * npos) AS x01,
+           CAST(nn - n1 - npos + n11 AS DOUBLE) * nn
+               / (CAST(nn - n1 AS DOUBLE) * (nn - npos)) AS x00
+    FROM cells CROSS JOIN tot
+),
+tq AS (
+    SELECT b, n1, n11, nn, npos,
+           {_Q276_T11} AS t11, {_Q276_T10} AS t10,
+           {_Q276_T01} AS t01, {_Q276_T00} AS t00
+    FROM ratios
+),
 mi AS (
     SELECT b, n1, n11, nn, npos,
            (CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE) / nn)
-                * ln(CAST(n11 AS DOUBLE) * nn
-                     / (CAST(n1 AS DOUBLE) * npos)) ELSE 0.0 END)
+                * {_Q276_S11} ELSE 0.0 END)
          + (CASE WHEN n1 - n11 > 0 THEN (CAST(n1 - n11 AS DOUBLE) / nn)
-                * ln(CAST(n1 - n11 AS DOUBLE) * nn
-                     / (CAST(n1 AS DOUBLE) * (nn - npos))) ELSE 0.0 END)
+                * {_Q276_S10} ELSE 0.0 END)
          + (CASE WHEN npos - n11 > 0 THEN (CAST(npos - n11 AS DOUBLE) / nn)
-                * ln(CAST(npos - n11 AS DOUBLE) * nn
-                     / (CAST(nn - n1 AS DOUBLE) * npos)) ELSE 0.0 END)
+                * {_Q276_S01} ELSE 0.0 END)
          + (CASE WHEN nn - n1 - npos + n11 > 0
                 THEN (CAST(nn - n1 - npos + n11 AS DOUBLE) / nn)
-                * ln(CAST(nn - n1 - npos + n11 AS DOUBLE) * nn
-                     / (CAST(nn - n1 AS DOUBLE) * (nn - npos))) ELSE 0.0 END)
+                * {_Q276_S00} ELSE 0.0 END)
                AS mi_raw
-    FROM cells CROSS JOIN tot
+    FROM tq
 )
 SELECT b AS bucket,
        n1 AS n_docs_with,
@@ -2123,10 +2208,16 @@ def q159_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0).cast("long"), lambda acc, t: acc + w_int(t)
         ).alias("w_sum"),
     )
+    # |logit| ≤ 12.5 (|w| ≤ 5e4, TEMP 4e3) — too wide for det_exp_small
+    # directly, so range-reduce: exp(x) = det_exp_small(x/16)^16 (the /16
+    # is exact, the 4 squarings are correctly-rounded IEEE ops), keeping
+    # the whole sigmoid bit-identical across engines before the fixed-
+    # point quantization (round-9 sweep; engine exp() is ulp-unstable).
     logit = F.col("w_sum") / (F.lit(_Q159_TEMP) * F.col("n_tokens"))
-    s_fp = F.round(
-        F.lit(_Q159_FP) / (F.lit(1.0) + F.exp(-logit)), 0
-    ).cast("long")
+    e = det_exp_small((-logit) / F.lit(16.0))
+    for _ in range(4):
+        e = e * e
+    s_fp = F.round(F.lit(_Q159_FP) / (F.lit(1.0) + e), 0).cast("long")
     binned = scored.select(
         "y", s_fp.alias("s_fp")
     ).withColumn(
@@ -2142,6 +2233,19 @@ def q159_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_s = F.col("sum_fp") / (F.col("n") * F.lit(float(_Q159_FP)))
     frac_p = F.col("n_pos") / F.col("n")
     gap = F.abs(mean_s - frac_p)
+    # gap·n·FP = |sum_fp − FP·n_pos| EXACTLY (integers), so the ECE
+    # numerator sums as int64 (order-independent — the q279/psi_total
+    # class: a double window-sum of rationals can sit exactly on a
+    # round boundary) and divides once: ece = floor(Σ|..|/Σn + 0.5)/FP.
+    a_int = F.abs(F.col("sum_fp") - F.lit(_Q159_FP) * F.col("n_pos"))
+    ece = (
+        F.floor(
+            F.sum(a_int).over(w).cast("double")
+            / F.sum("n").over(w).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(_Q159_FP))
+    )
     return (
         per_bin.select(
             "bin",
@@ -2149,9 +2253,7 @@ def q159_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mean_s, 6).alias("mean_score"),
             F.round(frac_p, 6).alias("frac_pos"),
             F.round(gap, 6).alias("gap"),
-            F.round(
-                F.sum(gap * F.col("n")).over(w) / F.sum("n").over(w), 6
-            ).alias("ece"),
+            ece.alias("ece"),
         )
         .orderBy("bin")
     )
@@ -2165,11 +2267,18 @@ WITH scored AS (
                     t -> {_Q117_W_SQL})) AS w_sum
     FROM documents
 ),
+xr AS (
+    SELECT y, (-(w_sum / ({_Q159_TEMP!r} * n_tokens))) / 16.0 AS mx
+    FROM scored
+),
+p1 AS (SELECT y, {_det_exp_small_sql("mx")} AS e FROM xr),
+p2 AS (SELECT y, e*e AS e FROM p1),
+p3 AS (SELECT y, e*e AS e FROM p2),
+p4 AS (SELECT y, e*e AS e FROM p3),
 binned AS (
     SELECT y,
-           CAST(round({_Q159_FP} / (1.0 + exp(-(w_sum
-                / ({_Q159_TEMP!r} * n_tokens)))), 0) AS BIGINT) AS s_fp
-    FROM scored
+           CAST(round({_Q159_FP} / (1.0 + e*e), 0) AS BIGINT) AS s_fp
+    FROM p4
 ),
 per_bin AS (
     SELECT CAST(least(s_fp // {_Q159_FP // 10}, 9) AS INTEGER) AS bin,
@@ -2183,9 +2292,9 @@ SELECT bin,
        round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos,
        round(abs(sum_fp / (n * CAST({float(_Q159_FP)!r} AS DOUBLE))
                  - n_pos / CAST(n AS DOUBLE)), 6) AS gap,
-       round(SUM(abs(sum_fp / (n * CAST({float(_Q159_FP)!r} AS DOUBLE))
-                     - n_pos / CAST(n AS DOUBLE)) * n) OVER ()
-             / CAST(SUM(n) OVER () AS DOUBLE), 6) AS ece
+       floor(CAST(SUM(abs(sum_fp - {_Q159_FP} * n_pos)) OVER () AS DOUBLE)
+             / CAST(SUM(n) OVER () AS DOUBLE) + 0.5)
+           / {float(_Q159_FP)!r} AS ece
 FROM per_bin
 ORDER BY bin
 """
