@@ -62,15 +62,18 @@ def _driver_window_order(queries_list, history=None, snapshots=None, current=Non
     stays authoritative locally via tools/check_parity.py — this only
     decides which slice gets the external stamp this round).
 
-    Priority is "least-recently driver-green first": a query whose most
-    recent driver attempt was NOT fully green (new, red last attempt, or
-    a partially-recorded row) sorts before one whose green stamp is
-    merely stale, and stale stamps sort oldest-first. Ties keep
-    canonical registry order. This guarantees a regression or a new
-    operator is externally re-verified on the next round instead of
-    waiting out a blind rotation. The registry itself keeps a canonical
-    order (see plans/registry.py); this presentation-only reorder lives
-    here, at the driver boundary, by design.
+    Priority is "least-recently driver-green first", in three strata
+    (round-9 refinement, verdict task #4): (−2) never green under the
+    driver — never attempted, red at last attempt, or a
+    partially-recorded row — sorts before (−1) green-but-reworked (or
+    unknown-provenance) stamps, which sort before (≥0) intact green
+    stamps oldest-first. The strict never-green ≺ reworked ordering
+    guarantees a round's own rework wave can never crowd the
+    never-externally-verified tail out of the 50-slot window again (it
+    did in round 8). Ties keep canonical registry order. The registry
+    itself keeps a canonical order (see plans/registry.py); this
+    presentation-only reorder lives here, at the driver boundary, by
+    design.
 
     Rework-awareness (round-6 fix, judge task #1): a green stamp only
     attests to the code AS OF that round. Each query's plan source is
@@ -115,13 +118,15 @@ def _driver_window_order(queries_list, history=None, snapshots=None, current=Non
 
     def priority(name: str) -> int:
         g = last_green.get(name, -1)
-        # A red/partial attempt NEWER than the last green resets priority:
-        # the query re-verifies as urgently as a never-green one.
-        if last_attempt.get(name, -1) > g:
-            return -1
+        # Never green (incl. never attempted) or a red/partial attempt
+        # NEWER than the last green: most urgent — the driver has never
+        # certified this source, or actively found it wrong.
+        if g < 0 or last_attempt.get(name, -1) > g:
+            return -2
         # Source reworked since the stamp (or provenance unknown): the
-        # stamp is stale evidence — re-verify as urgently as never-green.
-        if g >= 0 and current:
+        # stamp is stale evidence — re-verify next, after the never-green
+        # stratum.
+        if current:
             attested = hash_at_or_after(snapshots, name, g)
             if attested is None or attested != current.get(name):
                 return -1

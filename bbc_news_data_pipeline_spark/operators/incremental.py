@@ -29,6 +29,12 @@ from pyspark.sql import functions as F
 # metrics (mean, variance) are computed by readers from these.
 _STATE_COLS = ("n", "sum_value", "sum_sq")
 
+#: Cap on the driver-side affected-day list (the scd2.py discipline): a
+#: normal incremental delta touches a handful of days; thousands means an
+#: unbatched backfill replay, which must be split rather than silently
+#: materializing an unbounded isin() literal list on the driver.
+MAX_AFFECTED_DAYS = 1024
+
 
 def rollup_events(events: DataFrame) -> DataFrame:
     """Daily mergeable rollup of the events stream (one shuffle)."""
@@ -62,14 +68,28 @@ def incremental_update(
     partition overwrite leaves every other partition byte-identical.
     """
     delta = rollup_events(new_events)
-    try:
+    # Filesystem probe, not read-and-swallow: an existing-but-unreadable
+    # rollup must fail loudly on the read below, never be mistaken for
+    # "first refresh" (which would silently drop all accumulated state on
+    # the overwrite) — the corpusbuild._exists discipline.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(rollup_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         existing = spark.read.parquet(rollup_dir)
-        have_existing = True
-    except Exception:
-        have_existing = False
-
-    if have_existing:
-        days = [r.day for r in delta.select("day").distinct().collect()]
+        # LIMIT-bounded collect (round-8 verdict chore; mirrors
+        # streaming/scd2.py): the driver never materializes an unbounded
+        # day list even on a misconfigured months-long replay.
+        probe = (
+            delta.select("day").distinct().limit(MAX_AFFECTED_DAYS + 1).collect()
+        )
+        if len(probe) > MAX_AFFECTED_DAYS:
+            raise ValueError(
+                f"delta touches more than {MAX_AFFECTED_DAYS} distinct days — "
+                "this looks like an unbatched backfill replay; split it into "
+                "bounded batches (or rebuild the rollup from scratch) instead "
+                "of pruning with a thousands-element driver-side day list"
+            )
+        days = [r.day for r in probe]
         affected = existing.filter(F.col("day").isin(days))
         merged = merge_rollups(affected, delta)
     else:

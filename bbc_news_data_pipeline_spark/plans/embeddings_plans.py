@@ -2650,7 +2650,14 @@ def q274_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("val") * F.col("sq")).alias("w"))
             .localCheckpoint()  # EAGER: feeds norm + requantize
         )
-        wd = F.col("w").cast("decimal(18,0)")
+        # decimal(19,0) covers the FULL int64 range (decimal(18,0) would
+        # silently NULL any |w| in (1e18, 9.2e18] in non-ANSI Spark while
+        # the HUGEINT oracle computes it exactly — round-8 ADVICE);
+        # (19,0)² → precision-38 products/sums, still exact. Headroom
+        # assumption (as for block_size elsewhere): the int64 Σ val·sq
+        # feeding w itself holds for n_vec·1e6·1e6·dim ≪ 2^63, i.e.
+        # |val|,|sq| ≤ 1e6 grids with ≤ ~9e6 accumulated terms per dim.
+        wd = F.col("w").cast("decimal(19,0)")
         nr = w.agg(
             F.sqrt(F.sum(wd * wd).cast("double")).alias("norm")
         ).localCheckpoint()

@@ -81,11 +81,18 @@ def _attribute_group(
     floor_us = last[0] if last is not None else None
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch["_us"] = batch["ts"].astype("datetime64[us]").astype("int64")
-    # Monotonicity audit: rows time-stamped BEFORE the state's stored
-    # last touch violate the cross-batch in-order delivery contract —
-    # count them so a misordered replay is observable downstream.
+    # Monotonicity audit: rows ordered BEFORE the state's stored last
+    # touch under the (ts, event_id) total order violate the cross-batch
+    # in-order delivery contract — count them so a misordered replay is
+    # observable downstream. Ties on ts compare event_id (round-8 ADVICE:
+    # an equal-ts row with a smaller event_id is equally out of order).
     if floor_us is not None:
-        ooo += int((batch["_us"] < floor_us).sum())
+        ooo += int(
+            (
+                (batch["_us"] < floor_us)
+                | ((batch["_us"] == floor_us) & (batch["event_id"] < last[1]))
+            ).sum()
+        )
     batch = batch.sort_values(["_us", "event_id"], kind="mergesort")
 
     out_id, out_ch, out_v = [], [], []

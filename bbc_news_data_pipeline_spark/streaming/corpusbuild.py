@@ -45,11 +45,18 @@ from pyspark.sql import Window as W
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
-    try:
-        spark.read.parquet(path).schema
-        return True
-    except Exception:
-        return False
+    """True iff the state table directory exists on disk.
+
+    A filesystem probe, NOT a read-and-swallow: a state table that exists
+    but cannot be read (corrupt parquet, transient IO error) must FAIL
+    LOUDLY on the subsequent read, never be mistaken for "first batch" —
+    silently rebuilding dedup/counts/manifest state from empty would
+    corrupt every later batch (round-8 ADVICE finding).
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def apply_corpus_batch(

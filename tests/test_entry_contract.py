@@ -83,9 +83,10 @@ def test_driver_window_never_attempted_outrank_all_stamped():
     ahead of EVERY stamped query, green or red, unchanged or reworked —
     so a future registry reorder can never silently starve the
     never-verified tail out of the 50-slot window. Never-attempted and
-    red/reworked all share priority −1; within that front block the
-    canonical order decides, but no stamped-green-and-unchanged query
-    may precede any never-attempted one."""
+    red share priority −2 (round-9: strictly ahead of reworked-green at
+    −1); within that front block the canonical order decides, but no
+    stamped-green-and-unchanged query may precede any never-attempted
+    one."""
     from types import SimpleNamespace
 
     qs = [SimpleNamespace(name=n) for n in ("g1", "new1", "g2", "new2", "red1")]
@@ -102,18 +103,20 @@ def test_driver_window_never_attempted_outrank_all_stamped():
         )
     ]
     front = ordered[:3]
-    assert set(front) == {"new1", "new2", "red1"}  # all priority −1
+    assert set(front) == {"new1", "new2", "red1"}  # all priority −2
     assert ordered[3:] == ["g1", "g2"]  # stamped-green sort by stamp age
-    # canonical order breaks the −1 tie
+    # canonical order breaks the −2 tie
     assert front == ["new1", "new2", "red1"]
 
 
 def test_driver_window_rework_awareness():
     """A query whose plan source changed AFTER its last green stamp must
-    sort to the front (priority −1) exactly like a red one — the round-5
-    judge finding: q40/q41/... were reworked after their r3–r4 stamps
-    and waited out blind rotation. Synthetic history + hash snapshots
-    exercise every branch of the priority function."""
+    sort ahead of intact green stamps (priority −1) — the round-5 judge
+    finding: q40/q41/... were reworked after their r3–r4 stamps and
+    waited out blind rotation. Round-9: red/never-green (−2) now sorts
+    STRICTLY ahead of reworked (−1), so a rework wave cannot crowd out
+    the never-verified tail. Synthetic history + hash snapshots exercise
+    every branch of the priority function."""
     from types import SimpleNamespace
 
     qs = [SimpleNamespace(name=n) for n in ("a", "b", "c", "d", "e")]
@@ -133,18 +136,19 @@ def test_driver_window_rework_awareness():
             qs, history=history, snapshots=snapshots, current=current
         )
     ]
-    # b (reworked since stamp) and d (red) tie at −1, canonical order
-    # breaks the tie; then a (green@2, unchanged), then c/e (green@3).
-    assert ordered == ["b", "d", "a", "c", "e"]
+    # d (red, −2) strictly first; then b (reworked since stamp, −1);
+    # then a (green@2, unchanged), then c/e (green@3).
+    assert ordered == ["d", "b", "a", "c", "e"]
 
-    # a green stamp with NO covering snapshot is unknown provenance → −1
+    # a green stamp with NO covering snapshot is unknown provenance → −1;
+    # d (never green) still strictly precedes at −2
     ordered2 = [
         q.name
         for q in E._driver_window_order(
             qs, history=history, snapshots={}, current=current
         )
     ]
-    assert ordered2 == ["a", "b", "c", "d", "e"]  # everyone at −1 → canonical
+    assert ordered2 == ["d", "a", "b", "c", "e"]
 
     # hash infrastructure absent entirely → degrade to stamp-age ordering
     ordered3 = [
@@ -181,12 +185,16 @@ def test_query_hash_snapshot_current():
     )
     stale = [n for n in current if latest.get(n) != current[n]]
     if stale:
-        # reworked/new queries must occupy a contiguous window-front slice
-        front = ordered[: len(stale) + sum(1 for n in ordered if n not in latest)]
+        # Reworked/new queries must land inside the driver's 50-slot
+        # verification window (they sort at −1/−2 behind only the
+        # never-green stratum). If this ever fails, the urgent tiers
+        # have outgrown the window — trim the rework wave, don't relax
+        # the assert.
+        front = ordered[:50]
         missing_from_front = [n for n in stale if n not in front]
         assert not missing_from_front, (
             f"queries reworked since snapshot r{max(snaps)} but not "
-            f"prioritized: {missing_from_front}"
+            f"inside the 50-slot driver window: {missing_from_front}"
         )
 
 

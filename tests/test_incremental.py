@@ -99,3 +99,36 @@ def test_update_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
     )
     expect = 2 * ev.filter(F.dayofmonth("ts") == 5).count()
     assert got == expect
+
+
+def test_update_refuses_unbatched_backfill(spark, sf_dir, tmp_path, monkeypatch):
+    """Above the affected-day cap the refresh refuses loudly (mirrors
+    tests/test_scd2.py's cap test) instead of materializing a
+    thousands-element driver-side isin list."""
+    import pytest
+
+    import bbc_news_data_pipeline_spark.operators.incremental as inc
+
+    ev = load(spark, sf_dir, "events")
+    rollup_dir = str(tmp_path / "rollup")
+    incremental_update(spark, rollup_dir, ev.limit(50))  # seed existing state
+    monkeypatch.setattr(inc, "MAX_AFFECTED_DAYS", 2)  # force the cap
+    wide = ev  # the full month: > 2 distinct days
+    with pytest.raises(ValueError, match="unbatched backfill"):
+        inc.incremental_update(spark, rollup_dir, wide)
+    # state is untouched by the refusal
+    assert len(_state(spark, rollup_dir)) > 0
+
+
+def test_update_fails_loudly_on_unreadable_state(spark, sf_dir, tmp_path):
+    """An existing-but-corrupt rollup directory must raise on read, not
+    be silently treated as a first refresh (which would overwrite
+    accumulated state with just the delta)."""
+    import pytest
+
+    ev = load(spark, sf_dir, "events")
+    rollup_dir = tmp_path / "rollup"
+    rollup_dir.mkdir()
+    (rollup_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        incremental_update(spark, str(rollup_dir), ev.limit(10))

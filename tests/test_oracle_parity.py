@@ -38,3 +38,37 @@ def test_query_matches_oracle(q, spark, sf_dir, oracle):
     oracle_pdf = oracle.execute(q.oracle).df()
     errs = compare(spark_pdf, oracle_pdf)
     assert not errs, f"{q.name}: {errs}"
+
+
+# Round-9 sweep (verdict task #3): queries that emit floats derived from
+# engine transcendentals, distributed double sums, or fine floor grids —
+# the q276/q279 failure classes. Each runs TWICE under different
+# spark.sql.shuffle.partitions and the two results must be identical:
+# any aggregation-order sensitivity that survived the per-query
+# discipline (integer-grid terms, det_ln/det_exp surrogates, bounded
+# ordered windows) shows up here as a value flip.
+FLOAT_EMITTING = [
+    "q279_rbo_rankings", "q276_feature_mi", "q73_event_type_drift",
+    "q90_quantile_drift", "q117_hashed_classifier", "q159_calibration_ece",
+    "q103_temperature_mix", "q109_dsir_weights", "q102_unigram_logprob",
+    "q118_bigram_logprob", "q273_kneser_ney_bigram", "q234_kaplan_meier",
+    "q261_doremi_weights", "q254_zipf_fit", "q260_heaps_law",
+    "q256_column_entropy", "q246_hill_tail_index", "q236_js_divergence",
+    "q270_classifier_training",
+]
+_BY_NAME = {q.name: q for q in QUERIES}
+
+
+@pytest.mark.parametrize("name", FLOAT_EMITTING)
+def test_float_emission_order_independent(name, spark, sf_dir):
+    q = _BY_NAME[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = q.spark(spark, sf_dir).toPandas()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = q.spark(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    errs = compare(a, b)
+    assert not errs, f"{name} is shuffle-order sensitive: {errs}"
