@@ -3133,7 +3133,457 @@ ORDER BY qid
 Q265_SQL = _q265_sql()
 
 
+# ---------------------------------------------------------------------------
+# q281 — IVF MULTI-PROBE search with a per-query adaptive probe list
+# (ext, r8 verdict task #6): q53/q199/q268 probe a FIXED nprobe of
+# coarse cells, which wastes budget on queries near a cell center and
+# starves queries near cell boundaries. The production fix (multi-probe,
+# Lv et al. VLDB'07 for LSH; nprobe-autotuning in FAISS IVF) orders ALL
+# cells by exact query→centroid distance and probes until a SCAN BUDGET
+# (rows, not cells) is covered, so dense cells consume the budget faster
+# and the probe-list length adapts per query. Fixture/derivation shared
+# with q268 (same clustered corpus, same QID), so the recall comparison
+# is apples-to-apples: output carries recall_at_k for the budgeted
+# multi-probe AND for the single-probe (nearest-cell-only) baseline —
+# the test pins multi ≥ single. Search inside the probed union is the
+# EXACT int64 distance (the operator under test is probe selection, not
+# compression; the oracle is the identical exhaustive rerank over the
+# probed union). Determinism: all distances exact int64; cell ranking /
+# exclusive prefix rows via (d, cell)-dominance self-joins on the
+# ≤NCELL-row frame (no windows); budget = floor(n/4)+1 with the shared
+# floor(CAST/…) form (Spark div vs DuckDB // divergence avoided).
+# Scale: centroid table broadcast; ONE corpus pass for assignment, one
+# semi-joined scan of only the probed postings, TakeOrdered top-k. The
+# full exhaustive pass exists only to certify recall (it IS the metric,
+# as in q268/q216) — production serves from the probed union alone.
+# ---------------------------------------------------------------------------
+_Q281_NCELL = 16
+_Q281_K = 10
+_Q281_QID = 123
+_Q281_ASCALE = 16
+_Q281_BUDGET_DEN = 4  # probe until ≥ floor(n_corpus/4)+1 rows covered
+
+
+def q281_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint(F.col("embedding")).alias("qv"))
+    cents = qe.filter(F.col("vec_id") < _Q281_NCELL).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("qv", lambda x: x * _Q281_ASCALE).alias("cvec"),
+    )
+    corpus = (
+        qe.filter(F.col("vec_id") >= _Q281_NCELL)
+        .withColumn("_ac", F.col("vec_id") % _Q281_NCELL)
+        .join(F.broadcast(cents.withColumnRenamed("cell", "_ac")), "_ac")
+        .select("vec_id", F.zip_with("cvec", "qv", lambda a, b: a + b).alias("qv"))
+        .localCheckpoint(eager=False)  # assignment + search + exact read it
+    )
+    query = corpus.filter(F.col("vec_id") == _Q281_QID).select(
+        F.col("qv").alias("quvec")
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                sq_l2_q(F.col("qv"), F.col("cvec")).alias("d"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", F.col("b.cell").alias("cell"))
+        .localCheckpoint(eager=False)  # sizes + both semi-joins read it
+    )
+    sizes = assign.groupBy("cell").agg(F.count("*").cast("long").alias("sz"))
+    bud = corpus.agg(
+        (
+            F.floor(
+                F.count("*").cast("double") / F.lit(float(_Q281_BUDGET_DEN))
+            ).cast("long")
+            + F.lit(1).cast("long")
+        ).alias("bud")
+    )
+    cd = (
+        cents.crossJoin(F.broadcast(query))
+        .select(
+            "cell", sq_l2_q(F.col("cvec"), F.col("quvec")).alias("d")
+        )
+        .join(sizes, "cell", "left")
+        .select("cell", "d", F.coalesce("sz", F.lit(0).cast("long")).alias("sz"))
+        .localCheckpoint(eager=False)  # dominance self-join reads it twice
+    )
+    # exclusive prefix of postings rows in probe order: rows covered by
+    # cells STRICTLY nearer under the (d, cell) total order
+    before = (
+        cd.alias("a")
+        .join(
+            cd.select(
+                F.col("cell").alias("c2"), F.col("d").alias("d2"),
+                F.col("sz").alias("s2"),
+            ),
+            (F.col("d2") < F.col("d"))
+            | ((F.col("d2") == F.col("d")) & (F.col("c2") < F.col("cell"))),
+            "left",
+        )
+        .groupBy("cell", "d", "sz")
+        .agg(F.coalesce(F.sum("s2"), F.lit(0).cast("long")).alias("before"))
+    )
+    probed = (
+        before.crossJoin(F.broadcast(bud))
+        .filter(F.col("before") < F.col("bud"))
+        .select("cell", "sz")
+        .localCheckpoint(eager=False)  # stats + semi-join read it
+    )
+    pstats = probed.agg(
+        F.count("*").cast("long").alias("n_cells_probed"),
+        F.sum("sz").cast("long").alias("rows_scanned"),
+    )
+    single = cd.orderBy("d", "cell").limit(1).select("cell")
+
+    def topk(cells_df):
+        return (
+            corpus.join(assign, "vec_id")
+            .join(F.broadcast(cells_df.select("cell")), "cell", "left_semi")
+            .crossJoin(F.broadcast(query))
+            .select(
+                "vec_id", "cell", sq_l2_q(F.col("qv"), F.col("quvec")).alias("d")
+            )
+            .orderBy("d", "vec_id")
+            .limit(_Q281_K)
+        )
+
+    multi = topk(probed)
+    one = topk(single)
+    exact_topk = (
+        corpus.crossJoin(F.broadcast(query))
+        .select("vec_id", sq_l2_q(F.col("qv"), F.col("quvec")).alias("ex_d"))
+        .orderBy("ex_d", "vec_id")
+        .limit(_Q281_K)
+        .localCheckpoint(eager=False)  # both recall joins read it
+    )
+    mark = exact_topk.select("vec_id", F.lit(1).alias("in_exact"))
+    hits = multi.join(mark, "vec_id", "left").localCheckpoint(eager=False)
+    recall = hits.agg(
+        (F.sum(F.coalesce("in_exact", F.lit(0))) / F.lit(float(_Q281_K))).alias(
+            "recall_at_k"
+        )
+    )
+    recall_one = one.join(mark, "vec_id", "left").agg(
+        (F.sum(F.coalesce("in_exact", F.lit(0))) / F.lit(float(_Q281_K))).alias(
+            "recall_single_at_k"
+        )
+    )
+    scale2 = 1_000_000_000_000.0  # QUANT_SCALE^2
+    r4 = lambda c: F.floor(c / F.lit(scale2) * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        hits.crossJoin(F.broadcast(recall))
+        .crossJoin(F.broadcast(recall_one))
+        .crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(bud))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            r4(F.col("d").cast("double")).alias("sqdist"),
+            F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact_topk"),
+            F.round("recall_at_k", 4).alias("recall_at_k"),
+            F.round("recall_single_at_k", 4).alias("recall_single_at_k"),
+            "n_cells_probed",
+            "rows_scanned",
+            F.col("bud").alias("budget_rows"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q281_SQD = (
+    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+Q281_SQL = f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cell,
+           list_transform(qv, x -> x * {_Q281_ASCALE}) AS cvec
+    FROM qe WHERE vec_id < {_Q281_NCELL}
+),
+corpus AS (
+    SELECT e.vec_id,
+           list_transform(generate_series(1, {_Q268_DIM}),
+               i -> c.cvec[i] + e.qv[i]) AS qv
+    FROM qe e JOIN cents c ON c.cell = e.vec_id % {_Q281_NCELL}
+    WHERE e.vec_id >= {_Q281_NCELL}
+),
+q AS (SELECT qv AS quvec FROM corpus WHERE vec_id = {_Q281_QID}),
+assigned AS (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {_Q281_SQD.format(a="v.qv", b="c.cvec")}, c.cell) AS rn
+    FROM corpus v CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, cell FROM assigned WHERE rn = 1),
+sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM assign GROUP BY cell),
+bud AS (
+    SELECT CAST(floor(CAST(count(*) AS DOUBLE) / {float(_Q281_BUDGET_DEN)!r})
+               AS BIGINT) + 1 AS bud
+    FROM corpus
+),
+cd AS (
+    SELECT c.cell,
+           CAST({_Q281_SQD.format(a="c.cvec", b="q.quvec")} AS BIGINT) AS d,
+           coalesce(s.sz, 0) AS sz
+    FROM cents c CROSS JOIN q LEFT JOIN sizes s USING (cell)
+),
+before AS (
+    SELECT a.cell, a.d, a.sz,
+           coalesce(sum(b.sz), 0) AS before
+    FROM cd a LEFT JOIN cd b
+           ON b.d < a.d OR (b.d = a.d AND b.cell < a.cell)
+    GROUP BY a.cell, a.d, a.sz
+),
+probed AS (
+    SELECT cell, sz FROM before CROSS JOIN bud WHERE before < bud
+),
+pstats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cells_probed,
+           CAST(sum(sz) AS BIGINT) AS rows_scanned
+    FROM probed
+),
+single AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 1),
+multi AS (
+    SELECT v.vec_id, a.cell,
+           CAST({_Q281_SQD.format(a="v.qv", b="q.quvec")} AS BIGINT) AS d
+    FROM corpus v JOIN assign a USING (vec_id) CROSS JOIN q
+    WHERE a.cell IN (SELECT cell FROM probed)
+    ORDER BY d, v.vec_id
+    LIMIT {_Q281_K}
+),
+one AS (
+    SELECT v.vec_id,
+           CAST({_Q281_SQD.format(a="v.qv", b="q.quvec")} AS BIGINT) AS d
+    FROM corpus v JOIN assign a USING (vec_id) CROSS JOIN q
+    WHERE a.cell IN (SELECT cell FROM single)
+    ORDER BY d, v.vec_id
+    LIMIT {_Q281_K}
+),
+exact_topk AS (
+    SELECT v.vec_id,
+           CAST({_Q281_SQD.format(a="v.qv", b="q.quvec")} AS BIGINT) AS ex_d
+    FROM corpus v CROSS JOIN q
+    ORDER BY ex_d, v.vec_id
+    LIMIT {_Q281_K}
+),
+recall AS (
+    SELECT sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               / {float(_Q281_K)!r} AS recall_at_k
+    FROM multi m LEFT JOIN exact_topk x USING (vec_id)
+),
+recall_one AS (
+    SELECT sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               / {float(_Q281_K)!r} AS recall_single_at_k
+    FROM one o LEFT JOIN exact_topk x USING (vec_id)
+)
+SELECT m.vec_id,
+       CAST(m.cell AS BIGINT) AS cell,
+       floor(CAST(m.d AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000.0
+           AS sqdist,
+       CAST(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS in_exact_topk,
+       round(r.recall_at_k, 4) AS recall_at_k,
+       round(r1.recall_single_at_k, 4) AS recall_single_at_k,
+       p.n_cells_probed,
+       p.rows_scanned,
+       b.bud AS budget_rows
+FROM multi m
+LEFT JOIN exact_topk x USING (vec_id)
+CROSS JOIN recall r CROSS JOIN recall_one r1 CROSS JOIN pstats p CROSS JOIN bud b
+ORDER BY m.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q282 — STREAMING IVF postings maintenance (ST-ext, r8 verdict task
+# #7): q277 maintains the DEDUP side of the pipeline incrementally; the
+# ANN side (q268's centroids + postings) still assumed batch rebuild.
+# Here the coarse quantizer is trained once (frozen centroid state
+# table, the FAISS train/add split) and three vector micro-batches fold
+# through streaming/annindex.py: per batch, new vectors anti-join the
+# stored postings (replay-idempotent), assign to the nearest frozen
+# centroid (exact int64 argmin), append (vec_id, cell, r2) postings,
+# and fold per-cell (n, Σr2) residual-energy stats. The FIRST batch's
+# stats freeze as the per-cell BASELINE; the emitted drift readout —
+# n_new_since_base counter, mean-residual ratio, and a retrain flag
+# raised when mean_r2 degrades past the pinned 3/2 bound (exact int64
+# cross-multiplication 2·Σr2·base_n > 3·base_Σr2·n, never a float
+# compare) — is q193's drift machinery attached to the live index.
+# ORACLE: a full rebuild over the union (assign ALL vectors, stats per
+# cell, baseline = epoch-0 subset) must reproduce the drained state
+# exactly — incremental ≡ recompute, the ST6/IVM contract for the ANN
+# index. Scale: per batch ONE anti-join probe of the postings (the
+# stored index never reshuffles), centroids broadcast, metadata-sized
+# stats merge — the shape that absorbs a continuous embedding feed
+# without nightly rebuilds.
+# ---------------------------------------------------------------------------
+_Q282_NCELL = 16
+_Q282_ASCALE = 16
+_Q282_EPOCHS = 3
+_Q282_BOUND_NUM = 3  # retrain when mean_r2 > NUM/DEN × baseline mean
+_Q282_BOUND_DEN = 2
+
+
+def q282_stream_ann_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..operators.similarity import _qint
+    from ..streaming.annindex import run_stream_postings
+
+    emb = load(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="q282_")
+    src, ckpt, state = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+    os.makedirs(src)
+    try:
+        # frozen coarse quantizer (the offline "train" half)
+        emb.filter(F.col("vec_id") < _Q282_NCELL).select(
+            F.col("vec_id").alias("cell"),
+            F.transform(
+                _qint(F.col("embedding")), lambda x: x * _Q282_ASCALE
+            ).alias("cvec"),
+        ).write.mode("overwrite").parquet(f"{state}/centroids")
+
+        base_t = time.time()
+        for ep in range(_Q282_EPOCHS):
+            staged = f"{tmp}/stage_{ep}"
+            emb.filter(F.col("vec_id") % _Q282_EPOCHS == ep).select(
+                "vec_id", "embedding"
+            ).coalesce(1).write.mode("overwrite").parquet(staged)
+            part = _glob.glob(f"{staged}/part-*.parquet")[0]
+            dst = f"{src}/epoch_{ep}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (base_t + ep, base_t + ep))  # pin batch order
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_postings(stream, state, ckpt)
+        st = spark.read.parquet(f"{state}/cellstats")
+        mean_r2 = (
+            F.col("sum_r2").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1.0e12)
+        )
+        base_mean = (
+            F.col("base_sum_r2").cast("double")
+            / F.col("base_n").cast("double")
+            / F.lit(1.0e12)
+        )
+        r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+        r2d = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)
+        return (
+            st.select(
+                F.col("cell").cast("long").alias("cell"),
+                F.col("n").alias("n_vecs"),
+                (F.col("n") - F.col("base_n")).alias("n_new_since_base"),
+                r4(mean_r2).alias("mean_r2"),
+                F.when(
+                    (F.col("base_n") > 0) & (F.col("base_sum_r2") > 0),
+                    r2d(mean_r2 / base_mean),
+                ).alias("drift_ratio"),
+                (
+                    (F.col("base_n") > 0)
+                    & (
+                        F.lit(_Q282_BOUND_DEN) * F.col("sum_r2") * F.col("base_n")
+                        > F.lit(_Q282_BOUND_NUM) * F.col("base_sum_r2") * F.col("n")
+                    )
+                ).alias("retrain"),
+            )
+            .orderBy("cell")
+            .localCheckpoint(eager=True)  # detach from tmp before cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q282_SQD = (
+    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+Q282_SQL = f"""
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cell,
+           list_transform(qv, x -> x * {_Q282_ASCALE}) AS cvec
+    FROM qe WHERE vec_id < {_Q282_NCELL}
+),
+corpus AS (
+    SELECT e.vec_id, e.vec_id % {_Q282_EPOCHS} AS e,
+           list_transform(generate_series(1, {_Q268_DIM}),
+               i -> c.cvec[i] + e.qv[i]) AS v
+    FROM qe e JOIN cents c ON c.cell = e.vec_id % {_Q282_NCELL}
+    WHERE e.vec_id >= {_Q282_NCELL}
+),
+assigned AS (
+    SELECT v.vec_id, v.e, c.cell,
+           CAST({_Q282_SQD.format(a="v.v", b="c.cvec")} AS BIGINT) AS r2,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {_Q282_SQD.format(a="v.v", b="c.cvec")}, c.cell) AS rn
+    FROM corpus v CROSS JOIN cents c
+),
+post AS (SELECT vec_id, e, cell, r2 FROM assigned WHERE rn = 1),
+stats AS (
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(r2) AS BIGINT) AS sum_r2,
+           CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+           CAST(sum(CASE WHEN e = 0 THEN r2 ELSE 0 END) AS BIGINT)
+               AS base_sum_r2
+    FROM post GROUP BY cell
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       n AS n_vecs,
+       n - base_n AS n_new_since_base,
+       floor(CAST(sum_r2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+             * 10000 + 0.5) / 10000.0 AS mean_r2,
+       CASE WHEN base_n > 0 AND base_sum_r2 > 0
+            THEN floor(CAST(sum_r2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       / 1000000000000.0
+                       / (CAST(base_sum_r2 AS DOUBLE) / CAST(base_n AS DOUBLE)
+                          / 1000000000000.0)
+                       * 100 + 0.5) / 100.0
+       END AS drift_ratio,
+       (base_n > 0 AND
+        {_Q282_BOUND_DEN} * sum_r2 * base_n
+            > {_Q282_BOUND_NUM} * base_sum_r2 * n) AS retrain
+FROM stats
+ORDER BY cell
+"""
+
+
 QUERIES = [
+    Query("q282_stream_ann_postings", q282_stream_ann_postings, Q282_SQL,
+          survey="ext:ann-ivf,ext:stream-index-maintenance,"
+                 "ext:embedding-drift,ext:incremental-equals-batch",
+          tags=("bench",)),
     Query("q265_ndcg_eval", q265_ndcg_eval, Q265_SQL,
           survey="ext:ndcg-eval,ext:ann-recall,ext:model-eval,"
                  "ext:dim-truncation",
@@ -3151,6 +3601,9 @@ QUERIES = [
     Query("q268_ivfpq_residual_search", q268_ivfpq_residual_search, Q268_SQL,
           survey="ext:ann-ivf,ext:ann-pq,ext:ann-adc,ext:ann-recall,"
                  "ext:ann-residual,ext:kmeans-training",
+          tags=("bench",)),
+    Query("q281_ivf_multiprobe", q281_ivf_multiprobe, Q281_SQL,
+          survey="ext:ann-ivf,ext:ann-multiprobe,ext:ann-recall",
           tags=("bench",)),
     Query("q274_power_iteration", q274_power_iteration, Q274_SQL,
           survey="ext:power-iteration,ext:embedding-drift,"

@@ -885,3 +885,89 @@ def test_projected_w1_drift_python_twin(spark, sf_dir):
     # the detector contract
     assert r.w1_drift > 5 * r.w1_null
     assert r.drift_ratio >= 5
+
+
+def test_q281_multiprobe_twin(spark, sf_dir):
+    """q281 vs a from-first-principles numpy twin of the full multi-probe
+    chain — clustered construction, IVF assignment, cell ordering by
+    exact query→centroid distance, ADAPTIVE row-budget cut, exact rerank
+    over the probed union — plus the certified claims: budgeted
+    multi-probe recall >= single-probe recall, and >= the 0.5 residual-
+    ADC recall q268 measures on this same fixture (exact rerank over an
+    adaptively probed union dominates compressed fixed-nprobe search)."""
+    from math import floor
+
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q281_ASCALE,
+        _Q281_BUDGET_DEN,
+        _Q281_K,
+        _Q281_NCELL,
+        _Q281_QID,
+        q281_ivf_multiprobe,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    Q = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in rows
+    }
+    cents = {c: Q[c] * _Q281_ASCALE for c in range(_Q281_NCELL)}
+    corpus = {i: cents[i % _Q281_NCELL] + Q[i] for i in Q if i >= _Q281_NCELL}
+
+    def sq(a, b):
+        d = (a - b).astype(np.float64)
+        return float((d * d).sum())
+
+    assign = {
+        i: min(cents, key=lambda c: (sq(v, cents[c]), c))
+        for i, v in corpus.items()
+    }
+    sizes = {c: sum(1 for i in assign if assign[i] == c) for c in cents}
+    q = corpus[_Q281_QID]
+    budget = floor(len(corpus) / _Q281_BUDGET_DEN) + 1
+    order = sorted(cents, key=lambda c: (sq(cents[c], q), c))
+    probed, covered = [], 0
+    for c in order:
+        if covered >= budget:
+            break
+        probed.append(c)
+        covered += sizes[c]
+
+    def topk(cells):
+        pool = [i for i in corpus if assign[i] in cells]
+        return sorted(pool, key=lambda i: (sq(corpus[i], q), i))[:_Q281_K]
+
+    exact = sorted(corpus, key=lambda i: (sq(corpus[i], q), i))[:_Q281_K]
+    multi = topk(set(probed))
+    single = topk({order[0]})
+    recall = len(set(multi) & set(exact)) / _Q281_K
+    recall_1 = len(set(single) & set(exact)) / _Q281_K
+
+    out = {r.vec_id: r for r in q281_ivf_multiprobe(spark, sf_dir).collect()}
+    assert sorted(out) == sorted(multi)
+    any_r = next(iter(out.values()))
+    assert any_r.recall_at_k == recall
+    assert any_r.recall_single_at_k == recall_1
+    assert any_r.n_cells_probed == len(probed)
+    assert any_r.rows_scanned == covered
+    assert any_r.budget_rows == budget
+    # adaptivity contract: the LAST probed cell is the one that crosses
+    # the budget — rows covered before it are strictly under budget, and
+    # the probe list never scans a cell past the crossing point.
+    assert covered - sizes[probed[-1]] < budget
+    assert covered >= budget or len(probed) == len(cents)
+    # certified claims (r8 verdict task #6 "Done" bar)
+    assert any_r.recall_at_k >= any_r.recall_single_at_k
+    assert any_r.recall_at_k >= 0.5  # q268's residual-ADC recall here
+    for i, r in out.items():
+        assert r.in_exact_topk == (1 if i in exact else 0)
+        assert r.cell == assign[i]
+        assert r.sqdist == floor(sq(corpus[i], q) / 1e12 * 1e4 + 0.5) / 1e4

@@ -1,0 +1,103 @@
+"""Streaming IVF postings maintenance (streaming/annindex.py): the fold
+must be replay-idempotent, incremental ≡ batch on (n, Σr2), baseline-
+frozen, and loud on missing centroid state — the q282 contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_data_pipeline_spark.operators.similarity import _qint
+from bbc_news_data_pipeline_spark.streaming.annindex import apply_postings_batch
+
+NCELL = 16
+ASCALE = 16
+
+
+def _seed_centroids(spark, sf_dir, state):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.filter(F.col("vec_id") < NCELL).select(
+        F.col("vec_id").alias("cell"),
+        F.transform(_qint(F.col("embedding")), lambda x: x * ASCALE).alias("cvec"),
+    ).write.mode("overwrite").parquet(f"{state}/centroids")
+    return emb
+
+
+def _stats(spark, state):
+    return {
+        r.cell: (r.n, r.sum_r2, r.base_n, r.base_sum_r2)
+        for r in spark.read.parquet(f"{state}/cellstats").collect()
+    }
+
+
+def test_replay_idempotent_and_incremental_equals_batch(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "state")
+    emb = _seed_centroids(spark, sf_dir, state)
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == e).select("vec_id", "embedding")
+        for e in range(3)
+    ]
+    for b in batches:
+        apply_postings_batch(spark, b, state)
+    got = _stats(spark, state)
+    n_post = spark.read.parquet(f"{state}/postings").count()
+
+    # replay batch 1 verbatim: a strict no-op on postings AND stats
+    out = apply_postings_batch(spark, batches[1], state)
+    assert out["batch_vecs"] == 0
+    assert _stats(spark, state) == got
+    assert spark.read.parquet(f"{state}/postings").count() == n_post
+
+    # incremental ≡ batch: numpy rebuild over the union
+    rows = emb.orderBy("vec_id").collect()
+    Q = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in rows
+    }
+    cents = {c: Q[c] * ASCALE for c in range(NCELL)}
+    corpus = {i: cents[i % NCELL] + Q[i] for i in Q if i >= NCELL}
+
+    def sq(a, b):
+        d = (a - b).astype(np.float64)
+        return int((d * d).sum())
+
+    expect = {}
+    for i, v in corpus.items():
+        cell = min(cents, key=lambda c: (sq(v, cents[c]), c))
+        r2 = sq(v, cents[cell])
+        n, s, bn, bs = expect.get(cell, (0, 0, 0, 0))
+        first = i % 3 == 0  # epoch-0 rows form the baseline
+        expect[cell] = (n + 1, s + r2, bn + (1 if first else 0),
+                        bs + (r2 if first else 0))
+    assert got == expect
+    assert n_post == len(corpus)
+
+
+def test_baseline_frozen_for_late_cells(spark, sf_dir, tmp_path):
+    """A cell whose first vector arrives AFTER batch 0 carries base_n=0
+    (the baseline epoch has passed) and never acquires one later."""
+    state = str(tmp_path / "state")
+    emb = _seed_centroids(spark, sf_dir, state)
+    # batch 0: vectors anchored to cell 0 only; batch 1: everything else
+    b0 = emb.filter(
+        (F.col("vec_id") >= NCELL) & (F.col("vec_id") % NCELL == 0)
+    ).select("vec_id", "embedding")
+    b1 = emb.filter(
+        (F.col("vec_id") >= NCELL) & (F.col("vec_id") % NCELL != 0)
+    ).select("vec_id", "embedding")
+    apply_postings_batch(spark, b0, state)
+    apply_postings_batch(spark, b1, state)
+    st = _stats(spark, state)
+    late = {c: v for c, v in st.items() if v[2] == 0}
+    assert late, "expected late-arriving cells with a zero baseline"
+    for c, (n, s, bn, bs) in late.items():
+        assert n > 0 and bn == 0 and bs == 0
+
+
+def test_missing_centroids_fail_loudly(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(Exception):
+        apply_postings_batch(
+            spark, emb.select("vec_id", "embedding"), str(tmp_path / "nostate")
+        )
