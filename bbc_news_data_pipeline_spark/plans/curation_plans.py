@@ -3792,7 +3792,184 @@ ORDER BY shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q283 — LEAKAGE-SAFE train/val/test split (ext): the split step every
+# training-data pipeline runs between curation and training, done at the
+# unit that actually prevents eval contamination — the NEAR-DUP CLUSTER,
+# not the document. A doc-level hash split scatters members of a
+# duplicate cluster across train and val, so the model is evaluated on
+# near-copies of its training data (the classic benchmark-leakage bug;
+# cf. the q79/q128 decontamination family, which guards against a KNOWN
+# eval set — this guards train against val/test within the corpus
+# itself). Unit of assignment: q57's connected components over the
+# MinHash/LSH candidate pairs (capped star expansion preserves
+# connectivity, so clusters are exact); singleton docs are their own
+# cluster (cluster_id = doc_id), making the cluster split and the
+# doc split IDENTICAL outside dup clusters — the emitted counterfactual
+# isolates exactly the leakage the cluster unit repairs. Assignment is
+# the stable integer sample key over cluster_id (80/10/10), so adding
+# documents never reassigns an existing cluster. Output: per-split doc/
+# cluster/char tallies + TWO audit certificates computed from the data
+# (q162's convention): candidate pairs crossing splits under the
+# cluster assignment (0 BY CONSTRUCTION — both endpoints share a
+# cluster, clusters never straddle splits) and under the doc-level
+# counterfactual (> 0 whenever clusters exist — the bug made visible).
+# Scale: CC is q57's min-label propagation (diameter-bounded rounds);
+# the audit joins the bounded candidate-pair set to the assignment
+# twice on doc_id — no new wide ops beyond the banding join itself.
+# ---------------------------------------------------------------------------
+_Q283_SALT = "dsplit"
+_Q283_TRAIN = sample_threshold(0.8)
+_Q283_VAL = sample_threshold(0.9)
+
+
+def q283_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(
+        docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K
+    ).localCheckpoint(eager=False)  # CC + both audit joins read it
+    cc = connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "cluster_id"
+    )
+
+    def split_of(key):
+        return (
+            F.when(key < _Q283_TRAIN, F.lit("train"))
+            .when(key < _Q283_VAL, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    asg = (
+        docs.select("doc_id", "n_chars")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "cluster_id",
+            split_of(sample_key_expr("cluster_id", salt=_Q283_SALT)).alias("split"),
+            split_of(sample_key_expr("doc_id", salt=_Q283_SALT)).alias("dsplit"),
+        )
+        .localCheckpoint(eager=False)  # per-split agg + two audits read it
+    )
+
+    def leak(col):
+        return (
+            pairs.join(
+                asg.select(F.col("doc_id").alias("id_a"), F.col(col).alias("sa")),
+                "id_a",
+            )
+            .join(
+                asg.select(F.col("doc_id").alias("id_b"), F.col(col).alias("sb")),
+                "id_b",
+            )
+            .agg(
+                F.sum((F.col("sa") != F.col("sb")).cast("long"))
+                .cast("long")
+                .alias(f"leak_{col}")
+            )
+        )
+
+    tot = asg.agg(F.count("*").cast("long").alias("nd"))
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak("split")))
+        .crossJoin(F.broadcast(leak("dsplit")))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_chars_total",
+            (
+                F.floor(
+                    F.col("n_docs").cast("double") / F.col("nd").cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("doc_share"),
+            F.col("leak_split").alias("leaked_pairs_cluster_split"),
+            F.col("leak_dsplit").alias("leaked_pairs_doc_split"),
+        )
+        .orderBy("split")
+    )
+
+
+_Q283_CKEY = _hex2int_sql(
+    f"md5('{_Q283_SALT}:' || CAST(cluster_id AS VARCHAR))", 1, 8
+)
+_Q283_DKEY = _hex2int_sql(f"md5('{_Q283_SALT}:' || CAST(doc_id AS VARCHAR))", 1, 8)
+_Q283_CASE = (
+    f"CASE WHEN {{k}} < {_Q283_TRAIN} THEN 'train' "
+    f"WHEN {{k}} < {_Q283_VAL} THEN 'val' ELSE 'test' END"
+)
+
+Q283_SQL = f"""
+WITH RECURSIVE {_CAPPED_PAIRS_CTES},
+cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM cand
+    UNION
+    SELECT id_b AS a, id_a AS b FROM cand
+),
+reach(v, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+),
+cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+mem AS (
+    SELECT d0.doc_id, d0.n_chars,
+           coalesce(c0.cluster_id, d0.doc_id) AS cluster_id
+    FROM documents d0 LEFT JOIN cc c0 ON c0.doc_id = d0.doc_id
+),
+asg AS (
+    SELECT doc_id, n_chars, cluster_id,
+           {_Q283_CASE.format(k=_Q283_CKEY)} AS split,
+           {_Q283_CASE.format(k=_Q283_DKEY)} AS dsplit
+    FROM mem
+),
+leak_c AS (
+    SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_pairs_cluster_split
+    FROM cand p JOIN asg a ON a.doc_id = p.id_a JOIN asg b ON b.doc_id = p.id_b
+),
+leak_d AS (
+    SELECT CAST(sum(CASE WHEN a.dsplit <> b.dsplit THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_pairs_doc_split
+    FROM cand p JOIN asg a ON a.doc_id = p.id_a JOIN asg b ON b.doc_id = p.id_b
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM asg)
+SELECT asg.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       floor(CAST(count(*) AS DOUBLE) / CAST(any_value(tot.nd) AS DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS doc_share,
+       any_value(leak_c.leaked_pairs_cluster_split)
+           AS leaked_pairs_cluster_split,
+       any_value(leak_d.leaked_pairs_doc_split) AS leaked_pairs_doc_split
+FROM asg CROSS JOIN tot CROSS JOIN leak_c CROSS JOIN leak_d
+GROUP BY asg.split
+ORDER BY asg.split
+"""
+
+
 QUERIES = [
+    Query("q283_leakage_safe_split", q283_leakage_safe_split, Q283_SQL,
+          survey="ext:leakage-safe-split,ext:dedup-clusters,"
+                 "ext:hash-split,ext:decontamination",
+          tags=("bench",)),
     Query("q250_modularity", q250_modularity, Q250_SQL,
           survey="ext:modularity,ext:graph-components,ext:lsh-banding",
           tags=("bench",)),

@@ -1659,7 +1659,235 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q284 — LSH BANDING PARAMETER AUTO-TUNE (ext): q114 validates that lane
+# matches estimate Jaccard; THIS query picks the (bands, rows) split of
+# the 8-lane budget before a 100 TB dedup run, from the data. Method
+# (Leskovec–Rajaraman–Ullman ch.3): estimate the corpus's pairwise-
+# Jaccard spectrum from a hash-sample of documents (all ~780 pairs of a
+# ~40-doc sample, EXACT shingle-set Jaccard, 20 equal-width bins via
+# exact integer floor(inter·20/union)), then for each (b, r) with
+# b·r = 8 evaluate the collision S-curve P(s) = 1 − (1 − s^r)^b at bin
+# midpoints and integrate expected false-positive mass (Σ_{s<t} cnt·P)
+# and false-negative mass (Σ_{s≥t} cnt·(1−P)) against the target
+# threshold t = 1/2; the chosen config minimizes total error (ties to
+# smallest b). Determinism: powers are CASE-bound repeated squarings
+# (never engine pow()); bin midpoints are single exact-int divisions;
+# per-bin S-curve values are floor-quantized to a 1e-12 integer grid
+# BEFORE the cross-bin sums (the q279/round-9 discipline — fp/fn masses
+# are exact int64 sums); argmin runs on the integer error. Scale: the
+# sample is rate-fixed (~k² pairs regardless of corpus size), shingle
+# sets ride two bounded joins, everything after the histogram is an
+# 80-row frame — the tune costs O(sample²), never O(corpus).
+# ---------------------------------------------------------------------------
+_Q284_RATE = 0.08
+_Q284_BINS = 20
+_Q284_T_NUM, _Q284_T_DEN = 1, 2  # target threshold t = 1/2
+_Q284_CONFIGS = [(1, 8), (2, 4), (4, 2), (8, 1)]  # (bands, rows), b·r = 8
+_Q284_PSCALE = 1_000_000_000_000
+
+
+def q284_lsh_param_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_key_expr, sample_threshold
+    from ..operators.dedup import with_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sampled = (
+        with_shingles(
+            docs.filter(
+                sample_key_expr("doc_id", salt="lshtune")
+                < sample_threshold(_Q284_RATE)
+            ),
+            "doc_id",
+            "text",
+            SHINGLE_K,
+        )
+        .select("doc_id", F.array_distinct("shingles").alias("ss"))
+        .localCheckpoint(eager=False)  # self-joined a × b
+    )
+    pairs = (
+        sampled.select(F.col("doc_id").alias("ia"), F.col("ss").alias("sa"))
+        .join(
+            sampled.select(F.col("doc_id").alias("ib"), F.col("ss").alias("sb")),
+            F.col("ia") < F.col("ib"),
+        )
+        .select(
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            F.size(F.array_union("sa", "sb")).cast("long").alias("uni"),
+        )
+    )
+    hist = (
+        pairs.select(
+            F.least(
+                F.floor(
+                    F.col("inter").cast("double") * _Q284_BINS / F.col("uni")
+                ).cast("long"),
+                F.lit(_Q284_BINS - 1).cast("long"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cfg = spark.createDataFrame(_Q284_CONFIGS, "b int, r int")
+    sm = (F.lit(2.0) * F.col("bin") + F.lit(1.0)) / F.lit(2.0 * _Q284_BINS)
+    staged = (
+        hist.crossJoin(F.broadcast(cfg))
+        .select("bin", "cnt", "b", "r", sm.alias("s"))
+        .select("bin", "cnt", "b", "r", "s", (F.col("s") * F.col("s")).alias("s2"))
+        .select("bin", "cnt", "b", "r", "s", "s2", (F.col("s2") * F.col("s2")).alias("s4"))
+        .select(
+            "bin", "cnt", "b", "r",
+            (
+                F.lit(1.0)
+                - F.when(F.col("r") == 8, F.col("s4") * F.col("s4"))
+                .when(F.col("r") == 4, F.col("s4"))
+                .when(F.col("r") == 2, F.col("s2"))
+                .otherwise(F.col("s"))
+            ).alias("q"),
+        )
+        .select("bin", "cnt", "b", "r", "q", (F.col("q") * F.col("q")).alias("q2"))
+        .select("bin", "cnt", "b", "r", "q", "q2", (F.col("q2") * F.col("q2")).alias("q4"))
+        .select(
+            "bin", "cnt", "b", "r",
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.when(F.col("b") == 8, F.col("q4") * F.col("q4"))
+                    .when(F.col("b") == 4, F.col("q4"))
+                    .when(F.col("b") == 2, F.col("q2"))
+                    .otherwise(F.col("q"))
+                )
+                * F.lit(float(_Q284_PSCALE))
+            )
+            .cast("long")
+            .alias("pi"),
+        )
+    )
+    below_t = F.col("bin") * _Q284_T_DEN < F.lit(_Q284_BINS * _Q284_T_NUM)
+    # bin b is "below threshold" iff its midpoint (2b+1)/(2·BINS) < t —
+    # with t = BINS·NUM/DEN on the bin grid this is 2b+1 < 2·BINS·t, and
+    # since 2b+1 is odd and 2·BINS·t integral, equivalently b·DEN < BINS·NUM.
+    agg = staged.groupBy("b", "r").agg(
+        F.sum(F.when(below_t, F.col("cnt") * F.col("pi")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("fp_int"),
+        F.sum(
+            F.when(
+                ~below_t,
+                F.col("cnt") * (F.lit(_Q284_PSCALE) - F.col("pi")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("fn_int"),
+        F.sum("cnt").cast("long").alias("n_pairs"),
+    )
+    best = agg.agg(
+        F.min(
+            F.struct((F.col("fp_int") + F.col("fn_int")).alias("e"), F.col("b"))
+        ).alias("m")
+    ).select(F.col("m.e").alias("best_e"), F.col("m.b").alias("best_b"))
+    r6 = lambda num: (
+        F.floor(
+            num.cast("double")
+            / F.col("n_pairs").cast("double")
+            / F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        agg.crossJoin(F.broadcast(best))
+        .select(
+            "b",
+            "r",
+            "n_pairs",
+            r6(F.col("fp_int")).alias("fp_mass"),
+            r6(F.col("fn_int")).alias("fn_mass"),
+            r6(F.col("fp_int") + F.col("fn_int")).alias("total_err"),
+            (
+                (F.col("fp_int") + F.col("fn_int") == F.col("best_e"))
+                & (F.col("b") == F.col("best_b"))
+            ).alias("chosen"),
+        )
+        .orderBy("b")
+    )
+
+
+_Q284_KEY = _hex2int_sql("md5('lshtune:' || CAST(doc_id AS VARCHAR))", 1, 8)
+
+Q284_SQL = f"""
+WITH sampled AS (
+    SELECT doc_id, list_distinct({_shingle_sql()}) AS ss
+    FROM documents
+    WHERE len(str_split(text, ' ')) >= {SHINGLE_K}
+      AND {_Q284_KEY} < {int(_Q284_RATE * (1 << 32))}
+),
+pairs AS (
+    SELECT CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+           CAST(len(list_distinct(a.ss || b.ss)) AS BIGINT) AS uni
+    FROM sampled a JOIN sampled b ON a.doc_id < b.doc_id
+),
+hist AS (
+    SELECT least(CAST(floor(CAST(inter AS DOUBLE) * {_Q284_BINS} / uni)
+                      AS BIGINT), {_Q284_BINS - 1}) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1
+),
+cfg AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _Q284_CONFIGS)}) t(b, r)),
+st0 AS (
+    SELECT bin, cnt, b, r,
+           (2.0 * bin + 1.0) / {2.0 * _Q284_BINS!r} AS s
+    FROM hist CROSS JOIN cfg
+),
+st1 AS (SELECT *, s * s AS s2 FROM st0),
+st2 AS (SELECT *, s2 * s2 AS s4 FROM st1),
+st3 AS (
+    SELECT bin, cnt, b, r,
+           1.0 - (CASE WHEN r = 8 THEN s4 * s4 WHEN r = 4 THEN s4
+                       WHEN r = 2 THEN s2 ELSE s END) AS q
+    FROM st2
+),
+st4 AS (SELECT *, q * q AS q2 FROM st3),
+st5 AS (SELECT *, q2 * q2 AS q4 FROM st4),
+st6 AS (
+    SELECT bin, cnt, b, r,
+           CAST(floor((1.0 - (CASE WHEN b = 8 THEN q4 * q4 WHEN b = 4 THEN q4
+                                   WHEN b = 2 THEN q2 ELSE q END))
+                      * {float(_Q284_PSCALE)!r}) AS BIGINT) AS pi
+    FROM st5
+),
+agg AS (
+    SELECT b, r,
+           CAST(sum(CASE WHEN bin * {_Q284_T_DEN} < {_Q284_BINS * _Q284_T_NUM}
+                         THEN cnt * pi ELSE 0 END) AS BIGINT) AS fp_int,
+           CAST(sum(CASE WHEN bin * {_Q284_T_DEN} >= {_Q284_BINS * _Q284_T_NUM}
+                         THEN cnt * ({_Q284_PSCALE} - pi) ELSE 0 END)
+               AS BIGINT) AS fn_int,
+           CAST(sum(cnt) AS BIGINT) AS n_pairs
+    FROM st6 GROUP BY b, r
+),
+best AS (
+    SELECT fp_int + fn_int AS best_e, b AS best_b
+    FROM agg ORDER BY fp_int + fn_int, b LIMIT 1
+)
+SELECT a.b, a.r, a.n_pairs,
+       floor(CAST(a.fp_int AS DOUBLE) / CAST(a.n_pairs AS DOUBLE)
+             / 1000000.0 + 0.5) / 1000000.0 AS fp_mass,
+       floor(CAST(a.fn_int AS DOUBLE) / CAST(a.n_pairs AS DOUBLE)
+             / 1000000.0 + 0.5) / 1000000.0 AS fn_mass,
+       floor(CAST(a.fp_int + a.fn_int AS DOUBLE) / CAST(a.n_pairs AS DOUBLE)
+             / 1000000.0 + 0.5) / 1000000.0 AS total_err,
+       (a.fp_int + a.fn_int = bb.best_e AND a.b = bb.best_b) AS chosen
+FROM agg a CROSS JOIN best bb
+ORDER BY a.b
+"""
+
+
 QUERIES = [
+    Query("q284_lsh_param_tune", q284_lsh_param_tune, Q284_SQL,
+          survey="ext:minhash-calibration,ext:lsh-param-tune,"
+                 "ext:jaccard-neardup,ext:hash-split",
+          tags=("bench",)),
     Query("q244_bfs_distances", q244_bfs_distances, Q244_SQL,
           survey="ext:bfs-distances,ext:graph-components,ext:lsh-banding",
           tags=("bench",)),

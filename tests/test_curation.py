@@ -716,3 +716,77 @@ def test_delta_dedup_first_epoch_wins(spark):
     # exactly one batch doc (300) survives the epoch-aware dedup
     assert sum(r.delta_docs for r in man) == 1
     assert sum(r.n_docs for r in man) == 3  # 100, 101, 300
+
+
+def test_q283_leakage_safe_split_twin(spark, sf_dir):
+    """q283 vs a pure-Python twin of the NEW surface (union-find clusters
+    over the candidate pairs, md5 split keys, brute-force leak audit) —
+    the banding pipeline feeding it is independently twinned by the
+    q46/q57 tests. Certifies the operator's reason to exist: the
+    cluster-unit split leaks ZERO candidate pairs while the doc-unit
+    counterfactual leaks >0 on this fixture."""
+    import hashlib
+    from math import floor
+
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.dedup import minhash_candidates
+    from bbc_news_data_pipeline_spark.plans.curation_plans import (
+        _Q283_SALT,
+        _Q283_TRAIN,
+        _Q283_VAL,
+        q283_leakage_safe_split,
+    )
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import SHINGLE_K
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = sorted(
+        map(
+            tuple,
+            minhash_candidates(
+                docs, "doc_id", "text", n_hashes=8, bands=4, k=SHINGLE_K
+            ).collect(),
+        )
+    )
+    chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+
+    parent = {d: d for d in chars}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cluster = {d: find(d) for d in chars}
+
+    def key(v):
+        return int(hashlib.md5(f"{_Q283_SALT}:{v}".encode()).hexdigest()[:8], 16)
+
+    def split_of(v):
+        k = key(v)
+        return "train" if k < _Q283_TRAIN else ("val" if k < _Q283_VAL else "test")
+
+    csplit = {d: split_of(cluster[d]) for d in chars}
+    dsplit = {d: split_of(d) for d in chars}
+    leak_c = sum(1 for a, b in pairs if csplit[a] != csplit[b])
+    leak_d = sum(1 for a, b in pairs if dsplit[a] != dsplit[b])
+    assert leak_c == 0  # clusters never straddle splits, by construction
+    assert leak_d > 0  # the doc-level bug is visible on this fixture
+
+    out = {r.split: r for r in q283_leakage_safe_split(spark, sf_dir).collect()}
+    assert set(out) <= {"train", "val", "test"}
+    nd = len(chars)
+    for s, r in out.items():
+        members = [d for d in chars if csplit[d] == s]
+        assert r.n_docs == len(members)
+        assert r.n_clusters == len({cluster[d] for d in members})
+        assert r.n_chars_total == sum(chars[d] for d in members)
+        assert r.doc_share == floor(len(members) / nd * 10000 + 0.5) / 10000
+        assert r.leaked_pairs_cluster_split == 0
+        assert r.leaked_pairs_doc_split == leak_d
+    assert sum(r.n_docs for r in out.values()) == nd

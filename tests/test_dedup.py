@@ -567,3 +567,87 @@ def test_modularity_python_twin(spark, sf_dir):
         assert r.modularity_q == want_q
     # communities from LPA on a near-dup graph must beat the null model
     assert want_q > 0
+
+
+def test_q284_lsh_param_tune_twin(spark, sf_dir):
+    """q284 vs a pure-Python twin of the full tune — md5 doc sample,
+    exact shingle-set Jaccard, integer binning, CASE-bound repeated-
+    squaring S-curve, 1e-12 per-bin quantization, integer fp/fn sums,
+    argmin — plus the S-curve monotonicity invariant (at any fixed s,
+    collision probability rises with more bands of fewer rows)."""
+    import hashlib
+    from math import floor
+
+    from bbc_news_data_pipeline_spark.plans.dedup_plans import (
+        _Q284_BINS,
+        _Q284_CONFIGS,
+        _Q284_PSCALE,
+        _Q284_RATE,
+        _Q284_T_DEN,
+        _Q284_T_NUM,
+        SHINGLE_K,
+        q284_lsh_param_tune,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    thr = int(_Q284_RATE * (1 << 32))
+
+    def key(d):
+        return int(hashlib.md5(f"lshtune:{d}".encode()).hexdigest()[:8], 16)
+
+    sets = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        if len(toks) >= SHINGLE_K and key(r.doc_id) < thr:
+            sets[r.doc_id] = {
+                " ".join(toks[i : i + SHINGLE_K])
+                for i in range(len(toks) - SHINGLE_K + 1)
+            }
+    ids = sorted(sets)
+    hist = {}
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            bn = min(int(floor(float(inter) * _Q284_BINS / uni)), _Q284_BINS - 1)
+            hist[bn] = hist.get(bn, 0) + 1
+    n_pairs = sum(hist.values())
+
+    def pi(bn, bcfg, rcfg):
+        s = (2.0 * bn + 1.0) / (2.0 * _Q284_BINS)
+        s2 = s * s
+        s4 = s2 * s2
+        sr = {8: s4 * s4, 4: s4, 2: s2, 1: s}[rcfg]
+        q = 1.0 - sr
+        q2 = q * q
+        q4 = q2 * q2
+        qb = {8: q4 * q4, 4: q4, 2: q2, 1: q}[bcfg]
+        return int(floor((1.0 - qb) * float(_Q284_PSCALE)))
+
+    expect = {}
+    for bcfg, rcfg in _Q284_CONFIGS:
+        fp = sum(
+            c * pi(bn, bcfg, rcfg)
+            for bn, c in hist.items()
+            if bn * _Q284_T_DEN < _Q284_BINS * _Q284_T_NUM
+        )
+        fn = sum(
+            c * (_Q284_PSCALE - pi(bn, bcfg, rcfg))
+            for bn, c in hist.items()
+            if bn * _Q284_T_DEN >= _Q284_BINS * _Q284_T_NUM
+        )
+        expect[bcfg] = (rcfg, fp, fn)
+    best = min(expect, key=lambda b: (expect[b][1] + expect[b][2], b))
+
+    out = {r.b: r for r in q284_lsh_param_tune(spark, sf_dir).collect()}
+    assert sorted(out) == sorted(b for b, _ in _Q284_CONFIGS)
+    for bcfg, r in out.items():
+        rcfg, fp, fn = expect[bcfg]
+        assert r.r == rcfg and r.n_pairs == n_pairs
+        assert r.fp_mass == floor(fp / n_pairs / 1e6 + 0.5) / 1e6
+        assert r.fn_mass == floor(fn / n_pairs / 1e6 + 0.5) / 1e6
+        assert r.chosen == (bcfg == best)
+    # S-curve monotonicity: more bands of fewer rows collide more
+    for bn in range(_Q284_BINS):
+        ps = [pi(bn, b, r) for b, r in _Q284_CONFIGS]  # (1,8) -> (8,1)
+        assert ps == sorted(ps)

@@ -107,6 +107,10 @@ def test_corpus_broadcast_hint_sites_pinned():
         # from the lazily-checkpointed bucket-cell rollup, hiding its
         # single-row bound from the walker
         "q280_projected_w1_drift": 1,
+        # LSH param tune: the 4-row literal (b,r) config frame and the
+        # 1-row argmin frame — both constant-size by construction; the
+        # sample histogram they join is ≤20 bins
+        "q284_lsh_param_tune": 2,
     }
     assert got == reviewed, (
         f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"

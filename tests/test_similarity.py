@@ -778,10 +778,12 @@ def test_rbo_rankings_python_twin(spark, sf_dir):
     import numpy as np
 
     from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q279_DEN6,
         _Q279_K,
+        _Q279_KDIV,
         _Q279_QID,
         _Q279_TRUNC_D,
-        _Q279_W,
+        _Q279_WNUM,
         q279_rbo_rankings,
     )
 
@@ -806,24 +808,39 @@ def test_rbo_rankings_python_twin(spark, sf_dir):
         ids,
         key=lambda i: (sq(V[i][:_Q279_TRUNC_D], q[:_Q279_TRUNC_D]), i),
     )[:_Q279_K]
+    # EXACT-INTEGER prefix (the r9 rework of the r8 driver red): each
+    # term w_k·ov/k scaled by 2520·10^10 is an exact int64, summed as
+    # integers and divided once — the twin carries the cum as a Python
+    # int, so the expected value is exact by construction.
     want = []
-    acc = 0.0
+    acc_int = 0
     for k in range(1, _Q279_K + 1):
         ov = len(set(full[:k]) & set(trunc[:k]))
-        acc += _Q279_W[k - 1] * ov / k
+        acc_int += _Q279_WNUM[k - 1] * ov * _Q279_KDIV[k - 1]
         want.append(
-            (k, ov, floor(ov / k * 1e4 + 0.5) / 1e4, round(acc, 6))
+            (
+                k,
+                ov,
+                floor(ov / k * 1e4 + 0.5) / 1e4,
+                floor(acc_int / float(_Q279_DEN6) + 0.5) / 1e6,
+            )
         )
     got = [
         (r.k, r.overlap, r.agreement, r.rbo_prefix)
         for r in q279_rbo_rankings(spark, sf_dir).collect()
     ]
     assert got == want
+    # sanity vs the textbook float formula: same numbers to float noise
+    acc = 0.0
+    for (k, ov, _, rp) in got:
+        acc += (0.1 * 0.9 ** (k - 1)) * ov / k
+        assert abs(rp - acc) < 1e-6
     rbos = [r[3] for r in got]
     assert all(a <= b + 1e-12 for a, b in zip(rbos, rbos[1:]))
     # perfect-agreement ceiling: rbo_prefix@k <= sum of weights to k
     for (k, ov, _, rp) in got:
-        assert rp <= round(sum(_Q279_W[:k]), 6) + 1e-9
+        ceil_int = sum(w * 2520 for w in _Q279_WNUM[:k])
+        assert rp <= floor(ceil_int / float(_Q279_DEN6) + 0.5) / 1e6 + 1e-9
         assert 0 <= ov <= k
 
 
