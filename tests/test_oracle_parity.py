@@ -54,7 +54,7 @@ FLOAT_EMITTING = [
     "q118_bigram_logprob", "q273_kneser_ney_bigram", "q234_kaplan_meier",
     "q261_doremi_weights", "q254_zipf_fit", "q260_heaps_law",
     "q256_column_entropy", "q246_hill_tail_index", "q236_js_divergence",
-    "q270_classifier_training",
+    "q270_classifier_training", "q284_lsh_param_tune",
 ]
 _BY_NAME = {q.name: q for q in QUERIES}
 
