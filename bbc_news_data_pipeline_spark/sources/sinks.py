@@ -24,12 +24,17 @@ from pyspark.sql import functions as F
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
-    """S7 collection-exists probe (stats.py:13,21) for path-based tables."""
-    try:
-        spark.read.parquet(path).schema
-        return True
-    except Exception:
-        return False
+    """S7 collection-exists probe (stats.py:13,21) for path-based tables.
+
+    A filesystem probe, NOT read-and-swallow (the corpusbuild._exists
+    discipline, round-9 sweep): an existing-but-unreadable table must
+    fail loudly on the subsequent read, never be mistaken for absent —
+    keyed_append would otherwise skip its anti-join and violate the
+    unique-key contract on the very table that is corrupt.
+    """
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def keyed_append(spark: SparkSession, df: DataFrame, path: str, key: str) -> int:
