@@ -67,14 +67,14 @@ def incremental_update(
     partition pruning keeps it O(affected partitions); dynamic
     partition overwrite leaves every other partition byte-identical.
     """
+    from ..sources.sinks import table_exists
+
     delta = rollup_events(new_events)
     # Filesystem probe, not read-and-swallow: an existing-but-unreadable
     # rollup must fail loudly on the read below, never be mistaken for
     # "first refresh" (which would silently drop all accumulated state on
-    # the overwrite) — the corpusbuild._exists discipline.
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(rollup_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jpath):
+    # the overwrite) — the shared sinks.table_exists discipline.
+    if table_exists(spark, rollup_dir):
         existing = spark.read.parquet(rollup_dir)
         # LIMIT-bounded collect (round-8 verdict chore; mirrors
         # streaming/scd2.py): the driver never materializes an unbounded

@@ -3868,7 +3868,11 @@ def q283_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "id_b",
             )
             .agg(
-                F.sum((F.col("sa") != F.col("sb")).cast("long"))
+                # coalesce: an empty candidate-pair set must certify 0,
+                # not NULL (review finding r9)
+                F.coalesce(
+                    F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)
+                )
                 .cast("long")
                 .alias(f"leak_{col}")
             )
@@ -3940,13 +3944,13 @@ asg AS (
     FROM mem
 ),
 leak_c AS (
-    SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
-               AS leaked_pairs_cluster_split
+    SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS leaked_pairs_cluster_split
     FROM cand p JOIN asg a ON a.doc_id = p.id_a JOIN asg b ON b.doc_id = p.id_b
 ),
 leak_d AS (
-    SELECT CAST(sum(CASE WHEN a.dsplit <> b.dsplit THEN 1 ELSE 0 END) AS BIGINT)
-               AS leaked_pairs_doc_split
+    SELECT CAST(coalesce(sum(CASE WHEN a.dsplit <> b.dsplit THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS leaked_pairs_doc_split
     FROM cand p JOIN asg a ON a.doc_id = p.id_a JOIN asg b ON b.doc_id = p.id_b
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM asg)

@@ -1718,10 +1718,11 @@ def q284_lsh_param_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = (
         pairs.select(
+            # exact integer floor: inter·BINS div uni (both operands ≥ 0,
+            # so Spark div ≡ DuckDB // — the documented div-vs-// trap
+            # only bites on negatives)
             F.least(
-                F.floor(
-                    F.col("inter").cast("double") * _Q284_BINS / F.col("uni")
-                ).cast("long"),
+                F.expr(f"(inter * {_Q284_BINS}) div uni").cast("long"),
                 F.lit(_Q284_BINS - 1).cast("long"),
             ).alias("bin")
         )
@@ -1828,8 +1829,8 @@ pairs AS (
     FROM sampled a JOIN sampled b ON a.doc_id < b.doc_id
 ),
 hist AS (
-    SELECT least(CAST(floor(CAST(inter AS DOUBLE) * {_Q284_BINS} / uni)
-                      AS BIGINT), {_Q284_BINS - 1}) AS bin,
+    SELECT least(CAST((inter * {_Q284_BINS}) // uni AS BIGINT),
+                 {_Q284_BINS - 1}) AS bin,
            CAST(count(*) AS BIGINT) AS cnt
     FROM pairs GROUP BY 1
 ),

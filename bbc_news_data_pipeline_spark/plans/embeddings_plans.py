@@ -1614,6 +1614,40 @@ _Q268_ITERS = 2
 _Q268_ASCALE = 16
 _Q268_DIM = _Q186_M * _Q186_SUB
 
+# Shared SQL templates for the anchored-fixture ANN family (q268/q279/
+# q281/q282): ONE exact-int64 squared-L2 template and ONE clustered-
+# corpus CTE block, so a future change to the quantization, anchor
+# scale, or dim cannot desynchronize the oracles (review finding r9).
+_SQD64 = (
+    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _anchored_corpus_sql(ncell: int, ascale: int, extra: str = "") -> str:
+    """qe/cents/corpus CTE block deriving the deterministic clustered
+    corpus (anchor·ascale + own vector) used by the ANN-family oracles.
+    ``extra`` injects additional corpus columns (e.g. an epoch stamp)."""
+    return f"""qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cell,
+           list_transform(qv, x -> x * {ascale}) AS cvec
+    FROM qe WHERE vec_id < {ncell}
+),
+corpus AS (
+    SELECT e.vec_id,{extra}
+           list_transform(generate_series(1, {_Q268_DIM}),
+               i -> c.cvec[i] + e.qv[i]) AS qv
+    FROM qe e JOIN cents c ON c.cell = e.vec_id % {ncell}
+    WHERE e.vec_id >= {ncell}
+)"""
+
 
 def q268_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _qint, sq_l2_q
@@ -2339,10 +2373,7 @@ def q279_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q279_WNUM_SQL = "[" + ", ".join(str(w) for w in _Q279_WNUM) + "]"
 _Q279_KDIV_SQL = "[" + ", ".join(str(d) for d in _Q279_KDIV) + "]"
-_Q279_SQD = (
-    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-)
+_Q279_SQD = _SQD64
 
 Q279_SQL = f"""
 WITH qe AS (
@@ -2652,11 +2683,15 @@ def q274_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # decimal(19,0) covers the FULL int64 range (decimal(18,0) would
         # silently NULL any |w| in (1e18, 9.2e18] in non-ANSI Spark while
-        # the HUGEINT oracle computes it exactly — round-8 ADVICE);
-        # (19,0)² → precision-38 products/sums, still exact. Headroom
-        # assumption (as for block_size elsewhere): the int64 Σ val·sq
-        # feeding w itself holds for n_vec·1e6·1e6·dim ≪ 2^63, i.e.
-        # |val|,|sq| ≤ 1e6 grids with ≤ ~9e6 accumulated terms per dim.
+        # the HUGEINT oracle computes it exactly — round-8 ADVICE). Each
+        # (19,0)² product fits precision 38; the 64-dim SUM is exact
+        # while Σw² < 10^38, i.e. rms |w| ≲ 1.25e18. Documented residual
+        # envelope (the block_size-style note ADVICE asked for): between
+        # rms 1.25e18 and the absolute int64 corner, non-ANSI Spark
+        # yields a NULL norm while HUGEINT stays exact — and the int64
+        # Σ val·sq feeding w must itself satisfy n_terms·1e12 ≪ 2^63
+        # (≤ ~9e6 accumulated 1e6-grid terms per dim), which in practice
+        # keeps |w| orders of magnitude below either bound.
         wd = F.col("w").cast("decimal(19,0)")
         nr = w.agg(
             F.sqrt(F.sum(wd * wd).cast("double")).alias("norm")
@@ -3298,31 +3333,10 @@ def q281_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q281_SQD = (
-    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-)
+_Q281_SQD = _SQD64
 
 Q281_SQL = f"""
-WITH qe AS (
-    SELECT vec_id,
-           list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-               AS qv
-    FROM embeddings
-),
-cents AS (
-    SELECT vec_id AS cell,
-           list_transform(qv, x -> x * {_Q281_ASCALE}) AS cvec
-    FROM qe WHERE vec_id < {_Q281_NCELL}
-),
-corpus AS (
-    SELECT e.vec_id,
-           list_transform(generate_series(1, {_Q268_DIM}),
-               i -> c.cvec[i] + e.qv[i]) AS qv
-    FROM qe e JOIN cents c ON c.cell = e.vec_id % {_Q281_NCELL}
-    WHERE e.vec_id >= {_Q281_NCELL}
-),
+WITH {_anchored_corpus_sql(_Q281_NCELL, _Q281_ASCALE)},
 q AS (SELECT qv AS quvec FROM corpus WHERE vec_id = {_Q281_QID}),
 assigned AS (
     SELECT v.vec_id, c.cell,
@@ -3422,9 +3436,11 @@ ORDER BY m.vec_id
 # and fold per-cell (n, Σr2) residual-energy stats. The FIRST batch's
 # stats freeze as the per-cell BASELINE; the emitted drift readout —
 # n_new_since_base counter, mean-residual ratio, and a retrain flag
-# raised when mean_r2 degrades past the pinned 3/2 bound (exact int64
-# cross-multiplication 2·Σr2·base_n > 3·base_Σr2·n, never a float
-# compare) — is q193's drift machinery attached to the live index.
+# raised when mean_r2 degrades past the pinned 3/2 bound (exact
+# decimal(38,0)/HUGEINT cross-multiplication 2·Σr2·base_n >
+# 3·base_Σr2·n, never a float compare — int64 products would overflow
+# inside Σr2's own documented headroom) — is q193's drift machinery
+# attached to the live index.
 # ORACLE: a full rebuild over the union (assign ALL vectors, stats per
 # cell, baseline = epoch-0 subset) must reproduce the drained state
 # exactly — incremental ≡ recompute, the ST6/IVM contract for the ANN
@@ -3502,11 +3518,21 @@ def q282_stream_ann_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("base_n") > 0) & (F.col("base_sum_r2") > 0),
                     r2d(mean_r2 / base_mean),
                 ).alias("drift_ratio"),
+                # cross-multiply in decimal(38,0)/HUGEINT: int64 products
+                # here overflow inside the module's own Σr2 headroom
+                # (sum_r2·base_n·2 can pass 2^63 long before sum_r2
+                # does — review finding r9); decimal(38,0) covers the
+                # envelope exactly (≤ ~1.7e38 at the absolute int64
+                # extremes, ≤ 1e32 at any realistic cell population).
                 (
                     (F.col("base_n") > 0)
                     & (
-                        F.lit(_Q282_BOUND_DEN) * F.col("sum_r2") * F.col("base_n")
-                        > F.lit(_Q282_BOUND_NUM) * F.col("base_sum_r2") * F.col("n")
+                        F.col("sum_r2").cast("decimal(38,0)")
+                        * F.col("base_n")
+                        * F.lit(_Q282_BOUND_DEN)
+                        > F.col("base_sum_r2").cast("decimal(38,0)")
+                        * F.col("n")
+                        * F.lit(_Q282_BOUND_NUM)
                     )
                 ).alias("retrain"),
             )
@@ -3517,36 +3543,16 @@ def q282_stream_ann_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-_Q282_SQD = (
-    f"list_sum(list_transform(generate_series(1, {_Q268_DIM}), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-)
+_Q282_SQD = _SQD64
 
 Q282_SQL = f"""
-WITH qe AS (
-    SELECT vec_id,
-           list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-               AS qv
-    FROM embeddings
-),
-cents AS (
-    SELECT vec_id AS cell,
-           list_transform(qv, x -> x * {_Q282_ASCALE}) AS cvec
-    FROM qe WHERE vec_id < {_Q282_NCELL}
-),
-corpus AS (
-    SELECT e.vec_id, e.vec_id % {_Q282_EPOCHS} AS e,
-           list_transform(generate_series(1, {_Q268_DIM}),
-               i -> c.cvec[i] + e.qv[i]) AS v
-    FROM qe e JOIN cents c ON c.cell = e.vec_id % {_Q282_NCELL}
-    WHERE e.vec_id >= {_Q282_NCELL}
-),
+WITH {_anchored_corpus_sql(_Q282_NCELL, _Q282_ASCALE,
+                           extra=f" e.vec_id % {_Q282_EPOCHS} AS e,")},
 assigned AS (
     SELECT v.vec_id, v.e, c.cell,
-           CAST({_Q282_SQD.format(a="v.v", b="c.cvec")} AS BIGINT) AS r2,
+           CAST({_Q282_SQD.format(a="v.qv", b="c.cvec")} AS BIGINT) AS r2,
            row_number() OVER (PARTITION BY v.vec_id
-               ORDER BY {_Q282_SQD.format(a="v.v", b="c.cvec")}, c.cell) AS rn
+               ORDER BY {_Q282_SQD.format(a="v.qv", b="c.cvec")}, c.cell) AS rn
     FROM corpus v CROSS JOIN cents c
 ),
 post AS (SELECT vec_id, e, cell, r2 FROM assigned WHERE rn = 1),
@@ -3572,8 +3578,8 @@ SELECT CAST(cell AS BIGINT) AS cell,
                        * 100 + 0.5) / 100.0
        END AS drift_ratio,
        (base_n > 0 AND
-        {_Q282_BOUND_DEN} * sum_r2 * base_n
-            > {_Q282_BOUND_NUM} * base_sum_r2 * n) AS retrain
+        CAST(sum_r2 AS HUGEINT) * base_n * {_Q282_BOUND_DEN}
+            > CAST(base_sum_r2 AS HUGEINT) * n * {_Q282_BOUND_NUM}) AS retrain
 FROM stats
 ORDER BY cell
 """

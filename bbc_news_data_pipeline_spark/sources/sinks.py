@@ -31,10 +31,26 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     fail loudly on the subsequent read, never be mistaken for absent —
     keyed_append would otherwise skip its anti-join and violate the
     unique-key contract on the very table that is corrupt.
+
+    "Exists" means the path holds at least one COMMITTED entry (a name
+    not starting with ``_`` or ``.``): a directory containing only
+    ``_temporary`` staging from a crashed FIRST write carries no state
+    to protect, and counting it as present would wedge every retry of
+    that first write behind a manual cleanup (review finding r9). A
+    committed-but-corrupt part file still counts as present and fails
+    loudly on the read, as intended.
     """
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    if not fs.exists(jpath):
+        return False
+    if fs.getFileStatus(jpath).isFile():
+        return True
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
 
 
 def keyed_append(spark: SparkSession, df: DataFrame, path: str, key: str) -> int:

@@ -45,18 +45,19 @@ from pyspark.sql import Window as W
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
-    """True iff the state table directory exists on disk.
+    """True iff the state table holds committed data on disk.
 
     A filesystem probe, NOT a read-and-swallow: a state table that exists
     but cannot be read (corrupt parquet, transient IO error) must FAIL
     LOUDLY on the subsequent read, never be mistaken for "first batch" —
     silently rebuilding dedup/counts/manifest state from empty would
-    corrupt every later batch (round-8 ADVICE finding).
+    corrupt every later batch (round-8 ADVICE finding). Delegates to
+    sinks.table_exists, whose committed-entry semantics also keep a
+    crashed first write (an only-``_temporary`` directory) retryable.
     """
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    from ..sources.sinks import table_exists
+
+    return table_exists(spark, path)
 
 
 def apply_corpus_batch(

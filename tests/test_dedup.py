@@ -609,7 +609,7 @@ def test_q284_lsh_param_tune_twin(spark, sf_dir):
         for b in ids[x + 1 :]:
             inter = len(sets[a] & sets[b])
             uni = len(sets[a] | sets[b])
-            bn = min(int(floor(float(inter) * _Q284_BINS / uni)), _Q284_BINS - 1)
+            bn = min((inter * _Q284_BINS) // uni, _Q284_BINS - 1)
             hist[bn] = hist.get(bn, 0) + 1
     n_pairs = sum(hist.values())
 
