@@ -181,6 +181,37 @@ def test_table_exists(spark, links, tmp_path):
     assert sinks.table_exists(spark, path)
 
 
+def test_table_exists_committed_entry_semantics(spark, links, tmp_path):
+    """The round-9 probe contract: a crashed FIRST write (directory with
+    only _temporary staging) is NOT an existing table — retries must
+    self-heal — while a committed-but-corrupt part file IS one, so the
+    subsequent read fails loudly instead of silently dropping state."""
+    import pytest
+
+    staged = tmp_path / "staged"
+    (staged / "_temporary" / "0").mkdir(parents=True)
+    assert not sinks.table_exists(spark, str(staged))
+    # keyed_append on such a directory takes the create path and recovers
+    n = sinks.keyed_append(spark, links, str(staged), "url")
+    assert n > 0 and sinks.table_exists(spark, str(staged))
+
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not parquet")
+    assert sinks.table_exists(spark, str(corrupt))
+    with pytest.raises(Exception):
+        sinks.keyed_append(spark, links, str(corrupt), "url")
+
+    # a single parquet FILE (not a directory) is an existing table too
+    f = tmp_path / "single.parquet"
+    links.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmpw"))
+    import glob as _glob
+    import shutil
+
+    shutil.copy(_glob.glob(str(tmp_path / "tmpw" / "part-*.parquet"))[0], f)
+    assert sinks.table_exists(spark, str(f))
+
+
 def test_run_metadata_table(spark, tmp_path):
     """M10/O6: append-only run registry replacing the reference's
     mtime-glob model discovery (topic_modeling.py:57-79)."""

@@ -101,3 +101,69 @@ def test_missing_centroids_fail_loudly(spark, sf_dir, tmp_path):
         apply_postings_batch(
             spark, emb.select("vec_id", "embedding"), str(tmp_path / "nostate")
         )
+
+
+def test_maintained_index_serves_like_fresh_build(spark, sf_dir, tmp_path):
+    """Composition contract (q282 maintain → q281-style serve): a
+    multiprobe search over the INCREMENTALLY maintained postings must
+    return exactly what the same search returns over postings built
+    from scratch in one pass — the stored (vec_id, cell, r2) rows are
+    the index, so incremental ≡ batch must survive the serving path,
+    not just the stats rollup."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_data_pipeline_spark.operators.similarity import sq_l2_q
+
+    state = str(tmp_path / "state")
+    emb = _seed_centroids(spark, sf_dir, state)
+    for e in range(3):
+        apply_postings_batch(
+            spark,
+            emb.filter(F.col("vec_id") % 3 == e).select("vec_id", "embedding"),
+            state,
+        )
+    post = spark.read.parquet(f"{state}/postings")
+    cents = spark.read.parquet(f"{state}/centroids")
+
+    # rebuild the corpus vectors exactly as the fold does, then serve:
+    # probe the 3 nearest cells, exact rerank over their postings
+    corpus = (
+        emb.filter(F.col("vec_id") >= NCELL)
+        .select("vec_id", F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("v"))
+        .withColumn("_ac", F.col("vec_id") % NCELL)
+        .join(F.broadcast(cents.withColumnRenamed("cell", "_ac")), "_ac")
+        .select("vec_id", F.zip_with("cvec", "v", lambda a, b: a + b).alias("v"))
+    )
+    query = corpus.filter(F.col("vec_id") == 123).select(F.col("v").alias("qv"))
+
+    def serve(postings):
+        probed = (
+            cents.crossJoin(F.broadcast(query))
+            .select("cell", sq_l2_q(F.col("cvec"), F.col("qv")).alias("d"))
+            .orderBy("d", "cell")
+            .limit(3)
+            .select("cell")
+        )
+        return [
+            (r.vec_id, r.d)
+            for r in corpus.join(postings.select("vec_id", "cell"), "vec_id")
+            .join(F.broadcast(probed), "cell", "left_semi")
+            .crossJoin(F.broadcast(query))
+            .select("vec_id", sq_l2_q(F.col("v"), F.col("qv")).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+
+    incremental = serve(post)
+    # from-scratch single-batch build into a second state dir
+    state2 = str(tmp_path / "state2")
+    _seed_centroids(spark, sf_dir, state2)
+    apply_postings_batch(
+        spark, emb.select("vec_id", "embedding"), state2
+    )
+    fresh = serve(spark.read.parquet(f"{state2}/postings"))
+    assert incremental == fresh and len(incremental) == 10
