@@ -3585,7 +3585,199 @@ ORDER BY cell
 """
 
 
+# ---------------------------------------------------------------------------
+# q285 — MULTIPROBE RECALL/BUDGET CURVE (ext): q281 picks ONE scan
+# budget; the operator deciding nprobe for a 100 TB deployment reads
+# the whole curve — recall@k as a function of the scan budget — and
+# stops where the marginal recall per scanned row flattens. Same
+# anchored fixture, same adaptive probe rule, evaluated at budgets
+# n/16, n/8, n/4, n/2 (4 unrolled bounded TakeOrdereds — never a
+# window over the probed union, so no single task ever sorts half the
+# corpus). Emits one row per budget: cells probed, rows scanned, exact
+# recall@10 vs the exhaustive top-k, and the recall certificate is
+# monotone in budget BY CONSTRUCTION of nested probe sets (pinned by
+# test). Scale: shares q281's shape — centroids broadcast, one
+# assignment pass, per-budget semi-joined scans of only the probed
+# postings; the curve costs 4 bounded top-k's, not 4 corpus passes
+# (the corpus scan is shared via the checkpointed assignment).
+# ---------------------------------------------------------------------------
+_Q285_DENS = [16, 8, 4, 2]  # budget = floor(n/den) + 1
+
+
+def q285_multiprobe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint(F.col("embedding")).alias("qv"))
+    cents = qe.filter(F.col("vec_id") < _Q281_NCELL).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("qv", lambda x: x * _Q281_ASCALE).alias("cvec"),
+    )
+    corpus = (
+        qe.filter(F.col("vec_id") >= _Q281_NCELL)
+        .withColumn("_ac", F.col("vec_id") % _Q281_NCELL)
+        .join(F.broadcast(cents.withColumnRenamed("cell", "_ac")), "_ac")
+        .select("vec_id", F.zip_with("cvec", "qv", lambda a, b: a + b).alias("qv"))
+        .localCheckpoint(eager=False)
+    )
+    query = corpus.filter(F.col("vec_id") == _Q281_QID).select(
+        F.col("qv").alias("quvec")
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                sq_l2_q(F.col("qv"), F.col("cvec")).alias("d"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", F.col("b.cell").alias("cell"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = assign.groupBy("cell").agg(F.count("*").cast("long").alias("sz"))
+    nt = corpus.agg(F.count("*").cast("long").alias("nt"))
+    cd = (
+        cents.crossJoin(F.broadcast(query))
+        .select("cell", sq_l2_q(F.col("cvec"), F.col("quvec")).alias("d"))
+        .join(sizes, "cell", "left")
+        .select("cell", "d", F.coalesce("sz", F.lit(0).cast("long")).alias("sz"))
+        .localCheckpoint(eager=False)
+    )
+    before = (
+        cd.join(
+            cd.select(
+                F.col("cell").alias("c2"), F.col("d").alias("d2"),
+                F.col("sz").alias("s2"),
+            ),
+            (F.col("d2") < F.col("d"))
+            | ((F.col("d2") == F.col("d")) & (F.col("c2") < F.col("cell"))),
+            "left",
+        )
+        .groupBy("cell", "d", "sz")
+        .agg(F.coalesce(F.sum("s2"), F.lit(0).cast("long")).alias("before"))
+        .crossJoin(F.broadcast(nt))
+        .localCheckpoint(eager=False)  # one probe-set filter per budget
+    )
+    scored = (
+        corpus.join(assign, "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "cell", sq_l2_q(F.col("qv"), F.col("quvec")).alias("d"))
+        .localCheckpoint(eager=False)  # 4 budget scans + exact read it
+    )
+    exact_topk = (
+        scored.select("vec_id", "d")
+        .orderBy("d", "vec_id")
+        .limit(_Q281_K)
+        .select("vec_id", F.lit(1).alias("in_exact"))
+        .localCheckpoint(eager=False)
+    )
+
+    def curve_point(den: int):
+        bud = F.floor(F.col("nt").cast("double") / F.lit(float(den))).cast(
+            "long"
+        ) + F.lit(1).cast("long")
+        probed = before.filter(F.col("before") < bud).select("cell", "sz")
+        pstats = probed.agg(
+            F.count("*").cast("long").alias("n_cells_probed"),
+            F.sum("sz").cast("long").alias("rows_scanned"),
+        )
+        topk = (
+            scored.join(F.broadcast(probed.select("cell")), "cell", "left_semi")
+            .orderBy("d", "vec_id")
+            .limit(_Q281_K)
+        )
+        recall = topk.join(exact_topk, "vec_id", "left").agg(
+            (
+                F.sum(F.coalesce("in_exact", F.lit(0))) / F.lit(float(_Q281_K))
+            ).alias("recall_at_k")
+        )
+        return (
+            nt.select(
+                F.lit(den).cast("int").alias("budget_den"),
+                bud.alias("budget_rows"),
+            )
+            .crossJoin(F.broadcast(pstats))
+            .crossJoin(F.broadcast(recall))
+            .select(
+                "budget_den",
+                "budget_rows",
+                "n_cells_probed",
+                "rows_scanned",
+                F.round("recall_at_k", 4).alias("recall_at_k"),
+            )
+        )
+
+    return reduce(
+        lambda a, b: a.unionByName(b), [curve_point(d) for d in _Q285_DENS]
+    ).orderBy(F.desc("budget_den"))
+
+
+def _q285_point_sql(den: int) -> str:
+    return f"""
+    SELECT {den} AS budget_den, b.bud AS budget_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM before
+             WHERE before < b.bud) AS n_cells_probed,
+           (SELECT CAST(sum(sz) AS BIGINT) FROM before
+             WHERE before < b.bud) AS rows_scanned,
+           (SELECT round(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                         / {float(_Q281_K)!r}, 4)
+            FROM (SELECT s.vec_id FROM scored s
+                  WHERE s.cell IN (SELECT cell FROM before
+                                   WHERE before < b.bud)
+                  ORDER BY s.d, s.vec_id LIMIT {_Q281_K}) t
+            LEFT JOIN exact_topk x ON x.vec_id = t.vec_id) AS recall_at_k
+    FROM (SELECT CAST(floor(CAST(nt AS DOUBLE) / {float(den)!r}) AS BIGINT) + 1
+              AS bud FROM tot) b"""
+
+
+Q285_SQL = f"""
+WITH {_anchored_corpus_sql(_Q281_NCELL, _Q281_ASCALE)},
+q AS (SELECT qv AS quvec FROM corpus WHERE vec_id = {_Q281_QID}),
+assigned AS (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {_SQD64.format(a="v.qv", b="c.cvec")}, c.cell) AS rn
+    FROM corpus v CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, cell FROM assigned WHERE rn = 1),
+sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM assign GROUP BY cell),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM corpus),
+cd AS (
+    SELECT c.cell,
+           CAST({_SQD64.format(a="c.cvec", b="q.quvec")} AS BIGINT) AS d,
+           coalesce(s.sz, 0) AS sz
+    FROM cents c CROSS JOIN q LEFT JOIN sizes s USING (cell)
+),
+before AS (
+    SELECT a.cell, a.d, a.sz, coalesce(sum(b.sz), 0) AS before
+    FROM cd a LEFT JOIN cd b
+           ON b.d < a.d OR (b.d = a.d AND b.cell < a.cell)
+    GROUP BY a.cell, a.d, a.sz
+),
+scored AS (
+    SELECT v.vec_id, a.cell,
+           CAST({_SQD64.format(a="v.qv", b="q.quvec")} AS BIGINT) AS d
+    FROM corpus v JOIN assign a USING (vec_id) CROSS JOIN q
+),
+exact_topk AS (
+    SELECT vec_id FROM scored ORDER BY d, vec_id LIMIT {_Q281_K}
+)
+{" UNION ALL ".join(_q285_point_sql(d) for d in _Q285_DENS)}
+ORDER BY budget_den DESC
+"""
+
+
 QUERIES = [
+    Query("q285_multiprobe_budget_curve", q285_multiprobe_budget_curve,
+          Q285_SQL,
+          survey="ext:ann-multiprobe,ext:ann-recall,ext:ann-ivf,"
+                 "ext:param-sweep",
+          tags=("bench",)),
     Query("q282_stream_ann_postings", q282_stream_ann_postings, Q282_SQL,
           survey="ext:ann-ivf,ext:stream-index-maintenance,"
                  "ext:embedding-drift,ext:incremental-equals-batch",

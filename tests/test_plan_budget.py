@@ -111,6 +111,10 @@ def test_corpus_broadcast_hint_sites_pinned():
         # 1-row argmin frame — both constant-size by construction; the
         # sample histogram they join is ≤20 bins
         "q284_lsh_param_tune": 2,
+        # multiprobe budget curve: one ≤NCELL-row probe-set broadcast per
+        # budget point (4 budgets), each derived from the lazily-
+        # checkpointed 16-row cell table — bounded by construction
+        "q285_multiprobe_budget_curve": 4,
     }
     assert got == reviewed, (
         f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"

@@ -988,3 +988,85 @@ def test_q281_multiprobe_twin(spark, sf_dir):
         assert r.in_exact_topk == (1 if i in exact else 0)
         assert r.cell == assign[i]
         assert r.sqdist == floor(sq(corpus[i], q) / 1e12 * 1e4 + 0.5) / 1e4
+
+
+def test_q285_budget_curve_twin(spark, sf_dir):
+    """q285 vs a numpy twin sweeping the four scan budgets, plus the
+    curve's structural contracts: probe sets are NESTED in budget,
+    recall/rows/cells are non-decreasing, and the n/4 point equals
+    q281's single-budget answer."""
+    from math import floor
+
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q281_ASCALE,
+        _Q281_K,
+        _Q281_NCELL,
+        _Q281_QID,
+        _Q285_DENS,
+        q281_ivf_multiprobe,
+        q285_multiprobe_budget_curve,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    Q = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in rows
+    }
+    cents = {c: Q[c] * _Q281_ASCALE for c in range(_Q281_NCELL)}
+    corpus = {i: cents[i % _Q281_NCELL] + Q[i] for i in Q if i >= _Q281_NCELL}
+
+    def sq(a, b):
+        d = (a - b).astype(np.float64)
+        return float((d * d).sum())
+
+    assign = {
+        i: min(cents, key=lambda c: (sq(v, cents[c]), c))
+        for i, v in corpus.items()
+    }
+    sizes = {c: sum(1 for i in assign if assign[i] == c) for c in cents}
+    q = corpus[_Q281_QID]
+    order = sorted(cents, key=lambda c: (sq(cents[c], q), c))
+    exact = set(
+        sorted(corpus, key=lambda i: (sq(corpus[i], q), i))[:_Q281_K]
+    )
+
+    def point(den):
+        budget = floor(len(corpus) / den) + 1
+        probed, covered = [], 0
+        for c in order:
+            if covered >= budget:
+                break
+            probed.append(c)
+            covered += sizes[c]
+        pool = [i for i in corpus if assign[i] in probed]
+        top = sorted(pool, key=lambda i: (sq(corpus[i], q), i))[:_Q281_K]
+        return budget, set(probed), covered, len(set(top) & exact) / _Q281_K
+
+    out = {r.budget_den: r for r in q285_multiprobe_budget_curve(spark, sf_dir).collect()}
+    assert sorted(out) == sorted(_Q285_DENS)
+    prev_cells = set()
+    prev = None
+    for den in sorted(_Q285_DENS, reverse=True):  # smallest budget first
+        budget, probed, covered, rec = point(den)
+        r = out[den]
+        assert (r.budget_rows, r.n_cells_probed, r.rows_scanned, r.recall_at_k) == (
+            budget, len(probed), covered, floor(rec * 1e4 + 0.5) / 1e4
+        )
+        assert prev_cells <= probed  # nested probe sets
+        if prev is not None:
+            assert r.rows_scanned >= prev.rows_scanned
+            assert r.recall_at_k >= prev.recall_at_k  # monotone by nesting
+        prev_cells, prev = probed, r
+    # the n/4 point IS q281's answer
+    q281r = q281_ivf_multiprobe(spark, sf_dir).collect()[0]
+    assert (out[4].n_cells_probed, out[4].rows_scanned, out[4].recall_at_k) == (
+        q281r.n_cells_probed, q281r.rows_scanned, q281r.recall_at_k
+    )
