@@ -964,7 +964,7 @@ def q109_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("c") * F.col("d")), 4).alias("log_w"),
+            (F.round(F.sum(F.col("c") * F.col("d")), 4) + F.lit(0.0)).alias("log_w"),
         )
         .orderBy(F.desc("log_w"), F.asc("doc_id"))
         .limit(_Q109_TOPK)
@@ -993,7 +993,7 @@ delta AS (
 )
 SELECT dw.doc_id,
        CAST(sum(dw.c) AS BIGINT) AS n_tokens,
-       round(sum(dw.c * delta.d), 4) AS log_w
+       round(sum(dw.c * delta.d), 4) + 0.0 AS log_w
 FROM dw JOIN delta ON dw.w = delta.w
 GROUP BY dw.doc_id
 ORDER BY log_w DESC, dw.doc_id ASC

@@ -867,8 +867,9 @@ def q193_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         "na",
         "nb",
-        F.round(
-            d("sab") / (F.sqrt(d("saa")) * F.sqrt(d("sbb"))), 6
+        (
+            F.round(d("sab") / (F.sqrt(d("saa")) * F.sqrt(d("sbb"))), 6)
+            + F.lit(0.0)
         ).alias("cosine"),
         F.round(
             F.sqrt(d("sdd"))
@@ -921,7 +922,7 @@ per_label AS (
 SELECT CAST(label AS INTEGER) AS label, na, nb,
        round(CAST(sab AS DOUBLE)
              / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 6)
-           AS cosine,
+           + 0.0 AS cosine,
        round(sqrt(CAST(sdd AS DOUBLE)) / (na * nb * 1000000.0), 4)
            AS l2_shift
 FROM per_label
@@ -3772,7 +3773,288 @@ ORDER BY budget_den DESC
 """
 
 
+# ---------------------------------------------------------------------------
+# q286 — MULTIPROBE RECALL over a QUERY SET (ext, r9 verdict task #7):
+# q281/q285 certify recall for ONE query (QID 123) — but a 100 TB
+# nprobe tune reads the recall DISTRIBUTION over a held-out query
+# sample (FAISS autotune sweeps criterion over a query batch; Lv et
+# al.'s multi-probe evaluation reports recall averaged over the query
+# workload). Here: 32 deterministically-sampled corpus queries
+# (vec_id % 13 == 5, smallest 32 — held out only in the probe sense;
+# the exhaustive per-query top-k is the ground truth as in q268/q281),
+# each given its OWN adaptive probe list (per-query (d,cell)-dominance
+# prefix on the 16-cell frame — 512 rows total), evaluated at the four
+# nested q285 budgets. Emits per budget: total cells probed / rows
+# scanned across the sample, and the recall@10 distribution as
+# MEAN and MIN in basis points — EXACT integers throughout
+# (hits ≤ K per query; mean_bp = Σhits·10000 div (K·n_q), min_bp =
+# min(hits)·10000 div K; div on non-negatives matches DuckDB // —
+# never a float in the hashed schema, the r10 q276 discipline).
+# Monotone-in-budget for BOTH stats by nested-probe-set construction
+# (pinned by test). Scale: centroids and the 32-row query set are
+# broadcast; ONE corpus pass computes all 32×N scored distances
+# (checkpointed, the certification footprint — production serves
+# per-query from probed postings only, this query IS the tuning
+# artifact); per-budget top-k is a row_number window PARTITIONED BY
+# qid over the budget-bounded semi-joined union — 32 independent
+# bounded sorts, never a global one.
+# ---------------------------------------------------------------------------
+_Q286_NQ = 32
+_Q286_QMOD = 13
+_Q286_QRES = 5
+
+
+def q286_multiprobe_recall_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _qint, sq_l2_q
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _qint(F.col("embedding")).alias("qv"))
+    cents = qe.filter(F.col("vec_id") < _Q281_NCELL).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("qv", lambda x: x * _Q281_ASCALE).alias("cvec"),
+    )
+    corpus = (
+        qe.filter(F.col("vec_id") >= _Q281_NCELL)
+        .withColumn("_ac", F.col("vec_id") % _Q281_NCELL)
+        .join(F.broadcast(cents.withColumnRenamed("cell", "_ac")), "_ac")
+        .select("vec_id", F.zip_with("cvec", "qv", lambda a, b: a + b).alias("qv"))
+        .localCheckpoint(eager=False)
+    )
+    qset = (
+        corpus.filter(F.col("vec_id") % _Q286_QMOD == _Q286_QRES)
+        .orderBy("vec_id")
+        .limit(_Q286_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("quvec"))
+        .localCheckpoint(eager=False)  # cd + scored read it
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                sq_l2_q(F.col("qv"), F.col("cvec")).alias("d"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", F.col("b.cell").alias("cell"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = assign.groupBy("cell").agg(F.count("*").cast("long").alias("sz"))
+    nt = corpus.agg(F.count("*").cast("long").alias("nt"))
+    cd = (
+        cents.crossJoin(F.broadcast(qset))
+        .select(
+            "qid", "cell", sq_l2_q(F.col("cvec"), F.col("quvec")).alias("d")
+        )
+        .join(sizes, "cell", "left")
+        .select(
+            "qid", "cell", "d",
+            F.coalesce("sz", F.lit(0).cast("long")).alias("sz"),
+        )
+        .localCheckpoint(eager=False)  # dominance self-join reads it twice
+    )
+    before = (
+        cd.join(
+            cd.select(
+                F.col("qid").alias("q2"), F.col("cell").alias("c2"),
+                F.col("d").alias("d2"), F.col("sz").alias("s2"),
+            ),
+            (F.col("q2") == F.col("qid"))
+            & (
+                (F.col("d2") < F.col("d"))
+                | ((F.col("d2") == F.col("d")) & (F.col("c2") < F.col("cell")))
+            ),
+            "left",
+        )
+        .groupBy("qid", "cell", "d", "sz")
+        .agg(F.coalesce(F.sum("s2"), F.lit(0).cast("long")).alias("before"))
+        .crossJoin(F.broadcast(nt))
+        .localCheckpoint(eager=False)  # one probe-set filter per budget
+    )
+    scored = (
+        corpus.join(assign, "vec_id")
+        .crossJoin(F.broadcast(qset))
+        .select(
+            "qid", "vec_id", "cell",
+            sq_l2_q(F.col("qv"), F.col("quvec")).alias("d"),
+        )
+        .localCheckpoint(eager=False)  # 4 budget scans + exact read it
+    )
+    wq = Window.partitionBy("qid").orderBy("d", "vec_id")
+    exact_topk = (
+        scored.select(
+            "qid", "vec_id", F.row_number().over(wq).alias("rn")
+        )
+        .filter(F.col("rn") <= _Q281_K)
+        .select("qid", "vec_id", F.lit(1).alias("in_exact"))
+        .localCheckpoint(eager=False)  # one recall join per budget
+    )
+
+    def curve_point(den: int):
+        bud = F.floor(F.col("nt").cast("double") / F.lit(float(den))).cast(
+            "long"
+        ) + F.lit(1).cast("long")
+        probed = before.filter(F.col("before") < bud).select(
+            "qid", "cell", "sz"
+        )
+        pstats = probed.agg(
+            F.count("*").cast("long").alias("n_cells_probed_total"),
+            F.sum("sz").cast("long").alias("rows_scanned_total"),
+        )
+        topk = (
+            scored.join(probed.select("qid", "cell"), ["qid", "cell"], "left_semi")
+            .select("qid", "vec_id", F.row_number().over(wq).alias("rn"))
+            .filter(F.col("rn") <= _Q281_K)
+            .select("qid", "vec_id")
+        )
+        hits = (
+            topk.join(exact_topk, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(
+                F.sum(F.coalesce("in_exact", F.lit(0)))
+                .cast("long")
+                .alias("hits")
+            )
+        )
+        stats = hits.agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("hits").cast("long").alias("sum_hits"),
+            F.min("hits").cast("long").alias("min_hits"),
+        )
+        return (
+            nt.select(
+                F.lit(den).cast("int").alias("budget_den"),
+                bud.alias("budget_rows"),
+            )
+            .crossJoin(F.broadcast(pstats))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "budget_den",
+                "budget_rows",
+                "n_queries",
+                "n_cells_probed_total",
+                "rows_scanned_total",
+                F.expr(
+                    f"CAST((sum_hits * 10000) div ({_Q281_K} * n_queries) "
+                    "AS BIGINT)"
+                ).alias("mean_recall_bp"),
+                F.expr(
+                    f"CAST((min_hits * 10000) div {_Q281_K} AS BIGINT)"
+                ).alias("min_recall_bp"),
+            )
+        )
+
+    return reduce(
+        lambda a, b: a.unionByName(b), [curve_point(d) for d in _Q285_DENS]
+    ).orderBy(F.desc("budget_den"))
+
+
+def _q286_den_ctes(den: int) -> str:
+    return f"""bud_{den} AS (
+    SELECT CAST(floor(CAST(nt AS DOUBLE) / {float(den)!r}) AS BIGINT) + 1
+        AS bud
+    FROM tot
+),
+probed_{den} AS (
+    SELECT b.qid, b.cell, b.sz FROM before b CROSS JOIN bud_{den}
+    WHERE b.before < bud
+),
+topk_{den} AS (
+    SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               row_number() OVER (PARTITION BY s.qid
+                   ORDER BY s.d, s.vec_id) AS rn
+        FROM scored s JOIN probed_{den} p
+          ON p.qid = s.qid AND p.cell = s.cell
+    ) WHERE rn <= {_Q281_K}
+),
+hits_{den} AS (
+    SELECT t.qid,
+           CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+    FROM topk_{den} t LEFT JOIN exact_topk x
+      ON x.qid = t.qid AND x.vec_id = t.vec_id
+    GROUP BY t.qid
+)"""
+
+
+def _q286_point_sql(den: int) -> str:
+    return f"""    SELECT {den} AS budget_den,
+           (SELECT bud FROM bud_{den}) AS budget_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM hits_{den}) AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT) FROM probed_{den})
+               AS n_cells_probed_total,
+           (SELECT CAST(sum(sz) AS BIGINT) FROM probed_{den})
+               AS rows_scanned_total,
+           (SELECT (CAST(sum(hits) AS BIGINT) * 10000)
+                   // ({_Q281_K} * CAST(count(*) AS BIGINT))
+            FROM hits_{den}) AS mean_recall_bp,
+           (SELECT (CAST(min(hits) AS BIGINT) * 10000) // {_Q281_K}
+            FROM hits_{den}) AS min_recall_bp"""
+
+
+_Q286_DEN_CTES = ",\n".join(_q286_den_ctes(d) for d in _Q285_DENS)
+_Q286_POINTS = " UNION ALL ".join(_q286_point_sql(d) for d in _Q285_DENS)
+
+Q286_SQL = f"""
+WITH {_anchored_corpus_sql(_Q281_NCELL, _Q281_ASCALE)},
+qset AS (
+    SELECT vec_id AS qid, qv AS quvec FROM corpus
+    WHERE vec_id % {_Q286_QMOD} = {_Q286_QRES}
+    ORDER BY vec_id LIMIT {_Q286_NQ}
+),
+assigned AS (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {_SQD64.format(a="v.qv", b="c.cvec")}, c.cell) AS rn
+    FROM corpus v CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, cell FROM assigned WHERE rn = 1),
+sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM assign GROUP BY cell),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM corpus),
+cd AS (
+    SELECT q.qid, c.cell,
+           CAST({_SQD64.format(a="c.cvec", b="q.quvec")} AS BIGINT) AS d,
+           coalesce(s.sz, 0) AS sz
+    FROM cents c CROSS JOIN qset q LEFT JOIN sizes s USING (cell)
+),
+before AS (
+    SELECT a.qid, a.cell, a.d, a.sz, coalesce(sum(b.sz), 0) AS before
+    FROM cd a LEFT JOIN cd b
+           ON b.qid = a.qid
+          AND (b.d < a.d OR (b.d = a.d AND b.cell < a.cell))
+    GROUP BY a.qid, a.cell, a.d, a.sz
+),
+scored AS (
+    SELECT q.qid, v.vec_id, a.cell,
+           CAST({_SQD64.format(a="v.qv", b="q.quvec")} AS BIGINT) AS d
+    FROM corpus v JOIN assign a USING (vec_id) CROSS JOIN qset q
+),
+exact_topk AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_Q281_K}
+),
+{_Q286_DEN_CTES}
+{_Q286_POINTS}
+ORDER BY budget_den DESC
+"""
+
+
 QUERIES = [
+    Query("q286_multiprobe_recall_set", q286_multiprobe_recall_set,
+          Q286_SQL,
+          survey="ext:ann-multiprobe,ext:ann-recall,ext:ann-ivf,"
+                 "ext:param-sweep,ext:model-eval",
+          tags=("bench",)),
     Query("q285_multiprobe_budget_curve", q285_multiprobe_budget_curve,
           Q285_SQL,
           survey="ext:ann-multiprobe,ext:ann-recall,ext:ann-ivf,"

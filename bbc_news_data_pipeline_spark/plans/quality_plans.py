@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.detmath import det_exp_small, det_ln_sql as _det_ln_sql
+from ..functions.detmath import det_exp_small, det_ln
+from ..functions.detmath import det_ln_sql as _det_ln_sql
 from ..functions.detmath import det_exp_small_sql as _det_exp_small_sql
 from ..sources.tables import load
 from .curation_plans import _sample_key_sql
@@ -109,7 +110,11 @@ Q72_SQL = (
 # can land exactly on a .00005 round boundary and flip with summation
 # order (the q279 class) — psi_term is therefore carried as the integer
 # tick ti6 = floor(term·1e6+0.5), summed as int64 (order-independent),
-# and psi_total divides once at the end.
+# and psi_total divides once at the end. The log feeding ti6 is
+# detmath.det_ln (r10, ADVICE fix): engine ln() ulp-flips across
+# JVM/libm exactly at a grid line, the same class the int64 sum cannot
+# protect against — det_ln's fixed IEEE chain is bit-identical in both
+# engines, so the double feeding floor() is too.
 # ---------------------------------------------------------------------------
 def q73_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -123,9 +128,9 @@ def q73_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_b = F.col("cnt_b") / F.sum("cnt_b").over(w)
     # PSI terms are ≥ 0 ((p_a−p_b) and ln(p_a/p_b) share a sign), so
     # floor(x·1e6+0.5) is exactly round-half-up on both engines.
-    ti6 = F.floor((p_a - p_b) * F.log(p_a / p_b) * 1000000 + F.lit(0.5)).cast(
-        "long"
-    )
+    ti6 = F.floor(
+        (p_a - p_b) * det_ln(p_a / p_b) * 1000000 + F.lit(0.5)
+    ).cast("long")
     return (
         per_type.select(
             "event_type",
@@ -147,23 +152,31 @@ def q73_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q73_SQL = """
+_Q73_T, _Q73_S = _det_ln_sql("pa / pb", "t")
+
+Q73_SQL = f"""
 WITH per_type AS (
     SELECT event_type,
            sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END) AS cnt_a,
            sum(CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END) AS cnt_b
     FROM events GROUP BY event_type
 ),
+probs AS (
+    SELECT event_type,
+           cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE) AS pa,
+           cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE) AS pb
+    FROM per_type
+),
+tq AS (
+    SELECT event_type, pa, pb, {_Q73_T} AS t
+    FROM probs
+),
 terms AS (
     SELECT event_type,
-           round(cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE), 4) AS p_first_half,
-           round(cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE), 4) AS p_second_half,
-           CAST(floor((cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE)
-                  - cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE))
-                 * ln((cnt_a / CAST(sum(cnt_a) OVER () AS DOUBLE))
-                      / (cnt_b / CAST(sum(cnt_b) OVER () AS DOUBLE)))
-                 * 1000000 + 0.5) AS BIGINT) AS ti6
-    FROM per_type
+           round(pa, 4) AS p_first_half,
+           round(pb, 4) AS p_second_half,
+           CAST(floor((pa - pb) * {_Q73_S} * 1000000 + 0.5) AS BIGINT) AS ti6
+    FROM tq
 )
 SELECT event_type, p_first_half, p_second_half,
        ti6 / 1000000.0 AS psi_term,
@@ -564,9 +577,11 @@ def q90_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-tick PSI terms + int64 window sum — q73's psi_total
     # boundary-safety rework (grid rationals summed in double can sit
     # exactly on a .00005 round boundary); terms ≥ 0 so floor(x+0.5)
-    # is round-half-up on both engines.
+    # is round-half-up on both engines. The log is detmath.det_ln (r10,
+    # ADVICE fix): engine ln() ulp-flips across JVM/libm at a grid line;
+    # det_ln's fixed IEEE chain is bit-identical in both engines.
     ti6 = F.floor(
-        (p - expected) * F.log(p / expected) * 1000000 + F.lit(0.5)
+        (p - expected) * det_ln(p / expected) * 1000000 + F.lit(0.5)
     ).cast("long")
     return (
         b_counts.select(
@@ -589,6 +604,7 @@ def q90_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NB = len(_Q90_DECILES) + 1
+_Q90_T, _Q90_S = _det_ln_sql(f"p / (1.0 / {_NB})", "t")
 
 Q90_SQL = f"""
 WITH a AS (
@@ -617,11 +633,15 @@ terms AS (
            n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
     FROM b_counts
 ),
+ticks0 AS (
+    SELECT event_type, bin, n, p, {_Q90_T} AS t
+    FROM terms
+),
 ticks AS (
     SELECT event_type, bin, n, p,
-           CAST(floor((p - 1.0 / {_NB}) * ln(p / (1.0 / {_NB}))
+           CAST(floor((p - 1.0 / {_NB}) * {_Q90_S}
                       * 1000000 + 0.5) AS BIGINT) AS ti6
-    FROM terms
+    FROM ticks0
 )
 SELECT event_type, CAST(bin AS INTEGER) AS bin, n,
        round(p, 4) AS p_observed,
@@ -1107,19 +1127,23 @@ def q276_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         + term(n01, nn - n1, npos, nn)
         + term(n00, nn - n1, nn - npos, nn)
     )
+    # Emission is pure BIGINT (r10): the r9 driver red survived det_ln —
+    # the floored fine-grid DOUBLE itself proved environment-sensitive in
+    # the driver's hash (float canonicalization / engine-build effects no
+    # local probe can see). Integers survive any engine's float
+    # formatting, signed zeros, and last-ulp display behavior, so the
+    # grid value is emitted as the integer numerator, never divided back.
     return (
         cells.crossJoin(F.broadcast(tot))
         .select(
             F.col("b").alias("bucket"),
             F.col("n1").alias("n_docs_with"),
-            (F.floor(n11 / n1 * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
-                "pos_rate_with"
+            F.floor(n11 / n1 * 10000 + F.lit(0.5)).cast("long").alias(
+                "pos_rate_bp"
             ),
-            (
-                F.floor(mi * _Q276_SCALE) / F.lit(float(_Q276_SCALE))
-            ).alias("mi"),
+            F.floor(mi * _Q276_SCALE).cast("long").alias("mi_nano"),
         )
-        .orderBy(F.desc("mi"), F.asc("bucket"))
+        .orderBy(F.desc("mi_nano"), F.asc("bucket"))
         .limit(_Q276_TOPK)
     )
 
@@ -1188,10 +1212,11 @@ mi AS (
 )
 SELECT b AS bucket,
        n1 AS n_docs_with,
-       floor(CAST(n11 AS DOUBLE) / n1 * 10000 + 0.5) / 10000.0 AS pos_rate_with,
-       floor(mi_raw * {_Q276_SCALE}) / {_Q276_SCALE}.0 AS mi
+       CAST(floor(CAST(n11 AS DOUBLE) / n1 * 10000 + 0.5) AS BIGINT)
+           AS pos_rate_bp,
+       CAST(floor(mi_raw * {_Q276_SCALE}) AS BIGINT) AS mi_nano
 FROM mi
-ORDER BY mi DESC, bucket ASC
+ORDER BY mi_nano DESC, bucket ASC
 LIMIT {_Q276_TOPK}
 """
 
@@ -1654,8 +1679,8 @@ def q131_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.round(m1, 4).alias("mean_chars"),
             F.round(F.sqrt(m2), 4).alias("std_chars"),
-            F.when(m2 > 0, F.round(skew, 4)).alias("skewness"),
-            F.when(m2 > 0, F.round(kurt, 4)).alias("excess_kurtosis"),
+            F.when(m2 > 0, F.round(skew, 4) + F.lit(0.0)).alias("skewness"),
+            F.when(m2 > 0, F.round(kurt, 4) + F.lit(0.0)).alias("excess_kurtosis"),
         )
         .orderBy("lang")
     )
@@ -1690,10 +1715,12 @@ SELECT lang, n_docs,
        round(sqrt(m2), 4) AS std_chars,
        CASE WHEN m2 > 0 THEN
            round((r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1) / (m2 * sqrt(m2)), 4)
+           + 0.0
        END AS skewness,
        CASE WHEN m2 > 0 THEN
            round((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
                   - 3.0 * m1 * m1 * m1 * m1) / (m2 * m2) - 3.0, 4)
+           + 0.0
        END AS excess_kurtosis
 FROM d
 ORDER BY lang
@@ -3088,12 +3115,12 @@ def q185_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(
             "arm",
             "n_users",
-            F.round(theta, 6).alias("theta"),
+            (F.round(theta, 6) + F.lit(0.0)).alias("theta"),
             F.round(mean_y, 4).alias("mean_y"),
-            F.round(mean_y - theta * (mean_x - xbar_p), 4).alias("mean_y_adj"),
+            (F.round(mean_y - theta * (mean_x - xbar_p), 4) + F.lit(0.0)).alias("mean_y_adj"),
             F.round(var_y, 4).alias("var_y"),
             F.round(var_adj, 4).alias("var_y_adj"),
-            F.round((1 - var_adj / var_y) * 100, 2).alias("var_reduction_pct"),
+            (F.round((1 - var_adj / var_y) * 100, 2) + F.lit(0.0)).alias("var_reduction_pct"),
         )
         .orderBy("arm")
     )
@@ -3155,14 +3182,14 @@ calc AS (
     FROM arms a CROSS JOIN pooled p
 )
 SELECT arm, n_users,
-       round(theta, 6) AS theta,
+       round(theta, 6) + 0.0 AS theta,
        round(mean_y, 4) AS mean_y,
-       round(mean_y - theta * (mean_x - xbar_p), 4) AS mean_y_adj,
+       round(mean_y - theta * (mean_x - xbar_p), 4) + 0.0 AS mean_y_adj,
        round(var_y, 4) AS var_y,
        round(var_y - 2 * theta * cov + theta * theta * var_x, 4)
            AS var_y_adj,
        round((1 - (var_y - 2 * theta * cov + theta * theta * var_x)
-                  / var_y) * 100, 2) AS var_reduction_pct
+                  / var_y) * 100, 2) + 0.0 AS var_reduction_pct
 FROM calc
 ORDER BY arm
 """
@@ -3178,9 +3205,14 @@ ORDER BY arm
 # accumulates EXACTLY (DECIMAL(38,0) on Spark, HUGEINT in DuckDB —
 # order-independent by exactness), and the r/slope formulas then run in
 # doubles on identical inputs (IEEE mul/sub/div/sqrt are correctly
-# rounded, so both engines produce the same double), rounded at 6dp.
-# Quantization cancels in r (scale-invariant) and in slope (numerator
-# and denominator both carry the 1e12 factor).
+# rounded, so both engines produce the same double), then EMITTED as
+# BIGINT ppm via the house floor(x*1e6 + 0.5) idiom — never round():
+# round(-7.6e-11, 6) is -0.0 in DuckDB but +0.0 in Spark (BigDecimal
+# has no signed zero), which is numerically equal yet hash-different
+# (the confirmed r9 driver red). floor of the shifted argument cannot
+# produce -0.0, and an integer column is immune to any engine's float
+# formatting. Quantization cancels in r (scale-invariant) and in slope
+# (numerator and denominator both carry the 1e12 factor).
 # Scale: ONE corpus scan, one 1-row aggregate, 6 output rows computed
 # driver-free from that row — the cheapest possible multivariate
 # profile; no per-pair rescans, no shuffle beyond the partial-agg tree.
@@ -3218,12 +3250,13 @@ def q183_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov_n = n * sab - sa * sb
         var_a = n * ssa - sa * sa
         var_b = n * ssb - sb * sb
+        ppm = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long")
         return F.struct(
             F.lit(a).alias("col_a"),
             F.lit(b).alias("col_b"),
             F.col("n").alias("n"),
-            F.round(cov_n / F.sqrt(var_a * var_b), 6).alias("pearson_r"),
-            F.round(cov_n / var_a, 6).alias("slope_b_on_a"),
+            ppm(cov_n / F.sqrt(var_a * var_b)).alias("pearson_r_ppm"),
+            ppm(cov_n / var_a).alias("slope_ppm"),
         )
 
     return (
@@ -3251,13 +3284,13 @@ def _q183_sql() -> str:
         sums.append(f"sum(CAST(q_{a} AS HUGEINT) * q_{b}) AS sp_{a}_{b}")
     rows = "\n    UNION ALL\n".join(
         f"""    SELECT '{a}' AS col_a, '{b}' AS col_b, n,
-           round((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
+           CAST(floor((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
                  / sqrt((CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a})
-                        * (CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b})),
-                 6) AS pearson_r,
-           round((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
-                 / (CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a}),
-                 6) AS slope_b_on_a
+                        * (CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b}))
+                 * 1000000 + 0.5) AS BIGINT) AS pearson_r_ppm,
+           CAST(floor((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
+                 / (CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a})
+                 * 1000000 + 0.5) AS BIGINT) AS slope_ppm
     FROM stats"""
         for a, b in pairs
     )

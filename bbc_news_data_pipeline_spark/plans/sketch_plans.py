@@ -133,11 +133,14 @@ def q122_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
             F.round("_est", 2).alias("hll_estimate"),
-            F.round(
-                (F.col("_est") - F.col("exact_distinct"))
-                / F.col("exact_distinct")
-                * 100,
-                2,
+            (
+                F.round(
+                    (F.col("_est") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                    * 100,
+                    2,
+                )
+                + F.lit(0.0)
             ).alias("rel_err_pct"),
         )
         .orderBy("lang")
@@ -224,7 +227,7 @@ exact AS (SELECT lang, count(DISTINCT w) AS x FROM tok GROUP BY lang)
 SELECT exact.lang,
        CAST(x AS BIGINT) AS exact_distinct,
        round(e, 2) AS hll_estimate,
-       round((e - x) / x * 100, 2) AS rel_err_pct
+       round((e - x) / x * 100, 2) + 0.0 AS rel_err_pct
 FROM exact JOIN est USING (lang)
 ORDER BY lang
 """
@@ -630,8 +633,11 @@ def _kmv_finish(df: DataFrame) -> DataFrame:
         F.col("n_true").cast("long").alias("n_true"),
         F.col("kth").cast("long").alias("kth_hash"),
         F.round(est_raw, 2).alias("est_distinct"),
-        F.round(
-            (est_raw - F.col("n_true")) / F.col("n_true") * F.lit(100.0), 2
+        (
+            F.round(
+                (est_raw - F.col("n_true")) / F.col("n_true") * F.lit(100.0), 2
+            )
+            + F.lit(0.0)
         ).alias("err_pct"),
     ).orderBy("source")
 
@@ -710,7 +716,7 @@ SELECT source,
                   ELSE CAST(n_man AS DOUBLE) END, 2) AS est_distinct,
        round((CASE WHEN n_man >= {_Q132_K} THEN {_Q132_NUMER!r} / kth
                    ELSE CAST(n_man AS DOUBLE) END - n_true)
-             / n_true * 100.0, 2) AS err_pct
+             / n_true * 100.0, 2) + 0.0 AS err_pct
 FROM unioned
 ORDER BY source
 """
@@ -1052,8 +1058,9 @@ def q134_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("depth"),
             est_d.alias("f2_est"),
             exact_d.alias("f2_exact"),
-            F.round(
-                (est_d - exact_d) / exact_d * F.lit(100.0), 2
+            (
+                F.round((est_d - exact_d) / exact_d * F.lit(100.0), 2)
+                + F.lit(0.0)
             ).alias("err_pct"),
         )
         .orderBy("depth")
@@ -1092,7 +1099,7 @@ SELECT r.d AS depth,
        CAST(r.f2_est AS DOUBLE) AS f2_est,
        CAST(e.f2_exact AS DOUBLE) AS f2_exact,
        round((CAST(r.f2_est AS DOUBLE) - CAST(e.f2_exact AS DOUBLE))
-             / CAST(e.f2_exact AS DOUBLE) * 100.0, 2) AS err_pct
+             / CAST(e.f2_exact AS DOUBLE) * 100.0, 2) + 0.0 AS err_pct
 FROM rows_ r CROSS JOIN ex e
 ORDER BY depth
 """
@@ -1475,9 +1482,14 @@ def q142_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sample"), F.lit(0)).cast("long").alias("n_sample"),
             F.round(est_raw, 2).alias("est_chars"),
             "true_chars",
-            F.round(
-                (est_raw - F.col("true_chars")) / F.col("true_chars") * F.lit(100.0),
-                2,
+            (
+                F.round(
+                    (est_raw - F.col("true_chars"))
+                    / F.col("true_chars")
+                    * F.lit(100.0),
+                    2,
+                )
+                + F.lit(0.0)
             ).alias("err_pct"),
         )
         .orderBy("lang")
@@ -1524,7 +1536,7 @@ SELECT tr.lang,
        round(coalesce(e.c, 0) / 10000.0, 2) AS est_chars,
        tr.true_chars,
        round((coalesce(e.c, 0) / 10000.0 - tr.true_chars)
-             / tr.true_chars * 100.0, 2) AS err_pct
+             / tr.true_chars * 100.0, 2) + 0.0 AS err_pct
 FROM truth tr LEFT JOIN est e USING (lang)
 ORDER BY lang
 """
@@ -1630,9 +1642,14 @@ def q147_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_inter_true").cast("long").alias("n_inter_true"),
             F.round(est_join, 2).alias("est_join_rows"),
             F.col("n_join_true").cast("long").alias("n_join_true"),
-            F.round(
-                (est_join - F.col("n_join_true")) / F.col("n_join_true") * F.lit(100.0),
-                2,
+            (
+                F.round(
+                    (est_join - F.col("n_join_true"))
+                    / F.col("n_join_true")
+                    * F.lit(100.0),
+                    2,
+                )
+                + F.lit(0.0)
             ).alias("err_pct"),
         )
     )
@@ -1690,7 +1707,7 @@ SELECT round(est.est_inter, 2) AS est_inter_keys,
        CAST(tj.n_join_true AS BIGINT) AS n_join_true,
        round((est.est_inter * (n_a.n_rows_a / est.est_nd_a)
               * (n_b.n_rows_b / est.est_nd_b) - tj.n_join_true)
-             / tj.n_join_true * 100.0, 2) AS err_pct
+             / tj.n_join_true * 100.0, 2) + 0.0 AS err_pct
 FROM est, n_a, n_b, ni, tj
 """
 
@@ -1843,9 +1860,14 @@ def q150_stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("n_man"), F.lit(_Q142_K)).cast("long").alias("n_sample"),
             F.round(est_raw, 2).alias("est_chars"),
             "true_chars",
-            F.round(
-                (est_raw - F.col("true_chars")) / F.col("true_chars") * F.lit(100.0),
-                2,
+            (
+                F.round(
+                    (est_raw - F.col("true_chars"))
+                    / F.col("true_chars")
+                    * F.lit(100.0),
+                    2,
+                )
+                + F.lit(0.0)
             ).alias("err_pct"),
         )
         .orderBy("source")
@@ -1890,7 +1912,7 @@ SELECT tr.source,
        round(e.est_fp / 10000.0, 2) AS est_chars,
        tr.true_chars,
        round((e.est_fp / 10000.0 - tr.true_chars)
-             / tr.true_chars * 100.0, 2) AS err_pct
+             / tr.true_chars * 100.0, 2) + 0.0 AS err_pct
 FROM truth tr JOIN est e USING (source)
 ORDER BY tr.source
 """
@@ -2642,8 +2664,11 @@ def q194_cardinality_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "estimator",
             F.col("est").alias("estimate"),
             F.col("truth").cast("long").alias("true_rows"),
-            F.round(
-                (F.col("est") - F.col("truth")) / F.col("truth") * 100, 2
+            (
+                F.round(
+                    (F.col("est") - F.col("truth")) / F.col("truth") * 100, 2
+                )
+                + F.lit(0.0)
             ).alias("rel_err_pct"),
         )
         .orderBy("estimator")
@@ -2719,7 +2744,7 @@ SELECT e.estimator,
        e.est AS estimate,
        CAST(t.truth AS BIGINT) AS true_rows,
        round((e.est - t.truth) / CAST(t.truth AS DOUBLE) * 100, 2)
-           AS rel_err_pct
+           + 0.0 AS rel_err_pct
 FROM (SELECT * FROM hist UNION ALL SELECT * FROM kmv) e
 CROSS JOIN truth t
 ORDER BY e.estimator
@@ -3242,11 +3267,14 @@ def q178_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
             "exact_distinct",
             F.round("_e", 2).alias("hll_estimate"),
-            F.round(
-                (F.col("_e") - F.col("exact_distinct"))
-                / F.col("exact_distinct")
-                * 100,
-                2,
+            (
+                F.round(
+                    (F.col("_e") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                    * 100,
+                    2,
+                )
+                + F.lit(0.0)
             ).alias("rel_err_pct"),
         )
         .orderBy("window_end_hour")
@@ -3290,7 +3318,7 @@ SELECT e.h2 AS window_end_hour,
        e.exact_distinct,
        round(est.e, 2) AS hll_estimate,
        round((est.e - e.exact_distinct) / e.exact_distinct * 100, 2)
-           AS rel_err_pct
+           + 0.0 AS rel_err_pct
 FROM exact e
 JOIN est ON est.h2 = e.h2
 JOIN nh ON nh.h2 = e.h2
@@ -3969,7 +3997,7 @@ def q210_digest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
             F.round("est_value", 4).alias("est_value"),
             F.round("exv", 4).alias("exact_value"),
-            F.round(F.col("est_value") - F.col("exv"), 4).alias("signed_err"),
+            (F.round(F.col("est_value") - F.col("exv"), 4) + F.lit(0.0)).alias("signed_err"),
         )
         .orderBy("width", "pct")
     )
@@ -4013,7 +4041,7 @@ SELECT CAST(e.width AS INTEGER) AS width,
        CAST(e.n AS BIGINT) AS n,
        round((e.b + 0.5) * e.width, 4) AS est_value,
        round(x.exv, 4) AS exact_value,
-       round((e.b + 0.5) * e.width - x.exv, 4) AS signed_err
+       round((e.b + 0.5) * e.width - x.exv, 4) + 0.0 AS signed_err
 FROM est e JOIN exact x ON x.pct = e.pct
 ORDER BY width, pct
 """

@@ -401,7 +401,7 @@ def q49_npmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mb), "w_b")
         .crossJoin(F.broadcast(total))
         .filter(F.col("n_ab") >= 5)  # sparse pairs carry no stable signal
-        .select("w_a", "w_b", "n_ab", F.round(pmi / denom, 4).alias("npmi"))
+        .select("w_a", "w_b", "n_ab", (F.round(pmi / denom, 4) + F.lit(0.0)).alias("npmi"))
         .orderBy("w_a", "w_b")
     )
 
@@ -431,7 +431,7 @@ SELECT w_a, w_b, n_ab,
        round(
            ln((CAST(n_ab AS DOUBLE) * n_total) / (CAST(ma.n_w AS DOUBLE) * mb.n_w))
            / (-ln(CAST(n_ab AS DOUBLE) / n_total)),
-       4) AS npmi
+       4) + 0.0 AS npmi
 FROM pair_counts
 JOIN marg ma ON ma.word = w_a
 JOIN marg mb ON mb.word = w_b
@@ -773,9 +773,10 @@ def q118_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id",
         "n_bigrams",
-        F.round(-F.col("s") / F.col("n_bigrams") / F.log(F.lit(2.0)), 4).alias(
-            "bits_per_bigram"
-        ),
+        (
+            F.round(-F.col("s") / F.col("n_bigrams") / F.log(F.lit(2.0)), 4)
+            + F.lit(0.0)
+        ).alias("bits_per_bigram"),
     )
 
 
@@ -808,7 +809,7 @@ per_doc AS (
     GROUP BY db.doc_id
 )
 SELECT doc_id, n_bigrams,
-       round(-s / n_bigrams / ln(2.0), 4) AS bits_per_bigram
+       round(-s / n_bigrams / ln(2.0), 4) + 0.0 AS bits_per_bigram
 FROM per_doc
 ORDER BY doc_id
 """
@@ -891,9 +892,10 @@ def q273_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id",
         "n_bigrams",
-        F.round(-F.col("s") / F.col("n_bigrams") / F.log(F.lit(2.0)), 4).alias(
-            "kn_bits_per_bigram"
-        ),
+        (
+            F.round(-F.col("s") / F.col("n_bigrams") / F.log(F.lit(2.0)), 4)
+            + F.lit(0.0)
+        ).alias("kn_bits_per_bigram"),
     ).orderBy("doc_id")
 
 
@@ -936,7 +938,7 @@ per_doc AS (
     GROUP BY db.doc_id
 )
 SELECT doc_id, n_bigrams,
-       round(-s / n_bigrams / ln(2.0), 4) AS kn_bits_per_bigram
+       round(-s / n_bigrams / ln(2.0), 4) + 0.0 AS kn_bits_per_bigram
 FROM per_doc
 ORDER BY doc_id
 """

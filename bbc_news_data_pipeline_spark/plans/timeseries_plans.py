@@ -361,7 +361,7 @@ def q78_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.avg("v").over(w)
     std = F.stddev_samp("v").over(w)
-    z = F.round((F.col("v") - mean) / std, 4)
+    z = F.round((F.col("v") - mean) / std, 4) + F.lit(0.0)
     return (
         daily.select(
             "event_type",
@@ -393,7 +393,7 @@ stats AS (
 )
 SELECT event_type, day_ts, v,
        round(m, 4) AS trailing_mean,
-       round((v - m) / s, 4) AS z,
+       round((v - m) / s, 4) + 0.0 AS z,
        abs((v - m) / s) > 2 AS is_anomaly
 FROM stats
 ORDER BY event_type, day_ts
@@ -420,8 +420,8 @@ def q87_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.groupBy("event_type")
         .agg(
-            F.round(F.regr_slope("v", "d"), 6).alias("slope"),
-            F.round(F.regr_intercept("v", "d"), 4).alias("intercept"),
+            (F.round(F.regr_slope("v", "d"), 6) + F.lit(0.0)).alias("slope"),
+            (F.round(F.regr_intercept("v", "d"), 4) + F.lit(0.0)).alias("intercept"),
             F.round(F.regr_r2("v", "d"), 4).alias("r2"),
             F.count("*").alias("n_days"),
         )
@@ -435,8 +435,8 @@ WITH daily AS (
     FROM events GROUP BY 1, 2
 )
 SELECT event_type,
-       round(regr_slope(v, d), 6) AS slope,
-       round(regr_intercept(v, d), 4) AS intercept,
+       round(regr_slope(v, d), 6) + 0.0 AS slope,
+       round(regr_intercept(v, d), 4) + 0.0 AS intercept,
        round(regr_r2(v, d), 4) AS r2,
        count(*) AS n_days
 FROM daily

@@ -250,6 +250,12 @@ def recover_merge(path: str) -> str:
     return _recover_swap(path, f"{path}.merge.tmp", f"{path}.merge.bak")
 
 
+#: merge_upsert refuses batches touching more partitions than this —
+#: the driver-side partition list must stay O(affected partitions),
+#: never a full-history replay (operators/incremental.py discipline).
+MAX_AFFECTED_PARTITIONS = 1024
+
+
 def merge_upsert(
     spark: SparkSession,
     df: DataFrame,
@@ -334,11 +340,27 @@ def merge_upsert(
     incoming_keys = df.select(key)
 
     if partition_col:
-        # Bounded collect: one value per affected partition directory —
-        # the same O(affected partitions) list incremental_update pulls.
-        parts = [
-            r[0] for r in df.select(partition_col).distinct().collect()
-        ]
+        # LIMIT-bounded collect (r10, verdict chore; mirrors
+        # operators/incremental.py's MAX_AFFECTED_DAYS): one value per
+        # affected partition directory, and the driver never
+        # materializes an unbounded list even on a misconfigured
+        # full-history replay.
+        probe = (
+            df.select(partition_col)
+            .distinct()
+            .limit(MAX_AFFECTED_PARTITIONS + 1)
+            .collect()
+        )
+        if len(probe) > MAX_AFFECTED_PARTITIONS:
+            raise ValueError(
+                f"incoming batch touches more than "
+                f"{MAX_AFFECTED_PARTITIONS} distinct '{partition_col}' "
+                "partitions — this looks like an unbatched backfill; "
+                "split it into bounded batches (or rebuild the table "
+                "with truncate_and_load) instead of pruning with a "
+                "thousands-element driver-side partition list"
+            )
+        parts = [r[0] for r in probe]
         # Enforce the partition-stability contract: a key arriving under a
         # NEW partition value would dodge its matched-row delete (the
         # rewrite is scoped to `parts`) and silently duplicate. The probe

@@ -11,7 +11,15 @@ this regime). This module is that maintenance job as a foreachBatch
 fold over three stored state tables:
 
   centroids/  — the frozen coarse quantizer (written once, pre-stream);
-  postings/   — append-only (vec_id, cell, r2) inverted-list entries;
+  postings/   — append-only (vec_id, cell, r2) inverted-list entries,
+                PARTITIONED by bucket = vec_id % POSTING_BUCKETS (r10,
+                verdict task #5): the per-batch replay probe semi-joins
+                only the buckets the batch's keys hash into, so the
+                probe cost scales with the batch's bucket footprint,
+                not the full index — the 100 TB shape for a
+                continuously-fed index (raise POSTING_BUCKETS with
+                corpus scale; it is a physical layout knob, invisible
+                to the fold semantics and to q282's oracle);
   cellstats/  — per-cell (n, sum_r2) folds PLUS the frozen baseline
                 (base_n, base_sum_r2) captured from the FIRST batch —
                 the residual-energy reference the drift test compares
@@ -19,13 +27,27 @@ fold over three stored state tables:
 
 Invariants (mirrored by q282's full-rebuild oracle and pinned in
 tests/test_streaming_annindex.py):
-  * replay-idempotent: re-delivering a batch is a no-op (vec_id
-    anti-join against stored postings);
-  * incremental ≡ batch: after any prefix of batches, (n, sum_r2) per
-    cell equal a from-scratch rebuild over the union of those batches —
-    all folds are exact int64 sums;
+  * replay-idempotent: re-delivering a FULLY-COMMITTED batch is a
+    no-op (vec_id anti-join against the stored postings, bucket-pruned);
+  * incremental ≡ batch: after any prefix of fully-committed batches,
+    (n, sum_r2) per cell equal a from-scratch rebuild over the union of
+    those batches — all folds are exact int64 sums;
   * baseline frozen: cells first seen AFTER batch 0 carry base_n = 0
     (the baseline epoch has passed), and stored baselines never change.
+
+Torn-batch semantics (r10, ADVICE fix): the two state writes are not
+atomic, so the invariants above cover FULLY-COMMITTED batches only.
+Postings are appended FIRST, cellstats second — a crash between the two
+leaves the batch present in postings but absent from stats, and the
+replay anti-join then (correctly) refuses to double-insert the vectors.
+That torn state is REPAIRABLE because (n, sum_r2) are derivable from
+postings: run :func:`rebuild_cellstats` before the next drain. (The
+previous order — stats first — was unrepairable: a torn batch was
+counted in stats but absent from postings, so the replay folded those
+vectors into stats a second time, permanently breaking incremental ≡
+batch.) A batch-0 tear (no cellstats written yet) loses the baseline
+epoch identity, which postings do not record — reset the state
+directory and re-drain for that case.
 
 Int64 headroom (the block_size-style bound): r2 ≤ dim·(Δmax)² in
 QUANT_SCALE² units — ≈6.4e13 on this fixture's ×16-anchored geometry —
@@ -33,8 +55,8 @@ so a cell's sum_r2 stays exact below ~1.4e5 vectors/cell here (~9e6 at
 unit-norm geometry, r2 ≈ 1e12). Shard cells or widen to decimal(38,0)
 past that.
 
-State writes are per-batch non-atomic exactly as corpusbuild.py
-documents; the availableNow drains are single-threaded and re-runnable.
+The availableNow drains are single-threaded and re-runnable for
+fully-committed batches (see torn-batch semantics above).
 """
 
 from __future__ import annotations
@@ -45,6 +67,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .corpusbuild import _exists
+
+#: Physical fan-out of the postings layout (partition dirs bucket=0..N-1).
+#: Scale with the index: the replay probe reads only the buckets a
+#: batch's vec_ids hash into, so a larger N prunes harder per batch.
+POSTING_BUCKETS = 16
+
+
+def _bucket_probe(spark: SparkSession, post_p: str, buckets) -> DataFrame:
+    """The replay probe: stored vec_ids from ONLY the given bucket
+    partitions. The isin filter on the partition column prunes the scan
+    at file-listing time (asserted via inputFiles() in
+    tests/test_streaming_annindex.py)."""
+    return (
+        spark.read.parquet(post_p)
+        .filter(F.col("bucket").isin(list(buckets)))
+        .select("vec_id")
+    )
 
 
 def apply_postings_batch(
@@ -72,11 +111,24 @@ def apply_postings_batch(
             "vec_id", F.zip_with("cvec", "v", lambda a, b: a + b).alias("v")
         )
     )
-    # replay idempotence: drop vectors the index already holds
+    # replay idempotence: drop vectors the index already holds. The probe
+    # is BUCKET-PRUNED — the batch's bucket footprint is bounded by
+    # POSTING_BUCKETS (bounded collect), and the isin filter on the
+    # partition column prunes the postings scan to matching directories
+    # only (asserted by tests/test_streaming_annindex.py).
     if _exists(spark, post_p):
-        vecs = vecs.join(
-            spark.read.parquet(post_p).select("vec_id"), "vec_id", "left_anti"
+        batch_buckets = sorted(
+            r[0]
+            for r in vecs.select(
+                (F.col("vec_id") % POSTING_BUCKETS).alias("b")
+            )
+            .distinct()
+            .collect()
         )
+        if batch_buckets:
+            vecs = vecs.join(
+                _bucket_probe(spark, post_p, batch_buckets), "vec_id", "left_anti"
+            )
     new_post = (
         vecs.crossJoin(F.broadcast(cents))
         .select(
@@ -123,9 +175,58 @@ def apply_postings_batch(
             F.col("s1").alias("base_sum_r2"),
         )
     merged = merged.localCheckpoint()  # safe to overwrite the source below
+    # Postings FIRST, stats second (r10 ADVICE fix): a crash between the
+    # two writes must leave the repairable state (batch in postings,
+    # missing from stats → rebuild_cellstats), never the unrepairable
+    # one (batch in stats, missing from postings → silent double-fold on
+    # replay). See the module docstring's torn-batch semantics.
+    new_post.withColumn(
+        "bucket", F.col("vec_id") % POSTING_BUCKETS
+    ).write.mode("append").partitionBy("bucket").parquet(post_p)
     merged.write.mode("overwrite").parquet(stats_p)
-    new_post.write.mode("append").parquet(post_p)
     return {"batch_vecs": new_post.count()}
+
+
+def rebuild_cellstats(spark: SparkSession, state_dir: str) -> None:
+    """Repair cellstats after a torn batch (postings written, stats not).
+
+    (n, sum_r2) are recomputed exactly from the append-only postings;
+    the frozen baselines are carried over from the existing stats table
+    (cells absent there first appeared after batch 0 → baseline 0).
+    Requires cellstats to exist: a batch-0 tear has no stored baseline
+    to preserve and postings do not record epoch identity — reset the
+    state directory and re-drain instead (module docstring).
+    """
+    post_p = os.path.join(state_dir, "postings")
+    stats_p = os.path.join(state_dir, "cellstats")
+    if not _exists(spark, stats_p):
+        raise ValueError(
+            "rebuild_cellstats requires an existing cellstats table "
+            "(a batch-0 tear is unrepairable: reset the state dir and "
+            "re-drain)"
+        )
+    z = F.lit(0).cast("long")
+    from_post = (
+        spark.read.parquet(post_p)
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("r2").cast("long").alias("sum_r2"),
+        )
+    )
+    base = spark.read.parquet(stats_p).select("cell", "base_n", "base_sum_r2")
+    rebuilt = (
+        from_post.join(base, "cell", "left")
+        .select(
+            "cell",
+            "n",
+            "sum_r2",
+            F.coalesce("base_n", z).alias("base_n"),
+            F.coalesce("base_sum_r2", z).alias("base_sum_r2"),
+        )
+        .localCheckpoint()  # detach from the table being overwritten
+    )
+    rebuilt.write.mode("overwrite").parquet(stats_p)
 
 
 def run_stream_postings(

@@ -55,6 +55,9 @@ FLOAT_EMITTING = [
     "q261_doremi_weights", "q254_zipf_fit", "q260_heaps_law",
     "q256_column_entropy", "q246_hill_tail_index", "q236_js_divergence",
     "q270_classifier_training", "q284_lsh_param_tune",
+    # r10 additions: q183/q276 now emit pure BIGINT grids, but the grid
+    # values still derive from double arithmetic — keep them swept.
+    "q183_correlation_matrix", "q185_cuped_ab_test",
 ]
 _BY_NAME = {q.name: q for q in QUERIES}
 
@@ -72,3 +75,30 @@ def test_float_emission_order_independent(name, spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     errs = compare(a, b)
     assert not errs, f"{name} is shuffle-order sensitive: {errs}"
+
+
+def test_compare_is_bitwise_on_floats():
+    """r10 (verdict task #2): the local comparator must distinguish
+    float REPRESENTATIONS exactly as the driver's value hash does —
+    -0.0 vs +0.0 and last-ulp neighbors are mismatches (the q183 r9
+    signed-zero red slipped through the old `==`); only NaN==NaN is
+    equal, regardless of payload."""
+    import numpy as np
+    import pandas as pd
+
+    same = pd.DataFrame({"x": [1.5, -0.0, float("nan")]})
+    assert compare(same, same.copy()) == []
+
+    signed_zero = pd.DataFrame({"x": [0.0]})
+    neg_zero = pd.DataFrame({"x": [-0.0]})
+    assert np.signbit(neg_zero["x"].to_numpy()[0])  # fixture is real -0.0
+    assert compare(signed_zero, neg_zero), "-0.0 vs +0.0 must mismatch"
+
+    one = pd.DataFrame({"x": [1.0]})
+    ulp = pd.DataFrame({"x": [np.nextafter(1.0, 2.0)]})
+    assert compare(one, ulp), "one-ulp difference must mismatch"
+
+    nan_a = pd.DataFrame({"x": [float("nan")]})
+    payload = np.array([np.int64(0x7FF8000000000001)]).view("float64")
+    nan_b = pd.DataFrame({"x": payload})
+    assert compare(nan_a, nan_b) == [], "NaN==NaN regardless of payload"

@@ -255,7 +255,7 @@ def test_feature_mi_python_twin(spark, sf_dir):
     nn = len(labels)
     npos = sum(labels.values())
 
-    def mi_of(b):
+    def mi_nano_of(b):
         n1 = len(pres[b])
         n11 = sum(labels[d] for d in pres[b])
         cells = [
@@ -269,9 +269,9 @@ def test_feature_mi_python_twin(spark, sf_dir):
             for c, nx, nc in cells
             if c > 0
         )
-        return floor(mi * _Q276_SCALE) / _Q276_SCALE
+        return floor(mi * _Q276_SCALE)
 
-    ranked = sorted(pres, key=lambda b: (-mi_of(b), b))
+    ranked = sorted(pres, key=lambda b: (-mi_nano_of(b), b))
     out = q276_feature_mi(spark, sf_dir).collect()
     assert len(out) == _Q276_TOPK
     assert [r.bucket for r in out] == ranked[:_Q276_TOPK]
@@ -279,12 +279,15 @@ def test_feature_mi_python_twin(spark, sf_dir):
         n1 = len(pres[r.bucket])
         n11 = sum(labels[d] for d in pres[r.bucket])
         assert r.n_docs_with == n1
-        assert r.pos_rate_with == floor(n11 / n1 * 1e4 + 0.5) / 1e4
-        assert r.mi == mi_of(r.bucket)
-        assert r.mi >= 0.0
+        # r10: pure-BIGINT emission (integer nano/bp numerators) — the
+        # hashed schema carries no doubles at all.
+        assert isinstance(r.pos_rate_bp, int) and isinstance(r.mi_nano, int)
+        assert r.pos_rate_bp == floor(n11 / n1 * 1e4 + 0.5)
+        assert r.mi_nano == mi_nano_of(r.bucket)
+        assert r.mi_nano >= 0
     # everything outside the top-K scores no higher than the cut
-    cut = out[-1].mi
-    assert all(mi_of(b) <= cut for b in ranked[_Q276_TOPK:])
+    cut = out[-1].mi_nano
+    assert all(mi_nano_of(b) <= cut for b in ranked[_Q276_TOPK:])
 
 
 def test_classifier_cv_twin_and_gap(spark, sf_dir):

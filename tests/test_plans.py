@@ -596,7 +596,8 @@ def test_bloom_join_pruning_lossless_and_fp_tracks_theory(spark, sf_dir):
 def test_correlation_matrix_matches_numpy_twin(spark, sf_dir):
     """q183 vs numpy: Pearson r and OLS slope for every pair must match
     np.corrcoef / closed-form OLS on the same quantized values to the
-    6dp the query rounds at, and r must be symmetric-bounded in [-1,1].
+    1e-6 ppm grid the query emits at (BIGINT ppm — the r10 signed-zero
+    fix), and r must be symmetric-bounded in [-1e6, 1e6] ppm.
     The engineered pair check: quantity-vs-extendedprice on a corpus
     where price = qty * unit price should correlate positively."""
     import numpy as np
@@ -619,9 +620,12 @@ def test_correlation_matrix_matches_numpy_twin(spark, sf_dir):
         a, b = qvals[r.col_a], qvals[r.col_b]
         want_r = np.corrcoef(a, b)[0, 1]
         want_slope = np.polyfit(a, b, 1)[0]
-        assert -1.0 <= r.pearson_r <= 1.0
-        assert abs(r.pearson_r - want_r) < 1e-5, (r.col_a, r.col_b)
-        assert abs(r.slope_b_on_a - want_slope) < max(1e-5, 1e-4 * abs(want_slope))
+        assert isinstance(r.pearson_r_ppm, int)
+        assert -1_000_000 <= r.pearson_r_ppm <= 1_000_000
+        assert abs(r.pearson_r_ppm / 1e6 - want_r) < 1e-5, (r.col_a, r.col_b)
+        assert abs(r.slope_ppm / 1e6 - want_slope) < max(
+            1e-5, 1e-4 * abs(want_slope)
+        )
         assert r.n == len(pdf)
 
 

@@ -1070,3 +1070,104 @@ def test_q285_budget_curve_twin(spark, sf_dir):
     assert (out[4].n_cells_probed, out[4].rows_scanned, out[4].recall_at_k) == (
         q281r.n_cells_probed, q281r.rows_scanned, q281r.recall_at_k
     )
+
+
+def test_q286_recall_set_twin(spark, sf_dir):
+    """q286 vs a numpy twin evaluating the adaptive multi-probe rule for
+    EVERY sampled query at every budget, plus the set-level contracts:
+    the sample is the 32 smallest corpus qids with vec_id % 13 == 5,
+    per-query probe sets are nested in budget so MEAN and MIN recall are
+    both non-decreasing, and every emitted stat is an exact integer
+    (bp grid = hits·10000 div K — no floats in the schema)."""
+    from math import floor
+
+    import numpy as np
+
+    from bbc_news_data_pipeline_spark.plans.embeddings_plans import (
+        _Q281_ASCALE,
+        _Q281_K,
+        _Q281_NCELL,
+        _Q285_DENS,
+        _Q286_NQ,
+        _Q286_QMOD,
+        _Q286_QRES,
+        q286_multiprobe_recall_set,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    Q = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in rows
+    }
+    cents = {c: Q[c] * _Q281_ASCALE for c in range(_Q281_NCELL)}
+    corpus = {i: cents[i % _Q281_NCELL] + Q[i] for i in Q if i >= _Q281_NCELL}
+
+    def sq(a, b):
+        d = (a - b).astype(np.float64)
+        return float((d * d).sum())
+
+    assign = {
+        i: min(cents, key=lambda c: (sq(v, cents[c]), c))
+        for i, v in corpus.items()
+    }
+    sizes = {c: sum(1 for i in assign if assign[i] == c) for c in cents}
+    qids = sorted(i for i in corpus if i % _Q286_QMOD == _Q286_QRES)[:_Q286_NQ]
+    exact = {
+        qid: set(
+            sorted(corpus, key=lambda i: (sq(corpus[i], corpus[qid]), i))[
+                :_Q281_K
+            ]
+        )
+        for qid in qids
+    }
+
+    def per_query(qid, den):
+        qv = corpus[qid]
+        budget = floor(len(corpus) / den) + 1
+        order = sorted(cents, key=lambda c: (sq(cents[c], qv), c))
+        probed, covered = [], 0
+        for c in order:
+            if covered >= budget:
+                break
+            probed.append(c)
+            covered += sizes[c]
+        pool = [i for i in corpus if assign[i] in probed]
+        top = sorted(pool, key=lambda i: (sq(corpus[i], qv), i))[:_Q281_K]
+        return set(probed), covered, len(set(top) & exact[qid])
+
+    out = {
+        r.budget_den: r
+        for r in q286_multiprobe_recall_set(spark, sf_dir).collect()
+    }
+    assert sorted(out) == sorted(_Q285_DENS)
+    prev = None
+    prev_sets: dict = {}
+    for den in sorted(_Q285_DENS, reverse=True):  # smallest budget first
+        pts = {qid: per_query(qid, den) for qid in qids}
+        hits = [h for _, _, h in pts.values()]
+        r = out[den]
+        assert r.n_queries == len(qids) == _Q286_NQ
+        assert r.budget_rows == floor(len(corpus) / den) + 1
+        assert r.n_cells_probed_total == sum(len(p) for p, _, _ in pts.values())
+        assert r.rows_scanned_total == sum(c for _, c, _ in pts.values())
+        assert r.mean_recall_bp == (sum(hits) * 10000) // (
+            _Q281_K * len(qids)
+        )
+        assert r.min_recall_bp == (min(hits) * 10000) // _Q281_K
+        assert isinstance(r.mean_recall_bp, int)
+        assert isinstance(r.min_recall_bp, int)
+        # per-query probe sets nested in budget → both stats monotone
+        for qid in qids:
+            assert prev_sets.get(qid, set()) <= pts[qid][0]
+        if prev is not None:
+            assert r.mean_recall_bp >= prev.mean_recall_bp
+            assert r.min_recall_bp >= prev.min_recall_bp
+            assert r.rows_scanned_total >= prev.rows_scanned_total
+        prev = r
+        prev_sets = {qid: p for qid, (p, _, _) in pts.items()}

@@ -83,6 +83,24 @@ def test_merge_upsert_partition_scoped(spark, tmp_path):
     assert {r.k: r.v for r in spark.read.parquet(path).collect()} == got
 
 
+def test_merge_upsert_refuses_unbatched_backfill(spark, tmp_path, monkeypatch):
+    """r10 (verdict chore): above the affected-partition cap the merge
+    refuses loudly (mirrors tests/test_incremental.py's cap test)
+    instead of materializing a thousands-element driver-side partition
+    list — and the stored table is untouched by the refusal."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 0, "a")], "k long, p long, v string")
+    sinks.merge_upsert(spark, base, path, "k", partition_col="p")
+
+    monkeypatch.setattr(sinks, "MAX_AFFECTED_PARTITIONS", 2)  # force the cap
+    wide = spark.createDataFrame(
+        [(10 + i, i, "x") for i in range(4)], "k long, p long, v string"
+    )
+    with pytest.raises(ValueError, match="unbatched backfill"):
+        sinks.merge_upsert(spark, wide, path, "k", partition_col="p")
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == {1: "a"}
+
+
 def test_merge_upsert_crash_recovery(spark, tmp_path):
     """A crash stranded between the two renames rolls FORWARD (tmp was a
     complete merged copy); recover_merge runs on entry of the next merge."""

@@ -167,3 +167,117 @@ def test_maintained_index_serves_like_fresh_build(spark, sf_dir, tmp_path):
     )
     fresh = serve(spark.read.parquet(f"{state2}/postings"))
     assert incremental == fresh and len(incremental) == 10
+
+
+def test_postings_bucketed_and_probe_prunes(spark, sf_dir, tmp_path):
+    """r10 (verdict task #5): postings are laid out as bucket=vec_id%B
+    partition dirs, and the replay probe reads ONLY the buckets a
+    batch's keys hash into — the inputFiles() of the probe frame must
+    all live under matching bucket= directories."""
+    import os
+
+    from bbc_news_data_pipeline_spark.streaming.annindex import (
+        POSTING_BUCKETS,
+        _bucket_probe,
+    )
+
+    state = str(tmp_path / "state")
+    emb = _seed_centroids(spark, sf_dir, state)
+    apply_postings_batch(spark, emb.select("vec_id", "embedding"), state)
+    post_p = f"{state}/postings"
+
+    # physical layout: bucket partition dirs, bucket == vec_id % B
+    dirs = {d for d in os.listdir(post_p) if d.startswith("bucket=")}
+    assert len(dirs) > 1
+    post = spark.read.parquet(post_p)
+    assert post.filter(
+        F.col("bucket") != F.col("vec_id") % POSTING_BUCKETS
+    ).count() == 0
+
+    # the probe for a bucket-{3,7} batch prunes at the partition level:
+    # the scan's PartitionFilters carry the bucket IN-list (explain
+    # assertion, the test_plan_budget.py style — inputFiles() reports
+    # the unpruned FileIndex, so the plan is the honest witness)
+    import io
+    from contextlib import redirect_stdout
+
+    probe = _bucket_probe(spark, post_p, [3, 7])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    assert "bucket" in pf[0] and "3" in pf[0] and "7" in pf[0], pf
+    # and matches a full-scan filter on the derived key
+    want = sorted(
+        r.vec_id
+        for r in post.filter(
+            (F.col("vec_id") % POSTING_BUCKETS).isin([3, 7])
+        ).collect()
+    )
+    assert sorted(r.vec_id for r in probe.collect()) == want
+
+    # replay of a single-bucket slice is a no-op (bucket-pruned path)
+    slice3 = emb.filter(
+        (F.col("vec_id") >= NCELL) & (F.col("vec_id") % POSTING_BUCKETS == 3)
+    ).select("vec_id", "embedding")
+    n_post = post.count()
+    out = apply_postings_batch(spark, slice3, state)
+    assert out["batch_vecs"] == 0
+    assert spark.read.parquet(post_p).count() == n_post
+
+
+def test_torn_batch_repair_via_rebuild_cellstats(spark, sf_dir, tmp_path):
+    """r10 (ADVICE fix): postings are written BEFORE cellstats, so a
+    crash between the writes leaves the batch in postings but not in
+    stats. The replay must NOT double-fold (anti-join drops the keys),
+    and rebuild_cellstats must repair stats to the fully-committed
+    value while preserving the frozen baselines."""
+    from bbc_news_data_pipeline_spark.streaming.annindex import (
+        rebuild_cellstats,
+    )
+
+    state = str(tmp_path / "state")
+    emb = _seed_centroids(spark, sf_dir, state)
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == e).select("vec_id", "embedding")
+        for e in range(3)
+    ]
+    apply_postings_batch(spark, batches[0], state)
+    apply_postings_batch(spark, batches[1], state)
+    after_b1 = spark.read.parquet(f"{state}/cellstats").localCheckpoint(
+        eager=True
+    )
+    # batch 2 commits fully, then the stats write is "torn away" by
+    # restoring the batch-1 snapshot (postings keep batch 2)
+    apply_postings_batch(spark, batches[2], state)
+    full = _stats(spark, state)
+    after_b1.write.mode("overwrite").parquet(f"{state}/cellstats")
+    n_post = spark.read.parquet(f"{state}/postings").count()
+
+    # replay of the torn batch: no double-insert, stats still short
+    out = apply_postings_batch(spark, batches[2], state)
+    assert out["batch_vecs"] == 0
+    assert spark.read.parquet(f"{state}/postings").count() == n_post
+    assert _stats(spark, state) != full
+
+    rebuild_cellstats(spark, state)
+    assert _stats(spark, state) == full
+
+
+def test_rebuild_cellstats_refuses_batch0_tear(spark, sf_dir, tmp_path):
+    """A batch-0 tear has no stored baseline to preserve — the repair
+    helper must refuse loudly rather than fabricate one."""
+    import shutil
+
+    from bbc_news_data_pipeline_spark.streaming.annindex import (
+        rebuild_cellstats,
+    )
+
+    state = str(tmp_path / "state")
+    emb = _seed_centroids(spark, sf_dir, state)
+    apply_postings_batch(spark, emb.select("vec_id", "embedding"), state)
+    shutil.rmtree(f"{state}/cellstats")
+    with pytest.raises(ValueError, match="batch-0"):
+        rebuild_cellstats(spark, state)

@@ -51,7 +51,16 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
-            eq = (av.isna() & bv.isna()) | (av == bv)
+            # Bit-for-bit, exactly as sensitive as the driver's value
+            # hash: ±0.0 and last-ulp representations differ even though
+            # `==` calls them equal (the confirmed q183 r9 signed-zero
+            # red slipped through the old `av == bv`). Only NaN==NaN is
+            # collapsed (any payload).
+            a_bits = av.to_numpy(dtype="float64").view("int64")
+            b_bits = bv.to_numpy(dtype="float64").view("int64")
+            eq = pd.Series(a_bits == b_bits, index=av.index) | (
+                av.isna() & bv.isna()
+            )
         else:
             eq = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
         bad = int((~eq).sum())
