@@ -3908,7 +3908,11 @@ def q286_multiprobe_recall_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sz").cast("long").alias("rows_scanned_total"),
         )
         topk = (
-            scored.join(probed.select("qid", "cell"), ["qid", "cell"], "left_semi")
+            scored.join(
+                F.broadcast(probed.select("qid", "cell")),
+                ["qid", "cell"],
+                "left_semi",
+            )
             .select("qid", "vec_id", F.row_number().over(wq).alias("rn"))
             .filter(F.col("rn") <= _Q281_K)
             .select("qid", "vec_id")

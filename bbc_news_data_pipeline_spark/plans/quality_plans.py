@@ -128,9 +128,18 @@ def q73_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_b = F.col("cnt_b") / F.sum("cnt_b").over(w)
     # PSI terms are ≥ 0 ((p_a−p_b) and ln(p_a/p_b) share a sign), so
     # floor(x·1e6+0.5) is exactly round-half-up on both engines.
-    ti6 = F.floor(
-        (p_a - p_b) * det_ln(p_a / p_b) * 1000000 + F.lit(0.5)
-    ).cast("long")
+    # Domain guard (r10 review): det_ln's contract requires x > 0 — a
+    # type seen in only ONE half would feed it 0 or ∞ (finite-garbage /
+    # NaN, and NaN→BIGINT casts DIVERGE across engines). PSI is
+    # mathematically infinite there, so the term AND the total go NULL
+    # — undefined stays visibly undefined, never a silently-folded tick.
+    ok = (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0)
+    ti6 = F.when(
+        ok,
+        F.floor(
+            (p_a - p_b) * det_ln(p_a / p_b) * 1000000 + F.lit(0.5)
+        ).cast("long"),
+    )
     return (
         per_type.select(
             "event_type",
@@ -143,9 +152,10 @@ def q73_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_first_half",
             "p_second_half",
             (F.col("ti6") / F.lit(1000000.0)).alias("psi_term"),
-            (
+            F.when(
+                F.sum(F.col("ti6").isNull().cast("int")).over(w) == 0,
                 F.floor(F.sum("ti6").over(w) / F.lit(100.0) + F.lit(0.5))
-                / F.lit(10000.0)
+                / F.lit(10000.0),
             ).alias("psi_total"),
         )
         .orderBy("event_type")
@@ -175,12 +185,16 @@ terms AS (
     SELECT event_type,
            round(pa, 4) AS p_first_half,
            round(pb, 4) AS p_second_half,
-           CAST(floor((pa - pb) * {_Q73_S} * 1000000 + 0.5) AS BIGINT) AS ti6
+           CASE WHEN pa > 0 AND pb > 0 THEN
+               CAST(floor((pa - pb) * {_Q73_S} * 1000000 + 0.5) AS BIGINT)
+           END AS ti6
     FROM tq
 )
 SELECT event_type, p_first_half, p_second_half,
        ti6 / 1000000.0 AS psi_term,
-       floor(sum(ti6) OVER () / 100.0 + 0.5) / 10000.0 AS psi_total
+       CASE WHEN sum(CASE WHEN ti6 IS NULL THEN 1 ELSE 0 END) OVER () = 0
+            THEN floor(sum(ti6) OVER () / 100.0 + 0.5) / 10000.0
+       END AS psi_total
 FROM terms
 ORDER BY event_type
 """
@@ -3118,8 +3132,8 @@ def q185_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(theta, 6) + F.lit(0.0)).alias("theta"),
             F.round(mean_y, 4).alias("mean_y"),
             (F.round(mean_y - theta * (mean_x - xbar_p), 4) + F.lit(0.0)).alias("mean_y_adj"),
-            F.round(var_y, 4).alias("var_y"),
-            F.round(var_adj, 4).alias("var_y_adj"),
+            (F.round(var_y, 4) + F.lit(0.0)).alias("var_y"),
+            (F.round(var_adj, 4) + F.lit(0.0)).alias("var_y_adj"),
             (F.round((1 - var_adj / var_y) * 100, 2) + F.lit(0.0)).alias("var_reduction_pct"),
         )
         .orderBy("arm")
@@ -3185,9 +3199,9 @@ SELECT arm, n_users,
        round(theta, 6) + 0.0 AS theta,
        round(mean_y, 4) AS mean_y,
        round(mean_y - theta * (mean_x - xbar_p), 4) + 0.0 AS mean_y_adj,
-       round(var_y, 4) AS var_y,
+       round(var_y, 4) + 0.0 AS var_y,
        round(var_y - 2 * theta * cov + theta * theta * var_x, 4)
-           AS var_y_adj,
+           + 0.0 AS var_y_adj,
        round((1 - (var_y - 2 * theta * cov + theta * theta * var_x)
                   / var_y) * 100, 2) + 0.0 AS var_reduction_pct
 FROM calc

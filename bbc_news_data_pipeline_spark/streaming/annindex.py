@@ -40,14 +40,20 @@ atomic, so the invariants above cover FULLY-COMMITTED batches only.
 Postings are appended FIRST, cellstats second — a crash between the two
 leaves the batch present in postings but absent from stats, and the
 replay anti-join then (correctly) refuses to double-insert the vectors.
-That torn state is REPAIRABLE because (n, sum_r2) are derivable from
-postings: run :func:`rebuild_cellstats` before the next drain. (The
-previous order — stats first — was unrepairable: a torn batch was
+That torn state is SELF-DETECTED and repaired at the next fold entry:
+postings-row mass vs Σ cellstats.n is a metadata-cheap comparison
+(footer counts vs a cell-sized table), and a mismatch triggers
+:func:`rebuild_cellstats`, which recomputes (n, sum_r2) exactly from
+the append-only postings while carrying the frozen baselines over.
+(The previous order — stats first — was unrepairable: a torn batch was
 counted in stats but absent from postings, so the replay folded those
 vectors into stats a second time, permanently breaking incremental ≡
-batch.) A batch-0 tear (no cellstats written yet) loses the baseline
-epoch identity, which postings do not record — reset the state
-directory and re-drain for that case.
+batch.) A batch-0 tear (postings present, cellstats never written)
+loses the baseline epoch identity, which postings do not record — the
+fold REFUSES that state loudly (proceeding would freeze an empty
+baseline); reset the state directory and re-drain. Legacy
+pre-bucketing state dirs are likewise refused with a pointer to
+:func:`migrate_postings_layout`.
 
 Int64 headroom (the block_size-style bound): r2 ≤ dim·(Δmax)² in
 QUANT_SCALE² units — ≈6.4e13 on this fixture's ×16-anchored geometry —
@@ -117,6 +123,43 @@ def apply_postings_batch(
     # partition column prunes the postings scan to matching directories
     # only (asserted by tests/test_streaming_annindex.py).
     if _exists(spark, post_p):
+        stored_post = spark.read.parquet(post_p)
+        if "bucket" not in stored_post.columns:
+            # r10 review: a pre-bucketing state dir (flat layout) would
+            # break the probe's partition filter and, worse, appending
+            # bucket= dirs into it would leave legacy rows NULL-bucketed
+            # and invisible to future replay probes — refuse, repair once.
+            raise ValueError(
+                "postings at %r use the legacy unbucketed layout — run "
+                "annindex.migrate_postings_layout(spark, state_dir) once "
+                "before draining" % post_p
+            )
+        if not _exists(spark, stats_p):
+            # r10 review: postings-without-stats is EXACTLY the batch-0
+            # tear (the first committed batch writes both). Proceeding
+            # would let the replay anti-join drop the vectors and the
+            # first-batch branch freeze an EMPTY baseline — silently and
+            # permanently wrong. Fail loudly instead (module docstring:
+            # reset the state dir and re-drain).
+            raise ValueError(
+                "postings exist at %r but cellstats is missing — batch-0 "
+                "torn write; reset the state directory and re-drain "
+                "(the baseline epoch identity is unrecoverable from "
+                "postings alone)" % post_p
+            )
+        # torn-batch self-check (r10 review): a tear at batch k>0 leaves
+        # stats short of postings. Both sides are metadata-cheap — the
+        # stats table is cell-sized and the postings count comes from
+        # parquet footers, no data pages — so the fold detects and
+        # repairs the documented torn state itself instead of relying on
+        # an out-of-band rebuild_cellstats run.
+        n_stats = (
+            spark.read.parquet(stats_p)
+            .agg(F.coalesce(F.sum("n"), F.lit(0).cast("long")))
+            .first()[0]
+        )
+        if n_stats != stored_post.count():
+            rebuild_cellstats(spark, state_dir)
         batch_buckets = sorted(
             r[0]
             for r in vecs.select(
@@ -185,6 +228,28 @@ def apply_postings_batch(
     ).write.mode("append").partitionBy("bucket").parquet(post_p)
     merged.write.mode("overwrite").parquet(stats_p)
     return {"batch_vecs": new_post.count()}
+
+
+def migrate_postings_layout(spark: SparkSession, state_dir: str) -> None:
+    """One-time rewrite of a legacy FLAT postings table into the
+    bucket-partitioned layout (bucket = vec_id % POSTING_BUCKETS).
+
+    Run once when upgrading a state directory created before bucketing;
+    :func:`apply_postings_batch` refuses legacy layouts loudly rather
+    than mixing NULL-bucketed legacy rows (invisible to the pruned
+    replay probe) with partitioned appends. Idempotent — a no-op on an
+    already-bucketed table. The rewrite eagerly checkpoints the legacy
+    rows before overwriting, the module's safe-overwrite pattern; take
+    a filesystem backup first if the index is irreplaceable.
+    """
+    post_p = os.path.join(state_dir, "postings")
+    df = spark.read.parquet(post_p)
+    if "bucket" in df.columns:
+        return
+    migrated = df.withColumn(
+        "bucket", F.col("vec_id") % POSTING_BUCKETS
+    ).localCheckpoint()  # eager: safe to overwrite the source below
+    migrated.write.mode("overwrite").partitionBy("bucket").parquet(post_p)
 
 
 def rebuild_cellstats(spark: SparkSession, state_dir: str) -> None:

@@ -115,6 +115,11 @@ def test_corpus_broadcast_hint_sites_pinned():
         # budget point (4 budgets), each derived from the lazily-
         # checkpointed 16-row cell table — bounded by construction
         "q285_multiprobe_budget_curve": 4,
+        # query-set recall sweep: one (qid, cell) probe-list broadcast
+        # per budget point (4 budgets), each ≤ NCELL(16)·NQ(32) = 512
+        # rows from the lazily-checkpointed per-query dominance frame —
+        # bounded by construction (the q285 pattern, per-query)
+        "q286_multiprobe_recall_set": 4,
     }
     assert got == reviewed, (
         f"corpus-scale broadcast-hint inventory drifted:\ngot      {got}\n"

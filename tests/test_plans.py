@@ -629,6 +629,66 @@ def test_correlation_matrix_matches_numpy_twin(spark, sf_dir):
         assert r.n == len(pdf)
 
 
+def test_q73_zero_cell_guard(spark, tmp_path):
+    """r10 review: an event_type present in only ONE half-month makes
+    its PSI term mathematically infinite — the guarded plan must emit
+    NULL for that term AND for psi_total (undefined stays visibly
+    undefined), never a silently-folded garbage tick from det_ln's
+    out-of-domain value; types present in both halves keep their
+    terms. The DuckDB oracle must agree row-for-row on the same data."""
+    import datetime
+
+    import duckdb
+
+    from bbc_news_data_pipeline_spark.plans.quality_plans import (
+        Q73_SQL,
+        q73_event_type_drift,
+    )
+
+    def ev(i, day, et):
+        return (
+            i,
+            datetime.datetime(2024, 3, day, 12, 0, 0),
+            i % 7,
+            et,
+            1.0,
+            "{}",
+        )
+
+    rows = (
+        [ev(i, 3, "both") for i in range(8)]
+        + [ev(100 + i, 20, "both") for i in range(4)]
+        + [ev(200 + i, 4, "first_only") for i in range(5)]
+        + [ev(300 + i, 21, "second_only") for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.event_type: r for r in q73_event_type_drift(spark, str(tmp_path)).collect()}
+    assert set(out) == {"both", "first_only", "second_only"}
+    assert out["first_only"].psi_term is None
+    assert out["second_only"].psi_term is None
+    assert out["both"].psi_term is not None
+    assert all(r.psi_total is None for r in out.values())
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; glob the part files for DuckDB
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    oracle = {r[0]: r for r in con.execute(Q73_SQL).fetchall()}
+    for et, r in out.items():
+        o = oracle[et]
+        assert (r.p_first_half, r.p_second_half, r.psi_term, r.psi_total) == (
+            o[1], o[2], o[3], o[4]
+        )
+
+
 def test_topk_other_rollup_closes_distribution(spark, sf_dir):
     """q184: per source at most K+1 rows, shares sum to 1 (4dp), the
     OTHER row aggregates exactly the tail mass, and top members are

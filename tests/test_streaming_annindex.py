@@ -228,16 +228,14 @@ def test_postings_bucketed_and_probe_prunes(spark, sf_dir, tmp_path):
     assert spark.read.parquet(post_p).count() == n_post
 
 
-def test_torn_batch_repair_via_rebuild_cellstats(spark, sf_dir, tmp_path):
-    """r10 (ADVICE fix): postings are written BEFORE cellstats, so a
-    crash between the writes leaves the batch in postings but not in
-    stats. The replay must NOT double-fold (anti-join drops the keys),
-    and rebuild_cellstats must repair stats to the fully-committed
-    value while preserving the frozen baselines."""
-    from bbc_news_data_pipeline_spark.streaming.annindex import (
-        rebuild_cellstats,
-    )
-
+def test_torn_batch_self_detected_and_repaired(spark, sf_dir, tmp_path):
+    """r10 (ADVICE + review): postings are written BEFORE cellstats, so
+    a crash between the writes leaves the batch in postings but not in
+    stats. The NEXT fold entry must self-detect the mass mismatch
+    (postings rows vs Σ stats.n), auto-run rebuild_cellstats (frozen
+    baselines preserved), and then treat the replayed batch as the
+    no-op it is — incremental ≡ batch restored without any out-of-band
+    repair step."""
     state = str(tmp_path / "state")
     emb = _seed_centroids(spark, sf_dir, state)
     batches = [
@@ -255,29 +253,58 @@ def test_torn_batch_repair_via_rebuild_cellstats(spark, sf_dir, tmp_path):
     full = _stats(spark, state)
     after_b1.write.mode("overwrite").parquet(f"{state}/cellstats")
     n_post = spark.read.parquet(f"{state}/postings").count()
+    assert _stats(spark, state) != full  # the torn state is real
 
-    # replay of the torn batch: no double-insert, stats still short
+    # replay of the torn batch: entry self-check repairs stats, then
+    # the anti-join makes the batch a no-op on postings
     out = apply_postings_batch(spark, batches[2], state)
     assert out["batch_vecs"] == 0
     assert spark.read.parquet(f"{state}/postings").count() == n_post
-    assert _stats(spark, state) != full
-
-    rebuild_cellstats(spark, state)
     assert _stats(spark, state) == full
 
 
-def test_rebuild_cellstats_refuses_batch0_tear(spark, sf_dir, tmp_path):
-    """A batch-0 tear has no stored baseline to preserve — the repair
-    helper must refuse loudly rather than fabricate one."""
+def test_batch0_tear_and_legacy_layout_refused(spark, sf_dir, tmp_path):
+    """A batch-0 tear (postings without cellstats) has no recoverable
+    baseline — both the fold and the repair helper must refuse loudly
+    rather than freeze an empty one. A legacy unbucketed postings
+    layout is likewise refused with a migration pointer, and
+    migrate_postings_layout rewrites it losslessly."""
     import shutil
 
     from bbc_news_data_pipeline_spark.streaming.annindex import (
+        migrate_postings_layout,
         rebuild_cellstats,
     )
 
     state = str(tmp_path / "state")
     emb = _seed_centroids(spark, sf_dir, state)
-    apply_postings_batch(spark, emb.select("vec_id", "embedding"), state)
+    batch = emb.select("vec_id", "embedding")
+    apply_postings_batch(spark, batch, state)
     shutil.rmtree(f"{state}/cellstats")
     with pytest.raises(ValueError, match="batch-0"):
         rebuild_cellstats(spark, state)
+    with pytest.raises(ValueError, match="torn write"):
+        apply_postings_batch(spark, batch, state)
+
+    # legacy flat layout: rewrite postings without the bucket dirs
+    state2 = str(tmp_path / "state2")
+    _seed_centroids(spark, sf_dir, state2)
+    apply_postings_batch(spark, batch, state2)
+    legacy = (
+        spark.read.parquet(f"{state2}/postings")
+        .select("vec_id", "cell", "r2")
+        .localCheckpoint(eager=True)
+    )
+    want = sorted((r.vec_id, r.cell, r.r2) for r in legacy.collect())
+    shutil.rmtree(f"{state2}/postings")
+    legacy.write.mode("overwrite").parquet(f"{state2}/postings")
+    with pytest.raises(ValueError, match="legacy unbucketed"):
+        apply_postings_batch(spark, batch, state2)
+    migrate_postings_layout(spark, state2)
+    post = spark.read.parquet(f"{state2}/postings")
+    assert "bucket" in post.columns
+    assert sorted((r.vec_id, r.cell, r.r2) for r in post.collect()) == want
+    # migration is idempotent and the fold accepts the migrated layout
+    migrate_postings_layout(spark, state2)
+    out = apply_postings_batch(spark, batch, state2)
+    assert out["batch_vecs"] == 0
