@@ -172,9 +172,18 @@ def connected_components(
                 F.col("lbl").alias("old_lbl"),
                 F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()  # eager: materialize once, reuse for both actions
+            # lazy: the convergence agg below is the round's ONE action —
+            # it materializes (and caches) stepped as a side effect, so the
+            # old eager-checkpoint-then-count pair (2 scheduler jobs/round)
+            # collapses to 1 without changing what any round computes
+            .localCheckpoint(eager=False)
         )
-        changed = stepped.filter(F.col("lbl") < F.col("old_lbl")).limit(1).count()
+        changed = int(
+            stepped.agg(
+                F.sum((F.col("lbl") < F.col("old_lbl")).cast("long"))
+            ).first()[0]
+            or 0
+        )
         labels = stepped.select("v", "lbl")
         if changed == 0:
             break
@@ -222,9 +231,13 @@ def resolve_ancestors(
                 F.coalesce("jp", "p").alias("p"),
                 F.col("jc").isNotNull().alias("_moved"),
             )
-            .localCheckpoint()  # eager: one materialization reused by both actions
+            # lazy: the convergence agg is the round's ONE action and
+            # materializes stepped as a side effect (see connected_components)
+            .localCheckpoint(eager=False)
         )
-        moved = stepped.filter("_moved").limit(1).count()
+        moved = int(
+            stepped.agg(F.sum(F.col("_moved").cast("long"))).first()[0] or 0
+        )
         res = stepped.select("c", "p")
         if moved == 0:
             break
@@ -402,7 +415,7 @@ def cc_two_phase(
         edges.select(F.greatest(a, b).alias("a"), F.least(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # the n_prev count materializes it
     )
     rounds: list[dict] = []
     n_prev = e.count()
@@ -419,7 +432,8 @@ def cc_two_phase(
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # both small-star readers share
+            # one materialization inside the convergence action below
         )
         # small-star: canonical edges already point big→small, so the
         # groupBy key IS the star center u and every b < u
@@ -430,10 +444,25 @@ def cc_two_phase(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins_s.select(F.col("a"), F.col("m").alias("b")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        n_new = e_ss.count()
-        new_edges = e_ss.exceptAll(e).count()
+        # ONE action per round: n_edges and changed fused into a single
+        # aggregate (both edge sets are DISTINCT by construction, so the
+        # old exceptAll count equals the unmatched-row count of a left
+        # join — no second shuffle pass, no separate count jobs). The agg
+        # also materializes the round's checkpoints.
+        stats = (
+            e_ss.join(
+                e.select("a", "b", F.lit(1).alias("_old")), ["a", "b"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_old").isNull().cast("long")).alias("chg"),
+            )
+            .first()
+        )
+        n_new = int(stats["n"])
+        new_edges = int(stats["chg"] or 0)
         rounds.append({"round": rnd, "n_edges": n_new, "changed": new_edges})
         converged = new_edges == 0 and n_new == n_prev
         e, n_prev = e_ss, n_new

@@ -771,3 +771,49 @@ def bloom_hit_expr_dense(key_col: Column, masks: list[int], k: int = 4) -> Colum
         )
         hit = hit & bit_set
     return hit.cast("int")
+
+
+def bloom_hits_count_dense(
+    md5_keys_arr: Column, masks: list[int], k: int = 4
+) -> Column:
+    """COUNT of Bloom hits over an ARRAY column of md5-hex keys — the
+    per-TOKEN gate shape (q128). Identical bit test as
+    :func:`bloom_hit_expr_dense`, restructured for lambda evaluation
+    cost: higher-order-function lambdas are evaluated interpreted, where
+    codegen's subexpression elimination cannot reach, so the per-key
+    form re-evaluated md5+conv k·2 times per element. Here each key's
+    (h1, h2) pair is computed ONCE in a first ``transform`` and the k
+    probes are pure integer algebra over the pair — same positions, same
+    masks, same count."""
+    words = len(masks)
+    m = words * BLOOM_WORD_BITS
+    arr = F.array(*[F.lit(mm) for mm in masks])
+    hs = F.transform(
+        md5_keys_arr,
+        lambda hk: F.struct(
+            F.conv(F.substring(hk, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(hk, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+    def _probe(s):
+        hit = F.lit(True)
+        for j in range(k):
+            p = (s["h1"] + F.lit(j) * s["h2"]) % F.lit(m)
+            word = F.floor(p / F.lit(BLOOM_WORD_BITS)).cast("int")
+            bit = (p % F.lit(BLOOM_WORD_BITS)).cast("double")
+            mask = F.element_at(arr, word + F.lit(1))
+            hit = hit & (
+                F.floor(mask.cast("double") / F.pow(F.lit(2.0), bit)).cast(
+                    "long"
+                )
+                % 2
+                == 1
+            )
+        return hit.cast("long")
+
+    return F.aggregate(
+        F.transform(hs, _probe),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -1187,34 +1187,62 @@ def q153_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("s"),
     ).select("name_i", "s.m", "s.slot", "s.key")
-    probe_structs = []
-    for dm in range(-_Q153_D, _Q153_D + 1):
-        m = (nn + F.lit(dm)).cast("int")
-        for i in range(_Q153_K):
-            start = _q153_seg_start(m, i)
-            seglen = _q153_seg_len(m, i)
-            for ds in range(-_Q153_D, _Q153_D + 1):
-                probe_structs.append(
-                    F.struct(
-                        m.alias("m"),
-                        F.lit(i).alias("slot"),
-                        (start + F.lit(ds)).cast("int").alias("s"),
-                        seglen.alias("l"),
-                    )
-                )
+    # Three chained narrow explodes (dm → slot → ds) instead of one
+    # 75-struct array: the single-Generate form unrolled (2D+1)·K·(2D+1)
+    # substring expressions into one codegen method, blowing the JVM's
+    # 64 KB method limit — whole-stage codegen FAILED to compile and the
+    # stage ran interpreted (the round-10 profiling found the
+    # CodeGenerator error pinned to this query; 4.8 s at sf0.001 of pure
+    # fixed cost). Chained, each Generate carries one 5- or 3-literal
+    # array and row-local arithmetic on (m, slot, ds) COLUMNS — same
+    # candidate rows, compilable methods. No extra shuffle: Generate is
+    # narrow.
+    _lb = F.floor(F.col("m") / _Q153_K).cast("int")
+    _r = (F.col("m") % _Q153_K).cast("int")
+    _slot = F.col("slot")
+    _start = (
+        _slot * _lb + F.greatest(F.lit(0), _slot - (F.lit(_Q153_K) - _r)) + 1
+    ).cast("int")
+    _len = _lb + F.when(_slot >= F.lit(_Q153_K) - _r, 1).otherwise(0)
     probe = (
-        names.select("p_name", "n", F.explode(F.array(*probe_structs)).alias("c"))
+        names.select(
+            "p_name",
+            "n",
+            F.explode(
+                F.array(*[F.lit(dm) for dm in range(-_Q153_D, _Q153_D + 1)])
+            ).alias("dm"),
+        )
+        .select("p_name", "n", (nn + F.col("dm")).cast("int").alias("m"))
+        .filter(F.col("m") >= _Q153_K)
+        .select(
+            "p_name",
+            "n",
+            "m",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_Q153_K)])
+            ).alias("slot"),
+        )
+        .select(
+            "p_name", "n", "m", "slot",
+            _start.alias("st"), _len.cast("int").alias("l"),
+            F.explode(
+                F.array(*[F.lit(ds) for ds in range(-_Q153_D, _Q153_D + 1)])
+            ).alias("ds"),
+        )
+        .select(
+            "p_name", "n", "m", "slot", "l",
+            (F.col("st") + F.col("ds")).cast("int").alias("s"),
+        )
         .filter(
-            (F.col("c.m") >= _Q153_K)
-            & (F.col("c.s") >= 1)
-            & (F.col("c.l") >= 1)
-            & (F.col("c.s") + F.col("c.l") - 1 <= F.col("n"))
+            (F.col("s") >= 1)
+            & (F.col("l") >= 1)
+            & (F.col("s") + F.col("l") - 1 <= F.col("n"))
         )
         .select(
             F.col("p_name").alias("name_p"),
-            "c.m",
-            "c.slot",
-            F.col("p_name").substr(F.col("c.s"), F.col("c.l")).alias("key"),
+            "m",
+            "slot",
+            F.col("p_name").substr(F.col("s"), F.col("l")).alias("key"),
         )
         .distinct()
     )

@@ -874,8 +874,13 @@ def q270_classifier_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").alias("n"),
             F.min("y").alias("y"),
         )
-        .localCheckpoint()  # EAGER: read 2-3x per step across K+1 steps —
-        # materializing once keeps every per-step plan a LogicalRDD leaf
+        # lazy: still a LogicalRDD leaf in every per-step plan (the RDD is
+        # compiled once, here), but materialization happens inside the
+        # query's single final action instead of as its own scheduler job —
+        # the K-step chain then runs as ONE action whose shared RDDs are
+        # computed exactly once (r10; the eager form cost 107 construction
+        # jobs at sf0.1, all fixed overhead).
+        .localCheckpoint(eager=False)
     )
     nn = feat.groupBy().agg(
         F.count_distinct("doc_id").cast("long").alias("nd")
@@ -910,11 +915,15 @@ def q270_classifier_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
             F.least(F.lit(999999), F.floor(p * 1000000 + F.lit(0.5))),
         ).cast("long")
-        pr = scored.select("doc_id", "n", "y", pq.alias("pq")).localCheckpoint()
-        # EAGER: pr feeds both the loss rollup and the gradient, and w{k}
-        # references w{k-1} twice — lazy checkpoints would let the K-step
-        # lineage nest doubly-referenced subplans (measured 160s; eager
-        # materialization of the tiny per-step frames bounds every plan)
+        pr = scored.select("doc_id", "n", "y", pq.alias("pq")).localCheckpoint(
+            eager=False
+        )
+        # lazy checkpoint ≠ no checkpoint: pr still compiles to ONE RDD
+        # object here, so both its readers (loss rollup + gradient) and
+        # w{k}'s two references share that RDD — the plan cannot re-nest
+        # doubly-referenced subtrees (the un-checkpointed form measured
+        # 160s), while the materialization job count drops from 17 eager
+        # checkpoints to the single final action.
         pp = F.col("pq") / F.lit(1000000.0)
         li = F.floor(
             -(
@@ -980,7 +989,7 @@ def q270_classifier_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long")
                 ).alias("w"),
             )
-            .localCheckpoint()  # EAGER — see pr note
+            .localCheckpoint(eager=False)  # see pr note
         )
     return reduce(lambda a, b: a.unionByName(b), out).orderBy("step")
 
@@ -1287,7 +1296,9 @@ def q278_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").alias("y"),
             F.min("fold").alias("fold"),
         )
-        .localCheckpoint()  # EAGER: every fold/step/eval reads this
+        # lazy: every fold/step/eval still reads the ONE compiled RDD; the
+        # single final action materializes it (see the q270 note)
+        .localCheckpoint(eager=False)
     )
 
     def forward(df, w):
@@ -1347,7 +1358,7 @@ def q278_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = None
         for _ in range(_Q278_K):
-            pr = forward(train, w).localCheckpoint()
+            pr = forward(train, w).localCheckpoint(eager=False)
             grad = (
                 train.join(pr.select("doc_id", "pq"), "doc_id")
                 .select(
@@ -1383,10 +1394,10 @@ def q278_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ).cast("long")
                     ).alias("w"),
                 )
-                .localCheckpoint()  # EAGER — the q270 lineage bound
+                .localCheckpoint(eager=False)  # the q270 lineage bound
             )
-        tr_ls = lossrow(forward(train, w).localCheckpoint())
-        va_ls = lossrow(forward(val, w).localCheckpoint())
+        tr_ls = lossrow(forward(train, w).localCheckpoint(eager=False))
+        va_ls = lossrow(forward(val, w).localCheckpoint(eager=False))
         mloss = lambda: F.round(
             F.col("lsum").cast("double") / 1e9 / F.col("n_docs"), 6
         )
@@ -4570,7 +4581,10 @@ def q209_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("c"))
         )
 
-    cells = _drain_to_memory(ev, cells_stream, "q209_ks", output_mode="complete")
+    # state = |event types| x |value domain / W| drift cells, bounded
+    # regardless of stream length; 8 state partitions cover it (r10)
+    cells = _drain_to_memory(ev, cells_stream, "q209_ks",
+                             output_mode="complete", state_partitions=8)
     return _ks_from_cells(cells)
 
 
@@ -6152,7 +6166,13 @@ def q262_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(arm == 0, qd * qd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(f"ss0_{s}"),
         ]
     base = orders.select(F.col("o_orderkey"), q.alias("_q")).agg(*cols)
-    rows = []
+    # One corpus pass total: the S per-seed rows are UNPACKED from the
+    # single 1-row aggregate with explode(array(struct...)) — the old
+    # S-way union of base.select(...) embedded S copies of the full
+    # aggregation subtree (Catalyst does not dedupe them: 21 scheduler
+    # jobs / 20 corpus aggregations to materialize). Same expressions,
+    # same values per seed.
+    seed_structs = []
     for s in range(_Q262_SEEDS):
         n1 = F.col(f"n1_{s}").cast("double")
         n0 = F.col(f"n0_{s}").cast("double")
@@ -6168,17 +6188,18 @@ def q262_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"s1_{s}").cast("double") / n1
             - F.col(f"s0_{s}").cast("double") / n0
         ) / F.sqrt(v1 / n1 + v0 / n0)
-        rows.append(
-            base.select(
+        seed_structs.append(
+            F.struct(
                 F.lit(s).alias("seed"),
                 F.col(f"n1_{s}").cast("long").alias("n1"),
                 F.col(f"n0_{s}").cast("long").alias("n0"),
                 t.alias("_t"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.union(r)
+    out = (
+        base.select(F.explode(F.array(*seed_structs)).alias("r"))
+        .select("r.seed", "r.n1", "r.n0", "r._t")
+    )
     out = out.localCheckpoint(eager=False)  # feeds rows + FP-rate rollup
     fp = out.agg(
         F.sum((F.abs(F.col("_t")) > _Q262_TCRIT).cast("long")).alias("n_fp")

@@ -573,7 +573,7 @@ def q128_stream_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_build,
         bloom_collected,
         bloom_dense_masks,
-        bloom_hit_expr_dense,
+        bloom_hits_count_dense,
     )
     from .streaming_plans import _drain_to_memory
 
@@ -596,12 +596,10 @@ def q128_stream_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gate(st):
         sh = with_shingles(st, "doc_id", "text", k=_DECON_K)
         dsh = F.array_distinct(F.col("shingles"))
-        hits = F.aggregate(
-            F.transform(
-                dsh, lambda sg: bloom_hit_expr_dense(F.md5(sg), masks, k=_Q128_K)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        # hash each shingle ONCE, then probe — the per-element expr form
+        # re-evaluated md5 k·2 times inside the (interpreted) lambda
+        hits = bloom_hits_count_dense(
+            F.transform(dsh, F.md5), masks, k=_Q128_K
         )
         return sh.select(
             "doc_id",

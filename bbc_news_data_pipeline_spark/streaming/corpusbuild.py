@@ -104,12 +104,17 @@ def apply_corpus_batch(
             batch["_fp"] == F.col("fp"),
             "left_anti",
         )
-    batch = batch.localCheckpoint()  # survivors feed gate + index append
+    # lazy: survivors feed gate + index append through ONE compiled RDD;
+    # the cum eager checkpoint below (a full groupBy over gated) is the
+    # batch's first action and materializes batch+gated caches end-to-end,
+    # so the later fpindex append and stats counts read the cache — two
+    # fewer scheduler jobs per micro-batch, identical data.
+    batch = batch.localCheckpoint(eager=False)
 
     # 2. row-local quality gate
     gated = gate_documents(
         batch, dup_t=dup_t, bigram_t=bigram_t, carry=("lang",)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # 3. cumulative counts -> this epoch's frozen rates
     bc = gated.groupBy("lang").agg(F.count("*").alias("n"))
@@ -145,7 +150,10 @@ def apply_corpus_batch(
         .withColumn("_ck", sample_key_expr("doc_id", salt=salt_sum))
     )
     if _exists(spark, man):
-        stored_man = spark.read.parquet(man).localCheckpoint()
+        # lazy: merged's EAGER checkpoint below consumes it (fully
+        # materializing this cache) strictly before the manifest overwrite,
+        # so the read-then-overwrite hazard is still fenced
+        stored_man = spark.read.parquet(man).localCheckpoint(eager=False)
     else:
         stored_man = None
     packed = exclusive_prefix_sum(
