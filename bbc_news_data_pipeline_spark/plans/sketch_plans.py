@@ -334,8 +334,10 @@ def q124_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("_rho").alias("r"))
         )
 
+    # state = the 256 HLL registers (m rows forever); 8 state partitions
+    # cover the key domain at any corpus size (r10, see _drain_to_memory)
     regs = _drain_to_memory(docs, registers_stream, "q124_hll",
-                            output_mode="complete")
+                            output_mode="complete", state_partitions=8)
     agg = hll_harmonic_agg(regs)
     raw, corrected = hll_estimate_cols()
     est = agg.select("occupied", corrected.alias("_est"))
@@ -1177,7 +1179,10 @@ def q135_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    drained = _drain_to_memory(docs, transform, "q135_kmv", output_mode="append")
+    # state key = source (a handful of feeds at any scale); 8 partitions
+    # bound the per-batch state-store I/O to the key domain (r10)
+    drained = _drain_to_memory(docs, transform, "q135_kmv",
+                               output_mode="append", state_partitions=8)
     final = (
         drained.groupBy("source")
         .agg(
@@ -1386,7 +1391,10 @@ def q140_stream_grid_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return grid_digest(nt, "nt", _Q138_W)
 
     merged = _drain_to_memory(
-        docs, digest_stream, "q140_digest", output_mode="complete"
+        # state = the fixed grid (domain/width buckets, bounded forever);
+        # 8 state partitions cover it at any corpus size (r10)
+        docs, digest_stream, "q140_digest", output_mode="complete",
+        state_partitions=8,
     ).select("bucket", F.col("cnt").cast("long").alias("cnt"))
     vals = load(spark, sf_dir, "documents").select(
         F.size(F.split("text", " ")).cast("long").alias("nt")
@@ -1835,7 +1843,10 @@ def q150_stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    drained = _drain_to_memory(docs, transform, "q150_psmp", output_mode="append")
+    # state key = source (bounded feed set); 8 partitions per the
+    # key-domain bound (r10, see _drain_to_memory)
+    drained = _drain_to_memory(docs, transform, "q150_psmp",
+                               output_mode="append", state_partitions=8)
     final = (
         drained.groupBy("source")
         .agg(
@@ -3427,7 +3438,10 @@ def q174_stream_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    drained = _drain_to_memory(docs, transform, "q174_mg", output_mode="append")
+    # state key = source (bounded feed set); 8 partitions per the
+    # key-domain bound (r10, see _drain_to_memory)
+    drained = _drain_to_memory(docs, transform, "q174_mg",
+                               output_mode="append", state_partitions=8)
     latest = drained.join(
         drained.groupBy("source").agg(F.max("n_seen").alias("n_seen")),
         ["source", "n_seen"],

@@ -79,7 +79,8 @@ SESSION_GAP_S = 1800
 
 
 def _drain_to_memory(
-    batch_df, transform, prefix: str, output_mode: str = "append"
+    batch_df, transform, prefix: str, output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> "DataFrame":
     """Run ``transform(stream_df)`` as a REAL availableNow streaming query
     over a temp parquet re-emission of ``batch_df`` and return the drained
@@ -93,6 +94,19 @@ def _drain_to_memory(
     (parquet re-emission + stream checkpoint) are torn down before
     returning — repeated drains in one long-lived session stay flat on
     disk and catalog entries.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` around
+    the streaming query for transforms whose STATE KEY is bounded and
+    tiny by construction (per-source sketches: |sources| keys; HLL/grid
+    registers: a few hundred rows). Streaming disables AQE, so every
+    stateful exchange — and, more expensively, every per-partition state
+    store with its per-batch delta/snapshot checkpoint files — runs at
+    the static partition count; for a ≤few-hundred-key state, partitions
+    beyond the key count are pure fixed I/O at ANY cluster size (state
+    parallelism is bounded by distinct keys, not by data volume). The
+    value is chosen per query from the key-domain bound, never from the
+    local core count; high-cardinality keyed state (doc_id dedup,
+    user sessions) must leave it None.
     """
     import os
     import shutil
@@ -102,9 +116,13 @@ def _drain_to_memory(
     src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
     sink = os.path.basename(tmp)
     spark = batch_df.sparkSession
+    prev_parts = None
     try:
         batch_df.coalesce(4).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        if state_partitions is not None:
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         q = (
             transform(stream)
             .writeStream.format("memory")
@@ -115,10 +133,15 @@ def _drain_to_memory(
             .start()
         )
         q.awaitTermination()
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            prev_parts = None
         # materialize off the memory sink so both the view and the temp
         # dir can be dropped while the caller keeps a live DataFrame
         return spark.table(sink).localCheckpoint(eager=True)
     finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.catalog.dropTempView(sink)
         shutil.rmtree(tmp, ignore_errors=True)
 

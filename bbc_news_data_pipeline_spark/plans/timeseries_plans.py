@@ -2701,13 +2701,18 @@ def q272_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = edges.groupBy("s", "t").agg(F.count("*").cast("long").alias("n"))
     ns = tr.groupBy("s").agg(F.sum("n").alias("ns"))
-    trn = tr.join(ns, "s").localCheckpoint()  # |states|^2 rows; K joins read it
+    # lazy: trn still compiles to ONE shared RDD for its K+1 readers, but
+    # materialization happens inside the query's single final action —
+    # the eager form cost 38 construction jobs (~15 s at sf0.1 of pure
+    # scheduler fixed cost, re-paid on every bench run because bench
+    # re-calls the plan builder)
+    trn = tr.join(ns, "s").localCheckpoint(eager=False)
     rem = (
         trn.select(F.col("t").alias("removed"))
         .filter(~F.col("removed").isin("CONV", "NULL", "START"))
         .distinct()
         .unionByName(spark.createDataFrame([("__none__",)], "removed string"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     p = rem.select(
         "removed",
@@ -2728,7 +2733,12 @@ def q272_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("removed", "t")
             .agg(F.sum("dv").cast("long").alias("v"))
             .withColumnRenamed("t", "state")
-            .localCheckpoint()  # EAGER: metadata-sized; bounds the K-step plan
+            # lazy checkpoint ≠ no checkpoint: each step still compiles to
+            # one RDD, so the K-step chain stays linear (each p{k} is read
+            # once by p{k+1} and the chain shares the single trn RDD) while
+            # the per-step materialization jobs collapse into the final
+            # action (the q270 discipline)
+            .localCheckpoint(eager=False)
         )
     pconv = p.filter(F.col("state") == "CONV").select("removed", F.col("v").alias("pc"))
     base = pconv.filter(F.col("removed") == "__none__").select(

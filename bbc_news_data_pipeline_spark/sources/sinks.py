@@ -310,6 +310,15 @@ def merge_upsert(
     # when nothing is stranded.
     recover_merge(path)
 
+    # The incoming batch feeds up to FIVE actions below (dup check,
+    # partition probe, stability probe, matched count, final write); lazy
+    # localCheckpoint compiles it to one RDD so the first action
+    # materializes it and the rest read the cache instead of re-running
+    # the caller's full lineage (for SCD2 appliers that lineage is a
+    # stored-table scan + outer join — 5x re-run was the dominant
+    # per-merge cost). Batches here are change sets, bounded by design.
+    df = df.localCheckpoint(eager=False)
+
     n_in, n_keys = df.agg(
         F.count("*").alias("n"), F.count_distinct(F.col(key)).alias("k")
     ).first()
