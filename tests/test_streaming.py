@@ -139,3 +139,40 @@ def test_stream_dedup_ttl_collapses_redelivery(spark, sf_dir):
     assert r.n_rows == r.n_ids == want.n
     assert r.sum_ids == want.si and r.sum_cents == want.sc
     assert (r.min_ts, r.max_ts) == (want.mn, want.mx)
+
+
+def test_drain_state_partitions_scoped_and_restored(spark):
+    """_drain_to_memory(state_partitions=N) must (a) run the stateful
+    stream at N shuffle/state partitions, (b) restore the session conf
+    afterwards — including on failure — and (c) not change results
+    (r10: bounded-key state drains at the key-domain partition count)."""
+    from bbc_news_data_pipeline_spark.plans.streaming_plans import (
+        _drain_to_memory,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    src = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    )
+
+    seen = {}
+
+    def agg_stream(st):
+        seen["parts"] = st.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        return st.groupBy("k").agg(F.sum("v").alias("s"))
+
+    out = _drain_to_memory(
+        src, agg_stream, "tdrainsp", output_mode="complete",
+        state_partitions=3,
+    )
+    assert seen["parts"] == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert {(r.k, r.s) for r in out.collect()} == {("a", 3), ("b", 3)}
+
+    # restore-on-failure: a transform that raises must not leak the conf
+    def boom(st):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        _drain_to_memory(src, boom, "tdrainsp2", state_partitions=5)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
