@@ -503,9 +503,19 @@ def q105_bloom_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.dedup import band_keys, bloom_build, bloom_probe
 
     docs = load(spark, sf_dir, "documents")
-    corpus_keys = band_keys(
-        docs.filter(F.col("doc_id") < _Q105_SPLIT), "doc_id", "text",
-        n_hashes=8, bands=4, k=SHINGLE_K,
+    # Width-pruned single banding pass (r10): both corpus-side consumers
+    # (bloom build + exact-verify join) read ONLY band_key, so the
+    # shingle→minhash→band md5 chain over the corpus runs once behind a
+    # lazy checkpoint of the one 32-char key column — the stored footprint
+    # is bands×16B/doc at any corpus size, vs re-hashing every shingle
+    # twice.
+    corpus_keys = (
+        band_keys(
+            docs.filter(F.col("doc_id") < _Q105_SPLIT), "doc_id", "text",
+            n_hashes=8, bands=4, k=SHINGLE_K,
+        )
+        .select("band_key")
+        .localCheckpoint(eager=False)
     )
     bloom = bloom_build(corpus_keys, "band_key", words=_BLOOM_WORDS, k=_BLOOM_K)
     batch = docs.filter(F.col("doc_id") >= _Q105_SPLIT)

@@ -1071,14 +1071,25 @@ ORDER BY vol DESC, unit_c, suppkey
 # co-occur in an order more often than independence predicts. The 100 TB
 # shape: broadcast dim join lifts items to a bounded category domain
 # (|brands| = 25, so the rule space is ≤ 25·24 ordered pairs — bounded
-# by construction, the same role as the a-priori support prune), the
-# basket distinct and the per-order self-join shuffle ONCE on the
-# order key (pair fan-out bounded by basket²·category cap), and every
-# measure derives from three integer counts (supp_ab, supp_a, N) joined
-# broadcast — no row ever carries a float until the final rounded
+# by construction, the same role as the a-priori support prune), and
+# every measure derives from three integer counts (supp_ab, supp_a, N)
+# joined broadcast — no row ever carries a float until the final rounded
 # division. Top-20 by lift with full (a,b) tiebreak.
+#
+# r10 shape (same rework as q219): ONE basket-grouping exchange
+# (collect_set folds the DISTINCT), then the ordered-pair stream is a
+# row-local nested transform over each order's distinct item array —
+# no l_orderkey self-join shuffle; the pair groupBy ships map-side-
+# combined (pair, partial-count) rows bounded by the 25·24 rule space.
 # ---------------------------------------------------------------------------
 _Q157_TOPN = 20
+
+# all ordered (x, y), x != y, over the per-order distinct item array
+_Q157_PAIRS = """
+flatten(transform(items, x ->
+    transform(filter(items, y -> y != x),
+              y -> struct(x AS antecedent, y AS consequent))))
+"""
 
 
 def q157_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,19 +1097,21 @@ def q157_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        # feeds totals, per-item supports, and both sides of the pair
-        # self-join — pin so the basket build runs once (q144 pattern)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("items"))
+        # feeds totals, per-item supports and the pair stream — pin so
+        # the basket build runs once (q144 pattern)
         .localCheckpoint(eager=False)
     )
-    totals = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = baskets.groupBy("p_brand").agg(F.count("*").alias("supp_i"))
-    a = baskets.select("l_orderkey", F.col("p_brand").alias("antecedent"))
-    b = baskets.select("l_orderkey", F.col("p_brand").alias("consequent"))
+    totals = baskets.agg(F.count("*").alias("n_orders"))
+    item = (
+        baskets.select(F.explode("items").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("supp_i"))
+    )
     pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("antecedent") != F.col("consequent"))
+        baskets.select(F.explode(F.expr(_Q157_PAIRS)).alias("pr"))
+        .select("pr.antecedent", "pr.consequent")
         .groupBy("antecedent", "consequent")
         .agg(F.count("*").alias("supp_ab"))
     )
@@ -1576,9 +1589,34 @@ ORDER BY region, nation
 # bites); minsup is a 0.4% rate so all SFs emit. Supports, 3-way lift
 # (supp·n² / (sa·sb·sc)) and the minsup line ship per surviving triple.
 # All-integer until the two display ratios.
+#
+# r10 shape: baskets are grouped ONCE into a sorted per-order item array
+# (collect_set folds the DISTINCT into the same exchange), and the pair
+# and triple streams are row-local array combinatorics (nested
+# transform/slice — i<j<k by construction over the sorted array) instead
+# of shuffled l_orderkey self-joins. The per-order frequent-item filter
+# is a broadcast 1-row array_intersect (F1 is bounded by the brand
+# domain — the Apriori premise). The corpus shuffles ONCE (the basket
+# grouping); the pair/triple groupBys ship only map-side-combined
+# (candidate, partial-count) rows, bounded by the F1 combination space,
+# never by corpus row count.
 # ---------------------------------------------------------------------------
 _Q219_MINSUP_NUM, _Q219_MINSUP_DEN = 4, 1000  # minsup = ⌈n·0.4%⌉
 _Q219_TOPN = 20
+
+# all (i, j) / (i, j, k) combinations, i<j(<k), of the sorted distinct
+# per-order frequent-item array — row-local, bounded by basket size
+_Q219_PAIRS = """
+flatten(transform(fitems, (x, i) ->
+    transform(slice(fitems, i + 2, size(fitems)),
+              y -> struct(x AS b1, y AS b2))))
+"""
+_Q219_TRIPLES = """
+flatten(transform(fitems, (x, i) ->
+    flatten(transform(slice(fitems, i + 2, size(fitems)), (y, j) ->
+        transform(slice(fitems, i + j + 3, size(fitems)),
+                  z -> struct(x AS b1, y AS b2, z AS b3))))))
+"""
 
 
 def q219_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1586,19 +1624,20 @@ def q219_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds totals, F1, P2, triple stream
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("items"))
+        .localCheckpoint(eager=False)  # ONE basket pass: totals, F1, P2, triples
     )
     tot = baskets.agg(
-        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_orders"),
         F.expr(
-            f"(count(DISTINCT l_orderkey) * {_Q219_MINSUP_NUM}"
+            f"(count(*) * {_Q219_MINSUP_NUM}"
             f" + {_Q219_MINSUP_DEN - 1}) div {_Q219_MINSUP_DEN}"
         ).alias("minsup"),
     )
     item = (
-        baskets.groupBy("p_brand")
+        baskets.select(F.explode("items").alias("p_brand"))
+        .groupBy("p_brand")
         .agg(F.count("*").alias("supp_i"))
         .crossJoin(F.broadcast(tot))
         .filter(F.col("supp_i") >= F.col("minsup"))
@@ -1607,14 +1646,18 @@ def q219_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hint-free joins below: item/p2/c3 are brand-domain-bounded but sit
     # behind lazy checkpoints (opaque to the static walker) — AQE picks
-    # broadcast from their observed few-hundred-byte sizes at runtime
-    fb = baskets.join(item.select("p_brand"), "p_brand", "left_semi")
-    x = fb.select("l_orderkey", F.col("p_brand").alias("b1"))
-    y = fb.select("l_orderkey", F.col("p_brand").alias("b2"))
-    z = fb.select("l_orderkey", F.col("p_brand").alias("b3"))
+    # broadcast from their observed few-hundred-byte sizes at runtime.
+    # The F1 filter itself is a broadcast 1-row sorted array: intersect
+    # keeps fitems sorted/distinct, so i<j<k combinations ARE b1<b2<b3.
+    fset = item.agg(F.sort_array(F.collect_set("p_brand")).alias("fi"))
+    fb = (
+        baskets.crossJoin(F.broadcast(fset))
+        .select(F.array_intersect("items", "fi").alias("fitems"))
+        .filter(F.size("fitems") >= 2)
+    )
     p2 = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("b1") < F.col("b2"))
+        fb.select(F.explode(F.expr(_Q219_PAIRS)).alias("pr"))
+        .select("pr.b1", "pr.b2")
         .groupBy("b1", "b2")
         .agg(F.count("*").alias("supp_p"))
         .crossJoin(F.broadcast(tot.select("minsup")))
@@ -1638,10 +1681,8 @@ def q219_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b1", "b2", "b3")
     )
     triples = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("b1") < F.col("b2"))
-        .join(z, "l_orderkey")
-        .filter(F.col("b2") < F.col("b3"))
+        fb.select(F.explode(F.expr(_Q219_TRIPLES)).alias("tr"))
+        .select("tr.b1", "tr.b2", "tr.b3")
         .join(c3, ["b1", "b2", "b3"], "left_semi")
         .groupBy("b1", "b2", "b3")
         .agg(F.count("*").alias("supp_abc"))

@@ -80,6 +80,13 @@ def test_corpus_broadcast_hint_sites_pinned():
         # skyline prefix-scan survivors: <= one representative row per
         # score bucket (B buckets) after the monotone-min filter
         "q161_pareto_frontier": 1,
+        # bloom incremental neardup: the ≤2048-row bloom word table
+        # (groupBy over a FIXED word space) and the bloom-hit batch-key
+        # frame (≤ batch docs × bands — the incremental batch, small by
+        # construction) — both sat above the corpus band-key frame
+        # transparently until r10's width-pruned lazy checkpoint made
+        # that subtree opaque to the walker
+        "q105_bloom_incremental_neardup": 2,
         # phrase table: LIMIT-3 top-bigram frame (the lazy checkpoint
         # hides the limit from the static walker), broadcast into both
         # postings sides + the truth crossJoin
