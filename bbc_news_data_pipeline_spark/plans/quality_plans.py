@@ -1080,22 +1080,97 @@ ORDER BY step
 # recipe, Yang & Pedersen 1997). All four contingency cells are EXACT
 # integer doc counts (n11 via one distinct-(doc,bucket) rollup joined
 # to the per-doc label; the other three by complement arithmetic), and
-# the log itself is detmath.det_ln — a fixed chain of correctly-rounded
-# IEEE ops (20 sqrts + cubic series) that is bit-identical across JVM
-# and libm, so the whole MI expression is the SAME double in both
-# engines and the 1e-9 floor grid cannot flip. (The round-8 driver red
-# proved the previous engine-ln() version's "grid 1e-9 vs ulp 1e-15
-# can never flip" claim wrong at grid boundaries: when mi·1e9 lands
-# within an ulp of an integer, Math.log vs libm ln floor to different
-# cells. The grid is only as safe as the value feeding it is
-# deterministic.) Ranking uses the floored grid value itself (desc,
-# bucket tiebreak) so top-K membership and emitted values share one
+# the whole MI value is computed in int64 FIXED-POINT (r11: detmath.
+# det_ln_q36 — Q36 integer log; see _q276_mi_stages): the r8→r10
+# driver-red history showed that ANY double feeding the 1e-9 floor
+# grid is environment-sensitive across engine builds (engine ln ulps
+# in r8, then the det_ln correctly-rounded-IEEE chain still red in
+# r9/r10 — FP contraction or expression rewriting in the driver's
+# DuckDB build evaluates a different op sequence). Integer +,-,*,div
+# have exactly one defined result everywhere, so mi_nano cannot flip.
+# Ranking uses the fixed-point grid value itself (desc, bucket
+# tiebreak) so top-K membership and emitted values share one
 # deterministic key. Top-20 as a bounded TakeOrdered. Scale: one
 # distinct rollup + one groupBy on the bucket key — Zipf/hash-bounded;
 # no windows, no per-doc fan-out beyond tokenization.
 # ---------------------------------------------------------------------------
 _Q276_TOPK = 20
 _Q276_SCALE = 1_000_000_000
+
+
+def _q276_mi_stages(dialect: str) -> list[dict[str, str]]:
+    """Staged int64-only MI expressions, identical in both dialects.
+
+    Input columns: b, n1, n11 (per-bucket exact counts), nn, npos (corpus
+    totals). Output column ``mi_nano`` = the Q36 fixed-point mutual
+    information rescaled to integer nanos, and ``pos_rate_bp`` — both
+    computed with integer +,-,*,div,% only (see detmath.det_ln_q36 for
+    why: no double ever feeds the emitted grid, so engine float build
+    flags cannot flip the hash). Every intermediate is proven < 2^63 for
+    corpus sizes nn < 2^31.
+
+    Derivation: MI = sum_x p_x * ln(a_x/b_x) with p_x = c_x/nn,
+    a_x = c_x*nn, b_x = row/col marginal product. Fixed-point:
+    P_x = floor(c_x*2^30/nn), L = det_ln_q36(a or b) (Q36), each
+    term tA-tB with tA = floor(P*LA/2^30) done as an exact two-limb
+    division (LA split at 2^12; the carry is provably zero). mi_nano =
+    floor((S + 256*2^36)*1e9 / 2^36) - 256e9, again two-limb at 2^18 —
+    the offset keeps every divided quantity nonnegative so truncating
+    integer division == floor in both engines.
+    """
+    from ..functions.detmath import _idiv, det_ln_q36_stages
+
+    d = dialect
+
+    def idiv(a: str, b: str) -> str:
+        return _idiv(a, b, d)
+
+    cells = {
+        "c11": "n11",
+        "c10": "(n1 - n11)",
+        "c01": "(npos - n11)",
+        "c00": "(nn - n1 - npos + n11)",
+    }
+    margs = {
+        "c11": "(n1 * npos)",
+        "c10": "(n1 * (nn - npos))",
+        "c01": "((nn - n1) * npos)",
+        "c00": "((nn - n1) * (nn - npos))",
+    }
+    s_cell: dict[str, str] = {}
+    ln_args: dict[str, str] = {}
+    for x, cexpr in cells.items():
+        s_cell[x] = f"CAST({cexpr} AS BIGINT)"
+    s_prod: dict[str, str] = {}
+    for x in cells:
+        s_prod[f"a{x}"] = f"({x} * nn)"
+        s_prod[f"g{x}"] = margs[x]
+        s_prod[f"p{x}"] = idiv(f"({x} * 1073741824)", "nn")
+        ln_args[f"l{x}a"] = f"a{x}"
+        ln_args[f"l{x}b"] = f"g{x}"
+    ln_stages = det_ln_q36_stages(ln_args, d)
+
+    def two_limb(p: str, ln: str) -> str:
+        hi = f"({p} * {idiv(ln, '4096')})"
+        lo = idiv(f"({p} * ({ln} % 4096))", "4096")
+        return idiv(f"({hi} + {lo})", "262144")
+
+    s_term: dict[str, str] = {}
+    for x in cells:
+        ta = two_limb(f"p{x}", f"l{x}a_ln")
+        tb = two_limb(f"p{x}", f"l{x}b_ln")
+        s_term[f"t{x}"] = f"(CASE WHEN {x} > 0 THEN {ta} - {tb} ELSE 0 END)"
+    s_sum = {"smi": "(" + " + ".join(f"t{x}" for x in cells) + ")"}
+    s_off = {"soff": "(smi + 17592186044416)"}  # + 256*2^36 >= 0 always
+    nano_hi = f"({idiv('soff', '262144')} * 1000000000)"
+    nano_lo = idiv("((soff % 262144) * 1000000000)", "262144")
+    s_out = {
+        "mi_nano": (
+            idiv(f"({nano_hi} + {nano_lo})", "262144") + " - 256000000000"
+        ),
+        "pos_rate_bp": idiv("(20000 * n11 + n1)", "(2 * n1)"),
+    }
+    return [s_cell, s_prod, *ln_stages, s_term, s_sum, s_off, s_out]
 
 
 def q276_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,57 +1204,46 @@ def q276_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n1"),
         F.sum("y").cast("long").alias("n11"),
     )
-    from ..functions.detmath import det_ln
-
-    d = lambda c: c.cast("double")
-
-    def term(nxc, nx, nc, nn):
-        return F.when(
-            nxc > 0,
-            (d(nxc) / d(nn)) * det_ln(d(nxc) * d(nn) / (d(nx) * d(nc))),
-        ).otherwise(F.lit(0.0))
-
-    nn, npos = F.col("nn"), F.col("npos")
-    n1, n11 = F.col("n1"), F.col("n11")
-    n10 = n1 - n11
-    n01 = npos - n11
-    n00 = nn - n1 - npos + n11
-    mi = (
-        term(n11, n1, npos, nn)
-        + term(n10, n1, nn - npos, nn)
-        + term(n01, nn - n1, npos, nn)
-        + term(n00, nn - n1, nn - npos, nn)
-    )
-    # Emission is pure BIGINT (r10): the r9 driver red survived det_ln —
-    # the floored fine-grid DOUBLE itself proved environment-sensitive in
-    # the driver's hash (float canonicalization / engine-build effects no
-    # local probe can see). Integers survive any engine's float
-    # formatting, signed zeros, and last-ulp display behavior, so the
-    # grid value is emitted as the integer numerator, never divided back.
+    # Integer-only emission (r11): the r9/r10 driver reds survived BOTH
+    # engine-ln() replacement AND BIGINT emission — the double feeding
+    # floor(mi*1e9) was still environment-sensitive in the driver's
+    # DuckDB build (FP contraction / build flags no local probe can
+    # reproduce). The whole MI computation now runs in int64 fixed-point
+    # (detmath.det_ln_q36: Q36 log via comparison ladder + table + atanh
+    # cubic, only integer ops): mi_nano never touches a double in EITHER
+    # engine, so no float build flag can flip it. _q276_mi_stages builds
+    # the identical staged expressions for both dialects.
+    df = cells.crossJoin(F.broadcast(tot))
+    for st in _q276_mi_stages("spark"):
+        df = df.selectExpr(
+            "*", *[f"{expr} AS {name}" for name, expr in st.items()]
+        )
     return (
-        cells.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("b").alias("bucket"),
-            F.col("n1").alias("n_docs_with"),
-            F.floor(n11 / n1 * 10000 + F.lit(0.5)).cast("long").alias(
-                "pos_rate_bp"
-            ),
-            F.floor(mi * _Q276_SCALE).cast("long").alias("mi_nano"),
+        df.selectExpr(
+            "b AS bucket",
+            "n1 AS n_docs_with",
+            "pos_rate_bp",
+            "mi_nano",
         )
         .orderBy(F.desc("mi_nano"), F.asc("bucket"))
         .limit(_Q276_TOPK)
     )
 
 
-# det_ln building blocks (functions/detmath.py): one CTE stage binds the
-# 20-deep sqrt chain per ratio, the next applies the cubic series —
-# op-for-op the same IEEE-correctly-rounded sequence Spark runs.
-_Q276_T11, _Q276_S11 = _det_ln_sql("x11", "t11")
-_Q276_T10, _Q276_S10 = _det_ln_sql("x10", "t10")
-_Q276_T01, _Q276_S01 = _det_ln_sql("x01", "t01")
-_Q276_T00, _Q276_S00 = _det_ln_sql("x00", "t00")
-
-Q276_SQL = f"""
+# Oracle twin: the identical integer stage chain rendered as DuckDB CTEs
+# (dialect differences are ONLY the integer-division token and the
+# constant-array lookup — see detmath._idiv/_elem).
+def _q276_oracle_sql() -> str:
+    stages = _q276_mi_stages("duckdb")
+    ctes = []
+    prev = "base"
+    for i, st in enumerate(stages):
+        name = f"s{i}"
+        cols = ",\n           ".join(f"{e} AS {n}" for n, e in st.items())
+        ctes.append(f"{name} AS (\n    SELECT *,\n           {cols}\n    FROM {prev}\n)")
+        prev = name
+    joined = ",\n".join(ctes)
+    return f"""
 WITH lab AS (
     SELECT doc_id,
            CASE WHEN len(list_distinct(str_split(lower(text), ' '))) * 2
@@ -1201,47 +1265,21 @@ cells AS (
     FROM present p JOIN lab l USING (doc_id)
     GROUP BY p.b
 ),
-ratios AS (
-    SELECT b, n1, n11, nn, npos,
-           CAST(n11 AS DOUBLE) * nn
-               / (CAST(n1 AS DOUBLE) * npos) AS x11,
-           CAST(n1 - n11 AS DOUBLE) * nn
-               / (CAST(n1 AS DOUBLE) * (nn - npos)) AS x10,
-           CAST(npos - n11 AS DOUBLE) * nn
-               / (CAST(nn - n1 AS DOUBLE) * npos) AS x01,
-           CAST(nn - n1 - npos + n11 AS DOUBLE) * nn
-               / (CAST(nn - n1 AS DOUBLE) * (nn - npos)) AS x00
-    FROM cells CROSS JOIN tot
+base AS (
+    SELECT * FROM cells CROSS JOIN tot
 ),
-tq AS (
-    SELECT b, n1, n11, nn, npos,
-           {_Q276_T11} AS t11, {_Q276_T10} AS t10,
-           {_Q276_T01} AS t01, {_Q276_T00} AS t00
-    FROM ratios
-),
-mi AS (
-    SELECT b, n1, n11, nn, npos,
-           (CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE) / nn)
-                * {_Q276_S11} ELSE 0.0 END)
-         + (CASE WHEN n1 - n11 > 0 THEN (CAST(n1 - n11 AS DOUBLE) / nn)
-                * {_Q276_S10} ELSE 0.0 END)
-         + (CASE WHEN npos - n11 > 0 THEN (CAST(npos - n11 AS DOUBLE) / nn)
-                * {_Q276_S01} ELSE 0.0 END)
-         + (CASE WHEN nn - n1 - npos + n11 > 0
-                THEN (CAST(nn - n1 - npos + n11 AS DOUBLE) / nn)
-                * {_Q276_S00} ELSE 0.0 END)
-               AS mi_raw
-    FROM tq
-)
+{joined}
 SELECT b AS bucket,
        n1 AS n_docs_with,
-       CAST(floor(CAST(n11 AS DOUBLE) / n1 * 10000 + 0.5) AS BIGINT)
-           AS pos_rate_bp,
-       CAST(floor(mi_raw * {_Q276_SCALE}) AS BIGINT) AS mi_nano
-FROM mi
+       pos_rate_bp,
+       mi_nano
+FROM {prev}
 ORDER BY mi_nano DESC, bucket ASC
 LIMIT {_Q276_TOPK}
 """
+
+
+Q276_SQL = _q276_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -186,13 +186,27 @@ def main() -> None:
     # sample halves the odds a co-tenant CPU burst (see loadavg_1m)
     # pollutes every sample of a query.
     timings: dict[str, float] = {}
+    # r11 additions (VERDICT r10 task 3): per-query ambient context so a
+    # co-tenant stall window is machine-attributable from the artifact
+    # alone — wall-clock start offset (s since bench start), 1-min
+    # loadavg sampled at query start, and all three per-run samples (the
+    # published number stays the min). ADDITIONS ONLY: every existing
+    # field keeps its exact meaning, and no probe query changed.
+    ambient: dict[str, dict] = {}
+    bench_t0 = time.perf_counter()
     for q in bench_queries:
-        best = float("inf")
+        try:
+            load_at = round(os.getloadavg()[0], 2)
+        except OSError:
+            load_at = None
+        t_off = round(time.perf_counter() - bench_t0, 1)
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[q.name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[q.name] = min(runs)
+        ambient[q.name] = {"t": t_off, "load": load_at, "runs": runs}
 
     total = round(sum(timings.values()), 3)
     scale = CALIBRATION_REF_SEC / calibration if calibration > 0 else 1.0
@@ -241,6 +255,7 @@ def main() -> None:
                 "queries_norm": queries_norm,
                 "value_norm_family": value_norm_family,
                 "queries_norm_family": queries_norm_family,
+                "ambient": ambient,
             }
         )
     )

@@ -84,3 +84,60 @@ def test_spark_duckdb_bit_equality_exp(spark):
 
     for x, y in rows:
         assert struct.pack("<d", got[x]) == struct.pack("<d", y), x
+
+
+# --- det_ln_q36: the integer-only fixed-point log (r11, q276 fix) --------
+
+Q36_INPUTS = [
+    0, 1, 2, 3, 5, 63, 64, 65, 127, 128, 4095, 4096, 5000, 10**6,
+    2**31 - 1, 2**31, 2**31 + 1, 10**12, 3 * 10**15, 2**61, 2**62 - 1,
+]
+
+
+def test_det_ln_q36_py_accuracy_and_edges():
+    from bbc_news_data_pipeline_spark.functions.detmath import (
+        Q36,
+        det_ln_q36_py,
+    )
+
+    assert det_ln_q36_py(0) == 0  # clamps to ln(1)
+    assert det_ln_q36_py(1) == 0
+    for v in Q36_INPUTS:
+        if v < 1:
+            continue
+        got = det_ln_q36_py(v) / Q36
+        assert got == pytest.approx(math.log(v), abs=2e-9), v
+
+
+def _apply_stages_duckdb(values):
+    from bbc_news_data_pipeline_spark.functions.detmath import (
+        det_ln_q36_stages,
+    )
+
+    stages = det_ln_q36_stages({"q": "v"}, "duckdb")
+    sql = f"SELECT CAST(unnest({values!r}) AS BIGINT) AS v"
+    for st in stages:
+        cols = ", ".join(f"{e} AS {n}" for n, e in st.items())
+        sql = f"SELECT *, {cols} FROM ({sql})"
+    return duckdb.sql(f"SELECT v, q_ln FROM ({sql})").fetchall()
+
+
+def test_det_ln_q36_duckdb_matches_python_twin():
+    from bbc_news_data_pipeline_spark.functions.detmath import det_ln_q36_py
+
+    for v, ln in _apply_stages_duckdb(Q36_INPUTS):
+        assert ln == det_ln_q36_py(v), v
+
+
+def test_det_ln_q36_spark_matches_python_twin(spark):
+    from bbc_news_data_pipeline_spark.functions.detmath import (
+        det_ln_q36_py,
+        det_ln_q36_stages,
+    )
+
+    df = spark.createDataFrame([(v,) for v in Q36_INPUTS], "v long")
+    for st in det_ln_q36_stages({"q": "v"}, "spark"):
+        df = df.selectExpr("*", *[f"{e} AS {n}" for n, e in st.items()])
+    got = {r["v"]: r["q_ln"] for r in df.select("v", "q_ln").collect()}
+    for v in Q36_INPUTS:
+        assert got[v] == det_ln_q36_py(v), v

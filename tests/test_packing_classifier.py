@@ -232,6 +232,7 @@ def test_feature_mi_python_twin(spark, sf_dir):
     from collections import defaultdict
     from math import floor, log
 
+    from bbc_news_data_pipeline_spark.functions.detmath import det_ln_q36_py
     from bbc_news_data_pipeline_spark.plans.quality_plans import (
         _Q117_D,
         _Q276_SCALE,
@@ -255,7 +256,7 @@ def test_feature_mi_python_twin(spark, sf_dir):
     nn = len(labels)
     npos = sum(labels.values())
 
-    def mi_nano_of(b):
+    def mi_float_of(b):
         n1 = len(pres[b])
         n11 = sum(labels[d] for d in pres[b])
         cells = [
@@ -264,12 +265,35 @@ def test_feature_mi_python_twin(spark, sf_dir):
             (npos - n11, nn - n1, npos),
             (nn - n1 - npos + n11, nn - n1, nn - npos),
         ]
-        mi = sum(
+        return sum(
             (c / nn) * log(c * nn / (nx * nc))
             for c, nx, nc in cells
             if c > 0
         )
-        return floor(mi * _Q276_SCALE)
+
+    def mi_nano_of(b):
+        # r11 integer twin of _q276_mi_stages: Q36 fixed-point MI, pure
+        # int ops end to end (exact — Python ints never overflow).
+        n1 = len(pres[b])
+        n11 = sum(labels[d] for d in pres[b])
+        cells = [
+            (n11, n1 * npos),
+            (n1 - n11, n1 * (nn - npos)),
+            (npos - n11, (nn - n1) * npos),
+            (nn - n1 - npos + n11, (nn - n1) * (nn - npos)),
+        ]
+        s = 0
+        for c, g in cells:
+            if c <= 0:
+                continue
+            p = (c * (1 << 30)) // nn
+            la, lb = det_ln_q36_py(c * nn), det_ln_q36_py(g)
+            ta = (p * (la // 4096) + (p * (la % 4096)) // 4096) // 262144
+            tb = (p * (lb // 4096) + (p * (lb % 4096)) // 4096) // 262144
+            s += ta - tb
+        soff = s + (256 << 36)
+        hi, lo = soff // 262144, soff % 262144
+        return (hi * 10**9 + (lo * 10**9) // 262144) // 262144 - 256 * 10**9
 
     ranked = sorted(pres, key=lambda b: (-mi_nano_of(b), b))
     out = q276_feature_mi(spark, sf_dir).collect()
@@ -282,8 +306,11 @@ def test_feature_mi_python_twin(spark, sf_dir):
         # r10: pure-BIGINT emission (integer nano/bp numerators) — the
         # hashed schema carries no doubles at all.
         assert isinstance(r.pos_rate_bp, int) and isinstance(r.mi_nano, int)
+        assert r.pos_rate_bp == (20000 * n11 + n1) // (2 * n1)
         assert r.pos_rate_bp == floor(n11 / n1 * 1e4 + 0.5)
         assert r.mi_nano == mi_nano_of(r.bucket)
+        # fixed-point MI tracks the float MI to ~1e-9 + p-quantization
+        assert abs(r.mi_nano / _Q276_SCALE - mi_float_of(r.bucket)) < 1e-6
         assert r.mi_nano >= 0
     # everything outside the top-K scores no higher than the cut
     cut = out[-1].mi_nano
